@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{ResourceDef, Resources, WriteMode}
+import graft.sink.Warehouse
+import graft.sources.SObjectSource
+import graft.state.WatermarkStore
+
+/** End-to-end pipeline: the engine's analog of `load()` +
+  * Dagster/Airflow orchestration (SURVEY.md §2.10, §3.1-3.3).
+  *
+  * Stages mirror the reference's Airflow DAG
+  * (`airflow/dags/salesforce_iceberg_dag.py:38-183`):
+  * validate config → run (extract/conform/load per resource) → verify
+  * (per-table count scan) → summary report — all in-process, no global env
+  * mutation (unlike the Dagster asset's env staging,
+  * `dagster/.../dlt_salesforce.py:60-72`).
+  */
+object Pipeline {
+
+  /** O3: per-table load metadata (rows, disposition, snapshot version, ms) —
+    * the engine's `MaterializeResult` analog
+    * (`dagster/.../dlt_salesforce.py:114-127`).
+    */
+  final case class LoadReport(
+      table: String,
+      mode: WriteMode,
+      rows: Long,
+      snapshotVersion: Long,
+      newWatermark: Option[String],
+      millis: Long)
+
+  /** O4: fan-in summary (`dagster/.../dlt_salesforce.py:148-182`,
+    * `airflow/dags/salesforce_iceberg_dag.py:151-183`).
+    */
+  final case class RunSummary(reports: Seq[LoadReport]) {
+    def totalRecords: Long = reports.map(_.rows).sum
+    def successCount: Int = reports.size
+    def render: String =
+      reports.map(r => f"${r.table}%-10s ${r.mode}%-8s rows=${r.rows}%-8d v=${r.snapshotVersion} wm=${r.newWatermark.getOrElse("-")}")
+        .mkString("", "\n", f"\nTOTAL records=$totalRecords tables=$successCount")
+  }
+
+  /** Pipeline configuration — the typed replacement for the reference's
+    * env-var surface (`salesforce_pipeline.py:31-39`, O2/O6, I7/I8).
+    *
+    * @param resources       subset to run (SALESFORCE_RESOURCES analog, I8)
+    * @param forceReplace    override every disposition to Replace and reset
+    *                        state (WRITE_DISPOSITION=force_replace, I7/I5)
+    * @param testLimit       per-resource row cap (IS_PRODUCTION=false analog)
+    */
+  final case class Config(
+      sfDir: String,
+      warehouseDir: String,
+      stateDir: String,
+      resources: Seq[ResourceDef] = Resources.testdata,
+      forceReplace: Boolean = false,
+      testLimit: Option[Int] = None)
+
+  /** O6 fail-fast config validation
+    * (`airflow/dags/salesforce_iceberg_dag.py:42-77`).
+    */
+  def validate(cfg: Config): Either[String, Config] =
+    if (cfg.sfDir.isEmpty) Left("sfDir is required")
+    else if (cfg.warehouseDir.isEmpty) Left("warehouseDir is required")
+    else if (!new java.io.File(cfg.sfDir).isDirectory) Left(s"sfDir not found: ${cfg.sfDir}")
+    else if (cfg.resources.isEmpty) Left("no resources selected")
+    else Right(cfg)
+
+  /** O1/O5: one run = extract + load every selected resource, advancing
+    * watermarks. Incremental resources read only rows with
+    * rk > stored-watermark (strict `>`, I1) and afterwards persist the batch
+    * max (A3) — a driver-side 2-value aggregate, not a collect of data.
+    */
+  def run(spark: SparkSession, cfg0: Config): RunSummary = {
+    val cfg = validate(cfg0).fold(err => throw new IllegalArgumentException(err), identity)
+    val wh = new Warehouse(spark, cfg.warehouseDir)
+    val state = new WatermarkStore(cfg.stateDir)
+    if (cfg.forceReplace) state.reset()
+
+    val reports = cfg.resources.map { res0 =>
+      val res = if (cfg.forceReplace) res0.copy(mode = WriteMode.Replace) else res0
+      val t0 = System.nanoTime()
+      val stored = state.get(res.name)
+      val batch = SObjectSource.extract(spark, cfg.sfDir, res,
+        watermark = stored, limit = cfg.testLimit)
+      // One pass computes both the row count and the new watermark.
+      val (rows, newWm) = res.replicationKey match {
+        case Some(rk) =>
+          val agg = batch.agg(count(lit(1)).as("n"),
+            date_format(max(col(rk)), "yyyy-MM-dd'T'HH:mm:ss").as("wm")).head()
+          (agg.getLong(0), Option(agg.getString(1)))
+        case None => (batch.count(), None)
+      }
+      val version = wh.write(res, batch)
+      newWm.foreach(w => state.advance(res.name, w))
+      LoadReport(res.name, res.mode, rows, version, newWm,
+        (System.nanoTime() - t0) / 1000000)
+    }
+    RunSummary(reports)
+  }
+
+  /** O5 verification stage: per-table count + sample scan of the warehouse
+    * (`airflow/dags/salesforce_iceberg_dag.py:97-149`, `check_tables.py:27-62`).
+    */
+  def verify(spark: SparkSession, warehouseDir: String): Map[String, Long] = {
+    val wh = new Warehouse(spark, warehouseDir)
+    wh.listTables().map(t => t -> wh.load(t).count()).toMap
+  }
+}

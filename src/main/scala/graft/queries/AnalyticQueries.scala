@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Consumer-side analytic surface over the loaded star schema (SURVEY.md §2.3
+  * J2, §2.4, §2.5, §2.6): the queries a user of the reference's warehouse
+  * runs after the ELT lands. Broadcast hints mark the dimension sides so the
+  * 100 TB plan is map-side joins on facts, shuffle only where keyed
+  * aggregation genuinely requires it.
+  */
+object AnalyticQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: single-pass grouped scan of the biggest fact. Partial
+    // aggregation (map-side combine) keeps shuffle rows = #groups, not #rows.
+    "q20_pricing_summary" -> { (s, dir) =>
+      read(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q5 shape: facts joined to broadcast dims, grouped revenue.
+    "q21_revenue_by_nation" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem")
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      val n = read(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // TPC-H Q10 shape: top-20 customers by revenue — global top-k via
+    // TakeOrderedAndProject, not a full sort.
+    "q22_top_customers" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem")
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+    },
+
+    // TPC-H Q4 shape: EXISTS => left semi join, grouped priority counts.
+    "q23_order_priority" -> { (s, dir) =>
+      val o = read(s, dir, "orders")
+      val li = read(s, dir, "lineitem").filter(col("l_discount") > 0.05)
+        .select("l_orderkey").distinct()
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Dim-fact join + multi-metric agg per brand.
+    "q24_brand_stats" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem")
+      val p = read(s, dir, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          min("l_shipdate").as("first_ship"),
+          max("l_shipdate").as("last_ship"))
+        .orderBy("p_brand")
+    },
+
+    // ROLLUP hierarchy totals (region -> nation -> grand total).
+    "q25_rollup_geo" -> { (s, dir) =>
+      val c = read(s, dir, "customer")
+      val n = read(s, dir, "nation")
+      val r = read(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        // Column refs, not strings: the string overload trips Spark 4's
+        // ambiguous-self-join detection under grouping sets (false positive).
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    // Running aggregate window per key (frame: unbounded preceding..current).
+    "q26_running_spend" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      read(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Top-k per group via ranked window.
+    "q27_topk_per_brand" -> { (s, dir) =>
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      read(s, dir, "part")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_brand", "rk")
+    },
+
+    // NOT EXISTS => left anti join (customers with no open orders; every
+    // customer has SOME order in this data, so the plain variant is empty).
+    "q28_customers_no_orders" -> { (s, dir) =>
+      val c = read(s, dir, "customer")
+      val o = read(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select("o_custkey").distinct()
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // INTERSECT / EXCEPT over yearly active-customer sets.
+    "q29_setops_active" -> { (s, dir) =>
+      val o = read(s, dir, "orders")
+      def active(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey").as("custkey"))
+      val both = active(1996).intersect(active(1997))
+        .select(lit("both_96_97").as("tag"), col("custkey"))
+      val only96 = active(1996).except(active(1997))
+        .select(lit("only_96").as("tag"), col("custkey"))
+      both.unionByName(only96).orderBy("tag", "custkey")
+    },
+
+    // Multi-way dim chain: supplier -> nation -> region grouped avg balance.
+    "q30_supplier_geo" -> { (s, dir) =>
+      val sdf = read(s, dir, "supplier")
+      val n = read(s, dir, "nation")
+      val r = read(s, dir, "region")
+      sdf.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(dec(col("s_acctbal"))).cast("double").as("sum_bal"))
+        .orderBy("r_name")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q21_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q22_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q23_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q24_brand_stats" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q25_rollup_geo" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q26_running_spend" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q27_topk_per_brand" ->
+      """SELECT p_brand, rk, p_partkey, p_name, p_retailprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC, p_partkey ASC) AS rk FROM part)
+        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+
+    "q28_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q29_setops_active" ->
+      """WITH a96 AS (SELECT o_custkey AS custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996),
+        |a97 AS (SELECT o_custkey AS custkey FROM orders WHERE extract(year FROM o_orderdate) = 1997)
+        |SELECT 'both_96_97' AS tag, custkey FROM (SELECT custkey FROM a96 INTERSECT SELECT custkey FROM a97)
+        |UNION ALL
+        |SELECT 'only_96' AS tag, custkey FROM (SELECT custkey FROM a96 EXCEPT SELECT custkey FROM a97)
+        |ORDER BY tag, custkey""".stripMargin,
+
+    "q30_supplier_geo" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
+  )
+}

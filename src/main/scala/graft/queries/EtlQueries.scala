@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.schema.SchemaOps
+import Tables._
+
+/** ETL-parity queries: each named query is the DataFrame re-expression of one
+  * reference operator group from SURVEY.md §2 (scan/filter/watermark P1-P5,
+  * merge algebra J1, counts/watermark aggregates A1-A4, schema conform
+  * P10/P11, timestamp canonicalization F1/F2, union §2.6), with a DuckDB
+  * oracle over the same parquet.
+  */
+object EtlQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P3/P4/I1: strict-> watermark scan, pushed to the parquet reader
+    // (reference synthesizes `WHERE rk > w ORDER BY rk`, records.py:87-94).
+    "q01_watermark_filter" -> { (s, dir) =>
+      read(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // P1/P2: projection pruning (compound-field exclusion analog) — ReadSchema
+    // in the parquet scan carries only 3 of 5 customer columns.
+    "q02_projection" -> { (s, dir) =>
+      read(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // P5 + §2.5: deterministic LIMIT = top-k (the reference's test LIMIT 100).
+    "q03_topk_limit" -> { (s, dir) =>
+      read(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    },
+
+    // J1: the merge disposition as relational algebra — delete-by-PK is a
+    // broadcast anti join, then append the batch (salesforce_pipeline.py:83-176
+    // re-expressed; the O(n) OR-chain predicate is gone).
+    "q04_merge_upsert" -> { (s, dir) =>
+      val orders = read(s, dir, "orders")
+      val cut = lit("1995-07-01").cast("timestamp")
+      val target = orders.filter(col("o_orderdate") < cut)
+      val incoming = orders.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+      val keys = incoming.select("o_orderkey").distinct()
+      target.join(broadcast(keys), Seq("o_orderkey"), "left_anti")
+        .unionByName(incoming)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+
+    // P10/P11: schema-conform — missing target column null-filled, extra
+    // incoming column dropped, target order projection (pipeline.py:153-174).
+    "q05_schema_conform" -> { (s, dir) =>
+      val incoming = read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("extra").as("not_in_target"), col("o_orderstatus"))
+      val target = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),   // absent in incoming -> null
+        StructField("o_custkey", LongType)))
+      SchemaOps.conform(incoming, target).orderBy("o_orderkey")
+    },
+
+    // §2.5: dedup-by-latest, the window-function generalization of merge when
+    // a batch holds several versions of one PK (keep-latest, SURVEY §7.6.2).
+    "q06_dedup_latest" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      read(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    },
+
+    // A3/I1: per-resource max-watermark aggregate persisted between runs.
+    "q07_watermarks" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem").agg(max("l_shipdate").as("wm"))
+        .select(lit("lineitem").as("tbl"), col("wm"))
+      val o = read(s, dir, "orders").agg(max("o_orderdate").as("wm"))
+        .select(lit("orders").as("tbl"), col("wm"))
+      li.unionByName(o).orderBy("tbl")
+    },
+
+    // A1/A2: per-table verification counts + grand total (check_tables.py /
+    // airflow verify_data_load re-expressed as one relational result).
+    "q08_table_counts" -> { (s, dir) =>
+      val counts = Seq("customer", "orders", "lineitem", "part", "supplier")
+        .map(t => read(s, dir, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))
+        .reduce(_ unionByName _)
+      counts.unionByName(
+        counts.agg(sum("n").as("n")).select(lit("TOTAL").as("tbl"), col("n")))
+        .orderBy("tbl")
+    },
+
+    // A4: distinct PK set (the merge delete-set).
+    "q09_distinct_pks" -> { (s, dir) =>
+      read(s, dir, "orders").select(col("o_custkey").as("pk")).distinct().orderBy("pk")
+    },
+
+    // §2.6: append accumulation = unionByName (column order intentionally
+    // permuted on one side to show by-name resolution).
+    "q10_union_append" -> { (s, dir) =>
+      val n = read(s, dir, "nation")
+      val lo = n.filter(col("n_nationkey") < 12).select("n_nationkey", "n_name", "n_regionkey")
+      val hi = n.filter(col("n_nationkey") >= 12).select("n_regionkey", "n_name", "n_nationkey")
+      lo.unionByName(hi).orderBy("n_nationkey")
+    },
+
+    // F1/F2: timestamp canonicalization — epoch-millis <-> native timestamp
+    // round-trip and ISO-8601 render (records.py:32-45 without the string
+    // storage trap).
+    "q11_ts_canonical" -> { (s, dir) =>
+      // o_orderdate arrives as TIMESTAMP_NTZ (parquet ms, not UTC-adjusted);
+      // under the UTC session a cast to TIMESTAMP is the identity instant.
+      val ts = col("o_orderdate").cast("timestamp")
+      read(s, dir, "orders")
+        .select(col("o_orderkey"),
+          unix_millis(ts).as("epoch_ms"),
+          date_format(ts, "yyyy-MM-dd'T'HH:mm:ss").as("iso"),
+          (timestamp_millis(unix_millis(ts)) === ts).as("roundtrip_ok"))
+        .orderBy("o_orderkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_watermark_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+        |WHERE l_shipdate > TIMESTAMP '1995-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_projection" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
+
+    "q03_topk_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q04_merge_upsert" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'),
+        |incoming AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01')
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM target
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM incoming
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q05_schema_conform" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice, o_custkey
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q06_dedup_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q07_watermarks" ->
+      """SELECT 'lineitem' AS tbl, max(l_shipdate) AS wm FROM lineitem
+        |UNION ALL SELECT 'orders' AS tbl, max(o_orderdate) AS wm FROM orders
+        |ORDER BY tbl""".stripMargin,
+
+    "q08_table_counts" ->
+      """WITH c AS (
+        |  SELECT 'customer' AS tbl, count(*) AS n FROM customer
+        |  UNION ALL SELECT 'orders', count(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |  UNION ALL SELECT 'part', count(*) FROM part
+        |  UNION ALL SELECT 'supplier', count(*) FROM supplier)
+        |SELECT tbl, n FROM c
+        |UNION ALL SELECT 'TOTAL' AS tbl, CAST(sum(n) AS BIGINT) AS n FROM c
+        |ORDER BY tbl""".stripMargin,
+
+    "q09_distinct_pks" ->
+      "SELECT DISTINCT o_custkey AS pk FROM orders ORDER BY pk",
+
+    "q10_union_append" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 12
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 12
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q11_ts_canonical" ->
+      """SELECT o_orderkey, epoch_ms(o_orderdate) AS epoch_ms,
+        |strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso,
+        |epoch_ms(epoch_ms(o_orderdate)) = o_orderdate AS roundtrip_ok
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Event-stream surface over the `events` table (FIXTURES.md §B): JSON
+  * property extraction, tumbling event-time windows, gap-based
+  * sessionization, and per-type stats — the batch duals of the Structured
+  * Streaming jobs in `graft.streaming` (same logical plans, streaming adds
+  * watermarks + state).
+  *
+  * `events.ts` is ns-precision parquet; values are µs-exact, and outputs
+  * emit only truncated timestamps so both engines hash identically.
+  */
+object EventQueries {
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    * raw long under `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * Verify/Bench/tests). Values are µs-exact, so integer `div 1000` to µs is
+    * lossless (double division would NOT be: ns magnitudes exceed 2^53).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = read(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // get_json_object over the props JSON column (engine side); the oracle
+    // extracts the same value by regex so it never depends on a DuckDB
+    // extension being loadable offline.
+    "q40_json_kpis" -> { (s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // Tumbling 1-hour event-time windows (batch dual of
+    // groupBy(window($"ts", "1 hour")) — date_trunc is the oracle-stable
+    // window-start form).
+    "q41_hourly_windows" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hour", "event_type")
+    },
+
+    // Gap-based sessionization (30-min inactivity): lag -> new-session flag ->
+    // running session id -> per-session rollup. Batch dual of
+    // session_window / flatMapGroupsWithState.
+    "q42_sessions" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull, 0)
+            .when(unix_micros(col("ts").cast("timestamp")) - col("prev_us") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sid", sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"),
+          (max(unix_micros(col("ts").cast("timestamp"))) -
+            min(unix_micros(col("ts").cast("timestamp")))).as("duration_us"))
+        .orderBy("user_id", "sid")
+    },
+
+    // Per-type stats with a deterministic stddev: exact decimal sums feed one
+    // double sqrt — identical in both engines, unlike double-accumulated
+    // stddev_samp.
+    "q43_event_stats" -> { (s, dir) =>
+      val v = dec(col("value"))
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"),
+          min("value").as("min_value"),
+          max("value").as("max_value"),
+          sum(v * v).cast("double").as("sum_sq"))
+        .withColumn("stddev",
+          sqrt((col("sum_sq") - col("sum_value") * col("sum_value") / col("n")) / (col("n") - 1)))
+        .drop("sum_sq")
+        .orderBy("event_type")
+    },
+
+    // Sketch surface: HLL distinct + approximate percentiles. Engine-only
+    // (HLL implementations differ across engines -> rows-only check).
+    "q44_approx_sketches" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+        .orderBy("event_type")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_json_kpis" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS min_k,
+        |  max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q41_hourly_windows" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q42_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM marked)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    "q43_event_stats" ->
+      """SELECT event_type, n, n_users, sum_value, min_value, max_value,
+        |  sqrt((sum_sq - sum_value * sum_value / n) / (n - 1)) AS stddev
+        |FROM (
+        |  SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |    min(value) AS min_value, max(value) AS max_value,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq
+        |  FROM events GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin
+  )
+}

