@@ -33,16 +33,28 @@ object WriteMode {
   *                        reference's PK-presence guard `salesforce_pipeline.py:131-134`)
   * @param replicationKey  incremental watermark column, if any
   * @param initialWatermark starting watermark value (ISO timestamp literal)
+  * @param nanosCols       columns stored as TIMESTAMP(NANOS) parquet, which
+  *                        Spark surfaces as raw long nanos (legacy
+  *                        nanosAsLong) — normalized to TimestampType at
+  *                        extraction
   */
 final case class ResourceDef(
     name: String,
     mode: WriteMode,
     primaryKeys: Seq[String] = Nil,
     replicationKey: Option[String] = None,
-    initialWatermark: Option[String] = None)
+    initialWatermark: Option[String] = None,
+    nanosCols: Seq[String] = Nil)
 
 object Resources {
+  /** The reference's epoch (`salesforce/__init__.py:42-43`). */
   val DefaultInitialWatermark = "2000-01-01T00:00:00Z"
+
+  /** Epoch predating all driver test data (orders span 1995-2001): the
+    * initial watermark must predate the corpus or the first run silently
+    * skips history — same role 2000-01-01 plays for Salesforce data.
+    */
+  val TestdataEpoch = "1990-01-01T00:00:00Z"
 
   /** The driver test-data star schema cast into the reference's resource
     * roles (FIXTURES.md §B): `orders`/`lineitem` are merge-disposition
@@ -56,9 +68,9 @@ object Resources {
     ResourceDef("customer", WriteMode.Replace, Seq("c_custkey")),
     ResourceDef("supplier", WriteMode.Replace, Seq("s_suppkey")),
     ResourceDef("part",     WriteMode.Replace, Seq("p_partkey")),
-    ResourceDef("orders",   WriteMode.Merge, Seq("o_orderkey"), Some("o_orderdate"), Some(DefaultInitialWatermark)),
-    ResourceDef("lineitem", WriteMode.Merge, Seq("l_orderkey", "l_linenumber"), Some("l_shipdate"), Some(DefaultInitialWatermark)),
-    ResourceDef("events",   WriteMode.Append, Seq("event_id"), Some("ts"), None)
+    ResourceDef("orders",   WriteMode.Merge, Seq("o_orderkey"), Some("o_orderdate"), Some(TestdataEpoch)),
+    ResourceDef("lineitem", WriteMode.Merge, Seq("l_orderkey", "l_linenumber"), Some("l_shipdate"), Some(TestdataEpoch)),
+    ResourceDef("events",   WriteMode.Append, Seq("event_id"), Some("ts"), None, Seq("ts"))
   )
 
   def byName(name: String): ResourceDef =

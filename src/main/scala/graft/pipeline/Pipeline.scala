@@ -88,8 +88,10 @@ object Pipeline {
       // One pass computes both the row count and the new watermark.
       val (rows, newWm) = res.replicationKey match {
         case Some(rk) =>
+          // µs-precision render: truncating to seconds would re-extract
+          // boundary rows with sub-second timestamps on the next run.
           val agg = batch.agg(count(lit(1)).as("n"),
-            date_format(max(col(rk)), "yyyy-MM-dd'T'HH:mm:ss").as("wm")).head()
+            date_format(max(col(rk)), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("wm")).head()
           (agg.getLong(0), Option(agg.getString(1)))
         case None => (batch.count(), None)
       }

@@ -17,6 +17,8 @@ object DedupQueries {
 
   private val W = 3         // shingle width (word trigrams)
   private val K = 12        // minhash signature length
+  private val SALTS = 3     // md5 invocations per shingle; each yields 4 hash fns
+  private val CHUNK = 4     // 8-hex-char slices per md5 (K = SALTS * CHUNK)
   private val BANDS = 3     // LSH bands (r = K / BANDS = 4 rows per band)
   private val R = K / BANDS
   private val JACCARD_T = 0.5
@@ -26,7 +28,7 @@ object DedupQueries {
     // min doc_id per group (pure map-side expr + one keyed window).
     "q54_exact_dedup" -> { (s, dir) =>
       val g = Window.partitionBy("fp_norm")
-      read(s, dir, "documents")
+      spread(read(s, dir, "documents"))
         .select(col("doc_id"), md5(normalize(col("text"))).as("fp_norm"))
         .withColumn("keeper", min("doc_id").over(g))
         .withColumn("is_dup", col("doc_id") =!= col("keeper"))
@@ -36,7 +38,7 @@ object DedupQueries {
     // Fingerprint-block near-dup groups: docs sharing an 80-char normalized
     // prefix; emits only groups with >1 member.
     "q55_prefix_dup_groups" -> { (s, dir) =>
-      read(s, dir, "documents")
+      spread(read(s, dir, "documents"))
         .select(col("doc_id"), md5(substring(normalize(col("text")), 1, 80)).as("grp"))
         .groupBy("grp")
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("copies"),
@@ -48,7 +50,7 @@ object DedupQueries {
     // n-gram Jaccard near-dup pairs, blocked on a 40-char prefix fingerprint
     // so the join fans out only within tiny candidate buckets.
     "q56_ngram_jaccard" -> { (s, dir) =>
-      val base = read(s, dir, "documents")
+      val base = spread(read(s, dir, "documents"))
         .withColumn("tk", tokens(col("text")))
         .select(col("doc_id"),
           md5(substring(normalize(col("text")), 1, 40)).as("blk"),
@@ -64,33 +66,82 @@ object DedupQueries {
         .orderBy("d1", "d2")
     },
 
-    // MinHash + LSH: per-doc signature of K salted-md5 minima, banded into
-    // BANDS keys; docs sharing a band key become candidates, verified by true
-    // shingle Jaccard. Candidate generation is a keyed self-join on band
-    // keys — at 100 TB the band key is the shuffle key and bucket sizes stay
-    // bounded, no quadratic blowup.
+    // MinHash + LSH, the scale-path shape: explode shingles to rows, compute
+    // SALTS md5s per row as FLAT codegen'd exprs (no nested higher-order
+    // functions — those run interpreted), take the K minima with one hash
+    // aggregate keyed by doc, band the signature, and self-join on band
+    // keys. Each md5 is sliced into CHUNK 8-hex sub-hashes, so K hash
+    // functions cost only SALTS md5 calls per shingle. At 100 TB: shuffle
+    // keys are doc_id then band key; bucket sizes stay bounded, no quadratic
+    // blowup, and every stage is whole-stage-codegen.
     "q57_minhash_lsh" -> { (s, dir) =>
-      val base = read(s, dir, "documents")
+      val docs = spread(read(s, dir, "documents"))
         .withColumn("tk", tokens(col("text")))
         .select(col("doc_id"), array_distinct(shingles(col("tk"), W)).as("sh"))
-        .withColumn("sig", minhashSignature(col("sh"), K))
-        .withColumn("bands", lshBands(col("sig"), BANDS, R))
-      val exploded = base.select(col("doc_id"), col("sh"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-      val a = exploded.select(col("doc_id").as("d1"), col("sh").as("sh1"),
-        col("band_idx"), col("band_key"))
-      val b = exploded.select(col("doc_id").as("d2"), col("sh").as("sh2"),
-        col("band_idx"), col("band_key"))
-      a.join(b, Seq("band_idx", "band_key")).filter(col("d1") < col("d2"))
-        .select("d1", "d2", "sh1", "sh2").distinct()
+        .persist()
+      val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+      val hashed = shingleRows.select(
+        Seq(col("doc_id")) ++
+          (0 until SALTS).map(t => md5(concat(lit(s"$t:"), col("h"))).as(s"m$t")): _*)
+      val sigCols = (0 until K).map { j =>
+        min(substring(col(s"m${j / CHUNK}"), (j % CHUNK) * 8 + 1, 8)).as(s"sig$j")
+      }
+      val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandCols = (0 until BANDS).map { b =>
+        md5(concat_ws("|", Seq(lit(b.toString)) ++
+          (0 until R).map(i => col(s"sig${b * R + i}")): _*)).as(s"band$b")
+      }
+      val banded = sig.select(Seq(col("doc_id")) ++ bandCols: _*)
+        .select(col("doc_id"), posexplode(array((0 until BANDS).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      cand.join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
         .withColumn("jaccard",
           size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
             size(array_union(col("sh1"), col("sh2"))))
         .filter(col("jaccard") >= JACCARD_T)
         .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("d1", "d2")
+    },
+
+    // SimHash near-dup: 32-bit signature from per-token md5 bit-majorities,
+    // computed as 32 flat sum-aggregates over exploded token rows (all
+    // codegen'd — no nested HOFs), candidates blocked on the upper-16-bit
+    // band, verified by Hamming distance <= threshold. Frequency-weighted:
+    // duplicate tokens count.
+    "q58_simhash" -> { (s, dir) =>
+      val docs = spread(read(s, dir, "documents"))
+        .withColumn("tk", tokens(col("text")))
+      val tokRows = docs.select(col("doc_id"), explode(col("tk")).as("w"))
+        .select(col("doc_id"), md5(col("w")).as("h"))
+      // bit j of the word hash, from hex digit j/4, bit (3 - j%4)
+      def bit(j: Int) =
+        shiftright(conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int"), 3 - j % 4)
+          .bitwiseAND(lit(1))
+      val aggs = (0 until SIMHASH_BITS).map(j => sum(bit(j)).as(s"s$j")) :+
+        count(lit(1)).as("n")
+      val sums = tokRows.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val simhash = (0 until SIMHASH_BITS).map { j =>
+        when(col(s"s$j") * 2 >= col("n"), lit(1L << (SIMHASH_BITS - 1 - j))).otherwise(0L)
+      }.reduce(_ + _)
+      val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+        .withColumn("band", shiftright(col("simhash"), SIMHASH_BITS / 2))
+      sig.as("a").join(sig.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .filter(col("hamming") <= HAMMING_T)
+        .orderBy("d1", "d2")
     }
   )
+
+  private val SIMHASH_BITS = 32
+  private val HAMMING_T = 4
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   /** Tokens + distinct shingle set, precomputed once per doc in a CTE chain. */
@@ -102,7 +153,28 @@ object DedupQueries {
        |    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS sh
        |  FROM tk)""".stripMargin
 
+  /** DuckDB mirror of the per-token bit extraction in q58. */
+  private def bitSql(j: Int) =
+    s"((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) >> ${3 - j % 4}) & 1"
+
   val oracles: Map[String, String] = Map(
+    "q58_simhash" -> {
+      val sumCols = (0 until SIMHASH_BITS).map(j => s"sum(${bitSql(j)}) AS s$j").mkString(", ")
+      val shExpr = (0 until SIMHASH_BITS).map { j =>
+        s"CASE WHEN s$j * 2 >= n THEN ${1L << (SIMHASH_BITS - 1 - j)} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |tok_rows AS (SELECT doc_id, md5(t.w) AS h FROM tk, unnest(toks) AS t(w)),
+         |sums AS (SELECT doc_id, $sumCols, count(*) AS n FROM tok_rows GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($shExpr AS BIGINT) AS simhash FROM sums),
+         |banded AS (SELECT doc_id, simhash, simhash >> ${SIMHASH_BITS / 2} AS band FROM sig)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HAMMING_T
+         |ORDER BY d1, d2""".stripMargin
+    },
+
     "q54_exact_dedup" ->
       s"""SELECT doc_id, fp_norm, min(doc_id) OVER (PARTITION BY fp_norm) AS keeper,
          |  doc_id <> min(doc_id) OVER (PARTITION BY fp_norm) AS is_dup
@@ -133,11 +205,12 @@ object DedupQueries {
          |sig AS (
          |  SELECT doc_id, sh,
          |    list_transform(generate_series(0, ${K - 1}),
-         |      j -> list_min(list_transform(sh, h -> md5(concat(j, ':', h))))) AS sig
+         |      j -> list_min(list_transform(sh,
+         |        h -> substring(md5(concat(j // $CHUNK, ':', h)), (j % $CHUNK) * 8 + 1, 8)))) AS sig
          |  FROM base),
          |banded AS (
          |  SELECT doc_id, sh, t.b AS band_idx,
-         |    md5(concat_ws('|', sig[t.b*$R+1], sig[t.b*$R+2], sig[t.b*$R+3], sig[t.b*$R+4])) AS band_key
+         |    md5(concat_ws('|', t.b, sig[t.b*$R+1], sig[t.b*$R+2], sig[t.b*$R+3], sig[t.b*$R+4])) AS band_key
          |  FROM sig, generate_series(0, ${BANDS - 1}) AS t(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sh AS sh1, b.sh AS sh2

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFns._
+import graft.functions.expressions.CosineFns
 import graft.functions.TextFns.{normalize, tokens}
 import Tables._
 
@@ -28,14 +29,15 @@ object SimilarityQueries {
     // Brute-force exact cosine top-k: N_PROBES probe vectors against the
     // whole corpus; broadcast the probes, rank per probe.
     "q60_cosine_topk" -> { (s, dir) =>
-      val emb = read(s, dir, "embeddings")
+      CosineFns.register(s)
+      val emb = spread(read(s, dir, "embeddings"))
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val probes = emb.filter(col("vec_id") < N_PROBES)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"))
       val w = Window.partitionBy("probe_id")
         .orderBy(col("score").desc, col("vec_id").asc)
       broadcast(probes).join(emb, col("vec_id") =!= col("probe_id"))
-        .withColumn("score", cosine(col("pv"), col("v")))
+        .withColumn("score", CosineFns.cosineNative(col("pv"), col("v")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TOPK)
         .select(col("probe_id"), col("rank"), col("vec_id"),
@@ -47,7 +49,8 @@ object SimilarityQueries {
     // weights, no driver RNG) buckets the corpus; each probe scores only its
     // own bucket. Approximate — documented recall tradeoff vs q60.
     "q61_ann_lsh" -> { (s, dir) =>
-      val emb = read(s, dir, "embeddings")
+      CosineFns.register(s)
+      val emb = spread(read(s, dir, "embeddings"))
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("sig", lshSignature(col("v"), PLANES, DIM))
       val probes = emb.filter(col("vec_id") < N_PROBES)
@@ -56,7 +59,7 @@ object SimilarityQueries {
         .orderBy(col("score").desc, col("vec_id").asc)
       broadcast(probes).join(emb, Seq("sig"))
         .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("score", cosine(col("pv"), col("v")))
+        .withColumn("score", CosineFns.cosineNative(col("pv"), col("v")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TOPK)
         .select(col("probe_id"), col("rank"), col("vec_id"),

@@ -23,6 +23,18 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a compute-heavy narrow table across all cores. Small parquet
+    * files arrive as ONE scan partition (maxPartitionBytes never splits a
+    * 65 MB file), which would serialize expensive per-row work (md5
+    * shingling, vector math) onto a single core; one cheap round-robin
+    * shuffle of the raw rows buys full parallelism for everything after.
+    * At production scale the input is many files and this becomes a no-op
+    * choice — the pattern (repartition before compute-bound stages, not
+    * before IO-bound ones) is what matters.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact decimal view of a double money column. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 

@@ -16,7 +16,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token + char counting, two tokenizers (whitespace and a BPE-ish regex).
     "q50_token_stats" -> { (s, dir) =>
-      val t = read(s, dir, "documents")
+      val t = spread(read(s, dir, "documents"))
       t.select(col("doc_id"),
           length(col("text")).as("n_chars_m"),
           size(tokens(col("text"))).as("n_tokens"),
@@ -28,7 +28,7 @@ object TextQueries {
 
     // Quality scoring: length, punctuation ratio, mean word length, verdict.
     "q51_quality" -> { (s, dir) =>
-      val t = read(s, dir, "documents")
+      val t = spread(read(s, dir, "documents"))
       val toks = tokens(col("text"))
       val nonWs = length(regexp_replace(col("text"), "\\s", ""))
       t.select(col("doc_id"), col("lang"),
@@ -47,7 +47,7 @@ object TextQueries {
     // Language-ID via marker tokens; output is the (declared lang x predicted
     // lang) confusion matrix — small result, deterministic argmax.
     "q52_langid" -> { (s, dir) =>
-      val t = read(s, dir, "documents")
+      val t = spread(read(s, dir, "documents"))
       val toks = tokens(col("text"))
       val scoreCols = Seq(col("doc_id"), col("lang")) ++
         langMarkers.map { case (l, ms) => markerScore(toks, ms).as(s"s_$l") }
@@ -61,7 +61,7 @@ object TextQueries {
     // Document fingerprinting: full-text md5, normalized md5, 80-char-prefix
     // md5 (the near-dup blocking key used by the dedup family).
     "q53_fingerprints" -> { (s, dir) =>
-      read(s, dir, "documents")
+      spread(read(s, dir, "documents"))
         .select(col("doc_id"),
           md5(col("text")).as("fp_raw"),
           md5(normalize(col("text"))).as("fp_norm"),

@@ -46,11 +46,19 @@ object SObjectSource {
       limit: Option[Int] = None,
       dropCols: Seq[String] = Nil): DataFrame = {
     var df = read(spark, sfDir, res.name)
+    // TIMESTAMP(NANOS) columns arrive as long nanos; µs-exact integer div
+    // (double division would lose precision at ns magnitudes).
+    res.nanosCols.foreach { c =>
+      if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        df = df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+    }
     if (dropCols.nonEmpty) df = df.drop(dropCols: _*)
     (res.replicationKey, watermark.orElse(res.initialWatermark)) match {
       case (Some(rk), Some(w)) =>
         // Strict `>` — rows exactly at the boundary are excluded (SURVEY §7.6.6).
-        df = df.filter(col(rk) > to_timestamp(lit(w.stripSuffix("Z")), "yyyy-MM-dd'T'HH:mm:ss"))
+        // Optional fractional seconds: watermarks persist at µs precision.
+        df = df.filter(col(rk) >
+            to_timestamp(lit(w.stripSuffix("Z")), "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]"))
           .orderBy(col(rk).asc)
       case _ => ()
     }

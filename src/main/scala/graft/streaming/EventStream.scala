@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Mutable-session accumulator state for EventStream.sessionize. Top-level
+  * (not object-nested): Spark's state-encoder codegen resolves nested case
+  * classes' accessors unreliably under Janino.
+  */
+final case class SessionBuf(startMs: Long, endMs: Long, nEvents: Long, totalValue: Double)
+
+/** Structured Streaming duals of the incremental/batch semantics
+  * (SURVEY.md §2.9): the reference's micro-batch replication becomes a real
+  * stream here — watermarked tumbling-window aggregation (I1/I3 dual) and
+  * gap-based sessionization via typed state (the streaming form of
+  * EventQueries.q42).
+  *
+  * These transforms are plan-shape-agnostic: the same function body works on
+  * a batch DataFrame or a streaming one, which is how Structured Streaming is
+  * meant to be used (declare the plan; the engine handles state/watermarks).
+  * Tested with MemoryStream in StreamingSpec — no long-running cluster needed.
+  */
+object EventStream {
+
+  /** Event row as extracted (matches the events table). */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** One closed session per (user, inactivity-gap) — streaming q42 output. */
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Tumbling 1-hour windowed KPIs with a 10-minute watermark: late events
+    * beyond the watermark are dropped, each window finalizes once (append
+    * mode) — the streaming dual of q41_hourly_windows.
+    */
+  def hourlyKpis(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionization with typed per-key state
+    * (flatMapGroupsWithState): a session closes after `gapMinutes` of
+    * inactivity or on state timeout. Streaming dual of q42_sessions.
+    *
+    * @param timeout ProcessingTimeTimeout (default) also closes idle sessions
+    *                wall-clock; NoTimeout closes only via the event-time gap
+    *                (deterministic — what the tests drive, since timeout
+    *                batches re-fire continuously and never let a test drain).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionBuf]): Iterator[Session] = {
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.endMs > gapMs =>
+            closed ::= Session(userId, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.endMs), s.nEvents, s.totalValue)
+            cur = Some(SessionBuf(t, t, 1, e.value))
+          case Some(s) =>
+            cur = Some(SessionBuf(s.startMs, t, s.nEvents + 1, s.totalValue + e.value))
+          case None =>
+            cur = Some(SessionBuf(t, t, 1, e.value))
+        }
+      }
+      if (state.hasTimedOut) {
+        cur.foreach(s => closed ::= Session(userId, new java.sql.Timestamp(s.startMs),
+          new java.sql.Timestamp(s.endMs), s.nEvents, s.totalValue))
+        state.remove()
+      } else {
+        cur.foreach { s =>
+          state.update(s)
+          if (useTimeout) state.setTimeoutDuration(gapMs)
+        }
+      }
+      closed.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+  }
+
+  /** File-source incremental ingestion: watch a directory of parquet drops
+    * and merge each micro-batch into the warehouse via foreachBatch — the
+    * streaming form of the reference's whole pipeline (extract loop +
+    * merge disposition per batch).
+    */
+  def incrementalLoad(spark: SparkSession, watchDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      wh: graft.sink.Warehouse, res: graft.model.ResourceDef) = {
+    spark.readStream.schema(schema).parquet(watchDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        wh.write(res, batch); ()
+      }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.pipeline.Pipeline
+import graft.model.{ResourceDef, Resources, WriteMode}
+import graft.state.WatermarkStore
+import graft.sink.Warehouse
+
+/** End-to-end pipeline semantics over the sf0.001 fixture data:
+  * validate -> run -> verify -> summary (SURVEY §2.10, §3), incremental
+  * second run is a no-op (strict `>` watermark), force_replace resets state.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def cfg(wh: String, st: String, rs: Seq[ResourceDef] = Resources.testdata) =
+    Pipeline.Config(sf, wh, st, resources = rs)
+
+  test("validate fails fast on bad config") {
+    assert(Pipeline.validate(cfg("", "s")).isLeft)
+    assert(Pipeline.validate(Pipeline.Config(sf, "w", "s", resources = Nil)).isLeft)
+    assert(Pipeline.validate(Pipeline.Config("/nope", "w", "s")).isLeft)
+    assert(Pipeline.validate(cfg("w", "s")).isRight)
+  }
+
+  test("first run loads all resources; verification counts match source") {
+    val (wh, st) = (tmpDir("pl-wh"), tmpDir("pl-st"))
+    val summary = Pipeline.run(spark, cfg(wh, st))
+    assert(summary.successCount == Resources.testdata.size)
+    assert(summary.totalRecords > 0)
+    val counts = Pipeline.verify(spark, wh)
+    val srcOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(counts("orders") == srcOrders)
+    assert(summary.render.contains("TOTAL"))
+  }
+
+  test("second incremental run extracts nothing new (strict > watermark)") {
+    val (wh, st) = (tmpDir("pl2-wh"), tmpDir("pl2-st"))
+    Pipeline.run(spark, cfg(wh, st))
+    val before = Pipeline.verify(spark, wh)
+    val second = Pipeline.run(spark, cfg(wh, st))
+    // merge resources see 0 incremental rows; replace resources reload fully
+    val mergeReports = second.reports.filter(_.mode == WriteMode.Merge)
+    assert(mergeReports.nonEmpty && mergeReports.forall(_.rows == 0))
+    assert(Pipeline.verify(spark, wh) == before)
+  }
+
+  test("force_replace resets state and dispositions") {
+    val (wh, st) = (tmpDir("pl3-wh"), tmpDir("pl3-st"))
+    Pipeline.run(spark, cfg(wh, st))
+    val summary = Pipeline.run(spark, cfg(wh, st).copy(forceReplace = true))
+    assert(summary.reports.forall(_.mode == WriteMode.Replace))
+    // full re-extraction after state reset
+    assert(summary.reports.find(_.table == "orders").get.rows ==
+      spark.read.parquet(s"$sf/orders.parquet").count())
+  }
+
+  test("testLimit caps extraction like IS_PRODUCTION=false") {
+    val (wh, st) = (tmpDir("pl4-wh"), tmpDir("pl4-st"))
+    val summary = Pipeline.run(spark,
+      cfg(wh, st, Seq(Resources.byName("customer"))).copy(testLimit = Some(100)))
+    assert(summary.reports.head.rows == 100)
+  }
+
+  test("watermark store: monotone advance, atomic write, reset") {
+    val st = new WatermarkStore(tmpDir("wm"))
+    st.advance("r", "2024-01-01T00:00:00")
+    st.advance("r", "2023-01-01T00:00:00") // smaller: no-op
+    assert(st.get("r").contains("2024-01-01T00:00:00"))
+    st.advance("r", "2025-01-01T00:00:00")
+    assert(st.get("r").contains("2025-01-01T00:00:00"))
+    st.reset()
+    assert(st.get("r").isEmpty)
+  }
+}

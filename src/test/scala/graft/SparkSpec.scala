@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide session, lazy). */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  lazy val sf = "/root/testdata/sf0.001"
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}

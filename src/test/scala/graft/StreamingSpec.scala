@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+/** Structured Streaming semantics driven synchronously with MemoryStream:
+  * watermarked tumbling windows finalize exactly once; sessionization state
+  * closes sessions on gap; batch/stream duality of the q41/q42 logic.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1704067200000L + min * 60000L)
+
+  test("hourly windowed aggregation with watermark finalizes closed windows") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.hourlyKpis(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hourly_out").start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(61), 2, "view", 5.0))   // second hour opens
+      q.processAllAvailable()
+      // advance watermark far past hour 1 so its window finalizes
+      input.addData(Event(4, ts(200), 2, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly_out").as[(Timestamp, String, Long, Double)].collect()
+      val hour1 = out.find(_._2 == "click")
+      assert(hour1.exists(r => r._3 == 2 && r._4 == 3.0))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the inactivity gap") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    // session 1: minutes 0..10; then 40-min silence; session 2 at minute 50
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 7, "click", 2.0),
+      Event(3, ts(50), 7, "click", 4.0))
+    // NoTimeout + AvailableNow: drain the input then stop — a
+    // ProcessingTimeTimeout query keeps re-firing timeout batches and a test
+    // can never drain it.
+    val q = EventStream.sessionize(input.toDS(), gapMinutes = 30,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(60000), "stream did not drain in 60s")
+      val out = spark.table("sessions_out").as[Session].collect()
+      // first session must have closed with 2 events and value 3.0
+      assert(out.exists(s => s.user_id == 7 && s.n_events == 2 && s.total_value == 3.0))
+    } finally q.stop()
+  }
+
+  test("batch/stream duality: hourlyKpis runs unchanged on a batch frame") {
+    val batch = Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0)).toDF()
+    val out = EventStream.hourlyKpis(batch).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 2)
+  }
+}

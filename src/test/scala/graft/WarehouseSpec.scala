@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sink.Warehouse
+import graft.model.{ResourceDef, WriteMode}
+
+/** Write-disposition semantics against the reference contract
+  * (FIXTURES.md §A fixture guidance; `salesforce_pipeline.py:75-176`):
+  * replace = target equals last batch; merge = delete-by-PK then append all
+  * incoming (dups included), null PKs append-never-match; schema conform on
+  * write; snapshot versioning isolates readers.
+  */
+class WarehouseSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("Id", StringType),
+    StructField("Amount", LongType),
+    StructField("SystemModstamp", StringType)))
+
+  private def df(rows: (String, Long, String)*) =
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, schema)
+
+  test("append accumulates batches") {
+    val wh = new Warehouse(spark, tmpDir("wh-append"))
+    wh.append("t", df(("a", 1, "2024-01-01")))
+    wh.append("t", df(("b", 2, "2024-01-02")))
+    assert(wh.load("t").count() == 2)
+  }
+
+  test("replace leaves only the incoming batch") {
+    val wh = new Warehouse(spark, tmpDir("wh-replace"))
+    wh.replace("t", df(("a", 1, "2024-01-01"), ("b", 2, "2024-01-01")))
+    wh.replace("t", df(("c", 3, "2024-01-02")))
+    val out = wh.load("t").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("c"))
+  }
+
+  test("merge upserts by PK: existing replaced, new appended") {
+    val wh = new Warehouse(spark, tmpDir("wh-merge"))
+    wh.replace("t", df(("a", 1, "2024-01-01"), ("b", 2, "2024-01-01")))
+    wh.merge("t", df(("b", 20, "2024-02-01"), ("c", 30, "2024-02-01")), Seq("Id"))
+    val out = wh.load("t").orderBy("Id").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 20L), ("c", 30L)))
+  }
+
+  test("merge keeps reference semantics: in-batch duplicate PKs all appended") {
+    val wh = new Warehouse(spark, tmpDir("wh-dup"))
+    wh.replace("t", df(("a", 1, "2024-01-01")))
+    wh.merge("t", df(("a", 2, "2024-02-01"), ("a", 3, "2024-02-02")), Seq("Id"))
+    // delete-then-append-all (salesforce_pipeline.py:108-130,176): both rows land
+    assert(wh.load("t").count() == 2)
+  }
+
+  test("mergeLatest keeps only the newest version per PK") {
+    val wh = new Warehouse(spark, tmpDir("wh-latest"))
+    wh.replace("t", df(("a", 1, "2024-01-01")))
+    wh.mergeLatest("t", df(("a", 2, "2024-02-01"), ("a", 3, "2024-02-02")),
+      Seq("Id"), "SystemModstamp")
+    val out = wh.load("t").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 3)
+  }
+
+  test("merge with null PK: appended, never matches/deletes") {
+    val wh = new Warehouse(spark, tmpDir("wh-null"))
+    wh.replace("t", spark.createDataFrame(
+      Seq(Row(null, 1L, "2024-01-01"), Row("a", 2L, "2024-01-01")).asJava, schema))
+    wh.merge("t", spark.createDataFrame(
+      Seq(Row(null, 10L, "2024-02-01")).asJava, schema), Seq("Id"))
+    // target null-PK row kept + target "a" kept + incoming null row appended = 3
+    assert(wh.load("t").count() == 3)
+  }
+
+  test("merge without PKs in schema falls back to append") {
+    val wh = new Warehouse(spark, tmpDir("wh-guard"))
+    wh.replace("t", df(("a", 1, "2024-01-01")))
+    wh.merge("t", df(("a", 2, "2024-02-01")), Seq("NotAColumn"))
+    assert(wh.load("t").count() == 2) // appended, nothing deleted
+  }
+
+  test("schema conform on write: extra dropped, missing null-filled, target wins") {
+    val wh = new Warehouse(spark, tmpDir("wh-conform"))
+    wh.replace("t", df(("a", 1, "2024-01-01")))
+    val extra = spark.createDataFrame(
+      Seq(Row("b", "surprise")).asJava,
+      StructType(Seq(StructField("Id", StringType), StructField("NewCol", StringType))))
+    wh.append("t", extra)
+    val out = wh.load("t")
+    assert(out.schema.fieldNames.toSeq == Seq("Id", "Amount", "SystemModstamp"))
+    assert(out.where(out("Id") === "b").head().isNullAt(1))
+  }
+
+  test("snapshot versions advance and old snapshots stay readable") {
+    val wh = new Warehouse(spark, tmpDir("wh-ver"))
+    val v0 = wh.replace("t", df(("a", 1, "2024-01-01")))
+    val before = wh.load("t") // lazy plan over v0
+    val v1 = wh.replace("t", df(("b", 2, "2024-02-01")))
+    assert(v1 == v0 + 1)
+    // read-modify-write never clobbered the snapshot the old plan points at
+    assert(before.collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(wh.listTables() == Seq("t"))
+  }
+
+  test("merge is idempotent: same batch twice == once") {
+    val wh1 = new Warehouse(spark, tmpDir("wh-idem1"))
+    val wh2 = new Warehouse(spark, tmpDir("wh-idem2"))
+    val batch = df(("a", 5, "2024-03-01"), ("b", 6, "2024-03-01"))
+    wh1.replace("t", df(("a", 1, "2024-01-01")))
+    wh2.replace("t", df(("a", 1, "2024-01-01")))
+    wh1.merge("t", batch, Seq("Id"))
+    wh2.merge("t", batch, Seq("Id"))
+    wh2.merge("t", batch, Seq("Id"))
+    val a = wh1.load("t").orderBy("Id").collect().toSeq
+    val b = wh2.load("t").orderBy("Id").collect().toSeq
+    assert(a == b)
+  }
+}
