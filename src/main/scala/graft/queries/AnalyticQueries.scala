@@ -145,6 +145,17 @@ object AnalyticQueries {
       both.unionByName(only96).orderBy("tag", "custkey")
     },
 
+    // CUBE over two dims: all grouping-set combinations (order status x
+    // priority), incl. both marginals and the grand total.
+    "q31_cube_status" -> { (s, dir) =>
+      read(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
     // Multi-way dim chain: supplier -> nation -> region grouped avg balance.
     "q30_supplier_geo" -> { (s, dir) =>
       val sdf = read(s, dir, "supplier")
@@ -236,6 +247,12 @@ object AnalyticQueries {
         |UNION ALL
         |SELECT 'only_96' AS tag, custkey FROM (SELECT custkey FROM a96 EXCEPT SELECT custkey FROM a97)
         |ORDER BY tag, custkey""".stripMargin,
+
+    "q31_cube_status" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q30_supplier_geo" ->
       """SELECT r_name, count(*) AS n_suppliers,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.dsv2.FakeSalesforceApi
+
+/** DSv2 sObject connector: schema discovery, filter/column/limit pushdown
+  * (visible in the executed plan as synthesized SOQL), paged partitions,
+  * and value-level correctness against the deterministic fake API.
+  */
+class DsV2Spec extends SparkSpec {
+
+  private val fmt = "graft.sources.dsv2.SObjectDataSource"
+
+  private def accounts(rows: Long = 5000, pageSize: Int = 1000) =
+    spark.read.format(fmt)
+      .option("sobject", "Account")
+      .option("rows", rows.toString)
+      .option("pageSize", pageSize.toString)
+      .load()
+
+  test("schema discovery via describe()") {
+    val df = accounts()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("Id", "Name", "AnnualRevenue", "IsActive", "SystemModstamp"))
+    assert(df.count() == 5000)
+  }
+
+  test("watermark filter is pushed down and appears as SOQL in the plan") {
+    val cut = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T01:00:00Z"))
+    val df = accounts().filter(col("SystemModstamp") > lit(cut)).select("Id", "SystemModstamp")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SOQL: SELECT"), s"no SOQL scan in plan:\n$plan")
+    assert(plan.contains("SystemModstamp >"), s"watermark not pushed:\n$plan")
+    // rows 61..4999 pass (one per minute after the first hour)
+    assert(df.count() == 5000 - 61)
+  }
+
+  test("column pruning reaches the scan") {
+    val df = accounts().select("Id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SELECT Id FROM Account"), s"projection not pruned:\n$plan")
+  }
+
+  test("limit pushdown caps pages server-side") {
+    val df = accounts(rows = 100000, pageSize = 100).limit(42)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LIMIT 42"), s"limit not pushed:\n$plan")
+    assert(df.count() == 42)
+  }
+
+  test("paged partitions: one per pageSize slice") {
+    val df = accounts(rows = 2500, pageSize = 1000)
+    assert(df.rdd.getNumPartitions == 3)
+  }
+
+  test("values match the deterministic API") {
+    val row = accounts().filter(col("Id") === "Account-00000007")
+      .select("Name", "AnnualRevenue", "IsActive").head()
+    assert(row.getString(0) == "Account 7")
+    assert(row.getLong(1) == FakeSalesforceApi.field("Account", 7, "AnnualRevenue"))
+    assert(row.getBoolean(2) == FakeSalesforceApi.field("Account", 7, "IsActive"))
+  }
+
+  test("unsupported predicate stays a Spark-side residual but result is right") {
+    val df = accounts().filter(col("Name").endsWith("99"))
+    assert(df.count() == 50)  // Account 99, 199, ..., 4999
+  }
+}
