@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.expressions.CosineSimilarity
+
+/** Session-extension entry point: makes the engine's native expressions
+  * available cluster-wide without per-session registration calls —
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *
+  * (the production form of `CosineFns.register`; SURVEY §7.4's extension
+  * registration tier). Injected at session build, so SQL text, views, and
+  * thrift-server clients all resolve the functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_native"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_native"),
+      exprs => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot grouping keys (builder contract: "skewed keys ->
+  * salting or AQE skew-join").
+  *
+  * AQE handles skewed JOINS automatically (split oversized partitions), but a
+  * skewed AGGREGATION key still lands on one reducer. `saltedAgg` is the
+  * standard two-phase rewrite: group on (key, salt) first — fanning one hot
+  * key across `buckets` reducers — then combine the partials. Only
+  * decomposable aggregates (sum/count/min/max) are supported; that's exactly
+  * the set Spark itself can partial-aggregate.
+  */
+object Skew {
+
+  /** Two-phase salted sum/count aggregation.
+    *
+    * @param df      input
+    * @param key     grouping column name
+    * @param sums    columns to sum, by name (result column keeps the name)
+    * @param buckets salt fan-out (reducers per hot key)
+    */
+  def saltedAgg(df: DataFrame, key: String, sums: Seq[String], buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val partialAggs = sums.map(c => sum(col(c)).as(c)) :+ count(lit(1)).as("__cnt")
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs = sums.map(c => sum(col(c)).as(c)) :+ sum("__cnt").as("n")
+    partial.groupBy(col(key)).agg(finalAggs.head, finalAggs.tail: _*)
+  }
+}

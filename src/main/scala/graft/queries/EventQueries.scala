@@ -97,6 +97,32 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // AS-OF join: for every purchase, the user's latest click at-or-before
+    // it. Spark has no asof operator; the Spark-first composition is a
+    // union + keyed ordered window carrying the last click forward — ONE
+    // shuffle on user_id, no inequality join (which would plan as a
+    // nested-loop at scale). DuckDB's native ASOF JOIN is the oracle.
+    "q45_asof_click_purchase" -> { (s, dir) =>
+      val e = events(s, dir).select("event_id", "ts", "user_id", "event_type")
+        .filter(col("event_type").isin("click", "purchase"))
+      // clicks sort before purchases at identical ts (asof is <=)
+      val tagged = e.withColumn("is_click", (col("event_type") === "click").cast("int"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("is_click").desc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_click_id",
+          last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("last_click_us",
+          last(when(col("is_click") === 1, unix_micros(col("ts").cast("timestamp"))),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("last_click_id").as("click_id"),
+          (unix_micros(col("ts").cast("timestamp")) - col("last_click_us")).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+
     // Sketch surface: HLL distinct + approximate percentiles. Engine-only
     // (HLL implementations differ across engines -> rows-only check).
     "q44_approx_sketches" -> { (s, dir) =>
@@ -138,6 +164,15 @@ object EventQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
         |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    "q45_asof_click_purchase" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
 
     "q43_event_stats" ->
       """SELECT event_type, n, n_users, sum_value, min_value, max_value,

@@ -53,11 +53,28 @@ final class Warehouse(spark: SparkSession, root: String) {
     if (!exists(name)) -1L else Files.readString(pointer(name)).trim.toLong
 
   /** S11 full-table scan of the current snapshot. */
-  def load(name: String): DataFrame = {
-    val v = currentVersion(name)
-    require(v >= 0, s"no such table: $name")
-    spark.read.parquet(tableDir(name).resolve(s"v=$v").toString)
+  def load(name: String): DataFrame = loadVersion(name, currentVersion(name))
+
+  /** Time travel: scan a specific committed snapshot (snapshots are
+    * immutable, so any version ever committed stays readable — the Iceberg
+    * `VERSION AS OF` analog).
+    */
+  def loadVersion(name: String, version: Long): DataFrame = {
+    require(version >= 0 && Files.exists(tableDir(name).resolve(s"v=$version")),
+      s"no such snapshot: $name v=$version")
+    spark.read.parquet(tableDir(name).resolve(s"v=$version").toString)
   }
+
+  /** All committed snapshot versions of a table, oldest first. */
+  def history(name: String): Seq[Long] =
+    if (!Files.exists(tableDir(name))) Nil
+    else {
+      val s = Files.list(tableDir(name))
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).toSeq.sorted
+      finally s.close()
+    }
 
   /** Commit `df` as the next snapshot of `name` and swap the pointer.
     * ATOMIC_MOVE on the pointer file ≈ Iceberg's catalog commit.

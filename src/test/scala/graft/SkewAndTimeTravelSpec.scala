@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Skew
+import graft.sink.Warehouse
+
+class SkewAndTimeTravelSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  test("saltedAgg equals plain groupBy agg on skewed data") {
+    // 90% of rows share one hot key
+    val rows = (0 until 2000).map(i =>
+      Row(if (i % 10 == 0) s"k${i % 7}" else "HOT", i.toLong))
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))))
+    val salted = Skew.saltedAgg(df, "k", Seq("v"), buckets = 8)
+      .orderBy("k").collect().toSeq
+    val plain = df.groupBy("k").agg(sum("v").as("v"), count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("time travel: every committed snapshot stays readable") {
+    val wh = new Warehouse(spark, tmpDir("tt"))
+    val schema = StructType(Seq(StructField("x", LongType)))
+    def batch(n: Long) = spark.createDataFrame(
+      (0L until n).map(Row(_)).asJava, schema)
+    val v0 = wh.replace("t", batch(3))
+    val v1 = wh.append("t", batch(2))
+    val v2 = wh.replace("t", batch(1))
+    assert(wh.history("t") == Seq(0L, 1L, 2L))
+    assert(wh.loadVersion("t", v0).count() == 3)
+    assert(wh.loadVersion("t", v1).count() == 5)
+    assert(wh.loadVersion("t", v2).count() == 1)
+    assert(wh.load("t").count() == 1)
+    intercept[IllegalArgumentException](wh.loadVersion("t", 99))
+  }
+}
