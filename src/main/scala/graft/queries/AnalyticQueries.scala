@@ -156,6 +156,44 @@ object AnalyticQueries {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    // Window over aggregate: each nation's share of its region's revenue —
+    // grouped agg feeding a partitioned window, no self-join.
+    "q32_revenue_share" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem")
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      val n = read(s, dir, "nation")
+      val r = read(s, dir, "region")
+      val byNation = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        // stay DECIMAL through the window sum — a double window-sum's value
+        // depends on partition iteration order across engines
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue_dec"))
+      val wr = Window.partitionBy("r_name")
+      byNation
+        .withColumn("region_dec", sum("revenue_dec").over(wr))
+        .select(col("r_name"), col("n_name"),
+          col("revenue_dec").cast("double").as("revenue"),
+          round(col("revenue_dec").cast("double") / col("region_dec").cast("double"), 6).as("share"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Conditional aggregation (pivot-style): one row per priority, order
+    // counts fanned across status columns via filtered counts.
+    "q33_status_pivot" -> { (s, dir) =>
+      read(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+          count(lit(1)).as("n_total"))
+        .orderBy("o_orderpriority")
+    },
+
     // Multi-way dim chain: supplier -> nation -> region grouped avg balance.
     "q30_supplier_geo" -> { (s, dir) =>
       val sdf = read(s, dir, "supplier")
@@ -247,6 +285,28 @@ object AnalyticQueries {
         |UNION ALL
         |SELECT 'only_96' AS tag, custkey FROM (SELECT custkey FROM a96 EXCEPT SELECT custkey FROM a97)
         |ORDER BY tag, custkey""".stripMargin,
+
+    "q32_revenue_share" ->
+      """WITH by_nation AS (
+        |  SELECT r_name, n_name,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue_dec
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, CAST(revenue_dec AS DOUBLE) AS revenue,
+        |  round(CAST(revenue_dec AS DOUBLE) /
+        |    CAST(sum(revenue_dec) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share
+        |FROM by_nation ORDER BY r_name, n_name""".stripMargin,
+
+    "q33_status_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (o_orderstatus = 'P') AS n_p,
+        |  count(*) AS n_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q31_cube_status" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

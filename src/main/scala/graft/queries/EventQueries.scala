@@ -123,6 +123,42 @@ object EventQueries {
         .orderBy("purchase_id")
     },
 
+    // RANGE join, bucket-blocked: errors within 60s after any purchase.
+    // A naive inequality join plans as a nested loop; bucketing time into
+    // 60s cells and exploding one side to (cell, cell+1) turns it into an
+    // equi-join on the cell key — the only range-join shape that survives
+    // 100 TB. Exact range predicate re-checked after the join.
+    "q46_range_purchase_errors" -> { (s, dir) =>
+      val winUs = 60000000L
+      val ev = events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("us").as("us_p"),
+          expr(s"us div $winUs").as("cell_p"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("us").as("us_e"),
+          expr(s"us div $winUs").as("cell"))
+      p.withColumn("cell", explode(array(col("cell_p"), col("cell_p") + 1)))
+        .join(e, "cell")
+        .filter(col("us_e") >= col("us_p") && col("us_e") - col("us_p") <= winUs)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_errors"),
+          min(col("us_e") - col("us_p")).as("min_gap_us"))
+        .orderBy("purchase_id")
+    },
+
+    // Sliding event-time windows (30 min, slide 15): Spark's native
+    // window(); the oracle enumerates the two candidate window starts per
+    // event explicitly.
+    "q47_sliding_windows" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts").cast("timestamp"), "30 minutes", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("w_start", "event_type")
+    },
+
     // Sketch surface: HLL distinct + approximate percentiles. Engine-only
     // (HLL implementations differ across engines -> rows-only check).
     "q44_approx_sketches" -> { (s, dir) =>
@@ -173,6 +209,25 @@ object EventQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
+
+    "q46_range_purchase_errors" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_errors,
+        |  min(epoch_us(e.ts) - epoch_us(p.ts)) AS min_gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON epoch_us(e.ts) >= epoch_us(p.ts)
+        | AND epoch_us(e.ts) - epoch_us(p.ts) <= 60000000
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin,
+
+    "q47_sliding_windows" ->
+      """SELECT w_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT make_timestamp(t.s) AS w_start, event_type, value
+        |  FROM events,
+        |    unnest([(epoch_us(ts) // 900000000) * 900000000,
+        |            (epoch_us(ts) // 900000000) * 900000000 - 900000000]) AS t(s))
+        |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
 
     "q43_event_stats" ->
       """SELECT event_type, n, n_users, sum_value, min_value, max_value,
