@@ -9,7 +9,7 @@ import Tables._
 /** Deduplication family over `documents` (builder contract): exact
   * (hash-groupBy), fingerprint-block near-dup, n-gram Jaccard with prefix
   * blocking, MinHash+LSH (shingle -> salted-md5 minhash -> banded bucket
-  * join), SimHash (in SimilarityQueries). Scale posture: every variant blocks
+  * join), SimHash (q58). Scale posture: every variant blocks
   * candidates FIRST (hash buckets / LSH bands), so the pair space stays
   * linear-ish in corpus size — never the quadratic all-pairs cross join.
   */
