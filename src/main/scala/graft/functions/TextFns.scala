@@ -57,10 +57,14 @@ object TextFns {
 
   /** Word w-shingles of the token array, hashed to md5 hex (the MinHash
     * universe). transform(sequence(...)) keeps it all codegen'd array ops.
+    * try_element_at, not element_at: docs with fewer than w tokens produce
+    * one partial shingle (out-of-bounds -> null -> concat_ws skips), exactly
+    * matching the DuckDB oracle's null-skipping — plain element_at would
+    * throw under Spark 4's default ANSI mode.
     */
   def shingles(toks: Column, w: Int): Column =
     transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
-      i => md5(concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*)))
+      i => md5(concat_ws(" ", (0 until w).map(o => try_element_at(toks, i + o)): _*)))
 
   /** MinHash signature: k permutations simulated by salting the shingle hash;
     * signature element j = min over shingles of md5(j || ':' || shingle_md5).

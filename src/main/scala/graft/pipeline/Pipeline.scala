@@ -83,8 +83,12 @@ object Pipeline {
       val res = if (cfg.forceReplace) res0.copy(mode = WriteMode.Replace) else res0
       val t0 = System.nanoTime()
       val stored = state.get(res.name)
+      // cache(): the batch executes twice (watermark aggregate + write); an
+      // uncached nondeterministic plan (orderBy+limit with ties) could
+      // persist a watermark above the max row actually written — silently
+      // losing those rows to the strict `>` filter forever.
       val batch = SObjectSource.extract(spark, cfg.sfDir, res,
-        watermark = stored, limit = cfg.testLimit)
+        watermark = stored, limit = cfg.testLimit).cache()
       // One pass computes both the row count and the new watermark.
       val (rows, newWm) = res.replicationKey match {
         case Some(rk) =>
@@ -96,6 +100,7 @@ object Pipeline {
         case None => (batch.count(), None)
       }
       val version = wh.write(res, batch)
+      batch.unpersist()
       newWm.foreach(w => state.advance(res.name, w))
       LoadReport(res.name, res.mode, rows, version, newWm,
         (System.nanoTime() - t0) / 1000000)

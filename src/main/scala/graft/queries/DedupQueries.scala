@@ -78,6 +78,9 @@ object DedupQueries {
       val docs = spread(read(s, dir, "documents"))
         .withColumn("tk", tokens(col("text")))
         .select(col("doc_id"), array_distinct(shingles(col("tk"), W)).as("sh"))
+        // persist: the shingle scan feeds sig AND both jaccard-verify joins;
+        // uncached it would recompute 3x. Deliberately not unpersisted (the
+        // returned plan still references it); ~4 KB/doc, LRU-evictable.
         .persist()
       val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("h"))
       val hashed = shingleRows.select(

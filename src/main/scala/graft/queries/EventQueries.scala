@@ -16,19 +16,12 @@ import Tables._
   */
 object EventQueries {
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    * raw long under `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    * Verify/Bench/tests). Values are µs-exact, so integer `div 1000` to µs is
-    * lossless (double division would NOT be: ns magnitudes exceed 2^53).
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, surfaced as long nanos under
+    * the legacy `nanosAsLong` flag (set by Verify/Bench/tests) and
+    * normalized here (shared logic: SchemaOps.normalizeNanos).
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = read(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.schema.SchemaOps.normalizeNanos(read(s, dir, "events"), Seq("ts"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // get_json_object over the props JSON column (engine side); the oracle
@@ -102,6 +95,8 @@ object EventQueries {
     // union + keyed ordered window carrying the last click forward — ONE
     // shuffle on user_id, no inequality join (which would plan as a
     // nested-loop at scale). DuckDB's native ASOF JOIN is the oracle.
+    // Tie caveat: two clicks of one user at an identical µs would be an
+    // unspecified pick in DuckDB vs largest-event_id here (none in data).
     "q45_asof_click_purchase" -> { (s, dir) =>
       val e = events(s, dir).select("event_id", "ts", "user_id", "event_type")
         .filter(col("event_type").isin("click", "purchase"))

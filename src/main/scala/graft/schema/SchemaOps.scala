@@ -61,4 +61,17 @@ object SchemaOps {
     }
     df.select(cols.toIndexedSeq: _*)
   }
+
+  /** Normalize TIMESTAMP(NANOS) parquet columns that Spark surfaced as raw
+    * long nanos (legacy `nanosAsLong`): µs-exact integer `div 1000` — double
+    * division would lose precision at ns magnitudes (> 2^53). No-op for
+    * columns already typed timestamp. Shared by the extraction path
+    * (ResourceDef.nanosCols) and the query surface (events.ts).
+    */
+  def normalizeNanos(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c) && d.schema(c).dataType == LongType)
+        d.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+      else d
+    }
 }

@@ -45,13 +45,7 @@ object SObjectSource {
       watermark: Option[String] = None,
       limit: Option[Int] = None,
       dropCols: Seq[String] = Nil): DataFrame = {
-    var df = read(spark, sfDir, res.name)
-    // TIMESTAMP(NANOS) columns arrive as long nanos; µs-exact integer div
-    // (double division would lose precision at ns magnitudes).
-    res.nanosCols.foreach { c =>
-      if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        df = df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-    }
+    var df = SchemaOps.normalizeNanos(read(spark, sfDir, res.name), res.nanosCols)
     if (dropCols.nonEmpty) df = df.drop(dropCols: _*)
     (res.replicationKey, watermark.orElse(res.initialWatermark)) match {
       case (Some(rk), Some(w)) =>

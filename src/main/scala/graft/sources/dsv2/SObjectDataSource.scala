@@ -194,7 +194,11 @@ object SoqlFilters {
     case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
     case (x: Long, y: Number)     => java.lang.Long.compare(x, y.longValue())
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
-    case (x: Long, y: java.sql.Timestamp) => java.lang.Long.compare(x, y.getTime * 1000L)
+    // full µs precision: getTime*1000 would zero the sub-millisecond digits
+    // and silently re-admit boundary rows past a µs-precision watermark
+    case (x: Long, y: java.sql.Timestamp) =>
+      java.lang.Long.compare(x,
+        java.lang.Math.floorDiv(y.getTime, 1000L) * 1000000L + y.getNanos / 1000L)
     case (x: Long, y: java.time.Instant) =>
       java.lang.Long.compare(x, y.getEpochSecond * 1000000L + y.getNano / 1000L)
     case _ => throw new IllegalArgumentException(s"incomparable: $a vs $b")

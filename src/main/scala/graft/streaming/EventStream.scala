@@ -55,7 +55,9 @@ object EventStream {
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
-    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    // setTimeoutDuration is only legal under ProcessingTimeTimeout — an
+    // EventTimeTimeout caller would otherwise crash on the first keyed batch
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
 
     def fn(userId: Long, batch: Iterator[Event],
         state: GroupState[SessionBuf]): Iterator[Session] = {

@@ -9,7 +9,9 @@ import pandas as pd
 import numpy as np
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+# prefix match, mirroring Verify's SPARK_GRAFT_ONLY — exact match would
+# silently skip everything ("0 pass, 0 fail" green gate) on a bare "q25"
+only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -34,7 +36,7 @@ def canon(df):
 
 fails, passes = [], []
 for name in sorted(oracle):
-    if only and name not in only:
+    if only and not any(name.startswith(p) for p in only):
         continue
     res_dir = f"{out_dir}/{name}"
     if not os.path.isdir(res_dir):
