@@ -1,0 +1,93 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.Base64
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Per-column min/max statistics of one data file.
+  *
+  * `kind` is the comparison domain the values live in:
+  *   - `"s"` — string, compared lexicographically;
+  *   - `"n"` — numeric (integers, floats, decimals; timestamps as epoch
+  *     micros, dates as epoch days, booleans as 0/1), compared as BigDecimal;
+  *   - `"z"` — the file has NO non-null value in this column (min/max empty).
+  *
+  * A column *absent* from a file's stats map is "unknown" — pruning must
+  * assume the file may match. `"z"` is the opposite: under plain (non
+  * null-safe) equality a null key never matches, so a `"z"` file is provably
+  * disjoint from any key set on that column.
+  */
+final case class ColStat(kind: String, min: String, max: String)
+
+/** One immutable data file of a table snapshot: path relative to the table
+  * directory, its row count, and optional per-column stats used for merge
+  * pruning (the engine analog of Iceberg's per-file `lower_bounds` /
+  * `upper_bounds` manifest entries).
+  */
+final case class DataFile(path: String, rows: Long, stats: Map[String, ColStat])
+
+/** One table snapshot: the table schema plus the list of data files that make
+  * up the snapshot. Snapshots share data files — an append's manifest
+  * references every prior file plus the new batch's files, which is what
+  * makes an incremental commit O(batch) instead of O(table)
+  * (reference: the PyIceberg sink appends data files + metadata per run and
+  * never rewrites the table, `salesforce_pipeline.py:176`).
+  */
+final case class Manifest(schema: StructType, files: Seq[DataFile])
+
+/** Text serialization of a [[Manifest]]:
+  *
+  * {{{
+  * graft-manifest v1
+  * <schema json, one line>
+  * <relpath>\t<rows>\t<colB64>:<kind>:<minB64>:<maxB64> <colB64>:... ...
+  * }}}
+  *
+  * Column names and stat values are base64-encoded so arbitrary key values
+  * (tabs, colons, newlines) can never corrupt the framing. Written atomically
+  * (tmp + ATOMIC_MOVE) like every other piece of warehouse metadata.
+  */
+object Manifest {
+  private val Header = "graft-manifest v1"
+
+  private def b64(s: String) =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String) =
+    new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  def write(target: Path, m: Manifest): Unit = {
+    val sb = new StringBuilder
+    sb.append(Header).append('\n')
+    sb.append(m.schema.json).append('\n')
+    m.files.foreach { f =>
+      val stats = f.stats.toSeq.sortBy(_._1).map { case (c, st) =>
+        if (st.kind == "z") s"${b64(c)}:z::"
+        else s"${b64(c)}:${st.kind}:${b64(st.min)}:${b64(st.max)}"
+      }.mkString(" ")
+      sb.append(f.path).append('\t').append(f.rows).append('\t').append(stats).append('\n')
+    }
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read(source: Path): Manifest = {
+    val lines = Files.readAllLines(source)
+    require(lines.size() >= 2 && lines.get(0) == Header, s"not a graft manifest: $source")
+    val schema = DataType.fromJson(lines.get(1)).asInstanceOf[StructType]
+    val files = (2 until lines.size()).iterator.map(lines.get).filter(_.nonEmpty).map { l =>
+      val parts = l.split('\t')
+      val stats =
+        if (parts.length < 3 || parts(2).isEmpty) Map.empty[String, ColStat]
+        else parts(2).split(' ').iterator.map { tok =>
+          val f = tok.split(":", -1)
+          unb64(f(0)) -> (if (f(1) == "z") ColStat("z", "", "")
+                          else ColStat(f(1), unb64(f(2)), unb64(f(3))))
+        }.toMap
+      DataFile(parts(0), parts(1).toLong, stats)
+    }.toSeq
+    Manifest(schema, files)
+  }
+}

@@ -1,8 +1,10 @@
 package graft.sink
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.model.{ResourceDef, WriteMode}
 import graft.schema.SchemaOps
 
@@ -11,24 +13,35 @@ import graft.schema.SchemaOps
   * (`salesforce_pipeline.py:62-176`; SURVEY.md §2.1 S5-S9, §2.3 J1).
   *
   * No Iceberg runtime jar ships in this environment (SURVEY §7.6.1), so table
-  * semantics are emulated the way Iceberg itself does it — immutable snapshot
-  * directories plus an atomically-swapped current-version pointer:
+  * semantics are emulated the way Iceberg itself does it — **manifest-based
+  * snapshots** over immutable data files plus an atomically-swapped current
+  * pointer:
   *
-  *   warehouse/<table>/v=<n>/part-*.parquet   immutable snapshot data
-  *   warehouse/<table>/_current               pointer file containing <n>
+  *   warehouse/<table>/d<v>{b,r}/part-*.parquet  immutable data files
+  *   warehouse/<table>/m<v>.manifest             snapshot = schema + file list
+  *   warehouse/<table>/_current                  pointer file containing <v>
   *
-  * Every disposition writes a NEW snapshot dir and then swaps the pointer —
-  * readers of the old snapshot are never disturbed, and the read-modify-write
-  * cycle of merge/replace never overwrites files it is lazily reading (the
-  * classic parquet self-overwrite trap). Single-writer, like the reference
-  * (`README.md:269-277`); a real Iceberg catalog would add OCC retries here.
-  * The `Warehouse` API is deliberately thin so `spark.writeTo(...)` against a
-  * real Iceberg catalog can drop in (SURVEY §7.6.1).
+  * A snapshot is a *list of files*, so commits are O(batch), not O(table):
+  *   - append  — writes ONLY the batch's files; the new manifest references
+  *     every prior file unchanged (the reference's PyIceberg sink likewise
+  *     appends data files + metadata per run, `salesforce_pipeline.py:176`).
+  *   - merge   — consults per-file PK min/max stats (the Iceberg
+  *     lower/upper-bounds analog, recorded at write time) and rewrites ONLY
+  *     the files whose key range may overlap the incoming batch; provably
+  *     disjoint files carry over untouched.
+  *   - replace — new manifest listing only the batch's files.
+  *
+  * Old snapshots stay fully readable (time travel) until
+  * [[expireSnapshots]] drops their manifests and garbage-collects data files
+  * no surviving snapshot references. Single-writer, like the reference
+  * (`README.md:269-277`); a real Iceberg catalog would add OCC retries at the
+  * pointer swap.
   */
 final class Warehouse(spark: SparkSession, root: String) {
 
   private def tableDir(name: String) = Paths.get(root, name)
   private def pointer(name: String) = tableDir(name).resolve("_current")
+  private def manifestPath(name: String, v: Long) = tableDir(name).resolve(s"m$v.manifest")
 
   /** S6 existence probe. */
   def exists(name: String): Boolean = Files.exists(pointer(name))
@@ -52,37 +65,116 @@ final class Warehouse(spark: SparkSession, root: String) {
   def currentVersion(name: String): Long =
     if (!exists(name)) -1L else Files.readString(pointer(name)).trim.toLong
 
+  /** The current snapshot's manifest (schema + data-file list + stats). */
+  def currentManifest(name: String): Manifest =
+    Manifest.read(manifestPath(name, currentVersion(name)))
+
+  /** Data files of the current snapshot — stats included (for catalog
+    * introspection and tests).
+    */
+  def dataFiles(name: String): Seq[DataFile] = currentManifest(name).files
+
   /** S11 full-table scan of the current snapshot. */
   def load(name: String): DataFrame = loadVersion(name, currentVersion(name))
 
-  /** Time travel: scan a specific committed snapshot (snapshots are
-    * immutable, so any version ever committed stays readable — the Iceberg
+  /** Time travel: scan a specific committed snapshot (data files are
+    * immutable, so any non-expired version stays readable — the Iceberg
     * `VERSION AS OF` analog).
     */
   def loadVersion(name: String, version: Long): DataFrame = {
-    require(version >= 0 && Files.exists(tableDir(name).resolve(s"v=$version")),
+    require(version >= 0 && Files.exists(manifestPath(name, version)),
       s"no such snapshot: $name v=$version")
-    spark.read.parquet(tableDir(name).resolve(s"v=$version").toString)
+    val m = Manifest.read(manifestPath(name, version))
+    if (m.files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
+    else
+      spark.read.schema(m.schema)
+        .parquet(m.files.map(f => tableDir(name).resolve(f.path).toString): _*)
   }
 
-  /** All committed snapshot versions of a table, oldest first. */
+  /** All committed (non-expired) snapshot versions of a table, oldest first. */
   def history(name: String): Seq[Long] =
     if (!Files.exists(tableDir(name))) Nil
     else {
       val s = Files.list(tableDir(name))
       try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
         .asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).toSeq.sorted
+        .filter(n => n.startsWith("m") && n.endsWith(".manifest"))
+        .map(_.stripPrefix("m").stripSuffix(".manifest").toLong).toSeq.sorted
       finally s.close()
     }
 
-  /** Commit `df` as the next snapshot of `name` and swap the pointer.
+  // ---------------------------------------------------------------- stats --
+
+  /** Stat aggregates for one column, normalized into a string ("s") or
+    * BigDecimal ("n") comparison domain — timestamps as epoch micros, dates
+    * as epoch days, booleans as 0/1. Unsupported types yield no stats
+    * (pruning then treats the column as unknown = always-overlapping).
+    */
+  private case class StatCol(name: String, kind: String, minExpr: Column, maxExpr: Column)
+
+  private def statCols(schema: StructType, cols: Seq[String]): Seq[StatCol] =
+    cols.distinct.flatMap { c =>
+      schema.fields.find(_.name == c).flatMap { f =>
+        f.dataType match {
+          case StringType     => Some(StatCol(c, "s", min(col(c)), max(col(c))))
+          case _: NumericType => Some(StatCol(c, "n", min(col(c)), max(col(c))))
+          case TimestampType  => Some(StatCol(c, "n", min(unix_micros(col(c))), max(unix_micros(col(c)))))
+          case DateType       => Some(StatCol(c, "n", min(unix_date(col(c))), max(unix_date(col(c)))))
+          case BooleanType    => Some(StatCol(c, "n", min(col(c).cast("int")), max(col(c).cast("int"))))
+          case _              => None
+        }
+      }
+    }
+
+  /** Render one aggregated stat value, or None if it can't serve as a bound
+    * (NaN/Infinity, or a string too long to be worth storing — Iceberg
+    * truncates bounds; we drop them, which is only ever conservative).
+    */
+  private def renderStat(kind: String, v: Any): Option[String] = Option(v).map(_.toString).filter { s =>
+    if (kind == "n") scala.util.Try(BigDecimal(s)).isSuccess else s.length <= 256
+  }
+
+  private def cmp(kind: String, a: String, b: String): Int =
+    if (kind == "n") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+
+  /** Write `in` under `dirName` and return one [[DataFile]] per written
+    * parquet file, with per-file min/max stats for `cols` gathered in a
+    * single O(batch) grouped scan (count + 2 aggs per stat column, grouped
+    * by `input_file_name`).
+    */
+  private def writeData(name: String, in: DataFrame, schema: StructType,
+                        dirName: String, cols: Seq[String]): Seq[DataFile] = {
+    val dir = tableDir(name).resolve(dirName)
+    in.write.mode("overwrite").parquet(dir.toString)
+    val scs = statCols(schema, cols)
+    val base = spark.read.schema(schema).parquet(dir.toString)
+      .select(input_file_name().as("__file") +: schema.fieldNames.map(col).toSeq: _*)
+    val aggs = count(lit(1)).as("__rows") +:
+      scs.zipWithIndex.flatMap { case (sc, i) => Seq(sc.minExpr.as(s"__mn$i"), sc.maxExpr.as(s"__mx$i")) }
+    val td = tableDir(name).toAbsolutePath.normalize
+    base.groupBy("__file").agg(aggs.head, aggs.tail: _*).collect().toSeq.map { r =>
+      val abs = Paths.get(java.net.URI.create(r.getString(r.fieldIndex("__file"))))
+      val rel = td.relativize(abs.toAbsolutePath.normalize).toString
+      val stats = scs.zipWithIndex.flatMap { case (sc, i) =>
+        val mn = r.get(r.fieldIndex(s"__mn$i"))
+        val mx = r.get(r.fieldIndex(s"__mx$i"))
+        if (mn == null) Some(sc.name -> ColStat("z", "", "")) // file all-null in this column
+        else (renderStat(sc.kind, mn), renderStat(sc.kind, mx)) match {
+          case (Some(a), Some(b)) => Some(sc.name -> ColStat(sc.kind, a, b))
+          case _                  => None // unknown: pruning must keep the file in scope
+        }
+      }.toMap
+      DataFile(rel, r.getLong(r.fieldIndex("__rows")), stats)
+    }
+  }
+
+  /** Commit manifest `m` as version `next` and swap the pointer.
     * ATOMIC_MOVE on the pointer file ≈ Iceberg's catalog commit.
     */
-  private def commit(name: String, df: DataFrame): Long = {
-    val next = currentVersion(name) + 1
+  private def commitManifest(name: String, next: Long, m: Manifest): Long = {
     Files.createDirectories(tableDir(name))
-    df.write.mode("overwrite").parquet(tableDir(name).resolve(s"v=$next").toString)
+    Manifest.write(manifestPath(name, next), m)
     val tmp = tableDir(name).resolve(s"_current.tmp$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
@@ -90,26 +182,52 @@ final class Warehouse(spark: SparkSession, root: String) {
     next
   }
 
+  /** Stats columns already tracked by the table's current files — new writes
+    * keep collecting them so merge pruning never degrades over time.
+    */
+  private def inheritedStatsCols(existing: Option[Manifest]): Seq[String] =
+    existing.toSeq.flatMap(_.files).flatMap(_.stats.keys).distinct
+
   /** Conform incoming data to the existing table schema — target schema wins,
     * extras dropped, missing null-filled (`salesforce_pipeline.py:153-174`).
     * On first write the table is auto-created (S7) with the widened schema
-    * (§1.3 lattice).
+    * (§1.3 lattice). Everything nullable: file sources read back nullable
+    * regardless.
     */
-  private def conformed(name: String, df: DataFrame): DataFrame =
-    if (exists(name)) SchemaOps.conform(df, load(name).schema)
-    else SchemaOps.conform(df, SchemaOps.widenSchema(df.schema))
+  private def targetSchema(existing: Option[Manifest], df: DataFrame): StructType =
+    existing.map(_.schema).getOrElse(
+      StructType(SchemaOps.widenSchema(df.schema).fields.map(_.copy(nullable = true))))
 
-  /** S8 append disposition: union with current snapshot. */
-  def append(name: String, df: DataFrame): Long = {
-    val in = conformed(name, df)
-    commit(name, if (exists(name)) load(name).unionByName(in) else in)
+  /** S8 append disposition: O(batch) — writes only the incoming files; the
+    * new manifest carries every prior file forward untouched.
+    * `statsCols` asks for per-file min/max on those columns (collected for
+    * future merge pruning / data skipping).
+    */
+  def append(name: String, df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+    val existing = if (exists(name)) Some(currentManifest(name)) else None
+    Files.createDirectories(tableDir(name))
+    val schema = targetSchema(existing, df)
+    val in = SchemaOps.conform(df, schema)
+    val next = currentVersion(name) + 1
+    val entries = writeData(name, in, schema, s"d${next}b",
+      statsCols ++ inheritedStatsCols(existing))
+    commitManifest(name, next, Manifest(schema, existing.map(_.files).getOrElse(Nil) ++ entries))
   }
 
   /** P8 replace disposition: delete-all (`AlwaysTrue()`,
-    * `salesforce_pipeline.py:79-81`) then append ⇒ the new snapshot IS the
-    * incoming batch.
+    * `salesforce_pipeline.py:79-81`) then append ⇒ the new snapshot lists
+    * ONLY the incoming batch's files.
     */
-  def replace(name: String, df: DataFrame): Long = commit(name, conformed(name, df))
+  def replace(name: String, df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+    val existing = if (exists(name)) Some(currentManifest(name)) else None
+    Files.createDirectories(tableDir(name))
+    val schema = targetSchema(existing, df)
+    val in = SchemaOps.conform(df, schema)
+    val next = currentVersion(name) + 1
+    val entries = writeData(name, in, schema, s"d${next}b",
+      statsCols ++ inheritedStatsCols(existing))
+    commitManifest(name, next, Manifest(schema, entries))
+  }
 
   /** J1 merge disposition: delete target rows whose PK tuple appears in the
     * incoming batch, then append the WHOLE batch (duplicate PKs included —
@@ -118,21 +236,79 @@ final class Warehouse(spark: SparkSession, root: String) {
     * dedup-by-latest variant, SURVEY §7.6.2).
     *
     * The reference builds an O(n) OR-of-equalities delete predicate
-    * (`salesforce_pipeline.py:121-130`) — its scaling cliff. Here the delete
-    * set is a broadcast LEFT ANTI join on the distinct incoming PK tuples:
-    * at 100 TB the target side streams through executors while the batch keys
-    * stay a broadcast hash table; no predicate tree, no driver materialization.
+    * (`salesforce_pipeline.py:121-130`) — its scaling cliff. Here:
+    *   1. per-file PK min/max stats (recorded at write time) prune the
+    *      target to the files whose key range may overlap the batch —
+    *      provably disjoint files carry into the new manifest untouched,
+    *      so a merge touching one region of a sorted 100 TB table rewrites
+    *      only that region's files;
+    *   2. surviving files are anti-joined against the BROADCAST distinct
+    *      incoming PK tuples — no predicate tree, no driver materialization.
     * Plain (non-null-safe) equality keeps the reference's null-PK contract:
-    * null-keyed rows are appended but never match/delete (SURVEY §7.6.4).
+    * null-keyed rows are appended but never match/delete (SURVEY §7.6.4) —
+    * which also makes all-null ("z"-stat) files provably disjoint.
     */
   def merge(name: String, df: DataFrame, pks: Seq[String]): Long = {
     // PK-presence guard: fall back to append, like `salesforce_pipeline.py:131-134`.
     if (pks.isEmpty || !pks.forall(df.columns.contains) || !exists(name))
-      return append(name, df)
-    val in = conformed(name, df)
+      return append(name, df, pks.filter(df.columns.contains))
+
+    val man = currentManifest(name)
+    val schema = man.schema
+    val in = SchemaOps.conform(df, schema)
     val keys = in.select(pks.map(col): _*).distinct()
-    val kept = load(name).join(broadcast(keys), pks, "left_anti")
-    commit(name, kept.unionByName(in))
+
+    // One tiny aggregate over the distinct keys → per-column batch bounds.
+    val scs = statCols(schema, pks)
+    val batchStats: Map[String, ColStat] =
+      if (scs.isEmpty) Map.empty
+      else {
+        val aggs = scs.zipWithIndex.flatMap { case (sc, i) =>
+          Seq(sc.minExpr.as(s"__mn$i"), sc.maxExpr.as(s"__mx$i"))
+        }
+        val r = keys.agg(aggs.head, aggs.tail: _*).head()
+        scs.zipWithIndex.flatMap { case (sc, i) =>
+          val mn = r.get(r.fieldIndex(s"__mn$i"))
+          val mx = r.get(r.fieldIndex(s"__mx$i"))
+          if (mn == null) Some(sc.name -> ColStat("z", "", ""))
+          else (renderStat(sc.kind, mn), renderStat(sc.kind, mx)) match {
+            case (Some(a), Some(b)) => Some(sc.name -> ColStat(sc.kind, a, b))
+            case _                  => None
+          }
+        }.toMap
+      }
+
+    // A PK column with NO non-null batch value ⇒ every incoming tuple has a
+    // null key there ⇒ plain equality can never match ⇒ pure append.
+    val noMatchPossible = batchStats.values.exists(_.kind == "z")
+
+    // A file is provably disjoint if ANY pk column proves it: all-null file
+    // ("z"), or both bounds known and the ranges don't intersect.
+    def disjoint(f: DataFile): Boolean = pks.exists { c =>
+      f.stats.get(c) match {
+        case Some(ColStat("z", _, _)) => true
+        case Some(fs) => batchStats.get(c).exists(bs =>
+          bs.kind == fs.kind &&
+            (cmp(fs.kind, fs.min, bs.max) > 0 || cmp(fs.kind, fs.max, bs.min) < 0))
+        case None => false
+      }
+    }
+
+    val (untouched, victims) =
+      if (noMatchPossible) (man.files, Nil) else man.files.partition(disjoint)
+
+    val next = currentVersion(name) + 1
+    val statsFor = pks ++ inheritedStatsCols(Some(man))
+    val rewritten =
+      if (victims.isEmpty) Nil
+      else {
+        val target = spark.read.schema(schema)
+          .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
+        val kept = target.join(broadcast(keys), pks, "left_anti")
+        writeData(name, kept, schema, s"d${next}r", statsFor)
+      }
+    val batchEntries = writeData(name, in, schema, s"d${next}b", statsFor)
+    commitManifest(name, next, Manifest(schema, untouched ++ rewritten ++ batchEntries))
   }
 
   /** Engine variant of merge: when one batch carries several versions of a PK,
@@ -147,10 +323,53 @@ final class Warehouse(spark: SparkSession, root: String) {
     merge(name, latest, pks)
   }
 
-  /** Dispatch on a resource's declared disposition (I6). */
+  /** Drop all but the newest `keepLast` snapshots and garbage-collect data
+    * files no surviving manifest references (Iceberg `expireSnapshots`).
+    * Time travel keeps working within the retained window.
+    */
+  def expireSnapshots(name: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val versions = history(name)
+    val drop = versions.dropRight(keepLast)
+    if (drop.isEmpty) return
+    val referenced = versions.takeRight(keepLast)
+      .flatMap(v => Manifest.read(manifestPath(name, v)).files.map(_.path)).toSet
+    drop.foreach(v => Files.deleteIfExists(manifestPath(name, v)))
+    val td = tableDir(name)
+    val dataDirs = {
+      val s = Files.list(td)
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d")).toSeq
+      finally s.close()
+    }
+    dataDirs.foreach { dir =>
+      val files = {
+        val s = Files.list(dir)
+        try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala.toSeq
+        finally s.close()
+      }
+      val parquets = files.filter(_.getFileName.toString.endsWith(".parquet"))
+      val (live, dead) = parquets.partition(p => referenced.contains(td.relativize(p).toString))
+      dead.foreach { p =>
+        Files.deleteIfExists(p)
+        Files.deleteIfExists(p.resolveSibling("." + p.getFileName.toString + ".crc"))
+      }
+      if (live.isEmpty) { // nothing referenced: remove the dir wholesale
+        val s = Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+          .foreach(Files.deleteIfExists(_))
+        finally s.close()
+      }
+    }
+  }
+
+  /** Dispatch on a resource's declared disposition (I6), collecting per-file
+    * stats on the resource's PKs (+ replication key) so later merges prune.
+    */
   def write(res: ResourceDef, df: DataFrame): Long = res.mode match {
-    case WriteMode.Replace => replace(res.name, df)
+    case WriteMode.Replace => replace(res.name, df, res.primaryKeys ++ res.replicationKey)
     case WriteMode.Merge   => merge(res.name, df, res.primaryKeys)
-    case WriteMode.Append  => append(res.name, df)
+    case WriteMode.Append  => append(res.name, df, res.primaryKeys ++ res.replicationKey)
   }
 }

@@ -104,6 +104,86 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.listTables() == Seq("t"))
   }
 
+  // --- manifest-snapshot scale contract -----------------------------------
+
+  /** (relative path, size, first+last bytes) of every data file of a table —
+    * enough to detect any rewrite without hashing whole files.
+    */
+  private def fileFingerprints(root: String, table: String): Map[String, (Long, Long)] = {
+    val td = java.nio.file.Paths.get(root, table)
+    val s = java.nio.file.Files.walk(td)
+    try {
+      val b = Map.newBuilder[String, (Long, Long)]
+      s.iterator().asScala.foreach { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          b += td.relativize(p).toString -> (bytes.length.toLong, bytes.map(_.toLong).sum)
+        }
+      }
+      b.result()
+    } finally s.close()
+  }
+
+  test("append is O(batch): prior data files untouched, only new files added") {
+    val dir = tmpDir("wh-obatch")
+    val wh = new Warehouse(spark, dir)
+    wh.append("t", df(("a", 1, "2024-01-01"), ("b", 2, "2024-01-01")))
+    val before = fileFingerprints(dir, "t")
+    assert(before.nonEmpty)
+    wh.append("t", df(("c", 3, "2024-02-01")))
+    val after = fileFingerprints(dir, "t")
+    // every pre-existing data file is still present and byte-identical
+    before.foreach { case (path, fp) => assert(after.get(path).contains(fp), s"rewritten: $path") }
+    // and something new was added (the batch's files only)
+    assert(after.size > before.size)
+    assert(wh.load("t").count() == 3)
+  }
+
+  test("merge prunes by PK stats: disjoint files carried over byte-identical") {
+    val dir = tmpDir("wh-prune")
+    val wh = new Warehouse(spark, dir)
+    // two appends with disjoint PK ranges → separate data files with stats
+    wh.append("t", df(("a1", 1, "2024-01-01"), ("a2", 2, "2024-01-01")), Seq("Id"))
+    val lowRange = fileFingerprints(dir, "t")
+    wh.append("t", df(("z1", 3, "2024-01-02"), ("z2", 4, "2024-01-02")), Seq("Id"))
+    // merge touching only the z-range: a-range files must not be rewritten
+    wh.merge("t", df(("z1", 30, "2024-02-01")), Seq("Id"))
+    val after = fileFingerprints(dir, "t")
+    lowRange.foreach { case (path, fp) => assert(after.get(path).contains(fp), s"rewritten: $path") }
+    val out = wh.load("t").orderBy("Id").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a1", 1L), ("a2", 2L), ("z1", 30L), ("z2", 4L)))
+    // the current manifest records PK stats for every file
+    assert(wh.dataFiles("t").forall(_.stats.contains("Id")))
+  }
+
+  test("expireSnapshots drops old versions and GCs unreferenced files") {
+    val dir = tmpDir("wh-expire")
+    val wh = new Warehouse(spark, dir)
+    wh.replace("t", df(("a", 1, "2024-01-01")))            // v0 (files orphaned by v1)
+    wh.replace("t", df(("b", 2, "2024-02-01")))            // v1
+    wh.append("t", df(("c", 3, "2024-03-01")))             // v2
+    assert(wh.history("t") == Seq(0L, 1L, 2L))
+    wh.expireSnapshots("t", keepLast = 2)
+    assert(wh.history("t") == Seq(1L, 2L))
+    intercept[IllegalArgumentException](wh.loadVersion("t", 0))
+    // v0's data files are gone; v1/v2 data intact
+    assert(!fileFingerprints(dir, "t").keySet.exists(_.startsWith("d0")))
+    assert(wh.load("t").orderBy("Id").collect().map(_.getString(0)).toSeq == Seq("b", "c"))
+    assert(wh.loadVersion("t", 1).count() == 1)
+  }
+
+  test("empty batch append commits a snapshot without new data") {
+    val wh = new Warehouse(spark, tmpDir("wh-empty"))
+    wh.replace("t", df(("a", 1, "2024-01-01")))
+    val v = wh.append("t", df().limit(0))
+    assert(v == 1 && wh.load("t").count() == 1)
+    // empty table from scratch still loads with its schema
+    val wh2 = new Warehouse(spark, tmpDir("wh-empty2"))
+    wh2.replace("e", df().limit(0))
+    assert(wh2.load("e").count() == 0 && wh2.load("e").schema.fieldNames.nonEmpty)
+  }
+
   test("merge is idempotent: same batch twice == once") {
     val wh1 = new Warehouse(spark, tmpDir("wh-idem1"))
     val wh2 = new Warehouse(spark, tmpDir("wh-idem2"))
