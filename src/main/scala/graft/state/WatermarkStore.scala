@@ -26,14 +26,19 @@ final class WatermarkStore(dir: String) {
 
   /** Advance a resource's watermark — monotone by construction: a smaller or
     * equal candidate is a no-op, mirroring dlt's max-tracking semantics.
+    * Both sides are canonicalized first: the repo renders timestamps in two
+    * coexisting formats (Z-suffixed seed values vs Z-less µs strings from
+    * `date_format`), and since `'.' < 'Z'` a raw lexicographic compare would
+    * let a seeded `...T00:00:00Z` block any same-second µs candidate forever.
     */
   def advance(resource: String, candidate: String): Unit = {
     val cur = get(resource)
-    if (cur.forall(_ < candidate)) put(resource, candidate)
+    if (cur.forall(c => WatermarkStore.canonical(c) < WatermarkStore.canonical(candidate)))
+      put(resource, candidate)
   }
 
   def put(resource: String, value: String): Unit = {
-    val m = all() + (resource -> value)
+    val m = all() + (resource -> WatermarkStore.canonical(value))
     Files.createDirectories(file.getParent)
     val tmp = file.resolveSibling("watermarks.tmp")
     Files.writeString(tmp, m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n"))
@@ -47,5 +52,24 @@ final class WatermarkStore(dir: String) {
     def asScala: Seq[A] = {
       val b = Seq.newBuilder[A]; l.forEach(a => b += a); b.result()
     }
+  }
+}
+
+object WatermarkStore {
+  private val TsLike = """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?Z?""".r
+
+  /** Canonical fixed-width Z-less µs rendering of timestamp-like watermarks
+    * (`2000-01-01T00:00:00Z` → `2000-01-01T00:00:00.000000`), so lexicographic
+    * order equals temporal order across both formats the repo produces.
+    * Non-timestamp values (watermarks are opaque orderable literals in
+    * general) pass through untouched.
+    */
+  def canonical(v: String): String = v.trim match {
+    case s @ TsLike(_*) =>
+      val noZ = s.stripSuffix("Z")
+      val i = noZ.indexOf('.')
+      if (i < 0) noZ + ".000000"
+      else noZ.substring(0, i) + "." + (noZ.substring(i + 1) + "000000").take(6)
+    case other => other
   }
 }

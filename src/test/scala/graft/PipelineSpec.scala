@@ -64,10 +64,26 @@ class PipelineSpec extends SparkSpec {
     val st = new WatermarkStore(tmpDir("wm"))
     st.advance("r", "2024-01-01T00:00:00")
     st.advance("r", "2023-01-01T00:00:00") // smaller: no-op
-    assert(st.get("r").contains("2024-01-01T00:00:00"))
+    assert(st.get("r").contains("2024-01-01T00:00:00.000000"))
     st.advance("r", "2025-01-01T00:00:00")
-    assert(st.get("r").contains("2025-01-01T00:00:00"))
+    assert(st.get("r").contains("2025-01-01T00:00:00.000000"))
     st.reset()
     assert(st.get("r").isEmpty)
+  }
+
+  test("watermark store: Z-suffixed seed does not block same-second µs advance") {
+    val st = new WatermarkStore(tmpDir("wm-z"))
+    // externally seeded in the documented Z format (Resources.DefaultInitialWatermark)
+    st.put("r", "2024-06-01T12:00:00Z")
+    // a µs-format candidate in the SAME second: '.' < 'Z' lexicographically,
+    // but temporally this is later and must advance
+    st.advance("r", "2024-06-01T12:00:00.000500")
+    assert(st.get("r").contains("2024-06-01T12:00:00.000500"))
+    st.advance("r", "2024-06-01T12:00:00.000400") // earlier µs: no-op
+    assert(st.get("r").contains("2024-06-01T12:00:00.000500"))
+    // non-timestamp watermarks stay opaque strings
+    st.put("k", "000123")
+    st.advance("k", "000124")
+    assert(st.get("k").contains("000124"))
   }
 }
