@@ -1,0 +1,211 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sink.Warehouse
+
+/** SQL-addressable face of the [[graft.sink.Warehouse]]: a Spark
+  * `TableCatalog` so the warehouse is queryable *by name*, the way the
+  * reference's Iceberg REST catalog is (`check_tables.py:16-32`
+  * `RestCatalog(...).list_tables()/load_table()`; Airflow verify task
+  * `airflow/dags/salesforce_iceberg_dag.py:106-140`):
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.root = /path/to/warehouse
+  *
+  *   SELECT * FROM graft.orders
+  *   SELECT * FROM graft.orders VERSION AS OF 3     -- snapshot time travel
+  *   SELECT * FROM graft.orders TIMESTAMP AS OF ...
+  *   INSERT INTO graft.orders ...                    -- append disposition
+  *   df.writeTo("graft.orders").append()             -- dispositions via options
+  * }}}
+  *
+  * Reads delegate to Spark's built-in vectorized parquet DSv2
+  * ([[ParquetTable]]) over the snapshot manifest's file list, so column
+  * pruning, predicate pushdown, and whole-stage codegen all apply exactly as
+  * for a direct parquet scan. Writes go through a `V1Write` shim into the
+  * Warehouse commit protocol, carrying the reference's three dispositions
+  * (`salesforce_pipeline.py:62-176`) via write options:
+  * `disposition` = append (default) | replace | merge, `primaryKeys` = csv.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var rootDir: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    rootDir = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(s"spark.sql.catalog.$name.root is required"))
+  }
+
+  override def name(): String = catalogName
+
+  private def warehouse = new Warehouse(SparkSession.active, rootDir)
+
+  /** The warehouse is flat, like the reference's single `salesforce`
+    * namespace — only the empty (default) namespace exists.
+    */
+  private def requireFlat(namespace: Array[String]): Unit =
+    require(namespace.isEmpty, s"graft catalog has no namespaces, got: ${namespace.mkString(".")}")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireFlat(namespace)
+    warehouse.listTables().map(t => Identifier.of(Array.empty[String], t)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && warehouse.exists(ident.name())
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** `VERSION AS OF <n>` — the SQL face of snapshot time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"graft snapshot versions are numeric, got: $version")
+    }
+    loadAt(ident, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` (micros since epoch): newest snapshot committed at or
+    * before the timestamp, resolved from manifest commit times.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val wh = warehouse
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val n = ident.name()
+    val at = wh.history(n).filter(v => wh.commitTimeMillis(n, v) * 1000L <= timestamp)
+    if (at.isEmpty)
+      throw new NoSuchTableException(ident)
+    loadAt(ident, Some(at.max))
+  }
+
+  private def loadAt(ident: Identifier, version: Option[Long]): Table = {
+    requireFlat(ident.namespace())
+    if (!warehouse.exists(ident.name())) throw new NoSuchTableException(ident)
+    version.foreach { v =>
+      if (!warehouse.history(ident.name()).contains(v)) throw new NoSuchTableException(ident)
+    }
+    new GraftTable(s"$catalogName.${ident.name()}", ident.name(), rootDir, version)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    createTable(ident,
+      StructType(columns.map(c => StructField(c.name(), c.dataType(), c.nullable()))),
+      partitions, properties)
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    requireFlat(ident.namespace())
+    require(partitions.isEmpty, "graft tables do not support partition transforms")
+    if (warehouse.exists(ident.name())) throw new TableAlreadyExistsException(ident)
+    warehouse.create(ident.name(), schema)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolution happens via conform-on-write")
+
+  override def dropTable(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && warehouse.drop(ident.name())
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireFlat(oldIdent.namespace()); requireFlat(newIdent.namespace())
+    warehouse.rename(oldIdent.name(), newIdent.name())
+  }
+}
+
+/** One warehouse table (optionally pinned to a snapshot version for time
+  * travel). Scans are Spark's own parquet DSv2 over the manifest's file
+  * list; writes are a V1 shim into the Warehouse commit protocol.
+  */
+private[catalog] class GraftTable(displayName: String, table: String, root: String,
+                                  version: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+  private def warehouse = new Warehouse(spark, root)
+  private lazy val manifest =
+    version.map(warehouse.manifestAt(table, _)).getOrElse(warehouse.currentManifest(table))
+
+  override def name(): String =
+    version.map(v => s"$displayName@v$v").getOrElse(displayName)
+
+  override def schema(): StructType = manifest.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val paths = manifest.files.map(f => warehouse.resolvePath(table, f.path))
+    new ParquetTable(name(), spark, options, paths, Some(manifest.schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty, s"cannot write to time-travel snapshot $displayName@v${version.get}")
+    new GraftWriteBuilder(table, root, info)
+  }
+}
+
+/** Disposition-aware write shim: `INSERT INTO` / `writeTo(...).append()` is
+  * the append disposition, `INSERT OVERWRITE` / truncate is replace, and
+  * `option("disposition", "merge")` + `option("primaryKeys", "a,b")` routes
+  * through the stat-pruned merge — the same three write modes as the
+  * reference sink (`salesforce_pipeline.py:75-134`).
+  */
+private[catalog] class GraftWriteBuilder(table: String, root: String, info: LogicalWriteInfo)
+    extends SupportsOverwriteV2 {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+    require(predicates.isEmpty || (predicates.length == 1 && predicates(0).name() == "ALWAYS_TRUE"),
+      "graft supports only full-table overwrite (or use disposition=merge)")
+    overwriteAll = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        val wh = new Warehouse(data.sparkSession, root)
+        val opts = info.options()
+        val pks = Option(opts.get("primaryKeys")).toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+        val disposition = Option(opts.get("disposition")).map(_.toLowerCase)
+          .getOrElse(if (overwriteAll || overwrite) "replace" else "append")
+        disposition match {
+          case "replace" => wh.replace(table, data, pks)
+          case "merge"   => wh.merge(table, data, pks)
+          case "append"  => wh.append(table, data, pks)
+          case other     => throw new IllegalArgumentException(s"unknown disposition: $other")
+        }
+      }
+    }
+  }
+}

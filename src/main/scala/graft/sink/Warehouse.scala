@@ -69,6 +69,54 @@ final class Warehouse(spark: SparkSession, root: String) {
   def currentManifest(name: String): Manifest =
     Manifest.read(manifestPath(name, currentVersion(name)))
 
+  /** Manifest of a specific committed snapshot. */
+  def manifestAt(name: String, version: Long): Manifest = {
+    require(version >= 0 && Files.exists(manifestPath(name, version)),
+      s"no such snapshot: $name v=$version")
+    Manifest.read(manifestPath(name, version))
+  }
+
+  /** Absolute path of one of `name`'s data files. */
+  def resolvePath(name: String, rel: String): String =
+    tableDir(name).resolve(rel).toString
+
+  /** Commit epoch-millis of a snapshot (manifest file mtime) — supports
+    * `TIMESTAMP AS OF` resolution in the SQL catalog.
+    */
+  def commitTimeMillis(name: String, version: Long): Long =
+    Files.getLastModifiedTime(manifestPath(name, version)).toMillis
+
+  /** S7 explicit auto-create: commit version 0 with an empty file list —
+    * the `CREATE TABLE` analog of the reference's catalog auto-create
+    * (`iceberg/catalog.py` create-if-absent path).
+    */
+  def create(name: String, schema: StructType): Long = {
+    require(!exists(name), s"table already exists: $name")
+    Files.createDirectories(tableDir(name))
+    commitManifest(name, 0L,
+      Manifest(StructType(schema.fields.map(_.copy(nullable = true))), Nil))
+  }
+
+  /** Drop a table: removes data, manifests, and the pointer. */
+  def drop(name: String): Boolean = {
+    if (!Files.exists(tableDir(name))) return false
+    val s = Files.walk(tableDir(name))
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+      .foreach(Files.deleteIfExists(_))
+    finally s.close()
+    true
+  }
+
+  /** Rename a table (manifest paths are table-dir-relative, so a plain
+    * directory move is a complete rename).
+    */
+  def rename(from: String, to: String): Unit = {
+    require(exists(from), s"no such table: $from")
+    require(!Files.exists(tableDir(to)), s"table already exists: $to")
+    Files.move(tableDir(from), tableDir(to))
+  }
+
   /** Data files of the current snapshot — stats included (for catalog
     * introspection and tests).
     */

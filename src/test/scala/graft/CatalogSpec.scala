@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sink.Warehouse
+
+/** SQL addressability of the warehouse through `GraftCatalog` — the engine
+  * analog of querying the reference's Iceberg REST catalog by name
+  * (`check_tables.py:16-32`, Airflow verify task
+  * `salesforce_iceberg_dag.py:106-140`): name resolution, verification-style
+  * counts purely via `spark.sql`, snapshot time travel in SQL, inserts with
+  * dispositions, DDL.
+  */
+class CatalogSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private lazy val root = {
+    val dir = tmpDir("graft-catalog")
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", dir)
+    dir
+  }
+  private lazy val wh = { root; new Warehouse(spark, root) }
+
+  private val schema = StructType(Seq(
+    StructField("Id", StringType),
+    StructField("Amount", LongType)))
+
+  private def df(rows: (String, Long)*) =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+
+  test("SELECT by name reads the current snapshot; filters/pruning push down") {
+    wh.replace("orders_sql", df(("a", 1), ("b", 2), ("c", 3)))
+    val out = spark.sql("SELECT Id, Amount FROM graft.orders_sql WHERE Amount > 1 ORDER BY Id")
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("b", 2L), ("c", 3L)))
+    // the scan is Spark's parquet DSv2: pushed filter visible in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(Amount,1)"), plan)
+  }
+
+  test("verification-style catalog sweep purely via spark.sql") {
+    wh.replace("t_a", df(("a", 1)))
+    wh.replace("t_b", df(("b", 2), ("c", 3)))
+    // SHOW TABLES + per-table counts, the q08/check_tables.py analog
+    val tables = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).toSet
+    assert(Set("t_a", "t_b").subsetOf(tables))
+    val counts = Seq("t_a", "t_b")
+      .map(t => t -> spark.sql(s"SELECT count(*) FROM graft.$t").head().getLong(0)).toMap
+    assert(counts == Map("t_a" -> 1L, "t_b" -> 2L))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF time travel in SQL") {
+    wh.replace("tt", df(("a", 1)))                  // v0
+    wh.append("tt", df(("b", 2)))                   // v1
+    wh.merge("tt", df(("a", 10)), Seq("Id"))        // v2
+    assert(spark.sql("SELECT count(*) FROM graft.tt VERSION AS OF 0").head().getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.tt VERSION AS OF 1").head().getLong(0) == 2)
+    val v2 = spark.sql("SELECT Id, Amount FROM graft.tt ORDER BY Id").collect()
+    assert(v2.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 10L), ("b", 2L)))
+    // TIMESTAMP AS OF now() resolves to the newest snapshot
+    val cnt = spark.sql(
+      "SELECT count(*) FROM graft.tt TIMESTAMP AS OF current_timestamp()").head().getLong(0)
+    assert(cnt == 2)
+    intercept[Exception](spark.sql("SELECT * FROM graft.tt VERSION AS OF 99").collect())
+  }
+
+  test("INSERT INTO appends; INSERT OVERWRITE replaces") {
+    spark.sql("CREATE TABLE graft.ins (Id STRING, Amount BIGINT)")
+    spark.sql("INSERT INTO graft.ins VALUES ('a', 1)")
+    spark.sql("INSERT INTO graft.ins VALUES ('b', 2)")
+    assert(spark.sql("SELECT count(*) FROM graft.ins").head().getLong(0) == 2)
+    spark.sql("INSERT OVERWRITE graft.ins VALUES ('z', 9)")
+    assert(spark.sql("SELECT Id FROM graft.ins").collect().map(_.getString(0)).toSeq == Seq("z"))
+  }
+
+  test("writeTo carries the merge disposition via options") {
+    wh.replace("m", df(("a", 1), ("b", 2)))
+    df(("b", 20), ("c", 30)).writeTo("graft.m")
+      .option("disposition", "merge").option("primaryKeys", "Id")
+      .append()
+    val out = spark.sql("SELECT Id, Amount FROM graft.m ORDER BY Id").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 20L), ("c", 30L)))
+  }
+
+  test("DDL: create, rename, drop") {
+    spark.sql("CREATE TABLE graft.ddl1 (Id STRING, Amount BIGINT)")
+    assert(spark.sql("SELECT count(*) FROM graft.ddl1").head().getLong(0) == 0)
+    spark.sql("ALTER TABLE graft.ddl1 RENAME TO ddl2")
+    assert(wh.exists("ddl2") && !wh.exists("ddl1"))
+    spark.sql("DROP TABLE graft.ddl2")
+    assert(!wh.exists("ddl2"))
+    intercept[Exception](spark.sql("SELECT * FROM graft.no_such_table").collect())
+  }
+}

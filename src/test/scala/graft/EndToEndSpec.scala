@@ -61,4 +61,27 @@ class EndToEndSpec extends SparkSpec {
     assert(t.count() == 2500)
     assert(t.filter(col("Id") === "Account-00000100").head().getAs[String]("Name") == "UPDATED")
   }
+
+  test("pure DSv2 path: read.format(sobject) -> writeTo(catalog) with dispositions") {
+    val dir = tmpDir("e2e-cat")
+    spark.conf.set("spark.sql.catalog.e2e", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.e2e.root", dir)
+    val wh = new Warehouse(spark, dir)
+
+    // initial load: CTAS through the catalog (create + first append)
+    source(2000).writeTo("e2e.account").create()
+    assert(spark.sql("SELECT count(*) FROM e2e.account").head().getLong(0) == 2000)
+
+    // incremental batch merges by PK through the same writeTo surface
+    source(2500).filter(col("Id") > "Account-00001999")
+      .writeTo("e2e.account")
+      .option("disposition", "merge").option("primaryKeys", "Id")
+      .append()
+    assert(spark.sql("SELECT count(*) FROM e2e.account").head().getLong(0) == 2500)
+    assert(spark.sql("SELECT count(DISTINCT Id) FROM e2e.account").head().getLong(0) == 2500)
+    // CTAS committed v0 (create) + v1 (first batch); merge added v2; the
+    // pre-merge snapshot stays time-travel-readable in SQL
+    assert(spark.sql("SELECT count(*) FROM e2e.account VERSION AS OF 1").head().getLong(0) == 2000)
+    assert(wh.history("account") == Seq(0L, 1L, 2L))
+  }
 }
