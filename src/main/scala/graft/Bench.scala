@@ -1,9 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query seconds at the scale factor
+  * in SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (hardened after round 1, where a single cold iteration
+  * defined the round's official number):
+  *   - every query runs SPARK_GRAFT_BENCH_ITERS times (default 3) and the
+  *     MEDIAN is reported, so one cold-cache/contention event can't own a row;
+  *   - materialization is a full write to the `noop` sink, not `count()` —
+  *     `count()` lets `EliminateSorts` + column pruning skip the final sorts
+  *     and projection the Verify path actually pays.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,9 +37,14 @@ object Bench {
       SparkEntry.queries.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
