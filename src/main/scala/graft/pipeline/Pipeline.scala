@@ -49,6 +49,11 @@ object Pipeline {
     * @param forceReplace    override every disposition to Replace and reset
     *                        state (WRITE_DISPOSITION=force_replace, I7/I5)
     * @param testLimit       per-resource row cap (IS_PRODUCTION=false analog)
+    * @param extract         pluggable extraction: (spark, resource, stored
+    *                        watermark, limit) => batch. Default reads the
+    *                        parquet stand-ins under sfDir; pass
+    *                        `SObjectSource.dsv2Extractor(...)` to drive the
+    *                        same run loop over the API-shaped DSv2 connector
     */
   final case class Config(
       sfDir: String,
@@ -56,15 +61,17 @@ object Pipeline {
       stateDir: String,
       resources: Seq[ResourceDef] = Resources.testdata,
       forceReplace: Boolean = false,
-      testLimit: Option[Int] = None)
+      testLimit: Option[Int] = None,
+      extract: Option[(SparkSession, ResourceDef, Option[String], Option[Int]) => DataFrame] = None)
 
   /** O6 fail-fast config validation
     * (`airflow/dags/salesforce_iceberg_dag.py:42-77`).
     */
   def validate(cfg: Config): Either[String, Config] =
-    if (cfg.sfDir.isEmpty) Left("sfDir is required")
-    else if (cfg.warehouseDir.isEmpty) Left("warehouseDir is required")
-    else if (!new java.io.File(cfg.sfDir).isDirectory) Left(s"sfDir not found: ${cfg.sfDir}")
+    if (cfg.warehouseDir.isEmpty) Left("warehouseDir is required")
+    else if (cfg.extract.isEmpty && cfg.sfDir.isEmpty) Left("sfDir is required")
+    else if (cfg.extract.isEmpty && !new java.io.File(cfg.sfDir).isDirectory)
+      Left(s"sfDir not found: ${cfg.sfDir}")
     else if (cfg.resources.isEmpty) Left("no resources selected")
     else Right(cfg)
 
@@ -87,8 +94,11 @@ object Pipeline {
       // uncached nondeterministic plan (orderBy+limit with ties) could
       // persist a watermark above the max row actually written — silently
       // losing those rows to the strict `>` filter forever.
-      val batch = SObjectSource.extract(spark, cfg.sfDir, res,
-        watermark = stored, limit = cfg.testLimit).cache()
+      val batch = cfg.extract match {
+        case Some(f) => f(spark, res, stored, cfg.testLimit).cache()
+        case None => SObjectSource.extract(spark, cfg.sfDir, res,
+          watermark = stored, limit = cfg.testLimit).cache()
+      }
       // One pass computes both the row count and the new watermark.
       val (rows, newWm) = res.replicationKey match {
         case Some(rk) =>

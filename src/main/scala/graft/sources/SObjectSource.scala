@@ -47,6 +47,21 @@ object SObjectSource {
       dropCols: Seq[String] = Nil): DataFrame = {
     var df = SchemaOps.normalizeNanos(read(spark, sfDir, res.name), res.nanosCols)
     if (dropCols.nonEmpty) df = df.drop(dropCols: _*)
+    queryShape(df, res, watermark, limit)
+  }
+
+  /** The WHERE/ORDER BY/LIMIT clauses of the synthesized extraction query
+    * (`salesforce/helpers/records.py:87-94`), as pure DataFrame transforms —
+    * shared by the parquet stand-in path and the DSv2 connector path, where
+    * Catalyst pushes the watermark predicate into the source (parquet
+    * `PushedFilters` / connector SOQL `WHERE`).
+    */
+  def queryShape(
+      df0: DataFrame,
+      res: ResourceDef,
+      watermark: Option[String],
+      limit: Option[Int]): DataFrame = {
+    var df = df0
     (res.replicationKey, watermark.orElse(res.initialWatermark)) match {
       case (Some(rk), Some(w)) =>
         // Strict `>` — rows exactly at the boundary are excluded (SURVEY §7.6.6).
@@ -59,6 +74,22 @@ object SObjectSource {
     limit.foreach(n => df = df.limit(n))
     df
   }
+
+  /** Extraction through the DSv2 connector (the production path): schema from
+    * the API's describe() with compound fields already pruned
+    * (`records.py:71-84`), watermark/limit pushed into the scan as SOQL.
+    * Returns an extractor with the [[graft.pipeline.Pipeline.Config]] shape.
+    */
+  def dsv2Extractor(rows: Long, pageSize: Int = 1000)
+      : (SparkSession, ResourceDef, Option[String], Option[Int]) => DataFrame =
+    (spark, res, watermark, limit) => {
+      val df = spark.read.format("graft.sources.dsv2.SObjectDataSource")
+        .option("sobject", res.apiName)
+        .option("rows", rows.toString)
+        .option("pageSize", pageSize.toString)
+        .load()
+      queryShape(df, res, watermark, limit)
+    }
 
   /** Normalization exprs (F1/F2 analogs). The reference canonicalizes Bulk-API
     * epoch-millis and REST ISO strings to one string format

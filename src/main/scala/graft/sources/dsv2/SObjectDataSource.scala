@@ -38,42 +38,109 @@ class SObjectDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    // Fail-fast credential resolution at planning time (client.py:132-214);
+    // the offline fake API authenticates nothing, but a bad credential SET
+    // must still be rejected here, not mid-extraction.
+    val auth = SalesforceAuth.fromOptions(opts)
     new SObjectTable(opts.get("sobject"),
       Option(opts.get("pageSize")).map(_.toInt).getOrElse(1000),
-      Option(opts.get("rows")).map(_.toLong).getOrElse(FakeSalesforceApi.DefaultRows))
+      Option(opts.get("rows")).map(_.toLong).getOrElse(FakeSalesforceApi.DefaultRows),
+      auth)
   }
 }
 
 /** Deterministic stand-in for the Salesforce API: describe() + filtered,
   * projected, paged record serving. Field values derive from the row index
   * alone, so tests can compute expected results independently.
+  *
+  * `describeRaw` models the reference's per-sObject `describe()` metadata for
+  * the 15 sObjects its registry extracts (`salesforce/__init__.py:31-148`),
+  * including the *compound* fields (addresses) the reference derives its
+  * excluded-column set from (`salesforce/helpers/records.py:71-84`) —
+  * [[describe]] prunes them exactly the way the reference's field-list
+  * synthesis does.
   */
 object FakeSalesforceApi {
   val DefaultRows = 10000L
   private val Epoch = java.time.Instant.parse("2024-01-01T00:00:00Z")
 
-  def describe(sobject: String): StructType = StructType(Seq(
-    StructField("Id", StringType, nullable = false),
-    StructField("Name", StringType),
-    StructField("AnnualRevenue", LongType),
-    StructField("IsActive", BooleanType),
-    StructField("SystemModstamp", TimestampType)))
+  /** (field, type, isCompound) per sObject. Unlisted sObjects keep the
+    * legacy generic shape so ad-hoc test objects still work.
+    */
+  private val S = StringType; private val L = LongType
+  private val B = BooleanType; private val T = TimestampType
+  private val extras: Map[String, Seq[(String, DataType, Boolean)]] = Map(
+    "User"                   -> Seq(("Username", S, false), ("Email", S, false), ("IsActive", B, false)),
+    "UserRole"               -> Seq(("RollupDescription", S, false)),
+    "Account"                -> Seq(("AnnualRevenue", L, false), ("IsActive", B, false),
+                                    ("LastModifiedDate", T, false),
+                                    ("BillingAddress", S, true), ("ShippingAddress", S, true)),
+    "Contact"                -> Seq(("Email", S, false), ("AccountId", S, false), ("MailingAddress", S, true)),
+    "Lead"                   -> Seq(("Email", S, false), ("Status", S, false), ("Address", S, true)),
+    "Campaign"               -> Seq(("IsActive", B, false)),
+    "CampaignMember"         -> Seq(("CampaignId", S, false), ("LeadId", S, false), ("Status", S, false)),
+    "Product2"               -> Seq(("ProductCode", S, false), ("IsActive", B, false)),
+    "Pricebook2"             -> Seq(("IsActive", B, false), ("IsStandard", B, false)),
+    "PricebookEntry"         -> Seq(("Pricebook2Id", S, false), ("Product2Id", S, false),
+                                    ("UnitPrice", L, false), ("IsActive", B, false)),
+    "Opportunity"            -> Seq(("AccountId", S, false), ("Amount", L, false), ("StageName", S, false)),
+    "OpportunityLineItem"    -> Seq(("OpportunityId", S, false), ("Quantity", L, false), ("UnitPrice", L, false)),
+    "OpportunityContactRole" -> Seq(("OpportunityId", S, false), ("ContactId", S, false), ("Role", S, false)),
+    "Task"                   -> Seq(("WhoId", S, false), ("Subject", S, false), ("Status", S, false)),
+    "Event"                  -> Seq(("WhoId", S, false), ("Subject", S, false), ("DurationInMinutes", L, false)))
+
+  /** Raw describe() metadata incl. compound fields (records.py:71-84). */
+  def describeRaw(sobject: String): Seq[(String, DataType, Boolean)] =
+    extras.get(sobject) match {
+      case Some(ex) =>
+        Seq(("Id", S, false), ("Name", S, false)) ++ ex ++ Seq(("SystemModstamp", T, false))
+      case None => Seq(("Id", S, false), ("Name", S, false), ("AnnualRevenue", L, false),
+        ("IsActive", B, false), ("SystemModstamp", T, false))
+    }
+
+  /** Compound fields the extraction schema must exclude (P1 analog). */
+  def compoundFields(sobject: String): Seq[String] =
+    describeRaw(sobject).filter(_._3).map(_._1)
+
+  /** Extraction schema: describe() minus compound fields — derived from the
+    * metadata, not caller-supplied, like `records.py:71-84`.
+    */
+  def describe(sobject: String): StructType = StructType(
+    describeRaw(sobject).filterNot(_._3).map { case (n, t, _) =>
+      StructField(n, t, nullable = n != "Id")
+    })
 
   /** Row i of any sObject; SystemModstamp advances one minute per row. */
   def modstampMicros(i: Long): Long =
     Epoch.plusSeconds(60L * i).getEpochSecond * 1000000L
 
   def field(sobject: String, i: Long, name: String): Any = name match {
-    case "Id"             => s"$sobject-${"%08d".format(i)}"
-    case "Name"           => s"$sobject $i"
-    case "AnnualRevenue"  => (i * 1013904223L) % 500000000L
-    case "IsActive"       => i % 5 != 0
-    case "SystemModstamp" => modstampMicros(i)
+    case "Id"                => s"$sobject-${"%08d".format(i)}"
+    case "Name"              => s"$sobject $i"
+    case "AnnualRevenue"     => (i * 1013904223L) % 500000000L
+    case "IsActive"          => i % 5 != 0
+    case "SystemModstamp" | "LastModifiedDate" => modstampMicros(i)
+    case "IsStandard"         => i % 2 == 0
+    case "Username"           => s"user$i"
+    case "Email"              => s"user$i@example.com"
+    case "Status"             => Seq("Open", "Working", "Closed")((i % 3).toInt)
+    case "StageName"          => Seq("Prospecting", "Negotiation", "Closed Won")((i % 3).toInt)
+    case "Subject"            => s"$sobject subject $i"
+    case "Role"               => Seq("Decision Maker", "Influencer")((i % 2).toInt)
+    case "RollupDescription"  => s"role $i"
+    case "ProductCode"        => s"P-${"%06d".format(i)}"
+    case "UnitPrice"          => (i * 7919L) % 10000L
+    case "Quantity"           => i % 50
+    case "DurationInMinutes"  => 15L + (i % 8) * 15L
+    case "Amount"             => (i * 2654435761L) % 1000000L
+    // FK columns reference row i % 100 of the target object
+    case fk if fk.endsWith("Id") => s"${fk.stripSuffix("Id")}-${"%08d".format(i % 100)}"
     case other            => throw new IllegalArgumentException(other)
   }
 }
 
-final class SObjectTable(sobject: String, pageSize: Int, rows: Long)
+final class SObjectTable(sobject: String, pageSize: Int, rows: Long,
+    val auth: Option[SalesforceAuth] = None)
     extends Table with SupportsRead {
   override def name(): String = sobject
   override def schema(): StructType = FakeSalesforceApi.describe(sobject)

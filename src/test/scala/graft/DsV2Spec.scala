@@ -18,11 +18,15 @@ class DsV2Spec extends SparkSpec {
       .option("pageSize", pageSize.toString)
       .load()
 
-  test("schema discovery via describe()") {
+  test("schema discovery via describe(): compound fields pruned from metadata") {
     val df = accounts()
     assert(df.schema.fieldNames.toSeq ==
-      Seq("Id", "Name", "AnnualRevenue", "IsActive", "SystemModstamp"))
+      Seq("Id", "Name", "AnnualRevenue", "IsActive", "LastModifiedDate", "SystemModstamp"))
     assert(df.count() == 5000)
+    // the excluded-column set derives from describe() metadata (records.py:71-84),
+    // not from caller-supplied drop lists
+    assert(FakeSalesforceApi.compoundFields("Account") == Seq("BillingAddress", "ShippingAddress"))
+    assert(!df.columns.contains("BillingAddress"))
   }
 
   test("watermark filter is pushed down and appears as SOQL in the plan") {
@@ -64,5 +68,62 @@ class DsV2Spec extends SparkSpec {
   test("unsupported predicate stays a Spark-side residual but result is right") {
     val df = accounts().filter(col("Name").endsWith("99"))
     assert(df.count() == 50)  // Account 99, 199, ..., 4999
+  }
+
+  // --- credential strategy surface (client.py:132-214) ---------------------
+
+  import graft.sources.dsv2.SalesforceAuth
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
+  private def opts(kv: (String, String)*) =
+    new CaseInsensitiveStringMap(scala.jdk.CollectionConverters.MapHasAsJava(kv.toMap).asJava)
+
+  test("auth: each of the six strategies resolves from typed options") {
+    assert(SalesforceAuth.fromOptions(opts(
+      "username" -> "u", "password" -> "p", "securityToken" -> "t"))
+      .contains(SalesforceAuth.SecurityToken("u", "p", "t")))
+    assert(SalesforceAuth.fromOptions(opts(
+      "username" -> "u", "password" -> "p", "organizationId" -> "o"))
+      .contains(SalesforceAuth.OrganizationId("u", "p", "o")))
+    assert(SalesforceAuth.fromOptions(opts("sessionId" -> "s", "instanceUrl" -> "https://x"))
+      .contains(SalesforceAuth.Instance("s", None, Some("https://x"))))
+    assert(SalesforceAuth.fromOptions(opts(
+      "username" -> "u", "password" -> "p", "consumerKey" -> "k", "consumerSecret" -> "c"))
+      .contains(SalesforceAuth.ConsumerKeySecret("u", "p", "k", "c")))
+    assert(SalesforceAuth.fromOptions(opts(
+      "username" -> "u", "consumerKey" -> "k", "privateKey" -> "pem"))
+      .contains(SalesforceAuth.Jwt("u", "k", Some("pem"), None)))
+    assert(SalesforceAuth.fromOptions(opts(
+      "consumerKey" -> "k", "consumerSecret" -> "c", "domain" -> "login"))
+      .contains(SalesforceAuth.ClientCredentials("k", "c", "login")))
+    // no credential options at all: the offline source needs none
+    assert(SalesforceAuth.fromOptions(opts()).isEmpty)
+  }
+
+  test("auth: incomplete or unknown credential sets fail fast with named errors") {
+    // explicit strategy, missing field
+    val e1 = intercept[IllegalArgumentException](SalesforceAuth.fromOptions(
+      opts("auth" -> "security_token", "username" -> "u", "password" -> "p")))
+    assert(e1.getMessage.contains("securityToken"))
+    // either-or rules (client.py on_resolved)
+    val e2 = intercept[IllegalArgumentException](SalesforceAuth.fromOptions(
+      opts("auth" -> "jwt", "username" -> "u", "consumerKey" -> "k")))
+    assert(e2.getMessage.contains("privateKey"))
+    val e3 = intercept[IllegalArgumentException](SalesforceAuth.fromOptions(
+      opts("auth" -> "instance", "sessionId" -> "s")))
+    assert(e3.getMessage.contains("instance"))
+    // unknown strategy name
+    val e4 = intercept[IllegalArgumentException](SalesforceAuth.fromOptions(
+      opts("auth" -> "magic")))
+    assert(e4.getMessage.contains("unknown auth strategy"))
+    // username/password with no discriminating field: ambiguous, rejected
+    val e5 = intercept[IllegalArgumentException](SalesforceAuth.fromOptions(
+      opts("username" -> "u", "password" -> "p")))
+    assert(e5.getMessage.contains("incomplete credentials"))
+    // a bad credential set is rejected at load() planning, not mid-extraction
+    intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("sobject", "Account")
+        .option("auth", "jwt").option("username", "u").option("consumerKey", "k")
+        .load()
+    }
   }
 }
