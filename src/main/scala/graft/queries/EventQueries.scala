@@ -154,14 +154,36 @@ object EventQueries {
         .orderBy("w_start", "event_type")
     },
 
-    // Sketch surface: HLL distinct + approximate percentiles. Engine-only
-    // (HLL implementations differ across engines -> rows-only check).
+    // Sketch surface: HLL distinct + approximate percentiles. Raw sketch
+    // values differ across engines, so the query emits the EXACT values plus
+    // within-documented-error booleans: HLL within 3x the default relativeSD
+    // (0.05), percentile_approx(accuracy=1000) within 1% rank error. The
+    // oracle reproduces the exact values and asserts literal TRUE for each
+    // bound — an out-of-bounds sketch hash-mismatches instead of being
+    // permanently unverified.
     "q44_approx_sketches" -> { (s, dir) =>
-      events(s, dir)
+      val ev = events(s, dir).select(col("event_type"), col("user_id"),
+        col("value").cast("double").as("value"))
+      val sk = ev.groupBy("event_type").agg(
+        approx_count_distinct(col("user_id")).as("au"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"))
+      ev.join(broadcast(sk), "event_type")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+        .agg(max(col("au")).as("au"), max(col("exact_users")).as("exact_users"),
+          count(lit(1)).as("n"),
+          sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") <  col("p50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("le95"),
+          sum(when(col("value") <  col("p95"), 1L).otherwise(0L)).as("lt95"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("au") - col("exact_users")) <= col("exact_users") * 0.15)
+            .as("hll_within_bounds"),
+          (col("le50") >= col("n") * 0.49 && col("lt50") <= col("n") * 0.51)
+            .as("p50_within_bounds"),
+          (col("le95") >= col("n") * 0.94 && col("lt95") <= col("n") * 0.96)
+            .as("p95_within_bounds"))
         .orderBy("event_type")
     }
   )
@@ -233,6 +255,16 @@ object EventQueries {
         |    min(value) AS min_value, max(value) AS max_value,
         |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq
         |  FROM events GROUP BY event_type)
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // Exact distinct counts + literal TRUE per sketch bound: the engine side
+    // computes whether each sketch landed within its documented error; a
+    // violation flips a boolean and hash-mismatches here.
+    "q44_approx_sketches" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS hll_within_bounds,
+        |  true AS p50_within_bounds,
+        |  true AS p95_within_bounds
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
