@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, LshSignature, TokenSetCount, TextVectorFns}
 
 /** Session-extension entry point: makes the engine's native expressions
   * available cluster-wide without per-session registration calls —
@@ -20,5 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_native"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_native"),
       exprs => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(TextVectorFns.LshFnName),
+      new ExpressionInfo(classOf[LshSignature].getName, TextVectorFns.LshFnName),
+      TextVectorFns.lshBuilder))
+    e.injectFunction((
+      FunctionIdentifier(TextVectorFns.TokenSetFnName),
+      new ExpressionInfo(classOf[TokenSetCount].getName, TextVectorFns.TokenSetFnName),
+      TextVectorFns.tokenSetBuilder))
   }
 }

@@ -26,7 +26,7 @@ object TextFns {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** Count of stopword tokens (quality-scoring signal). */
   def stopwordCount(toks: Column): Column =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFns._
-import graft.functions.expressions.CosineFns
+import graft.functions.expressions.{CosineFns, TextVectorFns}
 import graft.functions.TextFns.{normalize, tokens}
 import Tables._
 
@@ -50,9 +50,10 @@ object SimilarityQueries {
     // own bucket. Approximate — documented recall tradeoff vs q60.
     "q61_ann_lsh" -> { (s, dir) =>
       CosineFns.register(s)
+      TextVectorFns.register(s)
       val emb = spread(read(s, dir, "embeddings"))
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("sig", lshSignature(col("v"), PLANES, DIM))
+        .withColumn("sig", TextVectorFns.lshSignatureNative(col("v"), PLANES, DIM))
       val probes = emb.filter(col("vec_id") < N_PROBES)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("sig"))
       val w = Window.partitionBy("probe_id")

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns._
+import graft.functions.expressions.TextVectorFns
 import Tables._
 
 /** Text-analysis surface over `documents` (builder contract §extensions):
@@ -16,18 +17,20 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token + char counting, two tokenizers (whitespace and a BPE-ish regex).
     "q50_token_stats" -> { (s, dir) =>
+      TextVectorFns.register(s)
       val t = spread(read(s, dir, "documents"))
       t.select(col("doc_id"),
           length(col("text")).as("n_chars_m"),
           size(tokens(col("text"))).as("n_tokens"),
           regexpTokens(normalize(col("text"))).as("n_subtokens"),
-          stopwordCount(tokens(col("text"))).as("n_stopwords"))
+          TextVectorFns.tokenSetCountNative(tokens(col("text")), stopwords).as("n_stopwords"))
         .withColumn("stop_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
         .orderBy("doc_id")
     },
 
     // Quality scoring: length, punctuation ratio, mean word length, verdict.
     "q51_quality" -> { (s, dir) =>
+      TextVectorFns.register(s)
       val t = spread(read(s, dir, "documents"))
       val toks = tokens(col("text"))
       val nonWs = length(regexp_replace(col("text"), "\\s", ""))
@@ -35,7 +38,7 @@ object TextQueries {
           size(toks).as("n_tokens"),
           (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
           (nonWs.cast("double") / size(toks)).as("avg_word_len"),
-          stopwordCount(toks).as("n_stop"))
+          TextVectorFns.tokenSetCountNative(toks, stopwords).as("n_stop"))
         .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_tokens"))
         .withColumn("quality_ok",
           col("n_tokens").between(5, 10000) &&
@@ -47,10 +50,12 @@ object TextQueries {
     // Language-ID via marker tokens; output is the (declared lang x predicted
     // lang) confusion matrix — small result, deterministic argmax.
     "q52_langid" -> { (s, dir) =>
+      TextVectorFns.register(s)
       val t = spread(read(s, dir, "documents"))
       val toks = tokens(col("text"))
       val scoreCols = Seq(col("doc_id"), col("lang")) ++
-        langMarkers.map { case (l, ms) => markerScore(toks, ms).as(s"s_$l") }
+        langMarkers.map { case (l, ms) =>
+          TextVectorFns.tokenSetCountNative(toks, ms).as(s"s_$l") }
       val scored = t.select(scoreCols: _*)
       val pred = predictLang(langMarkers.map { case (l, _) => l -> col(s"s_$l") })
       scored.withColumn("pred_lang", pred)

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, VectorFns}
+import graft.functions.expressions.TextVectorFns
+
+/** The fused LshSignature / TokenSetCount expressions must agree bit-for-bit
+  * with the composable higher-order-function forms they replace — that
+  * identity is what keeps the q50/q51/q52/q61 DuckDB oracles valid after
+  * swapping the queries to the fast path.
+  */
+class TextVectorExprSpec extends SparkSpec {
+
+  test("lsh_signature native == fold form on real embeddings") {
+    TextVectorFns.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val both = emb
+      .withColumn("fold", VectorFns.lshSignature(col("v"), 8, 64))
+      .withColumn("native", TextVectorFns.lshSignatureNative(col("v"), 8, 64))
+    val diff = both.filter(col("fold") =!= col("native")).count()
+    assert(diff == 0, s"$diff rows differ between fold and native signature")
+    // sanity: signatures have real spread (not constant)
+    assert(both.select("native").distinct().count() > 1)
+  }
+
+  test("lsh_signature: null element -> all-zeros; short array -> NULL") {
+    TextVectorFns.register(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  lsh_signature(array(1.0d, 2.0d, 3.0d, CAST(NULL AS DOUBLE)), 4, 4) AS withNull,
+        |  lsh_signature(array(1.0d, 2.0d), 4, 4) AS short""".stripMargin).head()
+    assert(rows.getString(0) == "0000")
+    assert(rows.isNullAt(1))
+  }
+
+  test("token_set_count native == filter/isin fold form on documents") {
+    TextVectorFns.register(spark)
+    val toks = TextFns.tokens(col("text"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("fold", TextFns.stopwordCount(toks))
+      .withColumn("native", TextVectorFns.tokenSetCountNative(toks, TextFns.stopwords))
+    val diff = docs.filter(col("fold") =!= col("native")).count()
+    assert(diff == 0, s"$diff rows differ between fold and native stopword count")
+    // markers too (all four languages)
+    val markerDiff = TextFns.langMarkers.map { case (_, ms) =>
+      spark.read.parquet(s"$sf/documents.parquet")
+        .withColumn("fold", TextFns.markerScore(toks, ms))
+        .withColumn("native", TextVectorFns.tokenSetCountNative(toks, ms))
+        .filter(col("fold") =!= col("native")).count()
+    }.sum
+    assert(markerDiff == 0)
+  }
+
+  test("token_set_count: null elements skipped, NULL array -> NULL") {
+    TextVectorFns.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  token_set_count(array('the', CAST(NULL AS STRING), 'x', 'of'), 'the', 'of') AS c,
+        |  token_set_count(CAST(NULL AS ARRAY<STRING>), 'the') AS n""".stripMargin).head()
+    assert(r.getInt(0) == 2)
+    assert(r.isNullAt(1))
+  }
+}
