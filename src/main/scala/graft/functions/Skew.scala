@@ -15,19 +15,34 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase salted sum/count aggregation.
+  /** Two-phase salted aggregation over the decomposable aggregates:
+    * sum-of-partial-sums, min-of-partial-mins, max-of-partial-maxes, plus a
+    * row count (`n` = sum of partial counts).
     *
-    * @param df      input
+    * @param df      input (must not already contain the reserved working
+    *                columns `__salt`/`__cnt` or the output column `n`)
     * @param key     grouping column name
     * @param sums    columns to sum, by name (result column keeps the name)
     * @param buckets salt fan-out (reducers per hot key)
+    * @param mins    columns to min, by name
+    * @param maxs    columns to max, by name
     */
-  def saltedAgg(df: DataFrame, key: String, sums: Seq[String], buckets: Int = 16): DataFrame = {
+  def saltedAgg(df: DataFrame, key: String, sums: Seq[String], buckets: Int = 16,
+                mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("__salt", "__cnt", "n").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"saltedAgg reserves column name(s) ${reserved.mkString(", ")} — rename them first")
+    val dup = (sums ++ mins ++ maxs).diff((sums ++ mins ++ maxs).distinct)
+    require(dup.isEmpty, s"column(s) ${dup.distinct.mkString(", ")} listed in more than one aggregate")
     val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
-    val partialAggs = sums.map(c => sum(col(c)).as(c)) :+ count(lit(1)).as("__cnt")
+    val partialAggs = sums.map(c => sum(col(c)).as(c)) ++
+      mins.map(c => min(col(c)).as(c)) ++ maxs.map(c => max(col(c)).as(c)) :+
+      count(lit(1)).as("__cnt")
     val partial = salted.groupBy(col(key), col("__salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
-    val finalAggs = sums.map(c => sum(col(c)).as(c)) :+ sum("__cnt").as("n")
+    val finalAggs = sums.map(c => sum(col(c)).as(c)) ++
+      mins.map(c => min(col(c)).as(c)) ++ maxs.map(c => max(col(c)).as(c)) :+
+      sum("__cnt").as("n")
     partial.groupBy(col(key)).agg(finalAggs.head, finalAggs.tail: _*)
   }
 }

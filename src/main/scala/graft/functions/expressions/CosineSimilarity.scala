@@ -38,9 +38,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  // Ragged inputs yield NULL, matching the fold form exactly (zip_with pads
-  // the shorter array with nulls and null poisons the fold) — a silent
-  // common-prefix score would mask malformed embeddings.
+  // Ragged inputs and NULL elements yield NULL, matching the fold form
+  // exactly (zip_with pads the shorter array with nulls and a null element
+  // poisons the fold) — a silent common-prefix/zero-filled score would mask
+  // malformed embeddings. Hence nullable even over non-null children.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -49,6 +52,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -72,11 +76,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xi = $a.getDouble($i);
          |    double $yi = $b.getDouble($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |  }
          |}
        """.stripMargin
     })

@@ -412,6 +412,33 @@ final class Warehouse(spark: SparkSession, root: String) {
     }
   }
 
+  // ------------------------------------------------------- streaming state --
+
+  private def streamStatePath(name: String, streamId: String) =
+    tableDir(name).resolve(s"_stream_$streamId")
+
+  /** Highest micro-batch id already committed for `streamId` into `name`
+    * (-1 if none) — the replay guard for foreachBatch sinks.
+    */
+  def lastCommittedBatchId(name: String, streamId: String): Long = {
+    val p = streamStatePath(name, streamId)
+    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+  }
+
+  /** Record `batchId` as committed (atomic pointer swap, same protocol as the
+    * snapshot pointer). Written AFTER the data commit: a crash inside the
+    * two-write window re-applies at most one batch — harmless for the
+    * idempotent merge/replace dispositions, at-least-once for append (the
+    * same guarantee foreachBatch itself gives).
+    */
+  def recordBatchId(name: String, streamId: String, batchId: Long): Unit = {
+    Files.createDirectories(tableDir(name))
+    val tmp = tableDir(name).resolve(s"_stream_$streamId.tmp")
+    Files.writeString(tmp, batchId.toString)
+    Files.move(tmp, streamStatePath(name, streamId), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Dispatch on a resource's declared disposition (I6), collecting per-file
     * stats on the resource's PKs (+ replication key) so later merges prune.
     */

@@ -97,14 +97,28 @@ object EventStream {
     * and merge each micro-batch into the warehouse via foreachBatch — the
     * streaming form of the reference's whole pipeline (extract loop +
     * merge disposition per batch).
+    *
+    * Restart-safe: a default checkpointLocation (under the watch dir —
+    * underscore-prefixed, so the file source's hidden-path filter never
+    * ingests it) makes the source offsets durable, and the warehouse-side
+    * batchId high-watermark skips micro-batches a retry or checkpoint replay
+    * delivers twice — without it, a replayed batch double-appends rows for
+    * Append-disposition resources.
     */
   def incrementalLoad(spark: SparkSession, watchDir: String,
       schema: org.apache.spark.sql.types.StructType,
-      wh: graft.sink.Warehouse, res: graft.model.ResourceDef) = {
+      wh: graft.sink.Warehouse, res: graft.model.ResourceDef,
+      checkpointDir: Option[String] = None, streamId: String = "incremental") = {
     spark.readStream.schema(schema).parquet(watchDir)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        wh.write(res, batch); ()
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"${watchDir.stripSuffix("/")}/_checkpoint_$streamId"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > wh.lastCommittedBatchId(res.name, streamId)) {
+          wh.write(res, batch)
+          wh.recordBatchId(res.name, streamId, batchId)
+        }
+        ()
       }
   }
 }

@@ -24,6 +24,16 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(diff == 0, s"$diff pairs differ between fold and native cosine")
   }
 
+  test("null element -> NULL, matching the fold form's null poisoning") {
+    CosineFns.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  cosine_native(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS a,
+        |  cosine_native(array(1.0d, 2.0d), array(1.0d, CAST(NULL AS DOUBLE))) AS b,
+        |  cosine_native(array(1.0d, 2.0d), array(1.0d)) AS ragged""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("works from SQL text too") {
     CosineFns.register(spark)
     val one = spark.sql(

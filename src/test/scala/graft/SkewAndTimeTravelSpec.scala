@@ -22,6 +22,29 @@ class SkewAndTimeTravelSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedAgg min/max passthrough and reserved-name guard") {
+    val rows = (0 until 200).map(i => Row(if (i % 4 == 0) "a" else "b", i.toLong, (i * 3 % 17).toLong))
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType), StructField("w", LongType)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    // min and max of the same column requested together must be rejected
+    // (one output name) — that's the duplicate guard, not a silent clobber
+    intercept[IllegalArgumentException](
+      Skew.saltedAgg(df, "k", Seq("v"), buckets = 8, mins = Seq("w"), maxs = Seq("w")))
+    val ok = Skew.saltedAgg(df.withColumn("w2", col("w")), "k", Seq("v"), buckets = 8,
+        mins = Seq("w"), maxs = Seq("w2"))
+      .orderBy("k").collect().toSeq
+    val plain = df.withColumn("w2", col("w")).groupBy("k")
+      .agg(sum("v").as("v"), min("w").as("w"), max("w2").as("w2"), count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq
+    assert(ok == plain)
+    // reserved working/output names are rejected up front
+    intercept[IllegalArgumentException](
+      Skew.saltedAgg(df.withColumn("n", lit(1)), "k", Seq("v")))
+    intercept[IllegalArgumentException](
+      Skew.saltedAgg(df.withColumn("__salt", lit(1)), "k", Seq("v")))
+  }
+
   test("time travel: every committed snapshot stays readable") {
     val wh = new Warehouse(spark, tmpDir("tt"))
     val schema = StructType(Seq(StructField("x", LongType)))
