@@ -42,10 +42,13 @@ class SObjectDataSource extends TableProvider with DataSourceRegister {
     // the offline fake API authenticates nothing, but a bad credential SET
     // must still be rejected here, not mid-extraction.
     val auth = SalesforceAuth.fromOptions(opts)
+    val api = Option(opts.get("api")).map(_.toLowerCase).getOrElse("auto")
+    require(Set("auto", "bulk", "rest").contains(api),
+      s"api must be auto|bulk|rest, got: $api")
     new SObjectTable(opts.get("sobject"),
       Option(opts.get("pageSize")).map(_.toInt).getOrElse(1000),
       Option(opts.get("rows")).map(_.toLong).getOrElse(FakeSalesforceApi.DefaultRows),
-      auth)
+      auth, api)
   }
 }
 
@@ -102,6 +105,14 @@ object FakeSalesforceApi {
   def compoundFields(sobject: String): Seq[String] =
     describeRaw(sobject).filter(_._3).map(_._1)
 
+  /** Whether the Bulk API can serve this sObject. Mirrors real Salesforce:
+    * activity entities (Task/Event) are not Bulk-queryable, which is exactly
+    * the failure the reference's Bulk→REST fallback catches
+    * (`records.py:96-121` try bulk / except / REST cursor).
+    */
+  def bulkSupported(sobject: String): Boolean =
+    sobject != "Task" && sobject != "Event"
+
   /** Extraction schema: describe() minus compound fields — derived from the
     * metadata, not caller-supplied, like `records.py:71-84`.
     */
@@ -140,18 +151,18 @@ object FakeSalesforceApi {
 }
 
 final class SObjectTable(sobject: String, pageSize: Int, rows: Long,
-    val auth: Option[SalesforceAuth] = None)
+    val auth: Option[SalesforceAuth] = None, apiMode: String = "auto")
     extends Table with SupportsRead {
   override def name(): String = sobject
   override def schema(): StructType = FakeSalesforceApi.describe(sobject)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SObjectScanBuilder(sobject, schema(), pageSize, rows)
+    new SObjectScanBuilder(sobject, schema(), pageSize, rows, apiMode)
 }
 
 final class SObjectScanBuilder(sobject: String, fullSchema: StructType,
-    pageSize: Int, rows: Long)
+    pageSize: Int, rows: Long, apiMode: String = "auto")
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -179,24 +190,43 @@ final class SObjectScanBuilder(sobject: String, fullSchema: StructType,
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
-  override def build(): Scan = new SObjectScan(sobject, required, pushed, limit, pageSize, rows)
+  /** Bulk→REST strategy resolution (`records.py:96-121`): the reference
+    * tries the Bulk API and catches its rejection to fall back to the REST
+    * cursor. In Spark the strategy must resolve at PLAN time (a mid-job
+    * per-task fallback would re-extract pages already served), so `auto`
+    * consults the same capability metadata the Bulk rejection encodes;
+    * `bulk` on an unsupported sObject fails fast, like the uncaught form.
+    */
+  private def effectiveApi: String = apiMode match {
+    case "auto" => if (FakeSalesforceApi.bulkSupported(sobject)) "bulk" else "rest"
+    case "bulk" =>
+      require(FakeSalesforceApi.bulkSupported(sobject),
+        s"Bulk API cannot query $sobject (activity entity); use api=rest or api=auto")
+      "bulk"
+    case "rest" => "rest"
+  }
+
+  override def build(): Scan =
+    new SObjectScan(sobject, required, pushed, limit, pageSize, rows, effectiveApi)
 }
 
 final class SObjectScan(sobject: String, schema: StructType,
-    filters: Array[Filter], limit: Option[Int], pageSize: Int, rows: Long)
+    filters: Array[Filter], limit: Option[Int], pageSize: Int, rows: Long,
+    api: String = "bulk")
     extends Scan with Batch {
 
   override def readSchema(): StructType = schema
 
   /** The SOQL this scan stands for — the reference's query synthesis
-    * (records.py:87-94) — surfaced in `.explain`.
+    * (records.py:87-94) — surfaced in `.explain`, prefixed with the
+    * extraction path (BULK pages vs REST cursor) actually chosen.
     */
   override def description(): String = {
     val cols = if (schema.isEmpty) "count()" else schema.fieldNames.mkString(", ")
     val where = if (filters.isEmpty) "" else
       " WHERE " + filters.map(SoqlFilters.render).mkString(" AND ")
     val lim = limit.map(n => s" LIMIT $n").getOrElse("")
-    s"SOQL: SELECT $cols FROM $sobject$where$lim"
+    s"${api.toUpperCase} SOQL: SELECT $cols FROM $sobject$where$lim"
   }
 
   override def toBatch: Batch = this
@@ -208,9 +238,16 @@ final class SObjectScan(sobject: String, schema: StructType,
     val total =
       if (filters.isEmpty) limit.map(n => math.min(n.toLong, rows)).getOrElse(rows)
       else rows
-    (0L until total by pageSize).map { start =>
-      SObjectPage(sobject, start, math.min(start + pageSize, total)): InputPartition
-    }.toArray
+    if (api == "rest")
+      // REST cursor semantics: one nextRecordsUrl chain — inherently serial,
+      // so the whole extraction is ONE partition whose reader walks the
+      // cursor (records.py:104-121). Parallelism at 100 TB comes from the
+      // Bulk path; REST is the correctness fallback, not the scale path.
+      Array(SObjectPage(sobject, 0L, total))
+    else
+      (0L until total by pageSize).map { start =>
+        SObjectPage(sobject, start, math.min(start + pageSize, total)): InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

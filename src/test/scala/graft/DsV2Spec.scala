@@ -57,6 +57,40 @@ class DsV2Spec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 3)
   }
 
+  test("bulk->rest fallback: activity entities plan as one REST cursor chain") {
+    // records.py:96-121 — Bulk is tried first; Task/Event are not
+    // Bulk-queryable, so auto falls back to the serial REST cursor.
+    val tasks = spark.read.format(fmt)
+      .option("sobject", "Task").option("rows", "2500").option("pageSize", "1000")
+      .load()
+    val plan = tasks.queryExecution.executedPlan.toString
+    assert(plan.contains("REST SOQL"), s"REST path not chosen:\n$plan")
+    assert(tasks.rdd.getNumPartitions == 1) // one nextRecordsUrl chain
+    assert(tasks.count() == 2500)
+    // a Bulk-capable sObject keeps parallel page partitions under auto
+    val acc = accounts(rows = 2500, pageSize = 1000)
+    assert(acc.queryExecution.executedPlan.toString.contains("BULK SOQL"))
+    assert(acc.rdd.getNumPartitions == 3)
+    // pushdown still applies on the REST path (WHERE travels on the cursor)
+    val filtered = tasks.filter(col("Status") === "Open")
+    assert(filtered.queryExecution.executedPlan.toString.contains("Status ="))
+    assert(filtered.count() == 834) // rows 0,3,6,... of 2500
+  }
+
+  test("api=bulk on an activity entity fails fast; api=rest forces the cursor") {
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("sobject", "Event").option("api", "bulk")
+        .option("rows", "10").load().count()
+    }
+    assert(e.getMessage.contains("Bulk API cannot query Event"), e.getMessage)
+    val forced = accounts(rows = 2500, pageSize = 1000)
+    val rest = spark.read.format(fmt)
+      .option("sobject", "Account").option("api", "rest")
+      .option("rows", "2500").option("pageSize", "1000").load()
+    assert(rest.rdd.getNumPartitions == 1 && forced.rdd.getNumPartitions == 3)
+    assert(rest.count() == forced.count())
+  }
+
   test("values match the deterministic API") {
     val row = accounts().filter(col("Id") === "Account-00000007")
       .select("Name", "AnnualRevenue", "IsActive").head()
