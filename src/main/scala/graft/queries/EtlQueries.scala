@@ -95,11 +95,14 @@ object EtlQueries {
     // A1/A2: per-table verification counts + grand total (check_tables.py /
     // airflow verify_data_load re-expressed as one relational result).
     "q08_table_counts" -> { (s, dir) =>
+      // rollup emits the per-table rows AND the grand-total row in ONE pass
+      // over the five count-aggregates — referencing the union twice (counts
+      // + counts.agg) would execute all five table scans twice.
       val counts = Seq("customer", "orders", "lineitem", "part", "supplier")
         .map(t => read(s, dir, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))
         .reduce(_ unionByName _)
-      counts.unionByName(
-        counts.agg(sum("n").as("n")).select(lit("TOTAL").as("tbl"), col("n")))
+      counts.rollup(col("tbl")).agg(sum("n").as("n"))
+        .select(coalesce(col("tbl"), lit("TOTAL")).as("tbl"), col("n"))
         .orderBy("tbl")
     },
 

@@ -24,8 +24,28 @@ object SimilarityQueries {
   private val TOPK = 10
   private val PLANES = 8
   private val N_PROBES = 5
+  private val NEARDUP_TAU = 0.35
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embedding-cosine near-dup detection (the dedup family's vector-space
+    // member): candidate pairs are BLOCKED by the coarse-quantizer cell
+    // (label) before any scoring — the same candidates-before-join shape as
+    // MinHash/SimHash, with the IVF cell as the bucket. At 100 TB the pair
+    // fan-out is bounded per cell (never all-pairs), and the per-pair score
+    // is the fused native cosine.
+    "q59_embedding_neardup" -> { (s, dir) =>
+      CosineFns.register(s)
+      val emb = spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val a = emb.select(col("label"), col("vec_id").as("a"), col("v").as("va"))
+      val b = emb.select(col("label"), col("vec_id").as("b"), col("v").as("vb"))
+      a.join(b, Seq("label")).filter(col("a") < col("b"))
+        .withColumn("score", CosineFns.cosineNative(col("va"), col("vb")))
+        .filter(col("score") >= NEARDUP_TAU) // threshold on the exact score
+        .select(col("label"), col("a"), col("b"), round(col("score"), 4).as("score"))
+        .orderBy("label", "a", "b")
+    },
+
     // Brute-force exact cosine top-k: N_PROBES probe vectors against the
     // whole corpus; broadcast the probes, rank per probe.
     "q60_cosine_topk" -> { (s, dir) =>
@@ -108,6 +128,16 @@ object SimilarityQueries {
        |  THEN '1' ELSE '0' END), '')""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q59_embedding_neardup" ->
+      s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings)
+         |SELECT label, a, b, round(score, 4) AS score FROM (
+         |  SELECT x.label, x.vec_id AS a, y.vec_id AS b,
+         |    ${cosineSql("x.v", "y.v")} AS score
+         |  FROM emb x JOIN emb y ON x.label = y.label AND x.vec_id < y.vec_id)
+         |WHERE score >= $NEARDUP_TAU
+         |ORDER BY label, a, b""".stripMargin,
+
     "q60_cosine_topk" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < $N_PROBES),
