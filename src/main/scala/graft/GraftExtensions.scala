@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(TextVectorFns.TokenSetFnName),
       new ExpressionInfo(classOf[TokenSetCount].getName, TextVectorFns.TokenSetFnName),
       TextVectorFns.tokenSetBuilder))
+    // Manifest-stat file skipping for warehouse scans: runs in the operator-
+    // optimization batch, i.e. BEFORE V2ScanRelationPushDown, so it narrows
+    // the file list and parquet pushdown then applies to the survivors.
+    e.injectOptimizerRule(_ => graft.catalog.ManifestPruneRule)
   }
 }

@@ -139,18 +139,30 @@ class GraftCatalog extends TableCatalog {
 /** One warehouse table (optionally pinned to a snapshot version for time
   * travel). Scans are Spark's own parquet DSv2 over the manifest's file
   * list; writes are a V1 shim into the Warehouse commit protocol.
+  *
+  * `prunedManifest` is set by [[ManifestPruneRule]] after predicate-driven
+  * file skipping — the scan then covers only the files whose stat bounds may
+  * satisfy the query's filters (Iceberg scan-planning analog).
   */
-private[catalog] class GraftTable(displayName: String, table: String, root: String,
-                                  version: Option[Long])
+private[catalog] class GraftTable(displayName: String, val table: String, val root: String,
+                                  version: Option[Long],
+                                  val prunedManifest: Option[graft.sink.Manifest] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   private def spark = SparkSession.active
   private def warehouse = new Warehouse(spark, root)
-  private lazy val manifest =
-    version.map(warehouse.manifestAt(table, _)).getOrElse(warehouse.currentManifest(table))
+  lazy val manifest: graft.sink.Manifest = prunedManifest.getOrElse(
+    version.map(warehouse.manifestAt(table, _)).getOrElse(warehouse.currentManifest(table)))
 
-  override def name(): String =
-    version.map(v => s"$displayName@v$v").getOrElse(displayName)
+  /** Same table with the scan restricted to `files` (file skipping). */
+  def withFiles(files: Seq[graft.sink.DataFile]): GraftTable =
+    new GraftTable(displayName, table, root, version,
+      Some(graft.sink.Manifest(manifest.schema, files)))
+
+  override def name(): String = {
+    val base = version.map(v => s"$displayName@v$v").getOrElse(displayName)
+    prunedManifest.map(m => s"$base[${m.files.size} files]").getOrElse(base)
+  }
 
   override def schema(): StructType = manifest.schema
 
@@ -166,6 +178,7 @@ private[catalog] class GraftTable(displayName: String, table: String, root: Stri
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty, s"cannot write to time-travel snapshot $displayName@v${version.get}")
+    require(prunedManifest.isEmpty, s"cannot write to a pruned scan of $displayName")
     new GraftWriteBuilder(table, root, info)
   }
 }

@@ -1,0 +1,82 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sink.{DataFile, StatsPruning}
+
+/** Predicate-driven FILE skipping for warehouse scans — the engine analog of
+  * Iceberg's scan planning, where the manifest's per-file column bounds
+  * decide which data files a query must read at all.
+  *
+  * Injected through `GraftExtensions` as an operator-optimization rule, so it
+  * runs BEFORE `V2ScanRelationPushDown`: it only swaps the relation's
+  * [[GraftTable]] for one whose manifest lists the surviving files, and
+  * leaves the `Filter` in place. Parquet's own pushdown (row-group pruning,
+  * column pruning, codegen) then applies to the reduced file list exactly as
+  * before — this rule can only ever REMOVE IO, never change semantics.
+  *
+  * At 100 TB this is the difference between "read the table" and "read the
+  * one region a watermark/PK predicate touches": a merge-style query with a
+  * key-range filter over a range-clustered table opens O(matching files)
+  * parquet footers instead of O(all files).
+  *
+  * Conservative by construction ([[StatsPruning]]): only AND-ed conjuncts of
+  * shape `col OP literal` (plus IN/IsNotNull) on columns with recorded stats
+  * prune; everything else keeps every file.
+  */
+object ManifestPruneRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, r: DataSourceV2Relation) =>
+      r.table match {
+        case t: GraftTable if t.prunedManifest.isEmpty =>
+          val files = t.manifest.files
+          val kept = files.filter(file => mayMatch(file, cond))
+          if (kept.size < files.size) f.copy(child = r.copy(table = t.withFiles(kept)))
+          else f
+        case _ => f
+      }
+  }
+
+  /** May `file` contain a row satisfying `cond`? Unknown shapes → true. */
+  private def mayMatch(file: DataFile, cond: Expression): Boolean =
+    splitConjunctivePredicates(cond).forall(c => conjunctMayMatch(file, c))
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other     => Seq(other)
+  }
+
+  private def conjunctMayMatch(file: DataFile, c: Expression): Boolean = c match {
+    case EqualTo(a: AttributeReference, l: Literal)            => check(file, a.name, "=", l)
+    case EqualTo(l: Literal, a: AttributeReference)            => check(file, a.name, "=", l)
+    case GreaterThan(a: AttributeReference, l: Literal)        => check(file, a.name, ">", l)
+    case GreaterThan(l: Literal, a: AttributeReference)        => check(file, a.name, "<", l)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => check(file, a.name, ">=", l)
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => check(file, a.name, "<=", l)
+    case LessThan(a: AttributeReference, l: Literal)           => check(file, a.name, "<", l)
+    case LessThan(l: Literal, a: AttributeReference)           => check(file, a.name, ">", l)
+    case LessThanOrEqual(a: AttributeReference, l: Literal)    => check(file, a.name, "<=", l)
+    case LessThanOrEqual(l: Literal, a: AttributeReference)    => check(file, a.name, ">=", l)
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => check(file, a.name, "=", v.asInstanceOf[Literal]))
+    case IsNotNull(a: AttributeReference) =>
+      // an all-null ("z") file has no row passing IS NOT NULL
+      file.stats.get(a.name).forall(_.kind != "z")
+    case _ => true
+  }
+
+  private def check(file: DataFile, col: String, op: String, l: Literal): Boolean =
+    file.stats.get(col) match {
+      case None => true // no bounds recorded for this column — keep the file
+      case Some(st) =>
+        if (l.value == null) false // col OP null matches no row
+        else StatsPruning.render(l.dataType, l.value) match {
+          case Some((kind, v)) => StatsPruning.mayMatch(st, op, kind, v)
+          case None            => true
+        }
+    }
+}

@@ -1,0 +1,63 @@
+package graft.sink
+
+import org.apache.spark.sql.types._
+
+/** File-skipping decisions from per-file column bounds ([[ColStat]]) — the
+  * engine analog of Iceberg's scan planning over manifest
+  * `lower_bounds`/`upper_bounds`. Shared by the merge overlap test
+  * ([[Warehouse.merge]]) and the SQL catalog's predicate-driven file pruning
+  * (`graft.catalog.ManifestPruneRule`).
+  *
+  * All decisions are CONSERVATIVE: `true` means "the file may contain a
+  * matching row". Unknown columns, unsupported types, or domain mismatches
+  * always yield `true`; pruning can only ever skip provably-disjoint files.
+  */
+object StatsPruning {
+
+  /** Comparison in a stat domain: "s" lexicographic, "n" BigDecimal. */
+  def cmp(kind: String, a: String, b: String): Int =
+    if (kind == "n") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+
+  /** Render a literal comparison value into a stat domain, mirroring
+    * [[Warehouse]]'s stat collection (timestamps → epoch micros, dates →
+    * epoch days, booleans → 0/1). `v` uses Catalyst internal representations
+    * (UTF8String, Long micros, Int days, Decimal). None = can't compare
+    * (unsupported type / NaN) → caller must not prune.
+    */
+  def render(dt: DataType, v: Any): Option[(String, String)] = {
+    if (v == null) return None // null literals never match rows; handled upstream
+    dt match {
+      case StringType                       => Some(("s", v.toString))
+      case ByteType | ShortType | IntegerType | LongType => Some(("n", v.toString))
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) None else Some(("n", f.toString))
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (d.isNaN || d.isInfinite) None else Some(("n", d.toString))
+      case _: DecimalType =>
+        Some(("n", v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal.toString))
+      case TimestampType                    => Some(("n", v.toString)) // Long micros
+      case DateType                         => Some(("n", v.toString)) // Int days
+      case BooleanType                      => Some(("n", if (v.asInstanceOf[Boolean]) "1" else "0"))
+      case _                                => None
+    }
+  }
+
+  /** May a row of a file with bounds `st` satisfy `col OP value`?
+    * An all-null file ("z") satisfies no comparison (SQL null semantics);
+    * a domain mismatch is unknown → true.
+    */
+  def mayMatch(st: ColStat, op: String, kind: String, value: String): Boolean = {
+    if (st.kind == "z") return false
+    if (st.kind != kind) return true
+    op match {
+      case "="  => cmp(kind, st.min, value) <= 0 && cmp(kind, st.max, value) >= 0
+      case ">"  => cmp(kind, st.max, value) > 0
+      case ">=" => cmp(kind, st.max, value) >= 0
+      case "<"  => cmp(kind, st.min, value) < 0
+      case "<=" => cmp(kind, st.min, value) <= 0
+      case _    => true
+    }
+  }
+}

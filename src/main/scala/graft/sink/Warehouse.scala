@@ -183,9 +183,6 @@ final class Warehouse(spark: SparkSession, root: String) {
     if (kind == "n") scala.util.Try(BigDecimal(s)).isSuccess else s.length <= 256
   }
 
-  private def cmp(kind: String, a: String, b: String): Int =
-    if (kind == "n") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
-
   /** Write `in` under `dirName` and return one [[DataFile]] per written
     * parquet file, with per-file min/max stats for `cols` gathered in a
     * single O(batch) grouped scan (count + 2 aggs per stat column, grouped
@@ -337,7 +334,8 @@ final class Warehouse(spark: SparkSession, root: String) {
         case Some(ColStat("z", _, _)) => true
         case Some(fs) => batchStats.get(c).exists(bs =>
           bs.kind == fs.kind &&
-            (cmp(fs.kind, fs.min, bs.max) > 0 || cmp(fs.kind, fs.max, bs.min) < 0))
+            (StatsPruning.cmp(fs.kind, fs.min, bs.max) > 0 ||
+              StatsPruning.cmp(fs.kind, fs.max, bs.min) < 0))
         case None => false
       }
     }

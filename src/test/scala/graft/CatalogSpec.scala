@@ -39,6 +39,36 @@ class CatalogSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(Amount,1)"), plan)
   }
 
+  test("manifest-stat file skipping: a key-range predicate opens only overlapping files") {
+    // four appends with disjoint Amount ranges, one data file each,
+    // stats collected on Amount
+    (0 until 4).foreach { b =>
+      val rows = (0 until 10).map(i => Row(s"k$b-$i", b * 100L + i))
+      wh.append("pruned_sql",
+        spark.createDataFrame(rows.asJava, schema).repartition(1), Seq("Amount"))
+    }
+    assert(wh.dataFiles("pruned_sql").size == 4)
+
+    // GraftTable.name() reports the pruned file count, which the BatchScan
+    // node renders — assert on the plan text (the physical tree nests AQE
+    // query stages as leaf wrappers, so a collect() tree-walk can't see it).
+    def scanLabel(df: org.apache.spark.sql.DataFrame): String = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters"), s"parquet pushdown lost:\n$plan")
+      "\\[(\\d+) files\\]".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("unpruned")
+    }
+
+    val q = spark.sql("SELECT Id, Amount FROM graft.pruned_sql WHERE Amount >= 300 ORDER BY Id")
+    assert(scanLabel(q) == "1", "expected 1 file after pruning")
+    assert(q.count() == 10)
+
+    // point lookup: one file; unprunable predicate: all files, same rows
+    val point = spark.sql("SELECT * FROM graft.pruned_sql WHERE Amount = 105")
+    assert(scanLabel(point) == "1" && point.count() == 1)
+    val unprunable = spark.sql("SELECT * FROM graft.pruned_sql WHERE Id LIKE '%-3'")
+    assert(scanLabel(unprunable) == "unpruned" && unprunable.count() == 4)
+  }
+
   test("verification-style catalog sweep purely via spark.sql") {
     wh.replace("t_a", df(("a", 1)))
     wh.replace("t_b", df(("b", 2), ("c", 3)))
