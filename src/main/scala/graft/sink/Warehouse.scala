@@ -243,19 +243,32 @@ final class Warehouse(spark: SparkSession, root: String) {
     existing.map(_.schema).getOrElse(
       StructType(SchemaOps.widenSchema(df.schema).fields.map(_.copy(nullable = true))))
 
+  /** Range-cluster a batch on `cols` before writing: rows land in files with
+    * DISJOINT, sorted key ranges, so the per-file min/max bounds are tight
+    * and merge pruning / predicate file skipping actually skip. Without
+    * clustering, every file of a shuffled batch spans the whole key range
+    * and no stat-based pruning can ever drop one.
+    */
+  private def cluster(in: DataFrame, clusterBy: Seq[String]): DataFrame =
+    if (clusterBy.isEmpty) in
+    else in.repartitionByRange(clusterBy.map(col): _*)
+      .sortWithinPartitions(clusterBy.map(col): _*)
+
   /** S8 append disposition: O(batch) — writes only the incoming files; the
     * new manifest carries every prior file forward untouched.
     * `statsCols` asks for per-file min/max on those columns (collected for
-    * future merge pruning / data skipping).
+    * future merge pruning / data skipping); `clusterBy` range-partitions the
+    * batch so those bounds are tight (see [[cluster]]).
     */
-  def append(name: String, df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+  def append(name: String, df: DataFrame, statsCols: Seq[String] = Nil,
+             clusterBy: Seq[String] = Nil): Long = {
     val existing = if (exists(name)) Some(currentManifest(name)) else None
     Files.createDirectories(tableDir(name))
     val schema = targetSchema(existing, df)
-    val in = SchemaOps.conform(df, schema)
+    val in = cluster(SchemaOps.conform(df, schema), clusterBy)
     val next = currentVersion(name) + 1
     val entries = writeData(name, in, schema, s"d${next}b",
-      statsCols ++ inheritedStatsCols(existing))
+      statsCols ++ clusterBy ++ inheritedStatsCols(existing))
     commitManifest(name, next, Manifest(schema, existing.map(_.files).getOrElse(Nil) ++ entries))
   }
 
@@ -263,15 +276,47 @@ final class Warehouse(spark: SparkSession, root: String) {
     * `salesforce_pipeline.py:79-81`) then append ⇒ the new snapshot lists
     * ONLY the incoming batch's files.
     */
-  def replace(name: String, df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+  def replace(name: String, df: DataFrame, statsCols: Seq[String] = Nil,
+              clusterBy: Seq[String] = Nil): Long = {
     val existing = if (exists(name)) Some(currentManifest(name)) else None
     Files.createDirectories(tableDir(name))
     val schema = targetSchema(existing, df)
-    val in = SchemaOps.conform(df, schema)
+    val in = cluster(SchemaOps.conform(df, schema), clusterBy)
     val next = currentVersion(name) + 1
     val entries = writeData(name, in, schema, s"d${next}b",
-      statsCols ++ inheritedStatsCols(existing))
+      statsCols ++ clusterBy ++ inheritedStatsCols(existing))
     commitManifest(name, next, Manifest(schema, entries))
+  }
+
+  /** Bin-pack small data files into ~`targetBytes` files (the Iceberg
+    * `rewriteDataFiles` maintenance action): O(batch) incremental appends
+    * inevitably accumulate small files, and at 100 TB an uncompacted table
+    * pays per-file open/footer costs on every scan. Files already at or
+    * above the target carry over untouched; the rewrite is a new snapshot,
+    * so time travel to pre-compaction versions keeps working until
+    * [[expireSnapshots]]. `sortBy` additionally range-clusters the rewritten
+    * rows (tight stats on those columns).
+    *
+    * No-op (returns the current version) when fewer than two small files
+    * exist.
+    */
+  def compact(name: String, targetBytes: Long = 128L << 20,
+              sortBy: Seq[String] = Nil): Long = {
+    val man = currentManifest(name)
+    val sized = man.files.map(f => f -> Files.size(tableDir(name).resolve(f.path)))
+    val (smalls, bigs) = sized.partition(_._2 < targetBytes)
+    if (smalls.size < 2) return currentVersion(name)
+    val next = currentVersion(name) + 1
+    val statsFor = inheritedStatsCols(Some(man))
+    val src = spark.read.schema(man.schema)
+      .parquet(smalls.map { case (f, _) => tableDir(name).resolve(f.path).toString }: _*)
+    val nOut = math.max(1L, (smalls.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+    val packed =
+      if (sortBy.nonEmpty)
+        src.repartitionByRange(nOut, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
+      else src.coalesce(nOut)
+    val rewritten = writeData(name, packed, man.schema, s"d${next}c", statsFor ++ sortBy)
+    commitManifest(name, next, Manifest(man.schema, bigs.map(_._1) ++ rewritten))
   }
 
   /** J1 merge disposition: delete target rows whose PK tuple appears in the

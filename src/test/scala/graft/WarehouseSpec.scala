@@ -157,6 +157,51 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.dataFiles("t").forall(_.stats.contains("Id")))
   }
 
+  test("compact bin-packs small files into one; data identical, history intact") {
+    val wh = new Warehouse(spark, tmpDir("wh-compact"))
+    (0 until 6).foreach { b =>
+      wh.append("t", df((s"k$b", b.toLong, "2024-01-01")).repartition(1), Seq("Id"))
+    }
+    assert(wh.dataFiles("t").size == 6)
+    val vBefore = wh.currentVersion("t")
+    val before = wh.load("t").orderBy("Id").collect().toSeq
+
+    wh.compact("t", targetBytes = 128L << 20, sortBy = Seq("Id"))
+    assert(wh.dataFiles("t").size == 1, s"${wh.dataFiles("t").size} files after compact")
+    assert(wh.load("t").orderBy("Id").collect().toSeq == before)
+    // stats recollected on the packed file (merge pruning keeps working)
+    assert(wh.dataFiles("t").forall(_.stats.contains("Id")))
+    // pre-compaction snapshot still readable (time travel)
+    assert(wh.loadVersion("t", vBefore).count() == 6)
+    // second compact is a no-op (fewer than two small files)
+    val v = wh.currentVersion("t")
+    assert(wh.compact("t") == v)
+  }
+
+  test("clustered writes produce files with disjoint key ranges") {
+    val wh = new Warehouse(spark, tmpDir("wh-cluster"))
+    // one shuffled 400-row batch over 4 partitions, clustered on Amount
+    val rows = scala.util.Random.shuffle((0 until 400).toList)
+      .map(i => Row(s"id$i", i.toLong, "2024-01-01"))
+    val batch = spark.createDataFrame(rows.asJava, schema).repartition(4)
+    // AQE would rightly coalesce 400 tiny rows into one partition; pin it
+    // off so the range partitioning is observable at toy scale
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try wh.replace("t", batch, clusterBy = Seq("Amount"))
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val files = wh.dataFiles("t")
+    assert(files.size > 1, "expected multiple range-partitioned files")
+    val ranges = files.map { f =>
+      val st = f.stats("Amount"); (BigDecimal(st.min), BigDecimal(st.max))
+    }.sortBy(_._1)
+    // tight, non-overlapping bounds: each file's min exceeds the previous max
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(lo > hi, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    assert(wh.load("t").count() == 400)
+  }
+
   test("expireSnapshots drops old versions and GCs unreferenced files") {
     val dir = tmpDir("wh-expire")
     val wh = new Warehouse(spark, dir)
