@@ -114,9 +114,14 @@ object DedupQueries {
 
     // SimHash near-dup: 32-bit signature from per-token md5 bit-majorities,
     // computed as 32 flat sum-aggregates over exploded token rows (all
-    // codegen'd — no nested HOFs), candidates blocked on the upper-16-bit
-    // band, verified by Hamming distance <= threshold. Frequency-weighted:
-    // duplicate tokens count.
+    // codegen'd — no nested HOFs). Candidates come from MULTI-BAND blocking:
+    // 8 bands of 4 bits; a pair within Hamming distance 4 differs in at most
+    // 4 bands, so it agrees EXACTLY on >= 4 of the 8 — multi-band OR-ing is
+    // therefore full-recall for the verify threshold (pigeonhole), unlike a
+    // single wide band, which silently drops pairs whose differing bits land
+    // in it. Candidate duplicates across bands are deduped before ranking;
+    // per-band buckets hold ~n/2^4 docs, so pair fan-out stays bounded.
+    // Frequency-weighted: duplicate tokens count.
     "q58_simhash" -> { (s, dir) =>
       val docs = spread(read(s, dir, "documents"))
         .withColumn("tk", tokens(col("text")))
@@ -132,18 +137,26 @@ object DedupQueries {
       val simhash = (0 until SIMHASH_BITS).map { j =>
         when(col(s"s$j") * 2 >= col("n"), lit(1L << (SIMHASH_BITS - 1 - j))).otherwise(0L)
       }.reduce(_ + _)
+      val bandBits = SIMHASH_BITS / SIMHASH_BANDS
       val sig = sums.select(col("doc_id"), simhash.as("simhash"))
-        .withColumn("band", shiftright(col("simhash"), SIMHASH_BITS / 2))
-      sig.as("a").join(sig.as("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      val banded = sig
+        .select(col("doc_id"), col("simhash"),
+          explode(array((0 until SIMHASH_BANDS).map(lit): _*)).as("bi"))
+        .withColumn("bk",
+          expr(s"shiftright(simhash, $SIMHASH_BITS - (bi + 1) * $bandBits) & ${(1 << bandBits) - 1}"))
+      banded.as("a").join(banded.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
         .filter(col("hamming") <= HAMMING_T)
+        .distinct() // a pair can match in several bands
         .orderBy("d1", "d2")
     }
   )
 
   private val SIMHASH_BITS = 32
+  private val SIMHASH_BANDS = 8 // > HAMMING_T bands -> full recall (pigeonhole)
   private val HAMMING_T = 4
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -166,14 +179,19 @@ object DedupQueries {
       val shExpr = (0 until SIMHASH_BITS).map { j =>
         s"CASE WHEN s$j * 2 >= n THEN ${1L << (SIMHASH_BITS - 1 - j)} ELSE 0 END"
       }.mkString(" + ")
+      val bandBits = SIMHASH_BITS / SIMHASH_BANDS
       s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
          |tok_rows AS (SELECT doc_id, md5(t.w) AS h FROM tk, unnest(toks) AS t(w)),
          |sums AS (SELECT doc_id, $sumCols, count(*) AS n FROM tok_rows GROUP BY doc_id),
          |sig AS (SELECT doc_id, CAST($shExpr AS BIGINT) AS simhash FROM sums),
-         |banded AS (SELECT doc_id, simhash, simhash >> ${SIMHASH_BITS / 2} AS band FROM sig)
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |banded AS (
+         |  SELECT doc_id, simhash, g.bi,
+         |    (simhash >> ($SIMHASH_BITS - (g.bi + 1) * $bandBits)) & ${(1 << bandBits) - 1} AS bk
+         |  FROM sig, generate_series(0, ${SIMHASH_BANDS - 1}) AS g(bi))
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+         |FROM banded a JOIN banded b
+         |  ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HAMMING_T
          |ORDER BY d1, d2""".stripMargin
     },
