@@ -121,6 +121,8 @@ object DedupQueries {
     // single wide band, which silently drops pairs whose differing bits land
     // in it. Candidate duplicates across bands are deduped before ranking;
     // per-band buckets hold ~n/2^4 docs, so pair fan-out stays bounded.
+    // Scale path beyond this corpus: a 64-bit signature with 8-bit bands
+    // keeps the same full-recall guarantee at 16x fewer candidates.
     // Frequency-weighted: duplicate tokens count.
     "q58_simhash" -> { (s, dir) =>
       val docs = spread(read(s, dir, "documents"))
@@ -144,13 +146,22 @@ object DedupQueries {
           explode(array((0 until SIMHASH_BANDS).map(lit): _*)).as("bi"))
         .withColumn("bk",
           expr(s"shiftright(simhash, $SIMHASH_BITS - (bi + 1) * $bandBits) & ${(1 << bandBits) - 1}"))
+      // A pair can match in several bands; keep it only at its FIRST
+      // matching band — a per-row predicate over the two signatures, which
+      // dedups candidates WITHOUT the distinct()'s shuffle of the whole
+      // candidate set.
+      val mask = (1 << bandBits) - 1
+      val firstMatch = (0 until SIMHASH_BANDS - 1).map { j =>
+        val sh = SIMHASH_BITS - (j + 1) * bandBits
+        s"($j >= a.bi OR (shiftright(a.simhash, $sh) & $mask) != (shiftright(b.simhash, $sh) & $mask))"
+      }.mkString(" AND ")
       banded.as("a").join(banded.as("b"),
           col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id"))
+        .filter(expr(firstMatch))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
         .filter(col("hamming") <= HAMMING_T)
-        .distinct() // a pair can match in several bands
         .orderBy("d1", "d2")
     }
   )
