@@ -7,9 +7,11 @@ import Tables._
 
 /** Multimodal surface (builder contract): binary payload columns + typed
   * metadata, decode stubbed (see graft.multimodal.Multimodal). q63 is the
-  * pure-expression feature projection (oracle-checked); q64 exercises the
-  * real partition-wise decode path (rows-only check: the stub decoder's
-  * byte-level math isn't SQL-expressible).
+  * pure-expression feature projection; q64 exercises the real partition-wise
+  * decode path. BOTH are oracle-checked: the payloads are ASCII text bytes,
+  * so the stub decoder's byte-level math (incl. mean intensity — integer
+  * byte sums are exact in double, hence order-independent) is mirrored
+  * per-character in DuckDB.
   */
 object MultimodalQueries {
 
@@ -40,6 +42,23 @@ object MultimodalQueries {
         |  lower(substring(hex(encode(text)), 1, 4)) AS magic,
         |  16 + octet_length(encode(text)) % 64 AS width,
         |  16 + CAST(FLOOR(octet_length(encode(text)) / 7) AS INT) % 64 AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // The decode path's oracle recomputes the stub's byte math from the text
+    // (ASCII -> ord(char) == byte value). The byte sum is an exact integer
+    // in both engines, so mean_intensity matches bit-for-bit before round.
+    "q64_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  lower(substring(hex(encode(text)), 1, 4)) AS magic,
+        |  16 + octet_length(encode(text)) % 64 AS width,
+        |  16 + CAST(FLOOR(octet_length(encode(text)) / 7) AS INT) % 64 AS height,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(list_aggregate(list_transform(generate_series(1, length(text)),
+        |      i -> ord(substring(text, i, 1))), 'sum') AS DOUBLE) / length(text)
+        |    END, 4) AS mean_intensity
         |FROM documents ORDER BY media_id""".stripMargin
   )
 }
