@@ -88,6 +88,43 @@ object SimilarityQueries {
         .orderBy("probe_id", "rank")
     },
 
+    // Full IVF search: per-cell centroids (exact decimal component sums —
+    // a distributed double-sum is accumulation-order-dependent, a decimal
+    // sum is not, so centroids are bit-reproducible), probes assigned to
+    // their best cell by centroid cosine, then scored ONLY within that
+    // cell. At 100 TB: the centroid table is tiny (cells x dim) and
+    // broadcast; each probe reads ~corpus/cells — the classic IVF
+    // recall/latency trade backing q60's exact baseline.
+    "q65_ivf_search" -> { (s, dir) =>
+      CosineFns.register(s)
+      val emb = spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val comp = emb.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("c"))
+      val cents = comp.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cv"))
+      val probes = emb.filter(col("vec_id") < N_PROBES)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val wAssign = Window.partitionBy("probe_id")
+        .orderBy(col("cscore").desc, col("label").asc)
+      val assigned = probes.crossJoin(broadcast(cents))
+        .withColumn("cscore", CosineFns.cosineNative(col("pv"), col("cv")))
+        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+        .select(col("probe_id"), col("pv"), col("label"))
+      val wRank = Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("vec_id").asc)
+      broadcast(assigned).join(emb, Seq("label"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("score", CosineFns.cosineNative(col("pv"), col("v")))
+        .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= TOPK)
+        .select(col("probe_id"), col("label").as("cell"), col("rank"), col("vec_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("probe_id", "rank")
+    },
+
     // Label-partitioned (IVF-style) centroid stats: per-label mean vector
     // norm + cohesion proxy — the coarse-quantizer half of an IVF index.
     "q62_ivf_centroids" -> { (s, dir) =>
@@ -164,6 +201,32 @@ object SimilarityQueries {
          |    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank
          |  FROM scored)
          |SELECT probe_id, rank, vec_id, round(score, 4) AS score
+         |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin,
+
+    "q65_ivf_search" ->
+      s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |comp AS (
+         |  SELECT label, g.i AS pos,
+         |    CAST(sum(CAST(v[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+         |  FROM emb, generate_series(1, $DIM) AS g(i)
+         |  GROUP BY label, g.i),
+         |cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM comp GROUP BY label),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < $N_PROBES),
+         |assign AS (
+         |  SELECT probe_id, pv, label FROM (
+         |    SELECT p.probe_id, p.pv, c.label,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${cosineSql("p.pv", "c.cv")} DESC, c.label ASC) AS r
+         |    FROM probes p, cent c) WHERE r = 1),
+         |scored AS (
+         |  SELECT a.probe_id, a.label AS cell, e.vec_id,
+         |    ${cosineSql("a.pv", "e.v")} AS score
+         |  FROM assign a JOIN emb e ON a.label = e.label AND e.vec_id <> a.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, cell, vec_id, score, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT probe_id, cell, rank, vec_id, round(score, 4) AS score
          |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin,
 
     "q62_ivf_centroids" ->

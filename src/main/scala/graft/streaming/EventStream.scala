@@ -93,6 +93,16 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  /** Streaming exact dedup — the streaming member of the dedup family
+    * (batch dual: q54): duplicate `event_id`s arriving within the watermark
+    * window are dropped with bounded state (per-key state expires once the
+    * watermark passes, so a 100 TB/day stream holds only the window's keys,
+    * not all history).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source incremental ingestion: watch a directory of parquet drops
     * and merge each micro-batch into the warehouse via foreachBatch — the
     * streaming form of the reference's whole pipeline (extract loop +

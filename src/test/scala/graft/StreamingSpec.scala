@@ -67,6 +67,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getLong(2) == 2)
   }
 
+  test("dedupStream drops duplicate event_ids within the watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0),  // duplicate id, later arrival
+      Event(2, ts(2), 1, "view", 2.0),
+      Event(2, ts(2), 1, "view", 2.0))   // exact duplicate
+    val q = EventStream.dedupStream(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(60000), "stream did not drain in 60s")
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("incrementalLoad skips replayed micro-batches (append stays exactly-once)") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
