@@ -55,6 +55,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: predicate file skipping never changes query results") {
+    // Random multi-file tables + random predicates: the catalog scan (with
+    // ManifestPruneRule active) must equal a raw load + filter. A pruning
+    // bug here would silently DROP rows, which no fixed example reliably
+    // catches — so the inputs are generated.
+    spark.conf.set("spark.sql.catalog.pgraft", classOf[graft.catalog.GraftCatalog].getName)
+    val proot = tmpDir("p-prune-root")
+    spark.conf.set("spark.sql.catalog.pgraft.root", proot)
+    val wh = new Warehouse(spark, proot)
+    val predGen: Gen[String] = for {
+      op <- Gen.oneOf("=", ">", ">=", "<", "<=")
+      v <- Gen.choose(-10L, 110L)
+    } yield s"Amount $op $v"
+    for ((batches, i) <- samples(Gen.listOfN(3, batchGen), 4, 271).zipWithIndex) {
+      val t = s"pt$i"
+      batches.foreach(b => wh.append(t, df(b).repartition(1), Seq("Amount")))
+      for ((pred, j) <- samples(predGen, 6, 1000L * i).zipWithIndex) {
+        val got = spark.sql(s"SELECT Id, Amount FROM pgraft.$t WHERE $pred")
+          .orderBy("Id", "Amount").collect().toSeq
+        val want = wh.load(t).filter(pred).orderBy("Id", "Amount").collect().toSeq
+        assert(got == want, s"case $i/$j pred=$pred")
+      }
+    }
+  }
+
   test("property: conform is total and idempotent on arbitrary target subsets") {
     val targets = Seq(
       StructType(Seq(StructField("Id", StringType))),
