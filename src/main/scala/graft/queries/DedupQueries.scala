@@ -115,14 +115,15 @@ object DedupQueries {
     // SimHash near-dup: 32-bit signature from per-token md5 bit-majorities,
     // computed as 32 flat sum-aggregates over exploded token rows (all
     // codegen'd — no nested HOFs). Candidates come from MULTI-BAND blocking:
-    // 8 bands of 4 bits; a pair within Hamming distance 4 differs in at most
-    // 4 bands, so it agrees EXACTLY on >= 4 of the 8 — multi-band OR-ing is
+    // a pair within Hamming distance 4 differs in at most 4 bands, so with
+    // B >= 5 bands it agrees EXACTLY on at least one — multi-band OR-ing is
     // therefore full-recall for the verify threshold (pigeonhole), unlike a
     // single wide band, which silently drops pairs whose differing bits land
-    // in it. Candidate duplicates across bands are deduped before ranking;
-    // per-band buckets hold ~n/2^4 docs, so pair fan-out stays bounded.
-    // Scale path beyond this corpus: a 64-bit signature with 8-bit bands
-    // keeps the same full-recall guarantee at 16x fewer candidates.
+    // in it. Exactly 5 bands (7+7+6+6+6 bits) is the candidate-minimal
+    // full-recall split: the fewest bands the guarantee allows, with the
+    // widest (finest-bucketed) keys. Candidate duplicates across bands are
+    // deduped before ranking. Scale path beyond this corpus: a 64-bit
+    // signature with 5 x ~13-bit bands, same construction.
     // Frequency-weighted: duplicate tokens count.
     "q58_simhash" -> { (s, dir) =>
       val docs = spread(read(s, dir, "documents"))
@@ -139,21 +140,19 @@ object DedupQueries {
       val simhash = (0 until SIMHASH_BITS).map { j =>
         when(col(s"s$j") * 2 >= col("n"), lit(1L << (SIMHASH_BITS - 1 - j))).otherwise(0L)
       }.reduce(_ + _)
-      val bandBits = SIMHASH_BITS / SIMHASH_BANDS
       val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+      val bkCase = "CASE bi " + SIMHASH_BAND_DEFS.zipWithIndex.map { case ((sh, m), j) =>
+        s"WHEN $j THEN shiftright(simhash, $sh) & $m" }.mkString(" ") + " END"
       val banded = sig
         .select(col("doc_id"), col("simhash"),
-          explode(array((0 until SIMHASH_BANDS).map(lit): _*)).as("bi"))
-        .withColumn("bk",
-          expr(s"shiftright(simhash, $SIMHASH_BITS - (bi + 1) * $bandBits) & ${(1 << bandBits) - 1}"))
+          explode(array(SIMHASH_BAND_DEFS.indices.map(lit): _*)).as("bi"))
+        .withColumn("bk", expr(bkCase))
       // A pair can match in several bands; keep it only at its FIRST
       // matching band — a per-row predicate over the two signatures, which
       // dedups candidates WITHOUT the distinct()'s shuffle of the whole
       // candidate set.
-      val mask = (1 << bandBits) - 1
-      val firstMatch = (0 until SIMHASH_BANDS - 1).map { j =>
-        val sh = SIMHASH_BITS - (j + 1) * bandBits
-        s"($j >= a.bi OR (shiftright(a.simhash, $sh) & $mask) != (shiftright(b.simhash, $sh) & $mask))"
+      val firstMatch = SIMHASH_BAND_DEFS.init.zipWithIndex.map { case ((sh, m), j) =>
+        s"($j >= a.bi OR (shiftright(a.simhash, $sh) & $m) != (shiftright(b.simhash, $sh) & $m))"
       }.mkString(" AND ")
       banded.as("a").join(banded.as("b"),
           col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
@@ -167,8 +166,12 @@ object DedupQueries {
   )
 
   private val SIMHASH_BITS = 32
-  private val SIMHASH_BANDS = 8 // > HAMMING_T bands -> full recall (pigeonhole)
   private val HAMMING_T = 4
+  /** (shift, mask) per band, MSB-first: 7+7+6+6+6 bits — the minimal band
+    * count (HAMMING_T + 1) that keeps full recall, maximizing key width.
+    */
+  private val SIMHASH_BAND_DEFS: Seq[(Int, Int)] =
+    Seq((25, 127), (18, 127), (12, 63), (6, 63), (0, 63))
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   /** Tokens + distinct shingle set, precomputed once per doc in a CTE chain. */
@@ -190,15 +193,15 @@ object DedupQueries {
       val shExpr = (0 until SIMHASH_BITS).map { j =>
         s"CASE WHEN s$j * 2 >= n THEN ${1L << (SIMHASH_BITS - 1 - j)} ELSE 0 END"
       }.mkString(" + ")
-      val bandBits = SIMHASH_BITS / SIMHASH_BANDS
+      val bkCase = "CASE g.bi " + SIMHASH_BAND_DEFS.zipWithIndex.map { case ((sh, m), j) =>
+        s"WHEN $j THEN (simhash >> $sh) & $m" }.mkString(" ") + " END"
       s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
          |tok_rows AS (SELECT doc_id, md5(t.w) AS h FROM tk, unnest(toks) AS t(w)),
          |sums AS (SELECT doc_id, $sumCols, count(*) AS n FROM tok_rows GROUP BY doc_id),
          |sig AS (SELECT doc_id, CAST($shExpr AS BIGINT) AS simhash FROM sums),
          |banded AS (
-         |  SELECT doc_id, simhash, g.bi,
-         |    (simhash >> ($SIMHASH_BITS - (g.bi + 1) * $bandBits)) & ${(1 << bandBits) - 1} AS bk
-         |  FROM sig, generate_series(0, ${SIMHASH_BANDS - 1}) AS g(bi))
+         |  SELECT doc_id, simhash, g.bi, $bkCase AS bk
+         |  FROM sig, generate_series(0, ${SIMHASH_BAND_DEFS.size - 1}) AS g(bi))
          |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM banded a JOIN banded b
