@@ -216,9 +216,21 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   /** Commit manifest `m` as version `next` and swap the pointer.
     * ATOMIC_MOVE on the pointer file ≈ Iceberg's catalog commit.
+    *
+    * Optimistic concurrency: `next` was derived from the table version read
+    * at the START of the operation, and the data-file write job between then
+    * and here can take minutes — re-checking the pointer immediately before
+    * the swap turns a concurrent committer's lost update into a loud
+    * [[java.util.ConcurrentModificationException]] (the caller may re-read
+    * and retry, which is exactly Iceberg's catalog CAS-and-retry loop).
     */
-  private def commitManifest(name: String, next: Long, m: Manifest): Long = {
+  private[sink] def commitManifest(name: String, next: Long, m: Manifest): Long = {
     Files.createDirectories(tableDir(name))
+    val cur = currentVersion(name)
+    if (cur != next - 1)
+      throw new java.util.ConcurrentModificationException(
+        s"$name: expected to commit v$next over v${next - 1}, but table is at v$cur " +
+          "(concurrent writer); re-read and retry")
     Manifest.write(manifestPath(name, next), m)
     val tmp = tableDir(name).resolve(s"_current.tmp$next")
     Files.writeString(tmp, next.toString)
