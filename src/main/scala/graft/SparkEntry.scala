@@ -38,7 +38,7 @@ object SparkEntry {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++ AnalyticQueries.queries ++ EventQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ SamplingQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Keys absent here (q44 sketches) get rows-only checks.
@@ -46,5 +46,5 @@ object SparkEntry {
   val oracleSql: Map[String, String] =
     EtlQueries.oracles ++ AnalyticQueries.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++ SamplingQueries.oracles
 }

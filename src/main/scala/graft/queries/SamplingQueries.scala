@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Sampling operators for training-data mixture construction (builder
+  * contract extension): per-stratum mixture weighting and deterministic
+  * dataset splits. Selection is a pure function of a salted md5 of the row
+  * key compared against an 8-hex-digit threshold — P(md5_8 < t) == t/16^8
+  * under md5 uniformity — so sampling is:
+  *   - reproducible (no RNG state, no partition-order dependence: the same
+  *     row is selected on any cluster size, any retry),
+  *   - exactly DuckDB-mirrorable (string compare on the same hex),
+  *   - shuffle-free at 100 TB: one embarrassingly-parallel scan.
+  *
+  * This hash-threshold idiom is the distributed replacement for
+  * `df.sample()` (whose Bernoulli draw depends on partition layout and
+  * seed plumbing) whenever reproducibility across runs matters — which for
+  * training-data lineage is always.
+  */
+object SamplingQueries {
+
+  /** Per-language mixture rates as hex thresholds (rate = thr/16^8). */
+  private val MixThresholds: Seq[(String, String)] = Seq(
+    "en" -> "c0000000", // 0.75
+    "de" -> "80000000", // 0.50
+    "fr" -> "40000000", // 0.25
+    "es" -> "20000000") // 0.125
+  private val DefaultThreshold = "10000000" // 0.0625 for other langs
+
+  // train < cc000000 (~0.797) <= val < e6000000 (~0.898) <= test
+  private val TrainEnd = "cc000000"
+  private val ValEnd = "e6000000"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mixture-weighted stratified sample: each language kept at its own
+    // rate, selection key emitted for lineage/audit.
+    "q66_mixture_sample" -> { (s, dir) =>
+      val thr = MixThresholds.foldRight(lit(DefaultThreshold)) {
+        case ((lang, t), els) => when(col("lang") === lang, lit(t)).otherwise(els)
+      }
+      spread(read(s, dir, "documents"))
+        .withColumn("sample_key", substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8))
+        .withColumn("thr", thr)
+        .filter(col("sample_key") < col("thr"))
+        .select(col("doc_id"), col("lang"), col("sample_key"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic 80/10/10 train/val/test split + per-split language mix —
+    // the lineage-auditable form of dataset partitioning.
+    "q67_dataset_split" -> { (s, dir) =>
+      val key = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8)
+      spread(read(s, dir, "documents"))
+        .withColumn("split",
+          when(key < TrainEnd, "train").when(key < ValEnd, "val").otherwise("test"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q66_mixture_sample" -> {
+      val thrCase = MixThresholds.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }
+        .mkString("CASE ", " ", s" ELSE '$DefaultThreshold' END")
+      s"""SELECT doc_id, lang, sample_key FROM (
+         |  SELECT doc_id, lang,
+         |    substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key,
+         |    $thrCase AS thr
+         |  FROM documents)
+         |WHERE sample_key < thr ORDER BY doc_id""".stripMargin
+    },
+
+    "q67_dataset_split" ->
+      s"""SELECT split, lang, count(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$TrainEnd' THEN 'train'
+         |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$ValEnd' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+  )
+}
