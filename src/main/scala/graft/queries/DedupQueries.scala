@@ -112,6 +112,22 @@ object DedupQueries {
         .orderBy("d1", "d2")
     },
 
+    // Repetition quality filter (Gopher-style): fraction of duplicate word
+    // trigrams per document. High ratios mark boilerplate/templated text —
+    // the in-document complement of the cross-document dedup family. Pure
+    // per-row array math: zero shuffle at any scale.
+    "q70_repetition" -> { (s, dir) =>
+      spread(read(s, dir, "documents"))
+        .withColumn("tk", tokens(col("text")))
+        .select(col("doc_id"), shingles(col("tk"), W).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n_tri"),
+          size(array_distinct(col("sh"))).as("n_uniq"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_uniq").cast("double") / col("n_tri"), 4))
+        .withColumn("flagged", col("rep_ratio") > 0.2)
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup: 32-bit signature from per-token md5 bit-majorities,
     // computed as 32 flat sum-aggregates over exploded token rows (all
     // codegen'd — no nested HOFs). Candidates come from MULTI-BAND blocking:
@@ -188,6 +204,18 @@ object DedupQueries {
     s"((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) >> ${3 - j % 4}) & 1"
 
   val oracles: Map[String, String] = Map(
+    "q70_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |raw AS (
+         |  SELECT doc_id, list_transform(
+         |    generate_series(1, greatest(len(toks) - ${W - 1}, 1)),
+         |    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+         |  FROM tk)
+         |SELECT doc_id, len(sh) AS n_tri, len(list_distinct(sh)) AS n_uniq,
+         |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 4) AS rep_ratio,
+         |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 4) > 0.2 AS flagged
+         |FROM raw ORDER BY doc_id""".stripMargin,
+
     "q58_simhash" -> {
       val sumCols = (0 until SIMHASH_BITS).map(j => s"sum(${bitSql(j)}) AS s$j").mkString(", ")
       val shExpr = (0 until SIMHASH_BITS).map { j =>

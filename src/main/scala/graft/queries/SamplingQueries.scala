@@ -33,6 +33,9 @@ object SamplingQueries {
   private val TrainEnd = "cc000000"
   private val ValEnd = "e6000000"
 
+  private val TokenBudget = 2048 // packing bin size (tokens)
+  private val PackerBuckets = 8  // independent greedy packers
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Mixture-weighted stratified sample: each language kept at its own
     // rate, selection key emitted for lineage/audit.
@@ -46,6 +49,26 @@ object SamplingQueries {
         .filter(col("sample_key") < col("thr"))
         .select(col("doc_id"), col("lang"), col("sample_key"))
         .orderBy("doc_id")
+    },
+
+    // Sequence-packing plan: assign documents to fixed-token-budget bins for
+    // training-batch construction. Greedy packing is inherently sequential,
+    // so the scan is FIRST hash-bucketed into independent packer groups and
+    // the running token sum runs per bucket — the window parallelizes across
+    // buckets instead of serializing on one global cumsum (the 100 TB
+    // version of "sort then pack").
+    "q68_packing_plan" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = spread(read(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          size(graft.functions.TextFns.tokens(col("text"))).as("n_tokens"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(PackerBuckets)))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+      t.withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("bin", expr(s"(cum - n_tokens) div $TokenBudget"))
+        .groupBy("bucket", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+        .orderBy("bucket", "bin")
     },
 
     // Deterministic 80/10/10 train/val/test split + per-split language mix —
@@ -71,6 +94,17 @@ object SamplingQueries {
          |  FROM documents)
          |WHERE sample_key < thr ORDER BY doc_id""".stripMargin
     },
+
+    "q68_packing_plan" ->
+      s"""SELECT bucket, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+         |FROM (
+         |  SELECT bucket, CAST((cum - n_tokens) // $TokenBudget AS BIGINT) AS bin, n_tokens FROM (
+         |    SELECT doc_id, doc_id % $PackerBuckets AS bucket,
+         |      len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_tokens,
+         |      sum(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+         |        OVER (PARTITION BY doc_id % $PackerBuckets ORDER BY doc_id) AS cum
+         |    FROM documents))
+         |GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin,
 
     "q67_dataset_split" ->
       s"""SELECT split, lang, count(*) AS n FROM (
