@@ -125,6 +125,21 @@ object SimilarityQueries {
         .orderBy("probe_id", "rank")
     },
 
+    // ANN quality metric: recall@k of the IVF index against the exact
+    // brute-force baseline — the monitoring query a production approximate
+    // index ships with (recall is what the IVF/LSH latency trade buys down,
+    // and at 100 TB you can only afford to measure it on probe samples,
+    // which is exactly what this does).
+    "q69_ann_recall" -> { (s, dir) =>
+      val exact = queries("q60_cosine_topk")(s, dir).select(col("probe_id"), col("vec_id"))
+      val approx = queries("q65_ivf_search")(s, dir)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("probe_id", "vec_id"), "left")
+        .groupBy("probe_id")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / TOPK).as("recall_at_10"))
+        .orderBy("probe_id")
+    },
+
     // Label-partitioned (IVF-style) centroid stats: per-label mean vector
     // norm + cohesion proxy — the coarse-quantizer half of an IVF index.
     "q62_ivf_centroids" -> { (s, dir) =>
@@ -164,6 +179,45 @@ object SimilarityQueries {
        |    d -> $v[d + 1] * ${wSql(s"j * $DIM + d")}), (x, y) -> x + y) >= 0
        |  THEN '1' ELSE '0' END), '')""".stripMargin
 
+  private lazy val q60Oracle =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < $N_PROBES),
+       |scored AS (
+       |  SELECT probe_id, vec_id, ${cosineSql("pv", "v")} AS score
+       |  FROM probes, emb WHERE vec_id <> probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, score, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, round(score, 4) AS score
+       |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin
+
+  private lazy val q65Oracle =
+    s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |comp AS (
+       |  SELECT label, g.i AS pos,
+       |    CAST(sum(CAST(v[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |  FROM emb, generate_series(1, $DIM) AS g(i)
+       |  GROUP BY label, g.i),
+       |cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM comp GROUP BY label),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < $N_PROBES),
+       |assign AS (
+       |  SELECT probe_id, pv, label FROM (
+       |    SELECT p.probe_id, p.pv, c.label,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosineSql("p.pv", "c.cv")} DESC, c.label ASC) AS r
+       |    FROM probes p, cent c) WHERE r = 1),
+       |scored AS (
+       |  SELECT a.probe_id, a.label AS cell, e.vec_id,
+       |    ${cosineSql("a.pv", "e.v")} AS score
+       |  FROM assign a JOIN emb e ON a.label = e.label AND e.vec_id <> a.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, cell, vec_id, score, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT probe_id, cell, rank, vec_id, round(score, 4) AS score
+       |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q59_embedding_neardup" ->
       s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
@@ -175,18 +229,18 @@ object SimilarityQueries {
          |WHERE score >= $NEARDUP_TAU
          |ORDER BY label, a, b""".stripMargin,
 
-    "q60_cosine_topk" ->
-      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < $N_PROBES),
-         |scored AS (
-         |  SELECT probe_id, vec_id, ${cosineSql("pv", "v")} AS score
-         |  FROM probes, emb WHERE vec_id <> probe_id),
-         |ranked AS (
-         |  SELECT probe_id, vec_id, score, row_number() OVER (
-         |    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank
-         |  FROM scored)
-         |SELECT probe_id, rank, vec_id, round(score, 4) AS score
-         |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin,
+    "q60_cosine_topk" -> q60Oracle,
+
+    // Nested-CTE composition of the two pipelines under comparison.
+    "q69_ann_recall" ->
+      s"""WITH exact AS ($q60Oracle),
+         |approx AS ($q65Oracle)
+         |SELECT e.probe_id,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / $TOPK AS recall_at_10
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin,
 
     "q61_ann_lsh" ->
       s"""WITH emb AS (
@@ -203,31 +257,7 @@ object SimilarityQueries {
          |SELECT probe_id, rank, vec_id, round(score, 4) AS score
          |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin,
 
-    "q65_ivf_search" ->
-      s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |comp AS (
-         |  SELECT label, g.i AS pos,
-         |    CAST(sum(CAST(v[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
-         |  FROM emb, generate_series(1, $DIM) AS g(i)
-         |  GROUP BY label, g.i),
-         |cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM comp GROUP BY label),
-         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < $N_PROBES),
-         |assign AS (
-         |  SELECT probe_id, pv, label FROM (
-         |    SELECT p.probe_id, p.pv, c.label,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY ${cosineSql("p.pv", "c.cv")} DESC, c.label ASC) AS r
-         |    FROM probes p, cent c) WHERE r = 1),
-         |scored AS (
-         |  SELECT a.probe_id, a.label AS cell, e.vec_id,
-         |    ${cosineSql("a.pv", "e.v")} AS score
-         |  FROM assign a JOIN emb e ON a.label = e.label AND e.vec_id <> a.probe_id),
-         |ranked AS (
-         |  SELECT probe_id, cell, vec_id, score, row_number() OVER (
-         |    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank
-         |  FROM scored)
-         |SELECT probe_id, cell, rank, vec_id, round(score, 4) AS score
-         |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin,
+    "q65_ivf_search" -> q65Oracle,
 
     "q62_ivf_centroids" ->
       s"""SELECT label, count(*) AS n_vectors,
