@@ -25,6 +25,7 @@ object SimilarityQueries {
   private val PLANES = 8
   private val N_PROBES = 5
   private val NEARDUP_TAU = 0.35
+  private val NPROBE_CELLS = 2 // IVF multi-probe fan-out (q65; recall in q69)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-dup detection (the dedup family's vector-space
@@ -91,9 +92,10 @@ object SimilarityQueries {
     // Full IVF search: per-cell centroids (exact decimal component sums —
     // a distributed double-sum is accumulation-order-dependent, a decimal
     // sum is not, so centroids are bit-reproducible), probes assigned to
-    // their best cell by centroid cosine, then scored ONLY within that
-    // cell. At 100 TB: the centroid table is tiny (cells x dim) and
-    // broadcast; each probe reads ~corpus/cells — the classic IVF
+    // their NPROBE_CELLS best cells by centroid cosine (multi-probe: the
+    // standard recall mitigation, measured by q69), then scored ONLY within
+    // those cells. At 100 TB: the centroid table is tiny (cells x dim) and
+    // broadcast; each probe reads ~nprobe x corpus/cells — the classic IVF
     // recall/latency trade backing q60's exact baseline.
     "q65_ivf_search" -> { (s, dir) =>
       CosineFns.register(s)
@@ -112,7 +114,7 @@ object SimilarityQueries {
         .orderBy(col("cscore").desc, col("label").asc)
       val assigned = probes.crossJoin(broadcast(cents))
         .withColumn("cscore", CosineFns.cosineNative(col("pv"), col("cv")))
-        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+        .withColumn("r", row_number().over(wAssign)).filter(col("r") <= NPROBE_CELLS)
         .select(col("probe_id"), col("pv"), col("label"))
       val wRank = Window.partitionBy("probe_id")
         .orderBy(col("score").desc, col("vec_id").asc)
@@ -206,7 +208,7 @@ object SimilarityQueries {
        |    SELECT p.probe_id, p.pv, c.label,
        |      row_number() OVER (PARTITION BY p.probe_id
        |        ORDER BY ${cosineSql("p.pv", "c.cv")} DESC, c.label ASC) AS r
-       |    FROM probes p, cent c) WHERE r = 1),
+       |    FROM probes p, cent c) WHERE r <= $NPROBE_CELLS),
        |scored AS (
        |  SELECT a.probe_id, a.label AS cell, e.vec_id,
        |    ${cosineSql("a.pv", "e.v")} AS score
