@@ -112,6 +112,22 @@ object DedupQueries {
         .orderBy("d1", "d2")
     },
 
+    // From near-dup PAIRS to dedup DECISIONS: connected components over the
+    // q56 candidate graph (iterative min-label propagation, functions/Graph)
+    // labels every clustered doc with its component's minimum id — the
+    // keeper — plus the cluster size. The oracle recomputes the transitive
+    // closure with a recursive CTE, independently of the propagation
+    // algorithm, so the fixpoint itself is cross-checked.
+    "q71_dup_clusters" -> { (s, dir) =>
+      val pairs = queries("q56_ngram_jaccard")(s, dir).select(col("d1"), col("d2"))
+      val comp = graft.functions.Graph.connectedComponents(pairs)
+      val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "comp")
+        .select(col("id").as("doc_id"), col("comp").as("keeper"),
+          col("cluster_size"), (col("id") =!= col("comp")).as("is_dup"))
+        .orderBy("doc_id")
+    },
+
     // Repetition quality filter (Gopher-style): fraction of duplicate word
     // trigrams per document. High ratios mark boilerplate/templated text —
     // the in-document complement of the cross-document dedup family. Pure
@@ -199,6 +215,19 @@ object DedupQueries {
        |    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS sh
        |  FROM tk)""".stripMargin
 
+  private lazy val q56Oracle =
+    s"""WITH $docShinglesCte,
+       |blocked AS (
+       |  SELECT doc_id, md5(substring($normSql, 1, 40)) AS blk, sh
+       |  FROM base JOIN documents USING (doc_id))
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+       |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(a.sh, b.sh))) >= $JACCARD_T
+       |ORDER BY d1, d2""".stripMargin
+
   /** DuckDB mirror of the per-token bit extraction in q58. */
   private def bitSql(j: Int) =
     s"((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) >> ${3 - j % 4}) & 1"
@@ -250,18 +279,27 @@ object DedupQueries {
          |FROM (SELECT doc_id, md5(substring($normSql, 1, 80)) AS grp FROM documents)
          |GROUP BY grp HAVING count(*) > 1 ORDER BY keeper""".stripMargin,
 
-    "q56_ngram_jaccard" ->
-      s"""WITH $docShinglesCte,
-         |blocked AS (
-         |  SELECT doc_id, md5(substring($normSql, 1, 40)) AS blk, sh
-         |  FROM base JOIN documents USING (doc_id))
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-         |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(a.sh, b.sh))) >= $JACCARD_T
-         |ORDER BY d1, d2""".stripMargin,
+    "q56_ngram_jaccard" -> q56Oracle,
+
+    // Independent fixpoint cross-check: transitive closure via recursive
+    // CTE, not label propagation.
+    "q71_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($q56Oracle)),
+         |bidir AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM bidir),
+         |reach(id, dst) AS (
+         |  SELECT a, b FROM bidir
+         |  UNION
+         |  SELECT r.id, e.b FROM reach r JOIN bidir e ON r.dst = e.a),
+         |comp AS (
+         |  SELECT n.id, least(n.id, min(r.dst)) AS keeper
+         |  FROM nodes n JOIN reach r ON n.id = r.id GROUP BY n.id)
+         |SELECT c.id AS doc_id, c.keeper, s.cluster_size, c.id <> c.keeper AS is_dup
+         |FROM comp c JOIN (
+         |  SELECT keeper, count(*) AS cluster_size FROM comp GROUP BY keeper) s
+         |  USING (keeper)
+         |ORDER BY doc_id""".stripMargin,
 
     "q57_minhash_lsh" ->
       s"""WITH $docShinglesCte,

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.functions.Graph
+
+/** Connected components: the min-label fixpoint must be exact on shapes
+  * that need multiple propagation rounds (chains) and must keep disjoint
+  * components apart.
+  */
+class GraphSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("a", LongType), StructField("b", LongType)))
+  private def edges(es: (Long, Long)*) =
+    spark.createDataFrame(es.map(e => Row(e._1, e._2)).asJava, schema)
+
+  test("chain needs several rounds; disjoint components stay apart") {
+    // chain 9-8-7-6-5 (min 5 must travel 4 hops), pair (1,2), triangle (10,11,12)
+    val e = edges((9, 8), (8, 7), (7, 6), (6, 5), (1, 2), (10, 11), (11, 12), (12, 10))
+    val comp = Graph.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(5L, 6L, 7L, 8L, 9L).forall(comp(_) == 5L), s"chain: $comp")
+    assert(comp(1L) == 1L && comp(2L) == 1L)
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(comp.size == 10)
+  }
+}
