@@ -93,6 +93,28 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  /** Stream-stream interval join — the streaming dual of the batch as-of
+    * join (q45): each purchase joins the clicks of the SAME user within the
+    * preceding `windowMinutes`. Watermarks on both sides bound the join
+    * state (clicks older than the window + watermark are evicted), which is
+    * what makes an unbounded two-stream join feasible at all: state is
+    * O(users active in the window), not O(stream history).
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Streaming exact dedup — the streaming member of the dedup family
     * (batch dual: q54): duplicate `event_id`s arriving within the watermark
     * window are dropped with bounded state (per-key state expires once the

@@ -67,6 +67,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getLong(2) == 2)
   }
 
+  test("stream-stream interval join: purchases pick up same-user clicks in window") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(10, ts(0), 1, "click", 0.0),
+      Event(11, ts(30), 1, "click", 0.0),
+      Event(12, ts(5), 2, "click", 0.0))
+    purchases.addData(
+      Event(20, ts(40), 1, "purchase", 9.0), // joins clicks 10 and 11 (user 1)
+      Event(21, ts(90), 2, "purchase", 5.0)) // click 12 is 85min earlier: outside window
+    val q = EventStream.clickToPurchase(clicks.toDF(), purchases.toDF(), windowMinutes = 60)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(60000), "stream did not drain in 60s")
+      val out = spark.table("attr_out")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((20L, 10L), (20L, 11L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate event_ids within the watermark") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
