@@ -350,10 +350,12 @@ final class Warehouse(spark: SparkSession, root: String) {
     * null-keyed rows are appended but never match/delete (SURVEY §7.6.4) —
     * which also makes all-null ("z"-stat) files provably disjoint.
     */
-  def merge(name: String, df: DataFrame, pks: Seq[String]): Long = {
+  def merge(name: String, df: DataFrame, pks: Seq[String],
+            clusterBy: Seq[String] = Nil): Long = {
     // PK-presence guard: fall back to append, like `salesforce_pipeline.py:131-134`.
     if (pks.isEmpty || !pks.forall(df.columns.contains) || !exists(name))
-      return append(name, df, pks.filter(df.columns.contains))
+      return append(name, df, pks.filter(df.columns.contains),
+        clusterBy.filter(df.columns.contains))
 
     val man = currentManifest(name)
     val schema = man.schema
@@ -408,9 +410,9 @@ final class Warehouse(spark: SparkSession, root: String) {
         val target = spark.read.schema(schema)
           .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
         val kept = target.join(broadcast(keys), pks, "left_anti")
-        writeData(name, kept, schema, s"d${next}r", statsFor)
+        writeData(name, cluster(kept, clusterBy), schema, s"d${next}r", statsFor)
       }
-    val batchEntries = writeData(name, in, schema, s"d${next}b", statsFor)
+    val batchEntries = writeData(name, cluster(in, clusterBy), schema, s"d${next}b", statsFor)
     commitManifest(name, next, Manifest(schema, untouched ++ rewritten ++ batchEntries))
   }
 
@@ -495,11 +497,19 @@ final class Warehouse(spark: SparkSession, root: String) {
   }
 
   /** Dispatch on a resource's declared disposition (I6), collecting per-file
-    * stats on the resource's PKs (+ replication key) so later merges prune.
+    * stats on the resource's PKs (+ replication key) AND range-clustering
+    * each batch on its keys — unclustered batch files all span the full key
+    * range, making every stat bound vacuous; clustered ones are disjoint,
+    * so later merges and predicate file skipping actually prune. One extra
+    * batch-sized shuffle per micro-batch buys O(matching files) IO on every
+    * subsequent merge/scan of a 100 TB table.
     */
-  def write(res: ResourceDef, df: DataFrame): Long = res.mode match {
-    case WriteMode.Replace => replace(res.name, df, res.primaryKeys ++ res.replicationKey)
-    case WriteMode.Merge   => merge(res.name, df, res.primaryKeys)
-    case WriteMode.Append  => append(res.name, df, res.primaryKeys ++ res.replicationKey)
+  def write(res: ResourceDef, df: DataFrame): Long = {
+    val keys = (res.primaryKeys ++ res.replicationKey).filter(df.columns.contains)
+    res.mode match {
+      case WriteMode.Replace => replace(res.name, df, keys, clusterBy = keys)
+      case WriteMode.Merge   => merge(res.name, df, res.primaryKeys, clusterBy = res.primaryKeys)
+      case WriteMode.Append  => append(res.name, df, keys, clusterBy = keys)
+    }
   }
 }
