@@ -52,6 +52,12 @@ object Graph {
       i += 1
     }
     bidir.unpersist()
+    // A silent non-fixpoint would return WRONG labels (a component split in
+    // two) with no oracle to catch it in production — fail loudly instead.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter (graph diameter exceeds it)")
     labels
   }
 }

@@ -14,9 +14,17 @@ import org.apache.spark.sql.types._
   */
 object StatsPruning {
 
-  /** Comparison in a stat domain: "s" lexicographic, "n" BigDecimal. */
+  /** Comparison in a stat domain: "s" UTF-8 binary, "n" BigDecimal.
+    * String bounds MUST compare the way Spark's min/max computed them —
+    * UTF8String binary (UTF-8 byte) order. Java's String.compareTo uses
+    * UTF-16 code units, which ranks supplementary-plane characters (e.g.
+    * emoji, surrogate pairs) BELOW U+E000..U+FFFF instead of above; a
+    * pruning decision made in the wrong order silently drops matching rows.
+    */
   def cmp(kind: String, a: String, b: String): Int =
-    if (kind == "n") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+    if (kind == "n") BigDecimal(a).compare(BigDecimal(b))
+    else org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** Render a literal comparison value into a stat domain, mirroring
     * [[Warehouse]]'s stat collection (timestamps → epoch micros, dates →

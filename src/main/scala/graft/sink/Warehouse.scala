@@ -17,7 +17,7 @@ import graft.schema.SchemaOps
   * snapshots** over immutable data files plus an atomically-swapped current
   * pointer:
   *
-  *   warehouse/<table>/d<v>{b,r}/part-*.parquet  immutable data files
+  *   warehouse/<table>/d<v>{b,r,c}-<attempt>/part-*.parquet  immutable data files
   *   warehouse/<table>/m<v>.manifest             snapshot = schema + file list
   *   warehouse/<table>/_current                  pointer file containing <v>
   *
@@ -97,14 +97,18 @@ final class Warehouse(spark: SparkSession, root: String) {
       Manifest(StructType(schema.fields.map(_.copy(nullable = true))), Nil))
   }
 
-  /** Drop a table: removes data, manifests, and the pointer. */
-  def drop(name: String): Boolean = {
-    if (!Files.exists(tableDir(name))) return false
-    val s = Files.walk(tableDir(name))
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder[Path]())
       .iterator().asInstanceOf[java.util.Iterator[Path]].asScala
       .foreach(Files.deleteIfExists(_))
     finally s.close()
+  }
+
+  /** Drop a table: removes data, manifests, and the pointer. */
+  def drop(name: String): Boolean = {
+    if (!Files.exists(tableDir(name))) return false
+    deleteRecursively(tableDir(name))
     true
   }
 
@@ -183,6 +187,21 @@ final class Warehouse(spark: SparkSession, root: String) {
     if (kind == "n") scala.util.Try(BigDecimal(s)).isSuccess else s.length <= 256
   }
 
+  /** Bounds map of one aggregated row carrying `__mn$i`/`__mx$i` columns for
+    * `scs` — the ONE place per-column stats are materialized (file bounds in
+    * [[writeData]] and batch bounds in [[merge]] must stay comparable).
+    */
+  private def statsOfRow(r: Row, scs: Seq[StatCol]): Map[String, ColStat] =
+    scs.zipWithIndex.flatMap { case (sc, i) =>
+      val mn = r.get(r.fieldIndex(s"__mn$i"))
+      val mx = r.get(r.fieldIndex(s"__mx$i"))
+      if (mn == null) Some(sc.name -> ColStat("z", "", "")) // all-null in this column
+      else (renderStat(sc.kind, mn), renderStat(sc.kind, mx)) match {
+        case (Some(a), Some(b)) => Some(sc.name -> ColStat(sc.kind, a, b))
+        case _                  => None // unknown: pruning must keep it in scope
+      }
+    }.toMap
+
   /** Write `in` under `dirName` and return one [[DataFile]] per written
     * parquet file, with per-file min/max stats for `cols` gathered in a
     * single O(batch) grouped scan (count + 2 aggs per stat column, grouped
@@ -190,7 +209,14 @@ final class Warehouse(spark: SparkSession, root: String) {
     */
   private def writeData(name: String, in: DataFrame, schema: StructType,
                         dirName: String, cols: Seq[String]): Seq[DataFile] = {
-    val dir = tableDir(name).resolve(dirName)
+    // Unique per ATTEMPT, not just per version: two racing writers both
+    // computing the same `next` must never share a directory — the loser's
+    // mode("overwrite") would destroy the winner's already-committed files
+    // before the OCC guard at the pointer swap ever runs. The loser's
+    // orphaned dir is never referenced by any manifest and is swept by
+    // expireSnapshots.
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dir = tableDir(name).resolve(s"$dirName-$attempt")
     in.write.mode("overwrite").parquet(dir.toString)
     val scs = statCols(schema, cols)
     val base = spark.read.schema(schema).parquet(dir.toString)
@@ -201,16 +227,7 @@ final class Warehouse(spark: SparkSession, root: String) {
     base.groupBy("__file").agg(aggs.head, aggs.tail: _*).collect().toSeq.map { r =>
       val abs = Paths.get(java.net.URI.create(r.getString(r.fieldIndex("__file"))))
       val rel = td.relativize(abs.toAbsolutePath.normalize).toString
-      val stats = scs.zipWithIndex.flatMap { case (sc, i) =>
-        val mn = r.get(r.fieldIndex(s"__mn$i"))
-        val mx = r.get(r.fieldIndex(s"__mx$i"))
-        if (mn == null) Some(sc.name -> ColStat("z", "", "")) // file all-null in this column
-        else (renderStat(sc.kind, mn), renderStat(sc.kind, mx)) match {
-          case (Some(a), Some(b)) => Some(sc.name -> ColStat(sc.kind, a, b))
-          case _                  => None // unknown: pruning must keep the file in scope
-        }
-      }.toMap
-      DataFile(rel, r.getLong(r.fieldIndex("__rows")), stats)
+      DataFile(rel, r.getLong(r.fieldIndex("__rows")), statsOfRow(r, scs))
     }
   }
 
@@ -266,6 +283,23 @@ final class Warehouse(spark: SparkSession, root: String) {
     else in.repartitionByRange(clusterBy.map(col): _*)
       .sortWithinPartitions(clusterBy.map(col): _*)
 
+  /** Shared batch-commit path: conform, cluster, write the batch's files,
+    * commit a manifest that either carries prior files forward (append) or
+    * lists only the batch (replace).
+    */
+  private def writeBatch(name: String, df: DataFrame, statsCols: Seq[String],
+                         clusterBy: Seq[String], keepPrior: Boolean): Long = {
+    val existing = if (exists(name)) Some(currentManifest(name)) else None
+    Files.createDirectories(tableDir(name))
+    val schema = targetSchema(existing, df)
+    val in = cluster(SchemaOps.conform(df, schema), clusterBy)
+    val next = currentVersion(name) + 1
+    val entries = writeData(name, in, schema, s"d${next}b",
+      statsCols ++ clusterBy ++ inheritedStatsCols(existing))
+    val prior = if (keepPrior) existing.map(_.files).getOrElse(Nil) else Nil
+    commitManifest(name, next, Manifest(schema, prior ++ entries))
+  }
+
   /** S8 append disposition: O(batch) — writes only the incoming files; the
     * new manifest carries every prior file forward untouched.
     * `statsCols` asks for per-file min/max on those columns (collected for
@@ -273,32 +307,16 @@ final class Warehouse(spark: SparkSession, root: String) {
     * batch so those bounds are tight (see [[cluster]]).
     */
   def append(name: String, df: DataFrame, statsCols: Seq[String] = Nil,
-             clusterBy: Seq[String] = Nil): Long = {
-    val existing = if (exists(name)) Some(currentManifest(name)) else None
-    Files.createDirectories(tableDir(name))
-    val schema = targetSchema(existing, df)
-    val in = cluster(SchemaOps.conform(df, schema), clusterBy)
-    val next = currentVersion(name) + 1
-    val entries = writeData(name, in, schema, s"d${next}b",
-      statsCols ++ clusterBy ++ inheritedStatsCols(existing))
-    commitManifest(name, next, Manifest(schema, existing.map(_.files).getOrElse(Nil) ++ entries))
-  }
+             clusterBy: Seq[String] = Nil): Long =
+    writeBatch(name, df, statsCols, clusterBy, keepPrior = true)
 
   /** P8 replace disposition: delete-all (`AlwaysTrue()`,
     * `salesforce_pipeline.py:79-81`) then append ⇒ the new snapshot lists
     * ONLY the incoming batch's files.
     */
   def replace(name: String, df: DataFrame, statsCols: Seq[String] = Nil,
-              clusterBy: Seq[String] = Nil): Long = {
-    val existing = if (exists(name)) Some(currentManifest(name)) else None
-    Files.createDirectories(tableDir(name))
-    val schema = targetSchema(existing, df)
-    val in = cluster(SchemaOps.conform(df, schema), clusterBy)
-    val next = currentVersion(name) + 1
-    val entries = writeData(name, in, schema, s"d${next}b",
-      statsCols ++ clusterBy ++ inheritedStatsCols(existing))
-    commitManifest(name, next, Manifest(schema, entries))
-  }
+              clusterBy: Seq[String] = Nil): Long =
+    writeBatch(name, df, statsCols, clusterBy, keepPrior = false)
 
   /** Bin-pack small data files into ~`targetBytes` files (the Iceberg
     * `rewriteDataFiles` maintenance action): O(batch) incremental appends
@@ -370,16 +388,7 @@ final class Warehouse(spark: SparkSession, root: String) {
         val aggs = scs.zipWithIndex.flatMap { case (sc, i) =>
           Seq(sc.minExpr.as(s"__mn$i"), sc.maxExpr.as(s"__mx$i"))
         }
-        val r = keys.agg(aggs.head, aggs.tail: _*).head()
-        scs.zipWithIndex.flatMap { case (sc, i) =>
-          val mn = r.get(r.fieldIndex(s"__mn$i"))
-          val mx = r.get(r.fieldIndex(s"__mx$i"))
-          if (mn == null) Some(sc.name -> ColStat("z", "", ""))
-          else (renderStat(sc.kind, mn), renderStat(sc.kind, mx)) match {
-            case (Some(a), Some(b)) => Some(sc.name -> ColStat(sc.kind, a, b))
-            case _                  => None
-          }
-        }.toMap
+        statsOfRow(keys.agg(aggs.head, aggs.tail: _*).head(), scs)
       }
 
     // A PK column with NO non-null batch value ⇒ every incoming tuple has a
@@ -459,13 +468,7 @@ final class Warehouse(spark: SparkSession, root: String) {
         Files.deleteIfExists(p)
         Files.deleteIfExists(p.resolveSibling("." + p.getFileName.toString + ".crc"))
       }
-      if (live.isEmpty) { // nothing referenced: remove the dir wholesale
-        val s = Files.walk(dir)
-        try s.sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-          .foreach(Files.deleteIfExists(_))
-        finally s.close()
-      }
+      if (live.isEmpty) deleteRecursively(dir) // nothing referenced: remove wholesale
     }
   }
 

@@ -132,23 +132,29 @@ object EventStream {
     *
     * Restart-safe: a default checkpointLocation (under the watch dir —
     * underscore-prefixed, so the file source's hidden-path filter never
-    * ingests it) makes the source offsets durable, and the warehouse-side
-    * batchId high-watermark skips micro-batches a retry or checkpoint replay
-    * delivers twice — without it, a replayed batch double-appends rows for
-    * Append-disposition resources.
+    * ingests it) makes the source offsets durable. Merge/Replace
+    * dispositions are idempotent, so replayed batches are simply re-applied;
+    * only the non-idempotent Append disposition consults the warehouse-side
+    * batchId high-watermark to skip batches a retry or checkpoint replay
+    * delivers twice. (The guard assumes the checkpoint survives with the
+    * warehouse: restarting an Append stream with a FRESH checkpoint over a
+    * partially-loaded watch dir renumbers batches from 0 and can skip
+    * unseen files — wipe the `_stream_*` marker alongside the checkpoint,
+    * or use a Merge resource, when rebuilding from scratch.)
     */
   def incrementalLoad(spark: SparkSession, watchDir: String,
       schema: org.apache.spark.sql.types.StructType,
       wh: graft.sink.Warehouse, res: graft.model.ResourceDef,
       checkpointDir: Option[String] = None, streamId: String = "incremental") = {
+    val guarded = res.mode == graft.model.WriteMode.Append
     spark.readStream.schema(schema).parquet(watchDir)
       .writeStream.outputMode("append")
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"${watchDir.stripSuffix("/")}/_checkpoint_$streamId"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > wh.lastCommittedBatchId(res.name, streamId)) {
+        if (!guarded || batchId > wh.lastCommittedBatchId(res.name, streamId)) {
           wh.write(res, batch)
-          wh.recordBatchId(res.name, streamId, batchId)
+          if (guarded) wh.recordBatchId(res.name, streamId, batchId)
         }
         ()
       }
