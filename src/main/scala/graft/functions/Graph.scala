@@ -52,6 +52,10 @@ object Graph {
       i += 1
     }
     bidir.unpersist()
+    // The returned labels stay cached (MEMORY_AND_DISK, LRU-evictable, a few
+    // bytes per clustered node): the caller's downstream joins would
+    // otherwise re-run every propagation round. Same deliberate choice as
+    // q57's shingle persist.
     // A silent non-fixpoint would return WRONG labels (a component split in
     // two) with no oracle to catch it in production — fail loudly instead.
     if (changed > 0)

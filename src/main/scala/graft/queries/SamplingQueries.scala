@@ -62,7 +62,9 @@ object SamplingQueries {
       val t = spread(read(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           size(graft.functions.TextFns.tokens(col("text"))).as("n_tokens"))
-        .withColumn("bucket", pmod(col("doc_id"), lit(PackerBuckets)))
+        // % not pmod: the oracle's DuckDB % keeps the dividend's sign, and
+        // the two must bucket identically should a negative id ever appear
+        .withColumn("bucket", col("doc_id") % PackerBuckets)
       val w = Window.partitionBy("bucket").orderBy("doc_id")
       t.withColumn("cum", sum("n_tokens").over(w))
         .withColumn("bin", expr(s"(cum - n_tokens) div $TokenBudget"))

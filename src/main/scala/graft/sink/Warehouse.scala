@@ -440,16 +440,26 @@ final class Warehouse(spark: SparkSession, root: String) {
   /** Drop all but the newest `keepLast` snapshots and garbage-collect data
     * files no surviving manifest references (Iceberg `expireSnapshots`).
     * Time travel keeps working within the retained window.
+    *
+    * Also sweeps ORPHANS — files referenced by no manifest at all (a losing
+    * racing writer's attempt dir, a crash between writeData and commit) —
+    * even when no snapshot is expired. Orphans must out-age `orphanGraceMs`
+    * before deletion (Iceberg's orphan-file retention analog): a
+    * concurrent IN-FLIGHT writer's files are unreferenced until its commit,
+    * and the grace keeps the sweep from destroying them mid-write.
     */
-  def expireSnapshots(name: String, keepLast: Int): Unit = {
+  def expireSnapshots(name: String, keepLast: Int,
+                      orphanGraceMs: Long = 3600000L): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val versions = history(name)
     val drop = versions.dropRight(keepLast)
-    if (drop.isEmpty) return
+    val droppedRefs = drop
+      .flatMap(v => Manifest.read(manifestPath(name, v)).files.map(_.path)).toSet
     val referenced = versions.takeRight(keepLast)
       .flatMap(v => Manifest.read(manifestPath(name, v)).files.map(_.path)).toSet
     drop.foreach(v => Files.deleteIfExists(manifestPath(name, v)))
     val td = tableDir(name)
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     val dataDirs = {
       val s = Files.list(td)
       try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
@@ -463,12 +473,19 @@ final class Warehouse(spark: SparkSession, root: String) {
         finally s.close()
       }
       val parquets = files.filter(_.getFileName.toString.endsWith(".parquet"))
-      val (live, dead) = parquets.partition(p => referenced.contains(td.relativize(p).toString))
+      val (live, nonLive) = parquets.partition(p => referenced.contains(td.relativize(p).toString))
+      // expired-snapshot files go immediately; never-referenced orphans only
+      // after the grace period (an in-flight writer may still commit them)
+      val dead = nonLive.filter { p =>
+        droppedRefs.contains(td.relativize(p).toString) ||
+          Files.getLastModifiedTime(p).toMillis < cutoff
+      }
       dead.foreach { p =>
         Files.deleteIfExists(p)
         Files.deleteIfExists(p.resolveSibling("." + p.getFileName.toString + ".crc"))
       }
-      if (live.isEmpty) deleteRecursively(dir) // nothing referenced: remove wholesale
+      if (live.isEmpty && dead.size == nonLive.size)
+        deleteRecursively(dir) // nothing referenced or pending: remove wholesale
     }
   }
 

@@ -132,29 +132,29 @@ object EventStream {
     *
     * Restart-safe: a default checkpointLocation (under the watch dir —
     * underscore-prefixed, so the file source's hidden-path filter never
-    * ingests it) makes the source offsets durable. Merge/Replace
-    * dispositions are idempotent, so replayed batches are simply re-applied;
-    * only the non-idempotent Append disposition consults the warehouse-side
-    * batchId high-watermark to skip batches a retry or checkpoint replay
-    * delivers twice. (The guard assumes the checkpoint survives with the
-    * warehouse: restarting an Append stream with a FRESH checkpoint over a
-    * partially-loaded watch dir renumbers batches from 0 and can skip
-    * unseen files — wipe the `_stream_*` marker alongside the checkpoint,
-    * or use a Merge resource, when rebuilding from scratch.)
+    * ingests it) makes the source offsets durable, and the warehouse-side
+    * batchId high-watermark skips micro-batches a retry or checkpoint
+    * replay delivers twice. The guard applies to EVERY disposition: Append
+    * obviously double-loads on replay, but merge is not idempotent either —
+    * null-PK rows append-but-never-match by contract, and a batch missing
+    * the PK columns falls back to plain append. (The guard assumes the
+    * checkpoint survives with the warehouse: restarting with a FRESH
+    * checkpoint over a partially-loaded watch dir renumbers batches from 0
+    * and can skip unseen files — wipe the table's `_stream_*` marker
+    * whenever the checkpoint is rebuilt from scratch.)
     */
   def incrementalLoad(spark: SparkSession, watchDir: String,
       schema: org.apache.spark.sql.types.StructType,
       wh: graft.sink.Warehouse, res: graft.model.ResourceDef,
       checkpointDir: Option[String] = None, streamId: String = "incremental") = {
-    val guarded = res.mode == graft.model.WriteMode.Append
     spark.readStream.schema(schema).parquet(watchDir)
       .writeStream.outputMode("append")
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"${watchDir.stripSuffix("/")}/_checkpoint_$streamId"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!guarded || batchId > wh.lastCommittedBatchId(res.name, streamId)) {
+        if (batchId > wh.lastCommittedBatchId(res.name, streamId)) {
           wh.write(res, batch)
-          if (guarded) wh.recordBatchId(res.name, streamId, batchId)
+          wh.recordBatchId(res.name, streamId, batchId)
         }
         ()
       }

@@ -17,7 +17,7 @@ class PlanLintSpec extends SparkSpec {
   private val allowedCartesian = Set("q60_cosine_topk", "q65_ivf_search", "q69_ann_recall")
 
   test("no unintended cartesian products; codegen present") {
-    val dir = "/root/testdata/sf0.001"
+    val dir = sf
     // AQE wraps plans before stage codegen is decided; plan statically so
     // the `*(n)` whole-stage-codegen markers are visible in the tree text.
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -218,6 +218,26 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.loadVersion("t", 1).count() == 1)
   }
 
+  test("expireSnapshots sweeps aged orphans even when nothing expires") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("wh-orphan")
+    val wh = new Warehouse(spark, dir)
+    wh.replace("t", df(("a", 1, "2024-01-01")))
+    // fake a losing racing writer's attempt dir: parquet referenced nowhere
+    val orphanDir = Paths.get(dir, "t", "d9b-deadbeef")
+    Files.createDirectories(orphanDir)
+    val f = orphanDir.resolve("part-000.parquet")
+    Files.writeString(f, "junk")
+    // fresh orphan survives the grace period (could be an in-flight writer)
+    wh.expireSnapshots("t", keepLast = 5)
+    assert(Files.exists(f))
+    // aged orphan is swept, dir and all, with no snapshot expired
+    Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime.fromMillis(1000))
+    wh.expireSnapshots("t", keepLast = 5)
+    assert(!Files.exists(orphanDir))
+    assert(wh.load("t").count() == 1)
+  }
+
   test("empty batch append commits a snapshot without new data") {
     val wh = new Warehouse(spark, tmpDir("wh-empty"))
     wh.replace("t", df(("a", 1, "2024-01-01")))
