@@ -516,6 +516,34 @@ final class Warehouse(spark: SparkSession, root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def streamFilesPath(name: String, streamId: String) =
+    tableDir(name).resolve(s"_stream_files_$streamId")
+
+  /** Source files already loaded into `name` by `streamId` — the FILE-level
+    * idempotence ledger for file-source streams. Unlike a batch-id
+    * high-watermark, file identity survives checkpoint loss (a rebuilt
+    * checkpoint renumbers batches from 0 but redelivers the same paths).
+    * Metadata scale: O(#source files), the same order as the manifest.
+    */
+  def loadedFiles(name: String, streamId: String): Set[String] = {
+    val p = streamFilesPath(name, streamId)
+    if (!Files.exists(p)) Set.empty
+    else Files.readString(p).linesIterator.filter(_.nonEmpty).toSet
+  }
+
+  /** Append `files` to the loaded-files ledger (atomic rewrite, AFTER the
+    * data commit — a crash in the window re-applies at most one batch's
+    * unrecorded files).
+    */
+  def recordFiles(name: String, streamId: String, files: Seq[String]): Unit = {
+    Files.createDirectories(tableDir(name))
+    val merged = (loadedFiles(name, streamId) ++ files).toSeq.sorted
+    val tmp = tableDir(name).resolve(s"_stream_files_$streamId.tmp")
+    Files.writeString(tmp, merged.mkString("\n"))
+    Files.move(tmp, streamFilesPath(name, streamId), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Dispatch on a resource's declared disposition (I6), collecting per-file
     * stats on the resource's PKs (+ replication key) AND range-clustering
     * each batch on its keys — unclustered batch files all span the full key

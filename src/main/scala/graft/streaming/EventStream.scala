@@ -130,18 +130,18 @@ object EventStream {
     * streaming form of the reference's whole pipeline (extract loop +
     * merge disposition per batch).
     *
-    * Restart-safe: a default checkpointLocation (under the watch dir —
-    * underscore-prefixed, so the file source's hidden-path filter never
-    * ingests it) makes the source offsets durable, and the warehouse-side
-    * batchId high-watermark skips micro-batches a retry or checkpoint
-    * replay delivers twice. The guard applies to EVERY disposition: Append
-    * obviously double-loads on replay, but merge is not idempotent either —
-    * null-PK rows append-but-never-match by contract, and a batch missing
-    * the PK columns falls back to plain append. (The guard assumes the
-    * checkpoint survives with the warehouse: restarting with a FRESH
-    * checkpoint over a partially-loaded watch dir renumbers batches from 0
-    * and can skip unseen files — wipe the table's `_stream_*` marker
-    * whenever the checkpoint is rebuilt from scratch.)
+    * Restart-safe at FILE granularity: a default checkpointLocation (under
+    * the watch dir — underscore-prefixed, so the file source's hidden-path
+    * filter never ingests it) makes source offsets durable, and a
+    * warehouse-side loaded-files ledger filters every micro-batch down to
+    * rows from not-yet-loaded files. Unlike a batch-id high-watermark, this
+    * stays exactly-once across a LOST/REBUILT checkpoint: the new
+    * checkpoint renumbers batches from 0 and bundles old+new files into one
+    * batch, but the ledger keeps the replayed files out while admitting the
+    * new ones. The guard applies to every disposition — Append obviously
+    * double-loads on replay, and merge is not idempotent either (null-PK
+    * rows append-but-never-match by contract; a batch missing the PK
+    * columns falls back to plain append).
     */
   def incrementalLoad(spark: SparkSession, watchDir: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -151,10 +151,19 @@ object EventStream {
       .writeStream.outputMode("append")
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"${watchDir.stripSuffix("/")}/_checkpoint_$streamId"))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > wh.lastCommittedBatchId(res.name, streamId)) {
-          wh.write(res, batch)
-          wh.recordBatchId(res.name, streamId, batchId)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val seen = wh.loadedFiles(res.name, streamId)
+        // a micro-batch's file list is bounded (maxFilesPerTrigger), so the
+        // distinct-collect is driver-side metadata, not data
+        val batchFiles = batch.select(input_file_name().as("f"))
+          .distinct().collect().map(_.getString(0))
+        val fresh = batchFiles.filterNot(seen)
+        if (fresh.nonEmpty) {
+          val sub =
+            if (fresh.length == batchFiles.length) batch
+            else batch.filter(input_file_name().isin(fresh.toSeq: _*))
+          wh.write(res, sub)
+          wh.recordFiles(res.name, streamId, fresh.toSeq)
         }
         ()
       }

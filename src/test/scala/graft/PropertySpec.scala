@@ -55,6 +55,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: clusterBy and compact never change table contents") {
+    for ((batches, i) <- samples(Gen.listOfN(3, batchGen), 3, 613).zipWithIndex) {
+      val wh = new Warehouse(spark, tmpDir(s"p-compact$i"))
+      batches.foreach(b => wh.append("t", df(b), Seq("Amount"), clusterBy = Seq("Amount")))
+      val expected = batches.flatten.sorted
+      def contents() = wh.load("t").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(contents() == expected, s"case $i after clustered appends")
+      wh.compact("t", sortBy = Seq("Amount"))
+      assert(contents() == expected, s"case $i after compact")
+    }
+  }
+
   test("property: predicate file skipping never changes query results") {
     // Random multi-file tables + random predicates: the catalog scan (with
     // ManifestPruneRule active) must equal a raw load + filter. A pruning

@@ -109,7 +109,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("incrementalLoad skips replayed micro-batches (append stays exactly-once)") {
+  test("incrementalLoad is exactly-once per FILE, surviving checkpoint loss") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import graft.model.{ResourceDef, WriteMode}
@@ -131,18 +131,24 @@ class StreamingSpec extends SparkSpec {
     val cp1 = tmpDir("cp1")
     drain(cp1)
     assert(wh.load("evdrops").count() == 5)
-    assert(wh.lastCommittedBatchId("evdrops", "incremental") == 0)
 
-    // Lost-checkpoint restart: the file source redelivers everything as
-    // batch 0 — the warehouse-side high-watermark must skip it, or an
-    // Append resource double-loads.
-    drain(tmpDir("cp2"))
-    assert(wh.load("evdrops").count() == 5, "replayed batch was double-applied")
-
-    // New drop through the retained checkpoint: batch 1 > 0 loads normally.
+    // THE hard case: checkpoint lost AND a new file arrived. The rebuilt
+    // checkpoint bundles old+new files into one batch 0 — a batch-id guard
+    // would either double-load the old file or silently drop the new one;
+    // the file ledger must skip exactly the replayed file.
     spark.range(5).select((col("id") + 100).as("x")).write.mode("append").parquet(watch)
+    drain(tmpDir("cp2"))
+    val after = wh.load("evdrops").orderBy("x").collect().map(_.getLong(0)).toSeq
+    assert(after == ((0L until 5L) ++ (100L until 105L)),
+      s"lost-checkpoint replay mishandled: $after")
+
+    // Pure replay with yet another fresh checkpoint: no change.
+    drain(tmpDir("cp3"))
+    assert(wh.load("evdrops").count() == 10, "replayed files double-applied")
+
+    // Continuing on a retained checkpoint still ingests new drops.
+    spark.range(5).select((col("id") + 200).as("x")).write.mode("append").parquet(watch)
     drain(cp1)
-    assert(wh.load("evdrops").count() == 10)
-    assert(wh.lastCommittedBatchId("evdrops", "incremental") == 1)
+    assert(wh.load("evdrops").count() == 15)
   }
 }
