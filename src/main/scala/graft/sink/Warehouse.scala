@@ -33,11 +33,23 @@ import graft.schema.SchemaOps
   *
   * Old snapshots stay fully readable (time travel) until
   * [[expireSnapshots]] drops their manifests and garbage-collects data files
-  * no surviving snapshot references. Single-writer, like the reference
-  * (`README.md:269-277`); a real Iceberg catalog would add OCC retries at the
-  * pointer swap.
+  * no surviving snapshot references. Concurrent committers are serialized by
+  * a true compare-and-swap: the manifest file's atomic creation (hard link,
+  * CREATE_NEW semantics) IS the commit — exactly one of two racing writers
+  * for the same version can create `m<v>.manifest`; the loser gets
+  * [[java.util.ConcurrentModificationException]] and must re-read + retry,
+  * which is Iceberg's catalog CAS-and-retry loop.
+  *
+  * @param mergeBroadcastMaxKeys size gate for the merge anti-join: the
+  *   distinct incoming PK set is broadcast only when it holds at most this
+  *   many tuples (the count rides on the stats aggregate — no extra job).
+  *   Larger delete sets fall back to a shuffled sort-merge anti-join —
+  *   slower, but a backfill-sized batch (10⁸ PKs) must not OOM executors
+  *   the way an unconditional `broadcast()` hint would (the hint disables
+  *   Spark's own size check).
   */
-final class Warehouse(spark: SparkSession, root: String) {
+final class Warehouse(spark: SparkSession, root: String,
+                      mergeBroadcastMaxKeys: Long = 4000000L) {
 
   private def tableDir(name: String) = Paths.get(root, name)
   private def pointer(name: String) = tableDir(name).resolve("_current")
@@ -62,8 +74,20 @@ final class Warehouse(spark: SparkSession, root: String) {
     }
   }
 
+  /** Current committed version. The pointer file is a HINT, not the source
+    * of truth: the commit point is the atomic appearance of `m<v>.manifest`
+    * ([[commitManifest]]), and a crash between manifest link and pointer
+    * update leaves the hint one behind — so scan forward from the hint to
+    * the newest contiguous manifest (Iceberg's Hadoop-table
+    * `version-hint.text` recovery, one `exists` probe in the common case).
+    */
   def currentVersion(name: String): Long =
-    if (!exists(name)) -1L else Files.readString(pointer(name)).trim.toLong
+    if (!exists(name)) -1L
+    else {
+      var v = Files.readString(pointer(name)).trim.toLong
+      while (Files.exists(manifestPath(name, v + 1))) v += 1
+      v
+    }
 
   /** The current snapshot's manifest (schema + data-file list + stats). */
   def currentManifest(name: String): Manifest =
@@ -231,15 +255,23 @@ final class Warehouse(spark: SparkSession, root: String) {
     }
   }
 
-  /** Commit manifest `m` as version `next` and swap the pointer.
-    * ATOMIC_MOVE on the pointer file ≈ Iceberg's catalog commit.
+  /** Commit manifest `m` as version `next`: a true compare-and-swap.
     *
-    * Optimistic concurrency: `next` was derived from the table version read
-    * at the START of the operation, and the data-file write job between then
-    * and here can take minutes — re-checking the pointer immediately before
-    * the swap turns a concurrent committer's lost update into a loud
-    * [[java.util.ConcurrentModificationException]] (the caller may re-read
-    * and retry, which is exactly Iceberg's catalog CAS-and-retry loop).
+    * The manifest's full content is first written to a per-attempt temp
+    * file, then PUBLISHED by `Files.createLink` — an atomic CREATE_NEW: of
+    * two racing committers for the same `next`, exactly one can create
+    * `m<next>.manifest`; the loser gets `FileAlreadyExistsException`
+    * (mapped to [[java.util.ConcurrentModificationException]] — re-read and
+    * retry, Iceberg's catalog CAS loop). There is NO check-then-act window:
+    * the link either appears (with complete content, since the temp was
+    * fully written first) or the commit loses. A crash before the link
+    * commits nothing (orphan temp, swept by [[expireSnapshots]]); a crash
+    * after the link IS a commit — [[currentVersion]] recovers past the
+    * stale pointer hint.
+    *
+    * The version pre-check stays as a fast-fail for commits whose base
+    * version was overtaken while their data-file job ran (minutes) — it
+    * saves the manifest write, but correctness never rests on it.
     */
   private[sink] def commitManifest(name: String, next: Long, m: Manifest): Long = {
     Files.createDirectories(tableDir(name))
@@ -248,7 +280,17 @@ final class Warehouse(spark: SparkSession, root: String) {
       throw new java.util.ConcurrentModificationException(
         s"$name: expected to commit v$next over v${next - 1}, but table is at v$cur " +
           "(concurrent writer); re-read and retry")
-    Manifest.write(manifestPath(name, next), m)
+    val target = manifestPath(name, next)
+    val attempt = target.resolveSibling(
+      s"${target.getFileName}.w${java.util.UUID.randomUUID().toString.take(8)}")
+    Manifest.write(attempt, m)
+    try Files.createLink(target, attempt)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$name: lost the commit race for v$next (concurrent writer); re-read and retry")
+    } finally Files.deleteIfExists(attempt)
+    // best-effort hint update; readers recover via the forward scan
     val tmp = tableDir(name).resolve(s"_current.tmp$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
@@ -378,18 +420,18 @@ final class Warehouse(spark: SparkSession, root: String) {
     val man = currentManifest(name)
     val schema = man.schema
     val in = SchemaOps.conform(df, schema)
-    val keys = in.select(pks.map(col): _*).distinct()
+    // persisted: feeds the stats aggregate AND the anti-join below
+    val keys = in.select(pks.map(col): _*).distinct().persist()
 
-    // One tiny aggregate over the distinct keys → per-column batch bounds.
+    // One tiny aggregate over the distinct keys → per-column batch bounds
+    // PLUS the key count that gates the broadcast (no extra job).
     val scs = statCols(schema, pks)
-    val batchStats: Map[String, ColStat] =
-      if (scs.isEmpty) Map.empty
-      else {
-        val aggs = scs.zipWithIndex.flatMap { case (sc, i) =>
-          Seq(sc.minExpr.as(s"__mn$i"), sc.maxExpr.as(s"__mx$i"))
-        }
-        statsOfRow(keys.agg(aggs.head, aggs.tail: _*).head(), scs)
-      }
+    val aggs = count(lit(1)).as("__n") +: scs.zipWithIndex.flatMap { case (sc, i) =>
+      Seq(sc.minExpr.as(s"__mn$i"), sc.maxExpr.as(s"__mx$i"))
+    }
+    val aggRow = keys.agg(aggs.head, aggs.tail: _*).head()
+    val keyCount = aggRow.getLong(aggRow.fieldIndex("__n"))
+    val batchStats: Map[String, ColStat] = statsOfRow(aggRow, scs)
 
     // A PK column with NO non-null batch value ⇒ every incoming tuple has a
     // null key there ⇒ plain equality can never match ⇒ pure append.
@@ -418,10 +460,20 @@ final class Warehouse(spark: SparkSession, root: String) {
       else {
         val target = spark.read.schema(schema)
           .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
-        val kept = target.join(broadcast(keys), pks, "left_anti")
+        // Size-gated broadcast: typical incremental batches (10³-10⁴ PKs)
+        // broadcast — every executor filters its files with a local hash
+        // lookup, zero shuffle of the (huge) target side. A backfill-sized
+        // delete set above the gate would OOM executors, so it degrades to a
+        // shuffled sort-merge anti-join instead (both sides exchange on the
+        // PK — linear, spill-safe, just not shuffle-free).
+        val keysSide =
+          if (keyCount <= mergeBroadcastMaxKeys) broadcast(keys)
+          else keys.hint("merge")
+        val kept = target.join(keysSide, pks, "left_anti")
         writeData(name, cluster(kept, clusterBy), schema, s"d${next}r", statsFor)
       }
     val batchEntries = writeData(name, cluster(in, clusterBy), schema, s"d${next}b", statsFor)
+    keys.unpersist()
     commitManifest(name, next, Manifest(schema, untouched ++ rewritten ++ batchEntries))
   }
 
@@ -460,6 +512,17 @@ final class Warehouse(spark: SparkSession, root: String) {
     drop.foreach(v => Files.deleteIfExists(manifestPath(name, v)))
     val td = tableDir(name)
     val cutoff = System.currentTimeMillis() - orphanGraceMs
+    // orphaned commit-attempt temps (`m<v>.manifest.w<id>[.tmp]`): a crashed
+    // committer's content file whose link never happened; out-age the grace
+    // first (an in-flight committer is about to link its temp)
+    locally {
+      val s = Files.list(td)
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .filter(p => p.getFileName.toString.matches("m\\d+\\.manifest\\.w.*") &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
     val dataDirs = {
       val s = Files.list(td)
       try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
@@ -516,32 +579,66 @@ final class Warehouse(spark: SparkSession, root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def streamFilesPath(name: String, streamId: String) =
+  private def streamFilesDir(name: String, streamId: String) =
     tableDir(name).resolve(s"_stream_files_$streamId")
+
+  /** Segment-count threshold beyond which [[recordFiles]] folds the ledger
+    * into one segment. 64 keeps reads at ≤64 small file opens while commits
+    * stay O(batch) between compactions.
+    */
+  private val LedgerCompactSegments = 64
+
+  private def ledgerSegments(name: String, streamId: String): Seq[Path] = {
+    val dir = streamFilesDir(name, streamId)
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .filter(_.getFileName.toString.startsWith("seg-")).toSeq
+      finally s.close()
+    }
+  }
 
   /** Source files already loaded into `name` by `streamId` — the FILE-level
     * idempotence ledger for file-source streams. Unlike a batch-id
     * high-watermark, file identity survives checkpoint loss (a rebuilt
     * checkpoint renumbers batches from 0 but redelivers the same paths).
-    * Metadata scale: O(#source files), the same order as the manifest.
+    * Stored as the UNION of append-only segment files, so reads tolerate
+    * duplicate entries across segments. Metadata scale: O(#source files),
+    * the same order as the manifest.
     */
-  def loadedFiles(name: String, streamId: String): Set[String] = {
-    val p = streamFilesPath(name, streamId)
-    if (!Files.exists(p)) Set.empty
-    else Files.readString(p).linesIterator.filter(_.nonEmpty).toSet
-  }
+  def loadedFiles(name: String, streamId: String): Set[String] =
+    ledgerSegments(name, streamId)
+      .flatMap(p => Files.readString(p).linesIterator.filter(_.nonEmpty)).toSet
 
-  /** Append `files` to the loaded-files ledger (atomic rewrite, AFTER the
-    * data commit — a crash in the window re-applies at most one batch's
-    * unrecorded files).
+  /** Record one batch's `files` in the loaded-files ledger by APPENDING a
+    * new segment — O(batch), not O(total files) (a long-lived stream
+    * rewriting the full ledger per micro-batch is cumulatively quadratic).
+    * Called AFTER the data commit: a crash in the window re-applies at most
+    * one batch's unrecorded files.
+    *
+    * When segments exceed [[LedgerCompactSegments]] the ledger is folded:
+    * the merged set is written as a fresh segment FIRST, then the old
+    * segments are removed — a crash mid-fold only leaves duplicate entries,
+    * which the set union in [[loadedFiles]] absorbs. Safe because
+    * foreachBatch serializes the stream's commits (single writer per
+    * streamId).
     */
   def recordFiles(name: String, streamId: String, files: Seq[String]): Unit = {
-    Files.createDirectories(tableDir(name))
-    val merged = (loadedFiles(name, streamId) ++ files).toSeq.sorted
-    val tmp = tableDir(name).resolve(s"_stream_files_$streamId.tmp")
-    Files.writeString(tmp, merged.mkString("\n"))
-    Files.move(tmp, streamFilesPath(name, streamId), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val dir = streamFilesDir(name, streamId)
+    Files.createDirectories(dir)
+    def writeSegment(lines: Seq[String]): Unit = {
+      val id = java.util.UUID.randomUUID().toString.take(12)
+      val tmp = dir.resolve(s".seg-$id.tmp")
+      Files.writeString(tmp, lines.mkString("\n"))
+      Files.move(tmp, dir.resolve(s"seg-$id"), StandardCopyOption.ATOMIC_MOVE)
+    }
+    writeSegment(files.distinct.sorted)
+    val segments = ledgerSegments(name, streamId)
+    if (segments.size > LedgerCompactSegments) {
+      writeSegment(loadedFiles(name, streamId).toSeq.sorted)
+      segments.foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** Dispatch on a resource's declared disposition (I6), collecting per-file

@@ -249,6 +249,78 @@ class WarehouseSpec extends SparkSpec {
     assert(wh2.load("e").count() == 0 && wh2.load("e").schema.fieldNames.nonEmpty)
   }
 
+  test("merge above the broadcast gate degrades to sort-merge anti-join, same results") {
+    // capture the executed plans of every job the merges run
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    val batch = df(("a", 10, "2024-02-01"), ("b", 20, "2024-02-01"), ("c", 30, "2024-02-01"))
+    val whB = new Warehouse(spark, tmpDir("wh-gate-b"))                          // broadcast path
+    val whS = new Warehouse(spark, tmpDir("wh-gate-s"), mergeBroadcastMaxKeys = 1) // SMJ path
+    Seq(whB, whS).foreach(_.replace("t", df(("a", 1, "2024-01-01"), ("x", 2, "2024-01-01"))))
+    // AQE off: at toy scale it would rightly re-broadcast the tiny key set at
+    // runtime; the static plan choice is what the gate controls
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.listenerManager.register(listener)
+    try {
+      whB.merge("t", batch, Seq("Id"))
+      val broadcastPlans = drainPlans(plans)
+      whS.merge("t", batch, Seq("Id"))
+      val smjPlans = drainPlans(plans)
+      assert(broadcastPlans.exists(p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")))
+      assert(smjPlans.exists(p => p.contains("SortMergeJoin") && p.contains("LeftAnti")),
+        s"expected an SMJ anti-join above the gate; got:\n${smjPlans.mkString("\n---\n")}")
+      assert(!smjPlans.exists(p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")))
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // both paths produce identical tables
+    assert(whB.load("t").orderBy("Id").collect().toSeq ==
+      whS.load("t").orderBy("Id").collect().toSeq)
+    assert(whS.load("t").orderBy("Id").collect().map(_.getString(0)).toSeq ==
+      Seq("a", "b", "c", "x"))
+  }
+
+  /** QueryExecutionListener delivery is async (listener bus): wait for the
+    * anti-join plan to land, then drain.
+    */
+  private def drainPlans(q: java.util.concurrent.ConcurrentLinkedQueue[String]): Seq[String] = {
+    val deadline = System.currentTimeMillis() + 10000
+    while (System.currentTimeMillis() < deadline &&
+      !q.iterator().asScala.exists(_.contains("LeftAnti"))) Thread.sleep(50)
+    Thread.sleep(100) // let stragglers land
+    val out = Seq.newBuilder[String]
+    while (!q.isEmpty) out += q.poll()
+    out.result()
+  }
+
+  test("streaming ledger: O(batch) segment appends, compaction folds, union intact") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("wh-ledger")
+    val wh = new Warehouse(spark, dir)
+    wh.replace("t", df(("a", 1, "2024-01-01")))
+    def segCount = {
+      val d = Paths.get(dir, "t", "_stream_files_s1")
+      if (!Files.isDirectory(d)) 0
+      else Files.list(d).iterator().asScala.count(_.getFileName.toString.startsWith("seg-"))
+    }
+    wh.recordFiles("t", "s1", Seq("f1", "f2"))
+    wh.recordFiles("t", "s1", Seq("f3"))
+    wh.recordFiles("t", "s1", Seq("f3", "f4")) // overlap across segments is fine
+    assert(segCount == 3, "each batch appends ONE segment (O(batch) commit)")
+    assert(wh.loadedFiles("t", "s1") == Set("f1", "f2", "f3", "f4"))
+    // push past the compaction threshold: ledger folds, content preserved
+    (5 to 70).foreach(i => wh.recordFiles("t", "s1", Seq(s"f$i")))
+    assert(segCount <= 65, s"ledger never folded: $segCount segments")
+    assert(wh.loadedFiles("t", "s1") == (1 to 70).map(i => s"f$i").toSet)
+  }
+
   test("merge is idempotent: same batch twice == once") {
     val wh1 = new Warehouse(spark, tmpDir("wh-idem1"))
     val wh2 = new Warehouse(spark, tmpDir("wh-idem2"))
