@@ -8,6 +8,9 @@ import org.apache.spark.sql.SparkSession
   * defined the round's official number):
   *   - every query runs SPARK_GRAFT_BENCH_ITERS times (default 3) and the
   *     MEDIAN is reported, so one cold-cache/contention event can't own a row;
+  *   - the per-query [min, median, max] spread is emitted alongside — a
+  *     sandbox contention window then shows up as max ≫ min in the artifact
+  *     itself instead of masquerading as a plan regression;
   *   - materialization is a full write to the `noop` sink, not `count()` —
   *     `count()` lets `EliminateSorts` + column pruning skip the final sorts
   *     and projection the Verify path actually pays.
@@ -44,12 +47,18 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }
-      name -> (if (times.isEmpty) -1.0 else median(times))
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val medians = results.map { case (k, ts) => k -> (if (ts.isEmpty) -1.0 else median(ts)) }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, ts) =>
+      if (ts.isEmpty) s"\"$k\":[-1,-1,-1]"
+      else s"\"$k\":[${f(ts.min)},${f(median(ts))},${f(ts.max)}]"
+    }.mkString("{", ",", "}")
+    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

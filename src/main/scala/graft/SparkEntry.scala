@@ -25,6 +25,8 @@ object SparkEntry {
     val target = li.filter(col("l_shipdate") <= cut)
     val incoming = li.filter(col("l_shipdate") > cut)
     val keys = incoming.select("l_orderkey", "l_linenumber").distinct()
+    // bounded demo slice ⇒ broadcast is right; Warehouse.merge size-gates
+    // the same join shape for arbitrary batch sizes
     val merged = target.join(broadcast(keys), Seq("l_orderkey", "l_linenumber"), "left_anti")
       .unionByName(incoming)
     merged.join(o, col("l_orderkey") === col("o_orderkey"))

@@ -17,51 +17,142 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB posture: rounds = O(diameter), each a keyed shuffle Catalyst
   * plans like any join; per-round `cache()` + eager materialization keeps
-  * lineage from re-running prior rounds. For adversarial long-chain graphs
-  * the large-star/small-star variant (alternating halving) bounds rounds at
-  * O(log n); dedup clusters are near-cliques, so plain propagation is the
-  * right default.
+  * lineage from re-running prior rounds. Dedup clusters are near-cliques,
+  * so plain propagation (`algorithm = "propagate"`) is the right default;
+  * for adversarial long-chain graphs pass `algorithm = "star"` — the
+  * alternating large-star/small-star algorithm (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) contracts
+  * path lengths geometrically, bounding rounds at O(log n) instead of
+  * O(diameter). Both return the identical unique minimum-id labeling.
   */
 object Graph {
 
   /** @param edges two-column DataFrame (a, b) of undirected edges
+    * @param algorithm `"propagate"` (min-label, O(diameter) rounds — default
+    *   for shallow dup graphs) or `"star"` (large-star/small-star, O(log n)
+    *   rounds — for graphs whose diameter may exceed `maxIter`)
     * @return (id, comp): every node labeled with its component's min id
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          algorithm: String = "propagate"): DataFrame = algorithm match {
+    case "propagate" => propagate(edges, maxIter)
+    case "star"      => alternatingStars(edges, maxIter)
+    case other => throw new IllegalArgumentException(
+      s"unknown algorithm '$other' (expected 'propagate' or 'star')")
+  }
+
+  private def propagate(edges: DataFrame, maxIter: Int): DataFrame = {
     val bidir = edges.toDF("a", "b")
       .unionByName(edges.toDF("b", "a").select(col("a"), col("b")))
       .distinct().cache()
     var labels = bidir.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).cache()
-    labels.count()
+      .withColumn("comp", col("id")).localCheckpoint(true)
 
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = bidir.join(labels, bidir("b") === labels("id"))
         .groupBy(bidir("a").as("nid")).agg(min("comp").as("nbr"))
+      // localCheckpoint (eager), not cache: caching truncates EXECUTION but
+      // not the logical plan, which references the prior round's frame 3x —
+      // 3^rounds nodes by round ~15 and the analyzer OOMs before any task
+      // runs. Checkpointing makes each round's labels a leaf, so per-round
+      // plans stay O(1).
       val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(labels("id"),
           least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"))
-        .cache()
+        .localCheckpoint(true)
       changed = updated.as("u")
         .join(labels.withColumnRenamed("comp", "old").as("l"), "id")
-        .filter(col("comp") =!= col("old")).count() // also materializes `updated`
-      labels.unpersist()
+        .filter(col("comp") =!= col("old")).count()
       labels = updated
       i += 1
     }
     bidir.unpersist()
-    // The returned labels stay cached (MEMORY_AND_DISK, LRU-evictable, a few
-    // bytes per clustered node): the caller's downstream joins would
-    // otherwise re-run every propagation round. Same deliberate choice as
-    // q57's shingle persist.
+    // The returned labels stay materialized (checkpoint blocks, a few bytes
+    // per clustered node): the caller's downstream joins would otherwise
+    // re-run every propagation round. Same deliberate choice as q57's
+    // shingle persist.
     // A silent non-fixpoint would return WRONG labels (a component split in
     // two) with no oracle to catch it in production — fail loudly instead.
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing); raise maxIter (graph diameter exceeds it)")
+          s"($changed labels still changing); raise maxIter (graph diameter exceeds it), " +
+          "or use algorithm = \"star\" (O(log n) rounds)")
+    labels
+  }
+
+  /** Alternating large-star/small-star (Kiveris et al. 2014): each round is
+    * two [groupBy-min + join] passes that rewire edges toward each
+    * neighborhood's minimum, geometrically contracting long paths — the
+    * fixpoint is a star forest where every node points at its component's
+    * minimum id. O(log n) rounds on ANY graph shape, so a path graph of
+    * depth ≫ maxIter converges where propagation would not.
+    *
+    *   large-star(u): m = min(Γ(u) ∪ {u}); link every STRICTLY LARGER
+    *     neighbor v > u to m (applied over both orientations of each edge);
+    *   small-star(u): orient edges toward their larger endpoint; m =
+    *     min(Γ≤(u) ∪ {u}); link u and its smaller neighbors to m.
+    *
+    * Both steps preserve connectivity (paper, Lemma 1-2); edge count never
+    * grows. Fixpoint test: the round's edge set equals the previous round's
+    * (set equality via count + anti-join on cached frames — no driver data).
+    */
+  private def alternatingStars(edges: DataFrame, maxIter: Int): DataFrame = {
+    // localCheckpoint (eager), not cache: each round's plan references the
+    // previous round's frame ~16 times (two union+groupBy+join passes), so
+    // an uncut LOGICAL plan grows 16^rounds nodes — the analyzer itself
+    // OOMs long before execution. Checkpointing truncates lineage to the
+    // materialized blocks each round (the standard iterative-graph idiom).
+    val init = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    val allNodes = init.select(col("a").as("id"))
+      .unionByName(init.select(col("b").as("id"))).distinct().cache()
+    allNodes.count()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val m = nbr.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nbr.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      // v < u throughout, so the neighborhood min already includes u's bound
+      val m = or.groupBy("u").agg(min("v").as("m"))
+      or.join(m, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(m.select(col("u").as("a"), col("m").as("b")))
+        .where(col("a") =!= col("b")).distinct()
+    }
+
+    var curr = init
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(curr)).localCheckpoint(true)
+      // equal cardinality + empty difference ⇔ identical edge sets
+      converged = next.count() == curr.count() && next.except(curr).count() == 0
+      curr = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents(star) did not converge in $maxIter rounds; raise maxIter")
+    // fixpoint edges are (node -> component min); isolated minima label themselves
+    val labels = allNodes
+      .join(curr.select(col("a").as("id"), col("b").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
+      .cache()
+    labels.count()
+    allNodes.unpersist()
+    // checkpoint blocks of intermediate rounds are released by the context
+    // cleaner once unreferenced
     labels
   }
 }

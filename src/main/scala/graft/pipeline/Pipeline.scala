@@ -54,6 +54,11 @@ object Pipeline {
     *                        parquet stand-ins under sfDir; pass
     *                        `SObjectSource.dsv2Extractor(...)` to drive the
     *                        same run loop over the API-shaped DSv2 connector
+    * @param retries         per-resource re-attempts after a transient
+    *                        failure (the reference DAG retries the task once,
+    *                        `airflow/dags/salesforce_iceberg_dag.py:23`)
+    * @param retryBackoffMs  wait before each re-attempt (reference: 30 s,
+    *                        `salesforce_iceberg_dag.py:24`)
     */
   final case class Config(
       sfDir: String,
@@ -62,7 +67,9 @@ object Pipeline {
       resources: Seq[ResourceDef] = Resources.testdata,
       forceReplace: Boolean = false,
       testLimit: Option[Int] = None,
-      extract: Option[(SparkSession, ResourceDef, Option[String], Option[Int]) => DataFrame] = None)
+      extract: Option[(SparkSession, ResourceDef, Option[String], Option[Int]) => DataFrame] = None,
+      retries: Int = 1,
+      retryBackoffMs: Long = 30000L)
 
   /** O6 fail-fast config validation
     * (`airflow/dags/salesforce_iceberg_dag.py:42-77`).
@@ -88,6 +95,37 @@ object Pipeline {
 
     val reports = cfg.resources.map { res0 =>
       val res = if (cfg.forceReplace) res0.copy(mode = WriteMode.Replace) else res0
+      withRetry(cfg.retries, cfg.retryBackoffMs, res.name)(loadOne(spark, cfg, wh, state, res))
+    }
+    RunSummary(reports)
+  }
+
+  /** Retry the whole per-resource extract+load, like the reference DAG
+    * retries its task (at-least-once). Safe because the stages are
+    * idempotent under re-execution from the top: the watermark only
+    * advances AFTER a successful load, so a retried extract re-reads the
+    * same rows, and the merge/replace dispositions absorb a re-applied
+    * batch. (An append resource double-applies only if the failure landed
+    * in the narrow window between snapshot commit and watermark write — the
+    * same at-least-once edge the reference's Airflow retry has.)
+    */
+  private def withRetry[A](retries: Int, backoffMs: Long, what: String)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case scala.util.control.NonFatal(e) if attempt < retries =>
+          attempt += 1
+          System.err.println(s"[pipeline] $what failed (${e.getMessage}); " +
+            s"retry $attempt/$retries after ${backoffMs}ms")
+          if (backoffMs > 0) Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def loadOne(spark: SparkSession, cfg: Config, wh: Warehouse,
+                      state: WatermarkStore, res: ResourceDef): LoadReport = {
       val t0 = System.nanoTime()
       val stored = state.get(res.name)
       // cache(): the batch executes twice (watermark aggregate + write); an
@@ -114,15 +152,25 @@ object Pipeline {
       newWm.foreach(w => state.advance(res.name, w))
       LoadReport(res.name, res.mode, rows, version, newWm,
         (System.nanoTime() - t0) / 1000000)
-    }
-    RunSummary(reports)
   }
+
+  /** One table's verification result: row count plus up to 3 rendered
+    * sample rows over the first ≤5 columns — the reference's
+    * `check_tables.py:50-53` sample print, as data instead of stdout.
+    */
+  final case class TableCheck(rows: Long, sample: Seq[String])
 
   /** O5 verification stage: per-table count + sample scan of the warehouse
     * (`airflow/dags/salesforce_iceberg_dag.py:97-149`, `check_tables.py:27-62`).
     */
-  def verify(spark: SparkSession, warehouseDir: String): Map[String, Long] = {
+  def verify(spark: SparkSession, warehouseDir: String): Map[String, TableCheck] = {
     val wh = new Warehouse(spark, warehouseDir)
-    wh.listTables().map(t => t -> wh.load(t).count()).toMap
+    wh.listTables().map { t =>
+      val df = wh.load(t)
+      val firstCols = df.columns.take(5)
+      val sample = df.select(firstCols.head, firstCols.tail: _*).limit(3)
+        .collect().map(_.toSeq.map(v => String.valueOf(v)).mkString(" | ")).toSeq
+      t -> TableCheck(df.count(), sample)
+    }.toMap
   }
 }

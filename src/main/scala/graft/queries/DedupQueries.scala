@@ -144,66 +144,84 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // SimHash near-dup: 32-bit signature from per-token md5 bit-majorities,
-    // computed as 32 flat sum-aggregates over exploded token rows (all
+    // SimHash near-dup: 64-bit signature (default; 32-bit via the same
+    // builder, oracle-checked as q58b) from per-token md5 bit-majorities,
+    // computed as `bits` flat sum-aggregates over exploded token rows (all
     // codegen'd — no nested HOFs). Candidates come from MULTI-BAND blocking:
     // a pair within Hamming distance 4 differs in at most 4 bands, so with
     // B >= 5 bands it agrees EXACTLY on at least one — multi-band OR-ing is
     // therefore full-recall for the verify threshold (pigeonhole), unlike a
     // single wide band, which silently drops pairs whose differing bits land
-    // in it. Exactly 5 bands (7+7+6+6+6 bits) is the candidate-minimal
-    // full-recall split: the fewest bands the guarantee allows, with the
-    // widest (finest-bucketed) keys. Candidate duplicates across bands are
-    // deduped before ranking. Scale path beyond this corpus: a 64-bit
-    // signature with 5 x ~13-bit bands, same construction.
-    // Frequency-weighted: duplicate tokens count.
-    "q58_simhash" -> { (s, dir) =>
-      val docs = spread(read(s, dir, "documents"))
-        .withColumn("tk", tokens(col("text")))
-      val tokRows = docs.select(col("doc_id"), explode(col("tk")).as("w"))
-        .select(col("doc_id"), md5(col("w")).as("h"))
-      // bit j of the word hash, from hex digit j/4, bit (3 - j%4)
-      def bit(j: Int) =
-        shiftright(conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int"), 3 - j % 4)
-          .bitwiseAND(lit(1))
-      val aggs = (0 until SIMHASH_BITS).map(j => sum(bit(j)).as(s"s$j")) :+
-        count(lit(1)).as("n")
-      val sums = tokRows.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      val simhash = (0 until SIMHASH_BITS).map { j =>
-        when(col(s"s$j") * 2 >= col("n"), lit(1L << (SIMHASH_BITS - 1 - j))).otherwise(0L)
-      }.reduce(_ + _)
-      val sig = sums.select(col("doc_id"), simhash.as("simhash"))
-      val bkCase = "CASE bi " + SIMHASH_BAND_DEFS.zipWithIndex.map { case ((sh, m), j) =>
-        s"WHEN $j THEN shiftright(simhash, $sh) & $m" }.mkString(" ") + " END"
-      val banded = sig
-        .select(col("doc_id"), col("simhash"),
-          explode(array(SIMHASH_BAND_DEFS.indices.map(lit): _*)).as("bi"))
-        .withColumn("bk", expr(bkCase))
-      // A pair can match in several bands; keep it only at its FIRST
-      // matching band — a per-row predicate over the two signatures, which
-      // dedups candidates WITHOUT the distinct()'s shuffle of the whole
-      // candidate set.
-      val firstMatch = SIMHASH_BAND_DEFS.init.zipWithIndex.map { case ((sh, m), j) =>
-        s"($j >= a.bi OR (shiftright(a.simhash, $sh) & $m) != (shiftright(b.simhash, $sh) & $m))"
-      }.mkString(" AND ")
-      banded.as("a").join(banded.as("b"),
-          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .filter(expr(firstMatch))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-        .filter(col("hamming") <= HAMMING_T)
-        .orderBy("d1", "d2")
-    }
+    // in it. Exactly 5 bands is the candidate-minimal full-recall split:
+    // the fewest bands the guarantee allows, with the widest
+    // (finest-bucketed) keys — 13+13+13+13+12 bits at 64, so each band key
+    // has 4096-8192 buckets vs the 32-bit form's 64-128: candidate sets
+    // shrink ~64x at the same recall, which is why 64-bit is the scale
+    // default. Frequency-weighted: duplicate tokens count.
+    "q58_simhash" -> { (s, dir) => simhashPairs(s, dir, 64) },
+    "q58b_simhash32" -> { (s, dir) => simhashPairs(s, dir, 32) }
   )
 
-  private val SIMHASH_BITS = 32
   private val HAMMING_T = 4
-  /** (shift, mask) per band, MSB-first: 7+7+6+6+6 bits — the minimal band
-    * count (HAMMING_T + 1) that keeps full recall, maximizing key width.
+
+  /** (shift, mask) per band, MSB-first — 5 bands (HAMMING_T + 1, the
+    * pigeonhole minimum for full recall at Hamming ≤ 4) of near-equal
+    * width covering all `bits`.
     */
-  private val SIMHASH_BAND_DEFS: Seq[(Int, Int)] =
-    Seq((25, 127), (18, 127), (12, 63), (6, 63), (0, 63))
+  private def bandDefs(bits: Int): Seq[(Int, Long)] = bits match {
+    case 64 => Seq((51, 8191L), (38, 8191L), (25, 8191L), (12, 8191L), (0, 4095L))
+    case 32 => Seq((25, 127L), (18, 127L), (12, 63L), (6, 63L), (0, 63L))
+    case other => throw new IllegalArgumentException(s"unsupported simhash width: $other")
+  }
+
+  /** Near-dup pairs within Hamming ≤ [[HAMMING_T]] of a `bits`-wide SimHash.
+    * Bit j (MSB-first) of the signature carries weight 1L << (bits-1-j); at
+    * 64 bits that makes bit 0 the sign bit — harmless, because every band
+    * is extracted as `shiftright(sig, shift) & mask` with mask ≤ the shifted
+    * width, so arithmetic-shift sign-fill never reaches a key (the identity
+    * both Spark and DuckDB agree on), and the bit-majority partial sums
+    * stay inside [Long.MinValue, Long.MaxValue] (monotone from the sign
+    * term toward -1).
+    */
+  private def simhashPairs(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    val bands = bandDefs(bits)
+    val docs = spread(read(s, dir, "documents"))
+      .withColumn("tk", tokens(col("text")))
+    val tokRows = docs.select(col("doc_id"), explode(col("tk")).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    // bit j of the word hash, from hex digit j/4, bit (3 - j%4)
+    def bit(j: Int) =
+      shiftright(conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int"), 3 - j % 4)
+        .bitwiseAND(lit(1))
+    val aggs = (0 until bits).map(j => sum(bit(j)).as(s"s$j")) :+
+      count(lit(1)).as("n")
+    val sums = tokRows.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val simhash = (0 until bits).map { j =>
+      when(col(s"s$j") * 2 >= col("n"), lit(1L << (bits - 1 - j))).otherwise(0L)
+    }.reduce(_ + _)
+    val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+    val bkCase = "CASE bi " + bands.zipWithIndex.map { case ((sh, m), j) =>
+      s"WHEN $j THEN shiftright(simhash, $sh) & ${m}L" }.mkString(" ") + " END"
+    val banded = sig
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bands.indices.map(lit): _*)).as("bi"))
+      .withColumn("bk", expr(bkCase))
+    // A pair can match in several bands; keep it only at its FIRST
+    // matching band — a per-row predicate over the two signatures, which
+    // dedups candidates WITHOUT the distinct()'s shuffle of the whole
+    // candidate set.
+    val firstMatch = bands.init.zipWithIndex.map { case ((sh, m), j) =>
+      s"($j >= a.bi OR (shiftright(a.simhash, $sh) & ${m}L) != (shiftright(b.simhash, $sh) & ${m}L))"
+    }.mkString(" AND ")
+    banded.as("a").join(banded.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(expr(firstMatch))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= HAMMING_T)
+      .orderBy("d1", "d2")
+  }
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   /** Tokens + distinct shingle set, precomputed once per doc in a CTE chain. */
@@ -232,6 +250,34 @@ object DedupQueries {
   private def bitSql(j: Int) =
     s"((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) >> ${3 - j % 4}) & 1"
 
+  /** DuckDB mirror of [[simhashPairs]] at the same bit width. The 64-bit
+    * sign-bit weight renders as the literal -9223372036854775808 (BIGINT in
+    * DuckDB); band extraction masks after the shift exactly like the Spark
+    * side, so shift signedness never leaks into a key.
+    */
+  private def simhashOracle(bits: Int): String = {
+    val bands = bandDefs(bits)
+    val sumCols = (0 until bits).map(j => s"sum(${bitSql(j)}) AS s$j").mkString(", ")
+    val shExpr = (0 until bits).map { j =>
+      s"CASE WHEN s$j * 2 >= n THEN CAST(${1L << (bits - 1 - j)} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    val bkCase = "CASE g.bi " + bands.zipWithIndex.map { case ((sh, m), j) =>
+      s"WHEN $j THEN (simhash >> $sh) & $m" }.mkString(" ") + " END"
+    s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |tok_rows AS (SELECT doc_id, md5(t.w) AS h FROM tk, unnest(toks) AS t(w)),
+       |sums AS (SELECT doc_id, $sumCols, count(*) AS n FROM tok_rows GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($shExpr AS BIGINT) AS simhash FROM sums),
+       |banded AS (
+       |  SELECT doc_id, simhash, g.bi, $bkCase AS bk
+       |  FROM sig, generate_series(0, ${bands.size - 1}) AS g(bi))
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HAMMING_T
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q70_repetition" ->
       s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
@@ -245,27 +291,8 @@ object DedupQueries {
          |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 4) > 0.2 AS flagged
          |FROM raw ORDER BY doc_id""".stripMargin,
 
-    "q58_simhash" -> {
-      val sumCols = (0 until SIMHASH_BITS).map(j => s"sum(${bitSql(j)}) AS s$j").mkString(", ")
-      val shExpr = (0 until SIMHASH_BITS).map { j =>
-        s"CASE WHEN s$j * 2 >= n THEN ${1L << (SIMHASH_BITS - 1 - j)} ELSE 0 END"
-      }.mkString(" + ")
-      val bkCase = "CASE g.bi " + SIMHASH_BAND_DEFS.zipWithIndex.map { case ((sh, m), j) =>
-        s"WHEN $j THEN (simhash >> $sh) & $m" }.mkString(" ") + " END"
-      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         |tok_rows AS (SELECT doc_id, md5(t.w) AS h FROM tk, unnest(toks) AS t(w)),
-         |sums AS (SELECT doc_id, $sumCols, count(*) AS n FROM tok_rows GROUP BY doc_id),
-         |sig AS (SELECT doc_id, CAST($shExpr AS BIGINT) AS simhash FROM sums),
-         |banded AS (
-         |  SELECT doc_id, simhash, g.bi, $bkCase AS bk
-         |  FROM sig, generate_series(0, ${SIMHASH_BAND_DEFS.size - 1}) AS g(bi))
-         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM banded a JOIN banded b
-         |  ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HAMMING_T
-         |ORDER BY d1, d2""".stripMargin
-    },
+    "q58_simhash" -> simhashOracle(64),
+    "q58b_simhash32" -> simhashOracle(32),
 
     "q54_exact_dedup" ->
       s"""SELECT doc_id, fp_norm, min(doc_id) OVER (PARTITION BY fp_norm) AS keeper,

@@ -50,6 +50,9 @@ object EtlQueries {
       val target = orders.filter(col("o_orderdate") < cut)
       val incoming = orders.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
       val keys = incoming.select("o_orderkey").distinct()
+      // broadcast is safe here by construction (bounded demo slice); the
+      // engine path (Warehouse.merge) size-gates this same join and falls
+      // back to a sort-merge anti-join for backfill-sized key sets
       target.join(broadcast(keys), Seq("o_orderkey"), "left_anti")
         .unionByName(incoming)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")

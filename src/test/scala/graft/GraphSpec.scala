@@ -26,4 +26,31 @@ class GraphSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
     assert(comp.size == 10)
   }
+
+  test("star algorithm: path graph far deeper than maxIter converges in O(log n) rounds") {
+    // a 200-deep path: propagation would need 200 rounds; large-star/
+    // small-star contracts it within the default 25
+    val path = edges((0L until 200L).map(i => (i, i + 1)): _*)
+    val comp = Graph.connectedComponents(path, maxIter = 25, algorithm = "star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 201)
+    assert(comp.values.forall(_ == 0L), s"all 201 nodes must label 0")
+    // and propagation on the same graph correctly refuses (diameter > maxIter)
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(path, maxIter = 5, algorithm = "propagate")
+    }
+  }
+
+  test("star and propagate agree on an arbitrary mixed graph") {
+    val rnd = new scala.util.Random(42)
+    // 120 nodes, 150 random edges: mixes cliques, chains, isolated-ish pairs
+    val es = (0 until 150).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val e = edges(es: _*)
+    val byStar = Graph.connectedComponents(e, maxIter = 25, algorithm = "star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byProp = Graph.connectedComponents(e, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStar == byProp)
+  }
 }

@@ -28,19 +28,57 @@ class PipelineSpec extends SparkSpec {
     assert(summary.totalRecords > 0)
     val counts = Pipeline.verify(spark, wh)
     val srcOrders = spark.read.parquet(s"$sf/orders.parquet").count()
-    assert(counts("orders") == srcOrders)
+    assert(counts("orders").rows == srcOrders)
     assert(summary.render.contains("TOTAL"))
+    // check_tables.py parity: the verify stage carries ≤3 sample rows per
+    // table over the first ≤5 columns
+    counts.foreach { case (t, chk) =>
+      assert(chk.sample.nonEmpty && chk.sample.size <= 3, s"$t: no sample rows")
+      assert(chk.sample.forall(_.count(_ == '|') <= 4), s"$t: more than 5 columns sampled")
+    }
   }
 
   test("second incremental run extracts nothing new (strict > watermark)") {
     val (wh, st) = (tmpDir("pl2-wh"), tmpDir("pl2-st"))
     Pipeline.run(spark, cfg(wh, st))
-    val before = Pipeline.verify(spark, wh)
+    val before = Pipeline.verify(spark, wh).view.mapValues(_.rows).toMap
     val second = Pipeline.run(spark, cfg(wh, st))
     // merge resources see 0 incremental rows; replace resources reload fully
     val mergeReports = second.reports.filter(_.mode == WriteMode.Merge)
     assert(mergeReports.nonEmpty && mergeReports.forall(_.rows == 0))
-    assert(Pipeline.verify(spark, wh) == before)
+    assert(Pipeline.verify(spark, wh).view.mapValues(_.rows).toMap == before)
+  }
+
+  test("transient extract failure is retried; rows applied exactly once") {
+    val (wh, st) = (tmpDir("pl5-wh"), tmpDir("pl5-st"))
+    val res = Resources.byName("orders")
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky: (org.apache.spark.sql.SparkSession, ResourceDef, Option[String], Option[Int]) =>
+        org.apache.spark.sql.DataFrame = { (s, r, wm, lim) =>
+      if (attempts.incrementAndGet() == 1)
+        throw new RuntimeException("simulated transient API failure")
+      s.read.parquet(s"$sf/orders.parquet")
+    }
+    val summary = Pipeline.run(spark,
+      cfg(wh, st, Seq(res)).copy(extract = Some(flaky), retryBackoffMs = 0L))
+    assert(attempts.get() == 2, "attempt 1 fails, attempt 2 succeeds")
+    val src = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(summary.reports.head.rows == src)
+    assert(Pipeline.verify(spark, wh)("orders").rows == src, "no double-applied rows")
+  }
+
+  test("failure on every attempt propagates after retries are exhausted") {
+    val (wh, st) = (tmpDir("pl6-wh"), tmpDir("pl6-st"))
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val broken: (org.apache.spark.sql.SparkSession, ResourceDef, Option[String], Option[Int]) =>
+        org.apache.spark.sql.DataFrame = { (_, _, _, _) =>
+      attempts.incrementAndGet(); throw new RuntimeException("still down")
+    }
+    intercept[RuntimeException] {
+      Pipeline.run(spark, cfg(wh, st, Seq(Resources.byName("orders")))
+        .copy(extract = Some(broken), retries = 2, retryBackoffMs = 0L))
+    }
+    assert(attempts.get() == 3, "initial attempt + 2 retries")
   }
 
   test("force_replace resets state and dispositions") {
