@@ -154,6 +154,39 @@ object Pipeline {
         (System.nanoTime() - t0) / 1000000)
   }
 
+  /** Config introspection — the typed analog of the reference's
+    * `dump_env_vars.py` (reflection over dlt configspecs printing every
+    * env-var knob). Here the knobs are Config fields, so the dump renders
+    * each field, its effective value, and the reference env var it
+    * replaces; plus the connector's six credential strategies with their
+    * required fields (values never printed — they live in connector
+    * options, not Config). Fails at compile time instead of at reflection
+    * time when a knob is added or renamed.
+    */
+  def describe(cfg: Config): String = {
+    val rows: Seq[(String, String, String)] = Seq(
+      ("sfDir", cfg.sfDir, "(test stand-in for SALESFORCE credentials)"),
+      ("warehouseDir", cfg.warehouseDir, "ICEBERG_CATALOG_* / warehouse location"),
+      ("stateDir", cfg.stateDir, "dlt pipeline state dir"),
+      ("resources", cfg.resources.map(_.name).mkString(","), "SALESFORCE_RESOURCES"),
+      ("forceReplace", cfg.forceReplace.toString, "WRITE_DISPOSITION=force_replace"),
+      ("testLimit", cfg.testLimit.fold("-")(_.toString), "IS_PRODUCTION=false row cap"),
+      ("extract", if (cfg.extract.isDefined) "<custom>" else "<parquet stand-in>", "source override"),
+      ("retries", cfg.retries.toString, "Airflow DAG retries"),
+      ("retryBackoffMs", cfg.retryBackoffMs.toString, "Airflow DAG retry_delay"))
+    val authRows: Seq[(String, String)] = Seq(
+      ("security_token", "userName, password, securityToken"),
+      ("organization_id", "userName, password, organizationId"),
+      ("instance", "sessionId, instance|instanceUrl"),
+      ("consumer_key_secret", "userName, password, consumerKey, consumerSecret"),
+      ("jwt", "userName, consumerKey, privateKey|privateKeyFile"),
+      ("client_credentials", "consumerKey, consumerSecret, domain"))
+    val cfgBlock = rows.map { case (k, v, ref) => f"$k%-16s = $v%-40s # $ref" }
+    val authBlock = authRows.map { case (k, fields) => f"auth=$k%-22s requires: $fields" }
+    (("# pipeline config" +: cfgBlock) ++ ("# connector auth strategies" +: authBlock))
+      .mkString("\n")
+  }
+
   /** One table's verification result: row count plus up to 3 rendered
     * sample rows over the first ≤5 columns — the reference's
     * `check_tables.py:50-53` sample print, as data instead of stdout.

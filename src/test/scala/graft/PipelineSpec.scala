@@ -98,6 +98,18 @@ class PipelineSpec extends SparkSpec {
     assert(summary.reports.head.rows == 100)
   }
 
+  test("describe dumps every config knob and auth strategy (dump_env_vars parity)") {
+    val out = Pipeline.describe(cfg("whdir", "stdir").copy(testLimit = Some(7)))
+    // every Config field present with its effective value
+    Seq("sfDir", "warehouseDir", "stateDir", "resources", "forceReplace",
+      "testLimit", "retries", "retryBackoffMs").foreach(k => assert(out.contains(k), k))
+    assert(out.contains("whdir") && out.contains("= 7"))
+    assert(out.contains("SALESFORCE_RESOURCES") && out.contains("force_replace"))
+    // all six connector credential strategies, fields only — never values
+    Seq("security_token", "organization_id", "instance", "consumer_key_secret",
+      "jwt", "client_credentials").foreach(s => assert(out.contains(s"auth=$s"), s))
+  }
+
   test("watermark store: monotone advance, atomic write, reset") {
     val st = new WatermarkStore(tmpDir("wm"))
     st.advance("r", "2024-01-01T00:00:00")
