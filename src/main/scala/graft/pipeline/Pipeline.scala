@@ -200,7 +200,7 @@ object Pipeline {
     val wh = new Warehouse(spark, warehouseDir)
     wh.listTables().map { t =>
       val df = wh.load(t)
-      val firstCols = df.columns.take(5)
+      val firstCols = df.columns.take(5).toIndexedSeq
       val sample = df.select(firstCols.head, firstCols.tail: _*).limit(3)
         .collect().map(_.toSeq.map(v => String.valueOf(v)).mkString(" | ")).toSeq
       t -> TableCheck(df.count(), sample)

@@ -55,8 +55,14 @@ final class Warehouse(spark: SparkSession, root: String,
   private def pointer(name: String) = tableDir(name).resolve("_current")
   private def manifestPath(name: String, v: Long) = tableDir(name).resolve(s"m$v.manifest")
 
-  /** S6 existence probe. */
-  def exists(name: String): Boolean = Files.exists(pointer(name))
+  /** S6 existence probe. A table exists once it has any committed snapshot:
+    * the pointer is the normal signal, but a crash between the very first
+    * manifest link and the pointer write leaves a committed v0 with no
+    * pointer — probing m0 directly keeps such a table visible (and
+    * [[currentVersion]]'s forward scan then recovers its version).
+    */
+  def exists(name: String): Boolean =
+    Files.exists(pointer(name)) || Files.exists(manifestPath(name, 0L))
 
   /** S12 catalog listing. */
   def listTables(): Seq[String] =
@@ -64,8 +70,7 @@ final class Warehouse(spark: SparkSession, root: String,
     else {
       val s = Files.list(Paths.get(root))
       try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-        .asScala.filter(p => Files.exists(p.resolve("_current")))
-        .map(_.getFileName.toString).toSeq.sorted
+        .asScala.map(_.getFileName.toString).filter(exists).toSeq.sorted
       finally s.close()
     }
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
@@ -84,7 +89,8 @@ final class Warehouse(spark: SparkSession, root: String,
   def currentVersion(name: String): Long =
     if (!exists(name)) -1L
     else {
-      var v = Files.readString(pointer(name)).trim.toLong
+      var v = if (Files.exists(pointer(name)))
+        Files.readString(pointer(name)).trim.toLong else -1L
       while (Files.exists(manifestPath(name, v + 1))) v += 1
       v
     }
@@ -421,7 +427,9 @@ final class Warehouse(spark: SparkSession, root: String,
     val schema = man.schema
     val in = SchemaOps.conform(df, schema)
     // persisted: feeds the stats aggregate AND the anti-join below
+    // (released in the finally — a commit conflict must not leak blocks)
     val keys = in.select(pks.map(col): _*).distinct().persist()
+    try {
 
     // One tiny aggregate over the distinct keys → per-column batch bounds
     // PLUS the key count that gates the broadcast (no extra job).
@@ -473,8 +481,9 @@ final class Warehouse(spark: SparkSession, root: String,
         writeData(name, cluster(kept, clusterBy), schema, s"d${next}r", statsFor)
       }
     val batchEntries = writeData(name, cluster(in, clusterBy), schema, s"d${next}b", statsFor)
-    keys.unpersist()
     commitManifest(name, next, Manifest(schema, untouched ++ rewritten ++ batchEntries))
+
+    } finally keys.unpersist()
   }
 
   /** Engine variant of merge: when one batch carries several versions of a PK,

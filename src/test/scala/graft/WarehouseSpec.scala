@@ -260,18 +260,23 @@ class WarehouseSpec extends SparkSpec {
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     }
     val batch = df(("a", 10, "2024-02-01"), ("b", 20, "2024-02-01"), ("c", 30, "2024-02-01"))
-    val whB = new Warehouse(spark, tmpDir("wh-gate-b"))                          // broadcast path
-    val whS = new Warehouse(spark, tmpDir("wh-gate-s"), mergeBroadcastMaxKeys = 1) // SMJ path
+    val dirB = tmpDir("wh-gate-b")
+    val dirS = tmpDir("wh-gate-s")
+    val whB = new Warehouse(spark, dirB)                          // broadcast path
+    val whS = new Warehouse(spark, dirS, mergeBroadcastMaxKeys = 1) // SMJ path
     Seq(whB, whS).foreach(_.replace("t", df(("a", 1, "2024-01-01"), ("x", 2, "2024-01-01"))))
     // AQE off: at toy scale it would rightly re-broadcast the tiny key set at
     // runtime; the static plan choice is what the gate controls
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.listenerManager.register(listener)
     try {
+      // suites share one session and may run concurrently, so assertions
+      // filter the captured plans to THIS test's warehouse dirs (the merge
+      // anti-join plan scans files under them)
       whB.merge("t", batch, Seq("Id"))
-      val broadcastPlans = drainPlans(plans)
+      val broadcastPlans = drainPlans(plans, dirB)
       whS.merge("t", batch, Seq("Id"))
-      val smjPlans = drainPlans(plans)
+      val smjPlans = drainPlans(plans, dirS)
       assert(broadcastPlans.exists(p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")))
       assert(smjPlans.exists(p => p.contains("SortMergeJoin") && p.contains("LeftAnti")),
         s"expected an SMJ anti-join above the gate; got:\n${smjPlans.mkString("\n---\n")}")
@@ -287,17 +292,21 @@ class WarehouseSpec extends SparkSpec {
       Seq("a", "b", "c", "x"))
   }
 
-  /** QueryExecutionListener delivery is async (listener bus): wait for the
-    * anti-join plan to land, then drain.
+  /** QueryExecutionListener delivery is async (listener bus): wait for THIS
+    * test's anti-join plan (marker = its warehouse dir, which appears in
+    * the scan locations) to land, then drain. Plans of concurrently running
+    * suites are dropped — the shared session delivers theirs too.
     */
-  private def drainPlans(q: java.util.concurrent.ConcurrentLinkedQueue[String]): Seq[String] = {
+  private def drainPlans(q: java.util.concurrent.ConcurrentLinkedQueue[String],
+                         marker: String): Seq[String] = {
     val deadline = System.currentTimeMillis() + 10000
+    def mine = q.iterator().asScala.filter(_.contains(marker)).toSeq
     while (System.currentTimeMillis() < deadline &&
-      !q.iterator().asScala.exists(_.contains("LeftAnti"))) Thread.sleep(50)
+      !mine.exists(_.contains("LeftAnti"))) Thread.sleep(50)
     Thread.sleep(100) // let stragglers land
-    val out = Seq.newBuilder[String]
-    while (!q.isEmpty) out += q.poll()
-    out.result()
+    val out = mine
+    q.clear()
+    out
   }
 
   test("streaming ledger: O(batch) segment appends, compaction folds, union intact") {

@@ -71,6 +71,32 @@ class CommitProtocolSpec extends SparkSpec {
     }
   }
 
+  test("crash during the very FIRST commit (no pointer yet): table visible, heals on next commit") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("wh-crash0")
+    val wh = new Warehouse(spark, dir)
+    // build a real v0 elsewhere, then transplant only its manifest + data —
+    // pointer never written, as if the creator died right after the link
+    val donor = new Warehouse(spark, dir + "-donor")
+    donor.replace("t", df(2))
+    val src = Paths.get(dir + "-donor", "t")
+    val dst = Paths.get(dir, "t")
+    Files.walk(src).forEach { p =>
+      val rel = src.relativize(p)
+      if (!rel.toString.startsWith("_current") && rel.toString.nonEmpty) {
+        if (Files.isDirectory(p)) Files.createDirectories(dst.resolve(rel))
+        else Files.copy(p, dst.resolve(rel))
+      }
+    }
+    assert(!Files.exists(dst.resolve("_current")))
+    assert(wh.exists("t") && wh.currentVersion("t") == 0L)
+    assert(wh.listTables() == Seq("t"))
+    assert(wh.load("t").count() == 2)
+    // the next commit succeeds (no CME wedge) and repairs the pointer
+    assert(wh.append("t", df(1)) == 1L)
+    assert(Files.readString(dst.resolve("_current")).trim == "1")
+  }
+
   test("crash between manifest link and pointer write: readers recover, next commit works") {
     import java.nio.file.{Files, Paths}
     val dir = tmpDir("wh-crash")
