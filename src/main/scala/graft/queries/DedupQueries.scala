@@ -159,8 +159,35 @@ object DedupQueries {
     // shrink ~64x at the same recall, which is why 64-bit is the scale
     // default. Frequency-weighted: duplicate tokens count.
     "q58_simhash" -> { (s, dir) => simhashPairs(s, dir, 64) },
-    "q58b_simhash32" -> { (s, dir) => simhashPairs(s, dir, 32) }
+    "q58b_simhash32" -> { (s, dir) => simhashPairs(s, dir, 32) },
+
+    // Train/eval DECONTAMINATION — the n-gram leakage check every serious
+    // LLM training pipeline runs before training (flag training documents
+    // sharing any word n-gram with the held-out benchmark set; LLaMA/GPT
+    // use 8-13-grams). The "benchmark" here is a deterministic md5 split of
+    // the corpus (~1/16) so the oracle can mirror it. Scale posture: grams
+    // are md5 keys, the join is keyed on the gram — and since a benchmark
+    // suite is tiny next to a 100 TB corpus, the eval gram set is the
+    // broadcast side in production; per-doc distinct aggregation bounds
+    // the fan-in.
+    "q72_decontamination" -> { (s, dir) =>
+      val docs = spread(read(s, dir, "documents"))
+        .select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")), DECON_W)).as("sh"))
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      val evalGrams = docs.filter(isEval)
+        .select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+      val trainGrams = docs.filter(!isEval)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+      trainGrams.join(evalGrams, "g")
+        .groupBy("doc_id")
+        .agg(countDistinct("g").as("n_overlap"),
+          countDistinct("eval_id").as("n_eval_docs"))
+        .orderBy("doc_id")
+    }
   )
+
+  private val DECON_W = 8 // decontamination n-gram width (docs here are 10-99 tokens)
 
   private val HAMMING_T = 4
 
@@ -293,6 +320,23 @@ object DedupQueries {
 
     "q58_simhash" -> simhashOracle(64),
     "q58b_simhash32" -> simhashOracle(32),
+
+    "q72_decontamination" -> {
+      val joins = (0 until DECON_W).map(o => s"toks[i+$o]").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, greatest(len(toks) - ${DECON_W - 1}, 1)),
+         |  i -> md5(concat_ws(' ', $joins)))) AS sh FROM tk),
+         |grams AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |ev AS (SELECT doc_id AS eval_id, g FROM grams
+         |       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+         |tr AS (SELECT doc_id, g FROM grams
+         |       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0')
+         |SELECT t.doc_id, CAST(count(DISTINCT t.g) AS BIGINT) AS n_overlap,
+         |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+         |FROM tr t JOIN ev e ON t.g = e.g
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q54_exact_dedup" ->
       s"""SELECT doc_id, fp_norm, min(doc_id) OVER (PARTITION BY fp_norm) AS keeper,

@@ -44,6 +44,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: broadcast and sort-merge anti-join merge paths are equivalent") {
+    // gate = 0 forces every delete set down the SMJ fallback; the result
+    // must be byte-equal to the broadcast path on the same random batches —
+    // the size gate may only ever change the PLAN, never the table.
+    for (((initial, batch), i) <- samples(Gen.zip(batchGen, batchGen), 5, 271828).zipWithIndex) {
+      val bcast = new Warehouse(spark, tmpDir(s"p-gate-b$i"))
+      val smj = new Warehouse(spark, tmpDir(s"p-gate-s$i"), mergeBroadcastMaxKeys = 0L)
+      bcast.replace("t", df(initial)); smj.replace("t", df(initial))
+      bcast.merge("t", df(batch), Seq("Id"))
+      smj.merge("t", df(batch), Seq("Id"))
+      val a = bcast.load("t").orderBy("Id", "Amount").collect().toSeq
+      val b = smj.load("t").orderBy("Id", "Amount").collect().toSeq
+      assert(a == b, s"case $i: initial=$initial batch=$batch")
+    }
+  }
+
+  test("property: star and propagate connected components agree on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(30, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
+        .map(_.filter { case (a, b) => a != b })
+    val eschema = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
+    for ((es, i) <- samples(edgeGen, 4, 1618).zipWithIndex) {
+      val edges = spark.createDataFrame(es.map(e => Row(e._1, e._2)).asJava, eschema)
+      val prop = graft.functions.Graph.connectedComponents(edges, maxIter = 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val star = graft.functions.Graph.connectedComponents(edges, maxIter = 30, algorithm = "star")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(prop == star, s"case $i: edges=$es")
+    }
+  }
+
   test("property: replace == last batch, regardless of history") {
     for (((first, last), i) <- samples(Gen.zip(batchGen, batchGen), 5, 137).zipWithIndex) {
       val wh = new Warehouse(spark, tmpDir(s"p-repl$i"))
