@@ -42,7 +42,9 @@ import graft.sink.Warehouse
   * for a direct parquet scan. Writes go through a `V1Write` shim into the
   * Warehouse commit protocol, carrying the reference's three dispositions
   * (`salesforce_pipeline.py:62-176`) via write options:
-  * `disposition` = append (default) | replace | merge, `primaryKeys` = csv.
+  * `disposition` = append (default) | replace | merge, `primaryKeys` = csv,
+  * `mergeBroadcastMaxKeys` = merge broadcast gate (also settable session-wide
+  * via `spark.graft.mergeBroadcastMaxKeys`).
   */
 class GraftCatalog extends TableCatalog {
 
@@ -206,8 +208,14 @@ private[catalog] class GraftWriteBuilder(table: String, root: String, info: Logi
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-        val wh = new Warehouse(data.sparkSession, root)
         val opts = info.options()
+        // merge broadcast gate: per-write option wins, then the session
+        // conf, then the Warehouse default (see Warehouse scaladoc)
+        val gate = Option(opts.get("mergeBroadcastMaxKeys")).map(_.toLong)
+          .orElse(Option(data.sparkSession.conf.get(
+            "spark.graft.mergeBroadcastMaxKeys", null)).map(_.toLong))
+        val wh = gate.map(new Warehouse(data.sparkSession, root, _))
+          .getOrElse(new Warehouse(data.sparkSession, root))
         val pks = Option(opts.get("primaryKeys")).toSeq
           .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
         val disposition = Option(opts.get("disposition")).map(_.toLowerCase)

@@ -114,6 +114,17 @@ class CatalogSpec extends SparkSpec {
       Seq(("a", 1L), ("b", 20L), ("c", 30L)))
   }
 
+  test("writeTo merge honors the broadcast gate option (results unchanged)") {
+    wh.replace("mg", df(("a", 1), ("b", 2)))
+    df(("b", 20), ("c", 30)).writeTo("graft.mg")
+      .option("disposition", "merge").option("primaryKeys", "Id")
+      .option("mergeBroadcastMaxKeys", "0") // force the SMJ fallback
+      .append()
+    val out = spark.sql("SELECT Id, Amount FROM graft.mg ORDER BY Id").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 20L), ("c", 30L)))
+  }
+
   test("DDL: create, rename, drop") {
     spark.sql("CREATE TABLE graft.ddl1 (Id STRING, Amount BIGINT)")
     assert(spark.sql("SELECT count(*) FROM graft.ddl1").head().getLong(0) == 0)
