@@ -142,6 +142,40 @@ object SimilarityQueries {
         .orderBy("probe_id")
     },
 
+    // One Lloyd (k-means) refinement iteration over the IVF coarse
+    // quantizer — the index-BUILD operator the search queries assume:
+    // reassign every vector to its nearest current centroid, then report
+    // per-cell membership, churn, and cohesion. Centroid components and
+    // the cohesion sum accumulate in exact DECIMAL (bit-reproducible on
+    // any cluster/partitioning); assignment ties break on cell id. At
+    // 100 TB: centroids are cells x dim doubles (broadcast), the reassign
+    // pass is one linear scan with a per-vector row_number over cells —
+    // the same shape FAISS-style IVF training shards.
+    "q73_ivf_refine" -> { (s, dir) =>
+      CosineFns.register(s)
+      val emb = spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val comp = emb.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("c"))
+      val cents = comp.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cv"))
+        .withColumnRenamed("label", "cent")
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cent").asc)
+      val reassigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cscore", CosineFns.cosineNative(col("v"), col("cv")))
+        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+        .withColumn("csd", col("cscore")
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)))
+      reassigned.groupBy(col("cent").as("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("label") =!= col("cent"), 1L).otherwise(0L)).as("n_moved_in"),
+          round(sum("csd").cast("double") / count(lit(1)), 4).as("avg_cohesion"))
+        .orderBy("cell")
+    },
+
     // Label-partitioned (IVF-style) centroid stats: per-label mean vector
     // norm + cohesion proxy — the coarse-quantizer half of an IVF index.
     "q62_ivf_centroids" -> { (s, dir) =>
@@ -220,7 +254,28 @@ object SimilarityQueries {
        |SELECT probe_id, cell, rank, vec_id, round(score, 4) AS score
        |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin
 
+  private lazy val q73Oracle =
+    s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |comp AS (
+       |  SELECT label, g.i AS pos,
+       |    CAST(sum(CAST(v[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |  FROM emb, generate_series(1, $DIM) AS g(i)
+       |  GROUP BY label, g.i),
+       |cent AS (SELECT label AS cent, list(c ORDER BY pos) AS cv FROM comp GROUP BY label),
+       |assign AS (
+       |  SELECT vec_id, label, cent, cscore FROM (
+       |    SELECT e.vec_id, e.label, c.cent,
+       |      ${cosineSql("e.v", "c.cv")} AS cscore,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.v", "c.cv")} DESC, c.cent ASC) AS r
+       |    FROM emb e, cent c) WHERE r = 1)
+       |SELECT cent AS cell, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(sum(CASE WHEN label <> cent THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+       |  round(CAST(sum(CAST(cscore AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_cohesion
+       |FROM assign GROUP BY cent ORDER BY cell""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q73_ivf_refine" -> q73Oracle,
     "q59_embedding_neardup" ->
       s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
          |  FROM embeddings)

@@ -14,7 +14,10 @@ class PlanLintSpec extends SparkSpec {
   // q60 is the DELIBERATE brute-force baseline (probes broadcast against the
   // whole corpus, non-equi); q65/q69 cross-join probes against the broadcast
   // cell-centroid table (cells x dim, bounded).
-  private val allowedCartesian = Set("q60_cosine_topk", "q65_ivf_search", "q69_ann_recall")
+  // q73 reassigns every vector against the broadcast centroid table (cells
+  // x dim — the Lloyd step's inherent shape), same bounded cross as q65.
+  private val allowedCartesian =
+    Set("q60_cosine_topk", "q65_ivf_search", "q69_ann_recall", "q73_ivf_refine")
 
   test("no unintended cartesian products; codegen present") {
     val dir = sf
