@@ -125,6 +125,26 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming decontamination — the streaming dual of q72 and the third
+    * join mode of the surface (stream-STATIC, after q45's batch as-of and
+    * clickToPurchase's stream-stream): incoming documents are checked
+    * in-flight against a static benchmark n-gram set, the admission filter
+    * an ingest pipeline runs BEFORE contaminated text ever reaches training
+    * storage. The static side is a gram table (`g` column, pre-hashed like
+    * TextFns.shingles output) — tiny next to the stream, so it broadcasts;
+    * the join itself is stateless (each micro-batch joins independently),
+    * and only the per-doc overlap count keeps state (update mode). Works
+    * unchanged on a batch frame (plan-shape-agnostic, like hourlyKpis).
+    */
+  def decontaminateStream(docs: DataFrame, evalGrams: DataFrame, w: Int = 8): DataFrame = {
+    import graft.functions.TextFns.{shingles, tokens}
+    docs.select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), w))).as("g"))
+      .join(broadcast(evalGrams.select(col("g"))), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** File-source incremental ingestion: watch a directory of parquet drops
     * and merge each micro-batch into the warehouse via foreachBatch — the
     * streaming form of the reference's whole pipeline (extract loop +

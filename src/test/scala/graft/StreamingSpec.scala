@@ -36,6 +36,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static decontamination flags only docs overlapping the benchmark grams") {
+    implicit val sc = spark.sqlContext
+    import graft.functions.TextFns.{shingles, tokens}
+    import org.apache.spark.sql.functions.{array_distinct, col, explode}
+    // static benchmark side: the grams of one eval document
+    val evalGrams = Seq("the quick brown fox jumps").toDF("text")
+      .select(explode(array_distinct(shingles(tokens(col("text")), 3))).as("g"))
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = EventStream.decontaminateStream(docs, evalGrams, w = 3)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("decon_out").start()
+    try {
+      input.addData(
+        (1L, "totally unrelated text about warehouses and manifests"),
+        (2L, "he saw the quick brown fox jumps over things"), // shares 3-grams
+        (3L, "quick brown dog sleeps all day"))
+      q.processAllAvailable()
+      val out = spark.table("decon_out").as[(Long, Long)].collect().toMap
+      assert(out.keySet == Set(2L), s"only doc 2 overlaps; got $out")
+      assert(out(2L) >= 1L)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
