@@ -171,12 +171,25 @@ object DedupQueries {
     // broadcast side in production; per-doc distinct aggregation bounds
     // the fan-in.
     "q72_decontamination" -> { (s, dir) =>
+      // Pre-tokenize into its own column (so the split/regex runs once per
+      // doc, not once per try_element_at inside the shingle lambda) and
+      // persist the gram frame BEFORE the eval/train split — the q57
+      // pattern. Without the persist, aliasing the expensive HOF into both
+      // branches lets InferFiltersFromGenerate clone the whole shingle tree
+      // into a size()>0 Filter that pushdown then moves below the spread()
+      // repartition onto the raw one-partition scan: the full corpus gets
+      // shingled twice, interpreted, on a single core (28.3s -> 1.6s at
+      // sf0.1). PlanLintSpec now lints that plan shape across all queries.
       val docs = spread(read(s, dir, "documents"))
-        .select(col("doc_id"),
-          array_distinct(shingles(tokens(col("text")), DECON_W)).as("sh"))
+        .withColumn("tk", tokens(col("text")))
+        .select(col("doc_id"), array_distinct(shingles(col("tk"), DECON_W)).as("sh"))
+        .persist()
       val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
-      val evalGrams = docs.filter(isEval)
-        .select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+      // The eval side is benchmark-suite-sized by construction (a ~1/16 md5
+      // split here; a fixed benchmark suite vs a 100 TB corpus in
+      // production), so it is the broadcast side of the gram join.
+      val evalGrams = broadcast(docs.filter(isEval)
+        .select(col("doc_id").as("eval_id"), explode(col("sh")).as("g")))
       val trainGrams = docs.filter(!isEval)
         .select(col("doc_id"), explode(col("sh")).as("g"))
       trainGrams.join(evalGrams, "g")

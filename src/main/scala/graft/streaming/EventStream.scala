@@ -138,8 +138,11 @@ object EventStream {
     */
   def decontaminateStream(docs: DataFrame, evalGrams: DataFrame, w: Int = 8): DataFrame = {
     import graft.functions.TextFns.{shingles, tokens}
-    docs.select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), w))).as("g"))
+    // Pre-tokenize into a column (q72/q57 pattern): inlining tokens() into
+    // the shingle lambda re-runs the split/regex per try_element_at.
+    docs.withColumn("tk", tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("tk"), w))).as("g"))
       .join(broadcast(evalGrams.select(col("g"))), Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
