@@ -80,8 +80,11 @@ object DedupQueries {
         .select(col("doc_id"), array_distinct(shingles(col("tk"), W)).as("sh"))
         // persist: the shingle scan feeds sig AND both jaccard-verify joins;
         // uncached it would recompute 3x. Deliberately not unpersisted (the
-        // returned plan still references it); ~4 KB/doc, LRU-evictable.
-        .persist()
+        // returned plan still references it); ~4 KB/doc. MEMORY_AND_DISK:
+        // at corpus scale the frame exceeds executor memory, and MEMORY_ONLY
+        // eviction would silently turn the cache into a 3x recompute —
+        // spilled-to-disk partitions keep the reuse real.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("h"))
       val hashed = shingleRows.select(
         Seq(col("doc_id")) ++
@@ -179,15 +182,26 @@ object DedupQueries {
       // into a size()>0 Filter that pushdown then moves below the spread()
       // repartition onto the raw one-partition scan: the full corpus gets
       // shingled twice, interpreted, on a single core (28.3s -> 1.6s at
-      // sf0.1). PlanLintSpec now lints that plan shape across all queries.
+      // sf0.1). PlanLintSpec ("no HOF-bearing Filter below spread()") lints
+      // that plan shape across all queries. Deliberately not unpersisted
+      // (the returned plan still references the cache — q57's rationale);
+      // MEMORY_AND_DISK so eviction at corpus scale spills instead of
+      // silently degrading the cache into a double shingle scan.
       val docs = spread(read(s, dir, "documents"))
         .withColumn("tk", tokens(col("text")))
         .select(col("doc_id"), array_distinct(shingles(col("tk"), DECON_W)).as("sh"))
-        .persist()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
-      // The eval side is benchmark-suite-sized by construction (a ~1/16 md5
-      // split here; a fixed benchmark suite vs a 100 TB corpus in
-      // production), so it is the broadcast side of the gram join.
+      // The eval side is benchmark-suite-sized by construction here (a ~1/16
+      // md5 split), which is only broadcast-safe at benchmark scale factors:
+      // 1/16 of a 100 TB corpus is NOT broadcastable, and the hint bypasses
+      // Spark's size gate. In production the eval side is a FIXED benchmark
+      // suite (MMLU/HumanEval/...; MBs of grams, independent of corpus
+      // size), which is what the hint models; a deployment joining against
+      // a corpus-proportional eval split must drop the hint and let
+      // AQE/size stats pick the build side. PlanLintSpec asserts the
+      // broadcast actually happens (a silent fallback to SMJ here would
+      // shuffle the full gram frame).
       val evalGrams = broadcast(docs.filter(isEval)
         .select(col("doc_id").as("eval_id"), explode(col("sh")).as("g")))
       val trainGrams = docs.filter(!isEval)

@@ -176,6 +176,33 @@ object SimilarityQueries {
         .orderBy("cell")
     },
 
+    // TWO chained Lloyd iterations as one declarative plan (the multi-step
+    // companion to q73's single step, oracle-checked end to end): centroids
+    // from the initial labels -> reassign -> centroids from that assignment
+    // -> reassign again; report the per-cell state after iteration 2,
+    // including how many members moved between the two iterations. A fixed
+    // iteration count keeps it DuckDB-mirrorable (the open-ended loop with
+    // convergence stop is lloydTrain below, spec-tested); everything exact-
+    // decimal/tie-broken exactly like q73, so it stays bit-reproducible.
+    "q74_ivf_train2" -> { (s, dir) =>
+      CosineFns.register(s)
+      // 4 uses of the base frame (2 centroid passes + 2 reassign joins):
+      // persist is the q57/q72 posture — MEMORY_AND_DISK so corpus-scale
+      // eviction spills instead of quietly re-scanning parquet 4x.
+      val emb0 = spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label").as("cell"), asDouble(col("embedding")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a1 = reassign(emb0, centroidsFor(emb0))
+      val a2 = reassign(a1.select(col("vec_id"), col("cell"), col("v")),
+        centroidsFor(a1.select(col("vec_id"), col("cell"), col("v"))))
+      a2.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("prev_cell") =!= col("cell"), 1L).otherwise(0L)).as("n_changed"),
+          round(sum(col("cscore").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)))
+            .cast("double") / count(lit(1)), 4).as("avg_cohesion"))
+        .orderBy("cell")
+    },
+
     // Label-partitioned (IVF-style) centroid stats: per-label mean vector
     // norm + cohesion proxy — the coarse-quantizer half of an IVF index.
     "q62_ivf_centroids" -> { (s, dir) =>
@@ -193,6 +220,93 @@ object SimilarityQueries {
         .orderBy("label")
     }
   )
+
+  /** Exact-decimal per-cell centroids of an assignment frame
+    * `(vec_id, cell, v)` -> `(cent, cv)`. Same arithmetic as q73: component
+    * sums in DECIMAL(28,12), one final cast to double, so centroids are
+    * bit-reproducible under any partitioning. Tiny output (cells x dim).
+    */
+  private def centroidsFor(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)))
+        .cast("double") / count(lit(1))).as("c"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cv"))
+      .select(col("cell").as("cent"), col("cv"))
+
+  /** One Lloyd reassignment pass: every vector to its best-cosine centroid,
+    * ties on cell id — `(vec_id, cell, v)` x `(cent, cv)` ->
+    * `(vec_id, prev_cell, cell, v, cscore)`. The centroid table is broadcast
+    * (cells x dim doubles — bounded at any corpus size); the scan side is
+    * one linear pass with a per-vector row_number over cells.
+    */
+  private def reassign(assigned: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cent").asc)
+    assigned.crossJoin(broadcast(cents))
+      .withColumn("cscore", CosineFns.cosineNative(col("v"), col("cv")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vec_id"), col("cell").as("prev_cell"), col("cent").as("cell"),
+        col("v"), col("cscore"))
+  }
+
+  /** Per-iteration training telemetry: vectors that changed cell, max
+    * centroid L2 movement vs the previous iteration, mean cosine cohesion.
+    */
+  final case class LloydIter(iter: Int, churn: Long, movement: Double, avgCohesion: Double)
+
+  /** Multi-iteration Lloyd training of the IVF coarse quantizer — the
+    * open-ended form of q73/q74: iterate reassign -> re-centroid until the
+    * max centroid movement drops below `minMove` (or churn hits zero, or
+    * `maxIter`). Each round `localCheckpoint`s the new assignment (the
+    * functions/Graph idiom: truncate lineage so N iterations cost N linear
+    * passes, not an exponentially re-derived plan). Driver-side loop state
+    * is bounded metadata — per-round (churn, movement, cohesion) scalars
+    * and the cells x dim centroid frame — never row data; every pass is a
+    * distributed linear scan, so the loop scales exactly like q73 does.
+    *
+    * @return final assignment `(vec_id, prev_cell, cell, v, cscore)` plus
+    *         the per-iteration history (monotone-decreasing churn is the
+    *         spec-checked convergence witness).
+    */
+  def lloydTrain(s: SparkSession, dir: String, maxIter: Int = 10,
+      minMove: Double = 1e-9): (DataFrame, Seq[LloydIter]) = {
+    CosineFns.register(s)
+    var cur = spread(read(s, dir, "embeddings"))
+      .select(col("vec_id"), col("label").as("cell"), asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    var cents = centroidsFor(cur).localCheckpoint()
+    val history = scala.collection.mutable.ArrayBuffer.empty[LloydIter]
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val next = reassign(cur.select(col("vec_id"), col("cell"), col("v")), cents)
+        .localCheckpoint()
+      val stats = next.agg(
+        sum(when(col("prev_cell") =!= col("cell"), 1L).otherwise(0L)).as("churn"),
+        (sum(col("cscore").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("coh")).head()
+      val churn = stats.getLong(0)
+      val newCents = centroidsFor(next.select(col("vec_id"), col("cell"), col("v")))
+        .localCheckpoint()
+      // max L2 movement over the (tiny) centroid tables; cells that lost all
+      // members between rounds count as unbounded movement only if cosine
+      // could reassign INTO them later — they can't (no centroid), so an
+      // inner join is the honest comparison.
+      val movement = cents.select(col("cent"), col("cv").as("cv0"))
+        .join(newCents, "cent")
+        .select(sqrt(aggregate(zip_with(col("cv0"), col("cv"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)).as("d"))
+        .agg(max("d")).head().getDouble(0)
+      history += LloydIter(iter, churn, movement, stats.getDouble(1))
+      converged = churn == 0L || movement < minMove
+      cur = next
+      cents = newCents
+    }
+    (cur, history.toSeq)
+  }
 
   // --- DuckDB mirrors -----------------------------------------------------
   // list_reduce folds left from the first element; Spark's aggregate folds
@@ -274,8 +388,46 @@ object SimilarityQueries {
        |  round(CAST(sum(CAST(cscore AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_cohesion
        |FROM assign GROUP BY cent ORDER BY cell""".stripMargin
 
+  /** Two chained Lloyd iterations, mirroring q74 CTE-for-stage: centroids
+    * from labels -> assignment 1 -> centroids from assignment 1 ->
+    * assignment 2 -> per-cell rollup. Same decimal accumulation and
+    * (score DESC, cell ASC) tie-break at every stage as the Spark side.
+    */
+  private lazy val q74Oracle =
+    s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |c1comp AS (
+       |  SELECT label, g.i AS pos,
+       |    CAST(sum(CAST(v[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |  FROM emb, generate_series(1, $DIM) AS g(i)
+       |  GROUP BY label, g.i),
+       |c1 AS (SELECT label AS cent, list(c ORDER BY pos) AS cv FROM c1comp GROUP BY label),
+       |a1 AS (
+       |  SELECT vec_id, cent AS cell, v, cscore FROM (
+       |    SELECT e.vec_id, c.cent, e.v, ${cosineSql("e.v", "c.cv")} AS cscore,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.v", "c.cv")} DESC, c.cent ASC) AS r
+       |    FROM emb e, c1 c) WHERE r = 1),
+       |c2comp AS (
+       |  SELECT cell, g.i AS pos,
+       |    CAST(sum(CAST(v[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |  FROM a1, generate_series(1, $DIM) AS g(i)
+       |  GROUP BY cell, g.i),
+       |c2 AS (SELECT cell AS cent, list(c ORDER BY pos) AS cv FROM c2comp GROUP BY cell),
+       |a2 AS (
+       |  SELECT vec_id, prev_cell, cell, cscore FROM (
+       |    SELECT a.vec_id, a.cell AS prev_cell, c.cent AS cell,
+       |      ${cosineSql("a.v", "c.cv")} AS cscore,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosineSql("a.v", "c.cv")} DESC, c.cent ASC) AS r
+       |    FROM a1 a, c2 c) WHERE r = 1)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(sum(CASE WHEN prev_cell <> cell THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  round(CAST(sum(CAST(cscore AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_cohesion
+       |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q73_ivf_refine" -> q73Oracle,
+    "q74_ivf_train2" -> q74Oracle,
     "q59_embedding_neardup" ->
       s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
          |  FROM embeddings)

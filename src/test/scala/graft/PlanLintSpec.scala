@@ -1,5 +1,11 @@
 package graft
 
+import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+
 /** Plan lint: every declared query's PHYSICAL plan is swept for scale
   * red flags, so a regression that silently degrades a join into a
   * cartesian product (or drops whole-stage codegen entirely) fails CI
@@ -14,27 +20,108 @@ class PlanLintSpec extends SparkSpec {
   // q60 is the DELIBERATE brute-force baseline (probes broadcast against the
   // whole corpus, non-equi); q65/q69 cross-join probes against the broadcast
   // cell-centroid table (cells x dim, bounded).
-  // q73 reassigns every vector against the broadcast centroid table (cells
-  // x dim — the Lloyd step's inherent shape), same bounded cross as q65.
+  // q73/q74 reassign every vector against the broadcast centroid table
+  // (cells x dim — the Lloyd step's inherent shape), same bounded cross as
+  // q65; q74 is two such steps chained.
   private val allowedCartesian =
-    Set("q60_cosine_topk", "q65_ivf_search", "q69_ann_recall", "q73_ivf_refine")
+    Set("q60_cosine_topk", "q65_ivf_search", "q69_ann_recall", "q73_ivf_refine",
+      "q74_ivf_train2")
+
+  /** Plan statically (AQE off): AQE wraps plans before stage codegen is
+    * decided, hiding both the `*(n)` markers and the pre-reoptimization
+    * exchange layout the lints inspect.
+    */
+  private def staticPlan(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try fn(spark, sf).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 
   test("no unintended cartesian products; codegen present") {
-    val dir = sf
-    // AQE wraps plans before stage codegen is decided; plan statically so
-    // the `*(n)` whole-stage-codegen markers are visible in the tree text.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        val cartesian = (plan.contains("CartesianProduct") ||
-          plan.contains("BroadcastNestedLoopJoin")) && !allowedCartesian(name)
-        val noCodegen = !plan.contains("*(")
-        if (cartesian) Some(s"$name: cartesian/nested-loop join")
-        else if (noCodegen) Some(s"$name: no whole-stage-codegen span")
-        else None
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = staticPlan(fn).toString
+      val cartesian = (plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")) && !allowedCartesian(name)
+      val noCodegen = !plan.contains("*(")
+      if (cartesian) Some(s"$name: cartesian/nested-loop join")
+      else if (noCodegen) Some(s"$name: no whole-stage-codegen span")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  /** The q72 regression class (round 3, 28.3 s at sf0.1): optimizer rules
+    * (InferFiltersFromGenerate + predicate pushdown) can clone an expensive
+    * higher-order-function tree into a Filter and sink it BELOW the
+    * `spread()` round-robin exchange — onto the raw single-partition scan —
+    * so the whole corpus runs the interpreted lambda on one core, twice,
+    * before the repartition that was supposed to parallelize it. The lint
+    * sweeps every query (descending into cached-relation subtrees) for a
+    * HOF-bearing Filter anywhere under a round-robin exchange.
+    */
+  private def hofFiltersBelowSpread(p: SparkPlan): Seq[String] = {
+    // collect() does not descend into InMemoryTableScanExec's cached plan,
+    // where q57/q72's spread() lives after the persist — recurse explicitly.
+    def subtrees(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ p.children.flatMap(subtrees) ++ (p match {
+        case im: InMemoryTableScanExec => subtrees(im.relation.cachedPlan)
+        case _ => Nil
+      })
+    for {
+      ex <- subtrees(p).collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
       }
-      assert(offenders.isEmpty, offenders.mkString("\n"))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      below <- subtrees(ex.child)
+      f <- Some(below).collect { case f: FilterExec => f }
+      hof <- f.condition.collectFirst { case h: HigherOrderFunction => h }
+    } yield s"Filter[${hof.prettyName}] below round-robin exchange: ${f.condition.sql.take(120)}"
+  }
+
+  test("no HOF-bearing Filter below a spread() round-robin exchange") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      hofFiltersBelowSpread(staticPlan(fn)).map(msg => s"$name: $msg")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("lint catches the q72 regression shape (seed: un-persisted gram frame)") {
+    // Rebuild q72's degenerate form — shingle HOF aliased into both split
+    // branches with NO persist, the exact plan the round-3 regression
+    // produced — and require the lint to flag it. Guards the lint itself
+    // against silently going blind to the class it was written for.
+    // w = 7, NOT q72's 8: with the same width the logical subtree is
+    // identical to the one q72 persisted, and the CacheManager substitutes
+    // the cached relation into this plan — which (correctly) erases the
+    // degenerate shape and would make the seed vacuous.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns.{shingles, tokens}
+    import graft.queries.Tables.{read, spread}
+    val degenerate = { () =>
+      val docs = spread(read(spark, sf, "documents"))
+        .withColumn("tk", tokens(col("text")))
+        .select(col("doc_id"), array_distinct(shingles(col("tk"), 7)).as("sh"))
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      val ev = docs.filter(isEval).select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+      val tr = docs.filter(!isEval).select(col("doc_id"), explode(col("sh")).as("g"))
+      tr.join(ev, "g").groupBy("doc_id").agg(countDistinct("g").as("n_overlap"))
+    }
+    val hits = hofFiltersBelowSpread(staticPlan((_, _) => degenerate()))
+    assert(hits.nonEmpty,
+      "lint did not flag the un-persisted q72 shape — either the optimizer no " +
+        "longer sinks the inferred HOF filter (re-verify and retire the lint) " +
+        "or the lint regressed")
+  }
+
+  /** q72 and decontaminateStream hinge on the eval gram side being
+    * BROADCAST (the production posture: a fixed benchmark suite vs a 100 TB
+    * corpus). The `broadcast()` hint is in the query source, but a future
+    * optimizer change could silently drop it and shuffle the full train-side
+    * gram frame instead — assert the join strategy in the plan.
+    */
+  test("q72 eval gram join is a broadcast hash join") {
+    val plan = staticPlan(SparkEntry.queries("q72_decontamination")).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q72's gram join is not broadcast:\n${plan.take(2000)}")
   }
 }

@@ -60,6 +60,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream micro-batch plan: eval grams broadcast, no HOF re-run in a Filter") {
+    implicit val sc = spark.sqlContext
+    import graft.functions.TextFns.{shingles, tokens}
+    import org.apache.spark.sql.functions.{array_distinct, col, explode}
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    val evalGrams = Seq("the quick brown fox jumps").toDF("text")
+      .select(explode(array_distinct(shingles(tokens(col("text")), 3))).as("g"))
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.decontaminateStream(input.toDF().toDF("doc_id", "text"), evalGrams, w = 3)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("decon_plan_out").start()
+    try {
+      input.addData((2L, "he saw the quick brown fox jumps over things"))
+      q.processAllAvailable()
+      // the executed micro-batch plan, via the classic-session wrapper
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("BroadcastHashJoin"),
+        s"eval gram side must broadcast (stateless per-batch join):\n${s.take(2000)}")
+      // the pre-tokenize shape: no optimizer-cloned shingle lambda may run
+      // inside a Filter (the q72 regression class, streaming edition)
+      val hofFilters = plan.collect {
+        case f: FilterExec if f.condition.collectFirst { case h: HigherOrderFunction => h }.nonEmpty => f
+      }
+      assert(hofFilters.isEmpty,
+        s"HOF-bearing Filter in the micro-batch plan: ${hofFilters.map(_.condition.sql).mkString("; ")}")
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]

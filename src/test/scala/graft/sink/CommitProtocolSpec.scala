@@ -81,6 +81,9 @@ class CommitProtocolSpec extends SparkSpec {
     donor.replace("t", df(2))
     val src = Paths.get(dir + "-donor", "t")
     val dst = Paths.get(dir, "t")
+    // Files.walk yields the root's children in directory-stream (hash) order:
+    // a top-level file can precede the data subdir, so dst must exist up front.
+    Files.createDirectories(dst)
     Files.walk(src).forEach { p =>
       val rel = src.relativize(p)
       if (!rel.toString.startsWith("_current") && rel.toString.nonEmpty) {
