@@ -203,6 +203,34 @@ object SimilarityQueries {
         .orderBy("cell")
     },
 
+    // Scalar int8 quantization of the embedding column — the vector
+    // COMPRESSION step a corpus-scale ANN index needs (4x smaller than
+    // float32, 8x smaller than the double working form; SQ8 in FAISS
+    // terms): per-vector symmetric scale = max|v| / 127, q_i = round(v_i /
+    // scale). Emitted as per-vector audit metrics (scale, max reconstruction
+    // error, saturation count) rather than the int8 array itself so the
+    // oracle compare stays scalar-typed; max_abs_err <= scale/2 by
+    // construction, which the oracle cross-checks numerically. Pure per-row
+    // array math: zero shuffle at any scale, same posture as q70.
+    "q75_quantize_int8" -> { (s, dir) =>
+      val v = asDouble(col("embedding"))
+      val absmax = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+      spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), v.as("v"), absmax.as("absmax"))
+        // zero vector => scale 1.0: quantizes to all-zero with zero error
+        // instead of 0/0 NaNs
+        .withColumn("scale",
+          when(col("absmax") === 0.0, lit(1.0)).otherwise(col("absmax") / 127.0))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          round(aggregate(col("v"), lit(0.0), (acc, x) =>
+            greatest(acc, abs(round(x / col("scale"), 0) * col("scale") - x))), 6)
+            .as("max_abs_err"),
+          aggregate(col("v"), lit(0L), (acc, x) =>
+            acc + when(abs(round(x / col("scale"), 0)) >= 127.0, 1L).otherwise(0L))
+            .as("n_saturated"))
+        .orderBy("vec_id")
+    },
+
     // Label-partitioned (IVF-style) centroid stats: per-label mean vector
     // norm + cohesion proxy — the coarse-quantizer half of an IVF index.
     "q62_ivf_centroids" -> { (s, dir) =>
@@ -428,6 +456,26 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q73_ivf_refine" -> q73Oracle,
     "q74_ivf_train2" -> q74Oracle,
+
+    // Mirrors q75's folds exactly: max-folds start from 0.0 == Spark's seed
+    // (all folded values are >= 0, so the missing explicit seed is
+    // value-identical); round(x, 0) is half-away-from-zero in both engines.
+    "q75_quantize_int8" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (
+         |  SELECT vec_id, v,
+         |    list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b)) AS absmax
+         |  FROM emb),
+         |s2 AS (SELECT vec_id, v,
+         |  CASE WHEN absmax = 0 THEN 1.0 ELSE absmax / 127.0 END AS scale FROM sc)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |  round(list_reduce(list_transform(v,
+         |    x -> abs(round(x / scale, 0) * scale - x)), (a, b) -> greatest(a, b)), 6)
+         |    AS max_abs_err,
+         |  CAST(list_reduce(list_transform(v,
+         |    x -> CASE WHEN abs(round(x / scale, 0)) >= 127 THEN 1 ELSE 0 END),
+         |    (a, b) -> a + b) AS BIGINT) AS n_saturated
+         |FROM s2 ORDER BY vec_id""".stripMargin,
     "q59_embedding_neardup" ->
       s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
          |  FROM embeddings)
