@@ -30,6 +30,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Same guard as Verify: sibling-alias capture is an analysis error,
+      // not a silent wrong answer (round-6 q75 class).
+      .config("spark.sql.lateralColumnAlias.enableImplicitResolution", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,6 +43,12 @@ object Bench {
       SparkEntry.queries.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Per-query isolation: q57/q72/q74 deliberately never unpersist (the
+      // Verify posture) — without clearing, cached frames and their memory
+      // pressure accumulate across the 60-query sweep and later rows pay for
+      // earlier queries' persists. Iterations WITHIN a query keep the cache
+      // (the median should reflect the query's own steady state).
+      spark.catalog.clearCache()
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // A reference to a column that's re-aliased later in the SAME select
+      // must resolve to the child's column, never the sibling alias — with
+      // implicit lateral-alias resolution on, that mistake is a silent wrong
+      // answer (round-6 q75); with it off, an analysis error.
+      .config("spark.sql.lateralColumnAlias.enableImplicitResolution", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -101,9 +101,14 @@ object CosineFns {
     * Expression->Column bridge in Spark 4; the Column constructor over raw
     * Expressions is spark-private).
     */
-  def register(spark: SparkSession): Unit =
-    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = castToImpl(spark).sessionState.functionRegistry
+    // Once per session: re-registration logs a "function replaced" WARN on
+    // every call site, polluting the one-line bench artifact the driver keeps.
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(FnName)))
+      reg.createOrReplaceTempFunction(
+        FnName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column-API entry point; requires `register(spark)` once per session. */
   def cosineNative(a: Column, b: Column): Column = call_function(FnName, a, b)

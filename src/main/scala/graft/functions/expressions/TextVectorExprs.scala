@@ -199,8 +199,13 @@ object TextVectorFns {
 
   def register(spark: SparkSession): Unit = {
     val reg = castToImpl(spark).sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(LshFnName, lshBuilder, "built-in")
-    reg.createOrReplaceTempFunction(TokenSetFnName, tokenSetBuilder, "built-in")
+    // Once per session (see CosineFns.register): avoids the per-call
+    // "function replaced" WARN in driver-captured artifacts.
+    def once(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    once(LshFnName, lshBuilder)
+    once(TokenSetFnName, tokenSetBuilder)
   }
 
   /** Column-API entry points; require `register(spark)` once per session. */

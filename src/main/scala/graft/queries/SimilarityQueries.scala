@@ -221,13 +221,22 @@ object SimilarityQueries {
         // instead of 0/0 NaNs
         .withColumn("scale",
           when(col("absmax") === 0.0, lit(1.0)).otherwise(col("absmax") / 127.0))
-        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        // Metrics are computed against the UNROUNDED scale in projections
+        // BEFORE the 6-digit display rounding re-aliases the same name:
+        // inside one select, Spark's implicit lateral-column-alias resolution
+        // would bind the fold lambdas' col("scale") to the just-defined
+        // ROUNDED alias and silently quantize against the wrong scale
+        // (round-6 correctness failure; sessions now also run with
+        // spark.sql.lateralColumnAlias.enableImplicitResolution=false so the
+        // class surfaces as an analysis error instead of a wrong answer).
+        .withColumn("max_abs_err",
           round(aggregate(col("v"), lit(0.0), (acc, x) =>
-            greatest(acc, abs(round(x / col("scale"), 0) * col("scale") - x))), 6)
-            .as("max_abs_err"),
+            greatest(acc, abs(round(x / col("scale"), 0) * col("scale") - x))), 6))
+        .withColumn("n_saturated",
           aggregate(col("v"), lit(0L), (acc, x) =>
-            acc + when(abs(round(x / col("scale"), 0)) >= 127.0, 1L).otherwise(0L))
-            .as("n_saturated"))
+            acc + when(abs(round(x / col("scale"), 0)) >= 127.0, 1L).otherwise(0L)))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          col("max_abs_err"), col("n_saturated"))
         .orderBy("vec_id")
     },
 
@@ -335,6 +344,36 @@ object SimilarityQueries {
     }
     (cur, history.toSeq)
   }
+
+  /** Int8 scalar quantization as a DATA transform — the artifact a corpus-
+    * scale ANN pipeline actually ships (q75 is the audit-metric view of the
+    * same math): per-vector symmetric scale = max|v| / 127 (1.0 for the zero
+    * vector, which quantizes to all zeros with zero error), q_i =
+    * round(v_i / scale) as `array<tinyint>` — 4x smaller than float32, 8x
+    * smaller than the double working form. |q_i| <= 127 by construction
+    * (|v_i| <= absmax => |v_i / scale| <= 127; round half-away-from-zero
+    * keeps the boundary at 127), so the tinyint cast can't wrap.
+    *
+    * Input: any frame with an `array<double>` column `v`; all other columns
+    * pass through. Pure per-row array math — zero shuffle at any scale.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("absmax",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("scale",
+        when(col("absmax") === 0.0, lit(1.0)).otherwise(col("absmax") / 127.0))
+      .withColumn("qv",
+        transform(col("v"), x => round(x / col("scale"), 0).cast("tinyint")))
+      .drop("absmax")
+
+  /** Inverse of [[quantizeInt8]]: rv_i = q_i * scale. Element-wise
+    * |rv_i - v_i| <= scale/2 by construction (spec-checked, with a cosine
+    * fidelity bound vs the original).
+    */
+  def reconstructInt8(quantized: DataFrame): DataFrame =
+    quantized.withColumn("rv",
+      transform(col("qv"), q => q.cast("double") * col("scale")))
 
   // --- DuckDB mirrors -----------------------------------------------------
   // list_reduce folds left from the first element; Spark's aggregate folds

@@ -22,7 +22,10 @@ class LloydSpec extends SparkSpec {
     churns.zip(churns.tail).foreach { case (a, b) =>
       assert(b <= a, s"churn increased: $churns")
     }
-    assert(churns.last < churns.head / 10,
+    // churns.last * 10 < churns.head, not integer-divided head/10: if the
+    // loop converges in round 1 (head == last == 0) or initial churn < 10,
+    // the divided form rejects a perfectly converged run.
+    assert(churns.last == 0L || churns.last * 10 < churns.head,
       s"churn did not collapse across rounds: $churns")
     // every vector keeps exactly one assignment (reassign is a total map)
     assert(finalAssign.count() == nVectors)
@@ -35,6 +38,20 @@ class LloydSpec extends SparkSpec {
     assert(hist.forall(h => !h.movement.isNaN && !h.movement.isInfinite))
     assert(hist.last.movement <= hist.head.movement,
       s"movement grew: ${hist.map(_.movement)}")
+  }
+
+  test("lloydTrain convergence witness holds at the correctness scale factor (sf0.01)") {
+    // The monotone-churn contract is checked at sf0.001 above; one bounded
+    // run at sf0.01 (the driver's correctness SF, 10x the vectors) guards
+    // against the witness being a small-sample artifact. maxIter=3 keeps it
+    // to three linear passes.
+    val (_, hist) = SimilarityQueries.lloydTrain(spark, "/root/testdata/sf0.01", maxIter = 3)
+    assert(hist.nonEmpty)
+    val churns = hist.map(_.churn)
+    churns.zip(churns.tail).foreach { case (a, b) =>
+      assert(b <= a, s"churn increased at sf0.01: $churns")
+    }
+    assert(hist.forall(h => !h.movement.isNaN && !h.movement.isInfinite))
   }
 
   test("q74 equals composing lloydTrain's first two reassignment rounds") {

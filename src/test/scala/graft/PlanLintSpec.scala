@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
 import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
 
@@ -59,14 +60,15 @@ class PlanLintSpec extends SparkSpec {
     * sweeps every query (descending into cached-relation subtrees) for a
     * HOF-bearing Filter anywhere under a round-robin exchange.
     */
+  // collect() does not descend into InMemoryTableScanExec's cached plan,
+  // where q57/q72's spread() lives after the persist — recurse explicitly.
+  private def subtrees(p: SparkPlan): Seq[SparkPlan] =
+    Seq(p) ++ p.children.flatMap(subtrees) ++ (p match {
+      case im: InMemoryTableScanExec => subtrees(im.relation.cachedPlan)
+      case _ => Nil
+    })
+
   private def hofFiltersBelowSpread(p: SparkPlan): Seq[String] = {
-    // collect() does not descend into InMemoryTableScanExec's cached plan,
-    // where q57/q72's spread() lives after the persist — recurse explicitly.
-    def subtrees(p: SparkPlan): Seq[SparkPlan] =
-      Seq(p) ++ p.children.flatMap(subtrees) ++ (p match {
-        case im: InMemoryTableScanExec => subtrees(im.relation.cachedPlan)
-        case _ => Nil
-      })
     for {
       ex <- subtrees(p).collect {
         case e: ShuffleExchangeExec
@@ -119,9 +121,17 @@ class PlanLintSpec extends SparkSpec {
     * optimizer change could silently drop it and shuffle the full train-side
     * gram frame instead — assert the join strategy in the plan.
     */
-  test("q72 eval gram join is a broadcast hash join") {
-    val plan = staticPlan(SparkEntry.queries("q72_decontamination")).toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"q72's gram join is not broadcast:\n${plan.take(2000)}")
+  test("q72 eval gram join is a broadcast hash join on the gram key") {
+    // A plan-string contains("BroadcastHashJoin") would stay green if the
+    // gram join fell back to SMJ while some OTHER join kept the string
+    // present — assert a BroadcastHashJoinExec node whose join key is the
+    // gram column `g` itself.
+    val plan = staticPlan(SparkEntry.queries("q72_decontamination"))
+    val gramJoins = subtrees(plan).collect {
+      case j: BroadcastHashJoinExec
+          if (j.leftKeys ++ j.rightKeys).exists(_.references.exists(_.name == "g")) => j
+    }
+    assert(gramJoins.nonEmpty,
+      s"q72 has no broadcast hash join keyed on the gram column:\n${plan.toString.take(2000)}")
   }
 }

@@ -11,6 +11,9 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Match Verify/Bench: a col(...) that names a sibling alias in the same
+    // select fails analysis instead of silently binding to it (q75 class).
+    .config("spark.sql.lateralColumnAlias.enableImplicitResolution", "false")
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
