@@ -39,14 +39,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++ AnalyticQueries.queries ++ EventQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries ++ SamplingQueries.queries
+      TextQueries.queries ++ CorpusQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++ SamplingQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Keys absent here (q44 sketches) get rows-only checks.
     */
   val oracleSql: Map[String, String] =
     EtlQueries.oracles ++ AnalyticQueries.oracles ++ EventQueries.oracles ++
-      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      MultimodalQueries.oracles ++ SamplingQueries.oracles
+      TextQueries.oracles ++ CorpusQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ MultimodalQueries.oracles ++ SamplingQueries.oracles
 }

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.TextFns.{normalize, shingles, tokens}
+
+/** End-to-end training-data curation: the composition a user of this engine
+  * actually runs over a raw document corpus —
+  *
+  *   quality gate → exact dedup → near-dup collapse → eval decontamination
+  *   → stratified mixture sample
+  *
+  * Each stage is one of the oracle-checked query operators (q51, q54, q55,
+  * q72, q66) re-expressed as a library transform over an arbitrary document
+  * frame; the pipeline adds only composition and per-stage audit counts.
+  * Every stage is deterministic (md5 keys, min-id keepers), so a retried or
+  * re-partitioned run selects the IDENTICAL document set — and the whole
+  * pipeline is idempotent: curating an already-curated corpus is a no-op
+  * (spec-checked), which is the property that makes incremental re-runs
+  * safe at 100 TB.
+  *
+  * Scale posture: stages 1–3 and 5 are linear scans with at most one keyed
+  * window each; decontamination broadcasts the eval gram set (benchmark
+  * suites are MBs regardless of corpus size — q72's production rationale).
+  * Stage counts are driver-side SCALARS (one count per stage, the
+  * Pipeline.LoadReport posture), never row data.
+  *
+  * Input contract: `docs` has columns `doc_id` (unique id), `text`, `lang`;
+  * extra columns pass through untouched.
+  */
+object CorpusPipeline {
+
+  final case class StageReport(stage: String, docsIn: Long, docsOut: Long)
+  final case class Curated(docs: DataFrame, report: Seq[StageReport])
+
+  /** Tuning knobs; defaults mirror the checked queries' constants. */
+  final case class Config(
+    minTokens: Int = 5,
+    maxTokens: Int = 10000,
+    maxPunctRatio: Double = 0.3,
+    deconGramW: Int = 8, // q72's 8-gram universe
+    maxEvalOverlap: Long = 0, // drop any doc sharing > this many eval grams
+    sampleRates: Map[String, Double] = Map.empty, // per-lang keep rate
+    defaultSampleRate: Double = 1.0)
+
+  /** Run the full curation over `docs`, decontaminating against `evalDocs`
+    * (the held-out benchmark corpus; pass an empty frame to skip).
+    */
+  def curate(docs: DataFrame, evalDocs: DataFrame, cfg: Config = Config()): Curated = {
+    val stages = Seq[(String, DataFrame => DataFrame)](
+      "quality_filter" -> (qualityFilter(_, cfg)),
+      "exact_dedup" -> exactDedup,
+      "neardup_collapse" -> nearDupCollapse,
+      "decontaminate" -> (decontaminate(_, evalDocs, cfg)),
+      "mixture_sample" -> (mixtureSample(_, cfg)))
+    val (curated, report) = stages.foldLeft((docs, Vector.empty[StageReport])) {
+      case ((cur, rep), (name, stage)) =>
+        val in = cur.count()
+        // localCheckpoint between stages: each stage's predicate re-derives
+        // text features, and 5 stacked stages would otherwise re-run every
+        // upstream filter per downstream action (the lloydTrain idiom).
+        val out = stage(cur).localCheckpoint()
+        (out, rep :+ StageReport(name, in, out.count()))
+    }
+    Curated(curated, report)
+  }
+
+  /** q51's quality gate as a filter: token-count band + punctuation ratio.
+    * Pure per-row expression — zero shuffle.
+    */
+  def qualityFilter(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val nTokens = size(tokens(col("text")))
+    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    docs.filter(
+      nTokens.between(cfg.minTokens, cfg.maxTokens) &&
+        (nPunct.cast("double") / nTokens) < cfg.maxPunctRatio)
+  }
+
+  /** q54's exact dedup as a transform: keep the min-doc_id representative of
+    * each normalized-text fingerprint group. One keyed window.
+    */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val g = Window.partitionBy(md5(normalize(col("text"))))
+    docs.withColumn("__keeper", min("doc_id").over(g))
+      .filter(col("doc_id") === col("__keeper"))
+      .drop("__keeper")
+  }
+
+  /** q55's prefix-fingerprint near-dup collapse: keep the min-doc_id member
+    * of each 80-char-normalized-prefix block. One keyed window.
+    */
+  def nearDupCollapse(docs: DataFrame): DataFrame = {
+    val g = Window.partitionBy(md5(substring(normalize(col("text")), 1, 80)))
+    docs.withColumn("__keeper", min("doc_id").over(g))
+      .filter(col("doc_id") === col("__keeper"))
+      .drop("__keeper")
+  }
+
+  /** q72's decontamination as an admission filter: drop any document whose
+    * distinct `deconGramW`-gram overlap with the eval corpus exceeds
+    * `maxEvalOverlap`. The eval gram set is broadcast (benchmark-sized by
+    * contract); the train side is one linear gram scan + left-semi-shaped
+    * anti logic via a grouped overlap count.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, cfg: Config = Config()): DataFrame = {
+    if (evalDocs.isEmpty) return docs
+    val evalGrams = broadcast(
+      evalDocs.select(explode(array_distinct(
+          shingles(tokens(col("text")), cfg.deconGramW))).as("g"))
+        .distinct())
+    val contaminated = docs
+      .select(col("doc_id"), explode(array_distinct(
+        shingles(tokens(col("text")), cfg.deconGramW))).as("g"))
+      .join(evalGrams, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("__n_overlap"))
+      .filter(col("__n_overlap") > cfg.maxEvalOverlap)
+      .select(col("doc_id"))
+    docs.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+  }
+
+  /** q66's mixture sampling: deterministic md5-threshold keep at a per-lang
+    * rate. Stable under re-runs and rate *increases* (the kept set at rate r
+    * is a subset of the kept set at r' >= r) — the property that lets a
+    * mixture be re-weighted without resampling the world. Shuffle-free.
+    */
+  def mixtureSample(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    if (cfg.sampleRates.isEmpty && cfg.defaultSampleRate >= 1.0) return docs
+    def thrHex(rate: Double): String = {
+      val t = math.max(0.0, math.min(1.0, rate))
+      f"${math.round(t * 0xffffffffL)}%08x"
+    }
+    val thr = cfg.sampleRates.toSeq.sortBy(_._1)
+      .foldRight(lit(thrHex(cfg.defaultSampleRate))) { case ((lang, r), els) =>
+        when(col("lang") === lang, lit(thrHex(r))).otherwise(els)
+      }
+    docs.withColumn("__key",
+        substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8))
+      .filter(col("__key") < thr)
+      .drop("__key")
+  }
+}

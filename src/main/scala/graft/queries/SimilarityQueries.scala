@@ -26,6 +26,7 @@ object SimilarityQueries {
   private val N_PROBES = 5
   private val NEARDUP_TAU = 0.35
   private val NPROBE_CELLS = 2 // IVF multi-probe fan-out (q65; recall in q69)
+  private val RERANK = 50 // q80: Hamming candidates reranked by exact cosine
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-dup detection (the dedup family's vector-space
@@ -238,6 +239,45 @@ object SimilarityQueries {
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           col("max_abs_err"), col("n_saturated"))
         .orderBy("vec_id")
+    },
+
+    // Binary (sign-bit) quantization ANN — the 1-bit companion to q75's
+    // int8: each vector compresses to a 64-bit sign signature (two 32-bit
+    // BIGINT halves so neither engine's signed arithmetic can overflow),
+    // candidates come from the TOP-RERANK smallest Hamming distances (two
+    // XOR+popcount integer ops per comparison — the whole point: the scan
+    // side never touches the float vectors), and only those candidates get
+    // the exact cosine rerank. At 100 TB the signature table is 64x smaller
+    // than the float corpus and the rerank reads RERANK vectors per probe —
+    // the modern vector-DB binary-quantization shape (probes broadcast, like
+    // q60's exact baseline it accelerates; recall measured the q69 way).
+    "q80_hamming_ann" -> { (s, dir) =>
+      CosineFns.register(s)
+      val emb = spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // Half-signature: fold acc*2 + signbit over 32 dims, MSB first —
+      // identical fold order to the oracle's list_reduce (seed 0 is
+      // value-identical to DuckDB's seedless first-element start).
+      def sigHalf(msb: Int) = aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, i) => acc * 2 + when(get(col("v"), lit(msb) - i) >= 0.0, 1L).otherwise(0L))
+      val sig = emb.withColumn("hi", sigHalf(63)).withColumn("lo", sigHalf(31))
+      val probes = sig.filter(col("vec_id") < N_PROBES)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("hi").as("phi"), col("lo").as("plo"))
+      val wCand = Window.partitionBy("probe_id")
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+      val wRank = Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("vec_id").asc)
+      broadcast(probes).join(sig, col("vec_id") =!= col("probe_id"))
+        .withColumn("hamming",
+          bit_count(col("hi").bitwiseXOR(col("phi"))) +
+            bit_count(col("lo").bitwiseXOR(col("plo"))))
+        .withColumn("cr", row_number().over(wCand)).filter(col("cr") <= RERANK)
+        .withColumn("score", CosineFns.cosineNative(col("pv"), col("v")))
+        .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= TOPK)
+        .select(col("probe_id"), col("rank"), col("vec_id"), col("hamming"),
+          round(col("score"), 4).as("score"))
+        .orderBy("probe_id", "rank")
     },
 
     // Label-partitioned (IVF-style) centroid stats: per-label mean vector
@@ -492,9 +532,41 @@ object SimilarityQueries {
        |  round(CAST(sum(CAST(cscore AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_cohesion
        |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
 
+  /** Half-signature mirror of q80's sigHalf: same MSB-first fold, BIGINT
+    * elements so DuckDB's checked arithmetic can't overflow (max 2^32 - 1).
+    * `msb1` is the 1-based index of the most significant dim (64 or 32).
+    */
+  private def sigHalfSql(msb1: Int) =
+    s"""list_reduce(list_transform(generate_series(0, 31),
+       |    i -> (CASE WHEN v[$msb1 - i] >= 0 THEN 1 ELSE 0 END)::BIGINT),
+       |    (a, b) -> a * 2 + b)""".stripMargin
+
+  private lazy val q80Oracle =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, v, ${sigHalfSql(64)} AS hi, ${sigHalfSql(32)} AS lo
+       |  FROM emb),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv, hi AS phi, lo AS plo
+       |  FROM sig WHERE vec_id < $N_PROBES),
+       |ham AS (
+       |  SELECT probe_id, pv, s.vec_id, s.v,
+       |    CAST(bit_count(xor(s.hi, phi)) + bit_count(xor(s.lo, plo)) AS INT) AS hamming
+       |  FROM probes p, sig s WHERE s.vec_id <> p.probe_id),
+       |cand AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY hamming ASC, vec_id ASC) AS cr FROM ham) WHERE cr <= $RERANK),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, hamming, score, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM (SELECT probe_id, vec_id, hamming, ${cosineSql("pv", "v")} AS score
+       |    FROM cand))
+       |SELECT probe_id, rank, vec_id, hamming, round(score, 4) AS score
+       |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q73_ivf_refine" -> q73Oracle,
     "q74_ivf_train2" -> q74Oracle,
+    "q80_hamming_ann" -> q80Oracle,
 
     // Mirrors q75's folds exactly: max-folds start from 0.0 == Spark's seed
     // (all folded values are >= 0, so the missing explicit seed is

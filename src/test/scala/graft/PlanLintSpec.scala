@@ -24,9 +24,12 @@ class PlanLintSpec extends SparkSpec {
   // q73/q74 reassign every vector against the broadcast centroid table
   // (cells x dim — the Lloyd step's inherent shape), same bounded cross as
   // q65; q74 is two such steps chained.
+  // q80 broadcasts the probe signatures against the full signature table
+  // (non-equi, like q60) — but the scan side is two BIGINTs per vector, the
+  // 64x-compressed form that IS the binary-quantization design.
   private val allowedCartesian =
     Set("q60_cosine_topk", "q65_ivf_search", "q69_ann_recall", "q73_ivf_refine",
-      "q74_ivf_train2")
+      "q74_ivf_train2", "q80_hamming_ann")
 
   /** Plan statically (AQE off): AQE wraps plans before stage codegen is
     * decided, hiding both the `*(n)` markers and the pre-reoptimization
