@@ -27,6 +27,9 @@ object CorpusQueries {
   private val BOILER_DF = 5 // gram in >= 5 docs => boilerplate
   private val RARE_DF = 2 // gram in <= 2 docs => rare; head = df > RARE_DF
   private val BIN_W = 16 // token-count histogram bin width
+  private val KEYWORDS_K = 3 // q78: distinctive tokens per doc
+  private val STRATUM_K = 10 // q81: sample size per language stratum
+  private val WINDOW_W = 20 // q82: shared-token-window width
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-doc gram document-frequency stats: per-doc boilerplate coverage
@@ -72,6 +75,63 @@ object CorpusQueries {
         .withColumn("ttr", round(col("n_distinct").cast("double") / col("n_tokens"), 6))
         .withColumn("top_share", round(col("top_n").cast("double") / col("n_tokens"), 6))
         .orderBy("doc_id")
+    },
+
+    // Distinctive-keyword extraction (tf-idf's deterministic core): per doc,
+    // the top-KEYWORDS_K tokens by term frequency, with corpus document
+    // frequency as the distinctiveness tiebreak (tf DESC, df ASC, token ASC
+    // — rarer wins at equal tf; no log() so the ordering is exact integer
+    // comparison, bit-identical cross-engine). The tf frame is persisted
+    // (two consumers: the df rollup and the join back); the df table is
+    // vocabulary-sized — bounded by language, not corpus — so it broadcasts.
+    "q78_idf_keywords" -> { (s, dir) =>
+      val tf = spread(read(s, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+      tf.join(broadcast(df), "tok")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= KEYWORDS_K)
+        .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // Fixed-size-per-stratum deterministic sample (the reservoir-sample
+    // analog of q66's rate sample): the STRATUM_K docs with the smallest
+    // salted-md5 keys per language. Stable under re-runs and corpus growth
+    // only re-ranks (no RNG state to carry). WindowGroupLimit pushes the
+    // top-k below the stratum shuffle, so each partition contributes at
+    // most K candidate rows — the stratum is never materialized or sorted
+    // whole even when one language is most of the corpus.
+    "q81_stratum_sample" -> { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+      spread(read(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          substring(md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 8)
+            .as("sample_key"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= STRATUM_K)
+        .orderBy("lang", "rank")
+    },
+
+    // Shared-long-window near-dup pairs — the window-granular form of
+    // exact-substring dedup (Lee et al.'s suffix-array criterion at
+    // WINDOW_W-token resolution): doc pairs sharing at least one verbatim
+    // 20-token window, with the shared-window count as evidence. The
+    // self-join is keyed on the window hash, so fan-out is bounded by how
+    // many docs actually share a window (real dups), never all-pairs.
+    "q82_window_dup" -> { (s, dir) =>
+      val grams = spread(read(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(tokens(col("text")), WINDOW_W))).as("g"))
+      val a = grams.select(col("doc_id").as("d1"), col("g"))
+      val b = grams.select(col("doc_id").as("d2"), col("g"))
+      a.join(b, Seq("g")).filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+        .orderBy("d1", "d2")
     },
 
     // Token-length histogram with cumulative corpus share — the planning
@@ -139,6 +199,37 @@ object CorpusQueries {
          |    t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks), 6)
          |    AS top_share
          |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q78_idf_keywords" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |ranked AS (
+         |  SELECT doc_id, tok, tf, df, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tf DESC, df ASC, tok ASC) AS rank
+         |  FROM tf JOIN df USING (tok))
+         |SELECT doc_id, rank, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+         |FROM ranked WHERE rank <= $KEYWORDS_K ORDER BY doc_id, rank""".stripMargin,
+
+    "q81_stratum_sample" ->
+      s"""SELECT doc_id, lang, sample_key, rank FROM (
+         |  SELECT doc_id, lang, sample_key, row_number() OVER (
+         |    PARTITION BY lang ORDER BY sample_key, doc_id) AS rank
+         |  FROM (SELECT doc_id, lang,
+         |    substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+         |    FROM documents))
+         |WHERE rank <= $STRATUM_K ORDER BY lang, rank""".stripMargin,
+
+    "q82_window_dup" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks) - ${WINDOW_W - 1}, 1)),
+         |    i -> md5(array_to_string(toks[i:i+${WINDOW_W - 1}], ' '))))) AS g
+         |  FROM tk)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin,
 
     "q79_length_histogram" ->
       s"""WITH d AS (SELECT len($toksSql) AS n FROM documents),

@@ -137,4 +137,19 @@ class PlanLintSpec extends SparkSpec {
     assert(gramJoins.nonEmpty,
       s"q72 has no broadcast hash join keyed on the gram column:\n${plan.toString.take(2000)}")
   }
+
+  /** q76's scale story is the same: only the DF *head* broadcasts back onto
+    * the gram frame (the rare tail is inferred by difference and never
+    * moves). If the hint is lost the join degrades to shuffling the full
+    * corpus-sized gram frame — pin the strategy like q72's.
+    */
+  test("q76 DF-head join is a broadcast hash join on the gram key") {
+    val plan = staticPlan(SparkEntry.queries("q76_gram_df_stats"))
+    val gramJoins = subtrees(plan).collect {
+      case j: BroadcastHashJoinExec
+          if (j.leftKeys ++ j.rightKeys).exists(_.references.exists(_.name == "g")) => j
+    }
+    assert(gramJoins.nonEmpty,
+      s"q76 has no broadcast hash join keyed on the gram column:\n${plan.toString.take(2000)}")
+  }
 }
