@@ -115,6 +115,29 @@ object ProductQuantization {
     (PQModel(cents, m, k, subDim), history.toSeq)
   }
 
+  /** One PQ training step as an auditable rollup (the q73/q74 pattern
+    * applied to PQ, SQL-mirrorable end to end): a deterministic
+    * `(vec_id + sub_id) % k` initial assignment (init quality is irrelevant
+    * to an audit of the step algebra), one exact-decimal centroid pass, one
+    * squared-L2 reassignment, then per-(subspace, cell) membership, churn
+    * and distortion. Same shapes and tie-breaks as the production `train`
+    * loop — this is the oracle-checked witness for its per-iteration step.
+    */
+  def trainStepAudit(emb: DataFrame, dim: Int, m: Int, k: Int): DataFrame = {
+    val subDim = dim / m
+    val subs = subvectors(emb, m, subDim)
+      .withColumn("cell", pmod(col("vec_id") + col("sub_id"), lit(k)))
+    val cents = centroids(subs)
+    reassign(subs.select(col("vec_id"), col("sub_id"), col("sv")), cents)
+      .join(subs.select(col("vec_id"), col("sub_id"), col("cell").as("prev_cell")),
+        Seq("vec_id", "sub_id"))
+      .groupBy("sub_id", "cell")
+      .agg(count(lit(1)).as("n_subvectors"),
+        sum(when(col("prev_cell") =!= col("cell"), 1L).otherwise(0L)).as("n_moved_in"),
+        round(sum(col("d2").cast(Dec)).cast("double") / count(lit(1)), 4).as("avg_sq_dist"))
+      .orderBy("sub_id", "cell")
+  }
+
   /** Encode vectors to codes: (vec_id, codes array<int>), codes[i] = the
     * cell of subspace i. Linear scan against the broadcast codebook.
     */

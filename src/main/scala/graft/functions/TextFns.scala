@@ -66,6 +66,16 @@ object TextFns {
     transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
       i => md5(concat_ws(" ", (0 until w).map(o => try_element_at(toks, i + o)): _*)))
 
+  /** [[shingles]] via slice+array_join: one slice call per shingle instead
+    * of w element lookups — same md5 universe (slice clamps at the array
+    * end exactly like the oracle's `toks[i:i+w-1]` range, and array_join of
+    * the clamped slice equals concat_ws's null-skipping), but ~w times less
+    * interpreted-lambda work per shingle. Use for wide windows (q82's 20).
+    */
+  def wideShingles(toks: Column, w: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
+      i => md5(array_join(slice(toks, i, lit(w)), " ")))
+
   /** MinHash signature: k permutations simulated by salting the shingle hash;
     * signature element j = min over shingles of md5(j || ':' || shingle_md5).
     */

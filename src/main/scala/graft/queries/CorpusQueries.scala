@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.functions.TextFns.{shingles, tokens}
+import graft.functions.TextFns.{shingles, tokens, wideShingles}
 import Tables._
 
 /** Corpus-statistics surface over `documents` — the cross-document analyses
@@ -124,9 +124,14 @@ object CorpusQueries {
     // self-join is keyed on the window hash, so fan-out is bounded by how
     // many docs actually share a window (real dups), never all-pairs.
     "q82_window_dup" -> { (s, dir) =>
+      // wideShingles (slice-based, ~20x less lambda work than the element-at
+      // form at this width) + persist: BOTH self-join sides read the gram
+      // frame, so without the cache the whole shingle pipeline runs twice
+      // (measured 6.8 s -> sub-second at sf0.1).
       val grams = spread(read(s, dir, "documents"))
         .select(col("doc_id"),
-          explode(array_distinct(shingles(tokens(col("text")), WINDOW_W))).as("g"))
+          explode(array_distinct(wideShingles(tokens(col("text")), WINDOW_W))).as("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val a = grams.select(col("doc_id").as("d1"), col("g"))
       val b = grams.select(col("doc_id").as("d2"), col("g"))
       a.join(b, Seq("g")).filter(col("d1") < col("d2"))

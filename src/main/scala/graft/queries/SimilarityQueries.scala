@@ -280,6 +280,18 @@ object SimilarityQueries {
         .orderBy("probe_id", "rank")
     },
 
+    // One product-quantization training step, audited per (subspace, cell)
+    // — the oracle-checked witness for ProductQuantization.train's step
+    // algebra (the q73 pattern at PQ granularity): deterministic
+    // (vec_id + sub_id) % 16 init, exact-decimal centroids, squared-L2
+    // reassign with (d2 ASC, cell ASC) tie-break. 8 subspaces x 16 cells.
+    "q83_pq_train1" -> { (s, dir) =>
+      graft.functions.ProductQuantization.trainStepAudit(
+        spread(read(s, dir, "embeddings"))
+          .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        dim = DIM, m = 8, k = 16)
+    },
+
     // Label-partitioned (IVF-style) centroid stats: per-label mean vector
     // norm + cohesion proxy — the coarse-quantizer half of an IVF index.
     "q62_ivf_centroids" -> { (s, dir) =>
@@ -563,10 +575,41 @@ object SimilarityQueries {
        |SELECT probe_id, rank, vec_id, hamming, round(score, 4) AS score
        |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin
 
+  /** Mirror of trainStepAudit: subvector slices are 1-based inclusive
+    * ranges; the d2 fold (squared diffs, left fold) is order-identical to
+    * the Spark side, so ranking ties resolve identically.
+    */
+  private lazy val q83Oracle =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, s.i AS sub_id, v[s.i*8 + 1 : s.i*8 + 8] AS sv,
+       |    (vec_id + s.i) % 16 AS cell
+       |  FROM emb, generate_series(0, 7) AS s(i)),
+       |comp AS (
+       |  SELECT sub_id, cell, g.i AS pos,
+       |    CAST(sum(CAST(sv[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |  FROM subs, generate_series(1, 8) AS g(i)
+       |  GROUP BY sub_id, cell, g.i),
+       |cent AS (SELECT sub_id, cell AS c_cell, list(c ORDER BY pos) AS cv
+       |  FROM comp GROUP BY sub_id, cell),
+       |d AS (
+       |  SELECT vec_id, sub_id, cell AS prev_cell, c_cell,
+       |    list_reduce(list_transform(generate_series(1, 8),
+       |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i])), (x, y) -> x + y) AS d2
+       |  FROM subs JOIN cent USING (sub_id)),
+       |a AS (SELECT vec_id, sub_id, prev_cell, c_cell AS cell, d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+       |    ORDER BY d2 ASC, c_cell ASC) AS r FROM d) WHERE r = 1)
+       |SELECT sub_id, cell, count(*) AS n_subvectors,
+       |  CAST(sum(CASE WHEN prev_cell <> cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+       |  round(CAST(sum(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_sq_dist
+       |FROM a GROUP BY sub_id, cell ORDER BY sub_id, cell""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q73_ivf_refine" -> q73Oracle,
     "q74_ivf_train2" -> q74Oracle,
     "q80_hamming_ann" -> q80Oracle,
+    "q83_pq_train1" -> q83Oracle,
 
     // Mirrors q75's folds exactly: max-folds start from 0.0 == Spark's seed
     // (all folded values are >= 0, so the missing explicit seed is

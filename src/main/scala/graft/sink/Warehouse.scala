@@ -3,6 +3,7 @@ package graft.sink
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.model.{ResourceDef, WriteMode}
@@ -357,6 +358,46 @@ final class Warehouse(spark: SparkSession, root: String,
   def append(name: String, df: DataFrame, statsCols: Seq[String] = Nil,
              clusterBy: Seq[String] = Nil): Long =
     writeBatch(name, df, statsCols, clusterBy, keepPrior = true)
+
+  /** Per-batch outcome of [[appendDeduped]]: rows written, rows dropped as
+    * in-batch duplicates, rows dropped because their fingerprint already
+    * exists in the table.
+    */
+  final case class DedupAppendReport(version: Long, appended: Long,
+    dupInBatch: Long, dupInTable: Long)
+
+  /** Incremental deduplicated ingestion — the corpus-building composition of
+    * the append sink with the exact-dedup operator (q54's algebra applied
+    * across commits): append only rows whose `fpCol` fingerprint is (a)
+    * unique within the batch (min-`pk` row wins — deterministic under any
+    * partitioning) and (b) absent from the current table snapshot.
+    *
+    * Replay-safe by construction: re-appending the same batch appends 0
+    * rows, so a retried job cannot double-ingest (the corpus analog of the
+    * streaming file ledger). Scale posture: the existing-side probe reads
+    * ONLY `fpCol` (column-pruned parquet scan of the table) and the check
+    * is a keyed left-anti join on the fingerprint — linear, shuffle on the
+    * fp hash; the batch side is one keyed window. At 100 TB the fp probe is
+    * the standard "hash index as a column" trade: no secondary index to
+    * maintain, one pruned scan per ingest.
+    */
+  def appendDeduped(name: String, df: DataFrame, fpCol: String, pk: String,
+      statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil): DedupAppendReport = {
+    val w = Window.partitionBy(fpCol)
+    val inBatch = df.withColumn("__keeper", min(pk).over(w))
+      .filter(col(pk) === col("__keeper")).drop("__keeper")
+    val fresh =
+      if (!exists(name)) inBatch
+      else inBatch.join(load(name).select(fpCol).distinct(), Seq(fpCol), "left_anti")
+    // localCheckpoint: the frame is consumed twice (count + write) and the
+    // anti-join must not re-plan against the table AFTER the commit below.
+    val materialized = fresh.localCheckpoint()
+    val total = df.count()
+    val afterBatch = inBatch.count()
+    val appended = materialized.count()
+    val version = append(name, materialized, statsCols, clusterBy)
+    DedupAppendReport(version, appended, total - afterBatch, afterBatch - appended)
+  }
 
   /** P8 replace disposition: delete-all (`AlwaysTrue()`,
     * `salesforce_pipeline.py:79-81`) then append ⇒ the new snapshot lists
