@@ -106,14 +106,27 @@ object CorpusPipeline {
     */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, cfg: Config = Config()): DataFrame = {
     if (evalDocs.isEmpty) return docs
-    val evalGrams = broadcast(
-      evalDocs.select(explode(array_distinct(
-          shingles(tokens(col("text")), cfg.deconGramW))).as("g"))
-        .distinct())
+    decontaminateAgainstGrams(docs, evalGrams(evalDocs, cfg), cfg)
+  }
+
+  /** The eval corpus reduced to its distinct gram set — compute once, reuse
+    * across batches/streams (benchmark-sized by contract, so broadcastable).
+    */
+  def evalGrams(evalDocs: DataFrame, cfg: Config = Config()): DataFrame =
+    evalDocs.select(explode(array_distinct(
+        shingles(tokens(col("text")), cfg.deconGramW))).as("g"))
+      .distinct()
+
+  /** [[decontaminate]] against a pre-computed gram set (`g` column) — the
+    * form a streaming ingest reuses per micro-batch without re-shingling
+    * the benchmark corpus every trigger.
+    */
+  def decontaminateAgainstGrams(docs: DataFrame, grams: DataFrame,
+      cfg: Config = Config()): DataFrame = {
     val contaminated = docs
       .select(col("doc_id"), explode(array_distinct(
         shingles(tokens(col("text")), cfg.deconGramW))).as("g"))
-      .join(evalGrams, "g")
+      .join(broadcast(grams.select(col("g"))), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("__n_overlap"))
       .filter(col("__n_overlap") > cfg.maxEvalOverlap)
       .select(col("doc_id"))

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+import graft.functions.TextFns.normalize
+import graft.pipeline.CorpusPipeline
+import graft.pipeline.CorpusPipeline.Config
+import graft.sink.Warehouse
+
+/** Streaming corpus curation: continuous document ingestion through the
+  * CorpusPipeline admission gates into a deduplicated warehouse table.
+  *
+  * Architecture: the in-flight stages are STATELESS (quality filter and
+  * benchmark-gram decontamination are per-row / per-batch against a static
+  * broadcast set), and the one genuinely global piece of state — "which
+  * fingerprints has this corpus ever admitted" — lives in the WAREHOUSE
+  * TABLE itself via [[Warehouse.appendDeduped]], not in streaming state.
+  * Streaming-state dedup (`dropDuplicates`) grows without bound for a
+  * corpus-lifetime key set and dies with the checkpoint; the table probe is
+  * durable, survives checkpoint loss, and is exactly the index a batch
+  * backfill uses — stream and batch ingestion share one dedup truth.
+  *
+  * Replay safety falls out for free: a replayed micro-batch's rows are all
+  * fingerprint-duplicates by then, so `appendDeduped` admits 0 — no
+  * separate file ledger needed for this sink (unlike `incrementalLoad`'s
+  * merge path, where rows aren't self-identifying).
+  */
+object CorpusStream {
+
+  /** Watch `watchDir` for parquet document drops and ingest each micro-batch
+    * through quality -> decontaminate -> fingerprint-dedup-append into
+    * `table`. `evalGrams` is the pre-computed benchmark gram set
+    * ([[CorpusPipeline.evalGrams]]) — pass an empty frame to skip
+    * decontamination.
+    */
+  def ingestCurated(spark: SparkSession, watchDir: String, schema: StructType,
+      wh: Warehouse, table: String, evalGrams: DataFrame,
+      cfg: Config = Config(), checkpointDir: Option[String] = None,
+      streamId: String = "corpus"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val grams = evalGrams.cache() // tiny by contract; reused every trigger
+    spark.readStream.schema(schema).parquet(watchDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"${watchDir.stripSuffix("/")}/_checkpoint_$streamId"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val q = CorpusPipeline.qualityFilter(batch, cfg)
+        val clean =
+          if (grams.isEmpty) q
+          else CorpusPipeline.decontaminateAgainstGrams(q, grams, cfg)
+        wh.appendDeduped(table,
+          clean.withColumn("fp", md5(normalize(col("text")))), "fp", "doc_id")
+        ()
+      }
+  }
+}
