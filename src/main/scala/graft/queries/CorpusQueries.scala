@@ -30,6 +30,10 @@ object CorpusQueries {
   private val KEYWORDS_K = 3 // q78: distinctive tokens per doc
   private val STRATUM_K = 10 // q81: sample size per language stratum
   private val WINDOW_W = 20 // q82: shared-token-window width
+  private val CHUNK_SIZE = 32 // q84: tokens per chunk
+  private val CHUNK_OVERLAP = 8 // q84: tokens shared between adjacent chunks
+  private val VOCAB_K = 20 // q85: vocabulary size
+  private val COLLOC_K = 25 // q86: collocations reported
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-doc gram document-frequency stats: per-doc boilerplate coverage
@@ -139,6 +143,79 @@ object CorpusQueries {
         .orderBy("d1", "d2")
     },
 
+    // Overlapping token-window chunking — the document→chunk explosion an
+    // embedding/RAG pipeline runs before vectorization (chunk size 32,
+    // overlap 8 ⇒ stride 24; every token lands in ≥1 chunk, boundaries
+    // covered by the overlap). Emits per-chunk token span + content
+    // fingerprint. Pure per-row array math (sequence/slice) — zero shuffle,
+    // output fans out ~n_tokens/stride rows per doc at any corpus size.
+    "q84_chunking" -> { (s, dir) =>
+      val stride = CHUNK_SIZE - CHUNK_OVERLAP
+      spread(read(s, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"), size(col("tk")).as("n_tokens"),
+          posexplode(sequence(lit(1), greatest(size(col("tk")) - CHUNK_OVERLAP, lit(1)),
+            lit(stride))).as(Seq("chunk_id", "start")))
+        .withColumn("chunk_len",
+          least(lit(CHUNK_SIZE), col("n_tokens") - col("start") + 1))
+        .withColumn("chunk_fp",
+          md5(array_join(slice(col("tk"), col("start"), lit(CHUNK_SIZE)), " ")))
+        .select(col("doc_id"), col("chunk_id"), col("start"), col("chunk_len"), col("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Vocabulary construction with a coverage curve — the tokenizer-training
+    // precursor (BPE init / vocab truncation): top-VOCAB_K tokens by corpus
+    // frequency with the cumulative share of all token occurrences each
+    // vocabulary prefix covers (the curve that picks the vocab size). The
+    // rank window is over the VOCABULARY (bounded by language, not corpus),
+    // after a map-side-combining count agg over the token stream.
+    "q85_vocab_coverage" -> { (s, dir) =>
+      val t = spread(read(s, dir, "documents"))
+        .select(explode(tokens(col("text"))).as("tok"))
+      val total = t.agg(count(lit(1)).as("total"))
+      val wRank = Window.orderBy(col("cnt").desc, col("tok").asc)
+      val wCum = Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= VOCAB_K)
+        .crossJoin(broadcast(total))
+        .withColumn("coverage",
+          round(sum("cnt").over(wCum).cast("double") / col("total"), 6))
+        .select(col("rank"), col("tok"), col("cnt"), col("coverage"))
+        .orderBy("rank")
+    },
+
+    // Collocation extraction — PMI's deterministic core without the log:
+    // bigram lift = P(ab) / (P(a)P(b)) = c(ab) * N / (c(a) * c(b)), exact
+    // integer products under one double division (bit-identical cross-
+    // engine; log-based PMI would be at the mercy of libm). Top-COLLOC_K by
+    // (lift DESC, a, b). Unigram and bigram counts are map-side-combining
+    // aggs; the unigram table is vocabulary-sized, so both lookups broadcast.
+    "q86_collocations" -> { (s, dir) =>
+      val tk = spread(read(s, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val uni = tk.select(explode(col("tk")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = tk.select(explode(col("tk")).as("tok")).agg(count(lit(1)).as("n"))
+      val bi = tk.select(explode(transform(
+          sequence(lit(1), greatest(size(col("tk")) - 1, lit(1))),
+          i => struct(try_element_at(col("tk"), i).as("a"),
+            try_element_at(col("tk"), i + 1).as("b")))).as("g"))
+        .filter(col("g.b").isNotNull)
+        .groupBy(col("g.a").as("a"), col("g.b").as("b")).agg(count(lit(1)).as("cab"))
+      bi.join(broadcast(uni.select(col("tok").as("a"), col("c").as("ca"))), Seq("a"))
+        .join(broadcast(uni.select(col("tok").as("b"), col("c").as("cb"))), Seq("b"))
+        .crossJoin(broadcast(total))
+        .withColumn("lift",
+          round(col("cab").cast("double") * col("n") / (col("ca") * col("cb")), 4))
+        .select(col("a"), col("b"), col("cab"), col("lift"))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(COLLOC_K)
+    },
+
     // Token-length histogram with cumulative corpus share — the planning
     // query behind q68's packing (bin docs by token count, see how much of
     // the corpus sits under each cutoff). One tiny keyed aggregate (<=
@@ -235,6 +312,48 @@ object CorpusQueries {
          |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
          |FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
          |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin,
+
+    "q85_vocab_coverage" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+         |ranked AS (SELECT tok, cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank FROM c)
+         |SELECT rank, tok, CAST(cnt AS BIGINT) AS cnt,
+         |  round(CAST(sum(cnt) OVER (ORDER BY rank
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / (SELECT count(*) FROM t), 6) AS coverage
+         |FROM ranked WHERE rank <= $VOCAB_K ORDER BY rank""".stripMargin,
+
+    "q86_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |uni AS (SELECT unnest(toks) AS tok FROM tk),
+         |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+         |total AS (SELECT count(*) AS n FROM uni),
+         |bi AS (SELECT unnest(list_transform(
+         |    generate_series(1, greatest(len(toks) - 1, 1)),
+         |    i -> struct_pack(a := toks[i], b := toks[i+1]))) AS g FROM tk),
+         |bc AS (SELECT g.a AS a, g.b AS b, count(*) AS cab
+         |  FROM bi WHERE g.b IS NOT NULL GROUP BY g.a, g.b)
+         |SELECT a, b, CAST(cab AS BIGINT) AS cab,
+         |  round(CAST(cab AS DOUBLE) * (SELECT n FROM total) / (ca.c * cb.c), 4) AS lift
+         |FROM bc JOIN uc ca ON bc.a = ca.tok JOIN uc cb ON bc.b = cb.tok
+         |ORDER BY lift DESC, a, b LIMIT $COLLOC_K""".stripMargin,
+
+    // chunk_id is derived arithmetically ((start-1)/stride) on both sides,
+    // so no WITH ORDINALITY is needed to mirror posexplode's index.
+    "q84_chunking" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ch AS (
+         |  SELECT doc_id, toks, len(toks) AS n_tokens,
+         |    unnest(generate_series(1,
+         |      greatest(len(toks) - $CHUNK_OVERLAP, 1), ${CHUNK_SIZE - CHUNK_OVERLAP})) AS s
+         |  FROM tk)
+         |SELECT doc_id,
+         |  CAST((s - 1) // ${CHUNK_SIZE - CHUNK_OVERLAP} AS INT) AS chunk_id,
+         |  CAST(s AS INT) AS start,
+         |  CAST(least($CHUNK_SIZE, n_tokens - s + 1) AS INT) AS chunk_len,
+         |  md5(array_to_string(toks[s : s + ${CHUNK_SIZE - 1}], ' ')) AS chunk_fp
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q79_length_histogram" ->
       s"""WITH d AS (SELECT len($toksSql) AS n FROM documents),

@@ -124,6 +124,82 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: int8 quantize/reconstruct error bound holds on generated vectors") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityQueries.{quantizeInt8, reconstructInt8}
+    // vectors of varying dim, mixed sign/magnitude, plus all-zero vectors
+    val vecGen: Gen[List[Double]] = Gen.oneOf(
+      Gen.choose(1, 8).flatMap(d => Gen.listOfN(d, Gen.choose(-10.0, 10.0))),
+      Gen.choose(1, 8).map(d => List.fill(d)(0.0)))
+    for ((vecs, i) <- samples(Gen.listOfN(8, vecGen), 4, 1234).zipWithIndex) {
+      val in = spark.createDataFrame(
+        vecs.zipWithIndex.map { case (v, j) => Row(j.toLong, v) }.asJava,
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("v", ArrayType(DoubleType)))))
+      val out = reconstructInt8(quantizeInt8(in))
+        .select(col("vec_id"), col("scale"),
+          aggregate(zip_with(col("rv"), col("v"), (a, b) => abs(a - b)),
+            lit(0.0), (acc, x) => greatest(acc, x)).as("max_err"),
+          aggregate(col("qv"), lit(0), (acc, q) =>
+            greatest(acc, abs(q.cast("int")))).as("max_q"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getDouble(2) <= r.getDouble(1) / 2 + 1e-12,
+          s"case $i vec ${r.getLong(0)}: err ${r.getDouble(2)} > scale/2 ${r.getDouble(1) / 2}")
+        assert(r.getInt(3) <= 127, s"case $i vec ${r.getLong(0)}: |q| ${r.getInt(3)} > 127")
+      }
+    }
+  }
+
+  test("property: appendDeduped admits exactly the first row per fingerprint") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("fp", StringType)))
+    val rowGen = Gen.zip(Gen.choose(0L, 999L), Gen.oneOf("p", "q", "r", "s", "t"))
+    for ((batches, i) <- samples(Gen.listOfN(3, Gen.listOfN(6, rowGen)), 4, 99).zipWithIndex) {
+      val wh = new Warehouse(spark, tmpDir(s"p-dedup$i"))
+      var admitted = 0L
+      batches.foreach { b =>
+        val in = spark.createDataFrame(
+          b.map(r => Row(r._1, r._2)).asJava, docSchema)
+        val rep = wh.appendDeduped("c", in, "fp", "doc_id")
+        admitted += rep.appended
+        assert(rep.appended + rep.dupInBatch + rep.dupInTable == b.size, s"case $i: $rep")
+      }
+      val table = wh.load("c").collect().map(r => (r.getLong(0), r.getString(1)))
+      val wantFps = batches.flatten.map(_._2).toSet
+      assert(table.map(_._2).toSet == wantFps, s"case $i: fingerprint set mismatch")
+      assert(table.length == wantFps.size && admitted == wantFps.size,
+        s"case $i: ${table.length} rows for ${wantFps.size} fingerprints")
+      // the kept row per fp is the min-pk row of the EARLIEST batch containing it
+      val want = batches.zipWithIndex.flatMap { case (b, bi) =>
+        b.map(r => (r._2, bi, r._1))
+      }.groupBy(_._1).map { case (fp, rs) =>
+        val firstBatch = rs.map(_._2).min
+        fp -> rs.filter(_._2 == firstBatch).map(_._3).min
+      }
+      table.foreach { case (id, fp) =>
+        assert(want(fp) == id, s"case $i: kept $id for $fp, want ${want(fp)}")
+      }
+    }
+  }
+
+  test("property: q84 chunk arithmetic covers every token with bounded overlap") {
+    // pure arithmetic mirror of the q84 formula: starts = 1 to max(n-8,1)
+    // by 24, chunk = [s, min(s+31, n)] — every token covered, adjacent
+    // full chunks overlap by exactly 8
+    for (n <- 1 to 400) {
+      val starts = 1 to math.max(n - 8, 1) by 24
+      val covered = starts.flatMap(s => s to math.min(s + 31, n)).toSet
+      assert((1 to n).forall(covered), s"n=$n: uncovered tokens")
+      starts.sliding(2).foreach {
+        case Seq(a, b) =>
+          if (b + 31 <= n) // both chunks full
+            assert(a + 31 - b + 1 == 8, s"n=$n: overlap ${a + 31 - b + 1} != 8")
+        case _ =>
+      }
+    }
+  }
+
   test("property: conform is total and idempotent on arbitrary target subsets") {
     val targets = Seq(
       StructType(Seq(StructField("Id", StringType))),
