@@ -253,13 +253,16 @@ object SimilarityQueries {
     // q60's exact baseline it accelerates; recall measured the q69 way).
     "q80_hamming_ann" -> { (s, dir) =>
       CosineFns.register(s)
+      graft.functions.expressions.SignBitsFns.register(s)
       val emb = spread(read(s, dir, "embeddings"))
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      // Half-signature: fold acc*2 + signbit over 32 dims, MSB first —
-      // identical fold order to the oracle's list_reduce (seed 0 is
-      // value-identical to DuckDB's seedless first-element start).
-      def sigHalf(msb: Int) = aggregate(sequence(lit(0), lit(31)), lit(0L),
-        (acc, i) => acc * 2 + when(get(col("v"), lit(msb) - i) >= 0.0, 1L).otherwise(0L))
+      // Half-signature: acc*2 + signbit over 32 dims, MSB first — the
+      // codegen'd native form (one fused primitive loop; the HOF fold it
+      // replaces is bit-identical but interpreted, TextVectorExprSpec pins
+      // the equivalence). Fold order matches the oracle's list_reduce
+      // (seed 0 is value-identical to DuckDB's seedless first-element start).
+      def sigHalf(msb: Int) =
+        graft.functions.expressions.SignBitsFns.signBitsNative(col("v"), lit(msb))
       val sig = emb.withColumn("hi", sigHalf(63)).withColumn("lo", sigHalf(31))
       val probes = sig.filter(col("vec_id") < N_PROBES)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"),

@@ -61,4 +61,36 @@ class TextVectorExprSpec extends SparkSpec {
     assert(r.getInt(0) == 2)
     assert(r.isNullAt(1))
   }
+
+  test("sign_bits native == fold form on real embeddings (both q80 halves)") {
+    import graft.functions.expressions.SignBitsFns
+    SignBitsFns.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    def fold(msb: Int) = aggregate(sequence(lit(0), lit(31)), lit(0L),
+      (acc, i) => acc * 2 + when(get(col("v"), lit(msb) - i) >= 0.0, 1L).otherwise(0L))
+    val both = emb
+      .withColumn("fh", fold(63)).withColumn("fl", fold(31))
+      .withColumn("nh", SignBitsFns.signBitsNative(col("v"), lit(63)))
+      .withColumn("nl", SignBitsFns.signBitsNative(col("v"), lit(31)))
+    val diff = both.filter(col("fh") =!= col("nh") || col("fl") =!= col("nl")).count()
+    assert(diff == 0, s"$diff rows differ between fold and native sign bits")
+    assert(both.select("nh").distinct().count() > 1)
+  }
+
+  test("sign_bits: null/out-of-range elements are 0 bits; bounds hold") {
+    import graft.functions.expressions.SignBitsFns
+    SignBitsFns.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  sign_bits_native(array(1.0d, -1.0d, CAST(NULL AS DOUBLE)), 31) AS withnull,
+        |  sign_bits_native(array(1.0d), 31) AS short,
+        |  sign_bits_native(CAST(NULL AS ARRAY<DOUBLE>), 31) AS narr""".stripMargin).head()
+    // MSB-first fold with msb=31: element 0 is processed last (weight 2^0);
+    // element 1 is negative and element 2 NULL (both 0 bits), dims 3..31
+    // out of range (0 bits) -> the whole signature is exactly 1
+    assert(r.getLong(0) == 1L, s"null element must be a 0 bit, got ${r.getLong(0)}")
+    assert(r.getLong(1) == 1L)
+    assert(r.isNullAt(2))
+  }
 }
