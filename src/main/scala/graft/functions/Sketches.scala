@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental sketch maintenance — approximate-distinct state carried AS A
+  * COLUMN across warehouse commits (q44 computes one-shot sketches; this is
+  * the form a 100 TB incremental pipeline actually ships): each ingest
+  * batch aggregates its own per-day Datasketches HLL sketch of the user
+  * set, the warehouse appends those bounded sketch rows (never raw events),
+  * and reads merge the sketches per day. Re-counting distinct users over N
+  * ingests costs O(days x sketch size) — no rescan of any event batch.
+  *
+  * Determinism: Datasketches HLL is a deterministic function of the input
+  * VALUE SET, and union is order-insensitive, so merged-across-batches ==
+  * single-shot over the union (spec-checked exactly, not approximately) and
+  * any retry/re-partitioning produces identical estimates.
+  */
+object Sketches {
+
+  /** Per-day HLL user sketches + exact event counts for ONE ingest batch.
+    * Output is bounded (days x sketch bytes) regardless of batch size.
+    */
+  def dailyUserSketches(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("users_hll"),
+        count(lit(1)).as("n_events"))
+
+  /** Merge a frame of per-batch sketch rows (the warehouse table's content)
+    * into per-day approximate distinct users + exact event totals.
+    */
+  def mergeDaily(sketches: DataFrame): DataFrame =
+    sketches.groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("users_hll"))).as("approx_users"),
+        sum("n_events").as("n_events"))
+
+  /** Roll the per-day table up to one global approximate distinct count —
+    * sketches compose across BOTH batches and days (the same union algebra),
+    * so corpus-lifetime cardinality is one tiny aggregate over sketch rows.
+    */
+  def mergeAll(sketches: DataFrame): DataFrame =
+    sketches.agg(hll_sketch_estimate(hll_union_agg(col("users_hll"))).as("approx_users"),
+      sum("n_events").as("n_events"))
+}

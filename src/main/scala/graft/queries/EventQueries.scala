@@ -118,6 +118,50 @@ object EventQueries {
         .orderBy("purchase_id")
     },
 
+    // Ordered funnel conversion (view -> click -> purchase): a user advances
+    // a stage only with an event STRICTLY AFTER their previous stage's first
+    // qualifying event — the classic product-analytics funnel. Each stage is
+    // a keyed min-agg plus an equi-join on user_id (linear, shuffle on the
+    // user key; no window over the full stream), and the 3-row stage frame
+    // gets its conversion ratios from a lag over itself.
+    "q87_funnel" -> { (s, dir) =>
+      val ev = events(s, dir).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1")).groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2")).groupBy("user_id").agg(min("ts").as("t3"))
+      val stages = v.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("stage"), lit("view").as("step"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("stage"), lit("view>click").as("step"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("stage"), lit("view>click>purchase").as("step"), col("n_users")))
+      val w = Window.orderBy("stage")
+      stages
+        .withColumn("conversion",
+          coalesce(round(col("n_users").cast("double") / lag("n_users", 1).over(w), 6),
+            lit(1.0)))
+        .orderBy("stage")
+    },
+
+    // Retention cohort matrix: users grouped by first-seen day, counted on
+    // each later active day as an offset — the activation/retention view
+    // every events warehouse ships. Distinct (user, day) first (collapses
+    // the stream to bounded user-days), then one keyed join against the
+    // per-user first day.
+    "q88_retention" -> { (s, dir) =>
+      val d = events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val first = d.groupBy("user_id").agg(min("day").as("cohort_day"))
+      d.join(first, "user_id")
+        .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     // RANGE join, bucket-blocked: errors within 60s after any purchase.
     // A naive inequality join plans as a nested loop; bucketing time into
     // 60s cells and exploding one side to (cell, cell+1) turns it into an
@@ -226,6 +270,30 @@ object EventQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
+
+    "q87_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id),
+        |st AS (
+        |  SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM v
+        |  UNION ALL SELECT 2, 'view>click', count(*) FROM c
+        |  UNION ALL SELECT 3, 'view>click>purchase', count(*) FROM p)
+        |SELECT stage, step, CAST(n_users AS BIGINT) AS n_users,
+        |  coalesce(round(CAST(n_users AS DOUBLE)
+        |    / lag(n_users) OVER (ORDER BY stage), 6), 1.0) AS conversion
+        |FROM st ORDER BY stage""".stripMargin,
+
+    "q88_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q46_range_purchase_errors" ->
       """SELECT p.event_id AS purchase_id, count(*) AS n_errors,
