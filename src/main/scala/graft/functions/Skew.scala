@@ -45,4 +45,24 @@ object Skew {
       sum("__cnt").as("n")
     partial.groupBy(col(key)).agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Salted equi-join for a skewed key when AQE's skew split isn't in play
+    * (static planning, or a build side above the broadcast threshold but far
+    * smaller than the skewed fact side): the fact side takes a per-row salt,
+    * the dimension side is REPLICATED to every salt value, and the join runs
+    * on (key, salt) — one hot key fans across `buckets` reducers instead of
+    * one. Inner-join semantics on `key`, result identical to
+    * `facts.join(dims, key)` (PropertySpec checks equality on generated
+    * skew). Cost: dims scan x buckets — only sane when |dims| << |facts|,
+    * which is the skew scenario by definition.
+    */
+  def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
+      buckets: Int = 16): DataFrame = {
+    val reserved = Seq("__salt").filter(c => facts.columns.contains(c) || dims.columns.contains(c))
+    require(reserved.isEmpty, "saltedJoin reserves column __salt — rename it first")
+    val fs = facts.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val ds = dims.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    fs.join(ds, Seq(key, "__salt")).drop("__salt")
+  }
 }

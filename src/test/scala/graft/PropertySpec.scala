@@ -200,6 +200,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: saltedJoin equals the plain equi-join on skewed generated data") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Skew
+    // heavy skew: most fact rows share one hot key
+    val factGen = Gen.listOfN(40,
+      Gen.zip(Gen.frequency(8 -> Gen.const("hot"), 2 -> Gen.oneOf("b", "c", "d")),
+        Gen.choose(0L, 99L)))
+    val dimGen = Gen.listOfN(4, Gen.zip(Gen.oneOf("hot", "b", "c", "d", "e"),
+      Gen.choose(100L, 199L)))
+    for (((facts, dims), i) <- samples(Gen.zip(factGen, dimGen), 4, 777).zipWithIndex) {
+      val f = df(facts).withColumnRenamed("Amount", "fa")
+      val d = df(dims.distinct).withColumnRenamed("Amount", "da")
+      val plain = f.join(d, "Id").orderBy("Id", "fa", "da").collect().toSeq
+      val salted = Skew.saltedJoin(f, d, "Id")
+        .select("Id", "fa", "da").orderBy("Id", "fa", "da").collect().toSeq
+      assert(plain == salted, s"case $i: facts=$facts dims=$dims")
+    }
+  }
+
   test("property: conform is total and idempotent on arbitrary target subsets") {
     val targets = Seq(
       StructType(Seq(StructField("Id", StringType))),
