@@ -10,6 +10,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 final case class SessionBuf(startMs: Long, endMs: Long, nEvents: Long, totalValue: Double)
 
+/** Per-user funnel progression state (EventStream.funnelStages): epoch-ms of
+  * the first qualifying event per stage, 0 = stage not reached. Top-level
+  * for the same encoder reason as SessionBuf.
+  */
+final case class FunnelBuf(t1: Long, t2: Long, t3: Long)
+
 /** Structured Streaming duals of the incremental/batch semantics
   * (SURVEY.md §2.9): the reference's micro-batch replication becomes a real
   * stream here — watermarked tumbling-window aggregation (I1/I3 dual) and
@@ -91,6 +97,49 @@ object EventStream {
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+  }
+
+  /** A user advancing to funnel `stage` at `ts` (funnelStages output). */
+  final case class StageAdvance(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+
+  /** Streaming funnel state machine — the streaming dual of q87: per-user
+    * typed state holds the first qualifying timestamp of each stage
+    * (view -> click -> purchase, each strictly after the previous stage),
+    * and a row is emitted the moment a user ADVANCES a stage — the
+    * real-time form of the batch conversion rollup.
+    *
+    * Under in-order delivery (per-user timestamp order, which the spec
+    * drives and a watermarked upstream sort guarantees) the advance counts
+    * equal q87's stage counts exactly. State is three longs per user —
+    * bounded by the user population, not stream length — and never expires
+    * (a funnel is a lifetime property; callers wanting windowed funnels
+    * bound it upstream by filtering the time range).
+    */
+  def funnelStages(events: Dataset[Event]): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[FunnelBuf]): Iterator[StageAdvance] = {
+      var buf = state.getOption.getOrElse(FunnelBuf(0L, 0L, 0L))
+      var out = List.empty[StageAdvance]
+      batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        e.event_type match {
+          case "view" if buf.t1 == 0L =>
+            buf = buf.copy(t1 = t); out ::= StageAdvance(userId, 1, e.ts)
+          case "click" if buf.t1 != 0L && buf.t2 == 0L && t > buf.t1 =>
+            buf = buf.copy(t2 = t); out ::= StageAdvance(userId, 2, e.ts)
+          case "purchase" if buf.t2 != 0L && buf.t3 == 0L && t > buf.t2 =>
+            buf = buf.copy(t3 = t); out ::= StageAdvance(userId, 3, e.ts)
+          case _ => ()
+        }
+      }
+      state.update(buf)
+      out.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Stream-stream interval join — the streaming dual of the batch as-of

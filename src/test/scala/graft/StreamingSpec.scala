@@ -206,4 +206,55 @@ class StreamingSpec extends SparkSpec {
     drain(cp1)
     assert(wh.load("evdrops").count() == 15)
   }
+
+  test("funnelStages: strict ordering, one advance per stage, no stage skipping") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.funnelStages(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 0), // click before any view: ignored
+        Event(2, ts(1), 1, "view", 0), // stage 1
+        Event(3, ts(1), 2, "purchase", 0), // user 2 never views: ignored
+        Event(4, ts(2), 1, "view", 0)) // second view: ignored
+      q.processAllAvailable()
+      input.addData(
+        Event(5, ts(3), 1, "click", 0), // stage 2 (after t1)
+        Event(6, ts(3), 1, "purchase", 0), // same ts as click: NOT strictly after
+        Event(7, ts(9), 1, "purchase", 0)) // stage 3
+      q.processAllAvailable()
+      val out = spark.table("funnel_out")
+        .as[EventStream.StageAdvance].collect().sortBy(a => (a.user_id, a.stage))
+      assert(out.map(a => (a.user_id, a.stage)).toSeq ==
+        Seq((1L, 1), (1L, 2), (1L, 3)), s"got ${out.toSeq}")
+      assert(out.map(_.ts).toSeq == Seq(ts(1), ts(3), ts(9)))
+    } finally q.stop()
+  }
+
+  test("funnelStages advance counts == batch q87 stage counts on the fixture") {
+    implicit val sc = spark.sqlContext
+    val fixture = graft.schema.SchemaOps
+      .normalizeNanos(spark.read.parquet(s"$sf/events.parquet"), Seq("ts"))
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventStream.funnelStages(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_fixture").start()
+    try {
+      // two chunks: state must carry stages across micro-batches
+      val (a, b) = fixture.splitAt(fixture.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("funnel_fixture")
+        .groupBy("stage").count().as[(Int, Long)].collect().toMap
+      val batch = SparkEntry.queries("q87_funnel")(spark, sf)
+        .select("stage", "n_users").as[(Int, Long)].collect().toMap
+      assert(streamed == batch,
+        s"stream advances $streamed != batch funnel $batch")
+    } finally q.stop()
+  }
 }
