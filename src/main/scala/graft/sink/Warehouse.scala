@@ -420,7 +420,7 @@ final class Warehouse(spark: SparkSession, root: String,
     * exist.
     */
   def compact(name: String, targetBytes: Long = 128L << 20,
-              sortBy: Seq[String] = Nil): Long = {
+              sortBy: Seq[String] = Nil, zOrderBy: Option[(String, String)] = None): Long = {
     val man = currentManifest(name)
     val sized = man.files.map(f => f -> Files.size(tableDir(name).resolve(f.path)))
     val (smalls, bigs) = sized.partition(_._2 < targetBytes)
@@ -430,11 +430,18 @@ final class Warehouse(spark: SparkSession, root: String,
     val src = spark.read.schema(man.schema)
       .parquet(smalls.map { case (f, _) => tableDir(name).resolve(f.path).toString }: _*)
     val nOut = math.max(1L, (smalls.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
-    val packed =
-      if (sortBy.nonEmpty)
+    // OPTIMIZE ZORDER analog: re-lay the rewritten rows on the Morton curve
+    // of two columns so their per-file bounds become rectangles (both
+    // dimensions prune); plain sortBy range-clusters one leading dimension.
+    val packed = zOrderBy match {
+      case Some((a, b)) => graft.functions.ZOrder.layout(src, a, b, nOut)
+      case None if sortBy.nonEmpty =>
         src.repartitionByRange(nOut, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
-      else src.coalesce(nOut)
-    val rewritten = writeData(name, packed, man.schema, s"d${next}c", statsFor ++ sortBy)
+      case None => src.coalesce(nOut)
+    }
+    val zCols = zOrderBy.toSeq.flatMap { case (a, b) => Seq(a, b) }
+    val rewritten = writeData(name, packed, man.schema, s"d${next}c",
+      statsFor ++ sortBy ++ zCols)
     commitManifest(name, next, Manifest(man.schema, bigs.map(_._1) ++ rewritten))
   }
 

@@ -62,6 +62,27 @@ class ZOrderSpec extends SparkSpec {
     assert(byzBox <= Files / 2, s"z-order box overlap too wide: $byzBox")
   }
 
+  test("compact(zOrderBy) re-lays an existing table into prunable rectangles") {
+    val wh = new Warehouse(spark, tmpDir("wh-zcompact"))
+    // many tiny unclustered appends — the shape an incremental ingest leaves
+    (0 until 8).foreach { i =>
+      wh.append("t", points.filter(col("id") % 8 === i).coalesce(2),
+        statsCols = Seq("x", "y"))
+    }
+    val before = overlapping(wh, "t", ("y", 100, 199))
+    assert(before == wh.dataFiles("t").length, "unclustered files already pruned?")
+    // target small enough that the rewrite spans >= 8 files — the z-curve
+    // needs at least the two leading (x, y) bit splits materialized as
+    // separate files before y-bounds tighten
+    wh.compact("t", targetBytes = 12L << 10, zOrderBy = Some(("x", "y")))
+    val files = wh.dataFiles("t").length
+    assert(files >= 8, s"compaction produced too few files for the assertion: $files")
+    val after = overlapping(wh, "t", ("y", 100, 199))
+    assert(after < files, s"z-order compact did not make y prunable: $after/$files")
+    // content is preserved exactly
+    assert(wh.load("t").count() == 20000)
+  }
+
   test("interleave is monotone in locality: nearby cells share high bits") {
     // (0,0) and (1,1) interleave to adjacent z-values; far cells diverge in
     // the high-order bits — the property the range partitioner relies on.
