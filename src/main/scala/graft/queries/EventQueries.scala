@@ -162,6 +162,23 @@ object EventQueries {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // Behavioral path analysis: the first-order Markov transition matrix of
+    // per-user event sequences — counts and per-source probabilities of
+    // each (event_type -> next event_type) step. One per-user ordered lead
+    // window (keyed by user, never a global sort), then a tiny
+    // (types x types) aggregate; probabilities are exact count ratios
+    // (n / row-total) rounded once.
+    "q89_transitions" -> { (s, dir) =>
+      val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wSrc = Window.partitionBy("event_type")
+      events(s, dir)
+        .withColumn("next_type", lead("event_type", 1).over(wUser))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") / sum("n").over(wSrc), 6))
+        .orderBy("event_type", "next_type")
+    },
+
     // RANGE join, bucket-blocked: errors within 60s after any purchase.
     // A naive inequality join plans as a nested loop; bucketing time into
     // 60s cells and exploding one side to (cell, cell+1) turns it into an
@@ -270,6 +287,17 @@ object EventQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
+
+    "q89_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (SELECT event_type, next_type, count(*) AS n FROM seq
+        |  WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+        |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM t ORDER BY event_type, next_type""".stripMargin,
 
     "q87_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
