@@ -66,6 +66,26 @@ object DedupQueries {
         .orderBy("d1", "d2")
     },
 
+    // Edit-distance record linkage (q56's character-level sibling): block on
+    // an 8-char raw prefix so candidate buckets stay tiny, then score each
+    // in-bucket pair with levenshtein over a fixed 24-char head — bounded
+    // O(24²) per pair, equi-join on the block key (hash join, never a
+    // cartesian). Levenshtein with unit costs is the same metric in both
+    // engines.
+    "q96_fuzzy_linkage" -> { (s, dir) =>
+      val k = spread(read(s, dir, "documents"))
+        .select(col("doc_id"),
+          substring(col("text"), 1, 8).as("blk"),
+          substring(col("text"), 1, 24).as("head"))
+      val a = k.select(col("doc_id").as("id_a"), col("blk"), col("head").as("h_a"))
+      val b = k.select(col("doc_id").as("id_b"), col("blk"), col("head").as("h_b"))
+      a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("h_a"), col("h_b")).cast("long"))
+        .filter(col("dist") <= 8)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
+    },
+
     // MinHash + LSH, the scale-path shape: explode shingles to rows, compute
     // SALTS md5s per row as FLAT codegen'd exprs (no nested higher-order
     // functions — those run interpreted), take the K minima with one hash
@@ -378,6 +398,17 @@ object DedupQueries {
          |GROUP BY grp HAVING count(*) > 1 ORDER BY keeper""".stripMargin,
 
     "q56_ngram_jaccard" -> q56Oracle,
+
+    "q96_fuzzy_linkage" ->
+      """WITH k AS (
+        |  SELECT doc_id, substring(text, 1, 8) AS blk,
+        |    substring(text, 1, 24) AS head
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Independent fixpoint cross-check: transitive closure via recursive
     // CTE, not label propagation.

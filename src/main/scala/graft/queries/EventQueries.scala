@@ -179,6 +179,70 @@ object EventQueries {
         .orderBy("event_type", "next_type")
     },
 
+    // PII-style scrubbing: mask digit runs in the props payload and audit
+    // how much was redacted, per event type. Pure per-row regex column
+    // expressions (codegen'd, zero shuffle until the 5-row aggregate) —
+    // the shape of a 100 TB redaction pass: scan, rewrite, count.
+    "q90_props_redaction" -> { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          regexp_count(col("props"), lit("[0-9]+")).as("nr"),
+          (length(col("props"))
+            - length(regexp_replace(col("props"), "[0-9]", ""))).as("nd"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("masked"))
+        .groupBy("event_type")
+        .agg(sum("nr").as("n_redactions"),
+          sum("nd").as("n_digit_chars"),
+          min("masked").as("sample_masked"))
+        .orderBy("event_type")
+    },
+
+    // Long-to-wide pivot: per-day event counts, one column per event type.
+    // The pivot value list is pinned (no extra distinct pass to discover
+    // it); absent cells surface as 0, not null, so the wide frame is
+    // directly consumable.
+    "q91_daily_pivot" -> { (s, dir) =>
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val wide = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types).count()
+      wide.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("day")
+    },
+
+    // Trailing 7-day moving average of per-user daily purchase spend: one
+    // keyed aggregate to daily grain, then a RANGE window frame (-6..0 on
+    // the day number) — never a self-join, never a global sort. Spend sums
+    // in exact DECIMAL; the single sum/count division is the only double op.
+    "q92_moving_avg" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("day_num").rangeBetween(-6, 0)
+      events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day_num"))
+        .agg(sum(dec(col("value"))).as("spend"))
+        .select(col("user_id"), col("day_num"),
+          round(sum(col("spend")).over(w).cast("double") / count(lit(1)).over(w), 6)
+            .as("ma7"))
+        .orderBy("user_id", "day_num")
+    },
+
+    // CUBE over (event_type x day-of-month): all four grouping-set margins
+    // in one pass (Spark expands to a single Expand + hash aggregate, not
+    // four scans). Day-of-month is the one calendar part with identical
+    // numbering in both engines (dow conventions differ); event_type is
+    // non-null in this table so the ALL sentinel is unambiguous.
+    "q93_cube_day_type" -> { (s, dir) =>
+      events(s, dir)
+        .withColumn("dom", dayofmonth(col("ts")).cast("long"))
+        .cube(col("event_type"), col("dom"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("dom").cast("string"), lit("ALL")).as("dom"),
+          col("n"), col("total"))
+        .orderBy("etype", "dom")
+    },
+
     // RANGE join, bucket-blocked: errors within 60s after any purchase.
     // A naive inequality join plans as a nested loop; bucketing time into
     // 60s cells and exploding one side to (cell, cell+1) turns it into an
@@ -298,6 +362,44 @@ object EventQueries {
         |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS p
         |FROM t ORDER BY event_type, next_type""".stripMargin,
+
+    "q90_props_redaction" ->
+      """SELECT event_type,
+        |  CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_redactions,
+        |  CAST(sum(length(props)
+        |    - length(regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT) AS n_digit_chars,
+        |  min(regexp_replace(props, '[0-9]+', '#', 'g')) AS sample_masked
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q91_daily_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "q92_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS spend
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, 2)
+        |SELECT user_id, day_num,
+        |  round(CAST(sum(spend) OVER w AS DOUBLE) / count(*) OVER w, 6) AS ma7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day_num""".stripMargin,
+
+    "q93_cube_day_type" ->
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        |  coalesce(CAST(day(CAST(ts AS DATE)) AS VARCHAR), 'ALL') AS dom,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY CUBE(event_type, day(CAST(ts AS DATE)))
+        |ORDER BY etype, dom""".stripMargin,
 
     "q87_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events

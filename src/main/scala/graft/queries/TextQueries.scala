@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFns._
 import graft.functions.expressions.TextVectorFns
 import Tables._
@@ -72,6 +74,41 @@ object TextQueries {
           md5(normalize(col("text"))).as("fp_norm"),
           md5(substring(normalize(col("text")), 1, 80)).as("fp_prefix80"))
         .orderBy("doc_id")
+    },
+
+    // Per-group statistical outliers, integer-exact: flag docs whose length
+    // is >2 population stddevs from their source's mean WITHOUT computing
+    // mean/stddev in floating point — z² > K² rearranges to
+    // (n·x − s₁)² > K²·(n·s₂ − s₁²), all integer arithmetic (DECIMAL(38,0)
+    // here, HUGEINT in the oracle), so the comparison is bit-identical
+    // across engines at any scale. One tiny per-source stats aggregate,
+    // broadcast back onto a linear scan.
+    "q94_outlier_docs" -> { (s, dir) =>
+      val big = DecimalType(38, 0)
+      val d = read(s, dir, "documents")
+      val stats = d.groupBy("source").agg(
+        count(lit(1)).cast(big).as("sn"),
+        sum(col("n_chars").cast(big)).as("s1"),
+        sum((col("n_chars") * col("n_chars")).cast(big)).as("s2"))
+      val dev = col("sn") * col("n_chars").cast(big) - col("s1")
+      d.join(broadcast(stats), "source")
+        .filter(dev * dev > lit(4) * (col("sn") * col("s2") - col("s1") * col("s1")))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Curriculum bucketing: ntile(10) over length within each language,
+    // then per-bucket count and length range — the standard "sort corpus
+    // into difficulty deciles" pass. ntile's definition (equal-count tiles,
+    // earlier tiles get the remainder) is identical in both engines given
+    // the same total order, which the doc_id tiebreak pins.
+    "q95_ntile_buckets" -> { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      read(s, dir, "documents")
+        .withColumn("bucket", ntile(10).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n"), min("n_chars").as("lo"), max("n_chars").as("hi"))
+        .orderBy("lang", "bucket")
     }
   )
 
@@ -135,6 +172,27 @@ object TextQueries {
     "q53_fingerprints" ->
       s"""SELECT doc_id, md5(text) AS fp_raw, md5($normSql) AS fp_norm,
          |  md5(substring($normSql, 1, 80)) AS fp_prefix80
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q94_outlier_docs" ->
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS HUGEINT) AS sn,
+        |    CAST(sum(n_chars) AS HUGEINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS HUGEINT) AS s2
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN s USING (source)
+        |WHERE (s.sn * d.n_chars - s.s1) * (s.sn * d.n_chars - s.s1)
+        |      > 4 * (s.sn * s.s2 - s.s1 * s.s1)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q95_ntile_buckets" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bucket
+        |  FROM documents)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
   )
 }
