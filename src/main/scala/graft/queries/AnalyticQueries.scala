@@ -44,6 +44,25 @@ object AnalyticQueries {
         .orderBy("n_name")
     },
 
+    // TPC-H Q17 shape: "small-quantity" lineitems vs their part's average —
+    // the correlated-scalar-subquery pattern, decorrelated by hand into a
+    // per-part aggregate joined back to the fact (what Catalyst's
+    // RewriteCorrelatedScalarSubquery produces, stated explicitly). The
+    // 0.2·avg threshold is cross-multiplied (qty·5·n < Σqty) so the
+    // comparison stays in exact DECIMAL — no float average exists anywhere.
+    "q34_small_qty_revenue" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem")
+      val pa = li.groupBy(col("l_partkey").as("pa_partkey"))
+        .agg(count(lit(1)).as("n_li"), sum(dec(col("l_quantity"))).as("sq"))
+      val p = read(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      li.join(pa, col("l_partkey") === col("pa_partkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(dec(col("l_quantity")) * 5 * col("n_li") < col("sq"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"), dsum(col("l_extendedprice")).as("lost_revenue"))
+        .orderBy("p_brand")
+    },
+
     // TPC-H Q10 shape: top-20 customers by revenue — global top-k via
     // TakeOrderedAndProject, not a full sort.
     "q22_top_customers" -> { (s, dir) =>
@@ -236,6 +255,18 @@ object AnalyticQueries {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q34_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_li,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS lost_revenue
+        |FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pa.n_li < pa.sq
+        |GROUP BY p.p_brand ORDER BY p_brand""".stripMargin,
 
     "q23_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count FROM orders

@@ -121,6 +121,37 @@ object CorpusQueries {
         .orderBy("lang", "rank")
     },
 
+    // BM25 top keyword per doc — q78's ranked-retrieval upgrade. Uses the
+    // rational-idf BM25 variant (N−df+0.5)/(df+0.5) with k1=1.2, b=0.75:
+    // no log() anywhere (libm rounding differs across engines), and every
+    // double op sits in one fixed-order per-row expression over integer
+    // inputs, so both engines produce bit-identical scores. The df table is
+    // vocabulary-sized (broadcast); the corpus N/total_dl stats are a
+    // one-row broadcast cross (constant fan-out, same class as q85/q86).
+    "q97_bm25_keywords" -> { (s, dir) =>
+      val base = spread(read(s, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers: tf, df-via-tf, corpus stats
+      val tf = base
+        .select(col("doc_id"), explode(col("toks")).as("term"), size(col("toks")).as("dl"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val corpus = base.agg(count(lit(1)).as("n"), sum(size(col("toks"))).as("total_dl"))
+      val w = Window.partitionBy("doc_id").orderBy(col("bm25").desc, col("term").asc)
+      tf.join(broadcast(df), "term").crossJoin(broadcast(corpus))
+        .withColumn("bm25", round(
+          (col("tf").cast("double") * 2.2
+            / (col("tf").cast("double") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * col("dl").cast("double") * col("n").cast("double")
+                / col("total_dl").cast("double"))))
+            * ((col("n") - col("df")).cast("double") + 0.5)
+            / (col("df").cast("double") + 0.5), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("term"), col("bm25"))
+        .orderBy("doc_id")
+    },
+
     // Shared-long-window near-dup pairs — the window-granular form of
     // exact-substring dedup (Lee et al.'s suffix-array criterion at
     // WINDOW_W-token resolution): doc pairs sharing at least one verbatim
@@ -292,6 +323,28 @@ object CorpusQueries {
          |  FROM tf JOIN df USING (tok))
          |SELECT doc_id, rank, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
          |FROM ranked WHERE rank <= $KEYWORDS_K ORDER BY doc_id, rank""".stripMargin,
+
+    "q97_bm25_keywords" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term,
+         |    len($toksSql) AS dl FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+         |    max(dl) AS dl FROM t GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS total_dl FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.term,
+         |    round((CAST(t.tf AS DOUBLE) * 2.2
+         |      / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25
+         |        + 0.75 * CAST(t.dl AS DOUBLE) * CAST(n.n AS DOUBLE)
+         |          / CAST(n.total_dl AS DOUBLE))))
+         |      * (CAST(n.n - d.df AS DOUBLE) + 0.5)
+         |      / (CAST(d.df AS DOUBLE) + 0.5), 6) AS bm25
+         |  FROM tf t JOIN df d USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, bm25 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY bm25 DESC, term ASC) AS rk FROM scored)
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "q81_stratum_sample" ->
       s"""SELECT doc_id, lang, sample_key, rank FROM (

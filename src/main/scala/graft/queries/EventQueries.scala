@@ -243,6 +243,28 @@ object EventQueries {
         .orderBy("etype", "dom")
     },
 
+    // Gaps-and-islands: maximal runs of consecutive same-type events per
+    // user (burst/loop detection). Both windows share the user_id partition
+    // key so Spark computes them off ONE shuffle: a lag change-flag, then a
+    // running sum to number the islands — never the rn−rnt double-window
+    // trick (which would shuffle twice on different keys). The oracle uses
+    // rn−rnt, so the two formulations verify each other.
+    "q98_type_runs" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("chg",
+          when(lag("event_type", 1).over(w) === col("event_type"), 0L).otherwise(1L))
+        .withColumn("grp", sum("chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(count(lit(1)).as("run_len"),
+          min("event_id").as("first_event"), max("event_id").as("last_event"))
+        .filter(col("run_len") >= 3)
+        .select(col("user_id"), col("event_type"), col("run_len"),
+          col("first_event"), col("last_event"))
+        .orderBy("user_id", "first_event")
+    },
+
     // RANGE join, bucket-blocked: errors within 60s after any purchase.
     // A naive inequality join plans as a nested loop; bucketing time into
     // 60s cells and exploding one side to (cell, cell+1) turns it into an
@@ -392,6 +414,19 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day_num""".stripMargin,
+
+    "q98_type_runs" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rnt
+        |  FROM events)
+        |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS run_len,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM seq GROUP BY user_id, event_type, rn - rnt
+        |HAVING count(*) >= 3
+        |ORDER BY user_id, first_event""".stripMargin,
 
     "q93_cube_day_type" ->
       """SELECT coalesce(event_type, 'ALL') AS etype,
