@@ -63,6 +63,26 @@ object AnalyticQueries {
         .orderBy("p_brand")
     },
 
+    // Referential-integrity audit — the data-quality sweep an ingest
+    // pipeline runs after load: orphaned facts (lineitem without its
+    // order), childless parents, dangling FKs. Each check is a left-anti
+    // join (never EXISTS-per-row); the three tiny counts union into one
+    // report frame.
+    "q35_referential_audit" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem")
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("check_name"), col("n"))
+      cnt(li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"),
+          "lineitem_orphans")
+        .unionByName(cnt(o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti"),
+          "orders_childless"))
+        .unionByName(cnt(o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_anti"),
+          "orders_orphan_cust"))
+        .orderBy("check_name")
+    },
+
     // TPC-H Q10 shape: top-20 customers by revenue — global top-k via
     // TakeOrderedAndProject, not a full sort.
     "q22_top_customers" -> { (s, dir) =>
@@ -255,6 +275,18 @@ object AnalyticQueries {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q35_referential_audit" ->
+      """SELECT 'lineitem_orphans' AS check_name, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_childless', CAST(count(*) AS BIGINT) FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |UNION ALL
+        |SELECT 'orders_orphan_cust', CAST(count(*) AS BIGINT) FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY check_name""".stripMargin,
 
     "q34_small_qty_revenue" ->
       """WITH pa AS (

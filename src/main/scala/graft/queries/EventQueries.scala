@@ -243,6 +243,19 @@ object EventQueries {
         .orderBy("etype", "dom")
     },
 
+    // Exact percentiles (median + p90) per type — the EXACT counterpart of
+    // q44's sketches, for when the group count is small enough to afford a
+    // per-group sort. Spark's percentile() and DuckDB's quantile_cont share
+    // the (n−1)·p linear-interpolation definition; value is 2-decimal so
+    // the lerp is well away from round-6 boundaries.
+    "q36_exact_percentiles" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        .orderBy("event_type")
+    },
+
     // Gaps-and-islands: maximal runs of consecutive same-type events per
     // user (burst/loop detection). Both windows share the user_id partition
     // key so Spark computes them off ONE shuffle: a lag change-flag, then a
@@ -414,6 +427,11 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day_num""".stripMargin,
+
+    "q36_exact_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q98_type_runs" ->
       """WITH seq AS (

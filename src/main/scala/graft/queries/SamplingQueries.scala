@@ -82,6 +82,29 @@ object SamplingQueries {
           when(key < TrainEnd, "train").when(key < ValEnd, "val").otherwise("test"))
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))
         .orderBy("split", "lang")
+    },
+
+    // Class-balanced downsampling: every label kept at exactly the SMALLEST
+    // stratum's size (the classifier-training counter to q66's weighted
+    // mixture). Selection is a salted-md5 ranking per label — deterministic
+    // under retries/repartitioning — and WindowGroupLimit caps what each
+    // partition ships before the stratum shuffle. The min-size threshold is
+    // a one-row broadcast scalar.
+    "q99_balanced_sample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val target = read(s, dir, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("target"))
+      val w = Window.partitionBy("label").orderBy("sample_key", "vec_id")
+      read(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          md5(concat(lit("bal:"), col("vec_id").cast("string"))).as("sample_key"))
+        .withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(target))
+        .filter(col("rk") <= col("target"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), min("vec_id").as("first_vec"))
+        .orderBy("label")
     }
   )
 
@@ -115,6 +138,16 @@ object SamplingQueries {
          |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$ValEnd' THEN 'val'
          |         ELSE 'test' END AS split
          |  FROM documents)
-         |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    "q99_balanced_sample" ->
+      """WITH m AS (SELECT min(cnt) AS target FROM (
+        |    SELECT count(*) AS cnt FROM embeddings GROUP BY label)),
+        |r AS (SELECT vec_id, label, row_number() OVER (PARTITION BY label
+        |    ORDER BY md5('bal:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n, min(vec_id) AS first_vec
+        |FROM r CROSS JOIN m WHERE rk <= m.target
+        |GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -16,6 +16,15 @@ final case class SessionBuf(startMs: Long, endMs: Long, nEvents: Long, totalValu
   */
 final case class FunnelBuf(t1: Long, t2: Long, t3: Long)
 
+/** Space-saving summary state for EventStream.heavyHitters: parallel arrays
+  * (key, count, overestimate-error) — arrays because Spark's state encoder
+  * handles them reliably where nested Maps don't; top-level for the same
+  * Janino reason as SessionBuf. nSeen counts every event the shard has
+  * absorbed (the error bound's denominator and the test's trigger marker).
+  */
+final case class HHState(keys: Array[Long], counts: Array[Long],
+    errs: Array[Long], nSeen: Long)
+
 /** Structured Streaming duals of the incremental/batch semantics
   * (SURVEY.md §2.9): the reference's micro-batch replication becomes a real
   * stream here — watermarked tumbling-window aggregation (I1/I3 dual) and
@@ -139,6 +148,66 @@ object EventStream {
     }
 
     events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** One heavy-hitter candidate from a shard's space-saving summary:
+    * `count` overestimates the true count by at most `err`; `n_seen` is the
+    * shard's lifetime event total (monotone per shard — consumers keep the
+    * rows with the max n_seen per shard as the current summary).
+    */
+  final case class HeavyHitter(shard: Int, user_id: Long, count: Long,
+      err: Long, n_seen: Long, rank: Int)
+
+  /** Streaming approximate top-k users by event count — the space-saving
+    * sketch (Metwally et al.) in typed keyed state, SHARDED so the operator
+    * scales: state is keyed by hash-shard, each shard summarizes only the
+    * users that hash to it (a user never splits across shards, so shard
+    * summaries are over DISJOINT key sets and the global top-k is a plain
+    * fold of shard top-ks — no single-key state bottleneck, no cross-shard
+    * double counting). Per shard the classic guarantees hold: at most
+    * `capacity` tracked keys, every true count c reported within
+    * [c, c + err] with err ≤ n_seen/capacity, and any user with true count
+    * > n_seen/capacity is guaranteed present. When a shard sees at most
+    * `capacity` distinct users, eviction never fires and counts are EXACT
+    * (spec-checked against the batch groupBy).
+    *
+    * Each trigger re-emits the shard's current top-k (append mode) tagged
+    * with the monotone n_seen; batch processing order is pinned to
+    * (ts, event_id) and eviction ties break on the smallest key, so output
+    * is deterministic for a given stream content.
+    */
+  def heavyHitters(events: Dataset[Event], k: Int = 10, capacity: Int = 64,
+      nShards: Int = 16): Dataset[HeavyHitter] = {
+    import events.sparkSession.implicits._
+
+    def fn(shard: Int, batch: Iterator[Event],
+        state: GroupState[HHState]): Iterator[HeavyHitter] = {
+      val prev = state.getOption.getOrElse(HHState(Array.empty, Array.empty, Array.empty, 0L))
+      val counts = scala.collection.mutable.LongMap.empty[(Long, Long)] // key -> (count, err)
+      prev.keys.indices.foreach(i => counts(prev.keys(i)) = (prev.counts(i), prev.errs(i)))
+      var seen = prev.nSeen
+      batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        seen += 1
+        counts.get(e.user_id) match {
+          case Some((c, err)) => counts(e.user_id) = (c + 1, err)
+          case None if counts.size < capacity => counts(e.user_id) = (1L, 0L)
+          case None =>
+            // evict the min-count entry (smallest key on ties): the new key
+            // inherits count+1 with the evicted count as its overestimate
+            val (minK, (minC, _)) = counts.minBy { case (key, (c, _)) => (c, key) }
+            counts.remove(minK)
+            counts(e.user_id) = (minC + 1, minC)
+        }
+      }
+      val entries = counts.toArray.sortBy { case (key, (c, _)) => (-c, key) }
+      state.update(HHState(entries.map(_._1), entries.map(_._2._1), entries.map(_._2._2), seen))
+      entries.take(k).zipWithIndex.iterator.map { case ((key, (c, err)), i) =>
+        HeavyHitter(shard, key, c, err, seen, i + 1)
+      }
+    }
+
+    events.groupByKey(e => (math.floorMod(e.user_id.hashCode, nShards)))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 

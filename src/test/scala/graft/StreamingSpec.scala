@@ -257,4 +257,54 @@ class StreamingSpec extends SparkSpec {
         s"stream advances $streamed != batch funnel $batch")
     } finally q.stop()
   }
+
+  test("heavyHitters: exact counts when shards never evict, across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val fixture = graft.schema.SchemaOps
+      .normalizeNanos(spark.read.parquet(s"$sf/events.parquet"), Seq("ts"))
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    // capacity >= users per shard: eviction never fires => counts exact
+    val q = EventStream.heavyHitters(input.toDS(), k = 1000, capacity = 10000, nShards = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hh_exact").start()
+    try {
+      val (a, b) = fixture.splitAt(fixture.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val rows = spark.table("hh_exact").as[EventStream.HeavyHitter].collect()
+      // current summary = rows at each shard's max n_seen (monotone marker)
+      val latest = rows.groupBy(_.shard).values.flatMap { sh =>
+        val last = sh.map(_.n_seen).max; sh.filter(_.n_seen == last)
+      }
+      val streamed = latest.map(h => h.user_id -> h.count).toMap
+      val exact = fixture.groupBy(_.user_id).view.mapValues(_.length.toLong).toMap
+      assert(latest.forall(_.err == 0L), "no eviction => zero overestimate")
+      assert(streamed == exact, "un-evicted space-saving counts must be exact")
+    } finally q.stop()
+  }
+
+  test("heavyHitters: under eviction the true heavy hitter survives within its error bound") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    // one shard, capacity 3, a stream where user 1 dominates: 40 of 70 events
+    val events = (1 to 40).map(i => Event(i, ts(i), 1L, "click", 0)) ++
+      (1 to 30).map(i => Event(100 + i, ts(40 + i), 1L + (i % 10 + 1), "click", 0))
+    val q = EventStream.heavyHitters(input.toDS(), k = 3, capacity = 3, nShards = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hh_evict").start()
+    try {
+      input.addData(events); q.processAllAvailable()
+      val rows = spark.table("hh_evict").as[EventStream.HeavyHitter].collect()
+      val last = rows.map(_.n_seen).max
+      val top = rows.filter(r => r.n_seen == last && r.rank == 1).head
+      assert(last == 70L)
+      assert(top.user_id == 1L, s"dominant user must hold rank 1, got $top")
+      assert(top.count >= 40L && top.count - top.err <= 40L,
+        s"reported ${top.count} (err ${top.err}) must bracket the true 40")
+      assert(top.err <= last / 3, "space-saving bound: err <= n_seen/capacity")
+    } finally q.stop()
+  }
 }
