@@ -63,6 +63,23 @@ object AnalyticQueries {
         .orderBy("p_brand")
     },
 
+    // The full ranking-window-function suite in one pass: percent_rank,
+    // cume_dist, lag, first_value, nth_value share ONE per-customer window
+    // spec (Spark evaluates them in a single Window operator — one shuffle,
+    // one per-partition sort); only nth_value needs the full-frame variant.
+    "q37_window_suite" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      read(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          lag("o_orderkey", 1).over(w).as("prev_ok"),
+          first("o_orderkey").over(w).as("first_ok"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Referential-integrity audit — the data-quality sweep an ingest
     // pipeline runs after load: orphaned facts (lineitem without its
     // order), childless parents, dangling FKs. Each check is a left-anti
@@ -275,6 +292,19 @@ object AnalyticQueries {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q37_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  lag(o_orderkey) OVER w AS prev_ok,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q35_referential_audit" ->
       """SELECT 'lineitem_orphans' AS check_name, CAST(count(*) AS BIGINT) AS n

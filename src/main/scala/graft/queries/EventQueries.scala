@@ -179,6 +179,29 @@ object EventQueries {
         .orderBy("event_type", "next_type")
     },
 
+    // Calendar-spine gap filling: daily purchase revenue with missing days
+    // zero-filled and a running cumulative — the time-series completion a
+    // dashboard needs when "no rows" must read as "zero", not "absent".
+    // The spine is generated (bounds agg → sequence → explode), never
+    // stored; the daily frame joins onto it. The cumulative runs
+    // unpartitioned, which is fine ONLY because the spine is calendar-sized
+    // (days, not rows) — documented exception to the no-global-window rule.
+    "q38_gap_fill" -> { (s, dir) =>
+      val bounds = events(s, dir)
+        .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      val spine = bounds.select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val daily = events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("rev"), count(lit(1)).as("n"))
+      val w = Window.orderBy("day")
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("rev").cast("double"), lit(0.0)).as("rev"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          sum(coalesce(col("rev"), lit(0))).over(w).cast("double").as("cum_rev"))
+        .orderBy("day")
+    },
+
     // PII-style scrubbing: mask digit runs in the props payload and audit
     // how much was redacted, per event type. Pure per-row regex column
     // expressions (codegen'd, zero shuffle until the 5-row aggregate) —
@@ -397,6 +420,21 @@ object EventQueries {
         |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS p
         |FROM t ORDER BY event_type, next_type""".stripMargin,
+
+    "q38_gap_fill" ->
+      """WITH bounds AS (
+        |  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |  FROM bounds),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, sum(CAST(value AS DECIMAL(18,2))) AS rev,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY day)
+        |SELECT s.day, coalesce(CAST(d.rev AS DOUBLE), 0.0) AS rev,
+        |  coalesce(d.n, 0) AS n,
+        |  CAST(sum(coalesce(d.rev, 0)) OVER (ORDER BY s.day) AS DOUBLE) AS cum_rev
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY s.day""".stripMargin,
 
     "q90_props_redaction" ->
       """SELECT event_type,

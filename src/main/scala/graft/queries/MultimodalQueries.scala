@@ -30,6 +30,26 @@ object MultimodalQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"), col("magic"),
           col("width"), col("height"), round(col("mean_intensity"), 4).as("mean_intensity"))
         .orderBy("media_id")
+    },
+
+    // Frame-sampling plan for the video payloads: deterministic byte
+    // offsets (every STRIDE bytes, capped at MAX_FRAMES per clip) computed
+    // IN the engine as a sequence+explode projection — the decode worker
+    // receives (media_id, offset) work items and never plans. This is how a
+    // 100 TB video corpus schedules frame extraction: the plan is a linear
+    // scan, the fan-out is bounded per row, and no payload bytes move until
+    // the decoder reads its assigned offsets.
+    "q100_frame_plan" -> { (s, dir) =>
+      val stride = 37
+      val maxFrames = 8
+      Multimodal.fromDocuments(spread(read(s, dir, "documents")))
+        .filter(col("kind") === "video")
+        .select(col("media_id"),
+          explode(expr(s"sequence(0L, least((length(payload) - 1) div $stride, ${maxFrames - 1}))"))
+            .as("frame_idx"))
+        .select(col("media_id"), col("frame_idx"),
+          (col("frame_idx") * stride).cast("long").as("byte_offset"))
+        .orderBy("media_id", "frame_idx")
     }
   )
 
@@ -59,6 +79,15 @@ object MultimodalQueries {
         |    ELSE CAST(list_aggregate(list_transform(generate_series(1, length(text)),
         |      i -> ord(substring(text, i, 1))), 'sum') AS DOUBLE) / length(text)
         |    END, 4) AS mean_intensity
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q100_frame_plan" ->
+      """SELECT doc_id AS media_id, f.frame_idx,
+        |  CAST(f.frame_idx * 37 AS BIGINT) AS byte_offset
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS n
+        |      FROM documents WHERE doc_id % 3 = 2) v,
+        |  LATERAL (SELECT unnest(generate_series(0, least((n - 1) // 37, 7)))
+        |    AS frame_idx) f
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 }
