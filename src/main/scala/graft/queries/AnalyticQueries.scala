@@ -63,6 +63,29 @@ object AnalyticQueries {
         .orderBy("p_brand")
     },
 
+    // Explicit GROUPING SETS (the general form of q25's rollup / q31's
+    // cube) with grouping_id disambiguation: three chosen margins from ONE
+    // Expand + hash-aggregate pass — not the 2^k the cube would compute,
+    // and the gid column makes NULL-vs-ALL unambiguous even on nullable
+    // dimensions.
+    "q104_grouping_sets" -> { (s, dir) =>
+      val o = read(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          // grouping() only resolves INSIDE the grouping-sets aggregate
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("long").as("gid"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(col("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("total"))
+        .orderBy("gid", "status", "prio")
+    },
+
     // The full ranking-window-function suite in one pass: percent_rank,
     // cume_dist, lag, first_value, nth_value share ONE per-customer window
     // spec (Spark evaluates them in a single Window operator — one shuffle,
@@ -292,6 +315,17 @@ object AnalyticQueries {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q104_grouping_sets" ->
+      """SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, status, prio""".stripMargin,
 
     "q37_window_suite" ->
       """SELECT o_custkey, o_orderkey,

@@ -233,6 +233,49 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Wide-to-long UNPIVOT (q91's inverse): the melt step feature pipelines
+    // run before per-metric processing. Spark's native unpivot expands to a
+    // zero-shuffle Expand projection — 3 rows out per row in, no join.
+    "q101_unpivot" -> { (s, dir) =>
+      val types = Seq("view", "click", "purchase")
+      val wide = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types).count()
+        .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      wide.unpivot(Array(col("day")), types.map(col).toArray, "etype", "n")
+        .orderBy("day", "etype")
+    },
+
+    // Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (q29 covers the DISTINCT forms). Spark's
+    // intersectAll/exceptAll plan as counted hash aggregates + a generate —
+    // never a pairwise join — so multiplicity math costs one shuffle per
+    // side. Output is the per-user multiplicity of each op, tagged.
+    "q102_setops_all" -> { (s, dir) =>
+      val p = events(s, dir).filter(col("event_type") === "purchase").select("user_id")
+      val e = events(s, dir).filter(col("event_type") === "error").select("user_id")
+      def m(df: org.apache.spark.sql.DataFrame, op: String) =
+        df.groupBy("user_id").agg(count(lit(1)).as("multiplicity"))
+          .select(lit(op).as("op"), col("user_id"), col("multiplicity"))
+      m(p.intersectAll(e), "intersect_all")
+        .unionByName(m(p.exceptAll(e), "except_all"))
+        .orderBy("op", "user_id")
+    },
+
+    // Top-3 revenue days per type INCLUDING ties — rank(), not row_number():
+    // ties share a rank and all qualify, so the result is stable under any
+    // tie-order (no tiebreak column needed for determinism).
+    "q103_rank_ties" -> { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy(col("rev").desc)
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("rev"))
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("day"), col("rev").cast("double").as("rev"), col("rk"))
+        .orderBy("event_type", "rk", "day")
+    },
+
     // Trailing 7-day moving average of per-user daily purchase spend: one
     // keyed aggregate to daily grain, then a RANGE window frame (-6..0 on
     // the day number) — never a self-join, never a global sort. Spend sums
@@ -452,6 +495,36 @@ object EventQueries {
         |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "q101_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase
+        |  FROM events GROUP BY day)
+        |SELECT day, etype, n FROM wide
+        |UNPIVOT (n FOR etype IN (view, click, purchase))
+        |ORDER BY day, etype""".stripMargin,
+
+    "q102_setops_all" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id FROM events WHERE event_type = 'error'),
+        |i AS (SELECT user_id FROM p INTERSECT ALL SELECT user_id FROM e),
+        |x AS (SELECT user_id FROM p EXCEPT ALL SELECT user_id FROM e)
+        |SELECT 'intersect_all' AS op, user_id,
+        |  CAST(count(*) AS BIGINT) AS multiplicity FROM i GROUP BY user_id
+        |UNION ALL
+        |SELECT 'except_all', user_id, CAST(count(*) AS BIGINT) FROM x GROUP BY user_id
+        |ORDER BY op, user_id""".stripMargin,
+
+    "q103_rank_ties" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS rev FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, CAST(rev AS DOUBLE) AS rev, rk FROM (
+        |  SELECT *, rank() OVER (PARTITION BY event_type ORDER BY rev DESC) AS rk
+        |  FROM d)
+        |WHERE rk <= 3 ORDER BY event_type, rk, day""".stripMargin,
 
     "q92_moving_avg" ->
       """WITH daily AS (
