@@ -67,4 +67,40 @@ class IncrementalRollupSpec extends SparkSpec {
     val p = IncrementalRollup.partial(batch, spec)
     assert(p.count() <= 5) // 5 event types; 500-row batch folds to <= 5 rows
   }
+
+  test("streaming maintenance: replayed micro-batch ids are skipped, result exact") {
+    import graft.streaming.RollupStream
+    val wh = new Warehouse(spark, tmpDir("ivm-stream"))
+    val full = fact
+    val direct = canon(IncrementalRollup.partial(full, spec))
+    val apply = RollupStream.applyBatch(wh, "r", spec, "s1") _
+    val b0 = full.filter(pmod(col("event_id"), lit(2)) === 0)
+    val b1 = full.filter(pmod(col("event_id"), lit(2)) === 1)
+    apply(b0, 0L)
+    apply(b1, 1L)
+    apply(b1, 1L) // crash-replay of the last batch: must not double count
+    apply(b0, 0L) // stale re-delivery below the watermark: skipped too
+    assert(canon(IncrementalRollup.read(wh, "r", spec)) == direct)
+  }
+
+  test("streaming maintenance end-to-end over a MemoryStream") {
+    import graft.streaming.RollupStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val wh = new Warehouse(spark, tmpDir("ivm-stream-e2e"))
+    val rows = fact.select("event_type", "value")
+      .as[(String, Double)].collect().toSeq
+    val direct = canon(IncrementalRollup.partial(fact, spec))
+    val input = MemoryStream[(String, Double)]
+    val q = RollupStream.maintain(
+      input.toDF().toDF("event_type", "value"),
+      wh, "r", spec, "s1", tmpDir("ivm-ckpt")).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      assert(canon(IncrementalRollup.read(wh, "r", spec)) == direct)
+    } finally q.stop()
+  }
 }
