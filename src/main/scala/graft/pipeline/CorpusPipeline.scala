@@ -42,6 +42,14 @@ object CorpusPipeline {
     maxPunctRatio: Double = 0.3,
     deconGramW: Int = 8, // q72's 8-gram universe
     maxEvalOverlap: Long = 0, // drop any doc sharing > this many eval grams
+    // Benchmark suites broadcast by contract; set false when the eval set
+    // outgrows that (e.g. decontaminating against another CORPUS) — the
+    // join then shuffles, with a bloom pre-pass shedding non-overlapping
+    // train grams BEFORE the exchange (BloomPrune; result is identical,
+    // spec-checked).
+    broadcastEvalGrams: Boolean = true,
+    bloomExpectedGrams: Long = 4000000L,
+    bloomBits: Long = 32000000L,
     sampleRates: Map[String, Double] = Map.empty, // per-lang keep rate
     defaultSampleRate: Double = 1.0)
 
@@ -123,10 +131,15 @@ object CorpusPipeline {
     */
   def decontaminateAgainstGrams(docs: DataFrame, grams: DataFrame,
       cfg: Config = Config()): DataFrame = {
-    val contaminated = docs
-      .select(col("doc_id"), explode(array_distinct(
-        shingles(tokens(col("text")), cfg.deconGramW))).as("g"))
-      .join(broadcast(grams.select(col("g"))), "g")
+    val gramStream = docs.select(col("doc_id"), explode(array_distinct(
+      shingles(tokens(col("text")), cfg.deconGramW))).as("g"))
+    val overlapping =
+      if (cfg.broadcastEvalGrams) gramStream.join(broadcast(grams.select(col("g"))), "g")
+      else graft.functions.BloomPrune
+        .prefilter(gramStream, col("g"), grams, col("g"),
+          cfg.bloomExpectedGrams, cfg.bloomBits) // sheds before the exchange
+        .join(grams.select(col("g")), "g") // exact re-check of survivors
+    val contaminated = overlapping
       .groupBy("doc_id").agg(count(lit(1)).as("__n_overlap"))
       .filter(col("__n_overlap") > cfg.maxEvalOverlap)
       .select(col("doc_id"))

@@ -51,6 +51,15 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(r.docsIn == r.docsOut, s"second run still removed docs at $r"))
   }
 
+  test("non-broadcast (bloom-prefiltered shuffle) decontamination == broadcast path") {
+    val bc = CorpusPipeline.decontaminate(docs, evalDocs, cfg)
+    val bl = CorpusPipeline.decontaminate(docs, evalDocs,
+      cfg.copy(broadcastEvalGrams = false))
+    assert(bl.select("doc_id").orderBy("doc_id").collect().toSeq ==
+      bc.select("doc_id").orderBy("doc_id").collect().toSeq,
+      "bloom pre-pass must not change the surviving set")
+  }
+
   test("mixture sampling is monotone in the rate (subset property)") {
     val low = CorpusPipeline.mixtureSample(docs, Config(defaultSampleRate = 0.3))
     val high = CorpusPipeline.mixtureSample(docs, Config(defaultSampleRate = 0.6))
