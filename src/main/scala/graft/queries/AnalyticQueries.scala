@@ -63,6 +63,22 @@ object AnalyticQueries {
         .orderBy("p_brand")
     },
 
+    // The salted equi-join (functions/Skew) under the oracle gate: dims
+    // replicate to every salt value, facts salt per row, the join runs on
+    // (key, salt) — and the result must equal the plain join exactly (the
+    // per-nation rollup makes that comparable despite the nondeterministic
+    // salt). The manual rewrite for when AQE's skew split isn't in play.
+    "q106_salted_join" -> { (s, dir) =>
+      val facts = read(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), dec(col("o_totalprice")).as("price"))
+      val dims = read(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      graft.functions.Skew.saltedJoin(facts, dims, "custkey", buckets = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+        .orderBy("c_nationkey")
+    },
+
     // Explicit GROUPING SETS (the general form of q25's rollup / q31's
     // cube) with grouping_id disambiguation: three chosen margins from ONE
     // Expand + hash-aggregate pass — not the 2^k the cube would compute,
@@ -315,6 +331,12 @@ object AnalyticQueries {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q106_salted_join" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q104_grouping_sets" ->
       """SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,

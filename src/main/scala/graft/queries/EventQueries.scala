@@ -309,6 +309,22 @@ object EventQueries {
         .orderBy("etype", "dom")
     },
 
+    // The salted two-phase aggregation (functions/Skew) under the oracle
+    // gate: the salt is runtime-nondeterministic (partition id + row id),
+    // but the DECIMAL partial-sum fold is associative-exact and min/max/
+    // count are order-free, so the RESULT is deterministic and must equal
+    // the plain GROUP BY bit-for-bit — which is the whole point of the
+    // rewrite being safe to apply to a hot key.
+    "q105_salted_agg" -> { (s, dir) =>
+      val prep = events(s, dir).select(col("event_type"),
+        dec(col("value")).as("sum_value"), col("value").as("lo"), col("value").as("hi"))
+      graft.functions.Skew.saltedAgg(prep, "event_type",
+          sums = Seq("sum_value"), buckets = 16, mins = Seq("lo"), maxs = Seq("hi"))
+        .select(col("event_type"), col("sum_value").cast("double").as("sum_value"),
+          col("lo"), col("hi"), col("n"))
+        .orderBy("event_type")
+    },
+
     // Exact percentiles (median + p90) per type — the EXACT counterpart of
     // q44's sketches, for when the group count is small enough to afford a
     // per-group sort. Spark's percentile() and DuckDB's quantile_cont share
@@ -538,6 +554,12 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day_num""".stripMargin,
+
+    "q105_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(value) AS lo, max(value) AS hi, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q36_exact_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med,
