@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFns._
 import Tables._
 
@@ -84,6 +85,40 @@ object DedupQueries {
         .filter(col("dist") <= 8)
         .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy("id_a", "id_b")
+    },
+
+    // Bag-of-words cosine over candidate pairs (q56's WEIGHTED sibling:
+    // token-count vectors instead of shingle sets). Everything stays
+    // integer until one final division: dot = Σ tf₁·tf₂ and the norms are
+    // Σ tf² (BIGINT), and the emitted score is cos² = dot²/(n₁·n₂) — no
+    // sqrt, whose libm rounding differs across engines. Candidates come
+    // from the same 40-char-prefix blocks as q56 (bounded fan-out); the
+    // per-pair dot is two keyed joins through the tf frame, never a
+    // vector materialization.
+    "q107_bow_cosine" -> { (s, dir) =>
+      val base = spread(read(s, dir, "documents"))
+      val tfc = base
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers: t1, t2, norms
+      val nrm = tfc.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+      val blk = base.select(col("doc_id"),
+        md5(substring(normalize(col("text")), 1, 40)).as("b"))
+      val cand = blk.select(col("doc_id").as("d1"), col("b"))
+        .join(blk.select(col("doc_id").as("d2"), col("b")), Seq("b"))
+        .filter(col("d1") < col("d2")).select("d1", "d2")
+      val t1 = tfc.select(col("doc_id").as("d1"), col("term"), col("tf").as("tf1"))
+      val t2 = tfc.select(col("doc_id").as("d2"), col("term"), col("tf").as("tf2"))
+      val dot = cand.join(t1, Seq("d1")).join(t2, Seq("d2", "term"))
+        .groupBy("d1", "d2").agg(sum(col("tf1") * col("tf2")).as("dot"))
+      val cos2 = col("dot").cast("double") * col("dot").cast("double") /
+        (col("n2_1").cast("double") * col("n2_2").cast("double"))
+      dot
+        .join(nrm.select(col("doc_id").as("d1"), col("n2").as("n2_1")), Seq("d1"))
+        .join(nrm.select(col("doc_id").as("d2"), col("n2").as("n2_2")), Seq("d2"))
+        .filter(cos2 >= 0.5)
+        .select(col("d1"), col("d2"), col("dot"), round(cos2, 6).as("cos2"))
+        .orderBy("d1", "d2")
     },
 
     // MinHash + LSH, the scale-path shape: explode shingles to rows, compute
@@ -398,6 +433,28 @@ object DedupQueries {
          |GROUP BY grp HAVING count(*) > 1 ORDER BY keeper""".stripMargin,
 
     "q56_ngram_jaccard" -> q56Oracle,
+
+    "q107_bow_cosine" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+         |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tf GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tfc GROUP BY 1),
+         |blk AS (SELECT doc_id, md5(substring($normSql, 1, 40)) AS b FROM documents),
+         |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM blk a JOIN blk b
+         |  ON a.b = b.b AND a.doc_id < b.doc_id),
+         |dot AS (
+         |  SELECT c.d1, c.d2, CAST(sum(t1.tf * t2.tf) AS BIGINT) AS dot
+         |  FROM cand c JOIN tfc t1 ON t1.doc_id = c.d1
+         |    JOIN tfc t2 ON t2.doc_id = c.d2 AND t2.term = t1.term
+         |  GROUP BY c.d1, c.d2)
+         |SELECT d.d1, d.d2, d.dot,
+         |  round(CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+         |    / (CAST(n1.n2 AS DOUBLE) * CAST(n2.n2 AS DOUBLE)), 6) AS cos2
+         |FROM dot d JOIN nrm n1 ON n1.doc_id = d.d1 JOIN nrm n2 ON n2.doc_id = d.d2
+         |WHERE CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+         |    / (CAST(n1.n2 AS DOUBLE) * CAST(n2.n2 AS DOUBLE)) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
 
     "q96_fuzzy_linkage" ->
       """WITH k AS (
