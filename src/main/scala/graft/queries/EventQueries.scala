@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import Tables._
 
 /** Event-stream surface over the `events` table (FIXTURES.md §B): JSON
@@ -309,6 +310,43 @@ object EventQueries {
         .orderBy("etype", "dom")
     },
 
+    // Market-basket analysis over behavioral sessions: which event types
+    // co-occur in the same q42 session more than chance (exact-integer
+    // lift, q86's collocation algebra at session grain). The pair join is
+    // keyed on (user, session) — fan-out bounded by types-per-session
+    // (≤5), never a cross of the stream; n_sessions rides in as a one-row
+    // broadcast.
+    "q108_session_baskets" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      val st = events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull, 0L)
+            .when(unix_micros(col("ts").cast("timestamp")) - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("new_s").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "sid", "event_type").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers: n, type counts, pairs
+      val n = st.select("user_id", "sid").distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val tc = st.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val pairs = st.select(col("user_id"), col("sid"), col("event_type").as("t1"))
+        .join(st.select(col("user_id"), col("sid"), col("event_type").as("t2")),
+          Seq("user_id", "sid"))
+        .filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(tc.select(col("event_type").as("t1"), col("n_t").as("n_t1"))), Seq("t1"))
+        .join(broadcast(tc.select(col("event_type").as("t2"), col("n_t").as("n_t2"))), Seq("t2"))
+        .crossJoin(broadcast(n))
+        .select(col("t1"), col("t2"), col("n_ab"),
+          round(col("n_ab").cast("double") * col("n_sessions").cast("double")
+            / (col("n_t1").cast("double") * col("n_t2").cast("double")), 6).as("lift"))
+        .orderBy("t1", "t2")
+    },
+
     // The salted two-phase aggregation (functions/Skew) under the oracle
     // gate: the salt is runtime-nondeterministic (partition id + row id),
     // but the DECIMAL partial-sum fold is associative-exact and min/max/
@@ -554,6 +592,33 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day_num""".stripMargin,
+
+    "q108_session_baskets" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM marked),
+        |st AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+        |n AS (SELECT CAST(count(DISTINCT (user_id, sid)) AS BIGINT) AS n_sessions FROM st),
+        |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM st GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, p.n_ab,
+        |  round(CAST(p.n_ab AS DOUBLE) * CAST(n.n_sessions AS DOUBLE)
+        |    / (CAST(c1.n_t AS DOUBLE) * CAST(c2.n_t AS DOUBLE)), 6) AS lift
+        |FROM pairs p JOIN tc c1 ON c1.event_type = p.t1
+        |  JOIN tc c2 ON c2.event_type = p.t2 CROSS JOIN n
+        |ORDER BY t1, t2""".stripMargin,
 
     "q105_salted_agg" ->
       """SELECT event_type,
