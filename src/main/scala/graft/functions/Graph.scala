@@ -155,4 +155,60 @@ object Graph {
     // cleaner once unreferenced
     labels
   }
+
+  /** One label-propagation round's driver-side telemetry (the lloydTrain
+    * shape): scalars only, no row data.
+    */
+  final case class LpRound(round: Int, changed: Long, nLabels: Long)
+
+  /** Community detection by synchronous label propagation (Raghavan et al.
+    * 2007): every node starts as its own community and each round adopts
+    * the MOST FREQUENT label among its neighbors — ties broken by the
+    * smaller label, so every round (and therefore the result at any round
+    * budget) is fully deterministic, unlike the randomized original.
+    *
+    * Communities are denser-than-chance neighborhoods; connected components
+    * ([[connectedComponents]]) answers "reachable at all", LP answers
+    * "densely tied" — e.g. splitting a dup cluster bridged by one spurious
+    * candidate pair into its two real groups.
+    *
+    * Same scale posture as the CC loop: each round is one keyed shuffle
+    * join + two aggregates, per-round `localCheckpoint` keeps the plan a
+    * leaf, and the driver holds only [[LpRound]] scalars. Synchronous LP
+    * can oscillate (bipartite 2-cycles), so the loop stops at `maxRounds`
+    * or when no label changes, WITHOUT declaring non-convergence an error —
+    * any round's labeling is a valid community assignment (monotone quality
+    * is not part of LP's contract); callers read the history to decide.
+    */
+  def labelPropagation(edges: DataFrame, maxRounds: Int = 10): (DataFrame, Seq[LpRound]) = {
+    val bidir = edges.toDF("a", "b")
+      .unionByName(edges.toDF("b", "a").select(col("a"), col("b")))
+      .distinct().cache()
+    var labels = bidir.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    val hist = scala.collection.mutable.ArrayBuffer.empty[LpRound]
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxRounds) {
+      // per (node, neighbor-label) counts -> majority label, min on ties
+      val freq = bidir.join(labels, bidir("b") === labels("id"))
+        .groupBy(bidir("a").as("nid"), col("label")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("nid")
+        .orderBy(col("n").desc, col("label").asc)
+      val adopted = freq.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("nid"), col("label").as("new_label"))
+      val updated = labels.join(adopted, labels("id") === adopted("nid"), "left")
+        .select(labels("id"),
+          coalesce(col("new_label"), labels("label")).as("label"))
+        .localCheckpoint(true)
+      changed = updated.as("u")
+        .join(labels.withColumnRenamed("label", "old").as("l"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      i += 1
+      hist += LpRound(i, changed, labels.select("label").distinct().count())
+    }
+    bidir.unpersist()
+    (labels, hist.toSeq)
+  }
 }

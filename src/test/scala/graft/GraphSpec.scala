@@ -53,4 +53,32 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byStar == byProp)
   }
+
+  test("label propagation splits two cliques joined by one bridge edge") {
+    // cliques {1..4} and {10..13}, bridged 4-10: CC sees ONE component,
+    // LP's majority rule keeps the two dense groups distinct
+    val c1 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val c2 = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+    val e = edges(c1 ++ c2 :+ ((4L, 10L)): _*)
+    assert(Graph.connectedComponents(e).select("comp").distinct().count() == 1)
+    val (labels, hist) = Graph.labelPropagation(e, maxRounds = 10)
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g1 = Seq(1L, 2L, 3L, 4L).map(m).toSet
+    val g2 = Seq(10L, 11L, 12L, 13L).map(m).toSet
+    assert(g1.size == 1 && g2.size == 1, s"cliques must be uniform: $m")
+    assert(g1 != g2, s"bridge must not merge the communities: $m")
+    assert(hist.nonEmpty && hist.forall(_.changed >= 0))
+  }
+
+  test("label propagation is deterministic and stops at the round budget") {
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val e = edges(es: _*)
+    val (l1, h1) = Graph.labelPropagation(e, maxRounds = 4)
+    val (l2, h2) = Graph.labelPropagation(e, maxRounds = 4)
+    assert(h1 == h2, "telemetry must be identical across runs")
+    assert(l1.collect().map(_.toSeq).toSet == l2.collect().map(_.toSeq).toSet)
+    assert(h1.size <= 4)
+  }
 }
