@@ -310,6 +310,29 @@ object EventQueries {
         .orderBy("etype", "dom")
     },
 
+    // Time-to-convert distribution: minutes from first view to first
+    // LATER purchase per user (q87's stage-1→3 edge), summarized with
+    // exact percentiles (q36's machinery). Two keyed min-aggs + one
+    // equi-join; the µs→minute division stays integer until the final
+    // percentile interpolation.
+    "q109_time_to_convert" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      v.join(p, "user_id")
+        .select((unix_micros(col("t2").cast("timestamp"))
+          - unix_micros(col("t1").cast("timestamp"))).as("us"))
+        .select(expr("us div 60000000").as("mins")) // integer div, like DuckDB //
+        .agg(count(lit(1)).as("n_converted"),
+          min("mins").as("fastest_min"),
+          round(expr("percentile(CAST(mins AS DOUBLE), 0.5)"), 6).as("med_min"),
+          round(expr("percentile(CAST(mins AS DOUBLE), 0.9)"), 6).as("p90_min"),
+          max("mins").as("slowest_min"))
+    },
+
     // Market-basket analysis over behavioral sessions: which event types
     // co-occur in the same q42 session more than chance (exact-integer
     // lift, q86's collocation algebra at session grain). The pair join is
@@ -592,6 +615,20 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day_num""".stripMargin,
+
+    "q109_time_to_convert" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id),
+        |d AS (SELECT (epoch_us(p.t2) - epoch_us(v.t1)) // 60000000 AS mins
+        |  FROM v JOIN p ON v.user_id = p.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  min(mins) AS fastest_min,
+        |  round(quantile_cont(CAST(mins AS DOUBLE), 0.5), 6) AS med_min,
+        |  round(quantile_cont(CAST(mins AS DOUBLE), 0.9), 6) AS p90_min,
+        |  max(mins) AS slowest_min
+        |FROM d""".stripMargin,
 
     "q108_session_baskets" ->
       """WITH marked AS (
