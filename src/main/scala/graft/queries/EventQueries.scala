@@ -310,6 +310,22 @@ object EventQueries {
         .orderBy("etype", "dom")
     },
 
+    // Spark's NATIVE session_window (q42 is the hand-rolled lag/cumsum
+    // form): one SessionWindowing aggregate, no window functions at all.
+    // Boundary semantics differ from q42 by design — native merges while
+    // gap < 30min STRICTLY (end-exclusive), q42's manual form keeps
+    // exactly-30min gaps together — so this query carries its own oracle
+    // written to the native rule (diff >= gap ⇒ new session).
+    "q110_native_sessions" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts").cast("timestamp"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("user_id"), col("w.start").as("w_start"), col("w.end").as("w_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "w_start")
+    },
+
     // Time-to-convert distribution: minutes from first view to first
     // LATER purchase per user (q87's stage-1→3 edge), summarized with
     // exact percentiles (q36's machinery). Two keyed min-aggs + one
@@ -615,6 +631,22 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day_num""".stripMargin,
+
+    "q110_native_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS w_start, max(ts) + INTERVAL 30 MINUTE AS w_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
 
     "q109_time_to_convert" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
