@@ -156,4 +156,23 @@ class PlanLintSpec extends SparkSpec {
     assert(gramJoins.nonEmpty,
       s"q76 has no broadcast hash join keyed on the gram column:\n${plan.toString.take(2000)}")
   }
+
+  /** Round-7 operator pins: each new query's load-bearing physical shape,
+    * asserted so a Spark upgrade or refactor that silently degrades it
+    * (e.g. set-ops falling back to joins) fails here, not in a 100 TB run.
+    */
+  test("round-7 plan pins: native sessions, set-op replay, unpivot, outlier broadcast") {
+    val p110 = staticPlan(SparkEntry.queries("q110_native_sessions")).toString
+    assert(p110.contains("MergingSessions"),
+      "q110 lost Spark's native session-window operator")
+    val p102 = staticPlan(SparkEntry.queries("q102_setops_all")).toString
+    assert(p102.contains("replicaterows") && !p102.contains("Join"),
+      "q102 must stay counted-aggregate + Generate multiplicity replay — no join")
+    val p101 = staticPlan(SparkEntry.queries("q101_unpivot")).toString
+    assert(p101.contains("Expand") && !p101.contains("Join"),
+      "q101's unpivot must be a zero-join Expand projection")
+    val p94 = staticPlan(SparkEntry.queries("q94_outlier_docs")).toString
+    assert(p94.contains("BroadcastHashJoin"),
+      "q94's per-source stats must broadcast back onto the scan")
+  }
 }
