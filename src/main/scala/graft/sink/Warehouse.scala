@@ -546,6 +546,42 @@ final class Warehouse(spark: SparkSession, root: String,
     merge(name, latest, pks)
   }
 
+  /** Change feed, file grain: the data files snapshot `toVersion` references
+    * that `fromVersion` does not — for appends this IS the set of ingested
+    * batches (manifests share unchanged files by path), so an incremental
+    * consumer reads O(new data), never rescanning the table. Merge/compact
+    * commits rewrite files, so their "added" files also carry surviving old
+    * rows — file-grain CDC is a SUPERSET of the row-level change set there
+    * (the Iceberg incremental-scan caveat); use [[diffRows]] when exact row
+    * changes are worth a two-snapshot comparison.
+    */
+  def addedFiles(name: String, fromVersion: Long, toVersion: Long): Seq[DataFile] = {
+    val before = manifestAt(name, fromVersion).files.map(_.path).toSet
+    manifestAt(name, toVersion).files.filterNot(f => before(f.path))
+  }
+
+  /** Scan only the files [[addedFiles]] reports — the incremental-consumer
+    * read path. Empty diff ⇒ empty frame with the snapshot schema.
+    */
+  def readAdded(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    val m = manifestAt(name, toVersion)
+    val paths = addedFiles(name, fromVersion, toVersion).map(f => resolvePath(name, f.path))
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema).parquet(paths: _*)
+  }
+
+  /** Exact row-level diff between two snapshots: (added, removed) as
+    * bag-semantics EXCEPT ALL in each direction. Costs two full snapshot
+    * scans — correct across merges/compactions where [[readAdded]]
+    * over-reports; reserve it for when exactness matters.
+    */
+  def diffRows(name: String, fromVersion: Long, toVersion: Long): (DataFrame, DataFrame) = {
+    val from = loadVersion(name, fromVersion)
+    val to = loadVersion(name, toVersion)
+    (to.exceptAll(from), from.exceptAll(to))
+  }
+
   /** Drop all but the newest `keepLast` snapshots and garbage-collect data
     * files no surviving manifest references (Iceberg `expireSnapshots`).
     * Time travel keeps working within the retained window.
