@@ -114,4 +114,30 @@ object IncrementalRollup {
     */
   def compact(wh: Warehouse, table: String, spec: Spec): Long =
     wh.replace(table, read(wh, table, spec), statsCols = spec.keys)
+
+  /** Self-driving maintenance off an APPEND-ONLY fact table's change feed:
+    * reads the files committed to `fact` since the last call (the
+    * [[Warehouse.readAdded]] feed), folds them in, and records the fact
+    * version in the warehouse batch ledger (streamId `rollup:<fact>`) so a
+    * crashed/retried call is a no-op — the caller never tracks batches.
+    *
+    * Append-only is a REQUIREMENT, not a hint: across merge/compact commits
+    * the file feed re-reads surviving rows (documented superset) and an
+    * additive rollup would double-count them. Returns the fact version now
+    * covered.
+    */
+  def maintainFromFeed(wh: Warehouse, fact: String, table: String, spec: Spec): Long = {
+    val sid = s"rollup:$fact"
+    val last = wh.lastCommittedBatchId(table, sid) // -1 when never run
+    val now = wh.currentVersion(fact)
+    if (now > last) {
+      // first ever call (-1): a fresh table's FIRST append commits version 0
+      // WITH data, so the feed must be the whole snapshot, not a version diff
+      val feed = if (last < 0) wh.loadVersion(fact, now)
+        else wh.readAdded(fact, last, now)
+      maintain(wh, table, feed, spec)
+      wh.recordBatchId(table, sid, now)
+    }
+    now
+  }
 }

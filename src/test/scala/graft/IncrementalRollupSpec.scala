@@ -83,6 +83,20 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(canon(IncrementalRollup.read(wh, "r", spec)) == direct)
   }
 
+  test("feed-driven maintenance: fact appends flow in, retries are no-ops, result exact") {
+    val wh = new Warehouse(spark, tmpDir("ivm-feed"))
+    val full = fact.select("event_type", "value")
+    val direct = canon(IncrementalRollup.partial(full, spec))
+    wh.append("fact", full.filter(pmod(col("value").cast("long"), lit(3)) === 0))
+    IncrementalRollup.maintainFromFeed(wh, "fact", "r", spec)
+    IncrementalRollup.maintainFromFeed(wh, "fact", "r", spec) // no new version: no-op
+    wh.append("fact", full.filter(pmod(col("value").cast("long"), lit(3)) === 1))
+    wh.append("fact", full.filter(pmod(col("value").cast("long"), lit(3)) === 2))
+    IncrementalRollup.maintainFromFeed(wh, "fact", "r", spec) // folds BOTH new versions
+    IncrementalRollup.maintainFromFeed(wh, "fact", "r", spec) // retry: no-op
+    assert(canon(IncrementalRollup.read(wh, "r", spec)) == direct)
+  }
+
   test("streaming maintenance end-to-end over a MemoryStream") {
     import graft.streaming.RollupStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
