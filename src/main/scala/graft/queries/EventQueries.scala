@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 import Tables._
 
@@ -308,6 +309,55 @@ object EventQueries {
           coalesce(col("dom").cast("string"), lit("ALL")).as("dom"),
           col("n"), col("total"))
         .orderBy("etype", "dom")
+    },
+
+    // Rolling 7-day exact MEDIAN of daily purchase revenue — an ordered-set
+    // aggregate evaluated over a window frame (q92's moving average needs
+    // only a running sum; a rolling median re-sorts each frame). Frames are
+    // ≤7 rows on the calendar-sized daily grain, so the per-frame sort is
+    // O(1); inputs to the interpolation are the DECIMAL-exact daily sums
+    // cast once to double, identical in both engines.
+    "q111_rolling_median" -> { (s, dir) =>
+      val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+      events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+        .agg(sum(dec(col("value"))).cast("double").as("rev"))
+        .select(col("day_num"),
+          round(expr("percentile(rev, 0.5)").over(w), 6).as("med7"))
+        .orderBy("day_num")
+    },
+
+    // Grouped ordinary least squares — value regressed on the props k, per
+    // type — with ALL moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulated in
+    // integer/DECIMAL arithmetic: slope, intercept, and r² are RATIONAL in
+    // the moments (no sqrt, no float mean), so each is one fixed-order
+    // double expression over exact inputs — bit-identical cross-engine.
+    // The scan-side shape of distributed regression: one pass, six
+    // decomposable sums, model math on the 5-row moment frame.
+    "q112_group_regression" -> { (s, dir) =>
+      val moments = events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("x"),
+          dec(col("value")).as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x").cast(DecimalType(18, 2)) * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val dx = col("n") * col("sxx") - col("sx") * col("sx")
+      val slopeRaw = num.cast("double") / dx.cast("double")
+      moments
+        .withColumn("slope_raw", slopeRaw)
+        .select(col("event_type"), col("n"),
+          round(col("slope_raw"), 6).as("slope"),
+          round((col("sy").cast("double") - col("slope_raw") * col("sx").cast("double"))
+            / col("n").cast("double"), 6).as("intercept"),
+          round(num.cast("double") * num.cast("double")
+            / (dx.cast("double") * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("r2"))
+        .orderBy("event_type")
     },
 
     // Spark's NATIVE session_window (q42 is the hand-rolled lag/cumsum
@@ -631,6 +681,37 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day_num""".stripMargin,
+
+    "q111_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY day_num)
+        |SELECT day_num, round(quantile_cont(rev, 0.5) OVER (ORDER BY day_num
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+        |FROM daily ORDER BY day_num""".stripMargin,
+
+    "q112_group_regression" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS x,
+        |    CAST(value AS DECIMAL(18,2)) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, sum(y) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    sum(CAST(x AS DECIMAL(18,2)) * y) AS sxy,
+        |    sum(y*y) AS syy
+        |  FROM d GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |    - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q110_native_sessions" ->
       """WITH marked AS (
