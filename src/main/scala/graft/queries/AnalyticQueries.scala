@@ -300,10 +300,53 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("n_suppliers"),
           sum(dec(col("s_acctbal"))).cast("double").as("sum_bal"))
         .orderBy("r_name")
+    },
+
+    // Robust per-brand price outliers via MAD (median absolute deviation):
+    // med = exact median price, mad = exact median of |x − med|, outlier ⇔
+    // |x − med| > 3·mad — the robust-statistics counterpart of q94's
+    // mean/stddev z-score (one far outlier can't inflate the threshold and
+    // mask the rest). Exact-percentile machinery from q36 (Spark percentile
+    // ≡ DuckDB quantile_cont, shared (n−1)·p lerp); two median passes are
+    // inherent to MAD. Brand cardinality is tiny, so both median frames
+    // broadcast back — the data makes three linear scans, never a wide
+    // shuffle, and the deviation comparison is per-row fixed-order double
+    // math (bit-identical cross-engine).
+    "q115_mad_outliers" -> { (s, dir) =>
+      val p = read(s, dir, "part")
+        .select(col("p_brand").as("brand"), col("p_retailprice").cast("double").as("x"))
+      val med = p.groupBy("brand").agg(expr("percentile(x, 0.5)").as("med"))
+      val dev = p.join(broadcast(med), "brand")
+        .withColumn("dev", abs(col("x") - col("med")))
+      val mad = dev.groupBy("brand").agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "brand")
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n_parts"),
+          round(max("med"), 6).as("med_price"),
+          round(max("mad"), 6).as("mad"),
+          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+          round(max("dev"), 6).as("max_dev"))
+        .orderBy("brand")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q115_mad_outliers" ->
+      """WITH p AS (SELECT p_brand AS brand, CAST(p_retailprice AS DOUBLE) AS x
+        |  FROM part),
+        |med AS (SELECT brand, quantile_cont(x, 0.5) AS med FROM p GROUP BY brand),
+        |d AS (SELECT p.brand, p.x, med.med, abs(p.x - med.med) AS dev
+        |  FROM p JOIN med USING (brand)),
+        |mad AS (SELECT brand, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY brand)
+        |SELECT d.brand, count(*) AS n_parts,
+        |  round(max(d.med), 6) AS med_price,
+        |  round(max(m.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(max(d.dev), 6) AS max_dev
+        |FROM d JOIN mad m USING (brand)
+        |GROUP BY d.brand ORDER BY d.brand""".stripMargin,
+
     "q20_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

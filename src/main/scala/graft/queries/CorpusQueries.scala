@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.functions.TextFns.{shingles, tokens, wideShingles}
+import graft.functions.TextFns.{normalize, shingles, tokens, wideShingles}
 import Tables._
 
 /** Corpus-statistics surface over `documents` — the cross-document analyses
@@ -34,6 +34,10 @@ object CorpusQueries {
   private val CHUNK_OVERLAP = 8 // q84: tokens shared between adjacent chunks
   private val VOCAB_K = 20 // q85: vocabulary size
   private val COLLOC_K = 25 // q86: collocations reported
+  // q113: fixed search query (one rare discriminative term + two common) + cut
+  private val SEARCH_Q = Seq("spark", "merge", "dup")
+  private val SEARCH_K = 15
+  private val CONTAIN_T = 0.6 // q114: containment threshold
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-doc gram document-frequency stats: per-doc boilerplate coverage
@@ -150,6 +154,80 @@ object CorpusQueries {
         .filter(col("rk") === 1)
         .select(col("doc_id"), col("term"), col("bm25"))
         .orderBy("doc_id")
+    },
+
+    // BM25 ranked retrieval for a FIXED query — q97 turned around: instead
+    // of the best term per doc, the best docs for a term set (the curation
+    // search that pulls topical slices out of a corpus). Per-query-term tf
+    // is a zero-shuffle per-row array filter (|Q| columns, no explode/agg of
+    // the full token stream), so the only reduction is the ONE-ROW corpus
+    // stats agg (n, total_dl, per-term df) broadcast back — at 100 TB this
+    // is a linear scan + a TakeOrdered top-k, no vocabulary-sized state
+    // anywhere. Scores stay in q97's rational-idf form (no log()); the
+    // per-term parts are summed left-to-right in one fixed-order per-row
+    // expression, so both engines produce bit-identical doubles. The top-k
+    // cut orders by the ROUNDED score (6 dp) with doc_id tiebreak, making
+    // the boundary deterministic cross-engine.
+    "q113_bm25_search" -> { (s, dir) =>
+      // Persisted: 2 consumers (corpus stats + scoring) — without the cache
+      // the stats branch re-tokenizes the corpus from scratch AND the
+      // n_hits>0 filter gets pushed below the spread() exchange onto the
+      // single scan partition (the q72 HOF-below-spread regression class;
+      // the cache is also what keeps PlanLintSpec's sweep green here).
+      val base = spread(read(s, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id") +: size(col("tk")).cast("long").as("dl") +:
+          SEARCH_Q.zipWithIndex.map { case (t, i) =>
+            size(filter(col("tk"), x => x === t)).cast("long").as(s"tf$i") }: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val stats = base.agg(
+        count(lit(1)).as("n"),
+        sum("dl").as("total_dl") +:
+          SEARCH_Q.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      def part(i: Int): Column =
+        ((col(s"tf$i").cast("double") * 2.2
+          / (col(s"tf$i").cast("double") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl").cast("double") * col("n").cast("double")
+              / col("total_dl").cast("double"))))
+          * ((col("n") - col(s"df$i")).cast("double") + 0.5)
+          / (col(s"df$i").cast("double") + 0.5))
+      base.crossJoin(broadcast(stats))
+        .withColumn("n_hits",
+          SEARCH_Q.indices.map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _))
+        .filter(col("n_hits") > 0)
+        .withColumn("bm25", round(SEARCH_Q.indices.map(part).reduce(_ + _), 6))
+        .select(col("doc_id"), col("n_hits"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(SEARCH_K)
+    },
+
+    // Shingle containment near-dup pairs — Broder's CONTAINMENT measure
+    // beside q56's resemblance (Jaccard): |A∩B| / min(|A|,|B|) over the
+    // distinct 3-gram sets. Catches near-SUPERSET pairs (one doc wrapping
+    // another) that Jaccard misses when lengths diverge — at Jaccard 0.5 a
+    // doc fully contained in a 3x-longer doc scores ~0.33 and slips
+    // through; containment scores it 1.0. Same prefix-block candidate
+    // generation as q56 (fan-out bounded by real dups, never all-pairs);
+    // exact integer set sizes under one per-row double division.
+    "q114_containment_dedup" -> { (s, dir) =>
+      val base = spread(read(s, dir, "documents"))
+        .withColumn("tk", tokens(col("text")))
+        .select(col("doc_id"),
+          md5(substring(normalize(col("text")), 1, 40)).as("blk"),
+          array_distinct(shingles(col("tk"), GRAM_W)).as("sh"))
+      val a = base.select(col("doc_id").as("d1"), col("blk"), col("sh").as("s1"))
+      val b = base.select(col("doc_id").as("d2"), col("blk"), col("sh").as("s2"))
+      a.join(b, Seq("blk")).filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("s1"), col("s2"))).cast("long").as("inter"),
+          size(col("s1")).cast("long").as("n1"),
+          size(col("s2")).cast("long").as("n2"))
+        .withColumn("containment",
+          col("inter").cast("double") / least(col("n1"), col("n2")))
+        .filter(col("containment") >= CONTAIN_T)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("d1", "d2")
     },
 
     // Shared-long-window near-dup pairs — the window-granular form of
@@ -286,7 +364,55 @@ object CorpusQueries {
        |    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))) AS g
        |  FROM tk)""".stripMargin
 
+  /** q113's per-term BM25 part, mirroring q97's proven-green expression
+    * shape (same parenthesization ⇒ same IEEE op order in both engines).
+    */
+  private def bm25PartSql(i: Int): String =
+    s"""(CAST(tf$i AS DOUBLE) * 2.2
+       |      / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25
+       |        + 0.75 * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)
+       |          / CAST(total_dl AS DOUBLE))))
+       |      * (CAST(n - df$i AS DOUBLE) + 0.5)
+       |      / (CAST(df$i AS DOUBLE) + 0.5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q113_bm25_search" ->
+      s"""WITH b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |    ${SEARCH_Q.zipWithIndex.map { case (t, i) =>
+               s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i" }
+               .mkString(",\n    ")}
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dl) AS BIGINT) AS total_dl,
+         |    ${SEARCH_Q.indices.map(i =>
+               s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+               .mkString(",\n    ")}
+         |  FROM b)
+         |SELECT doc_id, n_hits, bm25 FROM (
+         |  SELECT doc_id,
+         |    CAST(${SEARCH_Q.indices.map(i =>
+               s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT)
+         |      AS n_hits,
+         |    round(${SEARCH_Q.indices.map(bm25PartSql).mkString("\n    + ")}, 6) AS bm25
+         |  FROM b CROSS JOIN st)
+         |WHERE n_hits > 0 ORDER BY bm25 DESC, doc_id LIMIT $SEARCH_K""".stripMargin,
+
+    "q114_containment_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks,
+         |    md5(substring($normSql, 1, 40)) AS blk FROM documents),
+         |sh AS (SELECT doc_id, blk, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks) - ${GRAM_W - 1}, 1)),
+         |    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+         |  FROM tk)
+         |SELECT d1, d2, inter, n1, n2, round(containment, 6) AS containment FROM (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         |    CAST(len(a.s) AS BIGINT) AS n1, CAST(len(b.s) AS BIGINT) AS n2,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / least(len(a.s), len(b.s)) AS containment
+         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+         |WHERE containment >= $CONTAIN_T ORDER BY d1, d2""".stripMargin,
+
     "q76_gram_df_stats" ->
       s"""WITH $gramsCte,
          |df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
