@@ -546,6 +546,165 @@ final class Warehouse(spark: SparkSession, root: String,
     merge(name, latest, pks)
   }
 
+  /** Per-batch outcome of [[scd2Merge]]: version rows inserted (new keys +
+    * changed keys), current rows closed (superseded by a changed version),
+    * and incoming rows skipped as attribute-identical to the live version.
+    */
+  final case class Scd2Report(version: Long, inserted: Long, closed: Long,
+    unchanged: Long)
+
+  private val Scd2Meta = Seq("__valid_from", "__valid_to", "__is_current")
+
+  /** Slowly-changing-dimension Type 2 merge: BUSINESS-time versioning inside
+    * the table, complementing snapshot time travel's processing-time axis
+    * (bitemporal: `loadVersion` answers "what did we believe at commit v",
+    * the `__valid_from`/`__valid_to` interval answers "what was true at
+    * business time t"). Each batch, effective at `asOf`:
+    *
+    *   - new key                    → inserted as the current version
+    *     (`__valid_from = asOf`, `__valid_to = null`, `__is_current`);
+    *   - key with CHANGED attributes → live row closed
+    *     (`__valid_to = asOf`, not current) + new current version inserted;
+    *   - key with identical attributes → untouched (no version churn from
+    *     re-extracting an unchanged dimension — SCD2's defining idempotence);
+    *   - key absent from the batch  → untouched (no implicit deletes);
+    *   - a batch where nothing changed commits NOTHING (version unchanged).
+    *
+    * Change detection = md5 over the JSON of the non-key business columns in
+    * target-schema order — one fingerprint comparison instead of N nullable
+    * column equalities. Scale posture mirrors [[merge]]: per-file PK stats
+    * prune the rewrite to files whose key range may overlap the batch (a
+    * key's CURRENT row can only live in such a file, so pruning is exact,
+    * and history rows in untouched files never rewrite); the incoming
+    * (pk, fp) probe rides the same broadcast size gate. Null-keyed incoming
+    * rows keep the merge contract: they never match, so they always insert.
+    *
+    * Caller contract: one row per key per batch (pre-shape with a
+    * [[mergeLatest]]-style window if extraction can emit several), and
+    * monotonically non-decreasing `asOf` across batches.
+    */
+  def scd2Merge(name: String, df: DataFrame, pks: Seq[String],
+                asOf: java.sql.Timestamp): Scd2Report = {
+    require(pks.nonEmpty && pks.forall(df.columns.contains),
+      s"scd2Merge needs pk columns present in the batch: $pks")
+    require(!df.columns.exists(Scd2Meta.contains),
+      s"incoming batch must not carry SCD2 metadata columns $Scd2Meta")
+    val from = lit(asOf)
+
+    if (!exists(name)) {
+      val first = df
+        .withColumn("__valid_from", from)
+        .withColumn("__valid_to", lit(null).cast(TimestampType))
+        .withColumn("__is_current", lit(true))
+      val n = df.count()
+      return Scd2Report(append(name, first, statsCols = pks), n, 0L, 0L)
+    }
+
+    val man = currentManifest(name)
+    val schema = man.schema
+    val bizSchema = StructType(schema.fields.filterNot(f => Scd2Meta.contains(f.name)))
+    val attrs = bizSchema.fieldNames.toSeq.filterNot(pks.contains)
+    // Fingerprint of the business attributes, evaluated with the SAME column
+    // set and order on both sides (target-schema order via conform).
+    def fp: Column =
+      if (attrs.isEmpty) lit("") else md5(to_json(struct(attrs.map(col): _*)))
+    val in = SchemaOps.conform(df, bizSchema).withColumn("__fp", fp)
+      .persist() // consumers: key stats, close-join probe, insert anti-join
+    try {
+      val scs = statCols(schema, pks)
+      val aggs = count(lit(1)).as("__n") +: scs.zipWithIndex.flatMap { case (sc, i) =>
+        Seq(sc.minExpr.as(s"__mn$i"), sc.maxExpr.as(s"__mx$i"))
+      }
+      val aggRow = in.select(pks.map(col): _*).agg(aggs.head, aggs.tail: _*).head()
+      val keyCount = aggRow.getLong(aggRow.fieldIndex("__n"))
+      val batchStats: Map[String, ColStat] = statsOfRow(aggRow, scs)
+
+      // Same file-pruning predicate as [[merge]] — and it is EXACT here for
+      // current-row lookup: any file containing a batch key k has
+      // min <= k <= max, hence overlaps the batch's [min, max].
+      def disjoint(f: DataFile): Boolean = pks.exists { c =>
+        f.stats.get(c) match {
+          case Some(ColStat("z", _, _)) => true
+          case Some(fs) => batchStats.get(c).exists(bs =>
+            bs.kind == fs.kind &&
+              (StatsPruning.cmp(fs.kind, fs.min, bs.max) > 0 ||
+                StatsPruning.cmp(fs.kind, fs.max, bs.min) < 0))
+          case None => false
+        }
+      }
+      val (untouched, victims) = man.files.partition(disjoint)
+
+      val target =
+        if (victims.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+        else spark.read.schema(schema)
+          .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
+      val curr = target.filter(coalesce(col("__is_current"), lit(false)))
+      val hist = target.filter(!coalesce(col("__is_current"), lit(false)))
+
+      // Live rows paired with the incoming fingerprint (batch side under the
+      // merge broadcast gate). Persisted: feeds the rewrite, the closed
+      // count, and the unchanged-key set for the insert anti-join.
+      val probe = in.select(pks.map(col) :+ col("__fp").as("__in_fp"): _*)
+      val probeSide =
+        if (keyCount <= mergeBroadcastMaxKeys) broadcast(probe)
+        else probe.hint("merge")
+      val currJ = curr.withColumn("__fp_t", fp)
+        .join(probeSide, pks, "left")
+        .withColumn("__close", col("__in_fp").isNotNull && col("__in_fp") =!= col("__fp_t"))
+        .persist()
+      try {
+        val closed = currJ.filter(col("__close")).count()
+        val unchangedKeys = currJ
+          .filter(col("__in_fp").isNotNull && col("__in_fp") === col("__fp_t"))
+          .select(pks.map(col): _*)
+        val ukSide =
+          if (keyCount <= mergeBroadcastMaxKeys) broadcast(unchangedKeys)
+          else unchangedKeys.hint("merge")
+        val inserts = in.drop("__fp").join(ukSide, pks, "left_anti")
+          .withColumn("__valid_from", from)
+          .withColumn("__valid_to", lit(null).cast(TimestampType))
+          .withColumn("__is_current", lit(true))
+        val materializedInserts = inserts.localCheckpoint()
+        val inserted = materializedInserts.count()
+
+        if (inserted == 0 && closed == 0)
+          return Scd2Report(currentVersion(name), 0L, 0L, keyCount)
+
+        val rewrittenCurrent = currJ
+          .withColumn("__valid_to", when(col("__close"), from).otherwise(col("__valid_to")))
+          .withColumn("__is_current", !col("__close"))
+          .drop("__in_fp", "__fp_t", "__close")
+
+        val next = currentVersion(name) + 1
+        val statsFor = pks ++ inheritedStatsCols(Some(man))
+        val rewritten =
+          if (victims.isEmpty) Nil
+          else writeData(name,
+            SchemaOps.conform(hist.unionByName(rewrittenCurrent), schema),
+            schema, s"d${next}r", statsFor)
+        val batchEntries = writeData(name,
+          SchemaOps.conform(materializedInserts, schema), schema, s"d${next}b", statsFor)
+        commitManifest(name, next,
+          Manifest(schema, untouched ++ rewritten ++ batchEntries))
+        Scd2Report(next, inserted, closed, keyCount - inserted)
+      } finally currJ.unpersist()
+    } finally in.unpersist()
+  }
+
+  /** Current business-time view of an SCD2 table (one row per live key). */
+  def scd2Current(name: String): DataFrame =
+    load(name).filter(coalesce(col("__is_current"), lit(false)))
+
+  /** Business-time travel over an SCD2 table: the attribute values in force
+    * at `at` — rows whose validity interval covers it (`__valid_from <= at`
+    * and (`__valid_to` open or `> at`); end-exclusive, matching the close
+    * stamp of the superseding batch).
+    */
+  def scd2AsOf(name: String, at: java.sql.Timestamp): DataFrame =
+    load(name).filter(col("__valid_from") <= lit(at) &&
+      (col("__valid_to").isNull || col("__valid_to") > lit(at)))
+
   /** Change feed, file grain: the data files snapshot `toVersion` references
     * that `fromVersion` does not — for appends this IS the set of ingested
     * batches (manifests share unchanged files by path), so an incremental
