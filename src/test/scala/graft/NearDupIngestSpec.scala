@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sink.{NearDupIngest, Warehouse}
+
+/** Incremental near-dup ingestion contract: in-batch near-dups collapse to
+  * the min-pk component keeper, later batches are checked against the
+  * stored band/signature index (never corpus text), replay appends 0, and
+  * the index tables track the corpus exactly.
+  */
+class NearDupIngestSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+
+  // base text: 40 distinct-ish tokens => plenty of 3-gram shingles
+  private val baseText = (1 to 40).map(i => s"tok$i").mkString(" ")
+  // near-dup: change the last 2 tokens (shingle Jaccard far above 0.5)
+  private val nearText = ((1 to 38).map(i => s"tok$i") ++ Seq("zzz", "yyy")).mkString(" ")
+  // unrelated: disjoint vocabulary (Jaccard 0)
+  private val otherText = (1 to 40).map(i => s"alt$i").mkString(" ")
+
+  private def ingester(wh: Warehouse) = new NearDupIngest(wh, "doc_id", "text")
+
+  test("in-batch near-dups collapse to the min-pk keeper") {
+    val wh = new Warehouse(spark, tmpDir("ndi-inbatch"))
+    val ing = ingester(wh)
+    val r = ing.ingest("corpus", docs(1L -> baseText, 2L -> nearText, 3L -> otherText))
+    assert(r.appended == 2, s"keeper 1 + unrelated 3: $r")
+    assert(r.dupInBatch == 1 && r.dupVsCorpus == 0, r.toString)
+    assert(wh.load("corpus").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("later batch dedups against the corpus via the stored index") {
+    val wh = new Warehouse(spark, tmpDir("ndi-cross"))
+    val ing = ingester(wh)
+    ing.ingest("corpus", docs(1L -> baseText, 2L -> otherText))
+    val otherNear = ((1 to 38).map(i => s"alt$i") ++ Seq("qqq", "www")).mkString(" ")
+    val thirdText = (1 to 40).map(i => s"new$i").mkString(" ")
+    val r = ing.ingest("corpus", docs(
+      10L -> nearText,  // near-dup of corpus doc 1 (mutually unrelated to 11)
+      11L -> otherNear, // near-dup of corpus doc 2
+      12L -> thirdText)) // novel
+    assert(r.appended == 1, s"only the novel doc: $r")
+    assert(r.dupVsCorpus == 2 && r.dupInBatch == 0, r.toString)
+    assert(wh.load("corpus").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 12L))
+  }
+
+  test("replaying a batch appends nothing (retry-safe)") {
+    val wh = new Warehouse(spark, tmpDir("ndi-replay"))
+    val ing = ingester(wh)
+    val batch = docs(1L -> baseText, 2L -> otherText)
+    ing.ingest("corpus", batch)
+    val r = ing.ingest("corpus", batch)
+    assert(r.appended == 0 && r.dupVsCorpus == 2, r.toString)
+    assert(wh.load("corpus").count() == 2)
+  }
+
+  test("index tables track the corpus exactly (one sig row, bands rows per doc)") {
+    val wh = new Warehouse(spark, tmpDir("ndi-index"))
+    val ing = ingester(wh)
+    ing.ingest("corpus", docs(1L -> baseText, 2L -> nearText))
+    ing.ingest("corpus", docs(3L -> otherText))
+    val n = wh.load("corpus").count()
+    assert(n == 2, "keeper 1 + novel 3")
+    assert(wh.load("corpus__sigs").count() == n)
+    assert(wh.load("corpus__bands").count() == n * 4, "4 band rows per kept doc")
+    // index pks are exactly the corpus pks
+    assert(wh.load("corpus__sigs").collect().map(_.getLong(0)).sorted.toSeq ==
+      wh.load("corpus").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("chained in-batch components keep only the global min pk") {
+    val wh = new Warehouse(spark, tmpDir("ndi-chain"))
+    val ing = ingester(wh)
+    // 5 copies of the same doc: one component, keeper = min pk
+    val r = ing.ingest("corpus", docs((1L to 5L).map(i => i -> baseText): _*))
+    assert(r.appended == 1 && r.dupInBatch == 4, r.toString)
+    assert(wh.load("corpus").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("unrelated docs never collapse (no false merges at Jaccard 0)") {
+    val wh = new Warehouse(spark, tmpDir("ndi-distinct"))
+    val ing = ingester(wh)
+    ing.ingest("corpus", docs(1L -> baseText))
+    val r = ing.ingest("corpus", docs(2L -> otherText))
+    assert(r.appended == 1 && r.dupVsCorpus == 0, r.toString)
+    assert(wh.load("corpus").count() == 2)
+  }
+}
