@@ -13,6 +13,8 @@ import Tables._
   */
 object AnalyticQueries {
 
+  private val BIG_ORDER_QTY = 250 // q116: large-volume order threshold
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: single-pass grouped scan of the biggest fact. Partial
     // aggregation (map-side combine) keeps shuffle rows = #groups, not #rows.
@@ -327,10 +329,86 @@ object AnalyticQueries {
           sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
           round(max("dev"), 6).as("max_dev"))
         .orderBy("brand")
+    },
+
+    // TPC-H Q18 shape (large-volume orders): the grouped-HAVING semi-join —
+    // aggregate the fact by order, keep orders above a volume threshold,
+    // join order metadata back. The per-order agg is partial+final (shuffle
+    // rows = #orders), the filter cuts it to the rare tail BEFORE the join
+    // back, and the top-k is TakeOrdered — no global sort. Quantity sums
+    // stay DECIMAL through the ORDER BY (exact tie semantics cross-engine);
+    // only the emitted column casts to double.
+    "q116_large_orders" -> { (s, dir) =>
+      val big = read(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("qty"))
+        .filter(col("qty") > BIG_ORDER_QTY)
+      read(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("qty"))
+        .orderBy(col("qty").desc, col("o_orderkey"))
+        .limit(100)
+        .withColumn("total_qty", col("qty").cast("double")).drop("qty")
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    // double-EXISTS decorrelation — "supplier's item was late AND another
+    // supplier shares the order AND no OTHER supplier was late" — rewritten
+    // as two keyed aggregates instead of two correlated subqueries: per
+    // (order, supplier) any-late, per order supplier/late-supplier counts;
+    // the filter (n_supp >= 2, n_late = 1) then reads both existences off
+    // one frame. Lateness = shipped > 90 days after order date (this
+    // schema's commit/receipt-date stand-in). All-integer counts; top-20
+    // via TakeOrdered.
+    "q117_waiting_suppliers" -> { (s, dir) =>
+      val lo = read(s, dir, "lineitem")
+        .join(read(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val osl = lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("late")).as("s_late"))
+      val ord = osl.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("s_late"), 1L).otherwise(0L)).as("n_late"))
+      osl.filter(col("s_late"))
+        .join(ord, "l_orderkey")
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+        .limit(20)
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > $BIG_ORDER_QTY)
+         |SELECT o_custkey, o_orderkey, o_orderdate,
+         |  CAST(qty AS DOUBLE) AS total_qty
+         |FROM orders JOIN big ON o_orderkey = l_orderkey
+         |ORDER BY qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q117_waiting_suppliers" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |osl AS (SELECT l_orderkey, l_suppkey, max(late) AS s_late
+        |  FROM lo GROUP BY l_orderkey, l_suppkey),
+        |ord AS (SELECT l_orderkey, count(*) AS n_supp,
+        |    CAST(sum(CASE WHEN s_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |  FROM osl GROUP BY l_orderkey)
+        |SELECT l_suppkey, count(*) AS numwait
+        |FROM osl JOIN ord USING (l_orderkey)
+        |WHERE s_late AND n_supp >= 2 AND n_late = 1
+        |GROUP BY l_suppkey
+        |ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
+
     "q115_mad_outliers" ->
       """WITH p AS (SELECT p_brand AS brand, CAST(p_retailprice AS DOUBLE) AS x
         |  FROM part),

@@ -123,6 +123,47 @@ object EtlQueries {
       lo.unionByName(hi).orderBy("n_nationkey")
     },
 
+    // SCD2 close-and-insert algebra as a pure query (the oracle dual of
+    // Warehouse.scd2Merge, same convention as q04 for plain merge): target =
+    // the customer dim current since t0; incoming batch touches nations 3
+    // (balance shifted +100 ⇒ CHANGED) and 4 (byte-identical ⇒ no-op).
+    // Result = unchanged currents ∪ closed old versions (valid_to = t1) ∪
+    // new current versions (valid_from = t1). Change detection here is a
+    // direct attribute comparison in exact DECIMAL (the engine path's md5
+    // fingerprint is an encoding detail, spec-checked in Scd2Spec); the
+    // keyed joins are the same shapes scd2Merge plans, minus the file
+    // pruning that needs a real table.
+    "q118_scd2_algebra" -> { (s, dir) =>
+      val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2024-02-01 00:00:00").cast("timestamp")
+      val cust = read(s, dir, "customer")
+      val target = cust.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), dec(col("c_acctbal")).as("bal"))
+      val incoming = cust.filter(col("c_nationkey").isin(3, 4))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          when(col("c_nationkey") === 3, dec(col("c_acctbal")) + 100)
+            .otherwise(dec(col("c_acctbal"))).as("bal"))
+      val changedKeys = incoming.select(col("c_custkey"), col("bal").as("new_bal"))
+        .join(target.select(col("c_custkey"), col("bal").as("old_bal")), "c_custkey")
+        .filter(col("new_bal") =!= col("old_bal"))
+        .select("c_custkey")
+      val unchanged = target.join(changedKeys, Seq("c_custkey"), "left_anti")
+        .withColumn("valid_from", t0)
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      val closed = target.join(changedKeys, Seq("c_custkey"), "left_semi")
+        .withColumn("valid_from", t0)
+        .withColumn("valid_to", t1)
+        .withColumn("is_current", lit(false))
+      val inserted = incoming.join(changedKeys, Seq("c_custkey"), "left_semi")
+        .withColumn("valid_from", t1)
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      unchanged.unionByName(closed).unionByName(inserted)
+        .withColumn("acctbal", col("bal").cast("double")).drop("bal")
+        .orderBy("c_custkey", "valid_from")
+    },
+
     // F1/F2: timestamp canonicalization — epoch-millis <-> native timestamp
     // round-trip and ISO-8601 render (records.py:32-45 without the string
     // storage trap).
@@ -164,6 +205,35 @@ object EtlQueries {
     "q05_schema_conform" ->
       """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice, o_custkey
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q118_scd2_algebra" ->
+      """WITH target AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+        |incoming AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_nationkey = 3 THEN CAST(c_acctbal AS DECIMAL(18,2)) + 100
+        |         ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal
+        |  FROM customer WHERE c_nationkey IN (3, 4)),
+        |changed AS (
+        |  SELECT i.c_custkey FROM incoming i JOIN target t USING (c_custkey)
+        |  WHERE i.bal <> t.bal)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current,
+        |  CAST(bal AS DOUBLE) AS acctbal
+        |FROM target WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00',
+        |  FALSE, CAST(bal AS DOUBLE)
+        |FROM target WHERE c_custkey IN (SELECT c_custkey FROM changed)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP),
+        |  TRUE, CAST(bal AS DOUBLE)
+        |FROM incoming WHERE c_custkey IN (SELECT c_custkey FROM changed)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
 
     "q06_dedup_latest" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
