@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.functions.BpeTrainer
+
+/** BPE training contract, checked against an independent in-memory
+  * reference implementation of the classic algorithm (overlapping counts at
+  * selection, greedy non-overlapping application, count-then-lexicographic
+  * tie-break): the distributed trainer must reproduce the exact merge
+  * sequence AND the exact re-segmented corpus, under any partitioning.
+  */
+class BpeSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  // ---- reference implementation (plain Scala, sequential) ----------------
+  private def refPairCounts(seqs: Seq[Vector[String]]): Map[(String, String), Long] =
+    seqs.flatMap(s => s.sliding(2).collect { case Seq(a, b) => (a, b) })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def refApply(s: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refTrain(seqs0: Seq[Vector[String]], n: Int, minCount: Long = 2L)
+    : (Seq[(String, String, Long)], Seq[Vector[String]]) = {
+    var seqs = seqs0
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var stop = false
+    var r = 0
+    while (r < n && !stop) {
+      val pc = refPairCounts(seqs)
+      if (pc.isEmpty) stop = true
+      else {
+        val ((a, b), cnt) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < minCount) stop = true
+        else { merges += ((a, b, cnt)); seqs = seqs.map(refApply(_, a, b)); r += 1 }
+      }
+    }
+    (merges.result(), seqs)
+  }
+
+  // ---- fixtures -----------------------------------------------------------
+  private val corpus: Seq[(Long, Vector[String])] = Seq(
+    1L -> "l o w e r".split(" ").toVector,
+    2L -> "l o w e s t".split(" ").toVector,
+    3L -> "n e w e r".split(" ").toVector,
+    4L -> "w i d e r".split(" ").toVector,
+    5L -> "l o w".split(" ").toVector,
+    6L -> "n e w".split(" ").toVector)
+
+  private def df(rows: Seq[(Long, Vector[String])], parts: Int = 1) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("seq", ArrayType(StringType))))
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+      .repartition(parts)
+  }
+
+  private def collectSeqs(res: BpeTrainer.Result): Map[Long, Vector[String]] =
+    res.sequences.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+
+  test("merge sequence and re-segmented corpus match the reference exactly") {
+    val (refMerges, refSeqs) = refTrain(corpus.map(_._2), 8)
+    assert(refMerges.nonEmpty, "fixture must actually train")
+    val res = BpeTrainer.train(df(corpus), "seq", 8)
+    assert(res.merges.map(m => (m.left, m.right, m.count)) == refMerges)
+    val got = collectSeqs(res)
+    corpus.foreach { case (id, s0) =>
+      assert(got(id) == refSeqs(corpus.indexWhere(_._1 == id)),
+        s"doc $id segmented differently")
+    }
+  }
+
+  test("deterministic under partitioning (7-way vs 1-way)") {
+    val r1 = BpeTrainer.train(df(corpus, 1), "seq", 6)
+    val r7 = BpeTrainer.train(df(corpus, 7), "seq", 6)
+    assert(r1.merges == r7.merges)
+    assert(collectSeqs(r1) == collectSeqs(r7))
+  }
+
+  test("greedy non-overlap: 'a a a' under (a,a) becomes [aa, a]") {
+    val rows = Seq(1L -> Vector("a", "a", "a"), 2L -> Vector("a", "a", "a", "a"))
+    val res = BpeTrainer.train(df(rows), "seq", 1, minCount = 1L)
+    assert(res.merges.map(m => (m.left, m.right)) == Seq(("a", "a")))
+    // selection counted overlapping pairs: 2 + 3 = 5
+    assert(res.merges.head.count == 5L)
+    val got = collectSeqs(res)
+    assert(got(1L) == Vector("aa", "a"))
+    assert(got(2L) == Vector("aa", "aa"))
+  }
+
+  test("stops early when nothing reaches minCount; short rows untouched") {
+    val rows = Seq(1L -> Vector("x", "y"), 2L -> Vector("z"), 3L -> Vector.empty[String])
+    val res = BpeTrainer.train(df(rows), "seq", 5, minCount = 2L)
+    assert(res.merges.isEmpty, "every pair is unique")
+    val got = collectSeqs(res)
+    assert(got(1L) == Vector("x", "y") && got(2L) == Vector("z") &&
+      got(3L) == Vector.empty[String])
+  }
+
+  test("learned merges chain into longer symbols (multi-round fusion)") {
+    // 'a b' dominates, then 'ab c' — the second merge must see the fused
+    // symbol from the first (delta-maintained counts, not a stale seed).
+    val rows = (1L to 4L).map(i => i -> Vector("a", "b", "c", "d"))
+    val res = BpeTrainer.train(df(rows), "seq", 3, minCount = 2L)
+    assert(res.merges.map(m => (m.left, m.right)) ==
+      Seq(("a", "b"), ("ab", "c"), ("abc", "d")))
+    assert(collectSeqs(res)(1L) == Vector("abcd"))
+  }
+}
