@@ -180,6 +180,83 @@ object Graph {
     * any round's labeling is a valid community assignment (monotone quality
     * is not part of LP's contract); callers read the history to decide.
     */
+  /** One PageRank round's driver-side telemetry: scalars only. */
+  final case class PrRound(round: Int, l1Delta: Double)
+
+  /** PageRank with uniform dangling-mass redistribution (the full model,
+    * not the drop-dangling shortcut): rank' = (1−d)/N + d·(Σ_in rank/outdeg
+    * + dangling/N). Third member of the graph family — CC answers
+    * "reachable", LP answers "densely tied", PageRank answers "structurally
+    * important" (e.g. ranking documents by citation/link weight before
+    * curation sampling).
+    *
+    * Fully DETERMINISTIC across partitionings, which float PageRank is not:
+    * ranks live in DECIMAL(38,18) — per-edge contributions divide and the
+    * damping product rounds at fixed scale (HALF_UP, order-free), and the
+    * per-node sum of decimals is exact, so two runs produce bit-identical
+    * ranks where a double implementation's sums depend on partition order.
+    *
+    * Scale posture: per round one keyed join + one aggregate over edges
+    * (linear), a one-row dangling-mass aggregate, per-round
+    * `localCheckpoint`, driver holds only [[PrRound]] scalars. Rounds are a
+    * contraction at rate d (L1 delta shrinks ≥ geometrically — asserted in
+    * the spec), so `tol` is reached in O(log(1/tol)/log(1/d)) rounds
+    * regardless of graph size. Self-loops are dropped; parallel edges
+    * collapse (simple-graph semantics).
+    */
+  def pageRank(edges: DataFrame, damping: Double = 0.85, maxIter: Int = 40,
+               tol: Double = 1e-9): (DataFrame, Seq[PrRound]) = {
+    import java.math.{BigDecimal => JBig, RoundingMode}
+    // 28, not 38: the damping product (28,18)×(2,2) and the per-node sums
+    // must stay INSIDE precision 38 — at (38,18) Spark's precision-loss
+    // adjustment would silently truncate products to scale 6.
+    val dec38 = org.apache.spark.sql.types.DecimalType(28, 18)
+    val e = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct().cache()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().cache()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg")).cache()
+    outdeg.count()
+
+    val d = JBig.valueOf(damping)
+    val oneMinusD = JBig.ONE.subtract(d)
+    val nBig = JBig.valueOf(n)
+    val uniform = JBig.ONE.divide(nBig, 18, RoundingMode.HALF_UP)
+    val basePer = oneMinusD.divide(nBig, 18, RoundingMode.HALF_UP)
+
+    var ranks = nodes.withColumn("rank", lit(uniform).cast(dec38)).localCheckpoint(true)
+    val hist = scala.collection.mutable.ArrayBuffer.empty[PrRound]
+    var i = 0
+    var delta = Double.MaxValue
+    while (i < maxIter && delta > tol) {
+      val withDeg = ranks.join(outdeg, Seq("id"), "left")
+      val dangling = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum("rank"), lit(0).cast(dec38)).as("s"))
+        .head().getDecimal(0)
+      val dangPer = dangling.divide(nBig, 18, RoundingMode.HALF_UP)
+      val contrib = e
+        .join(withDeg.select(col("id").as("src"),
+          (col("rank") / col("outdeg")).cast(dec38).as("c")), "src")
+        .groupBy(col("dst").as("id")).agg(sum("c").as("in"))
+      val updated = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(basePer) + lit(d) *
+            (coalesce(col("in"), lit(0).cast(dec38)) + lit(dangPer)))
+            .cast(dec38).as("rank"))
+        .localCheckpoint(true)
+      delta = updated.as("u")
+        .join(ranks.withColumnRenamed("rank", "old").as("r"), "id")
+        .agg(sum(abs(col("rank") - col("old"))).cast("double")).head().getDouble(0)
+      ranks = updated
+      i += 1
+      hist += PrRound(i, delta)
+    }
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    (ranks, hist.toSeq)
+  }
+
   def labelPropagation(edges: DataFrame, maxRounds: Int = 10): (DataFrame, Seq[LpRound]) = {
     val bidir = edges.toDF("a", "b")
       .unionByName(edges.toDF("b", "a").select(col("a"), col("b")))
