@@ -54,4 +54,27 @@ object CorpusStream {
         ()
       }
   }
+
+  /** [[ingestCurated]]'s NEAR-dup sibling: continuous ingestion through
+    * [[graft.sink.NearDupIngest]] — each micro-batch is LSH-checked against
+    * the warehouse's band/signature index tables, so a slightly-reworded
+    * copy of an already-admitted document is rejected in-flight, not just a
+    * byte-identical one. Same state architecture as exact dedup: the
+    * corpus-lifetime similarity index lives in WAREHOUSE TABLES (durable,
+    * shared with batch backfills), never in streaming state; a replayed
+    * micro-batch finds each doc's stored copy at signature similarity 1.0
+    * and admits 0 rows, so checkpoint loss is harmless here too.
+    */
+  def ingestNearDeduped(spark: SparkSession, watchDir: String,
+      schema: StructType, ing: graft.sink.NearDupIngest, table: String,
+      checkpointDir: Option[String] = None,
+      streamId: String = "neardup"): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.schema(schema).parquet(watchDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"${watchDir.stripSuffix("/")}/_checkpoint_$streamId"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ing.ingest(table, batch)
+        ()
+      }
 }

@@ -94,4 +94,31 @@ class NearDupIngestSpec extends SparkSpec {
     assert(r.appended == 1 && r.dupVsCorpus == 0, r.toString)
     assert(wh.load("corpus").count() == 2)
   }
+
+  test("streaming ingest: near-dup rejected in-flight; fresh-checkpoint replay adds 0") {
+    import org.apache.spark.sql.streaming.Trigger
+    val watch = tmpDir("ndi-watch")
+    val wh = new Warehouse(spark, tmpDir("ndi-swh"))
+    val ing = ingester(wh)
+
+    def drain(checkpoint: String): Unit = {
+      val q = graft.streaming.CorpusStream
+        .ingestNearDeduped(spark, watch, schema, ing, "corpus",
+          checkpointDir = Some(checkpoint))
+        .trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(60000), "stream did not drain in 60s")
+      finally q.stop()
+    }
+
+    docs(1L -> baseText).write.mode("append").parquet(watch)
+    drain(tmpDir("ndi-cp1"))
+    assert(wh.load("corpus").collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // batch 2: near-dup of the stored doc + a novel doc
+    docs(10L -> nearText, 11L -> otherText).write.mode("append").parquet(watch)
+    drain(tmpDir("ndi-cp2")) // FRESH checkpoint: batch-1 file replays too
+    val after = wh.load("corpus").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == Seq(1L, 11L), s"got $after")
+    assert(wh.load("corpus__sigs").count() == 2, "index tracks the corpus")
+  }
 }
