@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import Tables._
 
 /** Consumer-side analytic surface over the loaded star schema (SURVEY.md §2.3
@@ -379,10 +380,75 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("l_suppkey"))
         .limit(20)
+    },
+
+    // Two unrolled PageRank iterations over the customer↔supplier trade
+    // graph (who-bought-from-whom, both directions; suppliers offset to a
+    // disjoint id space) — the ORACLE-CHECKED face of Graph.pageRank (the
+    // open-ended loop, spec-verified, is the q73/q74↔lloydTrain pattern).
+    // Ranks are scaled integers (B = 10¹² micro-units) under floor
+    // division, so every engine computes bit-identical values — float
+    // PageRank sums are partition-order-dependent, integer sums are not.
+    // Each iteration is one keyed join + one keyed agg over edges (linear);
+    // N and the teleport term ride a one-row broadcast cross (q113's
+    // pattern). Symmetric construction ⇒ no dangling mass here; the
+    // operator's full dangling model lives in Graph.pageRank.
+    "q120_pagerank2" -> { (s, dir) =>
+      val B = 1000000000000L
+      val pairs = read(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(read(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK) // consumers: deg, N, 2 contribution passes
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val nstat = edges.select(col("src").as("id")).distinct()
+        .agg(count(lit(1)).as("nn"))
+      val rank1 = edges.join(deg, "src").crossJoin(broadcast(nstat))
+        .select(col("dst"), expr(s"(($B div nn) div outdeg)").as("contrib"), col("nn"))
+        .groupBy("dst", "nn").agg(sum("contrib").as("s"))
+        .select(col("dst").as("src"),
+          expr(s"((15 * ($B div nn)) div 100) + ((85 * s) div 100)").as("r"))
+      val rank2 = edges.join(deg, "src").join(rank1, "src")
+        .select(col("dst"), expr("r div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+        .crossJoin(broadcast(nstat))
+        .select(col("dst").as("id"),
+          expr(s"((15 * ($B div nn)) div 100) + ((85 * s) div 100)").as("rank_u"))
+      rank2
+        .withColumn("kind", when(col("id") >= 1000000L, "supplier").otherwise("customer"))
+        .orderBy(col("rank_u").desc, col("id"))
+        .limit(20)
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q120_pagerank2" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, p AS dst FROM pairs
+        |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |n AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS nn FROM edges),
+        |c1 AS (SELECT e.dst, ((1000000000000 // nn) // outdeg) AS contrib, nn
+        |  FROM edges e JOIN deg USING (src) CROSS JOIN n),
+        |r1 AS (SELECT dst AS src,
+        |    ((15 * (1000000000000 // nn)) // 100)
+        |      + ((85 * CAST(sum(contrib) AS BIGINT)) // 100) AS r
+        |  FROM c1 GROUP BY dst, nn),
+        |c2 AS (SELECT e.dst, (r // outdeg) AS contrib
+        |  FROM edges e JOIN deg USING (src) JOIN r1 USING (src)),
+        |r2 AS (SELECT dst AS id,
+        |    ((15 * (1000000000000 // nn)) // 100)
+        |      + ((85 * CAST(sum(contrib) AS BIGINT)) // 100) AS rank_u
+        |  FROM c2 CROSS JOIN n GROUP BY dst, nn)
+        |SELECT id, rank_u,
+        |  CASE WHEN id >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind
+        |FROM r2 ORDER BY rank_u DESC, id LIMIT 20""".stripMargin,
+
     "q116_large_orders" ->
       s"""WITH big AS (
          |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty

@@ -48,6 +48,53 @@ object DedupQueries {
         .orderBy("keeper")
     },
 
+    // EXACT set-similarity join by prefix filtering (Bayardo et al.'s
+    // AllPairs / PPJoin candidate rule) — the recall-COMPLETE upgrade over
+    // q56's prefix-fingerprint blocking and q57's probabilistic LSH: every
+    // pair at Jaccard >= T is found, with no all-pairs cross join. Shingle
+    // sets are globally ordered by (document frequency asc, hash) — rarest
+    // first — and a pair at Jaccard >= T must share at least one element
+    // within each side's first n − ceil(T·n) + 1 elements (if all >=
+    // ceil(T·n) intersecting elements hid outside the prefix, there'd be
+    // only ceil(T·n) − 1 slots). Candidates = equi-join on prefix elements
+    // (fan-out bounded by how rare prefix shingles are — that's why the
+    // order puts rare first); verification = exact integer intersect. The
+    // df frame joins g-keyed (NOT broadcast: a 100 TB corpus's shingle
+    // vocabulary outgrows any executor). Oracle = the UNBLOCKED brute-force
+    // all-pairs in DuckDB, so the gate itself proves completeness at sf.
+    "q119_setsim_join" -> { (s, dir) =>
+      val base = spread(read(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(tokens(col("text")), W))).as("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // 2 consumers: df agg + sort-collect
+      val df = base.groupBy("g").agg(count(lit(1)).as("df"))
+      val sorted = base.join(df, "g")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sh"))
+        .withColumn("n", size(col("sh")))
+        .withColumn("plen", col("n") - ceil(lit(JACCARD_T) * col("n")).cast("int") + 1)
+        .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers: prefixes + 2 verify joins
+      val prefixes = sorted.select(col("doc_id"), col("n"),
+        explode(slice(col("sh"), lit(1), col("plen"))).as("p"))
+      val cand = prefixes.select(col("doc_id").as("d1"), col("n").as("n1"), col("p"))
+        .join(prefixes.select(col("doc_id").as("d2"), col("n").as("n2"), col("p")), Seq("p"))
+        .filter(col("d1") < col("d2") &&
+          // length filter: Jaccard >= T forces T <= n1/n2 <= 1/T
+          col("n2") * lit(JACCARD_T) <= col("n1") && col("n1") * lit(JACCARD_T) <= col("n2"))
+        .select("d1", "d2").distinct()
+      cand
+        .join(sorted.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(sorted.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
+          size(col("sh1")).cast("long").as("n1"), size(col("sh2")).cast("long").as("n2"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= JACCARD_T)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("d1", "d2")
+    },
+
     // n-gram Jaccard near-dup pairs, blocked on a 40-char prefix fingerprint
     // so the join fans out only within tiny candidate buckets.
     "q56_ngram_jaccard" -> { (s, dir) =>
@@ -388,6 +435,19 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Deliberately UNBLOCKED brute force (O(n²) is fine at oracle scale):
+    // equality against it is what certifies the prefix-filter candidates
+    // are recall-complete, not merely self-consistent.
+    "q119_setsim_join" ->
+      s"""WITH $docShinglesCte
+         |SELECT d1, d2, inter, n1, n2, round(jac, 4) AS jaccard FROM (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |    CAST(len(a.sh) AS BIGINT) AS n1, CAST(len(b.sh) AS BIGINT) AS n2,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+         |  FROM base a JOIN base b ON a.doc_id < b.doc_id)
+         |WHERE jac >= $JACCARD_T ORDER BY d1, d2""".stripMargin,
     "q70_repetition" ->
       s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
          |raw AS (
