@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{CosineSimilarity, LshSignature, TokenSetCount, TextVectorFns}
+import graft.functions.expressions.{CosineSimilarity, KllFns, KllMergeAgg, KllQuantile, KllSketchAgg, LshSignature, TokenSetCount, TextVectorFns}
 
 /** Session-extension entry point: makes the engine's native expressions
   * available cluster-wide without per-session registration calls —
@@ -28,6 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(TextVectorFns.TokenSetFnName),
       new ExpressionInfo(classOf[TokenSetCount].getName, TextVectorFns.TokenSetFnName),
       TextVectorFns.tokenSetBuilder))
+    e.injectFunction((
+      FunctionIdentifier(KllFns.SketchFnName),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, KllFns.SketchFnName),
+      KllFns.sketchBuilder))
+    e.injectFunction((
+      FunctionIdentifier(KllFns.MergeFnName),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, KllFns.MergeFnName),
+      KllFns.mergeBuilder))
+    e.injectFunction((
+      FunctionIdentifier(KllFns.QuantileFnName),
+      new ExpressionInfo(classOf[KllQuantile].getName, KllFns.QuantileFnName),
+      KllFns.quantileBuilder))
     // Manifest-stat file skipping for warehouse scans: runs in the operator-
     // optimization batch, i.e. BEFORE V2ScanRelationPushDown, so it narrows
     // the file list and parquet pushdown then applies to the survivors.

@@ -41,4 +41,35 @@ object Sketches {
   def mergeAll(sketches: DataFrame): DataFrame =
     sketches.agg(hll_sketch_estimate(hll_union_agg(col("users_hll"))).as("approx_users"),
       sum("n_events").as("n_events"))
+
+  // ---- KLL quantile state (native KllSketchAgg/KllMergeAgg expressions) --
+
+  import graft.functions.expressions.KllFns
+
+  /** Per-day KLL sketches of `events.value` for ONE ingest batch — the
+    * quantile analog of [[dailyUserSketches]]: bounded sketch bytes per day
+    * instead of raw values, carriable as a warehouse column.
+    */
+  def dailyValueSketches(events: DataFrame): DataFrame = {
+    KllFns.register(events.sparkSession)
+    events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(KllFns.kllSketch(col("value").cast("double")).as("value_kll"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Merge per-batch sketch rows into per-day percentiles: distinct-batch
+    * history folds in one tiny aggregate, no event rescan — the mergeable
+    * answer to the measure IncrementalRollup documents as non-additive
+    * (exact medians need the raw distribution; KLL bounds the error at
+    * ~1.65% rank for k=200 instead).
+    */
+  def mergeDailyQuantiles(sketches: DataFrame, probs: Seq[Double]): DataFrame = {
+    KllFns.register(sketches.sparkSession)
+    val merged = sketches.groupBy("day")
+      .agg(KllFns.kllMerge(col("value_kll")).as("kll"),
+        sum("n_events").as("n_events"))
+    val qCols = probs.map(p =>
+      KllFns.kllQuantile(col("kll"), p).as(s"p${(p * 100).round}"))
+    merged.select(col("day") +: col("n_events") +: qCols: _*)
+  }
 }
