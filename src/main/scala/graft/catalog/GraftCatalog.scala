@@ -77,11 +77,16 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = loadAt(ident, None)
 
-  /** `VERSION AS OF <n>` — the SQL face of snapshot time travel. */
+  /** `VERSION AS OF <n | 'tag'>` — the SQL face of snapshot time travel; a
+    * non-numeric version string resolves as a snapshot TAG (Iceberg ref
+    * semantics: `VERSION AS OF 'train-v1'`).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toLong catch {
       case _: NumberFormatException =>
-        throw new IllegalArgumentException(s"graft snapshot versions are numeric, got: $version")
+        try warehouse.resolveTag(ident.name(), version) catch {
+          case _: IllegalArgumentException => throw new NoSuchTableException(ident)
+        }
     }
     loadAt(ident, Some(v))
   }

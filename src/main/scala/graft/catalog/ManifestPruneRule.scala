@@ -41,8 +41,12 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
       }
   }
 
-  /** May `file` contain a row satisfying `cond`? Unknown shapes → true. */
-  private def mayMatch(file: DataFile, cond: Expression): Boolean =
+  /** May `file` contain a row satisfying `cond`? Unknown shapes → true.
+    * Public: [[graft.sink.Warehouse.deleteWhere]] reuses the same bound
+    * logic to pick its rewrite victims (scan pruning and delete pruning
+    * must agree, or a delete could skip a file a scan would read).
+    */
+  def mayMatch(file: DataFile, cond: Expression): Boolean =
     splitConjunctivePredicates(cond).forall(c => conjunctMayMatch(file, c))
 
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {

@@ -705,6 +705,104 @@ final class Warehouse(spark: SparkSession, root: String,
     load(name).filter(col("__valid_from") <= lit(at) &&
       (col("__valid_to").isNull || col("__valid_to") > lit(at)))
 
+  /** Outcome of [[deleteWhere]]: the new version (unchanged if nothing
+    * could match), rows deleted, and how many files the predicate's stat
+    * bounds proved untouchable (the pruning win).
+    */
+  final case class DeleteReport(version: Long, deleted: Long, prunedFiles: Int)
+
+  /** Row-level `DELETE WHERE` (Iceberg copy-on-write delete): rewrite ONLY
+    * the files whose per-column stat bounds say the predicate MAY match —
+    * the same conservative bound logic the scan-side ManifestPruneRule
+    * uses, applied to the RESOLVED condition (cond is analyzed against the
+    * table schema first), so delete pruning and scan pruning can never
+    * disagree. Provably-disjoint files carry into the new snapshot
+    * untouched; a predicate proven to match nothing commits nothing.
+    *
+    * SQL null semantics: rows where `cond` evaluates to NULL are KEPT
+    * (DELETE removes only where the predicate is TRUE).
+    *
+    * At 100 TB: a retention delete (`ts < cutoff`) over a time-clustered
+    * table rewrites O(files in the expired range), never the table.
+    */
+  def deleteWhere(name: String, cond: Column): DeleteReport = {
+    require(exists(name), s"no such table: $name")
+    val man = currentManifest(name)
+    val resolved = spark.createDataFrame(new java.util.ArrayList[Row](), man.schema)
+      .filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(return DeleteReport(currentVersion(name), 0L, man.files.size))
+    val (victims, untouched) =
+      man.files.partition(f => graft.catalog.ManifestPruneRule.mayMatch(f, resolved))
+    if (victims.isEmpty)
+      return DeleteReport(currentVersion(name), 0L, untouched.size)
+
+    val next = currentVersion(name) + 1
+    val target = spark.read.schema(man.schema)
+      .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
+    val kept = target.filter(!coalesce(cond, lit(false)))
+    val rewritten = writeData(name, kept, man.schema, s"d${next}r",
+      inheritedStatsCols(Some(man)))
+    val deleted = victims.map(_.rows).sum - rewritten.map(_.rows).sum
+    if (deleted == 0L) // predicate overlapped bounds but matched no rows
+      return DeleteReport(currentVersion(name), 0L, untouched.size)
+    commitManifest(name, next, Manifest(man.schema, untouched ++ rewritten))
+    DeleteReport(next, deleted, untouched.size)
+  }
+
+  // ---------------------------------------------------------------- tags --
+
+  private def tagPath(name: String, tag: String) = {
+    require(tag.matches("[A-Za-z0-9][A-Za-z0-9._-]*"), s"invalid tag name: $tag")
+    tableDir(name).resolve(s"tag-$tag.ref")
+  }
+
+  /** Name a committed snapshot (Iceberg tag analog): a stable ref for
+    * reproducibility — "the corpus the model was trained on" — that
+    * [[expireSnapshots]] PROTECTS (the tagged manifest and its files
+    * survive any retention window until [[dropTag]]). Re-tagging an
+    * existing name moves it (atomic replace).
+    */
+  def tagSnapshot(name: String, tag: String, version: Long = -1L): Long = {
+    val v = if (version < 0) currentVersion(name) else version
+    require(v >= 0 && Files.exists(manifestPath(name, v)),
+      s"no such snapshot to tag: $name v=$v")
+    val p = tagPath(name, tag)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** All tags of a table (tag -> version). */
+  def tags(name: String): Map[String, Long] =
+    if (!Files.exists(tableDir(name))) Map.empty
+    else {
+      val s = Files.list(tableDir(name))
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("tag-") && n.endsWith(".ref"))
+        .map { n =>
+          n.stripPrefix("tag-").stripSuffix(".ref") ->
+            Files.readString(tableDir(name).resolve(n)).trim.toLong
+        }.toMap
+      finally s.close()
+    }
+
+  /** Resolve a tag to its snapshot version. */
+  def resolveTag(name: String, tag: String): Long =
+    tags(name).getOrElse(tag,
+      throw new IllegalArgumentException(s"no such tag: $name@$tag"))
+
+  /** Scan the snapshot a tag names. */
+  def loadTag(name: String, tag: String): DataFrame =
+    loadVersion(name, resolveTag(name, tag))
+
+  /** Release a tag (its snapshot becomes expirable again). */
+  def dropTag(name: String, tag: String): Boolean =
+    Files.deleteIfExists(tagPath(name, tag))
+
   /** Change feed, file grain: the data files snapshot `toVersion` references
     * that `fromVersion` does not — for appends this IS the set of ingested
     * batches (manifests share unchanged files by path), so an incremental
@@ -756,10 +854,15 @@ final class Warehouse(spark: SparkSession, root: String,
                       orphanGraceMs: Long = 3600000L): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val versions = history(name)
-    val drop = versions.dropRight(keepLast)
+    // Tagged snapshots are PROTECTED refs (Iceberg retention semantics):
+    // expiry never drops a tagged manifest or the files it references, no
+    // matter how old — dropTag first to release it.
+    val tagged = tags(name).values.toSet
+    val drop = versions.dropRight(keepLast).filterNot(tagged)
+    val keep = versions.filterNot(drop.toSet)
     val droppedRefs = drop
       .flatMap(v => Manifest.read(manifestPath(name, v)).files.map(_.path)).toSet
-    val referenced = versions.takeRight(keepLast)
+    val referenced = keep
       .flatMap(v => Manifest.read(manifestPath(name, v)).files.map(_.path)).toSet
     drop.foreach(v => Files.deleteIfExists(manifestPath(name, v)))
     val td = tableDir(name)
