@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{CosineSimilarity, KllFns, KllMergeAgg, KllQuantile, KllSketchAgg, LshSignature, TokenSetCount, TextVectorFns}
+import graft.functions.expressions.{CosineSimilarity, FreqFns, FreqMergeAgg, FreqSketchAgg, FreqTopItems, KllFns, KllMergeAgg, KllQuantile, KllSketchAgg, LshSignature, TokenSetCount, TextVectorFns}
 
 /** Session-extension entry point: makes the engine's native expressions
   * available cluster-wide without per-session registration calls —
@@ -40,6 +40,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(KllFns.QuantileFnName),
       new ExpressionInfo(classOf[KllQuantile].getName, KllFns.QuantileFnName),
       KllFns.quantileBuilder))
+    e.injectFunction((
+      FunctionIdentifier(FreqFns.SketchFnName),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, FreqFns.SketchFnName),
+      FreqFns.sketchBuilder))
+    e.injectFunction((
+      FunctionIdentifier(FreqFns.MergeFnName),
+      new ExpressionInfo(classOf[FreqMergeAgg].getName, FreqFns.MergeFnName),
+      FreqFns.mergeBuilder))
+    e.injectFunction((
+      FunctionIdentifier(FreqFns.TopFnName),
+      new ExpressionInfo(classOf[FreqTopItems].getName, FreqFns.TopFnName),
+      FreqFns.topBuilder))
     // Manifest-stat file skipping for warehouse scans: runs in the operator-
     // optimization batch, i.e. BEFORE V2ScanRelationPushDown, so it narrows
     // the file list and parquet pushdown then applies to the survivors.

@@ -72,4 +72,31 @@ object Sketches {
       KllFns.kllQuantile(col("kll"), p).as(s"p${(p * 100).round}"))
     merged.select(col("day") +: col("n_events") +: qCols: _*)
   }
+
+  // ---- frequent-items state (native FreqSketchAgg/FreqMergeAgg) ----------
+
+  import graft.functions.expressions.FreqFns
+
+  /** Per-day frequent-items sketches of `events.event_type` for ONE ingest
+    * batch — mergeable heavy-hitter state (the batch dual of
+    * EventStream.heavyHitters' streaming shards).
+    */
+  def dailyTypeSketches(events: DataFrame): DataFrame = {
+    FreqFns.register(events.sparkSession)
+    events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(FreqFns.freqSketch(col("event_type")).as("types_fi"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Merge per-batch sketch rows into per-day top-k items with error
+    * bounds — hot keys over N ingests from sketch rows alone.
+    */
+  def mergeDailyTopTypes(sketches: DataFrame, k: Int): DataFrame = {
+    FreqFns.register(sketches.sparkSession)
+    sketches.groupBy("day")
+      .agg(FreqFns.freqMerge(col("types_fi")).as("fi"),
+        sum("n_events").as("n_events"))
+      .select(col("day"), col("n_events"),
+        FreqFns.freqTopItems(col("fi"), k).as("top_items"))
+  }
 }
