@@ -34,6 +34,7 @@ object SamplingQueries {
   private val ValEnd = "e6000000"
 
   private val TokenBudget = 2048 // packing bin size (tokens)
+  private val SourceTokenBudget = 600L // q121: per-source mixture budget
   private val PackerBuckets = 8  // independent greedy packers
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -105,10 +106,45 @@ object SamplingQueries {
         .groupBy("label")
         .agg(count(lit(1)).as("n"), min("vec_id").as("first_vec"))
         .orderBy("label")
+    },
+
+    // Token-BUDGET mixture fill — the pretraining-mix operator q66's RATE
+    // sampling approximates: each source contributes documents, in
+    // deterministic salted-key order, until its token budget fills (greedy
+    // prefix: the first doc that would overflow stops the source; no
+    // back-fill — semantics the oracle mirrors exactly). One keyed window
+    // (per-source running token sum) over a linear scan; budgets are
+    // per-source constants so the cut is a pure filter, no second pass.
+    "q121_token_budget_mix" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spread(read(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+          substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8)
+            .as("sample_key"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") <= SourceTokenBudget)
+        .orderBy("source", "sample_key", "doc_id")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_token_budget_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+         |    substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+         |  FROM documents),
+         |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY sample_key, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens, sample_key, cum_tokens FROM c
+         |WHERE cum_tokens <= $SourceTokenBudget
+         |ORDER BY source, sample_key, doc_id""".stripMargin,
+
     "q66_mixture_sample" -> {
       val thrCase = MixThresholds.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }
         .mkString("CASE ", " ", s" ELSE '$DefaultThreshold' END")
