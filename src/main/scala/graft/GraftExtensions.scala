@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{CosineSimilarity, FreqFns, FreqMergeAgg, FreqSketchAgg, FreqTopItems, KllFns, KllMergeAgg, KllQuantile, KllSketchAgg, LshSignature, TokenSetCount, TextVectorFns}
+import graft.functions.expressions.{CharEntropy, CosineSimilarity, FreqFns, FreqMergeAgg, FreqSketchAgg, FreqTopItems, KllFns, KllMergeAgg, KllQuantile, KllSketchAgg, LshSignature, TokenSetCount, TextVectorFns}
 
 /** Session-extension entry point: makes the engine's native expressions
   * available cluster-wide without per-session registration calls —
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(TextVectorFns.TokenSetFnName),
       new ExpressionInfo(classOf[TokenSetCount].getName, TextVectorFns.TokenSetFnName),
       TextVectorFns.tokenSetBuilder))
+    e.injectFunction((
+      FunctionIdentifier(TextVectorFns.CharEntropyFnName),
+      new ExpressionInfo(classOf[CharEntropy].getName, TextVectorFns.CharEntropyFnName),
+      TextVectorFns.charEntropyBuilder))
     e.injectFunction((
       FunctionIdentifier(KllFns.SketchFnName),
       new ExpressionInfo(classOf[KllSketchAgg].getName, KllFns.SketchFnName),

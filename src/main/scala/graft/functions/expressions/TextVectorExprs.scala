@@ -172,6 +172,86 @@ case class TokenSetCount(child: Expression, tokens: Seq[String])
     copy(child = newChild)
 }
 
+/** Native single-pass character-distribution Shannon entropy (log2 base, the
+  * convention DuckDB's `entropy()` aggregate uses) of a string — the
+  * repetition/garbage quality signal a corpus filter reads per document
+  * (boilerplate and keyboard-mash both sit far from natural-language
+  * entropy). The compositional form would explode one row per character
+  * (a 500× row blowup at corpus scale) and aggregate back; this is one
+  * histogram pass per row, zero shuffle, inside whole-stage codegen.
+  *
+  * Determinism: the entropy sum runs in ascending code-point order — a
+  * canonical order, so the double accumulation is identical on every
+  * executor, every retry, any partitioning. Empty string yields 0.0.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropy.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // One static call keeps the expression inside the WholeStageCodegen span
+    // (same shape as Spark's own string built-ins delegating to UTF8String).
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.expressions.CharEntropy.compute($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  /** H = log2(n) − (Σ c·log2(c))/n over per-character counts c. ASCII fast
+    * path histograms raw UTF-8 bytes with no allocation; any multi-byte
+    * sequence falls back to a code-point histogram (sorted keys, same
+    * canonical summation order).
+    */
+  def compute(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0.0
+    val hist = new Array[Int](128)
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) {
+      val b = bytes(i)
+      if (b >= 0) hist(b) += 1 else ascii = false
+      i += 1
+    }
+    if (ascii) entropyOf(hist.iterator.filter(_ > 0), n)
+    else {
+      // counts keyed by code point, summed in ascending-key order
+      val m = new java.util.TreeMap[Integer, Integer]()
+      val str = s.toString
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        m.merge(cp, 1, (a, b) => a + b)
+        j += Character.charCount(cp)
+      }
+      var total = 0
+      m.forEach((_, c) => total += c)
+      entropyOf(scala.jdk.CollectionConverters.IteratorHasAsScala(
+        m.values().iterator()).asScala.map(_.intValue()), total)
+    }
+  }
+
+  private val Log2 = math.log(2.0)
+
+  private def entropyOf(counts: Iterator[Int], n: Int): Double = {
+    var acc = 0.0
+    counts.foreach(c => acc += c * (math.log(c.toDouble) / Log2))
+    math.log(n.toDouble) / Log2 - acc / n
+  }
+}
+
 /** Registration + Column-API entry points for the fused text/vector
   * expressions (sibling of CosineFns; GraftExtensions injects the same
   * builders cluster-wide). Extra arguments arrive as foldable literals and
@@ -181,6 +261,7 @@ case class TokenSetCount(child: Expression, tokens: Seq[String])
 object TextVectorFns {
   val LshFnName = "lsh_signature"
   val TokenSetFnName = "token_set_count"
+  val CharEntropyFnName = "char_entropy"
 
   private def litInt(e: Expression): Int = {
     require(e.foldable, s"expected a foldable int literal, got $e")
@@ -197,6 +278,9 @@ object TextVectorFns {
   def tokenSetBuilder(exprs: Seq[Expression]): Expression =
     TokenSetCount(exprs.head, exprs.tail.map(litStr))
 
+  def charEntropyBuilder(exprs: Seq[Expression]): Expression =
+    CharEntropy(exprs.head)
+
   def register(spark: SparkSession): Unit = {
     val reg = castToImpl(spark).sessionState.functionRegistry
     // Once per session (see CosineFns.register): avoids the per-call
@@ -206,6 +290,7 @@ object TextVectorFns {
         reg.createOrReplaceTempFunction(name, builder, "built-in")
     once(LshFnName, lshBuilder)
     once(TokenSetFnName, tokenSetBuilder)
+    once(CharEntropyFnName, charEntropyBuilder)
   }
 
   /** Column-API entry points; require `register(spark)` once per session. */
@@ -214,4 +299,7 @@ object TextVectorFns {
 
   def tokenSetCountNative(toks: Column, tokens: Seq[String]): Column =
     call_function(TokenSetFnName, (toks +: tokens.map(lit)): _*)
+
+  def charEntropyNative(text: Column): Column =
+    call_function(CharEntropyFnName, text)
 }

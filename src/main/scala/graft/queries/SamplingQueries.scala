@@ -127,10 +127,79 @@ object SamplingQueries {
         .withColumn("cum_tokens", sum("n_tokens").over(w))
         .filter(col("cum_tokens") <= SourceTokenBudget)
         .orderBy("source", "sample_key", "doc_id")
+    },
+
+    // Split-drift audit: per-language two-sample Kolmogorov–Smirnov statistic
+    // between the train and test token-length distributions (q67's md5
+    // split). The one data-QA number a split ships with: ks ≈ 0 certifies
+    // the held-out set is distributionally exchangeable with training.
+    // Exact at any scale: both empirical CDFs jump only at observed values,
+    // so sup|F_tr−F_te| is the max over (lang, n_tokens) groups of the
+    // INTEGER cross-product difference |cum_tr·tot_te − cum_te·tot_tr| —
+    // the max is computed in exact int64 arithmetic (partition-order-free,
+    // no float accumulation) and divided by tot_tr·tot_te once at the end.
+    // Shape: linear scan → tiny (lang × distinct-length) agg → keyed window
+    // → per-lang agg. Languages with an empty side are dropped (KS
+    // undefined), declared semantics both engines share.
+    "q123_ks_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val key = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8)
+      val counts = spread(read(s, dir, "documents"))
+        .withColumn("split",
+          when(key < TrainEnd, "train").when(key < ValEnd, "val").otherwise("test"))
+        .filter(col("split") =!= "val")
+        .select(col("lang"), col("split"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("lang", "n_tokens")
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_tr"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("c_te"))
+      val cdf = Window.partitionBy("lang").orderBy("n_tokens")
+      val tot = Window.partitionBy("lang")
+      counts
+        .withColumn("cum_tr", sum("c_tr").over(cdf))
+        .withColumn("cum_te", sum("c_te").over(cdf))
+        .withColumn("tot_tr", sum("c_tr").over(tot))
+        .withColumn("tot_te", sum("c_te").over(tot))
+        .groupBy("lang")
+        .agg(max("tot_tr").as("n_train"), max("tot_te").as("n_test"),
+          max(abs(col("cum_tr") * col("tot_te") - col("cum_te") * col("tot_tr")))
+            .as("ks_num"))
+        .filter(col("n_train") > 0 && col("n_test") > 0)
+        .select(col("lang"), col("n_train"), col("n_test"),
+          round(col("ks_num").cast("double")
+            / (col("n_train") * col("n_test")).cast("double"), 6).as("ks"))
+        .orderBy("lang")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q123_ks_drift" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+         |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$TrainEnd' THEN 'train'
+         |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$ValEnd' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, n_tokens,
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_tr,
+         |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS c_te
+         |  FROM d WHERE split <> 'val' GROUP BY lang, n_tokens),
+         |k AS (
+         |  SELECT lang,
+         |    CAST(sum(c_tr) OVER (PARTITION BY lang ORDER BY n_tokens) AS BIGINT) AS cum_tr,
+         |    CAST(sum(c_te) OVER (PARTITION BY lang ORDER BY n_tokens) AS BIGINT) AS cum_te,
+         |    CAST(sum(c_tr) OVER (PARTITION BY lang) AS BIGINT) AS tot_tr,
+         |    CAST(sum(c_te) OVER (PARTITION BY lang) AS BIGINT) AS tot_te
+         |  FROM c)
+         |SELECT lang, max(tot_tr) AS n_train, max(tot_te) AS n_test,
+         |  round(CAST(max(abs(cum_tr * tot_te - cum_te * tot_tr)) AS DOUBLE)
+         |    / (max(tot_tr) * max(tot_te)), 6) AS ks
+         |FROM k GROUP BY lang
+         |HAVING max(tot_tr) > 0 AND max(tot_te) > 0
+         |ORDER BY lang""".stripMargin,
+
     "q121_token_budget_mix" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,

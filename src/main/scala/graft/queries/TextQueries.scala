@@ -109,6 +109,26 @@ object TextQueries {
         .groupBy("lang", "bucket")
         .agg(count(lit(1)).as("n"), min("n_chars").as("lo"), max("n_chars").as("hi"))
         .orderBy("lang", "bucket")
+    },
+
+    // Character-entropy quality scan: per-doc Shannon entropy (log2) of the
+    // character distribution plus the length-normalized form (entropy /
+    // max-possible log2(n)) — the repetition/garbage signal corpus filters
+    // threshold on. The native `char_entropy` expression is one histogram
+    // pass per row inside codegen; the compositional alternative (explode
+    // one row per CHARACTER, groupBy back) is a ~500× row blowup and a
+    // giant shuffle at 100 TB — which is exactly what the DuckDB oracle
+    // does, making the gate a cross-SHAPE check, not just cross-engine.
+    "q122_char_entropy" -> { (s, dir) =>
+      TextVectorFns.register(s)
+      spread(read(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("n_cp"),
+          TextVectorFns.charEntropyNative(col("text")).as("ent_raw"))
+        .select(col("doc_id"), col("lang"), col("n_cp"),
+          round(col("ent_raw"), 6).as("ent"),
+          round(col("ent_raw") / log2(col("n_cp")), 6).as("ent_norm"))
+        .orderBy("doc_id")
     }
   )
 
@@ -123,6 +143,17 @@ object TextQueries {
   private val stopList = "('the','a','of','and','to','in','is','on','for','with')"
 
   val oracles: Map[String, String] = Map(
+    "q122_char_entropy" ->
+      """WITH e AS (
+        |  SELECT doc_id, entropy(c) AS ent_raw
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, length(d.text) AS n_cp,
+        |  round(e.ent_raw, 6) AS ent,
+        |  round(e.ent_raw / log2(length(d.text)), 6) AS ent_norm
+        |FROM documents d JOIN e USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q50_token_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars_m,
          |  len($toksSql) AS n_tokens,

@@ -93,4 +93,43 @@ class TextVectorExprSpec extends SparkSpec {
     assert(r.getLong(1) == 1L)
     assert(r.isNullAt(2))
   }
+
+  test("char_entropy: known distributions, empty, unicode fallback, NULL") {
+    TextVectorFns.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  char_entropy('aabb') AS h2,
+        |  char_entropy('abcd') AS h4,
+        |  char_entropy('aaaa') AS h0,
+        |  char_entropy('') AS he,
+        |  char_entropy('ééaa') AS hu,
+        |  char_entropy(CAST(NULL AS STRING)) AS hn""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)   // two symbols, 50/50
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-12)   // four uniform symbols
+    assert(r.getDouble(2) == 0.0)                    // constant string
+    assert(r.getDouble(3) == 0.0)                    // empty -> 0 by definition
+    // multi-byte é forces the code-point fallback path; distribution is
+    // still two symbols at 50/50 -> exactly 1 bit
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+    assert(r.isNullAt(5))
+  }
+
+  test("char_entropy: codegen == eval on real docs; natural-text band") {
+    TextVectorFns.register(spark)
+    // The executor side runs the codegen'd path; recomputing on the driver
+    // calls eval() directly — bit-equality checks both paths agree on every
+    // real document.
+    import graft.functions.expressions.CharEntropy
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text"), TextVectorFns.charEntropyNative(col("text")).as("h"))
+      .collect()
+    docs.foreach { row =>
+      val expected = CharEntropy.compute(UTF8String.fromString(row.getString(0)))
+      assert(row.getDouble(1) == expected,
+        s"codegen/eval divergence on ${row.getString(0).take(40)}")
+    }
+    // entropy of natural-language text sits in a sane band
+    assert(docs.forall(r => r.getDouble(1) > 2.0 && r.getDouble(1) < 6.0))
+  }
 }
