@@ -233,4 +233,31 @@ class PropertySpec extends SparkSpec {
       assert(once.count() == rows.size, s"case $i")
     }
   }
+
+  test("property: results are invariant to shuffle partition count") {
+    // The determinism contract every query Scaladoc claims ("reproducible on
+    // any cluster size / any retry") checked directly: re-running under a
+    // different shuffle.partitions must produce BIT-identical rows. The
+    // subset exercises each order-sensitivity class: hash-threshold sampling
+    // (q66), greedy prefix fill under a keyed window (q121), bucketed greedy
+    // packing (q68), rolling exact median (q111), integer PageRank (q120 —
+    // the partition-invariant-arithmetic claim), two-phase salted agg
+    // (q105), and the KS drift stat's int64 max (q123).
+    val sensitive = Seq("q66_mixture_sample", "q68_packing_plan",
+      "q105_salted_agg", "q111_rolling_median", "q120_pagerank2",
+      "q121_token_budget_mix", "q123_ks_drift")
+    val original = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      sensitive.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+        val base = fn(spark, sf).collect().toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        val alt = fn(spark, sf).collect().toSeq
+        assert(base == alt,
+          s"$name differs between shuffle.partitions=$original and 5")
+        assert(base.nonEmpty, s"$name returned no rows — vacuous invariance")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", original)
+  }
 }
