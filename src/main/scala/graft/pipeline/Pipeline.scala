@@ -128,16 +128,23 @@ object Pipeline {
                       state: WatermarkStore, res: ResourceDef): LoadReport = {
       val t0 = System.nanoTime()
       val stored = state.get(res.name)
-      // cache(): the batch executes twice (watermark aggregate + write); an
-      // uncached nondeterministic plan (orderBy+limit with ties) could
-      // persist a watermark above the max row actually written — silently
-      // losing those rows to the strict `>` filter forever.
+      // cache(): the merge disposition executes the batch more than once
+      // (key-range stats, victim join, write); an uncached nondeterministic
+      // plan (orderBy+limit with ties) could write different rows than the
+      // pass the observed watermark came from — silently losing rows to the
+      // strict `>` filter forever.
       val batch = cfg.extract match {
         case Some(f) => f(spark, res, stored, cfg.testLimit).cache()
         case None => SObjectSource.extract(spark, cfg.sfDir, res,
           watermark = stored, limit = cfg.testLimit).cache()
       }
-      // One pass computes both the row count and the new watermark.
+      // One aggregate job computes both the row count and the new watermark
+      // off the cached batch. (Deliberately NOT observe()/CollectMetrics
+      // riding the write: Warehouse.write range-clusters the batch, and the
+      // RangePartitioner's bounds-sampling pass executes the subtree BELOW
+      // the exchange a second time — a CollectMetrics there double-counts
+      // every metric. Measured: exactly 2× row counts under every
+      // disposition with non-empty cluster keys.)
       val (rows, newWm) = res.replicationKey match {
         case Some(rk) =>
           // µs-precision render: truncating to seconds would re-extract
