@@ -25,6 +25,15 @@ final case class FunnelBuf(t1: Long, t2: Long, t3: Long)
 final case class HHState(keys: Array[Long], counts: Array[Long],
     errs: Array[Long], nSeen: Long)
 
+/** EWMA rate-monitor state for EventStream.rateAnomalies: the open (not yet
+  * finalized) minute bucket plus the exponentially-weighted mean/variance of
+  * finalized per-minute counts. Top-level for the same encoder reason as
+  * SessionBuf. O(1) per key — the whole monitor's state is 5 scalars no
+  * matter how many events flow through.
+  */
+final case class EwmaState(pendingMs: Long, pendingN: Long,
+    mean: Double, variance: Double, n: Long)
+
 /** Structured Streaming duals of the incremental/batch semantics
   * (SURVEY.md §2.9): the reference's micro-batch replication becomes a real
   * stream here — watermarked tumbling-window aggregation (I1/I3 dual) and
@@ -208,6 +217,86 @@ object EventStream {
     }
 
     events.groupByKey(e => (math.floorMod(e.user_id.hashCode, nShards)))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** One finalized minute of the per-type rate monitor: the minute's event
+    * count, the EWMA mean/sd the minute was judged AGAINST (pre-update —
+    * an anomaly is a deviation from history, so the spike must not first
+    * inflate the baseline it is compared to), its z-score, and the verdict.
+    */
+  final case class RateAlert(event_type: String, minute: java.sql.Timestamp,
+      n: Long, ewma_mean: Double, z: Double, anomalous: Boolean)
+
+  /** Streaming rate-anomaly detection: per event-type EWMA mean/variance of
+    * per-minute event counts, flagging minutes whose count deviates more
+    * than `zThreshold` standard deviations from the running baseline — the
+    * pipeline-health monitor an ingest stream runs beside itself.
+    *
+    * Semantics:
+    *   - a minute finalizes when a LATER minute's first event arrives for
+    *     that key (counts are never judged half-full mid-minute);
+    *   - empty minutes between two observed ones finalize as zero-count
+    *     observations (a silent source IS an anomaly — rate monitors that
+    *     only see arriving data can't detect absence), bounded by
+    *     `maxGapFill` so one event after a year of silence can't spin the
+    *     state loop;
+    *   - the first `warmup` finalized minutes train the baseline and are
+    *     never flagged (n < warmup ⇒ z reported as 0);
+    *   - EWMA recursion (West 1979 exponential form): δ = x − μ;
+    *     μ' = μ + αδ; σ²' = (1−α)(σ² + αδ²) — judged with the PRE-update
+    *     μ/σ, then updated, so a genuine spike is flagged once and then
+    *     absorbed at rate α rather than poisoning every later minute;
+    *   - events for minutes at or before the last finalized one are dropped
+    *     (the watermark analog; state stays O(1) per key: 5 scalars).
+    *
+    * At scale: state is O(event types), not O(events) — the shape that
+    * survives an unbounded stream. Batch order inside a micro-batch is
+    * canonicalized by (ts, event_id) sort, so results are deterministic
+    * under any partitioning of the input into micro-batches that preserves
+    * minute boundaries.
+    */
+  def rateAnomalies(events: Dataset[Event], alpha: Double = 0.3,
+      zThreshold: Double = 4.0, warmup: Int = 5,
+      maxGapFill: Int = 1440): Dataset[RateAlert] = {
+    import events.sparkSession.implicits._
+    val minuteMs = 60000L
+
+    def fn(key: String, batch: Iterator[Event],
+        state: GroupState[EwmaState]): Iterator[RateAlert] = {
+      var st = state.getOption.getOrElse(EwmaState(Long.MinValue, 0L, 0.0, 0.0, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[RateAlert]
+
+      def finalizeMinute(ms: Long, cnt: Long): Unit = {
+        val delta = cnt.toDouble - st.mean
+        val sd = math.sqrt(st.variance)
+        val z = if (st.n >= warmup && sd > 0) delta / sd else 0.0
+        out += RateAlert(key, new java.sql.Timestamp(ms), cnt, st.mean, z,
+          st.n >= warmup && math.abs(z) > zThreshold)
+        st = st.copy(mean = st.mean + alpha * delta,
+          variance = (1 - alpha) * (st.variance + alpha * delta * delta),
+          n = st.n + 1)
+      }
+
+      batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val m = Math.floorDiv(e.ts.getTime, minuteMs) * minuteMs
+        if (st.pendingMs == Long.MinValue) st = st.copy(pendingMs = m, pendingN = 1L)
+        else if (m == st.pendingMs) st = st.copy(pendingN = st.pendingN + 1)
+        else if (m > st.pendingMs) {
+          finalizeMinute(st.pendingMs, st.pendingN)
+          var g = st.pendingMs + minuteMs
+          var filled = 0
+          while (g < m && filled < maxGapFill) {
+            finalizeMinute(g, 0L); g += minuteMs; filled += 1
+          }
+          st = st.copy(pendingMs = m, pendingN = 1L)
+        } // m < pendingMs: late beyond the open bucket — dropped
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
