@@ -82,9 +82,12 @@ class GraftCatalog extends TableCatalog {
     * semantics: `VERSION AS OF 'train-v1'`).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    // tags resolve against the BASE table, so `t$files VERSION AS OF 'tag'`
+    // inspects the tagged snapshot's file list
+    val baseName = MetaTables.parse(ident.name()).map(_._1).getOrElse(ident.name())
     val v = try version.toLong catch {
       case _: NumberFormatException =>
-        try warehouse.resolveTag(ident.name(), version) catch {
+        try warehouse.resolveTag(baseName, version) catch {
           case _: IllegalArgumentException => throw new NoSuchTableException(ident)
         }
     }
@@ -96,8 +99,8 @@ class GraftCatalog extends TableCatalog {
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val wh = warehouse
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val n = ident.name()
+    val n = MetaTables.parse(ident.name()).map(_._1).getOrElse(ident.name())
+    if (ident.namespace().nonEmpty || !wh.exists(n)) throw new NoSuchTableException(ident)
     val at = wh.history(n).filter(v => wh.commitTimeMillis(n, v) * 1000L <= timestamp)
     if (at.isEmpty)
       throw new NoSuchTableException(ident)
@@ -106,6 +109,15 @@ class GraftCatalog extends TableCatalog {
 
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
     requireFlat(ident.namespace())
+    MetaTables.parse(ident.name()) match {
+      case Some((base, suffix)) if warehouse.exists(base) =>
+        version.foreach { v =>
+          if (!warehouse.history(base).contains(v)) throw new NoSuchTableException(ident)
+        }
+        return MetaTables.table(s"$catalogName.${ident.name()}", warehouse, base,
+          suffix, version).getOrElse(throw new NoSuchTableException(ident))
+      case _ => ()
+    }
     if (!warehouse.exists(ident.name())) throw new NoSuchTableException(ident)
     version.foreach { v =>
       if (!warehouse.history(ident.name()).contains(v)) throw new NoSuchTableException(ident)
@@ -234,4 +246,97 @@ private[catalog] class GraftWriteBuilder(table: String, root: String, info: Logi
       }
     }
   }
+}
+
+/** Iceberg-style metadata tables on the SQL face — the inspection surface
+  * the reference reaches through its REST catalog (`check_tables.py:16-32`
+  * table listing/loading; pyiceberg `table.inspect` analog):
+  *
+  * {{{
+  *   SELECT * FROM graft.`orders$files`       -- data files + stat bounds
+  *   SELECT * FROM graft.`orders$snapshots`   -- commit history + tags
+  *   SELECT * FROM graft.`orders$files` VERSION AS OF 'train-v1'
+  * }}}
+  *
+  * Metadata is manifest-resident (file list, per-file row counts and column
+  * bounds are written at commit time), so these scans read ZERO data files
+  * at any table size — they materialize on the driver via [[LocalScan]],
+  * bounded by file count, never row count.
+  */
+private[catalog] object MetaTables {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  /** `base$suffix` split, or None for plain table names. */
+  def parse(name: String): Option[(String, String)] = name.split('$') match {
+    case Array(base, suffix) if base.nonEmpty && suffix.nonEmpty => Some((base, suffix))
+    case _ => None
+  }
+
+  private val statSchema = StructType(Seq(
+    StructField("kind", StringType), StructField("min", StringType),
+    StructField("max", StringType)))
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("stats", MapType(StringType, statSchema, valueContainsNull = false))))
+
+  val SnapshotsSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("total_rows", LongType, nullable = false),
+    StructField("tags", ArrayType(StringType, containsNull = false), nullable = false)))
+
+  def table(displayName: String, wh: Warehouse, base: String, suffix: String,
+      version: Option[Long]): Option[Table] = suffix match {
+    case "files" =>
+      Some(new MetaTable(displayName, FilesSchema, () => {
+        val m = version.map(wh.manifestAt(base, _)).getOrElse(wh.currentManifest(base))
+        m.files.map(f => Row(wh.resolvePath(base, f.path), f.rows,
+          f.stats.map { case (c, s) => c -> Row(s.kind, s.min, s.max) })).toArray
+      }))
+    // the snapshots table IS the version axis — time travel on it is a
+    // category error, surfaced as table-not-found
+    case "snapshots" if version.isEmpty =>
+      Some(new MetaTable(displayName, SnapshotsSchema, () => {
+        val tagsByV = wh.tags(base).toSeq.groupBy(_._2)
+          .view.mapValues(_.map(_._1).sorted).toMap
+        wh.history(base).sorted.map { v =>
+          val m = wh.manifestAt(base, v)
+          Row(v, new java.sql.Timestamp(wh.commitTimeMillis(base, v)),
+            m.files.size.toLong, m.files.map(_.rows).sum,
+            tagsByV.getOrElse(v, Nil))
+        }.toArray
+      }))
+    case _ => None
+  }
+}
+
+/** Driver-materialized read-only table over manifest metadata. Rows are
+  * (re)computed at scan build, so a metadata query always reflects the
+  * manifest state at ANALYSIS time of that query, like any snapshot read.
+  */
+private[catalog] class MetaTable(displayName: String, schema0: StructType,
+    rowsF: () => Array[org.apache.spark.sql.Row]) extends Table with SupportsRead {
+  import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+
+  override def name(): String = displayName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        private lazy val data: Array[InternalRow] = {
+          val conv = CatalystTypeConverters.createToCatalystConverter(schema0)
+          rowsF().map(r => conv(r).asInstanceOf[InternalRow])
+        }
+        override def rows(): Array[InternalRow] = data
+        override def readSchema(): StructType = schema0
+      }
+    }
 }

@@ -125,6 +125,43 @@ class CatalogSpec extends SparkSpec {
       Seq(("a", 1L), ("b", 20L), ("c", 30L)))
   }
 
+  test("metadata tables: $files and $snapshots reflect manifests, stats, tags") {
+    wh.replace("meta_sql", df(("a", 1), ("b", 2)), Seq("Amount"))
+    wh.append("meta_sql", df(("c", 30)), Seq("Amount"))
+    val tagged = wh.tagSnapshot("meta_sql", "train-v1")
+
+    val files = spark.sql("SELECT * FROM graft.`meta_sql$files` ORDER BY file_path")
+    val fRows = files.collect()
+    assert(fRows.map(_.getLong(1)).sum ==
+      spark.sql("SELECT count(*) FROM graft.meta_sql").head().getLong(0))
+    // per-file Amount bounds surfaced from the manifest
+    val bounds = fRows.map(_.getMap[String, Row](2).get("Amount").map(s => (s.getString(1), s.getString(2))))
+    assert(bounds.forall(_.isDefined), s"every file must carry Amount stats: ${fRows.mkString}")
+    // a metadata scan reads no data files (LocalScan): no parquet in the plan
+    val plan = files.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("Parquet"), plan)
+
+    val snaps = spark.sql(
+      "SELECT version, n_files, total_rows, tags FROM graft.`meta_sql$snapshots` ORDER BY version")
+      .collect()
+    assert(snaps.map(_.getLong(0)).toSeq == wh.history("meta_sql").sorted)
+    assert(snaps.last.getLong(2) == 3L, "current snapshot totals all rows")
+    assert(snaps.exists(r => r.getLong(0) == tagged && r.getSeq[String](3) == Seq("train-v1")))
+    // total_rows is non-decreasing across these append-style commits
+    assert(snaps.map(_.getLong(2)).toSeq == snaps.map(_.getLong(2)).toSeq.sorted)
+
+    // time travel on $files: the tagged (= current) vs the first snapshot
+    val v0 = wh.history("meta_sql").min
+    val oldFiles = spark.sql(s"SELECT * FROM graft.`meta_sql$$files` VERSION AS OF $v0").collect()
+    assert(oldFiles.map(_.getLong(1)).sum == 2L, "v0 file list must predate the append")
+    val tagFiles = spark.sql("SELECT * FROM graft.`meta_sql$files` VERSION AS OF 'train-v1'").collect()
+    assert(tagFiles.map(_.getLong(1)).sum == 3L)
+    // snapshots table is the version axis: time travel on it is rejected
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`meta_sql$$snapshots` VERSION AS OF $v0").collect())
+  }
+
   test("DDL: create, rename, drop") {
     spark.sql("CREATE TABLE graft.ddl1 (Id STRING, Amount BIGINT)")
     assert(spark.sql("SELECT count(*) FROM graft.ddl1").head().getLong(0) == 0)
