@@ -36,6 +36,7 @@ object SamplingQueries {
   private val TokenBudget = 2048 // packing bin size (tokens)
   private val SourceTokenBudget = 600L // q121: per-source mixture budget
   private val PackerBuckets = 8  // independent greedy packers
+  private val PpsTargetK = 10L   // q124: samples per stratum
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Mixture-weighted stratified sample: each language kept at its own
@@ -169,10 +170,53 @@ object SamplingQueries {
           round(col("ks_num").cast("double")
             / (col("n_train") * col("n_test")).cast("double"), 6).as("ks"))
         .orderBy("lang")
+    },
+
+    // Weighted (probability-proportional-to-size) systematic sample: ~k docs
+    // per language, selection probability proportional to document LENGTH —
+    // the "sample by token mass, not doc count" form corpus audits need
+    // (uniform doc sampling under-represents long documents' share of the
+    // training tokens). Deterministic PPS: docs order by salted md5 key,
+    // weights cumsum, and a doc is selected iff its weight span [cum−w, cum)
+    // crosses a multiple of step = ⌊W/k⌋ — pure int64 arithmetic, no RNG, no
+    // transcendental key (an Efraimidis–Spirakis u^(1/w) key would hinge on
+    // pow() ULPs differing across engines). Same shape as q121: one keyed
+    // window over a linear scan; big docs (w ≥ step) are selected with
+    // certainty, the systematic-sampling contract.
+    "q124_pps_sample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+      val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spread(read(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          substring(md5(concat(lit("pps:"), col("doc_id").cast("string"))), 1, 8)
+            .as("sample_key"))
+        .withColumn("cum", sum("n_chars").over(w))
+        .withColumn("total", sum("n_chars").over(Window.partitionBy("lang")))
+        .withColumn("step", greatest(expr(s"total div $PpsTargetK"), lit(1L)))
+        .filter(expr("cum div step") > expr("(cum - n_chars) div step"))
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("cum"))
+        .orderBy("lang", "cum", "doc_id")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q124_pps_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    substring(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY sample_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    greatest(CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) // $PpsTargetK,
+         |      1) AS step
+         |  FROM d)
+         |SELECT lang, doc_id, n_chars, cum FROM c
+         |WHERE cum // step > (cum - n_chars) // step
+         |ORDER BY lang, cum, doc_id""".stripMargin,
+
     "q123_ks_drift" ->
       s"""WITH d AS (
          |  SELECT lang,

@@ -245,7 +245,7 @@ class PropertySpec extends SparkSpec {
     // (q105), and the KS drift stat's int64 max (q123).
     val sensitive = Seq("q66_mixture_sample", "q68_packing_plan",
       "q105_salted_agg", "q111_rolling_median", "q120_pagerank2",
-      "q121_token_budget_mix", "q123_ks_drift")
+      "q121_token_budget_mix", "q123_ks_drift", "q124_pps_sample")
     val original = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       sensitive.foreach { name =>
