@@ -42,7 +42,15 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       SparkEntry.queries.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-only subset filter (comma-separated key prefixes), mirroring
+    // Verify's SPARK_GRAFT_ONLY — full sweeps just leave it unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       // Per-query isolation: q57/q72/q74 deliberately never unpersist (the
       // Verify posture) — without clearing, cached frames and their memory
       // pressure accumulate across the 60-query sweep and later rows pay for

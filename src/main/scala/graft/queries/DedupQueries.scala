@@ -71,7 +71,11 @@ object DedupQueries {
       // rarity order decides only WHICH elements form the prefix; the
       // carried array drops to plain md5 STRINGS immediately (struct<df,g>
       // arrays made the verify intersects interpreted struct-compares —
-      // measured 19.4 s -> the string form keeps q56's codegen'd intersect)
+      // measured 19.4 s -> the string form keeps q56's codegen'd intersect).
+      // (Tried: md5-string global order to skip this join+struct-sort —
+      // recall-complete under any fixed order, but candidates explode
+      // without rarity concentration: 14.5 s vs 8.4 s at sf0.1. Rarity
+      // order EARNS its construction cost.)
       val sorted = base.join(df, "g")
         .groupBy("doc_id")
         .agg(transform(sort_array(collect_list(struct(col("df"), col("g")))),
@@ -79,8 +83,15 @@ object DedupQueries {
         .withColumn("n", size(col("sh")))
         .withColumn("plen", col("n") - ceil(lit(JACCARD_T) * col("n")).cast("int") + 1)
         .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers: prefixes + 2 verify joins
+      // A df=1 gram matches only itself, so the candidate join would drop it
+      // AFTER the exchange; the semi-join drops it BEFORE. Rarity-first
+      // prefixes are DOMINATED by the singleton tail, and the semi-join
+      // shuffles on the same key `g` as the candidate join, so the pruned
+      // exchange is reused — strictly less data through the heavy self-join.
+      val shared = df.filter(col("df") >= 2).select("g")
       val prefixes = sorted.select(col("doc_id"), col("n"),
-        posexplode(slice(col("sh"), lit(1), col("plen"))).as(Seq("pos", "g")))
+          posexplode(slice(col("sh"), lit(1), col("plen"))).as(Seq("pos", "g")))
+        .join(shared, Seq("g"), "left_semi")
       val cand = prefixes.select(col("doc_id").as("d1"), col("n").as("n1"),
           col("pos").as("p1"), col("g"))
         .join(prefixes.select(col("doc_id").as("d2"), col("n").as("n2"),
