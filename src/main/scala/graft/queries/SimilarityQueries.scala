@@ -22,6 +22,7 @@ object SimilarityQueries {
 
   private val DIM = 64
   private val TOPK = 10
+  private val OUTLIER_K = 5 // q125: suspects per label
   private val PLANES = 8
   private val N_PROBES = 5
   private val NEARDUP_TAU = 0.35
@@ -29,6 +30,36 @@ object SimilarityQueries {
   private val RERANK = 50 // q80: Hamming candidates reranked by exact cosine
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mislabeled-embedding detection: each label's OUTLIER_K least-cohesive
+    // members, by cosine to the label's exact-decimal centroid — the
+    // label-quality audit a classifier/contrastive training set runs before
+    // training (a vector far from its own class center is a labeling error
+    // or an outlier either way worth review). Same bit-reproducible
+    // centroid arithmetic as q62/q73 (component sums in DECIMAL(28,12),
+    // one final cast); centroid table broadcast (labels x dim — bounded at
+    // any corpus size); one linear scoring scan + a per-label bottom-k
+    // window with WindowGroupLimit pushdown.
+    "q125_centroid_outliers" -> { (s, dir) =>
+      CosineFns.register(s)
+      val emb = spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val comp = emb.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("c"))
+      val cents = comp.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cv"))
+      val w = Window.partitionBy("label").orderBy(col("cos").asc, col("vec_id").asc)
+      emb.join(broadcast(cents), "label")
+        .withColumn("cos", CosineFns.cosineNative(col("v"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= OUTLIER_K)
+        .select(col("label"), col("rank"), col("vec_id"),
+          round(col("cos"), 4).as("cos_to_centroid"))
+        .orderBy("label", "rank")
+    },
+
     // Embedding-cosine near-dup detection (the dedup family's vector-space
     // member): candidate pairs are BLOCKED by the coarse-quantizer cell
     // (label) before any scoring — the same candidates-before-join shape as
@@ -609,6 +640,24 @@ object SimilarityQueries {
        |FROM a GROUP BY sub_id, cell ORDER BY sub_id, cell""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q125_centroid_outliers" ->
+      s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |comp AS (
+         |  SELECT label, g.i AS pos,
+         |    CAST(sum(CAST(v[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+         |  FROM emb, generate_series(1, $DIM) AS g(i)
+         |  GROUP BY label, g.i),
+         |cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM comp GROUP BY label),
+         |scored AS (
+         |  SELECT e.label, e.vec_id, ${cosineSql("e.v", "c.cv")} AS cos
+         |  FROM emb e JOIN cent c ON e.label = c.label),
+         |ranked AS (
+         |  SELECT label, vec_id, cos, row_number() OVER (
+         |    PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT label, rank, vec_id, round(cos, 4) AS cos_to_centroid
+         |FROM ranked WHERE rank <= $OUTLIER_K ORDER BY label, rank""".stripMargin,
+
     "q73_ivf_refine" -> q73Oracle,
     "q74_ivf_train2" -> q74Oracle,
     "q80_hamming_ann" -> q80Oracle,
