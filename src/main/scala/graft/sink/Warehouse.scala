@@ -305,6 +305,25 @@ final class Warehouse(spark: SparkSession, root: String,
     next
   }
 
+  /** Delta-style RESTORE: commit a NEW snapshot whose manifest is an older
+    * snapshot's — rolling back bad writes without rewriting a byte of data
+    * or erasing history (the bad versions stay time-travelable until
+    * [[expireSnapshots]]). O(1): one manifest commit, zero data IO, and it
+    * rides the same OCC guard as every write, so a concurrent writer can't
+    * interleave between read-old-manifest and publish. The missing-file
+    * check is defensive: [[expireSnapshots]] retains every kept manifest's
+    * files, so it only fires on out-of-band deletion — better a loud
+    * failure here than a restored table whose scans die file-not-found.
+    */
+  def restore(name: String, version: Long): Long = {
+    val m = manifestAt(name, version)
+    val missing = m.files.filterNot(f => Files.exists(tableDir(name).resolve(f.path)))
+    require(missing.isEmpty,
+      s"cannot restore $name to v$version: ${missing.size} referenced data files " +
+        s"are gone (e.g. ${missing.take(3).map(_.path).mkString(", ")})")
+    commitManifest(name, currentVersion(name) + 1, m)
+  }
+
   /** Stats columns already tracked by the table's current files — new writes
     * keep collecting them so merge pruning never degrades over time.
     */

@@ -60,4 +60,33 @@ class SkewAndTimeTravelSpec extends SparkSpec {
     assert(wh.load("t").count() == 1)
     intercept[IllegalArgumentException](wh.loadVersion("t", 99))
   }
+
+  test("restore: rolls back content as a NEW commit, history intact, O(1) data") {
+    val wh = new Warehouse(spark, tmpDir("restore"))
+    val schema = StructType(Seq(StructField("x", LongType)))
+    def batch(r: Range) = spark.createDataFrame(r.map(i => Row(i.toLong)).asJava, schema)
+    val v0 = wh.replace("t", batch(0 until 3))
+    wh.append("t", batch(10 until 12))          // v1: the "bad write"
+    val v2 = wh.append("t", batch(20 until 21)) // v2: more damage
+    val before = wh.manifestAt("t", v0).files.map(_.path).toSet
+
+    val v3 = wh.restore("t", v0)
+    assert(v3 == v2 + 1, "restore is a new commit, not a rewind")
+    assert(wh.load("t").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+    // zero data IO: the restored snapshot references v0's files BY PATH
+    assert(wh.manifestAt("t", v3).files.map(_.path).toSet == before)
+    // nothing erased: the rolled-back versions stay time-travelable
+    assert(wh.history("t") == Seq(0L, 1L, 2L, 3L))
+    assert(wh.loadVersion("t", v2).count() == 6)
+    // life goes on: post-restore writes commit on top
+    wh.append("t", batch(30 until 32))
+    assert(wh.load("t").count() == 5)
+    // restoring a never-committed version fails loudly
+    intercept[IllegalArgumentException](wh.restore("t", 99))
+    // expiry keeps the CURRENT lineage's files; after it drops the bad
+    // versions' manifests, restore to them is a loud failure, not silence
+    wh.expireSnapshots("t", keepLast = 1, orphanGraceMs = 0)
+    intercept[IllegalArgumentException](wh.restore("t", v2))
+    assert(wh.load("t").count() == 5, "expiry must not touch the live snapshot")
+  }
 }
