@@ -60,6 +60,27 @@ object SimilarityQueries {
         .orderBy("label", "rank")
     },
 
+    // Degenerate-embedding audit: the ingestion gate an embedding table
+    // passes before any ANN/centroid work — wrong dimensionality, null
+    // components, and zero vectors (cosine undefined) each break the
+    // operators downstream in their own way. Pure per-row column math,
+    // zero shuffle; the fold norm is the same left-to-right accumulation
+    // the oracle's list_reduce does, so values are bit-comparable.
+    "q126_embedding_audit" -> { (s, dir) =>
+      spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), col("label"),
+          size(col("v")).as("dim"),
+          sqrt(norm2(col("v"))).as("norm_raw"),
+          exists(col("v"), x => x.isNull).as("has_null"))
+        .select(col("vec_id"), col("label"), col("dim"),
+          round(col("norm_raw"), 6).as("norm"), col("has_null"),
+          // flags judge the RAW norm (the oracle does too) — a norm that
+          // rounds to 0.000000 but isn't 0 must not flip the verdict
+          (col("dim") === DIM && !col("has_null") && col("norm_raw") > 0.0).as("ok"))
+        .orderBy("vec_id")
+    },
+
     // Embedding-cosine near-dup detection (the dedup family's vector-space
     // member): candidate pairs are BLOCKED by the coarse-quantizer cell
     // (label) before any scoring — the same candidates-before-join shape as
@@ -640,6 +661,16 @@ object SimilarityQueries {
        |FROM a GROUP BY sub_id, cell ORDER BY sub_id, cell""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q126_embedding_audit" ->
+      s"""SELECT vec_id, label,
+         |  CAST(len(v) AS INT) AS dim,
+         |  round(sqrt(${norm2Sql("v")}), 6) AS norm,
+         |  len(list_filter(v, x -> x IS NULL)) > 0 AS has_null,
+         |  (len(v) = $DIM AND NOT len(list_filter(v, x -> x IS NULL)) > 0
+         |    AND sqrt(${norm2Sql("v")}) > 0.0) AS ok
+         |FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+         |ORDER BY vec_id""".stripMargin,
+
     "q125_centroid_outliers" ->
       s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |comp AS (
