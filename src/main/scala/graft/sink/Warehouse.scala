@@ -769,6 +769,131 @@ final class Warehouse(spark: SparkSession, root: String,
     DeleteReport(next, deleted, untouched.size)
   }
 
+  // --------------------------------------------- write-audit-publish (WAP) --
+
+  /** Stage a batch as an UNPUBLISHED candidate (Iceberg WAP pattern): data
+    * files are written for real, but no snapshot commits — the table is
+    * untouched until [[publishStage]]. The audit step reads the candidate
+    * state via [[loadStage]] (quality gates, row-count deltas, the q122-q126
+    * audits) and either publishes or [[dropStage]]s. Staged data dirs are
+    * named `stg*`, which [[expireSnapshots]]' `d*` sweep never touches —
+    * stage lifecycle is EXPLICIT (publish or drop), so an audit running for
+    * hours can't have its files garbage-collected out from under it.
+    *
+    * Publish semantics per mode:
+    *   - append: fast-append cherry-pick — publishes onto WHATEVER the
+    *     current snapshot is (interim commits are kept; only a schema
+    *     change since staging is a conflict);
+    *   - replace: the audit certified an exact table STATE, so any interim
+    *     commit is a conflict (ConcurrentModificationException), mirroring
+    *     the OCC contract of the direct write path.
+    */
+  def stageAppend(name: String, df: DataFrame, statsCols: Seq[String] = Nil): String =
+    stage(name, df, "append", statsCols)
+
+  /** See [[stageAppend]]; the staged candidate REPLACES the table on publish. */
+  def stageReplace(name: String, df: DataFrame, statsCols: Seq[String] = Nil): String =
+    stage(name, df, "replace", statsCols)
+
+  private def stage(name: String, df: DataFrame, mode: String,
+                    statsCols: Seq[String]): String = {
+    require(exists(name), s"staging requires an existing table: $name")
+    val man = currentManifest(name)
+    val base = currentVersion(name)
+    val schema = targetSchema(if (mode == "append") Some(man) else None, df)
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val entries = writeData(name, SchemaOps.conform(df, schema), schema,
+      s"stg$id", statsCols ++ inheritedStatsCols(Some(man)))
+    Manifest.write(stagePath(name, id, mode, base), Manifest(schema, entries))
+    id
+  }
+
+  private def stagePath(name: String, id: String, mode: String, baseV: Long) =
+    tableDir(name).resolve(s"stage-$id.$mode.$baseV.manifest")
+
+  /** (path, mode, baseVersion) of a stage, or a loud failure. */
+  private def findStage(name: String, id: String): (Path, String, Long) = {
+    val hits = {
+      val s = Files.list(tableDir(name))
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .filter(_.getFileName.toString.startsWith(s"stage-$id."))
+        .filter(_.getFileName.toString.endsWith(".manifest")).toSeq
+      finally s.close()
+    }
+    require(hits.size == 1, s"no such stage: $name/$id")
+    val parts = hits.head.getFileName.toString.split('.')
+    (hits.head, parts(1), parts(2).toLong)
+  }
+
+  /** Ids of all unpublished stages of `name` (operator hygiene: find
+    * forgotten candidates — staged files live until publish or drop).
+    */
+  def listStages(name: String): Seq[String] =
+    if (!Files.exists(tableDir(name))) Nil
+    else {
+      val s = Files.list(tableDir(name))
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("stage-") && n.endsWith(".manifest"))
+        .map(_.stripPrefix("stage-").split('.').head).toSeq.sorted
+      finally s.close()
+    }
+
+  /** The candidate table state the audit step reads: base + batch for an
+    * append stage, the batch alone for a replace stage.
+    */
+  def loadStage(name: String, stageId: String): DataFrame = {
+    val (p, mode, _) = findStage(name, stageId)
+    val sm = Manifest.read(p)
+    val files =
+      if (mode == "append") currentManifest(name).files ++ sm.files else sm.files
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), sm.schema)
+    else
+      spark.read.schema(sm.schema)
+        .parquet(files.map(f => tableDir(name).resolve(f.path).toString): _*)
+  }
+
+  /** Commit the audited candidate. One manifest commit under the same OCC
+    * guard as every write; the staged data files are adopted by path, so
+    * publish moves zero bytes.
+    */
+  def publishStage(name: String, stageId: String): Long = {
+    val (p, mode, baseV) = findStage(name, stageId)
+    val sm = Manifest.read(p)
+    val cur = currentVersion(name)
+    val merged = mode match {
+      case "replace" =>
+        if (cur != baseV)
+          throw new java.util.ConcurrentModificationException(
+            s"$name: replace stage $stageId audited v$baseV but table is at " +
+              s"v$cur; re-stage against the current state")
+        Manifest(sm.schema, sm.files)
+      case _ =>
+        val curMan = currentManifest(name)
+        if (curMan.schema != sm.schema)
+          throw new java.util.ConcurrentModificationException(
+            s"$name: schema changed since stage $stageId was written; re-stage")
+        Manifest(curMan.schema, curMan.files ++ sm.files)
+    }
+    val v = commitManifest(name, cur + 1, merged)
+    Files.deleteIfExists(p)
+    v
+  }
+
+  /** Abandon a stage: its manifest and data files are deleted (they were
+    * never referenced by any snapshot, so nothing else can see them).
+    */
+  def dropStage(name: String, stageId: String): Boolean = {
+    val (p, _, _) = findStage(name, stageId)
+    val sm = Manifest.read(p)
+    // a stage's files all live in its own stg* dir(s) — no snapshot ever
+    // referenced them, so the dirs go wholesale
+    sm.files.map(f => tableDir(name).resolve(f.path).getParent).distinct
+      .foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
   // ---------------------------------------------------------------- tags --
 
   private def tagPath(name: String, tag: String) = {

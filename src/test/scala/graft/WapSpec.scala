@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sink.Warehouse
+
+/** Write-audit-publish staging (Iceberg WAP pattern): data lands as an
+  * unpublished candidate, the audit reads the WOULD-BE table state, and
+  * only publish makes it visible — under the same OCC contract as direct
+  * writes. The property that matters at scale: publish adopts the staged
+  * files by path (zero data IO), and an unpublished stage is invisible to
+  * every reader and safe from snapshot expiry.
+  */
+class WapSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("Id", StringType),
+    StructField("Amount", LongType)))
+
+  private def df(rows: (String, Long)*) =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+
+  test("append stage: invisible until publish; audit sees base+batch; publish adopts files") {
+    val wh = new Warehouse(spark, tmpDir("wap-append"))
+    val v0 = wh.replace("t", df("a" -> 1, "b" -> 2))
+    val id = wh.stageAppend("t", df("c" -> 3), statsCols = Seq("Amount"))
+
+    assert(wh.load("t").count() == 2, "staging must not touch the table")
+    assert(wh.currentVersion("t") == v0, "no snapshot committed by staging")
+    assert(wh.listStages("t") == Seq(id))
+
+    val audit = wh.loadStage("t", id)
+    assert(audit.count() == 3, "audit reads the candidate state: base + batch")
+
+    val staged = wh.loadStage("t", id).inputFiles.toSet
+    val v1 = wh.publishStage("t", id)
+    assert(wh.load("t").count() == 3 && v1 == v0 + 1)
+    // zero-copy adoption: published scan reads the very files the audit read
+    assert(wh.load("t").inputFiles.toSet == staged)
+    assert(wh.listStages("t").isEmpty, "publish consumes the stage")
+    intercept[IllegalArgumentException](wh.loadStage("t", id))
+  }
+
+  test("append publish is a fast-append cherry-pick over interim commits") {
+    val wh = new Warehouse(spark, tmpDir("wap-cherry"))
+    wh.replace("t", df("a" -> 1))
+    val id = wh.stageAppend("t", df("b" -> 2))
+    wh.append("t", df("x" -> 9)) // interim commit while the audit runs
+    wh.publishStage("t", id)
+    assert(wh.load("t").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b", "x"),
+      "interim commit and staged batch must both survive")
+  }
+
+  test("replace stage: interim commit is a conflict; re-stage succeeds") {
+    val wh = new Warehouse(spark, tmpDir("wap-replace"))
+    wh.replace("t", df("a" -> 1))
+    val id = wh.stageReplace("t", df("z" -> 26))
+    wh.append("t", df("x" -> 9)) // the audited state is no longer the base
+    intercept[java.util.ConcurrentModificationException](wh.publishStage("t", id))
+    assert(wh.load("t").count() == 2, "failed publish commits nothing")
+    wh.dropStage("t", id)
+    val id2 = wh.stageReplace("t", df("z" -> 26))
+    wh.publishStage("t", id2)
+    assert(wh.load("t").collect().map(_.getString(0)).toSeq == Seq("z"))
+  }
+
+  test("dropStage removes the staged files; expiry never touches a live stage") {
+    val wh = new Warehouse(spark, tmpDir("wap-drop"))
+    wh.replace("t", df("a" -> 1))
+    wh.append("t", df("b" -> 2)) // history to expire
+    val id = wh.stageAppend("t", df("c" -> 3))
+    val stagedFiles = wh.loadStage("t", id).inputFiles
+      .filter(_.contains("stg")).map(u => Paths.get(java.net.URI.create(u)))
+    assert(stagedFiles.nonEmpty)
+
+    // aggressive expiry while the stage is pending: staged files survive
+    wh.expireSnapshots("t", keepLast = 1, orphanGraceMs = 0)
+    assert(stagedFiles.forall(Files.exists(_)),
+      "expiry must not garbage-collect an unpublished stage")
+    assert(wh.loadStage("t", id).count() == 3)
+
+    wh.dropStage("t", id)
+    assert(stagedFiles.forall(!Files.exists(_)), "dropStage deletes the staged data")
+    assert(wh.listStages("t").isEmpty)
+    assert(wh.load("t").count() == 2, "the table never saw the stage")
+  }
+}
