@@ -382,6 +382,31 @@ object AnalyticQueries {
         .limit(20)
     },
 
+    // TPC-H Q22 shape (idle capital): customers whose balance beats the
+    // positive-balance average AND who have no OPEN orders (q28's liveness
+    // test), rolled up by nation. The two classic decorrelations in one
+    // query: the correlated scalar subquery (avg) becomes a one-row
+    // broadcast cross, and NOT EXISTS becomes a left-anti join. The
+    // above-average test is exact cross-multiplication (bal·n_pos >
+    // sum_pos, both DECIMAL) — no decimal DIVISION, whose result
+    // scale/rounding differs across engines.
+    "q127_idle_capital" -> { (s, dir) =>
+      val cust = read(s, dir, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(dec(col("c_acctbal"))).as("sum_pos"), count(lit(1)).as("n_pos"))
+      cust.crossJoin(broadcast(thr))
+        .filter(dec(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+        .join(read(s, dir, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(read(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy("n_name")
+    },
+
     // Two unrolled PageRank iterations over the customer↔supplier trade
     // graph (who-bought-from-whom, both directions; suppliers offset to a
     // disjoint id space) — the ORACLE-CHECKED face of Graph.pageRank (the
@@ -452,6 +477,22 @@ object AnalyticQueries {
         |SELECT id, rank_u,
         |  CASE WHEN id >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind
         |FROM r2 ORDER BY rank_u DESC, id LIMIT 20""".stripMargin,
+
+    "q127_idle_capital" ->
+      """WITH thr AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_pos,
+        |    CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |rich AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+        |  FROM customer c, thr
+        |  WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * thr.n_pos > thr.sum_pos
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'))
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM rich JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q116_large_orders" ->
       s"""WITH big AS (
