@@ -166,4 +166,44 @@ object CorpusPipeline {
       .filter(col("__key") < thr)
       .drop("__key")
   }
+
+  /** Outcome of a WAP-gated curation run: the per-stage report, the audit
+    * verdicts, and the published snapshot version (None = audit failed, the
+    * stage was dropped, the table was never touched).
+    */
+  final case class WapReport(curated: Seq[StageReport],
+      audits: Seq[(String, Boolean)], published: Option[Long])
+
+  /** Curate → STAGE → audit → publish-or-drop: the production form of
+    * [[curate]], composed with the warehouse's write-audit-publish staging.
+    * The curated corpus lands as an unpublished candidate; the audit reads
+    * the WOULD-BE table state (the exact files a publish would adopt, not
+    * the frame we intended to write — any writer/serialization bug is
+    * caught too); only a clean audit publishes. A failed audit drops the
+    * stage and leaves the table byte-identical — the property that makes
+    * automated re-curation safe to run unattended over a 100 TB corpus.
+    *
+    * Audit gates (each a driver-side scalar over the staged scan):
+    *   - non-empty: curation must not nuke the corpus;
+    *   - keep-ratio ≥ `minKeepRatio`: a misconfigured quality gate that
+    *     drops 99% of input is a pipeline bug, not a result;
+    *   - doc_id unique: the dedup stages' contract, re-checked on what was
+    *     actually STAGED.
+    */
+  def curateIntoWarehouse(wh: graft.sink.Warehouse, table: String,
+      docs: DataFrame, evalDocs: DataFrame, cfg: Config = Config(),
+      minKeepRatio: Double = 0.05): WapReport = {
+    val c = curate(docs, evalDocs, cfg)
+    if (!wh.exists(table)) wh.create(table, c.docs.schema)
+    val id = wh.stageReplace(table, c.docs)
+    val staged = wh.loadStage(table, id)
+    val n = staged.count()
+    val in = c.report.headOption.map(_.docsIn).getOrElse(0L)
+    val audits = Seq(
+      "non_empty" -> (n > 0),
+      "keep_ratio" -> (in == 0 || n.toDouble >= in * minKeepRatio),
+      "doc_id_unique" -> (staged.select("doc_id").distinct().count() == n))
+    if (audits.forall(_._2)) WapReport(c.report, audits, Some(wh.publishStage(table, id)))
+    else { wh.dropStage(table, id); WapReport(c.report, audits, None) }
+  }
 }

@@ -73,4 +73,26 @@ class CorpusPipelineSpec extends SparkSpec {
     val b = CorpusPipeline.curate(docs.repartition(7), evalDocs, cfg).report
     assert(a == b, "stage counts depend on partitioning")
   }
+
+  test("WAP-gated curation: clean audit publishes; failed audit leaves the table untouched") {
+    val wh = new graft.sink.Warehouse(spark, tmpDir("corpus-wap"))
+    val rep = CorpusPipeline.curateIntoWarehouse(wh, "corpus", docs, evalDocs, cfg)
+    assert(rep.audits.forall(_._2), s"audits must pass on real docs: ${rep.audits}")
+    assert(rep.published.isDefined)
+    val v1 = rep.published.get
+    val direct = CorpusPipeline.curate(docs, evalDocs, cfg).docs
+    assert(wh.load("corpus").count() == direct.count(),
+      "published table must hold exactly the curated corpus")
+    assert(wh.listStages("corpus").isEmpty)
+
+    // a keep-ratio bar no real curation can meet: audit fails, stage drops,
+    // the published snapshot stays exactly where it was
+    val bad = CorpusPipeline.curateIntoWarehouse(wh, "corpus", docs, evalDocs, cfg,
+      minKeepRatio = 1.01)
+    assert(bad.published.isEmpty)
+    assert(bad.audits.collect { case ("keep_ratio", ok) => ok } == Seq(false))
+    assert(wh.currentVersion("corpus") == v1, "failed audit must not commit")
+    assert(wh.listStages("corpus").isEmpty, "failed audit must drop its stage")
+    assert(wh.load("corpus").count() == direct.count())
+  }
 }
