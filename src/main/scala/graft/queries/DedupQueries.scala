@@ -119,6 +119,23 @@ object DedupQueries {
         .orderBy("d1", "d2")
     },
 
+    // LSH recall audit (q69's pattern applied to the dedup family): q57's
+    // banded MinHash pairs measured against q119's recall-complete exact
+    // join, same shingle space and threshold. Both sides verify the true
+    // Jaccard, so precision is 1 by construction — RECALL is the number a
+    // team quotes when it swaps the exact O(prefix-pairs) join for the
+    // probabilistic O(bands·rows) path at corpus scale.
+    "q128_dedup_recall" -> { (s, dir) =>
+      val exact = queries("q119_setsim_join")(s, dir).select("d1", "d2")
+      val lsh = queries("q57_minhash_lsh")(s, dir).select("d1", "d2")
+      val marked = exact.join(lsh.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+      marked.agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+        .select(col("n_exact"), col("n_lsh"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_exact"), 6).as("recall"))
+    },
+
     // n-gram Jaccard near-dup pairs, blocked on a 40-char prefix fingerprint
     // so the join fans out only within tiny candidate buckets.
     "q56_ngram_jaccard" -> { (s, dir) =>
@@ -458,20 +475,39 @@ object DedupQueries {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  // Deliberately UNBLOCKED brute force (O(n²) is fine at oracle scale):
+  // equality against it is what certifies the prefix-filter candidates
+  // are recall-complete, not merely self-consistent.
+  private lazy val q119Oracle =
+    s"""WITH $docShinglesCte
+       |SELECT d1, d2, inter, n1, n2, round(jac, 4) AS jaccard FROM (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |    CAST(len(a.sh) AS BIGINT) AS n1, CAST(len(b.sh) AS BIGINT) AS n2,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+       |  FROM base a JOIN base b ON a.doc_id < b.doc_id)
+       |WHERE jac >= $JACCARD_T ORDER BY d1, d2""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // Deliberately UNBLOCKED brute force (O(n²) is fine at oracle scale):
-    // equality against it is what certifies the prefix-filter candidates
-    // are recall-complete, not merely self-consistent.
-    "q119_setsim_join" ->
-      s"""WITH $docShinglesCte
-         |SELECT d1, d2, inter, n1, n2, round(jac, 4) AS jaccard FROM (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-         |    CAST(len(a.sh) AS BIGINT) AS n1, CAST(len(b.sh) AS BIGINT) AS n2,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
-         |  FROM base a JOIN base b ON a.doc_id < b.doc_id)
-         |WHERE jac >= $JACCARD_T ORDER BY d1, d2""".stripMargin,
+    "q119_setsim_join" -> q119Oracle,
+
+    // LSH recall audited against the exact join (q69's ANN-recall pattern
+    // applied to the dedup family): both sides verify the true Jaccard, so
+    // precision is 1 by construction and RECALL is the number that justifies
+    // the probabilistic path at scale.
+    "q128_dedup_recall" ->
+      s"""WITH ex AS ($q119Oracle),
+         |lsh AS ($q57Oracle),
+         |m AS (
+         |  SELECT e.d1, e.d2,
+         |    CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM ex e LEFT JOIN lsh l ON e.d1 = l.d1 AND e.d2 = l.d2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+         |  CAST(sum(hit) AS BIGINT) AS n_found,
+         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM m""".stripMargin,
     "q70_repetition" ->
       s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
          |raw AS (
@@ -571,29 +607,31 @@ object DedupQueries {
          |  USING (keeper)
          |ORDER BY doc_id""".stripMargin,
 
-    "q57_minhash_lsh" ->
-      s"""WITH $docShinglesCte,
-         |sig AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(generate_series(0, ${K - 1}),
-         |      j -> list_min(list_transform(sh,
-         |        h -> substring(md5(concat(j // $CHUNK, ':', h)), (j % $CHUNK) * 8 + 1, 8)))) AS sig
-         |  FROM base),
-         |banded AS (
-         |  SELECT doc_id, sh, t.b AS band_idx,
-         |    md5(concat_ws('|', t.b, sig[t.b*$R+1], sig[t.b*$R+2], sig[t.b*$R+3], sig[t.b*$R+4])) AS band_key
-         |  FROM sig, generate_series(0, ${BANDS - 1}) AS t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sh AS sh1, b.sh AS sh2
-         |  FROM banded a JOIN banded b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |    AND a.doc_id < b.doc_id)
-         |SELECT d1, d2,
-         |  round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(sh1, sh2))), 4) AS jaccard
-         |FROM cand
-         |WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(sh1, sh2))) >= $JACCARD_T
-         |ORDER BY d1, d2""".stripMargin
+    "q57_minhash_lsh" -> q57Oracle
   )
+
+  private lazy val q57Oracle =
+    s"""WITH $docShinglesCte,
+       |sig AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(generate_series(0, ${K - 1}),
+       |      j -> list_min(list_transform(sh,
+       |        h -> substring(md5(concat(j // $CHUNK, ':', h)), (j % $CHUNK) * 8 + 1, 8)))) AS sig
+       |  FROM base),
+       |banded AS (
+       |  SELECT doc_id, sh, t.b AS band_idx,
+       |    md5(concat_ws('|', t.b, sig[t.b*$R+1], sig[t.b*$R+2], sig[t.b*$R+3], sig[t.b*$R+4])) AS band_key
+       |  FROM sig, generate_series(0, ${BANDS - 1}) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sh AS sh1, b.sh AS sh2
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id)
+       |SELECT d1, d2,
+       |  round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(sh1, sh2))), 4) AS jaccard
+       |FROM cand
+       |WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(sh1, sh2))) >= $JACCARD_T
+       |ORDER BY d1, d2""".stripMargin
 }

@@ -34,7 +34,8 @@ class PlanLintSpec extends SparkSpec {
     Set("q60_cosine_topk", "q65_ivf_search", "q69_ann_recall", "q73_ivf_refine",
       "q74_ivf_train2", "q80_hamming_ann", "q85_vocab_coverage", "q86_collocations",
       "q97_bm25_keywords", "q99_balanced_sample", "q108_session_baskets",
-      "q113_bm25_search", "q120_pagerank2", "q127_idle_capital")
+      "q113_bm25_search", "q120_pagerank2", "q127_idle_capital",
+      "q128_dedup_recall")
 
   /** Plan statically (AQE off): AQE wraps plans before stage codegen is
     * decided, hiding both the `*(n)` markers and the pre-reoptimization
