@@ -122,10 +122,14 @@ case class KllQuantile(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  // an all-null group aggregates to an EMPTY sketch; degrade to null like
+  // Spark's approx aggregates instead of datasketches throwing on getQuantile
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(sketchBytes: Any, prob: Any): Any =
-    KllDoublesSketch.heapify(Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]))
-      .getQuantile(prob.asInstanceOf[Double])
+  override def nullSafeEval(sketchBytes: Any, prob: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null else sk.getQuantile(prob.asInstanceOf[Double])
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KllQuantile =

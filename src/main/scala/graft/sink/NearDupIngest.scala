@@ -33,8 +33,16 @@ import graft.functions.TextFns
   *
   * Replay safety: re-ingesting a batch finds each doc's existing copy at
   * signature similarity 1.0 and appends 0 rows (the near-dup analog of the
-  * exact-dedup retry guard). All three appends (corpus, bands, sigs) are
-  * O(batch) manifest commits.
+  * exact-dedup retry guard). All three appends (bands, sigs, then corpus —
+  * index FIRST) are O(batch) manifest commits. The ordering picks which
+  * side of the crash window you live on: index-first means a crash before
+  * the corpus commit leaves orphan index rows, so replaying that batch
+  * drops its docs as 1.0-similarity "dups" — a BOUNDED under-admission
+  * (at most one batch, recoverable by re-ingesting under fresh pks or
+  * rebuilding the index from corpus text). Corpus-first would instead
+  * leave admitted docs invisible to the index — an UNBOUNDED recall hole
+  * where every future near-dup of them sails in silently. For curation,
+  * bounded under-admission beats silent duplicate admission.
   */
 final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
                           shingleW: Int = 3, k: Int = 16, bands: Int = 4,
@@ -110,15 +118,22 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
       val keptCount = kept.select(pkCol).count()
       val appended = survivors.count()
 
-      // ---- three O(batch) appends: corpus rows, band index, signatures.
-      val outRows = df.join(survivors, Seq(pkCol))
-      val version = wh.append(name, outRows, statsCols = Seq(pkCol))
+      // ---- three O(batch) appends: INDEX TABLES FIRST, corpus last. A
+      // crash between the commits then leaves index rows for docs absent
+      // from the corpus — harmless false-positive probes (a replayed batch
+      // re-verifies against its own signature at 1.0 and is dropped, and a
+      // genuinely new doc matching an orphan row is a near-dup of content
+      // we intended to admit anyway). The reverse order would leave admitted
+      // docs INVISIBLE to the index — a silent recall hole where their
+      // future near-dups sail in.
       val survSigs = sigs.join(survivors, Seq(pkCol))
       wh.append(bandsTable(name), survSigs
         .select(col(pkCol), posexplode(col("bands")).as(Seq("band_idx", "band_key"))),
         statsCols = Seq("band_key"))
       wh.append(sigsTable(name), survSigs.select(col(pkCol), col("sig")),
         statsCols = Seq(pkCol))
+      val outRows = df.join(survivors, Seq(pkCol))
+      val version = wh.append(name, outRows, statsCols = Seq(pkCol))
 
       Report(version, appended, total - keptCount, keptCount - appended)
     } finally sigs.unpersist()

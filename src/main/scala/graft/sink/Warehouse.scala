@@ -776,9 +776,11 @@ final class Warehouse(spark: SparkSession, root: String,
     * untouched until [[publishStage]]. The audit step reads the candidate
     * state via [[loadStage]] (quality gates, row-count deltas, the q122-q126
     * audits) and either publishes or [[dropStage]]s. Staged data dirs are
-    * named `stg*`, which [[expireSnapshots]]' `d*` sweep never touches —
-    * stage lifecycle is EXPLICIT (publish or drop), so an audit running for
-    * hours can't have its files garbage-collected out from under it.
+    * named `stg*`; [[expireSnapshots]] treats a pending stage manifest's
+    * files as referenced — stage lifecycle is EXPLICIT (publish or drop), so
+    * an audit running for hours can't have its files garbage-collected out
+    * from under it, while files of expired snapshots that were ADOPTED from
+    * a published stage do get swept from their stg* dirs.
     *
     * Publish semantics per mode:
     *   - append: fast-append cherry-pick — publishes onto WHATEVER the
@@ -862,6 +864,17 @@ final class Warehouse(spark: SparkSession, root: String,
     val (p, mode, baseV) = findStage(name, stageId)
     val sm = Manifest.read(p)
     val cur = currentVersion(name)
+    val curMan = currentManifest(name)
+    // Idempotent re-publish: commitManifest and the marker delete below are
+    // two writes, so a crash between them leaves a published stage with its
+    // marker still present. A stage's file paths are unique (stg<id> dir),
+    // so "current manifest already contains them" means the commit landed —
+    // finish the cleanup instead of appending the same rows twice.
+    val stagePaths = sm.files.map(_.path).toSet
+    if (stagePaths.nonEmpty && stagePaths.subsetOf(curMan.files.map(_.path).toSet)) {
+      Files.deleteIfExists(p)
+      return cur
+    }
     val merged = mode match {
       case "replace" =>
         if (cur != baseV)
@@ -870,7 +883,6 @@ final class Warehouse(spark: SparkSession, root: String,
               s"v$cur; re-stage against the current state")
         Manifest(sm.schema, sm.files)
       case _ =>
-        val curMan = currentManifest(name)
         if (curMan.schema != sm.schema)
           throw new java.util.ConcurrentModificationException(
             s"$name: schema changed since stage $stageId was written; re-stage")
@@ -898,6 +910,11 @@ final class Warehouse(spark: SparkSession, root: String,
 
   private def tagPath(name: String, tag: String) = {
     require(tag.matches("[A-Za-z0-9][A-Za-z0-9._-]*"), s"invalid tag name: $tag")
+    // all-digit names are unreachable via `VERSION AS OF` (the catalog tries
+    // numeric versions first), so reject them at creation rather than let a
+    // tag exist that silently resolves as a snapshot number
+    require(!tag.forall(_.isDigit),
+      s"invalid tag name: $tag (all-digit names collide with snapshot versions)")
     tableDir(name).resolve(s"tag-$tag.ref")
   }
 
@@ -1006,8 +1023,16 @@ final class Warehouse(spark: SparkSession, root: String,
     val keep = versions.filterNot(drop.toSet)
     val droppedRefs = drop
       .flatMap(v => Manifest.read(manifestPath(name, v)).files.map(_.path)).toSet
+    // Pending (unpublished) stage manifests reference their stg* files just
+    // like snapshots reference d* files: an audit can run for hours, so its
+    // files are live regardless of age. Published stages' files were adopted
+    // BY PATH into snapshot manifests, so once those snapshots expire the
+    // files land in droppedRefs and must be swept from their stg* dirs too.
+    val stageRefs = listStages(name)
+      .map(id => findStage(name, id)._1)
+      .flatMap(p => Manifest.read(p).files.map(_.path)).toSet
     val referenced = keep
-      .flatMap(v => Manifest.read(manifestPath(name, v)).files.map(_.path)).toSet
+      .flatMap(v => Manifest.read(manifestPath(name, v)).files.map(_.path)).toSet ++ stageRefs
     drop.foreach(v => Files.deleteIfExists(manifestPath(name, v)))
     val td = tableDir(name)
     val cutoff = System.currentTimeMillis() - orphanGraceMs
@@ -1025,7 +1050,10 @@ final class Warehouse(spark: SparkSession, root: String,
     val dataDirs = {
       val s = Files.list(td)
       try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d")).toSeq
+        .filter { p =>
+          val n = p.getFileName.toString
+          Files.isDirectory(p) && (n.startsWith("d") || n.startsWith("stg"))
+        }.toSeq
       finally s.close()
     }
     dataDirs.foreach { dir =>

@@ -72,6 +72,17 @@ class KllSpec extends SparkSpec {
     assert(row.getAs[Double]("p50") == 60.0, row.toString)
   }
 
+  test("an all-null group yields null quantiles, not an exception") {
+    val rows = Seq(Row(java.sql.Timestamp.valueOf("2024-03-03 00:00:00"), null))
+    val ev = spark.createDataFrame(rows.asJava, schema)
+    val out = Sketches.mergeDailyQuantiles(
+      Sketches.dailyValueSketches(ev), Seq(0.5)).collect()
+    assert(out.length == 1, out.mkString)
+    assert(out.head.isNullAt(out.head.fieldIndex("p50")),
+      "empty sketch must degrade to null like Spark's approx aggregates")
+    assert(out.head.getAs[Long]("n_events") == 1L)
+  }
+
   test("SQL surface resolves via registration (kll_* functions)") {
     KllFns.register(spark)
     events(day1: _*).createOrReplaceTempView("kll_events")

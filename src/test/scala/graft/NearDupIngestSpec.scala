@@ -95,6 +95,22 @@ class NearDupIngestSpec extends SparkSpec {
     assert(wh.load("corpus").count() == 2)
   }
 
+  test("crash ordering: index appends commit BEFORE the corpus append") {
+    val root = tmpDir("ndi-order")
+    val wh = new Warehouse(spark, root)
+    val ing = ingester(wh)
+    // make the CORPUS append (and only it) fail deterministically: a plain
+    // file squats on the corpus table dir, so Files.createDirectories throws
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(root, "corpus"), "x")
+    intercept[java.nio.file.FileAlreadyExistsException](
+      ing.ingest("corpus", docs(1L -> baseText)))
+    // the crash window left index rows without corpus rows — the bounded
+    // direction (orphan probes; see the class scaladoc), never the silent
+    // recall hole of an indexed-nowhere corpus doc
+    assert(wh.load("corpus__bands").count() == 4)
+    assert(wh.load("corpus__sigs").count() == 1)
+  }
+
   test("streaming ingest: near-dup rejected in-flight; fresh-checkpoint replay adds 0") {
     import org.apache.spark.sql.streaming.Trigger
     val watch = tmpDir("ndi-watch")

@@ -65,4 +65,14 @@ class TagSpec extends SparkSpec {
     intercept[IllegalArgumentException](wh.resolveTag("t", "nope"))
     intercept[IllegalArgumentException](wh.tagSnapshot("t", "bad/name"))
   }
+
+  test("all-digit tag names are rejected (unreachable via VERSION AS OF)") {
+    val wh = new Warehouse(spark, tmpDir("tag-digits"))
+    wh.replace("t", df(("a", 1)))
+    // loadTable tries version.toLong first, so a tag named '2024' could only
+    // ever resolve as a (likely nonexistent) numeric snapshot — ban it
+    intercept[IllegalArgumentException](wh.tagSnapshot("t", "2024"))
+    wh.tagSnapshot("t", "v2024") // digits are fine when not the whole name
+    assert(wh.resolveTag("t", "v2024") == wh.currentVersion("t"))
+  }
 }

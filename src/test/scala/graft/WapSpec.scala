@@ -87,4 +87,41 @@ class WapSpec extends SparkSpec {
     assert(wh.listStages("t").isEmpty)
     assert(wh.load("t").count() == 2, "the table never saw the stage")
   }
+
+  test("published-stage files are swept once their snapshots expire (no stg* leak)") {
+    val wh = new Warehouse(spark, tmpDir("wap-sweep"))
+    wh.replace("t", df("a" -> 1))
+    val id = wh.stageAppend("t", df("b" -> 2))
+    val staged = wh.loadStage("t", id).inputFiles
+      .filter(_.contains("stg")).map(u => Paths.get(java.net.URI.create(u)))
+    assert(staged.nonEmpty)
+    wh.publishStage("t", id)
+    wh.replace("t", df("z" -> 26)) // the published snapshot is now history
+    wh.expireSnapshots("t", keepLast = 1, orphanGraceMs = 0)
+    assert(staged.forall(!Files.exists(_)),
+      "adopted stg* files of expired snapshots must be garbage-collected")
+    assert(wh.load("t").collect().map(_.getString(0)).toSeq == Seq("z"))
+  }
+
+  test("publish is idempotent: a marker surviving the commit re-publishes as a no-op") {
+    val root = tmpDir("wap-idem")
+    val wh = new Warehouse(spark, root)
+    wh.replace("t", df("a" -> 1))
+    val id = wh.stageAppend("t", df("b" -> 2))
+    val marker = {
+      val s = Files.list(Paths.get(root, "t"))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"stage-$id.")).toSeq.head
+      finally s.close()
+    }
+    val markerBytes = Files.readAllBytes(marker)
+    val v1 = wh.publishStage("t", id)
+    // crash window: the manifest commit landed but the marker delete didn't
+    Files.write(marker, markerBytes)
+    val v2 = wh.publishStage("t", id)
+    assert(v2 == v1, "re-publish must be a no-op returning the committed version")
+    assert(wh.currentVersion("t") == v1)
+    assert(wh.load("t").count() == 2, "staged rows must not be appended twice")
+    assert(wh.listStages("t").isEmpty, "re-publish finishes the marker cleanup")
+  }
 }
