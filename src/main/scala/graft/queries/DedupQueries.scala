@@ -24,6 +24,126 @@ object DedupQueries {
   private val R = K / BANDS
   private val JACCARD_T = 0.5
 
+  /** Compact `(doc_id, sh)` shingle-set frame — the shared upstream of the
+    * whole near-dup family (q56/q57/q119/q128). ~4 KB/doc: the thing worth
+    * caching is THIS, never the exploded gram frame (corpus-scale grams are
+    * ~W× the text; the compact arrays re-explode from cache for pennies).
+    */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    spread(read(s, dir, "documents"))
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), W)).as("sh"))
+
+  /** q119's implementation; `prebuilt` lets q128 inject an already-persisted
+    * shingle frame so the audit's two pipelines share one text scan.
+    *
+    * Persist discipline (the contention lesson from round 7): only COMPACT
+    * frames are cached — `sets` (arrays, ~4 KB/doc) and `sorted` (rarity-
+    * ordered arrays + lengths). The exploded gram frame is NEVER persisted:
+    * at corpus scale it is ~W× the text and was the first thing to spill
+    * under memory pressure; re-deriving it from the cached arrays is a
+    * cheap codegen'd explode. Verification intersects read the UNSORTED
+    * `sets` arrays (set intersection is order-independent), so `sorted`
+    * exists only for the prefix-candidate stage.
+    */
+  private[queries] def setsimJoin(s: SparkSession, dir: String,
+      prebuilt: Option[DataFrame]): DataFrame = {
+    val sets = prebuilt.getOrElse(
+      shingleSets(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
+    val base = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+    val df = base.groupBy("g").agg(count(lit(1)).as("df"))
+    // rarity order decides only WHICH elements form the prefix; the
+    // carried array drops to plain md5 STRINGS immediately (struct<df,g>
+    // arrays made the verify intersects interpreted struct-compares —
+    // measured 19.4 s -> the string form keeps q56's codegen'd intersect).
+    // (Tried: md5-string global order to skip this join+struct-sort —
+    // recall-complete under any fixed order, but candidates explode
+    // without rarity concentration: 14.5 s vs 8.4 s at sf0.1. Rarity
+    // order EARNS its construction cost.)
+    val sorted = base.join(df, "g")
+      .groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("g")))),
+        p => p.getField("g")).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .withColumn("plen", col("n") - ceil(lit(JACCARD_T) * col("n")).cast("int") + 1)
+      .persist(StorageLevel.MEMORY_AND_DISK) // 2 consumers: the prefix self-join sides
+    // A df=1 gram matches only itself, so the candidate join would drop it
+    // AFTER the exchange; the semi-join drops it BEFORE. Rarity-first
+    // prefixes are DOMINATED by the singleton tail, and the semi-join
+    // shuffles on the same key `g` as the candidate join, so the pruned
+    // exchange is reused — strictly less data through the heavy self-join.
+    val shared = df.filter(col("df") >= 2).select("g")
+    val prefixes = sorted.select(col("doc_id"), col("n"),
+        posexplode(slice(col("sh"), lit(1), col("plen"))).as(Seq("pos", "g")))
+      .join(shared, Seq("g"), "left_semi")
+    val cand = prefixes.select(col("doc_id").as("d1"), col("n").as("n1"),
+        col("pos").as("p1"), col("g"))
+      .join(prefixes.select(col("doc_id").as("d2"), col("n").as("n2"),
+        col("pos").as("p2"), col("g")), Seq("g"))
+      .filter(col("d1") < col("d2") &&
+        // length filter: Jaccard >= T forces T <= n1/n2 <= 1/T
+        col("n2") * lit(JACCARD_T) <= col("n1") && col("n1") * lit(JACCARD_T) <= col("n2") &&
+        // positional filter (PPJoin): a shared element at (p1, p2) caps
+        // the achievable overlap at min remaining suffix; Jaccard >= T
+        // needs inter >= T/(1+T)·(n1+n2). Recall-safe: the pair's FIRST
+        // shared element always has the full common suffix behind it.
+        (least(col("n1") - col("p1"), col("n2") - col("p2"))
+          >= ceil(lit(JACCARD_T / (1 + JACCARD_T)) * (col("n1") + col("n2")))))
+      .select("d1", "d2").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
+        size(col("sh1")).cast("long").as("n1"), size(col("sh2")).cast("long").as("n2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= JACCARD_T)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy("d1", "d2")
+  }
+
+  /** q57's implementation; see [[setsimJoin]] for the `prebuilt` contract.
+    * The shingle frame feeds the signature aggregate AND both jaccard-verify
+    * joins; uncached it would recompute 3x. Deliberately not unpersisted
+    * (the returned plan still references it); ~4 KB/doc. MEMORY_AND_DISK:
+    * at corpus scale the frame exceeds executor memory, and MEMORY_ONLY
+    * eviction would silently turn the cache into a 3x recompute —
+    * spilled-to-disk partitions keep the reuse real.
+    */
+  private[queries] def minhashLsh(s: SparkSession, dir: String,
+      prebuilt: Option[DataFrame]): DataFrame = {
+    val docs = prebuilt.getOrElse(
+      shingleSets(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
+    val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val hashed = shingleRows.select(
+      Seq(col("doc_id")) ++
+        (0 until SALTS).map(t => md5(concat(lit(s"$t:"), col("h"))).as(s"m$t")): _*)
+    val sigCols = (0 until K).map { j =>
+      min(substring(col(s"m${j / CHUNK}"), (j % CHUNK) * 8 + 1, 8)).as(s"sig$j")
+    }
+    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until BANDS).map { b =>
+      md5(concat_ws("|", Seq(lit(b.toString)) ++
+        (0 until R).map(i => col(s"sig${b * R + i}")): _*)).as(s"band$b")
+    }
+    val banded = sig.select(Seq(col("doc_id")) ++ bandCols: _*)
+      .select(col("doc_id"), posexplode(array((0 until BANDS).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    cand.join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= JACCARD_T)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; keeper =
     // min doc_id per group (pure map-side expr + one keyed window).
@@ -62,72 +182,20 @@ object DedupQueries {
     // df frame joins g-keyed (NOT broadcast: a 100 TB corpus's shingle
     // vocabulary outgrows any executor). Oracle = the UNBLOCKED brute-force
     // all-pairs in DuckDB, so the gate itself proves completeness at sf.
-    "q119_setsim_join" -> { (s, dir) =>
-      val base = spread(read(s, dir, "documents"))
-        .select(col("doc_id"),
-          explode(array_distinct(shingles(tokens(col("text")), W))).as("g"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // 2 consumers: df agg + sort-collect
-      val df = base.groupBy("g").agg(count(lit(1)).as("df"))
-      // rarity order decides only WHICH elements form the prefix; the
-      // carried array drops to plain md5 STRINGS immediately (struct<df,g>
-      // arrays made the verify intersects interpreted struct-compares —
-      // measured 19.4 s -> the string form keeps q56's codegen'd intersect).
-      // (Tried: md5-string global order to skip this join+struct-sort —
-      // recall-complete under any fixed order, but candidates explode
-      // without rarity concentration: 14.5 s vs 8.4 s at sf0.1. Rarity
-      // order EARNS its construction cost.)
-      val sorted = base.join(df, "g")
-        .groupBy("doc_id")
-        .agg(transform(sort_array(collect_list(struct(col("df"), col("g")))),
-          p => p.getField("g")).as("sh"))
-        .withColumn("n", size(col("sh")))
-        .withColumn("plen", col("n") - ceil(lit(JACCARD_T) * col("n")).cast("int") + 1)
-        .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers: prefixes + 2 verify joins
-      // A df=1 gram matches only itself, so the candidate join would drop it
-      // AFTER the exchange; the semi-join drops it BEFORE. Rarity-first
-      // prefixes are DOMINATED by the singleton tail, and the semi-join
-      // shuffles on the same key `g` as the candidate join, so the pruned
-      // exchange is reused — strictly less data through the heavy self-join.
-      val shared = df.filter(col("df") >= 2).select("g")
-      val prefixes = sorted.select(col("doc_id"), col("n"),
-          posexplode(slice(col("sh"), lit(1), col("plen"))).as(Seq("pos", "g")))
-        .join(shared, Seq("g"), "left_semi")
-      val cand = prefixes.select(col("doc_id").as("d1"), col("n").as("n1"),
-          col("pos").as("p1"), col("g"))
-        .join(prefixes.select(col("doc_id").as("d2"), col("n").as("n2"),
-          col("pos").as("p2"), col("g")), Seq("g"))
-        .filter(col("d1") < col("d2") &&
-          // length filter: Jaccard >= T forces T <= n1/n2 <= 1/T
-          col("n2") * lit(JACCARD_T) <= col("n1") && col("n1") * lit(JACCARD_T) <= col("n2") &&
-          // positional filter (PPJoin): a shared element at (p1, p2) caps
-          // the achievable overlap at min remaining suffix; Jaccard >= T
-          // needs inter >= T/(1+T)·(n1+n2). Recall-safe: the pair's FIRST
-          // shared element always has the full common suffix behind it.
-          (least(col("n1") - col("p1"), col("n2") - col("p2"))
-            >= ceil(lit(JACCARD_T / (1 + JACCARD_T)) * (col("n1") + col("n2")))))
-        .select("d1", "d2").distinct()
-      cand
-        .join(sorted.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-        .join(sorted.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-        .select(col("d1"), col("d2"),
-          size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
-          size(col("sh1")).cast("long").as("n1"), size(col("sh2")).cast("long").as("n2"))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= JACCARD_T)
-        .withColumn("jaccard", round(col("jaccard"), 4))
-        .orderBy("d1", "d2")
-    },
+    "q119_setsim_join" -> { (s, dir) => setsimJoin(s, dir, None) },
 
     // LSH recall audit (q69's pattern applied to the dedup family): q57's
     // banded MinHash pairs measured against q119's recall-complete exact
     // join, same shingle space and threshold. Both sides verify the true
     // Jaccard, so precision is 1 by construction — RECALL is the number a
     // team quotes when it swaps the exact O(prefix-pairs) join for the
-    // probabilistic O(bands·rows) path at corpus scale.
+    // probabilistic O(bands·rows) path at corpus scale. The two pipelines
+    // SHARE one persisted shingle frame (the audit's dominant cost was the
+    // same tokens->shingles scan run twice).
     "q128_dedup_recall" -> { (s, dir) =>
-      val exact = queries("q119_setsim_join")(s, dir).select("d1", "d2")
-      val lsh = queries("q57_minhash_lsh")(s, dir).select("d1", "d2")
+      val sets = shingleSets(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val exact = setsimJoin(s, dir, Some(sets)).select("d1", "d2")
+      val lsh = minhashLsh(s, dir, Some(sets)).select("d1", "d2")
       val marked = exact.join(lsh.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
       marked.agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("hit"), lit(0L))).as("n_found"))
@@ -217,46 +285,7 @@ object DedupQueries {
     // functions cost only SALTS md5 calls per shingle. At 100 TB: shuffle
     // keys are doc_id then band key; bucket sizes stay bounded, no quadratic
     // blowup, and every stage is whole-stage-codegen.
-    "q57_minhash_lsh" -> { (s, dir) =>
-      val docs = spread(read(s, dir, "documents"))
-        .withColumn("tk", tokens(col("text")))
-        .select(col("doc_id"), array_distinct(shingles(col("tk"), W)).as("sh"))
-        // persist: the shingle scan feeds sig AND both jaccard-verify joins;
-        // uncached it would recompute 3x. Deliberately not unpersisted (the
-        // returned plan still references it); ~4 KB/doc. MEMORY_AND_DISK:
-        // at corpus scale the frame exceeds executor memory, and MEMORY_ONLY
-        // eviction would silently turn the cache into a 3x recompute —
-        // spilled-to-disk partitions keep the reuse real.
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("h"))
-      val hashed = shingleRows.select(
-        Seq(col("doc_id")) ++
-          (0 until SALTS).map(t => md5(concat(lit(s"$t:"), col("h"))).as(s"m$t")): _*)
-      val sigCols = (0 until K).map { j =>
-        min(substring(col(s"m${j / CHUNK}"), (j % CHUNK) * 8 + 1, 8)).as(s"sig$j")
-      }
-      val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bandCols = (0 until BANDS).map { b =>
-        md5(concat_ws("|", Seq(lit(b.toString)) ++
-          (0 until R).map(i => col(s"sig${b * R + i}")): _*)).as(s"band$b")
-      }
-      val banded = sig.select(Seq(col("doc_id")) ++ bandCols: _*)
-        .select(col("doc_id"), posexplode(array((0 until BANDS).map(b => col(s"band$b")): _*))
-          .as(Seq("band_idx", "band_key")))
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      cand.join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-        .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-            size(array_union(col("sh1"), col("sh2"))))
-        .filter(col("jaccard") >= JACCARD_T)
-        .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("d1", "d2")
-    },
+    "q57_minhash_lsh" -> { (s, dir) => minhashLsh(s, dir, None) },
 
     // From near-dup PAIRS to dedup DECISIONS: connected components over the
     // q56 candidate graph (iterative min-label propagation, functions/Graph)
