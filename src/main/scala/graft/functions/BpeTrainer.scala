@@ -109,4 +109,18 @@ object BpeTrainer {
     }
     Result(merges.toSeq, seqs)
   }
+
+  /** Corpus-scale ENCODE: apply a learned merge list to a column of words
+    * (array<string>), returning all subword tokens in order. Semantics are
+    * the sequential apply above — `encode(words, train(...).merges)` on the
+    * training corpus reproduces `Result.sequences` exactly. One native
+    * expression call per row ([[graft.functions.expressions.BpeEncode]]),
+    * zero shuffle, Zipf-friendly per-task word cache.
+    */
+  def encode(spark: org.apache.spark.sql.SparkSession, words: Column,
+             merges: Seq[Merge]): Column = {
+    graft.functions.expressions.BpeFns.register(spark)
+    graft.functions.expressions.BpeFns.bpeEncodeNative(
+      words, merges.map(m => (m.left, m.right)))
+  }
 }

@@ -345,6 +345,27 @@ object CorpusQueries {
         .withColumn("cum_token_share",
           round(sum("sum_tokens").over(wCum).cast("double") / sum("sum_tokens").over(wAll), 6))
         .orderBy("bin")
+    },
+
+    // Corpus-scale BPE encode: apply the FROZEN production merge table
+    // (BpeMerges — a build artifact, trained once by BpeTrainer, never
+    // retrained inside the query) to every word of every document, and
+    // report the per-source subword economy at full token identity (every
+    // (source, subword) pair with its count — result size is bounded by
+    // sources × vocabulary, never by corpus size). The encode itself is one
+    // native-expression scan, zero shuffle; only this bounded aggregate
+    // shuffles. This is the real-token replacement for the whitespace
+    // proxies q121/q124 budget with.
+    "q129_bpe_tokens" -> { (s, dir) =>
+      graft.functions.expressions.BpeFns.register(s)
+      val words = regexp_extract_all(normalize(col("text")), lit("[a-z0-9]+"), lit(0))
+      spread(read(s, dir, "documents"))
+        .select(col("source"),
+          graft.functions.expressions.BpeFns
+            .bpeEncodeNative(words, graft.functions.BpeMerges.frozen).as("toks"))
+        .select(col("source"), explode(col("toks")).as("subword"))
+        .groupBy("source", "subword").agg(count(lit(1)).as("cnt"))
+        .orderBy("source", "subword")
     }
   )
 
@@ -352,6 +373,20 @@ object CorpusQueries {
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private val toksSql = s"string_split($normSql, ' ')"
+
+  /** q129's oracle mirror of the BPE encode: the word as a chr(31)-delimited
+    * symbol string (each symbol wrapped ␟sym␟, so adjacent pair sites never
+    * share a delimiter), then ONE `replace()` per merge in learned order —
+    * SQL replace is greedy left-to-right non-overlapping, exactly the
+    * sequential-apply semantics of BpeEncode/BpeTrainer.applyMerge.
+    */
+  private def bpeEncodeSql(wordExpr: String): String = {
+    val sep = "chr(31)"
+    val rep = s"$sep || array_to_string(string_split($wordExpr, ''), $sep || $sep) || $sep"
+    graft.functions.BpeMerges.frozen.foldLeft(rep) { case (acc, (a, b)) =>
+      s"replace($acc, $sep||'$a'||$sep||$sep||'$b'||$sep, $sep||'${a + b}'||$sep)"
+    }
+  }
   /** Same gram universe as DedupQueries' oracles: md5 of the space-joined
     * window; concat_ws skips the NULL tail slots exactly like the Spark
     * shingles helper's try_element_at.
@@ -376,6 +411,17 @@ object CorpusQueries {
        |      / (CAST(df$i AS DOUBLE) + 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q129_bpe_tokens" ->
+      s"""WITH w AS (
+         |  SELECT source, unnest(regexp_extract_all($normSql, '[a-z0-9]+')) AS word
+         |  FROM documents),
+         |enc AS (SELECT source, ${bpeEncodeSql("word")} AS e FROM w),
+         |tok AS (SELECT source,
+         |  unnest(string_split(trim(e, chr(31)), chr(31) || chr(31))) AS subword
+         |FROM enc)
+         |SELECT source, subword, CAST(count(*) AS BIGINT) AS cnt
+         |FROM tok GROUP BY source, subword ORDER BY source, subword""".stripMargin,
+
     "q113_bm25_search" ->
       s"""WITH b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
          |    ${SEARCH_Q.zipWithIndex.map { case (t, i) =>

@@ -106,6 +106,68 @@ class BpeSpec extends SparkSpec {
       got(3L) == Vector.empty[String])
   }
 
+  // ---- encode (corpus-scale apply of a trained merge list) ---------------
+
+  test("encode round-trips the trained vocabulary: sequences reproduced exactly") {
+    import org.apache.spark.sql.functions._
+    val res = BpeTrainer.train(df(corpus), "seq", 8)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("words", ArrayType(StringType))))
+    val words = spark.createDataFrame(
+      corpus.map { case (id, s) => Row(id, Seq(s.mkString)) }.asJava, schema)
+      .repartition(5)
+    val got = words
+      .select(col("doc_id"), BpeTrainer.encode(spark, col("words"), res.merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val want = collectSeqs(res)
+    corpus.foreach { case (id, _) => assert(got(id) == want(id), s"doc $id") }
+  }
+
+  test("encodeWord equals the sequential reference under the frozen table") {
+    import graft.functions.expressions.BpeCodec
+    import graft.functions.BpeMerges
+    val codec = new BpeCodec(BpeMerges.frozen.map { case (a, b) => Array(a, b) }.toArray)
+    val words = Seq("order", "window", "scan", "querying", "a", "zzz",
+      "sortorder", "columnvector", "aggregate", "x9y", "partpart")
+    words.foreach { w =>
+      val ref = BpeMerges.frozen.foldLeft(w.map(_.toString).toVector) {
+        case (s, (a, b)) => refApply(s, a, b) }
+      val got = codec.encodeWord(w).map(_.toString).toVector
+      assert(got == ref, s"'$w': got $got want $ref")
+    }
+  }
+
+  test("encode: multi-word rows concatenate in order; null words are skipped") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.expressions.BpeFns
+    BpeFns.register(spark)
+    val d = spark.range(1)
+      .select(array(lit("low"), lit(null).cast("string"), lit("newer")).as("ws"),
+        array().cast("array<string>").as("empty"))
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val row = d.select(
+      BpeFns.bpeEncodeNative(col("ws"), merges).as("t1"),
+      BpeFns.bpeEncodeNative(col("empty"), merges).as("t2")).head()
+    assert(row.getSeq[String](0) == Seq("low", "n", "e", "w", "er"))
+    assert(row.getSeq[String](1) == Seq.empty[String])
+  }
+
+  test("frozen merge table is well-formed and chainable") {
+    import graft.functions.BpeMerges
+    val f = BpeMerges.frozen
+    assert(f.size == 48)
+    assert(f == f.distinct, "duplicate merges")
+    val produced = scala.collection.mutable.Set.empty[String]
+    f.foreach { case (a, b) =>
+      def ok(s: String) = s.length == 1 || produced.contains(s)
+      assert(ok(a) && ok(b), s"merge ($a,$b) uses a symbol never produced before it")
+      produced += (a + b)
+    }
+    assert(f.forall { case (a, b) => (a + b).matches("[a-z0-9]+") },
+      "frozen symbols must stay inside the oracle-safe alphabet")
+  }
+
   test("learned merges chain into longer symbols (multi-round fusion)") {
     // 'a b' dominates, then 'ab c' — the second merge must see the fused
     // symbol from the first (delta-maintained counts, not a stale seed).
