@@ -60,5 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimization batch, i.e. BEFORE V2ScanRelationPushDown, so it narrows
     // the file list and parquet pushdown then applies to the survivors.
     e.injectOptimizerRule(_ => graft.catalog.ManifestPruneRule)
+    // SQL MERGE INTO on graft tables → the disposition=merge write path
+    // (must run in the resolution batch, before Spark's row-level rewrites
+    // reject tables without SupportsRowLevelOperations).
+    e.injectResolutionRule(_ => graft.catalog.GraftMergeRule)
   }
 }

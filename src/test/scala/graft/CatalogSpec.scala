@@ -125,6 +125,92 @@ class CatalogSpec extends SparkSpec {
       Seq(("a", 1L), ("b", 20L), ("c", 30L)))
   }
 
+  // --- SQL MERGE INTO (GraftMergeRule → disposition=merge write path) -----
+
+  private def rowsOf(t: String): Seq[(String, Long)] =
+    spark.sql(s"SELECT Id, Amount FROM graft.$t").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      .sortBy(p => (Option(p._1).getOrElse(""), p._2))
+
+  test("SQL MERGE INTO ≡ Warehouse.merge: upsert semantics, one write path") {
+    wh.replace("mi_sql", df(("a", 1), ("b", 2), ("c", 3)), Seq("Id"))
+    wh.replace("mi_api", df(("a", 1), ("b", 2), ("c", 3)), Seq("Id"))
+    val batch = df(("b", 20), ("d", 4))
+    batch.createOrReplaceTempView("mi_batch")
+    spark.sql("MERGE INTO graft.mi_sql t USING mi_batch s ON t.Id = s.Id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    wh.merge("mi_api", batch, Seq("Id"))
+    assert(rowsOf("mi_sql") == rowsOf("mi_api"))
+    assert(rowsOf("mi_sql") == Seq(("a", 1L), ("b", 20L), ("c", 3L), ("d", 4L)))
+  }
+
+  test("SQL MERGE duplicate-PK-in-batch contract matches Warehouse.merge (all batch rows land)") {
+    wh.replace("md_sql", df(("a", 1), ("b", 2)), Seq("Id"))
+    wh.replace("md_api", df(("a", 1), ("b", 2)), Seq("Id"))
+    val batch = df(("a", 7), ("a", 8), ("e", 5)) // ANSI MERGE would raise a cardinality violation
+    batch.createOrReplaceTempView("md_batch")
+    spark.sql("MERGE INTO graft.md_sql t USING md_batch s ON t.Id = s.Id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    wh.merge("md_api", batch, Seq("Id"))
+    assert(rowsOf("md_sql") == rowsOf("md_api"))
+    assert(rowsOf("md_sql") == Seq(("a", 7L), ("a", 8L), ("b", 2L), ("e", 5L)))
+  }
+
+  test("SQL MERGE null-PK contract matches Warehouse.merge (null keys append, never match)") {
+    val init = spark.createDataFrame(Seq(Row("a", 1L), Row(null, 0L)).asJava, schema)
+    wh.replace("mn_sql", init, Seq("Id"))
+    wh.replace("mn_api", init, Seq("Id"))
+    val batch = spark.createDataFrame(Seq(Row("a", 10L), Row(null, 99L)).asJava, schema)
+    batch.createOrReplaceTempView("mn_batch")
+    spark.sql("MERGE INTO graft.mn_sql t USING mn_batch s ON t.Id = s.Id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    wh.merge("mn_api", batch, Seq("Id"))
+    assert(rowsOf("mn_sql") == rowsOf("mn_api"))
+    // both null-keyed rows survive: the target's (never matched/deleted)
+    // and the batch's (appended)
+    assert(rowsOf("mn_sql") == Seq((null, 0L), (null, 99L), ("a", 10L)))
+  }
+
+  test("SQL MERGE: compound ON key and reversed equality order resolve to the PK set") {
+    wh.replace("mc_sql", df(("a", 1), ("a", 2), ("b", 1)), Seq("Id"))
+    wh.replace("mc_api", df(("a", 1), ("a", 2), ("b", 1)), Seq("Id"))
+    val batch = df(("a", 2), ("z", 9))
+    batch.createOrReplaceTempView("mc_batch")
+    // (Id, Amount) compound key; one conjunct written source-first
+    spark.sql("MERGE INTO graft.mc_sql t USING mc_batch s " +
+      "ON t.Id = s.Id AND s.Amount = t.Amount " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    wh.merge("mc_api", batch, Seq("Id", "Amount"))
+    assert(rowsOf("mc_sql") == rowsOf("mc_api"))
+    assert(rowsOf("mc_sql") == Seq(("a", 1L), ("a", 2L), ("b", 1L), ("z", 9L)))
+  }
+
+  test("SQL MERGE rejects non-upsert shapes with a contract message") {
+    wh.replace("mr", df(("a", 1)), Seq("Id"))
+    df(("a", 2)).createOrReplaceTempView("mr_batch")
+    def bad(sql: String): String =
+      intercept[Exception](spark.sql(sql)).getMessage
+    // partial SET
+    assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
+      "WHEN MATCHED THEN UPDATE SET Amount = s.Amount " +
+      "WHEN NOT MATCHED THEN INSERT *").contains("upsert idiom"))
+    // DELETE action
+    assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
+      "WHEN MATCHED THEN DELETE").contains("upsert idiom"))
+    // conditional clause
+    assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
+      "WHEN MATCHED AND s.Amount > 1 THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *").contains("upsert idiom"))
+    // non-equi ON
+    assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id > s.Id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *").contains("upsert idiom"))
+    // NOT MATCHED BY SOURCE
+    assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE").contains("upsert idiom"))
+  }
+
   test("metadata tables: $files and $snapshots reflect manifests, stats, tags") {
     wh.replace("meta_sql", df(("a", 1), ("b", 2)), Seq("Amount"))
     wh.append("meta_sql", df(("c", 30)), Seq("Amount"))
