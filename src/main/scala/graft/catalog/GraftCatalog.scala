@@ -136,10 +136,32 @@ class GraftCatalog extends TableCatalog {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     requireFlat(ident.namespace())
-    require(partitions.isEmpty, "graft tables do not support partition transforms")
     if (warehouse.exists(ident.name())) throw new TableAlreadyExistsException(ident)
-    warehouse.create(ident.name(), schema)
+    warehouse.create(ident.name(), schema, partitions.map(specOf).toSeq)
     loadTable(ident)
+  }
+
+  /** `PARTITIONED BY (days(ts), bucket(16, id), truncate(4, s), c)` → the
+    * warehouse's transform-spec strings (hidden partitioning; see
+    * [[graft.sink.PartitionTransforms]]).
+    */
+  private def specOf(t: Transform): String = {
+    val refs = t.references()
+    require(refs.length == 1 && refs(0).fieldNames().length == 1,
+      s"unsupported partition reference in $t")
+    val c = refs(0).fieldNames()(0)
+    def param: Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value().asInstanceOf[Number].intValue()
+    }.getOrElse(throw new IllegalArgumentException(s"missing parameter in $t"))
+    t.name() match {
+      case "identity"                                  => c
+      case n @ ("years" | "months" | "days" | "hours") => s"$n($c)"
+      case "bucket"                                    => s"bucket($param,$c)"
+      case "truncate"                                  => s"truncate($param,$c)"
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform: $other")
+    }
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

@@ -73,14 +73,26 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     case _ => true
   }
 
-  private def check(file: DataFile, col: String, op: String, l: Literal): Boolean =
-    file.stats.get(col) match {
+  private def check(file: DataFile, col: String, op: String, l: Literal): Boolean = {
+    if (l.value == null) return false // col OP null matches no row
+    val raw = file.stats.get(col) match {
       case None => true // no bounds recorded for this column — keep the file
       case Some(st) =>
-        if (l.value == null) false // col OP null matches no row
-        else StatsPruning.render(l.dataType, l.value) match {
+        StatsPruning.render(l.dataType, l.value) match {
           case Some((kind, v)) => StatsPruning.mayMatch(st, op, kind, v)
           case None            => true
         }
     }
+    // hidden-partitioning bounds: project the predicate into every declared
+    // transform of this column (Iceberg inclusive projection) — a file is
+    // kept only if raw bounds AND every transform bound may match. This is
+    // where bucket(n, col) equality pruning happens, which raw min/max can
+    // never provide.
+    raw && file.stats.forall { case (key, st) =>
+      graft.sink.PartitionTransforms.project(key, col, op, l) match {
+        case Some((kind, rop, v)) => StatsPruning.mayMatch(st, rop, kind, v)
+        case None                 => true
+      }
+    }
+  }
 }

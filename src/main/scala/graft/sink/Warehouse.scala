@@ -121,12 +121,43 @@ final class Warehouse(spark: SparkSession, root: String,
     * the `CREATE TABLE` analog of the reference's catalog auto-create
     * (`iceberg/catalog.py` create-if-absent path).
     */
-  def create(name: String, schema: StructType): Long = {
+  def create(name: String, schema: StructType): Long = create(name, schema, Nil)
+
+  /** [[create]] with a declared partition spec (Iceberg hidden
+    * partitioning): `partitionBy` entries are transform strings —
+    * `"days(ts)"`, `"bucket(16,id)"`, `"truncate(4,s)"`,
+    * `"years|months|hours(ts)"`, or a bare column name (identity). Every
+    * subsequent write range-clusters the batch by the transform values and
+    * records per-file transform bounds, so predicates on the SOURCE columns
+    * prune files ([[graft.catalog.ManifestPruneRule]]) without the query
+    * ever mentioning the layout. See [[PartitionTransforms]].
+    */
+  def create(name: String, schema: StructType, partitionBy: Seq[String]): Long = {
     require(!exists(name), s"table already exists: $name")
     Files.createDirectories(tableDir(name))
-    commitManifest(name, 0L,
-      Manifest(StructType(schema.fields.map(_.copy(nullable = true))), Nil))
+    val widened = StructType(schema.fields.map(_.copy(nullable = true)))
+    if (partitionBy.nonEmpty) {
+      val canon = PartitionTransforms.canonical(partitionBy, widened)
+      val tmp = tableDir(name).resolve("_spec.tmp")
+      Files.writeString(tmp, canon.mkString("\n"))
+      Files.move(tmp, specPath(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    commitManifest(name, 0L, Manifest(widened, Nil))
   }
+
+  private def specPath(name: String) = tableDir(name).resolve("_spec")
+
+  /** Declared partition transforms (canonical form); empty when
+    * unpartitioned. Table-level metadata: survives replace/merge, moves
+    * with [[rename]], dies with [[drop]].
+    */
+  def partitionSpec(name: String): Seq[String] =
+    if (!Files.exists(specPath(name))) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(specPath(name)).asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
 
   private def deleteRecursively(p: Path): Unit = {
     val s = Files.walk(p)
@@ -198,14 +229,23 @@ final class Warehouse(spark: SparkSession, root: String,
 
   private def statCols(schema: StructType, cols: Seq[String]): Seq[StatCol] =
     cols.distinct.flatMap { c =>
-      schema.fields.find(_.name == c).flatMap { f =>
-        f.dataType match {
+      schema.fields.find(_.name == c) match {
+        case Some(f) => f.dataType match {
           case StringType     => Some(StatCol(c, "s", min(col(c)), max(col(c))))
           case _: NumericType => Some(StatCol(c, "n", min(col(c)), max(col(c))))
           case TimestampType  => Some(StatCol(c, "n", min(unix_micros(col(c))), max(unix_micros(col(c)))))
           case DateType       => Some(StatCol(c, "n", min(unix_date(col(c))), max(unix_date(col(c)))))
           case BooleanType    => Some(StatCol(c, "n", min(col(c).cast("int")), max(col(c).cast("int"))))
           case _              => None
+        }
+        // partition-transform stat key ("days(ts)", "bucket(16,id)", ...):
+        // min/max of the TRANSFORM value, same one-pass grouped agg
+        case None => PartitionTransforms.parseKey(c).flatMap { pf =>
+          schema.fields.find(_.name == pf.src).flatMap { sf =>
+            PartitionTransforms.exprAndKind(pf, sf.dataType).map { case (e, k) =>
+              StatCol(c, k, min(e), max(e))
+            }
+          }
         }
       }
     }
@@ -346,10 +386,29 @@ final class Warehouse(spark: SparkSession, root: String,
     * clustering, every file of a shuffled batch spans the whole key range
     * and no stat-based pruning can ever drop one.
     */
-  private def cluster(in: DataFrame, clusterBy: Seq[String]): DataFrame =
-    if (clusterBy.isEmpty) in
-    else in.repartitionByRange(clusterBy.map(col): _*)
-      .sortWithinPartitions(clusterBy.map(col): _*)
+  private def cluster(in: DataFrame, clusterBy: Seq[String],
+                      spec: Seq[String] = Nil): DataFrame = {
+    // declared partition transforms cluster FIRST (files align with
+    // partition values, so the transform bounds are tight — one or few
+    // values per file), then any explicit clusterBy within them
+    val specExprs = spec.flatMap { s =>
+      PartitionTransforms.parse(s).flatMap { f =>
+        if (f.fn == "identity") Some(col(f.src))
+        else in.schema.fields.find(_.name == f.src).flatMap(sf =>
+          PartitionTransforms.exprAndKind(f, sf.dataType).map(_._1))
+      }
+    }
+    val all = specExprs ++ clusterBy.map(col)
+    if (all.isEmpty) in
+    else if (specExprs.nonEmpty) {
+      // explicit partition count (REPARTITION_BY_NUM): AQE must not
+      // coalesce away the partition-value file boundaries — a small batch
+      // collapsed into one file would put every partition value in every
+      // file and no transform bound could ever prune
+      val n = in.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      in.repartitionByRange(n, all: _*).sortWithinPartitions(all: _*)
+    } else in.repartitionByRange(all: _*).sortWithinPartitions(all: _*)
+  }
 
   /** Shared batch-commit path: conform, cluster, write the batch's files,
     * commit a manifest that either carries prior files forward (append) or
@@ -360,10 +419,11 @@ final class Warehouse(spark: SparkSession, root: String,
     val existing = if (exists(name)) Some(currentManifest(name)) else None
     Files.createDirectories(tableDir(name))
     val schema = targetSchema(existing, df)
-    val in = cluster(SchemaOps.conform(df, schema), clusterBy)
+    val spec = partitionSpec(name)
+    val in = cluster(SchemaOps.conform(df, schema), clusterBy, spec)
     val next = currentVersion(name) + 1
     val entries = writeData(name, in, schema, s"d${next}b",
-      statsCols ++ clusterBy ++ inheritedStatsCols(existing))
+      statsCols ++ clusterBy ++ spec ++ inheritedStatsCols(existing))
     val prior = if (keepPrior) existing.map(_.files).getOrElse(Nil) else Nil
     commitManifest(name, next, Manifest(schema, prior ++ entries))
   }
@@ -529,7 +589,8 @@ final class Warehouse(spark: SparkSession, root: String,
       if (noMatchPossible) (man.files, Nil) else man.files.partition(disjoint)
 
     val next = currentVersion(name) + 1
-    val statsFor = pks ++ inheritedStatsCols(Some(man))
+    val spec = partitionSpec(name)
+    val statsFor = pks ++ spec ++ inheritedStatsCols(Some(man))
     val rewritten =
       if (victims.isEmpty) Nil
       else {
@@ -545,9 +606,9 @@ final class Warehouse(spark: SparkSession, root: String,
           if (keyCount <= mergeBroadcastMaxKeys) broadcast(keys)
           else keys.hint("merge")
         val kept = target.join(keysSide, pks, "left_anti")
-        writeData(name, cluster(kept, clusterBy), schema, s"d${next}r", statsFor)
+        writeData(name, cluster(kept, clusterBy, spec), schema, s"d${next}r", statsFor)
       }
-    val batchEntries = writeData(name, cluster(in, clusterBy), schema, s"d${next}b", statsFor)
+    val batchEntries = writeData(name, cluster(in, clusterBy, spec), schema, s"d${next}b", statsFor)
     commitManifest(name, next, Manifest(schema, untouched ++ rewritten ++ batchEntries))
 
     } finally keys.unpersist()
@@ -804,8 +865,9 @@ final class Warehouse(spark: SparkSession, root: String,
     val base = currentVersion(name)
     val schema = targetSchema(if (mode == "append") Some(man) else None, df)
     val id = java.util.UUID.randomUUID().toString.take(8)
-    val entries = writeData(name, SchemaOps.conform(df, schema), schema,
-      s"stg$id", statsCols ++ inheritedStatsCols(Some(man)))
+    val spec = partitionSpec(name)
+    val entries = writeData(name, cluster(SchemaOps.conform(df, schema), Nil, spec),
+      schema, s"stg$id", statsCols ++ spec ++ inheritedStatsCols(Some(man)))
     Manifest.write(stagePath(name, id, mode, base), Manifest(schema, entries))
     id
   }
