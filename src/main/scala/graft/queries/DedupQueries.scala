@@ -144,7 +144,43 @@ object DedupQueries {
       .orderBy("d1", "d2")
   }
 
+  private val RUN_W = 15 // q130: minimum verbatim token run (gram width)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXACT substring-level dedup (Lee et al. 2022's ExactSubstr criterion,
+    // re-expressed relationally): doc pairs sharing a verbatim run of >=
+    // RUN_W tokens, with the MAXIMAL shared run length recovered by offset
+    // chaining — q82 only detects a shared window, this measures it. A
+    // shared gram at positions (p1, p2) lies on diagonal p1-p2; consecutive
+    // p1 on one diagonal chain into one maximal run of c + RUN_W - 1 tokens
+    // (gaps-and-islands over the match set: island = p1 - row_number()).
+    // Every reported run is a true verbatim overlap and every >= RUN_W
+    // overlap is found — exact both ways, no suffix array needed. Scale
+    // posture: the join is keyed on 15-token-verbatim hashes, so fan-out is
+    // bounded by real duplication (run AFTER q76's boilerplate strip, which
+    // removes the only grams with corpus-scale occurrence counts); the
+    // chaining window partitions by (pair, diagonal) — output-bounded, and
+    // positional grams are re-derived per side rather than persisted (the
+    // exploded frame is the one thing never worth caching at corpus scale).
+    "q130_substring_dedup" -> { (s, dir) =>
+      val tk = spread(read(s, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= RUN_W) // only full windows participate
+      val grams = tk.select(col("doc_id"),
+        posexplode(wideShingles(col("tk"), RUN_W)).as(Seq("pos", "g")))
+      val m = grams.select(col("doc_id").as("d1"), col("pos").as("p1"), col("g"))
+        .join(grams.select(col("doc_id").as("d2"), col("pos").as("p2"), col("g")), Seq("g"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), col("p1"), (col("p1") - col("p2")).as("diag"))
+      val w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+      m.withColumn("isl", col("p1") - row_number().over(w))
+        .groupBy("d1", "d2", "diag", "isl").agg(count(lit(1)).as("c"))
+        .select(col("d1"), col("d2"), (col("c") + lit(RUN_W - 1)).as("run_len"))
+        .groupBy("d1", "d2")
+        .agg(max("run_len").as("max_run"), count(lit(1)).as("n_runs"))
+        .orderBy("d1", "d2")
+    },
+
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; keeper =
     // min doc_id per group (pure map-side expr + one keyed window).
     "q54_exact_dedup" -> { (s, dir) =>
@@ -519,6 +555,27 @@ object DedupQueries {
        |WHERE jac >= $JACCARD_T ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q130_substring_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+         |           WHERE len(string_split($normSql, ' ')) >= $RUN_W),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(toks) - ${RUN_W - 1}),
+         |    i -> struct_pack(pos := i - 1,
+         |      g := md5(array_to_string(toks[i:i+${RUN_W - 1}], ' '))))) AS e
+         |  FROM tk),
+         |ge AS (SELECT doc_id, e.pos AS pos, e.g AS g FROM g),
+         |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1,
+         |        a.pos - b.pos AS diag
+         |      FROM ge a JOIN ge b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |isl AS (SELECT d1, d2, diag,
+         |          p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS isl
+         |        FROM m),
+         |runs AS (SELECT d1, d2, count(*) + ${RUN_W - 1} AS run_len
+         |         FROM isl GROUP BY d1, d2, diag, isl)
+         |SELECT d1, d2, CAST(max(run_len) AS BIGINT) AS max_run,
+         |  CAST(count(*) AS BIGINT) AS n_runs
+         |FROM runs GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin,
+
     "q119_setsim_join" -> q119Oracle,
 
     // LSH recall audited against the exact join (q69's ANN-recall pattern
