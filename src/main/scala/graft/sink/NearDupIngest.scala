@@ -33,16 +33,17 @@ import graft.functions.TextFns
   *
   * Replay safety: re-ingesting a batch finds each doc's existing copy at
   * signature similarity 1.0 and appends 0 rows (the near-dup analog of the
-  * exact-dedup retry guard). All three appends (bands, sigs, then corpus —
-  * index FIRST) are O(batch) manifest commits. The ordering picks which
-  * side of the crash window you live on: index-first means a crash before
-  * the corpus commit leaves orphan index rows, so replaying that batch
-  * drops its docs as 1.0-similarity "dups" — a BOUNDED under-admission
-  * (at most one batch, recoverable by re-ingesting under fresh pks or
-  * rebuilding the index from corpus text). Corpus-first would instead
-  * leave admitted docs invisible to the index — an UNBOUNDED recall hole
-  * where every future near-dup of them sails in silently. For curation,
-  * bounded under-admission beats silent duplicate admission.
+  * exact-dedup retry guard). All three appends (sigs, bands, then corpus —
+  * index FIRST) are O(batch) manifest commits. Index-first means a crash
+  * before the corpus commit leaves orphan index rows rather than
+  * index-invisible corpus docs (corpus-first's UNBOUNDED recall hole where
+  * every future near-dup of an unindexed doc sails in silently) — and
+  * orphans are HEALED, not just tolerated: a full-signature (1.0) match
+  * whose pk is missing from the corpus is recognized as a crash orphan at
+  * probe time, the doc is admitted, and the idempotent-by-pk index appends
+  * fill in exactly the rows the crash lost. Replaying a crashed batch
+  * therefore converges to the fully-committed state, whichever commit the
+  * crash interrupted.
   */
 final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
                           shingleW: Int = 3, k: Int = 16, bands: Int = 4,
@@ -106,11 +107,31 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
             .join(broadcast(keptBands.select(col("bpk"), col("band_idx"), col("band_key"))),
               Seq("band_idx", "band_key"))
             .select(col(pkCol).as("epk"), col("bpk")).distinct()
-          wh.load(sigsTable(name)).withColumnRenamed(pkCol, "epk")
+          val verified = wh.load(sigsTable(name)).withColumnRenamed(pkCol, "epk")
             .join(hits, Seq("epk"))
             .join(broadcast(kept.select(col(pkCol).as("bpk"), col("sig").as("bsig"))), "bpk")
-            .filter(sigMatches(col("sig"), col("bsig")) >= minMatches)
-            .select(col("bpk").as(pkCol)).distinct()
+            .withColumn("m", sigMatches(col("sig"), col("bsig")))
+            .filter(col("m") >= minMatches)
+            .select(col("bpk"), col("epk"), (col("m") === k).as("exact"))
+          // Orphan reconciliation (crash healing): a FULL-signature match
+          // whose index pk is absent from the corpus table is a row a
+          // crashed ingest left behind — its doc never landed. Dropping the
+          // batch doc against such a row would lose it permanently (the
+          // round-8 review's finding), so exact hits are confirmed against
+          // corpus membership (semi-join on the pk column — a pruned
+          // one-column probe, bounded like the band probe) and unconfirmed
+          // ones do not count as duplicates: the replay admits the doc and
+          // completes the crashed batch's tail. Sub-1.0 hits never
+          // reconcile — near-matching an orphan means near-matching content
+          // we intended to admit, so dropping stays correct.
+          val exact = verified.filter(col("exact"))
+          val inexact = verified.filter(!col("exact")).select(col("bpk"))
+          val confirmedExact =
+            if (!wh.exists(name)) exact.limit(0).select(col("bpk"))
+            else exact.join(wh.load(name).select(col(pkCol).as("epk")),
+              Seq("epk"), "left_semi").select(col("bpk"))
+          inexact.unionByName(confirmedExact).distinct()
+            .withColumnRenamed("bpk", pkCol)
         }
       val survivors = kept.join(dupVsCorpus, Seq(pkCol), "left_anti")
         .select(col(pkCol)).localCheckpoint()
@@ -118,20 +139,31 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
       val keptCount = kept.select(pkCol).count()
       val appended = survivors.count()
 
-      // ---- three O(batch) appends: INDEX TABLES FIRST, corpus last. A
-      // crash between the commits then leaves index rows for docs absent
-      // from the corpus — harmless false-positive probes (a replayed batch
-      // re-verifies against its own signature at 1.0 and is dropped, and a
-      // genuinely new doc matching an orphan row is a near-dup of content
-      // we intended to admit anyway). The reverse order would leave admitted
-      // docs INVISIBLE to the index — a silent recall hole where their
-      // future near-dups sail in.
+      // ---- three O(batch) appends: INDEX TABLES FIRST (sigs, then bands),
+      // corpus last. Index-first means a crash before the corpus commit
+      // leaves orphan index rows, which the reconciliation above heals on
+      // replay; corpus-first would instead leave admitted docs INVISIBLE to
+      // the index — a silent recall hole where their future near-dups sail
+      // in. Sigs before bands keeps every band row verifiable (a sig row
+      // without bands is inert — probes key on bands). Both index appends
+      // are IDEMPOTENT BY PK (anti-join against the stored pks, one pruned
+      // one-column probe each): a reconciled replay re-admits docs whose
+      // index rows partially or fully survived the crash, and the index
+      // must not accrete duplicates for them.
       val survSigs = sigs.join(survivors, Seq(pkCol))
-      wh.append(bandsTable(name), survSigs
-        .select(col(pkCol), posexplode(col("bands")).as(Seq("band_idx", "band_key"))),
-        statsCols = Seq("band_key"))
-      wh.append(sigsTable(name), survSigs.select(col(pkCol), col("sig")),
+      val newSigs = survSigs.select(col(pkCol), col("sig"))
+      wh.append(sigsTable(name),
+        if (!wh.exists(sigsTable(name))) newSigs
+        else newSigs.join(wh.load(sigsTable(name)).select(col(pkCol)),
+          Seq(pkCol), "left_anti"),
         statsCols = Seq(pkCol))
+      val newBands = survSigs
+        .select(col(pkCol), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      wh.append(bandsTable(name),
+        if (!wh.exists(bandsTable(name))) newBands
+        else newBands.join(wh.load(bandsTable(name)).select(col(pkCol)).distinct(),
+          Seq(pkCol), "left_anti"),
+        statsCols = Seq("band_key"))
       val outRows = df.join(survivors, Seq(pkCol))
       val version = wh.append(name, outRows, statsCols = Seq(pkCol))
 

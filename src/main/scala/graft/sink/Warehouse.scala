@@ -929,11 +929,27 @@ final class Warehouse(spark: SparkSession, root: String,
     val curMan = currentManifest(name)
     // Idempotent re-publish: commitManifest and the marker delete below are
     // two writes, so a crash between them leaves a published stage with its
-    // marker still present. A stage's file paths are unique (stg<id> dir),
-    // so "current manifest already contains them" means the commit landed —
-    // finish the cleanup instead of appending the same rows twice.
+    // marker still present. Detection is evidence-based:
+    //   - non-empty stage: its stg<id> file paths are globally unique, so
+    //     ANY retained snapshot containing them proves the commit landed —
+    //     the current manifest alone is not enough, because the table may
+    //     have been replaced since the crash, and re-appending the staged
+    //     rows onto the replaced table would be a silent double-publish;
+    //   - empty stage: no path evidence can exist, but publishing an empty
+    //     stage is content-neutral, so any commit past the stage's base
+    //     makes re-publish a pure cleanup (for an empty APPEND stage this
+    //     may skip the audit-trail snapshot when unrelated commits advanced
+    //     the table — content-wise identical either way).
+    // Residual window (documented, not closed): published marker survives a
+    // crash AND every adopting snapshot is later expired/rewritten — the
+    // filesystem then carries no evidence at all; drop the stage manually
+    // after such surgery.
     val stagePaths = sm.files.map(_.path).toSet
-    if (stagePaths.nonEmpty && stagePaths.subsetOf(curMan.files.map(_.path).toSet)) {
+    val published =
+      if (stagePaths.isEmpty) cur > baseV
+      else (cur +: history(name)).distinct.exists(v =>
+        stagePaths.subsetOf(manifestAt(name, v).files.map(_.path).toSet))
+    if (published) {
       Files.deleteIfExists(p)
       return cur
     }
@@ -972,11 +988,6 @@ final class Warehouse(spark: SparkSession, root: String,
 
   private def tagPath(name: String, tag: String) = {
     require(tag.matches("[A-Za-z0-9][A-Za-z0-9._-]*"), s"invalid tag name: $tag")
-    // all-digit names are unreachable via `VERSION AS OF` (the catalog tries
-    // numeric versions first), so reject them at creation rather than let a
-    // tag exist that silently resolves as a snapshot number
-    require(!tag.forall(_.isDigit),
-      s"invalid tag name: $tag (all-digit names collide with snapshot versions)")
     tableDir(name).resolve(s"tag-$tag.ref")
   }
 
@@ -987,6 +998,12 @@ final class Warehouse(spark: SparkSession, root: String,
     * existing name moves it (atomic replace).
     */
   def tagSnapshot(name: String, tag: String, version: Long = -1L): Long = {
+    // all-digit names are unreachable via `VERSION AS OF` (the catalog tries
+    // numeric versions first), so reject them at CREATION only — tagPath
+    // stays permissive so a legacy all-digit tag can still be dropTag'd
+    // (pinning its snapshot against expiry forever would be worse)
+    require(!tag.forall(_.isDigit),
+      s"invalid tag name: $tag (all-digit names collide with snapshot versions)")
     val v = if (version < 0) currentVersion(name) else version
     require(v >= 0 && Files.exists(manifestPath(name, v)),
       s"no such snapshot to tag: $name v=$v")

@@ -111,6 +111,56 @@ class NearDupIngestSpec extends SparkSpec {
     assert(wh.load("corpus__sigs").count() == 1)
   }
 
+  test("crash healing: orphan index rows reconcile on replay; index never accretes") {
+    val root = tmpDir("ndi-heal")
+    val wh = new Warehouse(spark, root)
+    val ing = ingester(wh)
+    ing.ingest("corpus", docs(1L -> baseText))
+    val vAfterA = wh.currentVersion("corpus")
+    ing.ingest("corpus", docs(2L -> otherText))
+    // simulate the crash window between the index appends and the corpus
+    // append of batch {2}: roll the corpus back to the pre-batch snapshot,
+    // leaving doc 2's sig/band rows orphaned in the index
+    wh.restore("corpus", vAfterA)
+    assert(wh.load("corpus").count() == 1)
+    val sigRows = wh.load("corpus__sigs").count()
+    val bandRows = wh.load("corpus__bands").count()
+    // replay: without reconciliation doc 2 is dropped as a 1.0 "dup" and
+    // permanently lost; with it, the doc is admitted and the idempotent
+    // index appends add nothing
+    val rep = ing.ingest("corpus", docs(2L -> otherText))
+    assert(rep.appended == 1 && rep.dupVsCorpus == 0,
+      s"orphan must reconcile, got $rep")
+    assert(wh.load("corpus").count() == 2)
+    assert(wh.load("corpus__sigs").count() == sigRows, "no duplicate sig rows")
+    assert(wh.load("corpus__bands").count() == bandRows, "no duplicate band rows")
+    // with all three commits landed, a further replay appends nothing
+    val rep2 = ing.ingest("corpus", docs(2L -> otherText))
+    assert(rep2.appended == 0 && rep2.dupVsCorpus == 1)
+    assert(wh.load("corpus").count() == 2)
+  }
+
+  test("crash healing: sigs-only orphan (crash before the bands append) converges too") {
+    val root = tmpDir("ndi-heal2")
+    val wh = new Warehouse(spark, root)
+    val ing = ingester(wh)
+    ing.ingest("corpus", docs(1L -> baseText))
+    val vBands = wh.currentVersion("corpus__bands")
+    val vCorpus = wh.currentVersion("corpus")
+    ing.ingest("corpus", docs(2L -> otherText))
+    // crash right after the sigs append: bands and corpus never committed
+    wh.restore("corpus__bands", vBands)
+    wh.restore("corpus", vCorpus)
+    val sigRows = wh.load("corpus__sigs").count()
+    val rep = ing.ingest("corpus", docs(2L -> otherText))
+    assert(rep.appended == 1, s"unprobeable sig orphan must not block, got $rep")
+    assert(wh.load("corpus").count() == 2)
+    assert(wh.load("corpus__sigs").count() == sigRows, "sig rows heal in place")
+    // bands now hold exactly one row set per doc (4 bands each)
+    assert(wh.load("corpus__bands").count() == 8)
+    assert(wh.load("corpus__bands").select("doc_id").distinct().count() == 2)
+  }
+
   test("streaming ingest: near-dup rejected in-flight; fresh-checkpoint replay adds 0") {
     import org.apache.spark.sql.streaming.Trigger
     val watch = tmpDir("ndi-watch")

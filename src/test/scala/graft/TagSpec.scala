@@ -75,4 +75,20 @@ class TagSpec extends SparkSpec {
     wh.tagSnapshot("t", "v2024") // digits are fine when not the whole name
     assert(wh.resolveTag("t", "v2024") == wh.currentVersion("t"))
   }
+
+  test("a legacy all-digit tag is still droppable (rejection applies to creation only)") {
+    val root = tmpDir("tag-legacy")
+    val wh = new Warehouse(spark, root)
+    wh.replace("t", df(("a", 1)))
+    // pre-guard era artifact: the ref file exists on disk
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "t", "tag-123.ref"), "0")
+    assert(wh.tags("t").get("123").contains(0L), "legacy tag is visible")
+    // it pins its snapshot — until dropped, which MUST work, or the
+    // snapshot is protected from expiry forever
+    assert(wh.dropTag("t", "123"))
+    assert(!wh.tags("t").contains("123"))
+    // creation stays rejected
+    intercept[IllegalArgumentException](wh.tagSnapshot("t", "123"))
+  }
 }

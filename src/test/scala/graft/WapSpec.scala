@@ -103,6 +103,75 @@ class WapSpec extends SparkSpec {
     assert(wh.load("t").collect().map(_.getString(0)).toSeq == Seq("z"))
   }
 
+  /** The stage marker file of `id`, for crash-window simulation. */
+  private def markerOf(root: String, table: String, id: String) = {
+    val s = Files.list(Paths.get(root, table))
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"stage-$id.")).toSeq.head
+    finally s.close()
+  }
+
+  test("a pending stage survives aggressive expiry (keepLast=1, zero grace)") {
+    val wh = new Warehouse(spark, tmpDir("wap-expiry"))
+    wh.replace("t", df("a" -> 1))
+    wh.append("t", df("b" -> 2))
+    val id = wh.stageAppend("t", df("c" -> 3))
+    // harshest retention: only the current snapshot, no orphan grace — the
+    // stage's files are referenced by no snapshot, only by its manifest
+    wh.expireSnapshots("t", keepLast = 1, orphanGraceMs = 0L)
+    assert(wh.listStages("t") == Seq(id), "stage marker must survive expiry")
+    assert(wh.loadStage("t", id).count() == 3, "staged rows must survive expiry")
+    assert(wh.publishStage("t", id) > 0 && wh.load("t").count() == 3)
+  }
+
+  test("empty stages re-publish as a no-op across the crash window (no CME, no dup snapshot)") {
+    val root = tmpDir("wap-empty")
+    val wh = new Warehouse(spark, root)
+    wh.replace("t", df("a" -> 1))
+    // empty REPLACE stage: publish truncates; a marker surviving the commit
+    // must clean up, not throw ConcurrentModificationException
+    val rid = wh.stageReplace("t", df().limit(0))
+    val rMarker = markerOf(root, "t", rid)
+    val rBytes = Files.readAllBytes(rMarker)
+    val v1 = wh.publishStage("t", rid)
+    assert(wh.load("t").count() == 0, "empty replace = truncate")
+    Files.write(rMarker, rBytes) // crash: commit landed, marker delete lost
+    assert(wh.publishStage("t", rid) == v1)
+    assert(wh.currentVersion("t") == v1, "re-publish must not commit again")
+    assert(wh.listStages("t").isEmpty)
+
+    // empty APPEND stage: same window must not commit a duplicate snapshot
+    wh.replace("t", df("b" -> 2))
+    val aid = wh.stageAppend("t", df().limit(0))
+    val aMarker = markerOf(root, "t", aid)
+    val aBytes = Files.readAllBytes(aMarker)
+    val v2 = wh.publishStage("t", aid)
+    Files.write(aMarker, aBytes)
+    assert(wh.publishStage("t", aid) == wh.currentVersion("t"))
+    assert(wh.currentVersion("t") == v2, "re-publish of an empty append is pure cleanup")
+    assert(wh.listStages("t").isEmpty)
+  }
+
+  test("append published, then table replaced: a surviving marker must not re-append") {
+    val root = tmpDir("wap-replaced")
+    val wh = new Warehouse(spark, root)
+    wh.replace("t", df("a" -> 1))
+    val id = wh.stageAppend("t", df("b" -> 2))
+    val marker = markerOf(root, "t", id)
+    val bytes = Files.readAllBytes(marker)
+    wh.publishStage("t", id)
+    Files.write(marker, bytes) // crash window
+    // the table moves on: full replace drops the stage's paths from CURRENT,
+    // but the adopting snapshot is still retained — evidence enough
+    wh.replace("t", df("z" -> 9))
+    val cur = wh.currentVersion("t")
+    assert(wh.publishStage("t", id) == cur)
+    assert(wh.currentVersion("t") == cur, "no new commit")
+    assert(wh.load("t").collect().map(_.getString(0)).toSeq == Seq("z"),
+      "staged rows must not be re-appended onto the replaced table")
+    assert(wh.listStages("t").isEmpty)
+  }
+
   test("publish is idempotent: a marker surviving the commit re-publishes as a no-op") {
     val root = tmpDir("wap-idem")
     val wh = new Warehouse(spark, root)
