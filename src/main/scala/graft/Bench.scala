@@ -21,10 +21,23 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** 1-minute system load average via /proc/loadavg (Linux; -1 elsewhere).
+    * Captured at run start and end so a contention-poisoned artifact carries
+    * the evidence in-band: loadavg ≫ core count means the box was shared and
+    * the numbers measure the neighbor, not the plan (the round-8 refresh
+    * showed 24 false 2× "regressions" for exactly this reason).
+    */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val loadStart = loadAvg()
+    val startedAt = java.time.Instant.now().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,8 +95,14 @@ object Bench {
     // polluted rows — goes to a file instead.
     val compact =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Run-conditions provenance (round-8 review item): who measured, when,
+    // and how loaded the box was. Readers discount the artifact when
+    // loadavg is a large multiple of the core count.
+    val conditions =
+      s"""{"started":"$startedAt","iters":$iters,"cores":${Runtime.getRuntime.availableProcessors},""" +
+        s""""local_threads":"$cpus","loadavg_start":${f(loadStart)},"loadavg_end":${f(loadAvg())}}"""
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"conditions":$conditions,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
