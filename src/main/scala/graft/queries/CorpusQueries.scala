@@ -202,6 +202,56 @@ object CorpusQueries {
         .limit(SEARCH_K)
     },
 
+    // Inverted-index BM25 search: q113's EXACT result served from postings
+    // algebra — the same relational core [[graft.sink.SearchIndexIngest]]
+    // maintains incrementally (there the postings are index TABLES kept
+    // across commits, probed with manifest-stat term pruning; here the gate
+    // re-derives them inline so DuckDB can adjudicate both paths against one
+    // oracle). The serving-path cost model this algebra proves out: score
+    // from (term, doc, tf, dl) postings of the QUERY TERMS only + one
+    // broadcast one-row stats frame — corpus text is never touched at query
+    // time. df falls out of the probe itself (a posting exists iff tf > 0),
+    // and the per-doc score pivots terms to columns so the float adds run in
+    // ONE fixed-order expression (identical literals to q113 ⇒ bit-equal
+    // doubles), never a partition-order-dependent SUM over posting rows.
+    "q132_index_bm25" -> { (s, dir) =>
+      // Persisted: 2 consumers (corpus stats + the postings probe) — the
+      // q113 posture; the probe itself is persisted for its own 2 consumers
+      // (per-term df aggregate + the scoring pivot).
+      val toks = spread(read(s, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("dl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val corpus = toks.agg(count(lit(1)).as("n"), sum("dl").as("total_dl"))
+      val probe = toks
+        .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+        .filter(col("term").isin(SEARCH_Q: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val dfCols = SEARCH_Q.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df$i") }
+      val stats = corpus.crossJoin(probe.agg(dfCols.head, dfCols.tail: _*))
+      val tfCols = SEARCH_Q.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf$i") }
+      val pivoted = probe.groupBy(col("doc_id"), col("dl"))
+        .agg(tfCols.head, tfCols.tail: _*)
+      def part(i: Int): Column =
+        ((col(s"tf$i").cast("double") * 2.2
+          / (col(s"tf$i").cast("double") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl").cast("double") * col("n").cast("double")
+              / col("total_dl").cast("double"))))
+          * ((col("n") - col(s"df$i")).cast("double") + 0.5)
+          / (col(s"df$i").cast("double") + 0.5))
+      pivoted.crossJoin(broadcast(stats))
+        .withColumn("n_hits",
+          SEARCH_Q.indices.map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _))
+        .withColumn("bm25", round(SEARCH_Q.indices.map(part).reduce(_ + _), 6))
+        .select(col("doc_id"), col("n_hits"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(SEARCH_K)
+    },
+
     // Shingle containment near-dup pairs — Broder's CONTAINMENT measure
     // beside q56's resemblance (Jaccard): |A∩B| / min(|A|,|B|) over the
     // distinct 3-gram sets. Catches near-SUPERSET pairs (one doc wrapping
@@ -410,6 +460,30 @@ object CorpusQueries {
        |      * (CAST(n - df$i AS DOUBLE) + 0.5)
        |      / (CAST(df$i AS DOUBLE) + 0.5)""".stripMargin
 
+  /** Shared by q113 (corpus-scan path) and q132 (postings-index path): one
+    * oracle, two physical strategies under adjudication.
+    */
+  private lazy val bm25Oracle =
+    s"""WITH b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |    ${SEARCH_Q.zipWithIndex.map { case (t, i) =>
+             s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i" }
+             .mkString(",\n    ")}
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS BIGINT) AS total_dl,
+       |    ${SEARCH_Q.indices.map(i =>
+             s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+             .mkString(",\n    ")}
+       |  FROM b)
+       |SELECT doc_id, n_hits, bm25 FROM (
+       |  SELECT doc_id,
+       |    CAST(${SEARCH_Q.indices.map(i =>
+             s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT)
+       |      AS n_hits,
+       |    round(${SEARCH_Q.indices.map(bm25PartSql).mkString("\n    + ")}, 6) AS bm25
+       |  FROM b CROSS JOIN st)
+       |WHERE n_hits > 0 ORDER BY bm25 DESC, doc_id LIMIT $SEARCH_K""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q129_bpe_tokens" ->
       s"""WITH w AS (
@@ -422,26 +496,12 @@ object CorpusQueries {
          |SELECT source, subword, CAST(count(*) AS BIGINT) AS cnt
          |FROM tok GROUP BY source, subword ORDER BY source, subword""".stripMargin,
 
-    "q113_bm25_search" ->
-      s"""WITH b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-         |    ${SEARCH_Q.zipWithIndex.map { case (t, i) =>
-               s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i" }
-               .mkString(",\n    ")}
-         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(dl) AS BIGINT) AS total_dl,
-         |    ${SEARCH_Q.indices.map(i =>
-               s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
-               .mkString(",\n    ")}
-         |  FROM b)
-         |SELECT doc_id, n_hits, bm25 FROM (
-         |  SELECT doc_id,
-         |    CAST(${SEARCH_Q.indices.map(i =>
-               s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT)
-         |      AS n_hits,
-         |    round(${SEARCH_Q.indices.map(bm25PartSql).mkString("\n    + ")}, 6) AS bm25
-         |  FROM b CROSS JOIN st)
-         |WHERE n_hits > 0 ORDER BY bm25 DESC, doc_id LIMIT $SEARCH_K""".stripMargin,
+    "q113_bm25_search" -> bm25Oracle,
+
+    // ONE oracle adjudicates both BM25 paths: q113 scores from a corpus
+    // scan, q132 from postings algebra — if both hash-match this SQL, the
+    // index path provably serves the scan path's exact results.
+    "q132_index_bm25" -> bm25Oracle,
 
     "q114_containment_dedup" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks,

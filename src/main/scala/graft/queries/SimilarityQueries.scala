@@ -100,6 +100,59 @@ object SimilarityQueries {
         .orderBy("label", "a", "b")
     },
 
+    // SemDeDup (Abbas et al., arXiv:2303.09540, public): semantic dedup
+    // scoped to coarse-quantizer cells. Every vector is assigned to its
+    // NEAREST centroid (not its own label — the k-means cell, computed with
+    // the q62/q125 exact-decimal mean so assignment is bit-reproducible),
+    // then pairs are scored ONLY within a cell and a vector is dropped when
+    // a KEPT-PREFERRED cell-mate sits within cosine >= tau. Keep-preference
+    // follows the paper: LOWER cosine-to-centroid wins (keep the diverse
+    // example, shed the prototypical near-copy), vec_id tiebreak. The
+    // within-cell all-pairs is the algorithm's designed shape — at 100 TB
+    // the cell COUNT grows with the corpus while cell SIZE stays bounded,
+    // so the pair fan-out is corpus-linear, never corpus-quadratic; the
+    // centroid table (cells x dim) stays broadcast-small, and the one
+    // self-join shuffles on the cell key.
+    "q131_semdedup" -> { (s, dir) =>
+      CosineFns.register(s)
+      val emb = spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val comp = emb.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("c"))
+      val cents = comp.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cv"))
+        .select(col("label").as("cell"), col("cv"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cell").asc)
+      // Persisted: three consumers (both sides of the pair join + the final
+      // verdict frame) — re-deriving the assignment re-runs the centroid
+      // cross per consumer.
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cs", CosineFns.cosineNative(col("v"), col("cv")))
+        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+        .select(col("vec_id"), col("label"), col("cell"), col("v"), col("cs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keepSide = assigned.select(col("cell"), col("vec_id").as("kid"),
+        col("v").as("kv"), col("cs").as("kcs"))
+      val dropSide = assigned.select(col("cell"), col("vec_id").as("did"),
+        col("v").as("dv"), col("cs").as("dcs"))
+      // raw-double keep-order compare is safe cross-engine: cs comes off the
+      // same left-to-right fold both engines run (see the oracle-mirror note)
+      val dropped = keepSide.join(dropSide, Seq("cell"))
+        .filter(col("kcs") < col("dcs") ||
+          (col("kcs") === col("dcs") && col("kid") < col("did")))
+        .filter(CosineFns.cosineNative(col("kv"), col("dv")) >= NEARDUP_TAU)
+        .select(col("did")).distinct().withColumn("hit", lit(1))
+      assigned.join(dropped.withColumnRenamed("did", "vec_id"), Seq("vec_id"), "left")
+        .select(col("cell"), col("vec_id"),
+          (col("label") =!= col("cell")).as("moved"),
+          round(col("cs"), 4).as("cos_to_centroid"),
+          col("hit").isNotNull.as("dropped"))
+        .orderBy("cell", "vec_id")
+    },
+
     // Brute-force exact cosine top-k: N_PROBES probe vectors against the
     // whole corpus; broadcast the probes, rank per probe.
     "q60_cosine_topk" -> { (s, dir) =>
@@ -724,6 +777,34 @@ object SimilarityQueries {
          |ORDER BY label, a, b""".stripMargin,
 
     "q60_cosine_topk" -> q60Oracle,
+
+    // Same exact-decimal centroid + argmax assignment as q65/q125's proven
+    // mirrors; the keep-order tuple compare runs on the raw fold doubles,
+    // bit-identical across engines before any rounding.
+    "q131_semdedup" ->
+      s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |comp AS (
+         |  SELECT label, g.i AS pos,
+         |    CAST(sum(CAST(v[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+         |  FROM emb, generate_series(1, $DIM) AS g(i)
+         |  GROUP BY label, g.i),
+         |cent AS (SELECT label AS cell, list(c ORDER BY pos) AS cv
+         |  FROM comp GROUP BY label),
+         |dots AS (
+         |  SELECT vec_id, label, cell, v, ${cosineSql("v", "cv")} AS cs
+         |  FROM emb CROSS JOIN cent),
+         |a AS (SELECT vec_id, label, cell, v, cs FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, cell ASC) AS r FROM dots) WHERE r = 1),
+         |dropped AS (
+         |  SELECT DISTINCT y.vec_id FROM a x JOIN a y ON x.cell = y.cell
+         |  WHERE (x.cs < y.cs OR (x.cs = y.cs AND x.vec_id < y.vec_id))
+         |    AND ${cosineSql("x.v", "y.v")} >= $NEARDUP_TAU)
+         |SELECT a.cell, a.vec_id, a.label <> a.cell AS moved,
+         |  round(a.cs, 4) AS cos_to_centroid,
+         |  d.vec_id IS NOT NULL AS dropped
+         |FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+         |ORDER BY a.cell, a.vec_id""".stripMargin,
 
     // Nested-CTE composition of the two pipelines under comparison.
     "q69_ann_recall" ->

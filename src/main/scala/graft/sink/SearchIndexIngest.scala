@@ -1,0 +1,181 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Incremental INVERTED-INDEX ingestion — the search-serving sibling of
+  * [[NearDupIngest]] (q113's BM25 algebra served from index tables instead
+  * of a corpus scan).
+  *
+  * The scale problem this solves: batch-mode search (q113) tokenizes the
+  * whole corpus per query — fine for one audit, wrong for a serving path
+  * that answers many queries against 100 TB of text. Here ingestion
+  * maintains bounded index tables beside the corpus, so a SEARCH reads only
+  * the postings of its query terms and two one-row/slim side tables — never
+  * corpus text:
+  *
+  *   `<name>__postings` (term, pk, tf, dl) — the classic posting list with
+  *     the doc length denormalized onto each posting (no per-doc join at
+  *     query time). Appends are range-CLUSTERED on `term` with per-file
+  *     min/max term stats, so a probe prunes to the manifest files whose
+  *     term range intersects the query — the LSM-ish analog of a sorted
+  *     term dictionary;
+  *   `<name>__doclens` (pk, dl) — the append-only fact feeding the corpus
+  *     stats rollup;
+  *   `<name>__cstats` — ONE-ROW additive rollup (n_docs, total_dl)
+  *     maintained by [[IncrementalRollup.maintainFromFeed]] off the doclens
+  *     change feed: O(batch) per ingest, ledger-idempotent across replays,
+  *     and the BM25 normalizer never rescans doclens.
+  *
+  * Commit order and replay safety follow [[NearDupIngest]]'s discipline:
+  * index tables first (postings, doclens, then the ledger-guarded rollup),
+  * corpus LAST, every index append IDEMPOTENT BY PK (anti-join against the
+  * stored pks) and the corpus append deduplicated by pk
+  * ([[Warehouse.appendDeduped]]) — so replaying a batch after a crash at
+  * ANY commit boundary converges to the fully-committed state and no table
+  * accretes duplicates. An orphan posting (index committed, corpus append
+  * lost, batch never replayed) can surface a pk [[search]] scores but the
+  * corpus lacks — callers that must not see them pass
+  * `confirmed = true` to semi-join results against corpus membership (one
+  * pk-pruned column probe), the same reconciliation trade NearDupIngest
+  * makes.
+  *
+  * BM25 scoring matches q113 bit-for-bit: same rational-idf form (no
+  * `log()`), per-term parts summed left-to-right in ONE fixed-order per-row
+  * expression over term-pivoted tf columns — never a float SUM over posting
+  * rows, whose accumulation order is partition-dependent.
+  */
+final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
+
+  final case class Report(version: Long, docs: Long, postings: Long)
+
+  private def postingsTable(name: String) = s"${name}__postings"
+  private def doclensTable(name: String) = s"${name}__doclens"
+  private def cstatsTable(name: String) = s"${name}__cstats"
+
+  private val statsSpec = IncrementalRollup.Spec(Nil, Seq(
+    IncrementalRollup.CountStar("n_docs"),
+    // dl is a bounded per-doc token count; the DECIMAL sum keeps the corpus
+    // total exact (and association-free) at any corpus size
+    IncrementalRollup.SumOf(col("dl").cast(
+      org.apache.spark.sql.types.DataTypes.createDecimalType(28, 0)), "total_dl")))
+
+  /** Ingest one batch: maintain postings/doclens/cstats, then append the
+    * batch rows to the corpus. All commits are O(batch).
+    */
+  def ingest(name: String, df: DataFrame): Report = {
+    // one tokenization pass feeds postings AND doclens
+    val toks = df.select(col(pkCol), TextFns.tokens(col(textCol)).as("tk"))
+      .select(col(pkCol), col("tk"), size(col("tk")).cast("long").as("dl"))
+      .persist()
+    try {
+      val posts = toks
+        .select(col(pkCol), col("dl"), explode(col("tk")).as("term"))
+        .groupBy(col("term"), col(pkCol), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col("term"), col(pkCol), col("tf"), col("dl"))
+      // localCheckpoint: counted after the commit below, and the anti-join
+      // must not re-plan against the table AFTER its own append lands (it
+      // would then see every batch pk as already present)
+      val newPosts = (
+        if (!wh.exists(postingsTable(name))) posts
+        else posts.join(wh.load(postingsTable(name)).select(col(pkCol)).distinct(),
+          Seq(pkCol), "left_anti")
+        ).localCheckpoint()
+      // clusterBy term: postings land range-sorted on the term, so each
+      // file's [min,max] term stats are TIGHT and the search-time manifest
+      // prune touches ~query-terms/term-range files, not every batch's
+      wh.append(postingsTable(name), newPosts,
+        statsCols = Seq("term", pkCol), clusterBy = Seq("term"))
+
+      val lens = toks.select(col(pkCol), col("dl"))
+      val newLens =
+        if (!wh.exists(doclensTable(name))) lens
+        else lens.join(wh.load(doclensTable(name)).select(col(pkCol)),
+          Seq(pkCol), "left_anti")
+      wh.append(doclensTable(name), newLens, statsCols = Seq(pkCol))
+      IncrementalRollup.maintainFromFeed(wh, doclensTable(name),
+        cstatsTable(name), statsSpec)
+
+      val rep = wh.appendDeduped(name, df, fpCol = pkCol, pk = pkCol,
+        statsCols = Seq(pkCol))
+      Report(rep.version, rep.appended, newPosts.count())
+    } finally toks.unpersist()
+  }
+
+  /** Postings of `terms` only: manifest-stat file pruning on the `term`
+    * column (a file is skipped when NO query term falls inside its [min,max]
+    * term range — same comparison domain as every other stat prune), then
+    * the residual `isin` filter handles row groups within kept files.
+    */
+  private[graft] def probePostings(name: String, terms: Seq[String]): DataFrame = {
+    val t = postingsTable(name)
+    val man = wh.currentManifest(t)
+    val kept = man.files.filter { f =>
+      f.stats.get("term") match {
+        case Some(ColStat("z", _, _)) => false
+        case Some(s) => terms.exists(q =>
+          StatsPruning.cmp(s.kind, s.min, q) <= 0 &&
+            StatsPruning.cmp(s.kind, s.max, q) >= 0)
+        case None => true // no stats recorded => cannot prune
+      }
+    }
+    val base =
+      if (kept.isEmpty)
+        wh.spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), man.schema)
+      else wh.spark.read.schema(man.schema)
+        .parquet(kept.map(f => wh.resolvePath(t, f.path)): _*)
+    base.filter(col("term").isin(terms: _*))
+  }
+
+  /** Top-`k` BM25 over the index: cost ∝ postings of the query terms (a
+    * pruned probe), one broadcast one-row stats frame, one TakeOrdered —
+    * the corpus text is never read. `confirmed = true` additionally
+    * semi-joins hits against corpus membership (crash-orphan shielding).
+    */
+  def search(name: String, terms: Seq[String], k: Int,
+             k1: Double = 1.2, b: Double = 0.75,
+             confirmed: Boolean = false): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    require(terms.distinct.size == terms.size, "query terms must be distinct")
+    require(wh.exists(postingsTable(name)) && wh.exists(cstatsTable(name)),
+      s"no search index for table: $name (ingest first)")
+    // persisted: consumers = per-term df aggregate + the scoring pivot
+    val probe = probePostings(name, terms).persist()
+    try {
+      // one-row broadcast stats: corpus n/total_dl from the rollup, df per
+      // term from the probe itself (a posting exists iff tf > 0, so the
+      // probe's per-term row count IS the document frequency)
+      val corpus = IncrementalRollup.read(wh, cstatsTable(name), statsSpec)
+        .select(col("n_docs").as("n"), col("total_dl").cast("double").as("total_dl"))
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df$i") }
+      val dfs = probe.agg(dfCols.head, dfCols.tail: _*)
+      val stats = corpus.crossJoin(dfs)
+
+      // term-pivoted tf columns: the per-doc score is ONE fixed-order
+      // expression (q113's exact shape), bit-stable under any partitioning
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf$i") }
+      val pivoted = probe.groupBy(col(pkCol), col("dl"))
+        .agg(tfCols.head, tfCols.tail: _*)
+      def part(i: Int) =
+        ((col(s"tf$i").cast("double") * (k1 + 1.0)
+          / (col(s"tf$i").cast("double") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl").cast("double") * col("n").cast("double")
+              / col("total_dl"))))
+          * ((col("n") - col(s"df$i")).cast("double") + 0.5)
+          / (col(s"df$i").cast("double") + 0.5))
+      val scored = pivoted.crossJoin(broadcast(stats))
+        .withColumn("n_hits",
+          terms.indices.map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _))
+        .withColumn("bm25", round(terms.indices.map(part).reduce(_ + _), 6))
+        .select(col(pkCol), col("n_hits"), col("bm25"))
+      val shielded =
+        if (!confirmed) scored
+        else scored.join(wh.load(name).select(col(pkCol)), Seq(pkCol), "left_semi")
+      shielded.orderBy(col("bm25").desc, col(pkCol)).limit(k)
+    } finally probe.unpersist()
+  }
+}

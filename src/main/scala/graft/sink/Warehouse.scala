@@ -49,7 +49,7 @@ import graft.schema.SchemaOps
   *   the way an unconditional `broadcast()` hint would (the hint disables
   *   Spark's own size check).
   */
-final class Warehouse(spark: SparkSession, root: String,
+final class Warehouse(private[sink] val spark: SparkSession, root: String,
                       mergeBroadcastMaxKeys: Long = 4000000L) {
 
   private def tableDir(name: String) = Paths.get(root, name)

@@ -27,15 +27,18 @@ class PlanLintSpec extends SparkSpec {
   // q80 broadcasts the probe signatures against the full signature table
   // (non-equi, like q60) — but the scan side is two BIGINTs per vector, the
   // 64x-compressed form that IS the binary-quantization design.
-  // q85/q86/q97/q113/q120 cross-join a ONE-ROW broadcast scalar (the corpus
-  // token total / N+total_dl(+per-term df) stats / graph node count) onto
-  // bounded frames — a constant fan-out of 1, not a fact-fact blowup.
+  // q85/q86/q97/q113/q120/q132 cross-join a ONE-ROW broadcast scalar (the
+  // corpus token total / N+total_dl(+per-term df) stats / graph node count)
+  // onto bounded frames — a constant fan-out of 1, not a fact-fact blowup.
   private val allowedCartesian =
     Set("q60_cosine_topk", "q65_ivf_search", "q69_ann_recall", "q73_ivf_refine",
       "q74_ivf_train2", "q80_hamming_ann", "q85_vocab_coverage", "q86_collocations",
       "q97_bm25_keywords", "q99_balanced_sample", "q108_session_baskets",
       "q113_bm25_search", "q120_pagerank2", "q127_idle_capital",
-      "q128_dedup_recall")
+      "q128_dedup_recall", "q132_index_bm25",
+      // q131 assigns every vector against the broadcast cell-centroid table
+      // (cells x dim, bounded) — the same deliberate tiny-cross as q65/q73.
+      "q131_semdedup")
 
   /** Plan statically (AQE off): AQE wraps plans before stage codegen is
     * decided, hiding both the `*(n)` markers and the pre-reoptimization

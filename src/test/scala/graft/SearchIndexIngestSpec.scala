@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFns
+import graft.sink.{SearchIndexIngest, Warehouse}
+
+/** Inverted-index ingestion contract: the index-served BM25 equals the
+  * corpus-scan BM25 (q113's algebra) on the same data regardless of how
+  * ingestion was batched, replay converges from any crash prefix without
+  * accreting index rows, and the term probe prunes postings files by
+  * manifest stats.
+  */
+class SearchIndexIngestSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+
+  private val batchA = docs(
+    1L -> "spark merge spark join scan",
+    2L -> "merge dup merge dup filter",
+    3L -> "window rank sort order limit")
+  private val batchB = docs(
+    4L -> "spark dup spark dup spark",
+    5L -> "scan filter project exchange shuffle")
+
+  private val QUERY = Seq("spark", "merge", "dup")
+
+  private def ingester(wh: Warehouse) = new SearchIndexIngest(wh, "doc_id", "text")
+
+  /** The corpus-SCAN path (q113's exact shape, same literals) — the
+    * independent arbiter the index path must reproduce bit-for-bit.
+    */
+  private def scanBm25(df: DataFrame, terms: Seq[String], k: Int): Seq[Row] = {
+    val base = df.select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id") +: size(col("tk")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("tk"), x => x === t)).cast("long").as(s"tf$i") }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      sum("dl").as("total_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    def part(i: Int) =
+      ((col(s"tf$i").cast("double") * 2.2
+        / (col(s"tf$i").cast("double") + lit(1.2) * (lit(0.25)
+          + lit(0.75) * col("dl").cast("double") * col("n").cast("double")
+            / col("total_dl").cast("double"))))
+        * ((col("n") - col(s"df$i")).cast("double") + 0.5)
+        / (col(s"df$i").cast("double") + 0.5))
+    base.crossJoin(broadcast(stats))
+      .withColumn("n_hits",
+        terms.indices.map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _))
+      .filter(col("n_hits") > 0)
+      .withColumn("bm25", round(terms.indices.map(part).reduce(_ + _), 6))
+      .select(col("doc_id"), col("n_hits"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k).collect().toSeq
+  }
+
+  test("index search equals the corpus-scan BM25, however ingestion was batched") {
+    val wh = new Warehouse(spark, tmpDir("sii-eq"))
+    val ing = ingester(wh)
+    val rA = ing.ingest("c", batchA)
+    assert(rA.docs == 3 && rA.postings > 0)
+    ing.ingest("c", batchB)
+    val got = ing.search("c", QUERY, k = 10).collect().toSeq
+    val want = scanBm25(batchA.unionByName(batchB), QUERY, 10)
+    assert(got == want, s"index path:\n$got\nscan path:\n$want")
+
+    // single-batch twin: identical serving state from a different batching
+    val wh1 = new Warehouse(spark, tmpDir("sii-eq1"))
+    val ing1 = ingester(wh1)
+    ing1.ingest("c", batchA.unionByName(batchB))
+    assert(ing1.search("c", QUERY, k = 10).collect().toSeq == want)
+  }
+
+  test("replaying a completed batch appends nothing anywhere") {
+    val wh = new Warehouse(spark, tmpDir("sii-replay"))
+    val ing = ingester(wh)
+    ing.ingest("c", batchA)
+    val counts = Seq("c", "c__postings", "c__doclens").map(t => wh.load(t).count())
+    val rep = ing.ingest("c", batchA)
+    assert(rep.docs == 0 && rep.postings == 0, rep.toString)
+    assert(Seq("c", "c__postings", "c__doclens").map(t => wh.load(t).count()) == counts)
+    assert(ing.search("c", QUERY, k = 10).collect().toSeq ==
+      scanBm25(batchA, QUERY, 10))
+  }
+
+  test("crash healing: postings-only prefix converges on replay; orphans shieldable") {
+    val whFull = new Warehouse(spark, tmpDir("sii-crash-full"))
+    ingester(whFull).ingest("c", batchA)
+    ingester(whFull).ingest("c", batchB)
+
+    // crashed twin: batch B died after ONLY the postings commit landed
+    val wh = new Warehouse(spark, tmpDir("sii-crash"))
+    val ing = ingester(wh)
+    ing.ingest("c", batchA)
+    val bIds = batchB.select("doc_id")
+    wh.append("c__postings",
+      whFull.load("c__postings").join(bIds, Seq("doc_id"), "left_semi"),
+      statsCols = Seq("term", "doc_id"), clusterBy = Seq("term"))
+    // the orphan window: postings score docs the corpus lacks — confirmed
+    // search shields them, default search (index view) surfaces them
+    val shielded = ing.search("c", QUERY, k = 10, confirmed = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!shielded.contains(4L), "orphan doc must not pass confirmed search")
+    // replay converges every table to the fully-committed twin's state
+    ing.ingest("c", batchB)
+    for (t <- Seq("c", "c__postings", "c__doclens"))
+      assert(wh.load(t).count() == whFull.load(t).count(), s"$t diverged")
+    assert(ing.search("c", QUERY, k = 10).collect().toSeq ==
+      ingester(whFull).search("c", QUERY, k = 10).collect().toSeq)
+  }
+
+  test("term probe prunes postings files via manifest stats") {
+    val wh = new Warehouse(spark, tmpDir("sii-prune"))
+    val ing = ingester(wh)
+    // three batches with DISJOINT term ranges -> disjoint per-file stat
+    // ranges after the term-clustered append
+    ing.ingest("c", docs(1L -> "apple avocado apricot", 2L -> "banana berry basil"))
+    ing.ingest("c", docs(3L -> "mango melon mint", 4L -> "nectarine nutmeg noodle"))
+    ing.ingest("c", docs(5L -> "yam yuzu zucchini", 6L -> "walnut wasabi wheat"))
+    val all = wh.dataFiles("c__postings").size
+    val probe = ing.probePostings("c", Seq("mango", "mint"))
+    assert(probe.inputFiles.length < all,
+      s"probe read ${probe.inputFiles.length} of $all files — no pruning")
+    assert(probe.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(3L))
+    // a term outside every file's range reads nothing
+    assert(ing.probePostings("c", Seq("qqq")).inputFiles.isEmpty)
+  }
+
+  test("corpus stats rollup stays exact across batches (one-row, ledger-driven)") {
+    val wh = new Warehouse(spark, tmpDir("sii-stats"))
+    val ing = ingester(wh)
+    ing.ingest("c", batchA)
+    ing.ingest("c", batchB)
+    val direct = wh.load("c__doclens")
+      .agg(count(lit(1)), sum("dl")).head()
+    assert(direct.getLong(0) == 5L && direct.getLong(1) == 25L)
+    // search's normalizer reads the same values from the one-row rollup:
+    // verified end-to-end by the scan-equality test; here pin the table shape
+    assert(wh.load("c__cstats").columns.toSeq == Seq("n_docs", "total_dl"))
+  }
+}
