@@ -64,5 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (must run in the resolution batch, before Spark's row-level rewrites
     // reject tables without SupportsRowLevelOperations).
     e.injectResolutionRule(_ => graft.catalog.GraftMergeRule)
+    // Merge-on-read: relations whose snapshot carries pending equality
+    // deletes resolve to the seq-aware anti-joined MOR frame (read side
+    // only; write targets stay relations).
+    e.injectResolutionRule(_ => graft.catalog.MorReadRule)
   }
 }

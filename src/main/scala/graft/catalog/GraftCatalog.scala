@@ -7,8 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, Predicate, And => V2And, Not => V2Not, Or => V2Or}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -188,17 +188,19 @@ class GraftCatalog extends TableCatalog {
 private[catalog] class GraftTable(displayName: String, val table: String, val root: String,
                                   version: Option[Long],
                                   val prunedManifest: Option[graft.sink.Manifest] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   private def spark = SparkSession.active
   private def warehouse = new Warehouse(spark, root)
   lazy val manifest: graft.sink.Manifest = prunedManifest.getOrElse(
     version.map(warehouse.manifestAt(table, _)).getOrElse(warehouse.currentManifest(table)))
 
-  /** Same table with the scan restricted to `files` (file skipping). */
+  /** Same table with the scan restricted to `files` (file skipping); any
+    * pending MOR deletes ride along so [[MorReadRule]] still applies them.
+    */
   def withFiles(files: Seq[graft.sink.DataFile]): GraftTable =
     new GraftTable(displayName, table, root, version,
-      Some(graft.sink.Manifest(manifest.schema, files)))
+      Some(graft.sink.Manifest(manifest.schema, files, manifest.deletes)))
 
   override def name(): String = {
     val base = version.map(v => s"$displayName@v$v").getOrElse(displayName)
@@ -221,6 +223,77 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
     require(version.isEmpty, s"cannot write to time-travel snapshot $displayName@v${version.get}")
     require(prunedManifest.isEmpty, s"cannot write to a pruned scan of $displayName")
     new GraftWriteBuilder(table, root, info)
+  }
+
+  // ---- SQL `DELETE FROM graft.t WHERE ...` (SupportsDeleteV2): the
+  // predicate lands in [[graft.sink.Warehouse.deleteWhere]] — the same
+  // stat-pruned copy-on-write rewrite as the programmatic face (pending MOR
+  // deletes are materialized there first). Only predicates expressible as
+  // column/literal comparisons are accepted (canDeleteWhere), so anything
+  // else fails loudly at planning instead of silently deleting wrong rows.
+
+  private def predColumn(p: Predicate): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit}
+
+    def colOf(e: V2Expr): Option[Column] = e match {
+      case r: NamedReference => Some(col(r.fieldNames.mkString(".")))
+      case _ => None
+    }
+    def litOf(e: V2Expr): Option[Column] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        // LiteralValue carries Catalyst-internal values (UTF8String, Decimal,
+        // epoch days/micros); convert to the external form `lit` accepts
+        Some(lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(l.dataType)(l.value)))
+      case _ => None
+    }
+    // col-op-lit directly; lit-op-col via the flipped operator
+    def cmp(a: V2Expr, b: V2Expr, direct: (Column, Column) => Column,
+            flipped: (Column, Column) => Column): Option[Column] =
+      (for (c <- colOf(a); v <- litOf(b)) yield direct(c, v))
+        .orElse(for (v <- litOf(a); c <- colOf(b)) yield flipped(c, v))
+
+    def go(pr: Predicate): Option[Column] = pr match {
+      case a: V2And => for (l <- go(a.left()); r <- go(a.right())) yield l && r
+      case o: V2Or => for (l <- go(o.left()); r <- go(o.right())) yield l || r
+      case n: V2Not => go(n.child()).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ =>
+        val ch = pr.children()
+        (pr.name(), ch.length) match {
+          case ("=", 2) => cmp(ch(0), ch(1), _ === _, _ === _)
+          case ("<=>", 2) => cmp(ch(0), ch(1), _ <=> _, _ <=> _)
+          case (">", 2) => cmp(ch(0), ch(1), _ > _, _ < _)
+          case (">=", 2) => cmp(ch(0), ch(1), _ >= _, _ <= _)
+          case ("<", 2) => cmp(ch(0), ch(1), _ < _, _ > _)
+          case ("<=", 2) => cmp(ch(0), ch(1), _ <= _, _ >= _)
+          case ("IS_NULL", 1) => colOf(ch(0)).map(_.isNull)
+          case ("IS_NOT_NULL", 1) => colOf(ch(0)).map(_.isNotNull)
+          case ("STARTS_WITH", 2) => for (c <- colOf(ch(0)); v <- litOf(ch(1))) yield c.startsWith(v)
+          case ("ENDS_WITH", 2) => for (c <- colOf(ch(0)); v <- litOf(ch(1))) yield c.endsWith(v)
+          case ("CONTAINS", 2) => for (c <- colOf(ch(0)); v <- litOf(ch(1))) yield c.contains(v)
+          case ("IN", n) if n >= 2 =>
+            val vs = ch.tail.map(litOf)
+            if (vs.forall(_.isDefined)) colOf(ch(0)).map(_.isin(vs.flatten.toIndexedSeq: _*))
+            else None
+          case _ => None
+        }
+    }
+    go(p)
+  }
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    version.isEmpty && prunedManifest.isEmpty && predicates.forall(predColumn(_).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    require(version.isEmpty && prunedManifest.isEmpty,
+      s"cannot delete from a time-travel or pruned scan of $displayName")
+    val cond = predicates.flatMap(predColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    warehouse.deleteWhere(table, cond)
   }
 }
 
@@ -263,6 +336,13 @@ private[catalog] class GraftWriteBuilder(table: String, root: String, info: Logi
           case "replace" => wh.replace(table, data, pks)
           case "merge"   => wh.merge(table, data, pks)
           case "append"  => wh.append(table, data, pks)
+          case "delete-matched" =>
+            // MERGE ... WHEN MATCHED THEN DELETE: the incoming rows carry
+            // the join keys; commit them as an O(batch) MOR equality delete
+            // (no data file rewritten — the 100 TB delete-by-join path)
+            require(pks.nonEmpty, "delete-matched requires primaryKeys")
+            wh.equalityDelete(table,
+              data.select(pks.map(org.apache.spark.sql.functions.col): _*))
           case other     => throw new IllegalArgumentException(s"unknown disposition: $other")
         }
       }
@@ -277,6 +357,7 @@ private[catalog] class GraftWriteBuilder(table: String, root: String, info: Logi
   * {{{
   *   SELECT * FROM graft.`orders$files`       -- data files + stat bounds
   *   SELECT * FROM graft.`orders$snapshots`   -- commit history + tags
+  *   SELECT * FROM graft.`orders$deletes`     -- pending MOR equality deletes
   *   SELECT * FROM graft.`orders$files` VERSION AS OF 'train-v1'
   * }}}
   *
@@ -304,6 +385,13 @@ private[catalog] object MetaTables {
     StructField("row_count", LongType, nullable = false),
     StructField("stats", MapType(StringType, statSchema, valueContainsNull = false))))
 
+  val DeletesSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("key_count", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("key_columns", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("stats", MapType(StringType, statSchema, valueContainsNull = false))))
+
   val SnapshotsSchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("committed_at", TimestampType, nullable = false),
@@ -318,6 +406,14 @@ private[catalog] object MetaTables {
         val m = version.map(wh.manifestAt(base, _)).getOrElse(wh.currentManifest(base))
         m.files.map(f => Row(wh.resolvePath(base, f.path), f.rows,
           f.stats.map { case (c, s) => c -> Row(s.kind, s.min, s.max) })).toArray
+      }))
+    // pending merge-on-read equality deletes of the snapshot (empty once
+    // compactDeletes / a rewrite op materialized them)
+    case "deletes" =>
+      Some(new MetaTable(displayName, DeletesSchema, () => {
+        val m = version.map(wh.manifestAt(base, _)).getOrElse(wh.currentManifest(base))
+        m.deletes.map(d => Row(wh.resolvePath(base, d.path), d.rows, d.seq, d.cols,
+          d.stats.map { case (c, s) => c -> Row(s.kind, s.min, s.max) })).toArray
       }))
     // the snapshots table IS the version axis — time travel on it is a
     // category error, surfaced as table-not-found

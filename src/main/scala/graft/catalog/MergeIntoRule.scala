@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -51,9 +51,10 @@ object GraftMergeRule extends Rule[LogicalPlan] {
   }
 
   private def fail(msg: String): Nothing = throw new UnsupportedOperationException(
-    "graft MERGE INTO supports exactly the upsert idiom: ON AND-ed same-named " +
+    "graft MERGE INTO supports exactly the upsert idiom (ON AND-ed same-named " +
       "column equalities, WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED " +
-      s"THEN INSERT * (no extra clauses or conditions) — $msg")
+      "THEN INSERT *) or the delete idiom (WHEN MATCHED THEN DELETE alone), " +
+      s"with no extra clauses or conditions — $msg")
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
@@ -105,6 +106,28 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       case other => fail(s"unsupported ON conjunct ${other.sql}")
     }
     if (pks.isEmpty) fail("empty ON clause")
+
+    // Delete idiom: WHEN MATCHED THEN DELETE as the ONLY clause → an
+    // O(batch) merge-on-read equality delete keyed on the ON columns
+    // (`disposition=delete-matched` → [[graft.sink.Warehouse.equalityDelete]];
+    // no data file is rewritten — SQL delete-by-join at any table size).
+    // The source is projected positionally onto the target schema with
+    // typed nulls for non-key columns: only the key columns matter to the
+    // delete, and the write shim re-selects them by name.
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(DeleteAction(None)), Seq()) =>
+        val projected = Project(r.output.toSeq.map { t =>
+          source.output.find(a => conf.resolver(a.name, t.name)) match {
+            case Some(a) => a
+            case None => Alias(Literal.create(null, t.dataType), t.name)()
+          }
+        }, source)
+        return AppendData.byPosition(r, projected,
+          Map("disposition" -> "delete-matched", "primaryKeys" -> pks.mkString(",")))
+      case (as, _) if as.exists(_.isInstanceOf[DeleteAction]) =>
+        fail("WHEN MATCHED THEN DELETE must be unconditional and the only clause")
+      case _ => ()
+    }
 
     m.matchedActions match {
       case Seq(UpdateStarAction(None)) => ()

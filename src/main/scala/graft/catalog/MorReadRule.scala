@@ -1,0 +1,53 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, MergeIntoTable, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sink.Warehouse
+
+/** SQL-face reads of tables with PENDING merge-on-read deletes
+  * ([[Warehouse.equalityDelete]]): a graft relation whose snapshot manifest
+  * carries equality-delete files cannot be served by the plain file scan —
+  * the deletes live beside the data, not in it. This resolution rule
+  * replaces such a relation with the engine's MOR frame
+  * ([[Warehouse.morFrame]]): the seq-aware grouped scan anti-joined against
+  * the delete-key files, projected back onto the relation's own attribute
+  * ids so the surrounding plan never notices the substitution.
+  *
+  * Write plans are left alone on the TARGET side: only the query side of a
+  * `V2WriteCommand` (and the source side of `MERGE INTO`) is rewritten —
+  * the write target must stay a relation for the write builders, and the
+  * warehouse write path materializes pending deletes itself before any file
+  * rewrite. Once [[Warehouse.compactDeletes]] (or any rewrite op) clears
+  * the delete list, relations resolve to the plain pruned scan again and
+  * [[ManifestPruneRule]]'s file skipping applies as before; while deletes
+  * are pending, parquet row-group pruning still applies inside the MOR
+  * frame's scans.
+  */
+object MorReadRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case w: V2WriteCommand => w.withNewQuery(rewrite(w.query))
+    case m: MergeIntoTable => m.copy(sourceTable = rewrite(m.sourceTable))
+    // DELETE FROM: the target must stay a relation for the
+    // SupportsDeleteV2 planning path (the warehouse delete materializes
+    // pending MOR deletes itself)
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
+    case other => rewrite(other)
+  }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
+        r.table.asInstanceOf[GraftTable].manifest.deletes.nonEmpty =>
+      val gt = r.table.asInstanceOf[GraftTable]
+      val wh = new Warehouse(SparkSession.active, gt.root)
+      val mor = wh.morFrame(gt.table, gt.manifest).queryExecution.analyzed
+      // re-key the MOR plan's output onto the relation's attribute ids so
+      // references above the substitution keep resolving
+      Project(r.output.zip(mor.output).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier) }, mor)
+  }
+}

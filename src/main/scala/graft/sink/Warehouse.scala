@@ -198,12 +198,39 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   def loadVersion(name: String, version: Long): DataFrame = {
     require(version >= 0 && Files.exists(manifestPath(name, version)),
       s"no such snapshot: $name v=$version")
-    val m = Manifest.read(manifestPath(name, version))
+    morFrame(name, Manifest.read(manifestPath(name, version)))
+  }
+
+  /** Scan `m`'s data files with its pending equality deletes applied
+    * (merge-on-read): files are grouped by WHICH deletes apply to them —
+    * seq-aware, a delete touches only files with a strictly smaller data
+    * sequence number, so rows (re-)inserted after the delete survive — and
+    * each group anti-joins its applicable delete-key scans (one per key
+    * column set; plain equality, null keys never match). Group count is
+    * bounded by the pending-delete count, which [[compactDeletes]] and
+    * every rewrite op return to zero. With no pending deletes this is
+    * exactly the plain parquet scan.
+    */
+  private[graft] def morFrame(name: String, m: Manifest): DataFrame = {
+    def scan(files: Seq[DataFile]) =
+      spark.read.schema(m.schema)
+        .parquet(files.map(f => tableDir(name).resolve(f.path).toString): _*)
     if (m.files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
-    else
-      spark.read.schema(m.schema)
-        .parquet(m.files.map(f => tableDir(name).resolve(f.path).toString): _*)
+    else if (m.deletes.isEmpty) scan(m.files)
+    else {
+      m.files.groupBy(f => m.deletes.filter(_.seq > f.seq))
+        .toSeq.sortBy(_._2.head.path) // deterministic group order
+        .map { case (dels, files) =>
+          dels.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
+            .foldLeft(scan(files)) { case (acc, (cols, ds)) =>
+              val keySchema = StructType(m.schema.fields.filter(f => cols.contains(f.name)))
+              val keys = spark.read.schema(keySchema)
+                .parquet(ds.map(d => tableDir(name).resolve(d.path).toString): _*)
+              acc.join(keys, cols, "left_anti")
+            }
+        }.reduce(_ unionByName _)
+    }
   }
 
   /** All committed (non-expired) snapshot versions of a table, oldest first. */
@@ -279,7 +306,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * by `input_file_name`).
     */
   private def writeData(name: String, in: DataFrame, schema: StructType,
-                        dirName: String, cols: Seq[String]): Seq[DataFile] = {
+                        dirName: String, cols: Seq[String], seq: Long = 0L): Seq[DataFile] = {
     // Unique per ATTEMPT, not just per version: two racing writers both
     // computing the same `next` must never share a directory — the loser's
     // mode("overwrite") would destroy the winner's already-committed files
@@ -298,7 +325,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     base.groupBy("__file").agg(aggs.head, aggs.tail: _*).collect().toSeq.map { r =>
       val abs = Paths.get(java.net.URI.create(r.getString(r.fieldIndex("__file"))))
       val rel = td.relativize(abs.toAbsolutePath.normalize).toString
-      DataFile(rel, r.getLong(r.fieldIndex("__rows")), statsOfRow(r, scs))
+      DataFile(rel, r.getLong(r.fieldIndex("__rows")), statsOfRow(r, scs), seq)
     }
   }
 
@@ -357,10 +384,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     */
   def restore(name: String, version: Long): Long = {
     val m = manifestAt(name, version)
-    val missing = m.files.filterNot(f => Files.exists(tableDir(name).resolve(f.path)))
+    val missing = (m.files.map(_.path) ++ m.deletes.map(_.path))
+      .filterNot(p => Files.exists(tableDir(name).resolve(p)))
     require(missing.isEmpty,
       s"cannot restore $name to v$version: ${missing.size} referenced data files " +
-        s"are gone (e.g. ${missing.take(3).map(_.path).mkString(", ")})")
+        s"are gone (e.g. ${missing.take(3).mkString(", ")})")
     commitManifest(name, currentVersion(name) + 1, m)
   }
 
@@ -423,9 +451,12 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val in = cluster(SchemaOps.conform(df, schema), clusterBy, spec)
     val next = currentVersion(name) + 1
     val entries = writeData(name, in, schema, s"d${next}b",
-      statsCols ++ clusterBy ++ spec ++ inheritedStatsCols(existing))
+      statsCols ++ clusterBy ++ spec ++ inheritedStatsCols(existing), seq = next)
     val prior = if (keepPrior) existing.map(_.files).getOrElse(Nil) else Nil
-    commitManifest(name, next, Manifest(schema, prior ++ entries))
+    // append carries pending MOR deletes forward (the new files' seq shields
+    // them); replace truncates — pending deletes die with the old content
+    val priorDeletes = if (keepPrior) existing.map(_.deletes).getOrElse(Nil) else Nil
+    commitManifest(name, next, Manifest(schema, prior ++ entries, priorDeletes))
   }
 
   /** S8 append disposition: O(batch) — writes only the incoming files; the
@@ -500,6 +531,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     */
   def compact(name: String, targetBytes: Long = 128L << 20,
               sortBy: Seq[String] = Nil, zOrderBy: Option[(String, String)] = None): Long = {
+    materializePendingDeletes(name)
     val man = currentManifest(name)
     val sized = man.files.map(f => f -> Files.size(tableDir(name).resolve(f.path)))
     val (smalls, bigs) = sized.partition(_._2 < targetBytes)
@@ -520,7 +552,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     }
     val zCols = zOrderBy.toSeq.flatMap { case (a, b) => Seq(a, b) }
     val rewritten = writeData(name, packed, man.schema, s"d${next}c",
-      statsFor ++ sortBy ++ zCols)
+      statsFor ++ sortBy ++ zCols, seq = next)
     commitManifest(name, next, Manifest(man.schema, bigs.map(_._1) ++ rewritten))
   }
 
@@ -550,6 +582,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       return append(name, df, pks.filter(df.columns.contains),
         clusterBy.filter(df.columns.contains))
 
+    materializePendingDeletes(name)
     val man = currentManifest(name)
     val schema = man.schema
     val in = SchemaOps.conform(df, schema)
@@ -606,9 +639,9 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           if (keyCount <= mergeBroadcastMaxKeys) broadcast(keys)
           else keys.hint("merge")
         val kept = target.join(keysSide, pks, "left_anti")
-        writeData(name, cluster(kept, clusterBy, spec), schema, s"d${next}r", statsFor)
+        writeData(name, cluster(kept, clusterBy, spec), schema, s"d${next}r", statsFor, seq = next)
       }
-    val batchEntries = writeData(name, cluster(in, clusterBy, spec), schema, s"d${next}b", statsFor)
+    val batchEntries = writeData(name, cluster(in, clusterBy, spec), schema, s"d${next}b", statsFor, seq = next)
     commitManifest(name, next, Manifest(schema, untouched ++ rewritten ++ batchEntries))
 
     } finally keys.unpersist()
@@ -680,6 +713,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       return Scd2Report(append(name, first, statsCols = pks), n, 0L, 0L)
     }
 
+    materializePendingDeletes(name)
     val man = currentManifest(name)
     val schema = man.schema
     val bizSchema = StructType(schema.fields.filterNot(f => Scd2Meta.contains(f.name)))
@@ -762,9 +796,9 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           if (victims.isEmpty) Nil
           else writeData(name,
             SchemaOps.conform(hist.unionByName(rewrittenCurrent), schema),
-            schema, s"d${next}r", statsFor)
+            schema, s"d${next}r", statsFor, seq = next)
         val batchEntries = writeData(name,
-          SchemaOps.conform(materializedInserts, schema), schema, s"d${next}b", statsFor)
+          SchemaOps.conform(materializedInserts, schema), schema, s"d${next}b", statsFor, seq = next)
         commitManifest(name, next,
           Manifest(schema, untouched ++ rewritten ++ batchEntries))
         Scd2Report(next, inserted, closed, keyCount - inserted)
@@ -807,6 +841,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     */
   def deleteWhere(name: String, cond: Column): DeleteReport = {
     require(exists(name), s"no such table: $name")
+    materializePendingDeletes(name)
     val man = currentManifest(name)
     val resolved = spark.createDataFrame(new java.util.ArrayList[Row](), man.schema)
       .filter(cond).queryExecution.analyzed.collectFirst {
@@ -822,13 +857,91 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
     val kept = target.filter(!coalesce(cond, lit(false)))
     val rewritten = writeData(name, kept, man.schema, s"d${next}r",
-      inheritedStatsCols(Some(man)))
+      inheritedStatsCols(Some(man)), seq = next)
     val deleted = victims.map(_.rows).sum - rewritten.map(_.rows).sum
     if (deleted == 0L) // predicate overlapped bounds but matched no rows
       return DeleteReport(currentVersion(name), 0L, untouched.size)
-    commitManifest(name, next, Manifest(man.schema, untouched ++ rewritten))
+    commitManifest(name, next, Manifest(man.schema, untouched ++ rewritten, man.deletes))
     DeleteReport(next, deleted, untouched.size)
   }
+
+  // ------------------------------------------ merge-on-read (MOR) deletes --
+
+  /** Iceberg-v2-style MERGE-ON-READ equality delete: commit a parquet file
+    * of key tuples instead of rewriting any data file. O(batch) — one key
+    * write + one manifest commit, independent of table size. This is the
+    * fast delete at 100 TB: [[deleteWhere]] (copy-on-write) rewrites every
+    * file its predicate touches, which for a scattered key set means most
+    * of the table; here the rewrite IO is deferred to [[compactDeletes]]
+    * (or the next rewrite op, which materializes pending deletes first)
+    * while reads apply the delete as a seq-aware anti-join ([[morFrame]]).
+    *
+    * Semantics: a data row is deleted when it equals some key tuple on ALL
+    * of `keys`' columns (plain equality — null keys never match, the merge
+    * contract), and only if its file's data sequence number precedes the
+    * delete's: rows (re-)inserted AFTER the delete are shielded, exactly
+    * Iceberg's sequence-number rule. GDPR-note: the bytes survive until
+    * compaction + [[expireSnapshots]], same as every snapshot store.
+    *
+    * Returns the committed version (the current one when `keys` is empty).
+    */
+  def equalityDelete(name: String, keys: DataFrame): Long = {
+    require(exists(name), s"no such table: $name")
+    val man = currentManifest(name)
+    val cols = keys.columns.toSeq
+    require(cols.nonEmpty && cols.forall(man.schema.fieldNames.contains),
+      s"delete key columns must be table columns: ${cols.mkString(",")}")
+    val keySchema = StructType(man.schema.fields.filter(f => cols.contains(f.name)))
+    val next = currentVersion(name) + 1
+    val entries = writeData(name, SchemaOps.conform(keys, keySchema).distinct(),
+      keySchema, s"del$next", cols, seq = next)
+    val dels = entries.filter(_.rows > 0)
+      .map(e => DeleteFile(e.path, e.rows, next, cols, e.stats))
+    if (dels.isEmpty) return currentVersion(name) // empty key set: no-op
+    commitManifest(name, next, Manifest(man.schema, man.files, man.deletes ++ dels))
+  }
+
+  /** Materialize pending equality deletes into rewritten data files (the
+    * Iceberg rewrite-deletes maintenance action) and clear the manifest's
+    * delete list. Files PROVABLY untouched by every delete that applies to
+    * them — any shared key column whose [min,max] ranges are disjoint, or
+    * either side all-null, the merge prune rule — carry over byte-identical;
+    * only the rest are read back (with deletes applied) and rewritten. Runs
+    * automatically at the head of every rewrite op (merge / compact /
+    * deleteWhere / SCD2): a raw-file rewrite stamps seq = next, which would
+    * lift deleted rows PAST the pending delete's sequence number and
+    * resurrect them.
+    */
+  def compactDeletes(name: String): Long = {
+    val man = currentManifest(name)
+    if (man.deletes.isEmpty) return currentVersion(name)
+    val next = currentVersion(name) + 1
+    def disjoint(f: DataFile, d: DeleteFile): Boolean = d.cols.exists { c =>
+      (f.stats.get(c), d.stats.get(c)) match {
+        case (Some(ColStat("z", _, _)), _) => true // no non-null data value
+        case (_, Some(ColStat("z", _, _))) => true // no non-null key value
+        case (Some(fs), Some(ds)) => ds.kind == fs.kind &&
+          (StatsPruning.cmp(fs.kind, fs.min, ds.max) > 0 ||
+            StatsPruning.cmp(fs.kind, fs.max, ds.min) < 0)
+        case _ => false
+      }
+    }
+    val (untouched, victims) = man.files.partition { f =>
+      man.deletes.forall(d => d.seq <= f.seq || disjoint(f, d))
+    }
+    val rewritten =
+      if (victims.isEmpty) Nil
+      else {
+        val frame = morFrame(name, Manifest(man.schema, victims, man.deletes))
+        writeData(name, cluster(frame, Nil, partitionSpec(name)), man.schema,
+          s"d${next}x", inheritedStatsCols(Some(man)), seq = next)
+      }
+    commitManifest(name, next, Manifest(man.schema, untouched ++ rewritten))
+  }
+
+  /** Pending-MOR-delete guard for rewrite ops — see [[compactDeletes]]. */
+  private def materializePendingDeletes(name: String): Unit =
+    if (exists(name) && currentManifest(name).deletes.nonEmpty) compactDeletes(name)
 
   // --------------------------------------------- write-audit-publish (WAP) --
 
@@ -959,12 +1072,16 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           throw new java.util.ConcurrentModificationException(
             s"$name: replace stage $stageId audited v$baseV but table is at " +
               s"v$cur; re-stage against the current state")
-        Manifest(sm.schema, sm.files)
+        Manifest(sm.schema, sm.files.map(_.copy(seq = cur + 1)))
       case _ =>
         if (curMan.schema != sm.schema)
           throw new java.util.ConcurrentModificationException(
             s"$name: schema changed since stage $stageId was written; re-stage")
-        Manifest(curMan.schema, curMan.files ++ sm.files)
+        // adopted files are sequenced at the PUBLISH commit (staged rows
+        // were never in the table, so an interim MOR delete — carried
+        // forward here — must not touch them)
+        Manifest(curMan.schema, curMan.files ++ sm.files.map(_.copy(seq = cur + 1)),
+          curMan.deletes)
     }
     val v = commitManifest(name, cur + 1, merged)
     Files.deleteIfExists(p)
@@ -1100,8 +1217,9 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val tagged = tags(name).values.toSet
     val drop = versions.dropRight(keepLast).filterNot(tagged)
     val keep = versions.filterNot(drop.toSet)
+    def refsOf(m: Manifest): Seq[String] = m.files.map(_.path) ++ m.deletes.map(_.path)
     val droppedRefs = drop
-      .flatMap(v => Manifest.read(manifestPath(name, v)).files.map(_.path)).toSet
+      .flatMap(v => refsOf(Manifest.read(manifestPath(name, v)))).toSet
     // Pending (unpublished) stage manifests reference their stg* files just
     // like snapshots reference d* files: an audit can run for hours, so its
     // files are live regardless of age. Published stages' files were adopted
@@ -1109,9 +1227,9 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // files land in droppedRefs and must be swept from their stg* dirs too.
     val stageRefs = listStages(name)
       .map(id => findStage(name, id)._1)
-      .flatMap(p => Manifest.read(p).files.map(_.path)).toSet
+      .flatMap(p => refsOf(Manifest.read(p))).toSet
     val referenced = keep
-      .flatMap(v => Manifest.read(manifestPath(name, v)).files.map(_.path)).toSet ++ stageRefs
+      .flatMap(v => refsOf(Manifest.read(manifestPath(name, v)))).toSet ++ stageRefs
     drop.foreach(v => Files.deleteIfExists(manifestPath(name, v)))
     val td = tableDir(name)
     val cutoff = System.currentTimeMillis() - orphanGraceMs

@@ -194,9 +194,10 @@ class CatalogSpec extends SparkSpec {
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
       "WHEN MATCHED THEN UPDATE SET Amount = s.Amount " +
       "WHEN NOT MATCHED THEN INSERT *").contains("upsert idiom"))
-    // DELETE action
+    // CONDITIONAL delete (only the unconditional delete-only form is
+    // supported — see MorDeleteSpec for the green path)
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
-      "WHEN MATCHED THEN DELETE").contains("upsert idiom"))
+      "WHEN MATCHED AND s.Amount > 1 THEN DELETE").contains("only clause"))
     // conditional clause
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
       "WHEN MATCHED AND s.Amount > 1 THEN UPDATE SET * " +
