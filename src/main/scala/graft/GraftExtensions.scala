@@ -68,5 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // deletes resolve to the seq-aware anti-joined MOR frame (read side
     // only; write targets stay relations).
     e.injectResolutionRule(_ => graft.catalog.MorReadRule)
+    // SQL UPDATE on graft tables → the stat-pruned copy-on-write
+    // Warehouse.updateWhere (Spark's own path needs
+    // SupportsRowLevelOperations).
+    e.injectResolutionRule(_ => graft.catalog.GraftUpdateRule)
   }
 }

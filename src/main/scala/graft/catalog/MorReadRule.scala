@@ -32,10 +32,11 @@ object MorReadRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case w: V2WriteCommand => w.withNewQuery(rewrite(w.query))
     case m: MergeIntoTable => m.copy(sourceTable = rewrite(m.sourceTable))
-    // DELETE FROM: the target must stay a relation for the
-    // SupportsDeleteV2 planning path (the warehouse delete materializes
-    // pending MOR deletes itself)
+    // DELETE FROM / UPDATE: the target must stay a relation for their
+    // planning paths (the warehouse ops materialize pending MOR deletes
+    // themselves)
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u
     case other => rewrite(other)
   }
 

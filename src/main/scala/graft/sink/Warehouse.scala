@@ -865,6 +865,55 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     DeleteReport(next, deleted, untouched.size)
   }
 
+  /** Per-call outcome of [[updateWhere]]. */
+  final case class UpdateReport(version: Long, updated: Long, prunedFiles: Int)
+
+  /** Row-level `UPDATE ... SET ... WHERE ...` — [[deleteWhere]]'s sibling:
+    * stat-prune the table to the files the RESOLVED condition may touch,
+    * rewrite only those with each assigned column conditionally replaced
+    * (`when(cond, value)` — rows not matching keep every byte), carry
+    * provably-disjoint files into the new snapshot untouched. Assigned
+    * values are cast to the column's declared type (store-assignment
+    * semantics). A condition matching no rows commits nothing. SQL null
+    * semantics: rows where `cond` is NULL are NOT updated.
+    */
+  def updateWhere(name: String, cond: Column, set: Map[String, Column]): UpdateReport = {
+    require(exists(name), s"no such table: $name")
+    materializePendingDeletes(name)
+    val man = currentManifest(name)
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    val bad = set.keys.filterNot(man.schema.fieldNames.contains)
+    require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
+    val resolved = spark.createDataFrame(new java.util.ArrayList[Row](), man.schema)
+      .filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(return UpdateReport(currentVersion(name), 0L, man.files.size))
+    val (victims, untouched) =
+      man.files.partition(f => graft.catalog.ManifestPruneRule.mayMatch(f, resolved))
+    if (victims.isEmpty)
+      return UpdateReport(currentVersion(name), 0L, untouched.size)
+
+    val next = currentVersion(name) + 1
+    val target = spark.read.schema(man.schema)
+      .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
+    val hit = coalesce(cond, lit(false))
+    val updated = target.filter(hit).count()
+    if (updated == 0L)
+      return UpdateReport(currentVersion(name), 0L, untouched.size)
+    // ONE projection so every SET expression sees the OLD row (SQL UPDATE
+    // semantics — `SET a = b, b = a` swaps; sequential withColumn would not)
+    val rewrittenFrame = target.select(man.schema.fields.toSeq.map { f =>
+      set.get(f.name) match {
+        case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    val rewritten = writeData(name, rewrittenFrame, man.schema, s"d${next}u",
+      inheritedStatsCols(Some(man)), seq = next)
+    commitManifest(name, next, Manifest(man.schema, untouched ++ rewritten))
+    UpdateReport(next, updated, untouched.size)
+  }
+
   // ------------------------------------------ merge-on-read (MOR) deletes --
 
   /** Iceberg-v2-style MERGE-ON-READ equality delete: commit a parquet file

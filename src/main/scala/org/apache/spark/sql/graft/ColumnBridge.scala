@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Catalyst ↔ public-API bridge: `ExpressionUtils.column` is
+  * `private[sql]`, so the one place the engine must wrap an analyzer-built
+  * Catalyst expression into a user-facing [[Column]] (the SQL UPDATE
+  * command's assignments/condition) goes through this shim — the standard
+  * Spark-extension pattern (Delta, Iceberg, and most connectors ship the
+  * same few lines) rather than a lossy `expr(e.sql)` re-parse.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}
