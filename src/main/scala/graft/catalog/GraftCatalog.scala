@@ -214,6 +214,16 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // MOR safety net: correct reads of a snapshot with pending equality
+    // deletes depend on MorReadRule swapping this relation for the MOR frame
+    // BEFORE any scan is built. That rule rides spark.sql.extensions — a
+    // session that registered only the catalog would reach this builder and
+    // silently serve deleted rows. Fail loudly instead of lying.
+    require(manifest.deletes.isEmpty,
+      s"$displayName has ${manifest.deletes.size} pending equality-delete file(s); " +
+        "plain scans would resurrect deleted rows. Register GraftExtensions " +
+        "(spark.sql.extensions) so MorReadRule serves the MOR frame, or run " +
+        "compactDeletes first.")
     val paths = manifest.files.map(f => warehouse.resolvePath(table, f.path))
     new ParquetTable(name(), spark, options, paths, Some(manifest.schema),
       classOf[ParquetFileFormat]).newScanBuilder(options)
@@ -290,7 +300,11 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     require(version.isEmpty && prunedManifest.isEmpty,
       s"cannot delete from a time-travel or pruned scan of $displayName")
-    val cond = predicates.flatMap(predColumn)
+    // map + throw, not flatMap: silently dropping an unconvertible predicate
+    // would WEAKEN the condition and delete more rows than asked. Spark vets
+    // via canDeleteWhere today, but that contract could drift across versions.
+    val cond = predicates.map(p => predColumn(p).getOrElse(throw
+        new UnsupportedOperationException(s"cannot convert delete predicate $p")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     warehouse.deleteWhere(table, cond)

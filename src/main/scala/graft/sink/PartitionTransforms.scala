@@ -82,10 +82,22 @@ object PartitionTransforms {
     def time = dt == TimestampType || dt == DateType
     f.fn match {
       case "identity" => Some((c, "")) // clustering only; stats ride the plain path
-      case "years" if time => Some(((year(c) - 1970).cast("long"), "n"))
-      case "months" if time =>
+      // Time transforms are pure epoch arithmetic on BOTH sides: session-tz
+      // functions (year/month/to_date on timestamps) would disagree with the
+      // prune side's UTC projection under a non-UTC session, and a write/prune
+      // disagreement silently drops files. Timestamps route through epoch-day
+      // (floorDiv via pmod) and then date_from_unix_date, whose year()/month()
+      // are tz-independent (DateType is a local date).
+      case "years" if dt == TimestampType =>
+        val d = date_from_unix_date(epochDay(c).cast("int"))
+        Some(((year(d) - 1970).cast("long"), "n"))
+      case "years" if dt == DateType => Some(((year(c) - 1970).cast("long"), "n"))
+      case "months" if dt == TimestampType =>
+        val d = date_from_unix_date(epochDay(c).cast("int"))
+        Some((((year(d) - 1970) * 12 + month(d) - 1).cast("long"), "n"))
+      case "months" if dt == DateType =>
         Some((((year(c) - 1970) * 12 + month(c) - 1).cast("long"), "n"))
-      case "days" if dt == TimestampType => Some((unix_date(to_date(c)).cast("long"), "n"))
+      case "days" if dt == TimestampType => Some((epochDay(c), "n"))
       case "days" if dt == DateType      => Some((unix_date(c).cast("long"), "n"))
       case "hours" if dt == TimestampType =>
         val us = unix_micros(c)
@@ -98,6 +110,16 @@ object PartitionTransforms {
         Some((substring(c, 1, f.param.get), "s"))
       case _ => None
     }
+  }
+
+  /** Epoch day of a timestamp column via pure epoch arithmetic —
+    * floorDiv(unix_micros, 86_400_000_000) spelled with pmod so negative
+    * (pre-1970) micros floor instead of truncating toward zero. Matches the
+    * prune side's `Math.floorDiv` exactly, independent of session timezone.
+    */
+  private def epochDay(c: Column): Column = {
+    val us = unix_micros(c)
+    ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast("long")
   }
 
   private def integral(dt: DataType) =

@@ -855,7 +855,10 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val next = currentVersion(name) + 1
     val target = spark.read.schema(man.schema)
       .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
-    val kept = target.filter(!coalesce(cond, lit(false)))
+    // re-cluster survivors on the partition spec (compactDeletes discipline):
+    // without it, rewritten files of a partitioned table span all transform
+    // values, their bounds go loose, and transform pruning degrades
+    val kept = cluster(target.filter(!coalesce(cond, lit(false))), Nil, partitionSpec(name))
     val rewritten = writeData(name, kept, man.schema, s"d${next}r",
       inheritedStatsCols(Some(man)), seq = next)
     val deleted = victims.map(_.rows).sum - rewritten.map(_.rows).sum
@@ -908,8 +911,9 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
         case None => col(f.name)
       }
     }: _*)
-    val rewritten = writeData(name, rewrittenFrame, man.schema, s"d${next}u",
-      inheritedStatsCols(Some(man)), seq = next)
+    // same re-clustering as deleteWhere: keep transform bounds tight on rewrite
+    val rewritten = writeData(name, cluster(rewrittenFrame, Nil, partitionSpec(name)),
+      man.schema, s"d${next}u", inheritedStatsCols(Some(man)), seq = next)
     commitManifest(name, next, Manifest(man.schema, untouched ++ rewritten))
     UpdateReport(next, updated, untouched.size)
   }

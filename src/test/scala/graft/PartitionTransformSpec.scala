@@ -146,6 +146,35 @@ class PartitionTransformSpec extends SparkSpec {
       wh.create("pt_bad4", schema, Seq("frobnicate(ts)")))
   }
 
+  test("non-UTC session: write-side bounds still agree with the UTC projection") {
+    // 2020-01-02T01:00:00Z is still 2020-01-01 in America/Los_Angeles. A
+    // write side built on session-tz to_date()/year() would record epoch day
+    // 18262 while the prune side projects 18263 → the file with the matching
+    // row is silently dropped. Pure-epoch arithmetic on both sides keeps them
+    // bit-identical whatever the session tz is.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      wh.create("pt_tz", schema, Seq("days(ts)"))
+      val rows = Seq(Row(1L, java.sql.Timestamp.from(
+        java.time.Instant.parse("2020-01-02T01:00:00Z")), "v1"))
+      wh.append("pt_tz", spark.createDataFrame(rows.asJava, schema).repartition(1))
+      // recorded transform bound == prune-side projection for the same instant
+      val stats = wh.dataFiles("pt_tz").head.stats("days(ts)")
+      assert(stats.min == "18263" && stats.max == "18263", stats)
+      val q = spark.sql("SELECT id FROM gpt.pt_tz " +
+        "WHERE ts = timestamp'2020-01-02 01:00:00 UTC'")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // months under non-UTC: boundary instant lands in the UTC month
+      wh.create("pt_tz_m", schema, Seq("months(ts)"))
+      wh.append("pt_tz_m", spark.createDataFrame(Seq(Row(2L, java.sql.Timestamp.from(
+        java.time.Instant.parse("2020-03-01T02:00:00Z")), "v2")).asJava, schema)
+        .repartition(1))
+      val mstats = wh.dataFiles("pt_tz_m").head.stats("months(ts)")
+      assert(mstats.min == "602" && mstats.max == "602", mstats) // (2020-1970)*12 + 2
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("projection unit checks: literal side matches the column side, bit for bit") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     // days: micros floor-division == unix_date(to_date(ts)) under UTC
