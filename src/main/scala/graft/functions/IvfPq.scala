@@ -51,10 +51,12 @@ object IvfPq {
 
   /** Search: probes (probe_id, pv) -> top-k (probe_id, rank, vec_id,
     * cell, adc_d2). Cell choice by centroid cosine (nprobe best), ADC
-    * scoring within those cells only.
+    * scoring within those cells only. `excludeSelf` drops the corpus
+    * vector whose id equals the probe's (recall audits probe with corpus
+    * members; the trivial self-hit would waste a result slot).
     */
   def search(probes: DataFrame, index: Index, nprobe: Int = 2,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10, excludeSelf: Boolean = false): DataFrame = {
     val wCell = Window.partitionBy("probe_id").orderBy(col("cscore").desc, col("cell").asc)
     val assigned = probes.crossJoin(broadcast(index.centroids))
       .withColumn("cscore", VectorFns.cosine(col("pv"), col("cv")))
@@ -75,11 +77,12 @@ object IvfPq {
         aggregate(zip_with(col("psv"), col("ccv"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, x) => acc + x).as("d2"))
     val wRank = Window.partitionBy("probe_id").orderBy(col("adc_d2").asc, col("vec_id").asc)
-    index.codes
+    val scored = index.codes
       .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("sub_id", "code_cell")))
       .join(broadcast(distTable), Seq("cell", "sub_id", "code_cell"))
       .groupBy("probe_id", "vec_id", "cell")
       .agg(sum(col("d2").cast(Dec)).cast("double").as("adc_d2"))
+    (if (excludeSelf) scored.filter(col("vec_id") =!= col("probe_id")) else scored)
       .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= topK)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cell"), col("adc_d2"))
   }

@@ -115,6 +115,23 @@ object ProductQuantization {
     (PQModel(cents, m, k, subDim), history.toSeq)
   }
 
+  /** Zero-iteration codebook: exact-decimal centroids of the DETERMINISTIC
+    * `(vec_id + sub_id) % k` initial assignment — the [[trainStepAudit]]
+    * init frozen into a servable model. Unlike [[train]] (whose Lloyd loop
+    * is only step-auditable), this codebook is a closed-form aggregate an
+    * external engine can reproduce in pure SQL, which is what makes an
+    * IVF-PQ serving path ORACLE-GATEABLE end to end (q133). Quality is
+    * init-grade by construction; production indexes freeze [[train]]'s
+    * output instead and lean on the spec-level equivalence proofs.
+    */
+  def initCodebook(emb: DataFrame, dim: Int, m: Int, k: Int): PQModel = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val subs = subvectors(emb, m, subDim)
+      .withColumn("cell", pmod(col("vec_id") + col("sub_id"), lit(k)))
+    PQModel(centroids(subs), m, k, subDim)
+  }
+
   /** One PQ training step as an auditable rollup (the q73/q74 pattern
     * applied to PQ, SQL-mirrorable end to end): a deterministic
     * `(vec_id + sub_id) % k` initial assignment (init quality is irrelevant

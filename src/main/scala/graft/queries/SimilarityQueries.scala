@@ -27,6 +27,8 @@ object SimilarityQueries {
   private val N_PROBES = 5
   private val NEARDUP_TAU = 0.35
   private val NPROBE_CELLS = 2 // IVF multi-probe fan-out (q65; recall in q69)
+  private val PQ_M = 8 // PQ subspaces (q83/q133; DIM/PQ_M dims each)
+  private val PQ_K = 16 // PQ centroids per subspace (q83/q133)
   private val RERANK = 50 // q80: Hamming candidates reranked by exact cosine
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -246,6 +248,62 @@ object SimilarityQueries {
         .groupBy("probe_id")
         .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / TOPK).as("recall_at_10"))
         .orderBy("probe_id")
+    },
+
+    // IVF-PQ index serving, oracle-gated end to end (the q132 pattern
+    // applied to vectors): the full serving algebra of the warehouse-
+    // resident vector index ([[graft.sink.VectorIndexIngest]]) re-derived
+    // inline so DuckDB can adjudicate it — frozen coarse centroids (exact-
+    // decimal label means), a SQL-expressible zero-iteration PQ codebook
+    // (ProductQuantization.initCodebook — centroids of the deterministic
+    // (vec_id + sub_id) % k init, q83's audited shape), argmin encoding,
+    // then IvfPq.search's exact ADC: nprobe cells by centroid cosine, a
+    // broadcast probe x M x K distance table, per-vector exact-decimal
+    // lookup sums, (adc_d2 ASC, vec_id ASC) ranking. Output is the index's
+    // quality contract: per-probe recall@k against the exact brute-force
+    // baseline (q69's metric) plus the top-1 hit and its ADC distance —
+    // gating both the ranking and the distance arithmetic bit for bit.
+    // At 100 TB the served path scans only code rows (M small ints + a
+    // cell id per vector) of ~nprobe/cells of the corpus; VectorIndexIngest
+    // additionally prunes code FILES by manifest cell stats — its spec pins
+    // index-served equal to this algebra under any ingest batching.
+    "q133_ivfpq_recall" -> { (s, dir) =>
+      import graft.functions.{IvfPq, ProductQuantization}
+      val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+      val emb = spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val comp = emb.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast(Dec)).cast("double") / count(lit(1))).as("c"))
+      val cents = comp.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cv"))
+        .select(col("label").cast("long").as("cell"), col("cv"))
+      val model = ProductQuantization.initCodebook(
+        emb.select(col("vec_id"), col("v")), DIM, PQ_M, PQ_K)
+      // corpus cell assignment: argmax cosine, ties cell ASC — the same
+      // frozen-centroid assignment VectorIndexIngest.ingest applies
+      val wA = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell").asc)
+      val cellsOf = emb.crossJoin(broadcast(cents))
+        .withColumn("cscore", cosine(col("v"), col("cv")))
+        .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+        .select(col("vec_id"), col("cell"))
+      val codes = ProductQuantization.encode(emb.select(col("vec_id"), col("v")), model)
+        .join(cellsOf, "vec_id")
+      val probes = emb.filter(col("vec_id") < N_PROBES)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val approx = IvfPq.search(probes, IvfPq.Index(cents, codes, model),
+        NPROBE_CELLS, TOPK, excludeSelf = true)
+      val exact = queries("q60_cosine_topk")(s, dir).select(col("probe_id"), col("vec_id"))
+      val recall = exact
+        .join(approx.select(col("probe_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("probe_id", "vec_id"), "left")
+        .groupBy("probe_id")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / TOPK).as("recall_at_10"))
+      val top1 = approx.filter(col("rank") === 1)
+        .select(col("probe_id"), col("vec_id").as("top1_vec_id"),
+          round(col("adc_d2"), 6).as("top1_adc"))
+      recall.join(top1, "probe_id").orderBy("probe_id")
     },
 
     // One Lloyd (k-means) refinement iteration over the IVF coarse
@@ -713,7 +771,88 @@ object SimilarityQueries {
        |  round(CAST(sum(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_sq_dist
        |FROM a GROUP BY sub_id, cell ORDER BY sub_id, cell""".stripMargin
 
+  /** Mirror of q133's full IVF-PQ serving chain. Subvector slices, the d2
+    * folds, the decimal centroid/codebook means, and the decimal ADC sums
+    * are each the proven q83/q65 mirrors; ranking runs on the raw doubles
+    * with (adc ASC, vec_id ASC) ties, identical across engines.
+    */
+  private lazy val q133Oracle = {
+    val sub = DIM / PQ_M
+    def subD2(a: String, b: String) =
+      s"""list_reduce(list_transform(generate_series(1, $sub),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH exact AS ($q60Oracle),
+       |approx AS (
+       |  WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |  comp AS (
+       |    SELECT label, g.i AS pos,
+       |      CAST(sum(CAST(v[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |    FROM emb, generate_series(1, $DIM) AS g(i)
+       |    GROUP BY label, g.i),
+       |  cent AS (SELECT CAST(label AS BIGINT) AS cell, list(c ORDER BY pos) AS cv
+       |    FROM comp GROUP BY label),
+       |  acell AS (
+       |    SELECT vec_id, cell FROM (
+       |      SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.v", "c.cv")} DESC, c.cell ASC) AS r
+       |      FROM emb e, cent c) WHERE r = 1),
+       |  subs AS (
+       |    SELECT vec_id, s.i AS sub_id, v[s.i*$sub + 1 : s.i*$sub + $sub] AS sv,
+       |      (vec_id + s.i) % $PQ_K AS icell
+       |    FROM emb, generate_series(0, ${PQ_M - 1}) AS s(i)),
+       |  cbcomp AS (
+       |    SELECT sub_id, icell, g.i AS pos,
+       |      CAST(sum(CAST(sv[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |    FROM subs, generate_series(1, $sub) AS g(i)
+       |    GROUP BY sub_id, icell, g.i),
+       |  cbook AS (SELECT sub_id, icell AS ccell, list(c ORDER BY pos) AS cv
+       |    FROM cbcomp GROUP BY sub_id, icell),
+       |  enc AS (SELECT vec_id, sub_id, ccell AS code FROM (
+       |    SELECT s.vec_id, s.sub_id, b.ccell, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.sub_id
+       |      ORDER BY ${subD2("s.sv", "b.cv")} ASC, b.ccell ASC) AS r
+       |    FROM subs s JOIN cbook b USING (sub_id)) WHERE r = 1),
+       |  probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < $N_PROBES),
+       |  passign AS (
+       |    SELECT probe_id, cell FROM (
+       |      SELECT p.probe_id, c.cell, row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosineSql("p.pv", "c.cv")} DESC, c.cell ASC) AS r
+       |      FROM probes p, cent c) WHERE r <= $NPROBE_CELLS),
+       |  psubs AS (
+       |    SELECT probe_id, s.i AS sub_id, pv[s.i*$sub + 1 : s.i*$sub + $sub] AS psv
+       |    FROM probes, generate_series(0, ${PQ_M - 1}) AS s(i)),
+       |  ptab AS (
+       |    SELECT probe_id, sub_id, ccell, ${subD2("p.psv", "b.cv")} AS d2
+       |    FROM psubs p JOIN cbook b USING (sub_id)),
+       |  scored AS (
+       |    SELECT pa.probe_id, a.vec_id,
+       |      CAST(sum(CAST(pt.d2 AS DECIMAL(28,12))) AS DOUBLE) AS adc_d2
+       |    FROM acell a JOIN passign pa ON a.cell = pa.cell
+       |      JOIN enc e ON e.vec_id = a.vec_id
+       |      JOIN ptab pt ON pt.probe_id = pa.probe_id
+       |        AND pt.sub_id = e.sub_id AND pt.ccell = e.code
+       |    WHERE a.vec_id <> pa.probe_id
+       |    GROUP BY pa.probe_id, a.vec_id),
+       |  ranked AS (
+       |    SELECT probe_id, vec_id, adc_d2, row_number() OVER (
+       |      PARTITION BY probe_id ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+       |    FROM scored)
+       |  SELECT probe_id, rank, vec_id, adc_d2 FROM ranked WHERE rank <= $TOPK),
+       |rec AS (
+       |  SELECT e.probe_id,
+       |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / $TOPK AS recall_at_10
+       |  FROM exact e LEFT JOIN approx a
+       |    ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+       |  GROUP BY e.probe_id),
+       |t1 AS (SELECT probe_id, vec_id AS top1_vec_id, round(adc_d2, 6) AS top1_adc
+       |  FROM approx WHERE rank = 1)
+       |SELECT r.probe_id, r.recall_at_10, t.top1_vec_id, t.top1_adc
+       |FROM rec r JOIN t1 t USING (probe_id) ORDER BY probe_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q133_ivfpq_recall" -> q133Oracle,
     "q126_embedding_audit" ->
       s"""SELECT vec_id, label,
          |  CAST(len(v) AS INT) AS dim,

@@ -1,0 +1,184 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{IvfPq, ProductQuantization, VectorFns}
+import graft.functions.ProductQuantization.PQModel
+
+/** Incremental warehouse-resident VECTOR index — the ANN member of the
+  * index-beside-corpus family ([[NearDupIngest]] near-dup, [[SearchIndexIngest]]
+  * BM25): IVF-PQ cells and codes maintained as warehouse tables so vector
+  * search serves from the index at O(query) while ingestion costs O(batch),
+  * never a corpus rescan or a retrain.
+  *
+  * The scale problem this solves: the batch ANN queries (q60/q65, IvfPq)
+  * re-read the float corpus per search and re-train per build — fine for an
+  * audit, wrong for a serving path at 100 TB. Here the float corpus is read
+  * once per ingest batch and never at query time:
+  *
+  *   `<name>__cells` (cell, cv) — FROZEN IVF coarse centroids;
+  *   `<name>__codebook` (sub_id, cell, cv) — FROZEN PQ codebooks (M*K rows);
+  *   `<name>__codes` (pk, cell, codes: array<int>) — the per-vector index
+  *     rows, range-CLUSTERED on `cell` with per-file cell/pk stats, so a
+  *     search's manifest probe prunes to the files of its `nprobe` cells —
+  *     the IVF posting-list analog of [[SearchIndexIngest]]'s term-range
+  *     postings.
+  *
+  * Frozen-artifact discipline (the `BpeMerges` pattern): centroids and
+  * codebooks are committed ONCE at [[freeze]] and never drift — every batch
+  * is assigned and encoded against the same model, so codes from different
+  * batches are mutually comparable and a search result is independent of
+  * HOW the corpus was batched (spec-proven). Re-freezing is refused once
+  * codes exist: a codebook change would silently invalidate every committed
+  * code. Model refresh = a new index name, built beside, swapped by rename —
+  * the same blue/green trade FAISS shops make.
+  *
+  * Commit order and replay safety ([[SearchIndexIngest]]'s discipline):
+  * codes FIRST (idempotent by pk — anti-join against stored pks), corpus
+  * LAST ([[Warehouse.appendDeduped]]). Replaying a batch after a crash at
+  * either commit boundary converges: surviving code rows dedupe the code
+  * append to exactly the missing rows, and the corpus append admits exactly
+  * the rows the crash lost. An orphan code row (codes committed, corpus
+  * lost, never replayed) can surface a pk search scores but the corpus
+  * lacks — `confirmed = true` shields results against corpus membership
+  * (one pk-pruned column probe), the family's standard reconciliation.
+  *
+  * Search algebra is EXACTLY [[IvfPq.search]] (nprobe cells by centroid
+  * cosine, broadcast ADC distance table, exact-decimal lookup sums,
+  * (adc_d2 ASC, pk ASC) ranking) — the spec pins index-served equals
+  * directly-built, and q133 oracle-gates the same algebra end to end.
+  */
+final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
+                              dim: Int, m: Int, k: Int) {
+  require(dim % m == 0, s"dim $dim not divisible by m $m")
+  private val subDim = dim / m
+
+  final case class Report(version: Long, appended: Long, codes: Long)
+
+  private def cellsTable(name: String) = s"${name}__cells"
+  private def codebookTable(name: String) = s"${name}__codebook"
+  private def codesTable(name: String) = s"${name}__codes"
+
+  /** Commit the frozen model: IVF centroids (cell, cv) + PQ codebook
+    * (sub_id, cell, cv). Refused once any codes are committed — codes are
+    * only meaningful against the codebook that produced them.
+    */
+  def freeze(name: String, centroids: DataFrame, model: PQModel): Unit = {
+    require(!wh.exists(codesTable(name)),
+      s"$name already has committed codes; a model change would invalidate them — " +
+        "build a new index under a new name and swap by rename")
+    require(model.m == m && model.k == k && model.subDim == subDim,
+      s"model shape (m=${model.m}, k=${model.k}, subDim=${model.subDim}) does not " +
+        s"match this ingester (m=$m, k=$k, subDim=$subDim)")
+    // cell ids normalize to long: one comparison domain for the manifest
+    // stat prune, the isin residual, and the driver-side probed-cell set
+    wh.replace(cellsTable(name), centroids.select(col("cell").cast("long").as("cell"), col("cv")))
+    wh.replace(codebookTable(name),
+      model.codebook.select(col("sub_id"), col("cell"), col("cv")))
+  }
+
+  private def frozen(name: String): (DataFrame, PQModel) = {
+    require(wh.exists(cellsTable(name)) && wh.exists(codebookTable(name)),
+      s"no frozen model for index $name (freeze first)")
+    (wh.load(cellsTable(name)),
+      PQModel(wh.load(codebookTable(name)), m, k, subDim))
+  }
+
+  /** Coarse-assign a batch against the frozen centroids: argmax cosine,
+    * ties on cell ASC — bit-identical to [[IvfPq.search]]'s probe-side
+    * assignment, so a vector's own cell is always among its probe cells.
+    */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell").asc)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cscore", VectorFns.cosine(col("v"), col("cv")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Ingest one batch of (pk, vec) rows: assign + encode against the frozen
+    * model, append codes (idempotent by pk, clustered by cell), then the
+    * corpus rows ([[Warehouse.appendDeduped]] by pk). All commits O(batch).
+    */
+  def ingest(name: String, df: DataFrame): Report = {
+    val (cents, model) = frozen(name)
+    val emb = df.select(col(pkCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val codes = ProductQuantization.encode(emb, model)
+      .join(assignCells(emb, cents), "vec_id")
+      .select(col("vec_id").as(pkCol), col("cell"), col("codes"))
+    // localCheckpoint: counted after the commit, and the anti-join must not
+    // re-plan against the table AFTER its own append lands
+    val newCodes = (
+      if (!wh.exists(codesTable(name))) codes
+      else codes.join(wh.load(codesTable(name)).select(col(pkCol)),
+        Seq(pkCol), "left_anti")
+      ).localCheckpoint()
+    // clusterBy cell: code files land range-sorted on the cell id, so each
+    // file's [min,max] cell stats are TIGHT and a search's manifest probe
+    // touches ~nprobe/cells of the files, not every batch's
+    wh.append(codesTable(name), newCodes,
+      statsCols = Seq("cell", pkCol), clusterBy = Seq("cell"))
+    val rep = wh.appendDeduped(name, df, fpCol = pkCol, pk = pkCol,
+      statsCols = Seq(pkCol))
+    Report(rep.version, rep.appended, newCodes.count())
+  }
+
+  /** Code-table files whose [min,max] cell range intersects the probed cell
+    * set — the manifest-stat prune (same comparison domain as every other
+    * stat prune); the residual `isin` handles row groups within kept files.
+    */
+  private[graft] def keptFiles(name: String, cells: Seq[Long]): Seq[DataFile] =
+    wh.currentManifest(codesTable(name)).files.filter { f =>
+      f.stats.get("cell") match {
+        case Some(ColStat("z", _, _)) => false
+        case Some(s) => cells.exists(c =>
+          StatsPruning.cmp(s.kind, s.min, c.toString) <= 0 &&
+            StatsPruning.cmp(s.kind, s.max, c.toString) >= 0)
+        case None => true // no stats recorded => cannot prune
+      }
+    }
+
+  private[graft] def probeCodes(name: String, cells: Seq[Long]): DataFrame = {
+    val t = codesTable(name)
+    val man = wh.currentManifest(t)
+    val kept = keptFiles(name, cells)
+    val base =
+      if (kept.isEmpty)
+        wh.spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), man.schema)
+      else wh.spark.read.schema(man.schema)
+        .parquet(kept.map(f => wh.resolvePath(t, f.path)): _*)
+    base.filter(col("cell").isin(cells: _*))
+  }
+
+  /** Top-`k` ADC search over the index: per-probe `nprobe` cells by frozen-
+    * centroid cosine, codes read ONLY from the pruned cell files, scored by
+    * [[IvfPq.search]]'s exact algebra — the float corpus is never read.
+    * The probed cell set is collected driver-side to drive the manifest
+    * prune: bounded by probes x nprobe (and by the cell count), metadata-
+    * scale like every other manifest decision. `confirmed = true` shields
+    * against crash-orphan codes via corpus membership (pk-pruned probe);
+    * `excludeSelf` drops each probe's own corpus row (recall-audit shape).
+    */
+  def search(name: String, probes: DataFrame, nprobe: Int = 2, topK: Int = 10,
+             confirmed: Boolean = false, excludeSelf: Boolean = false): DataFrame = {
+    val (cents, model) = frozen(name)
+    val centsB = broadcast(cents).persist() // consumers: cell pick here + IvfPq.search
+    try {
+      val w = Window.partitionBy("probe_id").orderBy(col("cscore").desc, col("cell").asc)
+      val cells = probes.crossJoin(centsB)
+        .withColumn("cscore", VectorFns.cosine(col("pv"), col("cv")))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
+        .select("cell").distinct().collect().map(_.getLong(0)).toSeq.sorted
+      val codes0 = probeCodes(name, cells)
+        .withColumnRenamed(pkCol, "vec_id")
+      val codes =
+        if (!confirmed) codes0
+        else codes0.join(wh.load(name).select(col(pkCol).as("vec_id")),
+          Seq("vec_id"), "left_semi")
+      IvfPq.search(probes, IvfPq.Index(centsB, codes, model), nprobe, topK, excludeSelf)
+        .withColumnRenamed("vec_id", pkCol)
+    } finally centsB.unpersist()
+  }
+}

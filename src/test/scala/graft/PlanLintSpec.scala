@@ -38,7 +38,11 @@ class PlanLintSpec extends SparkSpec {
       "q128_dedup_recall", "q132_index_bm25",
       // q131 assigns every vector against the broadcast cell-centroid table
       // (cells x dim, bounded) — the same deliberate tiny-cross as q65/q73.
-      "q131_semdedup")
+      "q131_semdedup",
+      // q133 composes three bounded broadcast crosses: corpus/probe cell
+      // assignment against the centroid table (q65/q73's shape) and the ADC
+      // probe x M x K distance table onto the code scan (IvfPq.search).
+      "q133_ivfpq_recall")
 
   /** Plan statically (AQE off): AQE wraps plans before stage codegen is
     * decided, hiding both the `*(n)` markers and the pre-reoptimization

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{IvfPq, ProductQuantization, VectorFns}
+import graft.sink.{VectorIndexIngest, Warehouse}
+
+/** Warehouse-resident vector index contract: index-served ADC search equals
+  * the directly-built [[IvfPq]] index (and, at full probe width, plain
+  * [[ProductQuantization.adcTopK]]) on the same data regardless of how
+  * ingestion was batched; replay converges from any crash prefix without
+  * accreting code rows; the cell probe prunes code files by manifest stats;
+  * and the frozen model cannot drift under committed codes.
+  */
+class VectorIndexIngestSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val DIM = 8
+  private val M = 2
+  private val K = 4
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("emb", ArrayType(DoubleType))))
+
+  /** 3-anchor synthetic corpus with DIRECTIONAL anchors (disjoint dimension
+    * blocks) — cosine is scale-invariant, so anchors must differ in
+    * direction, not magnitude, for cell assignment to separate. Vector i
+    * clusters around anchor (i % 3) with deterministic per-position jitter.
+    */
+  private def block(p: Int) = math.min(p / 3, 2)
+
+  private def vecs(ids: Range): DataFrame = {
+    val rows = ids.map { i =>
+      Row(i.toLong, (0 until DIM).map(p =>
+        (if (block(p) == i % 3) 10.0 else 0.0) + 0.1 * ((i * 7 + p) % 5)).toArray)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private val cellCents = {
+    val rows = (0 until 3).map(c =>
+      Row(c.toLong, (0 until DIM).map(p => if (block(p) == c) 10.0 else 0.0).toArray))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("cell", LongType), StructField("cv", ArrayType(DoubleType)))))
+  }
+
+  private def emb(df: DataFrame) =
+    df.select(col("id").as("vec_id"), col("emb").as("v"))
+
+  private def probesOf(df: DataFrame, n: Int) =
+    emb(df).filter(col("vec_id") < n)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+
+  private def ingester(wh: Warehouse) =
+    new VectorIndexIngest(wh, "id", "emb", DIM, M, K)
+
+  /** Directly-built index over the full corpus — the independent arbiter:
+    * same frozen model, same cosine-argmax cell assignment (ties cell ASC).
+    */
+  private def directIndex(df: DataFrame, model: ProductQuantization.PQModel): IvfPq.Index = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell").asc)
+    val cellsOf = emb(df).crossJoin(broadcast(cellCents))
+      .withColumn("cscore", VectorFns.cosine(col("v"), col("cv")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vec_id"), col("cell"))
+    IvfPq.Index(cellCents,
+      ProductQuantization.encode(emb(df), model).join(cellsOf, "vec_id"), model)
+  }
+
+  private def sorted(df: DataFrame): Seq[Row] =
+    df.orderBy("probe_id", "rank").collect().toSeq
+
+  test("index-served search equals the directly-built index, however batched") {
+    val all = vecs(0 until 24)
+    val model = ProductQuantization.initCodebook(emb(all), DIM, M, K)
+    val want = sorted(IvfPq.search(probesOf(all, 2), directIndex(all, model),
+      nprobe = 2, topK = 5))
+
+    // one batch
+    val wh1 = new Warehouse(spark, tmpDir("vii-one"))
+    val ing1 = ingester(wh1)
+    ing1.freeze("v", cellCents, model)
+    val rep = ing1.ingest("v", all)
+    assert(rep.appended == 24 && rep.codes == 24, rep.toString)
+    assert(sorted(ing1.search("v", probesOf(all, 2), nprobe = 2, topK = 5)
+      .withColumnRenamed("id", "vec_id")) == want)
+
+    // three batches: same serving state from a different batching
+    val wh3 = new Warehouse(spark, tmpDir("vii-three"))
+    val ing3 = ingester(wh3)
+    ing3.freeze("v", cellCents, model)
+    Seq(0 until 8, 8 until 16, 16 until 24).foreach(r => ing3.ingest("v", vecs(r)))
+    assert(wh3.load("v__codes").count() == 24)
+    assert(sorted(ing3.search("v", probesOf(all, 2), nprobe = 2, topK = 5)
+      .withColumnRenamed("id", "vec_id")) == want)
+
+    // full probe width == plain ADC over every code (search completeness);
+    // a TRAINED frozen model serves identically to the init one in kind
+    val adc = sorted(ProductQuantization.adcTopK(probesOf(all, 2),
+      wh3.load("v__codes").select(col("id").as("vec_id"), col("codes")), model, topK = 5))
+    assert(sorted(ing3.search("v", probesOf(all, 2), nprobe = 3, topK = 5)
+      .withColumnRenamed("id", "vec_id")
+      .select("probe_id", "rank", "vec_id", "adc_d2")) == adc)
+  }
+
+  test("replaying a completed batch appends nothing anywhere") {
+    val wh = new Warehouse(spark, tmpDir("vii-replay"))
+    val ing = ingester(wh)
+    ing.freeze("v", cellCents,
+      ProductQuantization.initCodebook(emb(vecs(0 until 12)), DIM, M, K))
+    ing.ingest("v", vecs(0 until 12))
+    val counts = Seq("v", "v__codes").map(t => wh.load(t).count())
+    val rep = ing.ingest("v", vecs(0 until 12))
+    assert(rep.appended == 0 && rep.codes == 0, rep.toString)
+    assert(Seq("v", "v__codes").map(t => wh.load(t).count()) == counts)
+  }
+
+  test("crash healing: codes-only prefix converges on replay; orphans shieldable") {
+    val model = ProductQuantization.initCodebook(emb(vecs(0 until 16)), DIM, M, K)
+    val whFull = new Warehouse(spark, tmpDir("vii-crash-full"))
+    val ingFull = ingester(whFull)
+    ingFull.freeze("v", cellCents, model)
+    ingFull.ingest("v", vecs(0 until 8))
+    ingFull.ingest("v", vecs(8 until 16))
+
+    // crashed twin: batch 2 died after ONLY the codes commit landed
+    val wh = new Warehouse(spark, tmpDir("vii-crash"))
+    val ing = ingester(wh)
+    ing.freeze("v", cellCents, model)
+    ing.ingest("v", vecs(0 until 8))
+    wh.append("v__codes",
+      whFull.load("v__codes").filter(col("id") >= 8),
+      statsCols = Seq("cell", "id"), clusterBy = Seq("cell"))
+
+    // orphan window: default search surfaces the uncommitted pks, confirmed
+    // search shields them via corpus membership
+    val probes = probesOf(vecs(0 until 16), 1)
+    val open = ing.search("v", probes, nprobe = 3, topK = 16)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(open.exists(_ >= 8L), "codes-only rows should be visible unshielded")
+    val shielded = ing.search("v", probes, nprobe = 3, topK = 16, confirmed = true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(shielded.forall(_ < 8L), s"orphans must not pass confirmed search: $shielded")
+
+    // replay converges both tables to the fully-committed twin's state
+    val rep = ing.ingest("v", vecs(8 until 16))
+    assert(rep.codes == 0, "surviving code rows must not be re-appended")
+    assert(rep.appended == 8, "the corpus append must admit the lost rows")
+    for (t <- Seq("v", "v__codes"))
+      assert(wh.load(t).count() == whFull.load(t).count(), s"$t diverged")
+    assert(sorted(ing.search("v", probes, nprobe = 2, topK = 5)
+      .withColumnRenamed("id", "vec_id")) ==
+      sorted(ingFull.search("v", probes, nprobe = 2, topK = 5)
+        .withColumnRenamed("id", "vec_id")))
+  }
+
+  test("cell probe prunes code files via manifest stats") {
+    val wh = new Warehouse(spark, tmpDir("vii-prune"))
+    val ing = ingester(wh)
+    ing.freeze("v", cellCents,
+      ProductQuantization.initCodebook(emb(vecs(0 until 24)), DIM, M, K))
+    // per-batch disjoint cells (ids stride 3 share an anchor): each code
+    // file's [min,max] cell stats are then provably disjoint across batches
+    Seq(0 until 24 by 3, 1 until 24 by 3, 2 until 24 by 3)
+      .foreach(r => ing.ingest("v", vecs(r)))
+    val all = wh.dataFiles("v__codes").size
+    val probe = ing.probeCodes("v", Seq(1L))
+    assert(probe.inputFiles.length < all,
+      s"probe read ${probe.inputFiles.length} of $all files — no pruning")
+    // every kept row really is the probed cell's
+    assert(probe.select("cell").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a cell outside every file's range reads nothing
+    assert(ing.probeCodes("v", Seq(99L)).inputFiles.isEmpty)
+  }
+
+  test("frozen means frozen: re-freeze under committed codes and shape drift refuse") {
+    val wh = new Warehouse(spark, tmpDir("vii-freeze"))
+    val ing = ingester(wh)
+    val model = ProductQuantization.initCodebook(emb(vecs(0 until 8)), DIM, M, K)
+    ing.freeze("v", cellCents, model)
+    // re-freeze BEFORE any codes is allowed (idempotent bootstrap)
+    ing.freeze("v", cellCents, model)
+    ing.ingest("v", vecs(0 until 8))
+    val err = intercept[IllegalArgumentException] { ing.freeze("v", cellCents, model) }
+    assert(err.getMessage.contains("committed codes"))
+    // model whose shape disagrees with the ingester fails loudly
+    val wrong = ProductQuantization.initCodebook(emb(vecs(0 until 8)), DIM, 4, K)
+    intercept[IllegalArgumentException] { ingester(wh).freeze("w", cellCents, wrong) }
+  }
+}
