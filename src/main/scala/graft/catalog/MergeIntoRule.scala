@@ -1,7 +1,8 @@
 package graft.catalog
 
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, EqualTo, ExprId, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -28,14 +29,32 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * the main resolution batch — before Spark's row-level-operation rewrites
   * would reject the table for not implementing SupportsRowLevelOperations.
   *
-  * Only the upsert idiom is accepted (unconditional `UPDATE SET *` +
-  * `INSERT *`, ON = AND-ed same-named column equalities): that is exactly
-  * the semantics `Warehouse.merge` implements. Everything else fails with a
-  * message saying so, rather than silently approximating. Deliberate
-  * divergences from ANSI MERGE, inherited from the reference's dlt
-  * contract and pinned by `CatalogSpec`:
+  * Accepted shapes (ON = AND-ed same-named column equalities, always):
+  *   - the plain upsert (`UPDATE SET *` + `INSERT *`, both unconditional):
+  *     the O(batch) fast path — the source appends straight into the merge
+  *     disposition, the target is never read at plan time;
+  *   - conditional and/or PARTIAL matched updates
+  *     (`WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ...`), with or
+  *     without an insert clause: rewritten to DataFrame algebra — target ⋈
+  *     source on the ON keys, filtered by the condition, projected to full
+  *     rows in which every SET expression sees the OLD row (SQL UPDATE
+  *     semantics: `SET a = b, b = a` swaps) — feeding the same merge write;
+  *   - conditional inserts (`WHEN NOT MATCHED [AND cond] THEN INSERT ...`),
+  *     including insert-only MERGE (no matched clause): source anti-joined
+  *     against the target, unassigned columns null-filled;
+  *   - `WHEN MATCHED [AND cond] THEN DELETE` as the only clause: the
+  *     unconditional form stays the O(batch) merge-on-read equality delete
+  *     (no target read, no file rewrite); the conditional form joins to
+  *     evaluate the condition per matched pair, then commits the surviving
+  *     keys the same MOR way.
+  *
+  * Everything else — `WHEN NOT MATCHED BY SOURCE`, `WITH SCHEMA EVOLUTION`,
+  * several matched clauses, reassigning an ON key — fails with a message
+  * saying so, rather than silently approximating. Deliberate divergences
+  * from ANSI MERGE, inherited from the reference's dlt contract and pinned
+  * by `CatalogSpec`:
   *   - several source rows per PK do not error (ANSI: cardinality
-  *     violation); all batch rows land, old PK versions are dropped;
+  *     violation); all produced rows land, old PK versions are dropped;
   *   - NULL-keyed source rows are appended but never match (plain equality
   *     join semantics, SURVEY §7.6.4).
   */
@@ -51,10 +70,10 @@ object GraftMergeRule extends Rule[LogicalPlan] {
   }
 
   private def fail(msg: String): Nothing = throw new UnsupportedOperationException(
-    "graft MERGE INTO supports exactly the upsert idiom (ON AND-ed same-named " +
-      "column equalities, WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED " +
-      "THEN INSERT *) or the delete idiom (WHEN MATCHED THEN DELETE alone), " +
-      s"with no extra clauses or conditions — $msg")
+    "graft MERGE INTO supports ON = AND-ed same-named column equalities with " +
+      "matched clauses UPDATE SET */partial [AND cond] or a single DELETE " +
+      "[AND cond], plus not-matched INSERT [AND cond] — no NOT MATCHED BY " +
+      s"SOURCE, schema evolution, or key reassignment — $msg")
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
@@ -69,20 +88,20 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     case other   => other
   }
 
-  /** `assigns` must be the star form: every target column assigned exactly
-    * once from the same-named source column, nothing else.
+  /** True iff `assigns` is the star form: every target column assigned
+    * exactly once from the same-named source column, nothing else.
     */
-  private def requireStar(assigns: Seq[Assignment], targetCols: Seq[String],
-                          sOut: AttributeSet, what: String): Unit = {
-    val assigned = assigns.map { a =>
+  private def isStar(assigns: Seq[Assignment], targetCols: Seq[String],
+                     sOut: AttributeSet): Boolean = {
+    val assigned = assigns.flatMap { a =>
       (a.key, stripCast(a.value)) match {
         case (k: Attribute, v: Attribute)
-            if sOut.contains(v) && conf.resolver(k.name, v.name) => k.name
-        case _ => fail(s"$what assigns ${a.sql}, not the same-named source column")
+            if sOut.contains(v) && conf.resolver(k.name, v.name) => Some(k.name)
+        case _ => None
       }
     }
-    if (assigned.map(_.toLowerCase).sorted != targetCols.map(_.toLowerCase).sorted)
-      fail(s"$what must cover the whole row; got [${assigned.mkString(", ")}]")
+    assigned.length == assigns.length &&
+      assigned.map(_.toLowerCase).sorted == targetCols.map(_.toLowerCase).sorted
   }
 
   private def rewrite(m: MergeIntoTable, r: DataSourceV2Relation): LogicalPlan = {
@@ -106,51 +125,177 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       case other => fail(s"unsupported ON conjunct ${other.sql}")
     }
     if (pks.isEmpty) fail("empty ON clause")
+    val mergeOpts = Map("disposition" -> "merge", "primaryKeys" -> pks.mkString(","))
 
-    // Delete idiom: WHEN MATCHED THEN DELETE as the ONLY clause → an
-    // O(batch) merge-on-read equality delete keyed on the ON columns
-    // (`disposition=delete-matched` → [[graft.sink.Warehouse.equalityDelete]];
-    // no data file is rewritten — SQL delete-by-join at any table size).
-    // The source is projected positionally onto the target schema with
-    // typed nulls for non-key columns: only the key columns matter to the
-    // delete, and the write shim re-selects them by name.
+    /** Fresh target instance for READ legs (the write target keeps `r`
+      * itself; duplicated attribute ids across the two roles would
+      * cross-resolve), plus the remap of original-target references onto it.
+      */
+    def freshTarget(): (DataSourceV2Relation, Map[ExprId, Attribute]) = {
+      val fresh = r.newInstance()
+      (fresh, r.output.map(_.exprId).zip(fresh.output).toMap)
+    }
+    def remap(e: Expression, to: Map[ExprId, Attribute]): Expression =
+      e.transform { case a: Attribute => to.getOrElse(a.exprId, a) }
+    def conform(e: Expression, t: Attribute): NamedExpression =
+      if (e.dataType == t.dataType) Alias(e, t.name)()
+      else Alias(Cast(e, t.dataType), t.name)()
+
+    // ---- DELETE idiom (must be the only clause). Unconditional: O(batch) —
+    // the source's key columns commit directly as a merge-on-read equality
+    // delete, the target is never read. Conditional: the condition is
+    // evaluated per MATCHED (target, source) pair via the join, and the
+    // surviving pairs' key values commit the same MOR way.
     (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(DeleteAction(None)), Seq()) =>
-        val projected = Project(r.output.toSeq.map { t =>
-          source.output.find(a => conf.resolver(a.name, t.name)) match {
-            case Some(a) => a
-            case None => Alias(Literal.create(null, t.dataType), t.name)()
-          }
-        }, source)
-        return AppendData.byPosition(r, projected,
-          Map("disposition" -> "delete-matched", "primaryKeys" -> pks.mkString(",")))
+      case (Seq(DeleteAction(cond)), Seq()) =>
+        val delOpts = Map("disposition" -> "delete-matched",
+          "primaryKeys" -> pks.mkString(","))
+        val projected = cond match {
+          case None =>
+            Project(r.output.toSeq.map { t =>
+              source.output.find(a => conf.resolver(a.name, t.name)) match {
+                case Some(a) => a
+                case None => Alias(Literal.create(null, t.dataType), t.name)()
+              }
+            }, source)
+          case Some(c) =>
+            val (fresh, toFresh) = freshTarget()
+            val joined = Join(fresh, source, Inner,
+              Some(remap(m.mergeCondition, toFresh)), JoinHint.NONE)
+            Project(r.output.toSeq.map { t =>
+              if (pks.exists(conf.resolver(_, t.name))) toFresh(t.exprId)
+              else Alias(Literal.create(null, t.dataType), t.name)()
+            }, Filter(remap(c, toFresh), joined))
+        }
+        return AppendData.byPosition(r, projected, delOpts)
       case (as, _) if as.exists(_.isInstanceOf[DeleteAction]) =>
-        fail("WHEN MATCHED THEN DELETE must be unconditional and the only clause")
+        fail("WHEN MATCHED THEN DELETE must be the only clause")
       case _ => ()
     }
 
-    m.matchedActions match {
-      case Seq(UpdateStarAction(None)) => ()
-      case Seq(UpdateAction(None, assigns, _)) =>
-        requireStar(assigns, targetCols, sOut, "UPDATE SET")
-      case _ => fail("matched actions must be exactly one unconditional UPDATE SET *")
+    // ---- fast path: the plain upsert never reads the target at plan time —
+    // the source appends straight into the stat-pruned merge write.
+    val plainUpsert = (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => true
+      case (Seq(UpdateStarAction(None)), Seq(InsertAction(None, as))) =>
+        isStar(as, targetCols, sOut)
+      case (Seq(UpdateAction(None, as, _)), Seq(InsertStarAction(None))) =>
+        isStar(as, targetCols, sOut)
+      case (Seq(UpdateAction(None, as1, _)), Seq(InsertAction(None, as2))) =>
+        isStar(as1, targetCols, sOut) && isStar(as2, targetCols, sOut)
+      case _ => false
     }
-    m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) => ()
-      case Seq(InsertAction(None, assigns)) =>
-        requireStar(assigns, targetCols, sOut, "INSERT")
-      case _ => fail("not-matched actions must be exactly one unconditional INSERT *")
+    if (plainUpsert) {
+      val projected = Project(targetCols.map { n =>
+        source.output.find(a => conf.resolver(a.name, n))
+          .getOrElse(fail(s"source is missing target column '$n'"))
+      }, source)
+      return AppendData.byPosition(r, projected, mergeOpts)
     }
 
-    // Project the source onto the target's columns by name (order + width);
-    // ResolveOutputRelation then applies store-assignment casts exactly as
-    // for INSERT INTO. Missing target columns are an error — INSERT * needs
-    // the whole row.
-    val projected = Project(targetCols.map { n =>
-      source.output.find(a => conf.resolver(a.name, n))
-        .getOrElse(fail(s"source is missing target column '$n'"))
-    }, source)
-    AppendData.byPosition(r, projected,
-      Map("disposition" -> "merge", "primaryKeys" -> pks.mkString(",")))
+    // ---- general path: conditional / partial clauses become DataFrame
+    // algebra over a fresh read of the target, feeding the SAME merge write
+    // (matched rows re-land as full rows under their PK; old versions drop).
+
+    /** Validated (column -> value) pairs of an UPDATE SET list. Reassigning
+      * an ON key is refused unless it is the identity (the star form's
+      * same-named copy): under the equality join the values agree, but a
+      * real reassignment would append the new key while the OLD row —
+      * whose key is no longer in the batch — silently survived.
+      */
+    def updatePairs(assigns: Seq[Assignment]): Seq[(String, Expression)] = {
+      val pairs = assigns.map { a =>
+        a.key match {
+          case k: Attribute if tOut.contains(k) =>
+            if (pks.exists(conf.resolver(_, k.name))) stripCast(a.value) match {
+              case v: Attribute if conf.resolver(v.name, k.name) &&
+                (sOut.contains(v) || tOut.contains(v)) => ()
+              case _ => fail(s"cannot reassign ON key column ${k.name}")
+            }
+            (k.name, a.value)
+          case other => fail(s"UPDATE SET target ${other.sql} is not a target column")
+        }
+      }
+      val dup = pairs.groupBy(_._1.toLowerCase).collect { case (n, vs) if vs.size > 1 => n }
+      if (dup.nonEmpty) fail(s"column(s) assigned more than once: ${dup.mkString(", ")}")
+      pairs
+    }
+
+    val updateLeg: Option[LogicalPlan] = m.matchedActions match {
+      case Seq() => None
+      case Seq(action) =>
+        val (cond, pairs) = action match {
+          case UpdateStarAction(c) =>
+            // star under the general path: full row from the source by name
+            (c, targetCols.map { n =>
+              n -> source.output.find(a => conf.resolver(a.name, n))
+                .getOrElse(fail(s"source is missing target column '$n'"))
+                .asInstanceOf[Expression]
+            })
+          case UpdateAction(c, assigns, _) => (c, updatePairs(assigns))
+          case other => fail(s"unsupported matched action ${other.getClass.getSimpleName}")
+        }
+        val (fresh, toFresh) = freshTarget()
+        val joined = Join(fresh, source, Inner,
+          Some(remap(m.mergeCondition, toFresh)), JoinHint.NONE)
+        val base = cond match {
+          case Some(c) => Filter(remap(c, toFresh), joined)
+          case None => joined
+        }
+        // ONE projection over the joined row: every SET expression sees the
+        // OLD target row (Warehouse.updateWhere's proven semantics)
+        Some(Project(r.output.toSeq.map { t =>
+          pairs.find(p => conf.resolver(p._1, t.name)) match {
+            case Some((_, v)) => conform(remap(v, toFresh), t)
+            case None => toFresh(t.exprId)
+          }
+        }, base))
+      case _ => fail("at most one WHEN MATCHED clause is supported")
+    }
+
+    val insertLeg: Option[LogicalPlan] = m.notMatchedActions match {
+      case Seq() => None
+      case Seq(action) =>
+        val (cond, pairs) = action match {
+          case InsertStarAction(c) =>
+            (c, targetCols.map { n =>
+              n -> source.output.find(a => conf.resolver(a.name, n))
+                .getOrElse(fail(s"source is missing target column '$n'"))
+                .asInstanceOf[Expression]
+            })
+          case InsertAction(c, assigns) =>
+            (c, assigns.map { a =>
+              a.key match {
+                case k: Attribute if tOut.contains(k) => (k.name, a.value)
+                case other => fail(s"INSERT target ${other.sql} is not a target column")
+              }
+            })
+          case other => fail(s"unsupported not-matched action ${other.getClass.getSimpleName}")
+        }
+        val (fresh, toFresh) = freshTarget()
+        val anti = Join(source, fresh, LeftAnti,
+          Some(remap(m.mergeCondition, toFresh)), JoinHint.NONE)
+        val base = cond match {
+          // NOT MATCHED conditions reference the source only (analyzer-enforced)
+          case Some(c) => Filter(c, anti)
+          case None => anti
+        }
+        // unassigned columns null-fill (ANSI INSERT-list semantics)
+        Some(Project(r.output.toSeq.map { t =>
+          pairs.find(p => conf.resolver(p._1, t.name)) match {
+            case Some((_, v)) => conform(v, t)
+            case None => Alias(Literal.create(null, t.dataType), t.name)()
+          }
+        }, base))
+      case _ => fail("at most one WHEN NOT MATCHED clause is supported")
+    }
+
+    val batch = (updateLeg, insertLeg) match {
+      case (Some(u), Some(i)) => Union(u, i)
+      case (Some(u), None) => u
+      case (None, Some(i)) => i
+      case (None, None) => fail("no actions")
+    }
+    AppendData.byPosition(r, batch, mergeOpts)
   }
 }

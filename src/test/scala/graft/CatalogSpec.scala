@@ -185,31 +185,82 @@ class CatalogSpec extends SparkSpec {
     assert(rowsOf("mc_sql") == Seq(("a", 1L), ("a", 2L), ("b", 1L), ("z", 9L)))
   }
 
-  test("SQL MERGE rejects non-upsert shapes with a contract message") {
+  // --- widened MERGE grammar: conditional / partial clauses --------------
+
+  test("SQL MERGE conditional update ≡ the DataFrame-algebra rewrite") {
+    wh.replace("mw1", df(("a", 1), ("b", 2), ("c", 3)), Seq("Id"))
+    df(("a", 10), ("b", 1), ("d", 4)).createOrReplaceTempView("mw1_b")
+    // matched rows update only when the source value is LARGER; not-matched
+    // rows insert; (b,1) matches but fails the condition -> b keeps 2,
+    // and d does not exist in the target -> inserted
+    spark.sql("MERGE INTO graft.mw1 t USING mw1_b s ON t.Id = s.Id " +
+      "WHEN MATCHED AND s.Amount > t.Amount THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(rowsOf("mw1") == Seq(("a", 10L), ("b", 2L), ("c", 3L), ("d", 4L)))
+  }
+
+  test("SQL MERGE partial SET with expressions sees the OLD row; update-only form") {
+    wh.replace("mw2", df(("a", 1), ("b", 2), ("c", 3)), Seq("Id"))
+    df(("a", 100), ("b", 200)).createOrReplaceTempView("mw2_b")
+    // no INSERT clause: source rows without a match ((z) absent here) never
+    // land; SET mixes target and source columns of the OLD matched row
+    spark.sql("MERGE INTO graft.mw2 t USING mw2_b s ON t.Id = s.Id " +
+      "WHEN MATCHED THEN UPDATE SET Amount = s.Amount + t.Amount * 10")
+    assert(rowsOf("mw2") == Seq(("a", 110L), ("b", 220L), ("c", 3L)))
+  }
+
+  test("SQL MERGE insert-only and conditional insert") {
+    wh.replace("mw3", df(("a", 1)), Seq("Id"))
+    df(("a", 9), ("b", 2), ("c", 0)).createOrReplaceTempView("mw3_b")
+    // insert-only MERGE: matched rows untouched (a keeps 1), condition
+    // filters the not-matched side (c fails Amount > 0)
+    spark.sql("MERGE INTO graft.mw3 t USING mw3_b s ON t.Id = s.Id " +
+      "WHEN NOT MATCHED AND s.Amount > 0 THEN INSERT *")
+    assert(rowsOf("mw3") == Seq(("a", 1L), ("b", 2L)))
+    // explicit column list: unassigned columns null-fill (rowsOf maps null -> -1)
+    spark.sql("MERGE INTO graft.mw3 t USING mw3_b s ON t.Id = s.Id " +
+      "WHEN NOT MATCHED THEN INSERT (Id) VALUES (s.Id)")
+    assert(rowsOf("mw3") == Seq(("a", 1L), ("b", 2L), ("c", -1L)))
+  }
+
+  test("SQL MERGE conditional delete ≡ equality delete of the surviving keys") {
+    wh.replace("mw4", df(("a", 1), ("b", 2), ("c", 3)), Seq("Id"))
+    df(("a", 0), ("b", 0), ("x", 0)).createOrReplaceTempView("mw4_b")
+    val before = wh.dataFiles("mw4").map(_.path)
+    // only matched pairs satisfying the TARGET-side condition delete;
+    // (x) matches nothing, (a) fails t.Amount > 1
+    spark.sql("MERGE INTO graft.mw4 t USING mw4_b s ON t.Id = s.Id " +
+      "WHEN MATCHED AND t.Amount > 1 THEN DELETE")
+    assert(rowsOf("mw4") == Seq(("a", 1L), ("c", 3L)))
+    // still merge-on-read: no data file rewritten by the delete commit
+    assert(wh.dataFiles("mw4").map(_.path) == before)
+  }
+
+  test("SQL MERGE rejects unsupported shapes with a contract message") {
     wh.replace("mr", df(("a", 1)), Seq("Id"))
     df(("a", 2)).createOrReplaceTempView("mr_batch")
     def bad(sql: String): String =
       intercept[Exception](spark.sql(sql)).getMessage
-    // partial SET
+    // reassigning an ON key (non-identity)
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
-      "WHEN MATCHED THEN UPDATE SET Amount = s.Amount " +
-      "WHEN NOT MATCHED THEN INSERT *").contains("upsert idiom"))
-    // CONDITIONAL delete (only the unconditional delete-only form is
-    // supported — see MorDeleteSpec for the green path)
+      "WHEN MATCHED THEN UPDATE SET Id = concat(s.Id, 'x') " +
+      "WHEN NOT MATCHED THEN INSERT *").contains("ON key"))
+    // DELETE mixed with other clauses
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
-      "WHEN MATCHED AND s.Amount > 1 THEN DELETE").contains("only clause"))
-    // conditional clause
-    assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
-      "WHEN MATCHED AND s.Amount > 1 THEN UPDATE SET * " +
-      "WHEN NOT MATCHED THEN INSERT *").contains("upsert idiom"))
+      "WHEN MATCHED AND s.Amount > 1 THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT *").contains("only clause"))
     // non-equi ON
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id > s.Id " +
       "WHEN MATCHED THEN UPDATE SET * " +
-      "WHEN NOT MATCHED THEN INSERT *").contains("upsert idiom"))
+      "WHEN NOT MATCHED THEN INSERT *").contains("ON conjunct"))
     // NOT MATCHED BY SOURCE
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-      "WHEN NOT MATCHED BY SOURCE THEN DELETE").contains("upsert idiom"))
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE").contains("NOT MATCHED BY SOURCE"))
+    // same column assigned twice
+    assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
+      "WHEN MATCHED THEN UPDATE SET Amount = s.Amount, Amount = t.Amount")
+      .contains("more than once"))
   }
 
   test("metadata tables: $files and $snapshots reflect manifests, stats, tags") {
