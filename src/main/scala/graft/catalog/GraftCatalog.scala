@@ -164,9 +164,35 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolution happens via conform-on-write")
+  /** `ALTER TABLE graft.t ADD COLUMN c TYPE` — the explicit schema-evolution
+    * DDL: a manifest-only schema commit ([[graft.sink.Warehouse.addColumns]],
+    * no data rewrite, null-backfill on read, old snapshots keep their own
+    * schema). Only top-level trailing nullable adds: positions would force
+    * a rewrite-or-reorder story, NOT NULL cannot hold for existing rows,
+    * and every other change class (rename/drop/retype) is refused loudly —
+    * implicit widening on write stays conform's job.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireFlat(ident.namespace())
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            s"only top-level ADD COLUMN is supported, not ${a.fieldNames.mkString(".")}")
+        if (a.position() != null)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN ... FIRST/AFTER is not supported; columns append at the end")
+        if (!a.isNullable)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN ... NOT NULL is not supported: existing rows have no value")
+        org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}; " +
+          "only ADD COLUMN (nullable, trailing) is supported")
+    }
+    warehouse.addColumns(ident.name(), adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     ident.namespace().isEmpty && warehouse.drop(ident.name())

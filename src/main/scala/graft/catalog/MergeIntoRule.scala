@@ -105,7 +105,6 @@ object GraftMergeRule extends Rule[LogicalPlan] {
   }
 
   private def rewrite(m: MergeIntoTable, r: DataSourceV2Relation): LogicalPlan = {
-    if (m.withSchemaEvolution) fail("WITH SCHEMA EVOLUTION is not supported")
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("WHEN NOT MATCHED BY SOURCE is not supported")
     val source = m.sourceTable
@@ -148,6 +147,8 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     // surviving pairs' key values commit the same MOR way.
     (m.matchedActions, m.notMatchedActions) match {
       case (Seq(DeleteAction(cond)), Seq()) =>
+        if (m.withSchemaEvolution)
+          fail("WITH SCHEMA EVOLUTION is meaningless on a delete-only MERGE")
         val delOpts = Map("disposition" -> "delete-matched",
           "primaryKeys" -> pks.mkString(","))
         val projected = cond match {
@@ -186,12 +187,26 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       case _ => false
     }
     if (plainUpsert) {
+      // WITH SCHEMA EVOLUTION, add-column case: extra source columns become
+      // new nullable target columns at write time (idempotent — a replay
+      // skips columns its first run added), then the same merge commit.
+      // Resolution stays side-effect-free: the evolve happens inside the
+      // command's run(), not while analyzing. Without the keyword, extra
+      // source columns are DROPPED (target-schema-wins conform — the
+      // reference's dlt contract), pinned by CatalogSpec both ways.
+      if (m.withSchemaEvolution) {
+        val gt = r.table.asInstanceOf[GraftTable]
+        return GraftMergeEvolveCommand(gt.root, gt.table, pks, source)
+      }
       val projected = Project(targetCols.map { n =>
         source.output.find(a => conf.resolver(a.name, n))
           .getOrElse(fail(s"source is missing target column '$n'"))
       }, source)
       return AppendData.byPosition(r, projected, mergeOpts)
     }
+    if (m.withSchemaEvolution)
+      fail("WITH SCHEMA EVOLUTION is supported only with the plain upsert " +
+        "(unconditional UPDATE SET * + INSERT *)")
 
     // ---- general path: conditional / partial clauses become DataFrame
     // algebra over a fresh read of the target, feeding the SAME merge write
@@ -297,5 +312,28 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       case (None, None) => fail("no actions")
     }
     AppendData.byPosition(r, batch, mergeOpts)
+  }
+}
+
+/** Eagerly-executed carrier of one `MERGE ... WITH SCHEMA EVOLUTION`
+  * upsert: at run time, add the source columns the table lacks (nullable,
+  * trailing — [[graft.sink.Warehouse.addMissingColumns]], idempotent on
+  * replay), then run the SAME merge the plain upsert uses;
+  * [[graft.schema.SchemaOps]] conform null-backfills the widened schema
+  * onto any source rows. Schema commit and merge commit are two snapshot
+  * commits; a crash between them leaves an added (all-null) column and a
+  * replayable merge — converging, never corrupting.
+  */
+private[catalog] case class GraftMergeEvolveCommand(root: String, table: String,
+    pks: Seq[String], source: LogicalPlan)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val df = org.apache.spark.sql.graft.ColumnBridge.dataFrame(spark, source)
+    val wh = new graft.sink.Warehouse(spark, root)
+    wh.addMissingColumns(table, df.schema)
+    wh.merge(table, df, pks)
+    Nil
   }
 }

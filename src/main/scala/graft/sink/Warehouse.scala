@@ -918,6 +918,49 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     UpdateReport(next, updated, untouched.size)
   }
 
+  /** Schema evolution, ADD-COLUMN case: commit a manifest whose schema is
+    * widened by `fields` — SAME files, SAME pending deletes, NO data
+    * rewrite. Reads null-backfill (every scan reads with the manifest
+    * schema, and parquet files lacking a column yield nulls); snapshots
+    * committed before the evolution keep their own schema, so time travel
+    * shows the table as it was. Columns append at the end and must be
+    * nullable — old rows cannot satisfy NOT NULL.
+    *
+    * This is the DDL spelling; implicit widening on write (the reference's
+    * dlt behavior) stays [[SchemaOps.conform]]/first-write widening.
+    */
+  def addColumns(name: String, fields: Seq[StructField]): Long = {
+    require(exists(name), s"no such table: $name")
+    require(fields.nonEmpty, "ADD COLUMN needs at least one column")
+    val bad = fields.filterNot(_.nullable)
+    require(bad.isEmpty,
+      s"new columns must be nullable (existing rows have no value): ${bad.map(_.name).mkString(", ")}")
+    val man = currentManifest(name)
+    val clash = fields.map(_.name)
+      .filter(n => man.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty, s"column(s) already exist: ${clash.mkString(", ")}")
+    val next = currentVersion(name) + 1
+    commitManifest(name, next,
+      Manifest(StructType(man.schema.fields ++ fields), man.files, man.deletes))
+  }
+
+  /** Idempotent evolve step for `MERGE ... WITH SCHEMA EVOLUTION`: add the
+    * columns of `incoming` the table lacks (as nullable), skip the ones it
+    * has — a replayed evolve-merge must not fail on its own prior commit.
+    * A same-named column with a DIFFERENT type is a real conflict and
+    * fails (silent coercion would corrupt either side).
+    */
+  def addMissingColumns(name: String, incoming: StructType): Unit = {
+    val cur = currentManifest(name).schema
+    val missing = incoming.fields.filter(f =>
+      !cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    val conflict = incoming.fields.flatMap(f =>
+      cur.fields.find(c => c.name.equalsIgnoreCase(f.name) && c.dataType != f.dataType))
+    require(conflict.isEmpty,
+      s"schema evolution cannot change column types: ${conflict.map(_.name).mkString(", ")}")
+    if (missing.nonEmpty) addColumns(name, missing.map(_.copy(nullable = true)).toSeq)
+  }
+
   // ------------------------------------------ merge-on-read (MOR) deletes --
 
   /** Iceberg-v2-style MERGE-ON-READ equality delete: commit a parquet file

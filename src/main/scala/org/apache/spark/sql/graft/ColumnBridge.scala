@@ -13,4 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Wrap an analyzer-built logical plan back into a [[DataFrame]]
+    * (`Dataset.ofRows` is `private[sql]`) — used by the MERGE
+    * schema-evolution command to execute its already-resolved source plan
+    * through the warehouse write path.
+    */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
