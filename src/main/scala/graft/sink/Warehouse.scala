@@ -1127,32 +1127,56 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
         .parquet(files.map(f => tableDir(name).resolve(f.path).toString): _*)
   }
 
+  /** `stage-<id>...published` tombstone beside a marker: durable proof the
+    * stage's commit landed, written by ATOMIC RENAME of the marker itself
+    * right after the commit. Unlike snapshot-path evidence it survives
+    * expiry and table rewrites, which closes the re-publish double-apply
+    * window those could otherwise reopen.
+    */
+  private def tombstoneOf(p: Path): Path =
+    p.resolveSibling(p.getFileName.toString.stripSuffix(".manifest") + ".published")
+
+  private def findTombstones(name: String, id: String): Seq[Path] = {
+    val s = Files.list(tableDir(name))
+    try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+      .filter(_.getFileName.toString.startsWith(s"stage-$id."))
+      .filter(_.getFileName.toString.endsWith(".published")).toSeq
+    finally s.close()
+  }
+
   /** Commit the audited candidate. One manifest commit under the same OCC
     * guard as every write; the staged data files are adopted by path, so
     * publish moves zero bytes.
     */
   def publishStage(name: String, stageId: String): Long = {
+    // A crash between a prior publish's commit and its marker finalization
+    // leaves the durable tombstone: re-publish is then a pure cleanup — no
+    // snapshot inspection, no dependence on what expiry kept around.
+    val stones = findTombstones(name, stageId)
+    if (stones.nonEmpty) {
+      stones.foreach(Files.deleteIfExists(_))
+      return currentVersion(name)
+    }
     val (p, mode, baseV) = findStage(name, stageId)
     val sm = Manifest.read(p)
     val cur = currentVersion(name)
     val curMan = currentManifest(name)
-    // Idempotent re-publish: commitManifest and the marker delete below are
-    // two writes, so a crash between them leaves a published stage with its
-    // marker still present. Detection is evidence-based:
-    //   - non-empty stage: its stg<id> file paths are globally unique, so
-    //     ANY retained snapshot containing them proves the commit landed —
-    //     the current manifest alone is not enough, because the table may
-    //     have been replaced since the crash, and re-appending the staged
-    //     rows onto the replaced table would be a silent double-publish;
-    //   - empty stage: no path evidence can exist, but publishing an empty
-    //     stage is content-neutral, so any commit past the stage's base
-    //     makes re-publish a pure cleanup (for an empty APPEND stage this
-    //     may skip the audit-trail snapshot when unrelated commits advanced
-    //     the table — content-wise identical either way).
-    // Residual window (documented, not closed): published marker survives a
-    // crash AND every adopting snapshot is later expired/rewritten — the
-    // filesystem then carries no evidence at all; drop the stage manually
-    // after such surgery.
+    // Idempotent re-publish, layered:
+    //   1. the tombstone above — written by atomic rename IMMEDIATELY after
+    //      the commit, so the unprotected window is one rename wide;
+    //   2. evidence-based detection for a crash inside that window:
+    //      - non-empty stage: its stg<id> file paths are globally unique, so
+    //        ANY retained snapshot containing them proves the commit landed —
+    //        the current manifest alone is not enough, because the table may
+    //        have been replaced since the crash, and re-appending the staged
+    //        rows onto the replaced table would be a silent double-publish;
+    //      - empty stage: no path evidence can exist, but publishing an
+    //        empty stage is content-neutral, so any commit past the stage's
+    //        base makes re-publish a pure cleanup;
+    //   3. [[expireSnapshots]] finalizes published-but-unfinalized markers
+    //      (same evidence check) BEFORE destroying the snapshots that carry
+    //      the evidence — so expiry can no longer reopen the window it used
+    //      to (the round-9 residual, now closed and spec-pinned).
     val stagePaths = sm.files.map(_.path).toSet
     val published =
       if (stagePaths.isEmpty) cur > baseV
@@ -1180,14 +1204,23 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           curMan.deletes)
     }
     val v = commitManifest(name, cur + 1, merged)
-    Files.deleteIfExists(p)
+    // finalize in two steps: one ATOMIC RENAME to the durable tombstone
+    // (from here on a replay is decided by the tombstone, never by snapshot
+    // evidence), then the tombstone delete completes the happy path
+    val stone = tombstoneOf(p)
+    Files.move(p, stone, StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(stone)
     v
   }
 
   /** Abandon a stage: its manifest and data files are deleted (they were
-    * never referenced by any snapshot, so nothing else can see them).
+    * never referenced by any snapshot, so nothing else can see them). A
+    * stage that turns out to be a published-but-unfinalized tombstone is
+    * just the finalization cleanup.
     */
   def dropStage(name: String, stageId: String): Boolean = {
+    val stones = findTombstones(name, stageId)
+    if (stones.nonEmpty) return stones.map(Files.deleteIfExists(_)).forall(identity)
     val (p, _, _) = findStage(name, stageId)
     val sm = Manifest.read(p)
     // a stage's files all live in its own stg* dir(s) — no snapshot ever
@@ -1314,6 +1347,21 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val drop = versions.dropRight(keepLast).filterNot(tagged)
     val keep = versions.filterNot(drop.toSet)
     def refsOf(m: Manifest): Seq[String] = m.files.map(_.path) ++ m.deletes.map(_.path)
+    // Finalize published-but-unfinalized stage markers BEFORE destroying the
+    // snapshots that prove publication (a crash inside publishStage's one-
+    // rename window leaves such a marker): the evidence check runs while
+    // every manifest still exists, and the marker becomes the durable
+    // tombstone — so a later re-publish stays a no-op even after this
+    // expiry removed all adopting snapshots. Closes the round-9 residual
+    // double-apply window.
+    listStages(name).foreach { id =>
+      val (p, _, _) = findStage(name, id)
+      val paths = Manifest.read(p).files.map(_.path).toSet
+      val published = paths.nonEmpty && versions.exists(v =>
+        paths.subsetOf(manifestAt(name, v).files.map(_.path).toSet))
+      if (published)
+        Files.move(p, tombstoneOf(p), StandardCopyOption.ATOMIC_MOVE)
+    }
     val droppedRefs = drop
       .flatMap(v => refsOf(Manifest.read(manifestPath(name, v)))).toSet
     // Pending (unpublished) stage manifests reference their stg* files just

@@ -172,6 +172,48 @@ class WapSpec extends SparkSpec {
     assert(wh.listStages("t").isEmpty)
   }
 
+  test("residual window closed: crash + full snapshot expiry still re-publishes as a no-op") {
+    val root = tmpDir("wap-closed")
+    val wh = new Warehouse(spark, root)
+    wh.replace("t", df("a" -> 1))
+    val id = wh.stageAppend("t", df("b" -> 2))
+    val marker = markerOf(root, "t", id)
+    val bytes = Files.readAllBytes(marker)
+    wh.publishStage("t", id)
+    Files.write(marker, bytes) // crash inside the one-rename finalize window
+    // the table moves on and EVERY adopting snapshot is expired — snapshot
+    // path evidence is gone; pre-fix, re-publish would re-append the staged
+    // rows onto the replaced table (the round-9 documented residual)
+    wh.replace("t", df("z" -> 9))
+    wh.expireSnapshots("t", keepLast = 1, orphanGraceMs = 0L)
+    assert(wh.listStages("t").isEmpty,
+      "expiry must finalize the published marker before destroying its evidence")
+    val cur = wh.currentVersion("t")
+    assert(wh.publishStage("t", id) == cur)
+    assert(wh.currentVersion("t") == cur, "no new commit")
+    assert(wh.load("t").collect().map(_.getString(0)).toSeq == Seq("z"),
+      "staged rows must not be re-applied after evidence-destroying surgery")
+  }
+
+  test("tombstone window: rename landed, delete lost — re-publish and dropStage are cleanups") {
+    val root = tmpDir("wap-stone")
+    val wh = new Warehouse(spark, root)
+    wh.replace("t", df("a" -> 1))
+    val id = wh.stageAppend("t", df("b" -> 2))
+    val v1 = wh.publishStage("t", id)
+    // crash between the marker→tombstone rename and the tombstone delete
+    val stone = Paths.get(root, "t", s"stage-$id.append.1.published")
+    Files.write(stone, Array[Byte]())
+    assert(wh.publishStage("t", id) == v1, "tombstone re-publish is a pure cleanup")
+    assert(!Files.exists(stone), "re-publish must consume the tombstone")
+    assert(wh.currentVersion("t") == v1 && wh.load("t").count() == 2)
+    // dropStage on a tombstone is the same cleanup
+    Files.write(stone, Array[Byte]())
+    assert(wh.dropStage("t", id))
+    assert(!Files.exists(stone))
+    assert(wh.load("t").count() == 2, "dropStage of a tombstone must not touch data")
+  }
+
   test("publish is idempotent: a marker surviving the commit re-publishes as a no-op") {
     val root = tmpDir("wap-idem")
     val wh = new Warehouse(spark, root)
