@@ -118,9 +118,9 @@ object BpeTrainer {
     * zero shuffle, Zipf-friendly per-task word cache.
     */
   def encode(spark: org.apache.spark.sql.SparkSession, words: Column,
-             merges: Seq[Merge]): Column = {
+             merges: Seq[Merge], byteLevel: Boolean = false): Column = {
     graft.functions.expressions.BpeFns.register(spark)
     graft.functions.expressions.BpeFns.bpeEncodeNative(
-      words, merges.map(m => (m.left, m.right)))
+      words, merges.map(m => (m.left, m.right)), byteLevel)
   }
 }

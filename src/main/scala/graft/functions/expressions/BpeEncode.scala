@@ -38,7 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * 100 TB tokenize-everything scan needs. Encoding is embarrassingly
   * parallel (zero shuffle); only the caller's aggregate shuffles.
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+                     byteLevel: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -50,7 +51,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   @transient private lazy val codec =
-    new BpeCodec(merges.map { case (a, b) => Array(a, b) }.toArray)
+    new BpeCodec(merges.map { case (a, b) => Array(a, b) }.toArray, byteLevel)
 
   override def nullSafeEval(input: Any): Any =
     codec.encodeAll(input.asInstanceOf[ArrayData])
@@ -72,7 +73,8 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   * distinct words the codec simply stops inserting — correctness never
   * depends on the cache.
   */
-final class BpeCodec(merges: Array[Array[String]]) extends Serializable {
+final class BpeCodec(merges: Array[Array[String]],
+                     byteLevel: Boolean = false) extends Serializable {
 
   @transient private lazy val cache =
     new ConcurrentHashMap[String, Array[UTF8String]]()
@@ -95,7 +97,8 @@ final class BpeCodec(merges: Array[Array[String]]) extends Serializable {
   def encodeWord(w: String): Array[UTF8String] = {
     val hit = cache.get(w)
     if (hit != null) return hit
-    var syms = BpeCodec.codePointsOf(w)
+    var syms =
+      if (byteLevel) BpeCodec.byteSymbolsOf(w) else BpeCodec.codePointsOf(w)
     var mi = 0
     while (mi < merges.length) {
       val a = merges(mi)(0)
@@ -120,6 +123,46 @@ final class BpeCodec(merges: Array[Array[String]]) extends Serializable {
 object BpeCodec {
   /** Zipf head comfortably fits; beyond this the cache stops growing. */
   val CacheMax = 1 << 16
+
+  /** GPT-2-style byte→printable-char table (the public `bytes_to_unicode`
+    * construction): printable ASCII (33-126) and printable Latin-1
+    * (161-172, 174-255) bytes keep their own code point; the remaining 68
+    * bytes shift to 256+n. Bijective over 0..255, so ANY string — any
+    * script, any binary-ish garbage — seeds from a closed 256-symbol base
+    * vocabulary and decodes back exactly. On the `[a-z0-9]+` word universe
+    * (q129's), every byte is in the keep range, so byte-level and
+    * code-point seeding coincide — pinned by `BpeSpec`.
+    */
+  val ByteToChar: Array[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) b.toChar.toString
+      else { val c = (256 + n).toChar.toString; n += 1; c }
+    }.toArray
+  }
+
+  val CharToByte: Map[Char, Int] =
+    ByteToChar.zipWithIndex.map { case (s, b) => s.charAt(0) -> b }.toMap
+
+  /** Seed symbols of a word in byte-level mode: UTF-8 bytes, each remapped
+    * to its printable char.
+    */
+  def byteSymbolsOf(w: String): Array[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = ByteToChar(bytes(i) & 0xff); i += 1 }
+    out
+  }
+
+  /** Inverse of [[byteSymbolsOf]] over any concatenation of byte-level
+    * symbols/tokens — the round-trip witness: decode(encode(w)) == w.
+    */
+  def decodeByteSymbols(syms: Seq[String]): String = {
+    val bytes = syms.flatMap(_.iterator.map(CharToByte(_).toByte)).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   private[expressions] def codePointsOf(w: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -171,9 +214,14 @@ object BpeFns {
     }
 
   def builder(exprs: Seq[Expression]): Expression = {
-    require(exprs.length == 2, "bpe_encode(words, merges_literal)")
+    require(exprs.length == 2 || exprs.length == 3,
+      "bpe_encode(words, merges_literal[, byte_level])")
     require(exprs(1).foldable, "merge table must be a foldable literal")
-    BpeEncode(exprs.head, parse(exprs(1).eval().toString))
+    val byteLevel = exprs.length == 3 && {
+      require(exprs(2).foldable, "byte_level must be a foldable literal")
+      exprs(2).eval() == true
+    }
+    BpeEncode(exprs.head, parse(exprs(1).eval().toString), byteLevel)
   }
 
   def register(spark: SparkSession): Unit = {
@@ -182,7 +230,13 @@ object BpeFns {
       reg.createOrReplaceTempFunction(FnName, builder, "built-in")
   }
 
-  /** Column-API entry point; requires `register(spark)` once per session. */
-  def bpeEncodeNative(words: Column, merges: Seq[(String, String)]): Column =
-    call_function(FnName, words, lit(serialize(merges)))
+  /** Column-API entry point; requires `register(spark)` once per session.
+    * `byteLevel = true` seeds each word from its remapped UTF-8 bytes
+    * ([[BpeCodec.byteSymbolsOf]]) instead of code points — the GPT-2-style
+    * mode whose 256-symbol base vocabulary makes any string encodable.
+    */
+  def bpeEncodeNative(words: Column, merges: Seq[(String, String)],
+                      byteLevel: Boolean = false): Column =
+    if (byteLevel) call_function(FnName, words, lit(serialize(merges)), lit(true))
+    else call_function(FnName, words, lit(serialize(merges)))
 }
