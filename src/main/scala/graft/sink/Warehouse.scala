@@ -1039,6 +1039,42 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   private def materializePendingDeletes(name: String): Unit =
     if (exists(name) && currentManifest(name).deletes.nonEmpty) compactDeletes(name)
 
+  /** Small-file compaction (Iceberg `rewriteDataFiles` bin-pack analog):
+    * rewrite every data file under `smallRows` rows into freshly clustered
+    * files, carrying larger files into the new snapshot untouched — one
+    * manifest commit, content byte-identical, prior snapshots still
+    * travelable until expiry. The operational answer to ingest-granularity
+    * rot: streaming micro-batches and O(batch) index appends accrete a
+    * file per trigger, and at 100 TB a scan's task count (and its manifest)
+    * grows with FILE count, not data size.
+    *
+    * Grain note: the manifest tracks row counts, not bytes, so the
+    * threshold is rows — for a fixed schema that is proportional to bytes
+    * and, unlike a filesystem stat sweep, free at any table size.
+    *
+    * `clusterBy` re-clusters the rewritten rows (in addition to the
+    * table's partition spec, which is always applied) so a compacted
+    * index table keeps its probe-pruning key ranges tight — e.g. a
+    * postings table compacts with `clusterBy = Seq("term")`. Pending MOR
+    * deletes materialize first (no resurrection); a table with fewer than
+    * two small files is already compact and commits nothing.
+    */
+  def compactFiles(name: String, smallRows: Long = 100000L,
+                   clusterBy: Seq[String] = Nil): Long = {
+    require(exists(name), s"no such table: $name")
+    materializePendingDeletes(name)
+    val man = currentManifest(name)
+    val (small, big) = man.files.partition(_.rows < smallRows)
+    if (small.size < 2) return currentVersion(name)
+    val next = currentVersion(name) + 1
+    val frame = spark.read.schema(man.schema)
+      .parquet(small.map(f => tableDir(name).resolve(f.path).toString): _*)
+    val rewritten = writeData(name,
+      cluster(frame, clusterBy, partitionSpec(name)), man.schema,
+      s"d${next}c", clusterBy ++ inheritedStatsCols(Some(man)), seq = next)
+    commitManifest(name, next, Manifest(man.schema, big ++ rewritten, man.deletes))
+  }
+
   // --------------------------------------------- write-audit-publish (WAP) --
 
   /** Stage a batch as an UNPUBLISHED candidate (Iceberg WAP pattern): data
