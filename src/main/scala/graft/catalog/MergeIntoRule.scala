@@ -1,8 +1,8 @@
 package graft.catalog
 
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, EqualTo, ExprId, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, Coalesce, EqualTo, ExprId, Expression, Literal, NamedExpression, Not}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -105,8 +105,6 @@ object GraftMergeRule extends Rule[LogicalPlan] {
   }
 
   private def rewrite(m: MergeIntoTable, r: DataSourceV2Relation): LogicalPlan = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
     val source = m.sourceTable
     val tOut = r.outputSet
     val sOut = source.outputSet
@@ -139,6 +137,181 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     def conform(e: Expression, t: Attribute): NamedExpression =
       if (e.dataType == t.dataType) Alias(e, t.name)()
       else Alias(Cast(e, t.dataType), t.name)()
+
+    /** Validated (column -> value) pairs of an UPDATE SET list. Reassigning
+      * an ON key is refused unless it is the identity (the star form's
+      * same-named copy): under the equality join the values agree, but a
+      * real reassignment would append the new key while the OLD row —
+      * whose key is no longer in the batch — silently survived.
+      */
+    def updatePairs(assigns: Seq[Assignment]): Seq[(String, Expression)] = {
+      val pairs = assigns.map { a =>
+        a.key match {
+          case k: Attribute if tOut.contains(k) =>
+            if (pks.exists(conf.resolver(_, k.name))) stripCast(a.value) match {
+              case v: Attribute if conf.resolver(v.name, k.name) &&
+                (sOut.contains(v) || tOut.contains(v)) => ()
+              case _ => fail(s"cannot reassign ON key column ${k.name}")
+            }
+            (k.name, a.value)
+          case other => fail(s"UPDATE SET target ${other.sql} is not a target column")
+        }
+      }
+      val dup = pairs.groupBy(_._1.toLowerCase).collect { case (n, vs) if vs.size > 1 => n }
+      if (dup.nonEmpty) fail(s"column(s) assigned more than once: ${dup.mkString(", ")}")
+      pairs
+    }
+
+    /** Not-matched INSERT leg: source anti-joined against the target,
+      * optionally condition-filtered, unassigned columns null-filled (ANSI
+      * INSERT-list semantics). Shared by the general path and the
+      * BY SOURCE replace path.
+      */
+    def buildInsertLeg(): Option[LogicalPlan] = m.notMatchedActions match {
+      case Seq() => None
+      case Seq(action) =>
+        val (cond, pairs) = action match {
+          case InsertStarAction(c) =>
+            (c, targetCols.map { n =>
+              n -> source.output.find(a => conf.resolver(a.name, n))
+                .getOrElse(fail(s"source is missing target column '$n'"))
+                .asInstanceOf[Expression]
+            })
+          case InsertAction(c, assigns) =>
+            (c, assigns.map { a =>
+              a.key match {
+                case k: Attribute if tOut.contains(k) => (k.name, a.value)
+                case other => fail(s"INSERT target ${other.sql} is not a target column")
+              }
+            })
+          case other => fail(s"unsupported not-matched action ${other.getClass.getSimpleName}")
+        }
+        val (fresh, toFresh) = freshTarget()
+        val anti = Join(source, fresh, LeftAnti,
+          Some(remap(m.mergeCondition, toFresh)), JoinHint.NONE)
+        val base = cond match {
+          // NOT MATCHED conditions reference the source only (analyzer-enforced)
+          case Some(c) => Filter(c, anti)
+          case None => anti
+        }
+        Some(Project(r.output.toSeq.map { t =>
+          pairs.find(p => conf.resolver(p._1, t.name)) match {
+            case Some((_, v)) => conform(v, t)
+            case None => Alias(Literal.create(null, t.dataType), t.name)()
+          }
+        }, base))
+      case _ => fail("at most one WHEN NOT MATCHED clause is supported")
+    }
+
+    // ---- WHEN NOT MATCHED BY SOURCE: the one MERGE arm whose semantics
+    // must examine EVERY target row (an unmatched target row's fate depends
+    // on the whole source), so the rewrite is a REPLACE — the new table
+    // state assembled as DataFrame algebra and committed as one snapshot.
+    // A full-table write is the honest cost of this arm at any scale; the
+    // arms that can avoid it (everything above/below) keep their
+    // stat-pruned O(touched) paths.
+    if (m.notMatchedBySourceActions.nonEmpty)
+      return bySourceRewrite()
+
+    def bySourceRewrite(): LogicalPlan = {
+      if (m.withSchemaEvolution)
+        fail("WITH SCHEMA EVOLUTION is supported only with the plain upsert")
+      val bySrc = m.notMatchedBySourceActions match {
+        case Seq(a) => a
+        case _ => fail("at most one WHEN NOT MATCHED BY SOURCE clause is supported")
+      }
+      def attrOf(n: String): Attribute =
+        r.output.find(a => conf.resolver(a.name, n)).get
+
+      // matched arm: pairs passing the clause produce NEW rows (update) or
+      // vanish (delete); `consumedKeys` identifies the target rows a
+      // passing pair consumed, so the keep-leg can exclude them. pk-keyed
+      // model (the merge contract): one target row per ON-key tuple.
+      val (changedLeg, consumedKeys): (Option[LogicalPlan], Option[LogicalPlan]) =
+        m.matchedActions match {
+          case Seq() => (None, None)
+          case Seq(action) =>
+            val (t1, to1) = freshTarget()
+            val j = Join(t1, source, Inner,
+              Some(remap(m.mergeCondition, to1)), JoinHint.NONE)
+            def keysOf(base: LogicalPlan) =
+              Project(pks.map(n => to1(attrOf(n).exprId): NamedExpression), base)
+            action match {
+              case UpdateStarAction(c) =>
+                val base = c.map(cc => Filter(remap(cc, to1), j)).getOrElse(j)
+                (Some(Project(r.output.toSeq.map { t =>
+                  conform(source.output.find(a => conf.resolver(a.name, t.name))
+                    .getOrElse(fail(s"source is missing target column '${t.name}'")), t)
+                }, base)), Some(keysOf(base)))
+              case UpdateAction(c, assigns, _) =>
+                val pairs = updatePairs(assigns)
+                val base = c.map(cc => Filter(remap(cc, to1), j)).getOrElse(j)
+                (Some(Project(r.output.toSeq.map { t =>
+                  pairs.find(p => conf.resolver(p._1, t.name)) match {
+                    case Some((_, v)) => conform(remap(v, to1), t)
+                    case None => to1(t.exprId)
+                  }
+                }, base)), Some(keysOf(base)))
+              case DeleteAction(c) =>
+                val base = c.map(cc => Filter(remap(cc, to1), j)).getOrElse(j)
+                (None, Some(keysOf(base)))
+              case other =>
+                fail(s"unsupported matched action ${other.getClass.getSimpleName}")
+            }
+          case _ => fail("at most one WHEN MATCHED clause is supported")
+        }
+
+      // matched target rows NOT consumed by the matched arm keep their
+      // original values
+      val (t2, to2) = freshTarget()
+      val matchedTarget = Join(t2, source, LeftSemi,
+        Some(remap(m.mergeCondition, to2)), JoinHint.NONE)
+      val keptMatched: LogicalPlan = consumedKeys match {
+        case None => matchedTarget
+        case Some(keys) =>
+          val cond = pks.zip(keys.output).map { case (n, k) =>
+            EqualTo(to2(attrOf(n).exprId), k): Expression
+          }.reduce(And)
+          Join(matchedTarget, keys, LeftAnti, Some(cond), JoinHint.NONE)
+      }
+
+      // unmatched target rows under the BY SOURCE clause; a condition that
+      // is not TRUE (false OR null) leaves the row as it was
+      val (t3, to3) = freshTarget()
+      val unmatched = Join(t3, source, LeftAnti,
+        Some(remap(m.mergeCondition, to3)), JoinHint.NONE)
+      def notTrue(c: Expression): Expression = Not(Coalesce(Seq(c, Literal(false))))
+      val bySourceLeg: Option[LogicalPlan] = bySrc match {
+        case DeleteAction(None) => None
+        case DeleteAction(Some(c)) =>
+          Some(Filter(notTrue(remap(c, to3)), unmatched))
+        case UpdateAction(c, assigns, _) =>
+          // no source row exists here: SET values may reference the target only
+          assigns.foreach { a =>
+            if (!a.value.references.subsetOf(tOut))
+              fail("BY SOURCE UPDATE values may reference only target columns")
+          }
+          val pairs = updatePairs(assigns)
+          val upd = Project(r.output.toSeq.map { t =>
+            pairs.find(p => conf.resolver(p._1, t.name)) match {
+              case Some((_, v)) => conform(remap(v, to3), t)
+              case None => to3(t.exprId)
+            }
+          }, c.map(cc => Filter(remap(cc, to3), unmatched)).getOrElse(unmatched))
+          c match {
+            case None => Some(upd)
+            case Some(cc) =>
+              Some(Union(upd, Filter(notTrue(remap(cc, to3)), unmatched)))
+          }
+        case other =>
+          fail(s"unsupported NOT MATCHED BY SOURCE action ${other.getClass.getSimpleName}")
+      }
+
+      val legs = Seq(changedLeg, Some(keptMatched), bySourceLeg, buildInsertLeg()).flatten
+      val batch = legs.reduce[LogicalPlan]((a, b) => Union(a, b))
+      AppendData.byPosition(r, batch,
+        Map("disposition" -> "replace", "primaryKeys" -> pks.mkString(",")))
+    }
 
     // ---- DELETE idiom (must be the only clause). Unconditional: O(batch) —
     // the source's key columns commit directly as a merge-on-read equality
@@ -212,30 +385,6 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     // algebra over a fresh read of the target, feeding the SAME merge write
     // (matched rows re-land as full rows under their PK; old versions drop).
 
-    /** Validated (column -> value) pairs of an UPDATE SET list. Reassigning
-      * an ON key is refused unless it is the identity (the star form's
-      * same-named copy): under the equality join the values agree, but a
-      * real reassignment would append the new key while the OLD row —
-      * whose key is no longer in the batch — silently survived.
-      */
-    def updatePairs(assigns: Seq[Assignment]): Seq[(String, Expression)] = {
-      val pairs = assigns.map { a =>
-        a.key match {
-          case k: Attribute if tOut.contains(k) =>
-            if (pks.exists(conf.resolver(_, k.name))) stripCast(a.value) match {
-              case v: Attribute if conf.resolver(v.name, k.name) &&
-                (sOut.contains(v) || tOut.contains(v)) => ()
-              case _ => fail(s"cannot reassign ON key column ${k.name}")
-            }
-            (k.name, a.value)
-          case other => fail(s"UPDATE SET target ${other.sql} is not a target column")
-        }
-      }
-      val dup = pairs.groupBy(_._1.toLowerCase).collect { case (n, vs) if vs.size > 1 => n }
-      if (dup.nonEmpty) fail(s"column(s) assigned more than once: ${dup.mkString(", ")}")
-      pairs
-    }
-
     val updateLeg: Option[LogicalPlan] = m.matchedActions match {
       case Seq() => None
       case Seq(action) =>
@@ -268,42 +417,7 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       case _ => fail("at most one WHEN MATCHED clause is supported")
     }
 
-    val insertLeg: Option[LogicalPlan] = m.notMatchedActions match {
-      case Seq() => None
-      case Seq(action) =>
-        val (cond, pairs) = action match {
-          case InsertStarAction(c) =>
-            (c, targetCols.map { n =>
-              n -> source.output.find(a => conf.resolver(a.name, n))
-                .getOrElse(fail(s"source is missing target column '$n'"))
-                .asInstanceOf[Expression]
-            })
-          case InsertAction(c, assigns) =>
-            (c, assigns.map { a =>
-              a.key match {
-                case k: Attribute if tOut.contains(k) => (k.name, a.value)
-                case other => fail(s"INSERT target ${other.sql} is not a target column")
-              }
-            })
-          case other => fail(s"unsupported not-matched action ${other.getClass.getSimpleName}")
-        }
-        val (fresh, toFresh) = freshTarget()
-        val anti = Join(source, fresh, LeftAnti,
-          Some(remap(m.mergeCondition, toFresh)), JoinHint.NONE)
-        val base = cond match {
-          // NOT MATCHED conditions reference the source only (analyzer-enforced)
-          case Some(c) => Filter(c, anti)
-          case None => anti
-        }
-        // unassigned columns null-fill (ANSI INSERT-list semantics)
-        Some(Project(r.output.toSeq.map { t =>
-          pairs.find(p => conf.resolver(p._1, t.name)) match {
-            case Some((_, v)) => conform(v, t)
-            case None => Alias(Literal.create(null, t.dataType), t.name)()
-          }
-        }, base))
-      case _ => fail("at most one WHEN NOT MATCHED clause is supported")
-    }
+    val insertLeg: Option[LogicalPlan] = buildInsertLeg()
 
     val batch = (updateLeg, insertLeg) match {
       case (Some(u), Some(i)) => Union(u, i)

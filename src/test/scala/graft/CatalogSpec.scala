@@ -236,6 +236,46 @@ class CatalogSpec extends SparkSpec {
     assert(wh.dataFiles("mw4").map(_.path) == before)
   }
 
+  test("SQL MERGE NOT MATCHED BY SOURCE: delete, conditional keep, target-only update") {
+    // full three-clause sync: the table becomes exactly the source
+    wh.replace("mb1", df(("a", 1), ("b", 2)), Seq("Id"))
+    df(("b", 20), ("c", 30)).createOrReplaceTempView("mb1_b")
+    spark.sql("MERGE INTO graft.mb1 t USING mb1_b s ON t.Id = s.Id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(rowsOf("mb1") == Seq(("b", 20L), ("c", 30L)))
+
+    // conditional BY SOURCE delete: unmatched rows failing the condition stay
+    wh.replace("mb2", df(("a", 1), ("b", 2), ("c", 3)), Seq("Id"))
+    df(("c", 99)).createOrReplaceTempView("mb2_b")
+    spark.sql("MERGE INTO graft.mb2 t USING mb2_b s ON t.Id = s.Id " +
+      "WHEN NOT MATCHED BY SOURCE AND t.Amount > 1 THEN DELETE")
+    // c matched (no matched clause -> kept as-is), b deleted, a fails cond
+    assert(rowsOf("mb2") == Seq(("a", 1L), ("c", 3L)))
+
+    // BY SOURCE UPDATE with target-only expressions; matched DELETE combines
+    wh.replace("mb3", df(("a", 1), ("b", 2)), Seq("Id"))
+    df(("a", 0)).createOrReplaceTempView("mb3_b")
+    spark.sql("MERGE INTO graft.mb3 t USING mb3_b s ON t.Id = s.Id " +
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET Amount = t.Amount * 100")
+    assert(rowsOf("mb3") == Seq(("b", 200L)))
+  }
+
+  test("SQL MERGE BY SOURCE rejects source references in SET values") {
+    wh.replace("mb4", df(("a", 1)), Seq("Id"))
+    df(("z", 9)).createOrReplaceTempView("mb4_b")
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO graft.mb4 t USING mb4_b s ON t.Id = s.Id " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET Amount = s.Amount")
+    }
+    // Spark's own analyzer may reject the reference before our rule does —
+    // either way it must fail, never bind a phantom source row
+    assert(e.getMessage.contains("only target columns") ||
+      e.getMessage.toLowerCase.contains("resolve") ||
+      e.getMessage.toLowerCase.contains("unresolved"), e.getMessage)
+  }
+
   test("SQL MERGE rejects unsupported shapes with a contract message") {
     wh.replace("mr", df(("a", 1)), Seq("Id"))
     df(("a", 2)).createOrReplaceTempView("mr_batch")
@@ -253,10 +293,11 @@ class CatalogSpec extends SparkSpec {
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id > s.Id " +
       "WHEN MATCHED THEN UPDATE SET * " +
       "WHEN NOT MATCHED THEN INSERT *").contains("ON conjunct"))
-    // NOT MATCHED BY SOURCE
+    // two NOT MATCHED BY SOURCE clauses
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
-      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-      "WHEN NOT MATCHED BY SOURCE THEN DELETE").contains("NOT MATCHED BY SOURCE"))
+      "WHEN NOT MATCHED BY SOURCE AND Amount > 5 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      .contains("at most one WHEN NOT MATCHED BY SOURCE"))
     // same column assigned twice
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
       "WHEN MATCHED THEN UPDATE SET Amount = s.Amount, Amount = t.Amount")
