@@ -398,6 +398,7 @@ private[catalog] class GraftWriteBuilder(table: String, root: String, info: Logi
   *   SELECT * FROM graft.`orders$files`       -- data files + stat bounds
   *   SELECT * FROM graft.`orders$snapshots`   -- commit history + tags
   *   SELECT * FROM graft.`orders$deletes`     -- pending MOR equality deletes
+  *   SELECT * FROM graft.`orders$partitions`  -- per-partition-value rollup
   *   SELECT * FROM graft.`orders$files` VERSION AS OF 'train-v1'
   * }}}
   *
@@ -439,6 +440,15 @@ private[catalog] object MetaTables {
     StructField("total_rows", LongType, nullable = false),
     StructField("tags", ArrayType(StringType, containsNull = false), nullable = false)))
 
+  val PartitionsSchema: StructType = StructType(Seq(
+    // transform -> value in the stat comparison domain; a transform's value
+    // is NULL for files whose bounds span several values (pre-spec files,
+    // un-clustered rewrites) — those group together as visibly unaligned
+    StructField("partition", MapType(StringType, StringType, valueContainsNull = true),
+      nullable = false),
+    StructField("file_count", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = false)))
+
   def table(displayName: String, wh: Warehouse, base: String, suffix: String,
       version: Option[Long]): Option[Table] = suffix match {
     case "files" =>
@@ -454,6 +464,23 @@ private[catalog] object MetaTables {
         val m = version.map(wh.manifestAt(base, _)).getOrElse(wh.currentManifest(base))
         m.deletes.map(d => Row(wh.resolvePath(base, d.path), d.rows, d.seq, d.cols,
           d.stats.map { case (c, s) => c -> Row(s.kind, s.min, s.max) })).toArray
+      }))
+    // per-partition-value rollup (Iceberg partitions-table analog): derived
+    // entirely from the manifest's per-file transform stat bounds — a bound
+    // with min == max IS the file's partition value (cluster() writes align
+    // files to transform values, so this is the common case); zero data IO
+    case "partitions" =>
+      Some(new MetaTable(displayName, PartitionsSchema, () => {
+        val m = version.map(wh.manifestAt(base, _)).getOrElse(wh.currentManifest(base))
+        val spec = wh.partitionSpec(base)
+        m.files.groupBy { f =>
+          spec.map { t =>
+            t -> f.stats.get(t).collect { case s if s.min == s.max => s.min }.orNull
+          }.toMap
+        }.toSeq.sortBy(_._1.toSeq.sortBy(_._1).map(kv => s"${kv._1}=${kv._2}").mkString(","))
+          .map { case (part, files) =>
+            Row(part, files.size.toLong, files.map(_.rows).sum)
+          }.toArray
       }))
     // the snapshots table IS the version axis — time travel on it is a
     // category error, surfaced as table-not-found

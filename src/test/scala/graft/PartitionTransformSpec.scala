@@ -175,6 +175,23 @@ class PartitionTransformSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("$partitions metadata table: per-transform-value rollup from manifest stats") {
+    wh.create("pt_meta", schema, Seq("days(ts)"))
+    Seq("2020-01-01", "2020-01-02")
+      .foreach(d => wh.append("pt_meta", batch(d, 0 until 10).repartition(1)))
+    wh.append("pt_meta", batch("2020-01-01", 10 until 15).repartition(1))
+    val out = spark.sql(
+      "SELECT partition['days(ts)'] AS day, file_count, row_count " +
+        "FROM gpt.`pt_meta$partitions` ORDER BY day").collect()
+    // epoch days: 2020-01-01 = 18262, 2020-01-02 = 18263
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("18262", 2L, 15L), ("18263", 1L, 10L)))
+    // zero data IO: the rollup must come from the manifest, not a scan
+    val plan = spark.sql("SELECT * FROM gpt.`pt_meta$partitions`")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") || plan.contains("LocalScan"), plan)
+  }
+
   test("projection unit checks: literal side matches the column side, bit for bit") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     // days: micros floor-division == unix_date(to_date(ts)) under UTC
