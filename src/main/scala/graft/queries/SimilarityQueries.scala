@@ -270,8 +270,12 @@ object SimilarityQueries {
     "q133_ivfpq_recall" -> { (s, dir) =>
       import graft.functions.{IvfPq, ProductQuantization}
       val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+      // persisted: 5 consumers (centroid agg, codebook training, cell
+      // assignment, PQ encode, probes) plus q60's exact baseline — without
+      // it the embedding scan + float cast re-runs per stage
       val emb = spread(read(s, dir, "embeddings"))
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val comp = emb.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("label", "pos")
         .agg((sum(col("x").cast(Dec)).cast("double") / count(lit(1))).as("c"))
