@@ -104,6 +104,16 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
     } finally toks.unpersist()
   }
 
+  /** Compact the postings table's ingest-granularity files
+    * ([[Warehouse.compactFiles]] with `clusterBy = term`): every per-batch
+    * append lands one term-range file, and after many small batches their
+    * ranges overlap — each probe then opens a file per batch. Compaction
+    * rewrites the small files into few DISJOINT term-range files, restoring
+    * the O(query-terms) probe; search results are unchanged (spec-pinned).
+    */
+  def compact(name: String, smallRows: Long = 100000L): Long =
+    wh.compactFiles(postingsTable(name), smallRows, clusterBy = Seq("term"))
+
   /** Postings of `terms` only: manifest-stat file pruning on the `term`
     * column (a file is skipped when NO query term falls inside its [min,max]
     * term range — same comparison domain as every other stat prune), then

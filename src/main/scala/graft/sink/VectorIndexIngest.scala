@@ -125,6 +125,16 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     Report(rep.version, rep.appended, newCodes.count())
   }
 
+  /** Compact the codes table's ingest-granularity files
+    * ([[Warehouse.compactFiles]] with `clusterBy = cell`): per-batch
+    * appends each span the batch's cells, and after many small batches a
+    * cell probe opens a file per batch. Compaction rewrites them into few
+    * cell-range files, restoring the ~nprobe/cells probe cost; search
+    * results are unchanged (spec-pinned).
+    */
+  def compact(name: String, smallRows: Long = 100000L): Long =
+    wh.compactFiles(codesTable(name), smallRows, clusterBy = Seq("cell"))
+
   /** Code-table files whose [min,max] cell range intersects the probed cell
     * set — the manifest-stat prune (same comparison domain as every other
     * stat prune); the residual `isin` handles row groups within kept files.

@@ -97,6 +97,29 @@ class CompactFilesSpec extends SparkSpec {
     }
   }
 
+  test("index compaction: search unchanged, probe pruning restored") {
+    // BM25 postings: 3 tiny ingests -> 3 overlapping term-range files; after
+    // compact, the probe prunes again and search is bit-identical
+    val whS = new Warehouse(spark, tmpDir("cf-sii"))
+    val ing = new graft.sink.SearchIndexIngest(whS, "doc_id", "text")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def docs(rows: (Long, String)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2)).asJava, docSchema)
+    ing.ingest("c", docs(1L -> "apple merge zebra", 2L -> "mango spark yam"))
+    ing.ingest("c", docs(3L -> "avocado merge zoo", 4L -> "melon spark wasabi"))
+    ing.ingest("c", docs(5L -> "apricot merge zinc", 6L -> "mint spark walnut"))
+    val before = ing.search("c", Seq("merge", "spark"), k = 10).collect().toSeq
+    val filesBefore = whS.dataFiles("c__postings").size
+    ing.compact("c")
+    assert(whS.dataFiles("c__postings").size < filesBefore)
+    assert(ing.search("c", Seq("merge", "spark"), k = 10).collect().toSeq == before,
+      "compaction must not change search results")
+    // disjoint term ranges: a one-term probe opens fewer files than exist
+    assert(ing.probePostings("c", Seq("merge")).inputFiles.length <
+      whS.dataFiles("c__postings").size.max(2))
+  }
+
   test("pending MOR deletes materialize before compaction — no resurrection") {
     val wh = new Warehouse(spark, tmpDir("cf-mor"))
     (0 until 3).foreach(i => wh.append("t", rows("2020-01-01", i * 2 until i * 2 + 2), Seq("id")))

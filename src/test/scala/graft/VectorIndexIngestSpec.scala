@@ -177,6 +177,24 @@ class VectorIndexIngestSpec extends SparkSpec {
     assert(ing.probeCodes("v", Seq(99L)).inputFiles.isEmpty)
   }
 
+  test("codes compaction: search unchanged, fewer files") {
+    val wh = new Warehouse(spark, tmpDir("vii-compact"))
+    val ing = ingester(wh)
+    ing.freeze("v", cellCents,
+      ProductQuantization.initCodebook(emb(vecs(0 until 24)), DIM, M, K))
+    // mixed-cell micro-batches: one codes file per ingest, all spanning cells
+    Seq(0 until 8, 8 until 16, 16 until 24).foreach(r => ing.ingest("v", vecs(r)))
+    val probes = probesOf(vecs(0 until 24), 2)
+    val before = sorted(ing.search("v", probes, nprobe = 2, topK = 5)
+      .withColumnRenamed("id", "vec_id"))
+    val filesBefore = wh.dataFiles("v__codes").size
+    ing.compact("v")
+    assert(wh.dataFiles("v__codes").size < filesBefore)
+    assert(sorted(ing.search("v", probes, nprobe = 2, topK = 5)
+      .withColumnRenamed("id", "vec_id")) == before,
+      "compaction must not change search results")
+  }
+
   test("frozen means frozen: re-freeze under committed codes and shape drift refuse") {
     val wh = new Warehouse(spark, tmpDir("vii-freeze"))
     val ing = ingester(wh)
