@@ -46,11 +46,19 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *     unconditional form stays the O(batch) merge-on-read equality delete
   *     (no target read, no file rewrite); the conditional form joins to
   *     evaluate the condition per matched pair, then commits the surviving
-  *     keys the same MOR way.
+  *     keys the same MOR way;
+  *   - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE / UPDATE`,
+  *     SEVERAL matched clauses (ANSI first-match-wins; all but the last
+  *     need a condition), and matched DELETE combined with other clauses:
+  *     rewritten to one REPLACE snapshot — these shapes must examine every
+  *     target row (or remove rows an append cannot), so a full-table write
+  *     is their honest cost; every arm that can avoid it keeps its
+  *     stat-pruned O(touched) path.
   *
-  * Everything else — `WHEN NOT MATCHED BY SOURCE`, `WITH SCHEMA EVOLUTION`,
-  * several matched clauses, reassigning an ON key — fails with a message
-  * saying so, rather than silently approximating. Deliberate divergences
+  * What remains refused — reassigning an ON key, `WITH SCHEMA EVOLUTION`
+  * beyond the plain upsert, source references in BY SOURCE SET values —
+  * fails with a message saying so, rather than silently approximating.
+  * Deliberate divergences
   * from ANSI MERGE, inherited from the reference's dlt contract and pinned
   * by `CatalogSpec`:
   *   - several source rows per PK do not error (ANSI: cardinality
@@ -203,65 +211,91 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       case _ => fail("at most one WHEN NOT MATCHED clause is supported")
     }
 
-    // ---- WHEN NOT MATCHED BY SOURCE: the one MERGE arm whose semantics
-    // must examine EVERY target row (an unmatched target row's fate depends
-    // on the whole source), so the rewrite is a REPLACE — the new table
-    // state assembled as DataFrame algebra and committed as one snapshot.
-    // A full-table write is the honest cost of this arm at any scale; the
-    // arms that can avoid it (everything above/below) keep their
-    // stat-pruned O(touched) paths.
-    if (m.notMatchedBySourceActions.nonEmpty)
-      return bySourceRewrite()
+    // ---- REPLACE-shaped rewrite: clause combinations whose semantics the
+    // incremental write paths cannot express — `WHEN NOT MATCHED BY SOURCE`
+    // (an unmatched target row's fate depends on the whole source, so every
+    // target row must be examined), SEVERAL matched clauses (ANSI
+    // first-match-wins), or a matched DELETE combined with other clauses
+    // (merge-disposition appends cannot remove a target row). The new table
+    // state is assembled as DataFrame algebra and committed as ONE replace
+    // snapshot; a full-table write is the honest cost of these shapes at
+    // any scale, and every arm that can avoid it (below) keeps its
+    // stat-pruned O(touched) path.
+    if (m.notMatchedBySourceActions.nonEmpty || m.matchedActions.size > 1 ||
+        (m.matchedActions.exists(_.isInstanceOf[DeleteAction]) &&
+          m.notMatchedActions.nonEmpty))
+      return replaceRewrite()
 
-    def bySourceRewrite(): LogicalPlan = {
+    def replaceRewrite(): LogicalPlan = {
       if (m.withSchemaEvolution)
         fail("WITH SCHEMA EVOLUTION is supported only with the plain upsert")
-      val bySrc = m.notMatchedBySourceActions match {
-        case Seq(a) => a
+      val bySrc: Option[MergeAction] = m.notMatchedBySourceActions match {
+        case Seq() => None
+        case Seq(a) => Some(a)
         case _ => fail("at most one WHEN NOT MATCHED BY SOURCE clause is supported")
       }
       def attrOf(n: String): Attribute =
         r.output.find(a => conf.resolver(a.name, n)).get
+      def notTrue(c: Expression): Expression = Not(Coalesce(Seq(c, Literal(false))))
+      def condOf(a: MergeAction): Option[Expression] = a match {
+        case UpdateStarAction(c) => c
+        case UpdateAction(c, _, _) => c
+        case DeleteAction(c) => c
+        case other => fail(s"unsupported matched action ${other.getClass.getSimpleName}")
+      }
+      // ANSI determinism rule (Delta/Iceberg make the same demand): with
+      // several matched clauses, all but the last need a condition — an
+      // unconditional earlier clause would shadow everything after it
+      m.matchedActions.dropRight(1).foreach(a =>
+        if (condOf(a).isEmpty)
+          fail("every WHEN MATCHED clause except the last needs AND <condition>"))
 
-      // matched arm: pairs passing the clause produce NEW rows (update) or
-      // vanish (delete); `consumedKeys` identifies the target rows a
-      // passing pair consumed, so the keep-leg can exclude them. pk-keyed
-      // model (the merge contract): one target row per ON-key tuple.
-      val (changedLeg, consumedKeys): (Option[LogicalPlan], Option[LogicalPlan]) =
-        m.matchedActions match {
-          case Seq() => (None, None)
-          case Seq(action) =>
-            val (t1, to1) = freshTarget()
-            val j = Join(t1, source, Inner,
-              Some(remap(m.mergeCondition, to1)), JoinHint.NONE)
-            def keysOf(base: LogicalPlan) =
-              Project(pks.map(n => to1(attrOf(n).exprId): NamedExpression), base)
-            action match {
-              case UpdateStarAction(c) =>
-                val base = c.map(cc => Filter(remap(cc, to1), j)).getOrElse(j)
-                (Some(Project(r.output.toSeq.map { t =>
-                  conform(source.output.find(a => conf.resolver(a.name, t.name))
-                    .getOrElse(fail(s"source is missing target column '${t.name}'")), t)
-                }, base)), Some(keysOf(base)))
-              case UpdateAction(c, assigns, _) =>
-                val pairs = updatePairs(assigns)
-                val base = c.map(cc => Filter(remap(cc, to1), j)).getOrElse(j)
-                (Some(Project(r.output.toSeq.map { t =>
-                  pairs.find(p => conf.resolver(p._1, t.name)) match {
-                    case Some((_, v)) => conform(remap(v, to1), t)
-                    case None => to1(t.exprId)
-                  }
-                }, base)), Some(keysOf(base)))
-              case DeleteAction(c) =>
-                val base = c.map(cc => Filter(remap(cc, to1), j)).getOrElse(j)
-                (None, Some(keysOf(base)))
-              case other =>
-                fail(s"unsupported matched action ${other.getClass.getSimpleName}")
+      // matched arm, first-match-wins: clause i applies to a pair when its
+      // condition is TRUE and every earlier clause's was not. UPDATE
+      // clauses produce NEW rows; DELETE clauses produce none; the union of
+      // all applying pairs' keys (`consumedKeys`) identifies target rows a
+      // clause consumed, so the keep-leg can exclude them. pk-keyed model
+      // (the merge contract): one target row per ON-key tuple.
+      val (changedLegs, consumedKeys): (Seq[LogicalPlan], Option[LogicalPlan]) =
+        if (m.matchedActions.isEmpty) (Nil, None)
+        else {
+          val (t1, to1) = freshTarget()
+          val j = Join(t1, source, Inner,
+            Some(remap(m.mergeCondition, to1)), JoinHint.NONE)
+          val bases: Seq[(MergeAction, LogicalPlan)] =
+            m.matchedActions.zipWithIndex.map { case (action, i) =>
+              val priors = m.matchedActions.take(i)
+                .flatMap(condOf).map(c => notTrue(remap(c, to1)))
+              val own = condOf(action).map(c => remap(c, to1))
+              val gate = (priors ++ own).reduceOption(And)
+              (action, gate.map(g => Filter(g, j)).getOrElse(j))
             }
-          case _ => fail("at most one WHEN MATCHED clause is supported")
+          val legs = bases.flatMap {
+            case (UpdateStarAction(_), base) =>
+              Some(Project(r.output.toSeq.map { t =>
+                conform(source.output.find(a => conf.resolver(a.name, t.name))
+                  .getOrElse(fail(s"source is missing target column '${t.name}'")), t)
+              }, base))
+            case (UpdateAction(_, assigns, _), base) =>
+              val pairs = updatePairs(assigns)
+              Some(Project(r.output.toSeq.map { t =>
+                pairs.find(p => conf.resolver(p._1, t.name)) match {
+                  case Some((_, v)) => conform(remap(v, to1), t)
+                  case None => to1(t.exprId)
+                }
+              }, base))
+            case (DeleteAction(_), _) => None
+            case (other, _) =>
+              fail(s"unsupported matched action ${other.getClass.getSimpleName}")
+          }
+          def keysOf(base: LogicalPlan) =
+            Project(pks.map(n => to1(attrOf(n).exprId): NamedExpression), base)
+          val consumed = bases.map(b => keysOf(b._2))
+            .reduceOption[LogicalPlan]((a, b) => Union(a, b))
+          (legs, consumed)
         }
 
-      // matched target rows NOT consumed by the matched arm keep their
+      // matched target rows NOT consumed by any matched clause keep their
       // original values
       val (t2, to2) = freshTarget()
       val matchedTarget = Join(t2, source, LeftSemi,
@@ -275,17 +309,17 @@ object GraftMergeRule extends Rule[LogicalPlan] {
           Join(matchedTarget, keys, LeftAnti, Some(cond), JoinHint.NONE)
       }
 
-      // unmatched target rows under the BY SOURCE clause; a condition that
-      // is not TRUE (false OR null) leaves the row as it was
+      // unmatched target rows under the BY SOURCE clause (absent: all kept);
+      // a condition that is not TRUE (false OR null) leaves the row as it was
       val (t3, to3) = freshTarget()
       val unmatched = Join(t3, source, LeftAnti,
         Some(remap(m.mergeCondition, to3)), JoinHint.NONE)
-      def notTrue(c: Expression): Expression = Not(Coalesce(Seq(c, Literal(false))))
       val bySourceLeg: Option[LogicalPlan] = bySrc match {
-        case DeleteAction(None) => None
-        case DeleteAction(Some(c)) =>
+        case None => Some(unmatched)
+        case Some(DeleteAction(None)) => None
+        case Some(DeleteAction(Some(c))) =>
           Some(Filter(notTrue(remap(c, to3)), unmatched))
-        case UpdateAction(c, assigns, _) =>
+        case Some(UpdateAction(c, assigns, _)) =>
           // no source row exists here: SET values may reference the target only
           assigns.foreach { a =>
             if (!a.value.references.subsetOf(tOut))
@@ -303,12 +337,13 @@ object GraftMergeRule extends Rule[LogicalPlan] {
             case Some(cc) =>
               Some(Union(upd, Filter(notTrue(remap(cc, to3)), unmatched)))
           }
-        case other =>
+        case Some(other) =>
           fail(s"unsupported NOT MATCHED BY SOURCE action ${other.getClass.getSimpleName}")
       }
 
-      val legs = Seq(changedLeg, Some(keptMatched), bySourceLeg, buildInsertLeg()).flatten
-      val batch = legs.reduce[LogicalPlan]((a, b) => Union(a, b))
+      val legs = changedLegs.map(Some(_)) ++
+        Seq(Some(keptMatched), bySourceLeg, buildInsertLeg())
+      val batch = legs.flatten.reduce[LogicalPlan]((a, b) => Union(a, b))
       AppendData.byPosition(r, batch,
         Map("disposition" -> "replace", "primaryKeys" -> pks.mkString(",")))
     }

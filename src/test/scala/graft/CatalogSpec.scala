@@ -262,6 +262,36 @@ class CatalogSpec extends SparkSpec {
     assert(rowsOf("mb3") == Seq(("b", 200L)))
   }
 
+  test("SQL MERGE multiple matched clauses: first-match-wins; DELETE combines with INSERT") {
+    // the classic upsert-with-tombstone: negative amounts delete, others
+    // update, new keys insert — one atomic statement
+    wh.replace("mm1", df(("a", 1), ("b", 2), ("c", 3)), Seq("Id"))
+    df(("a", 10), ("b", -1), ("d", 4)).createOrReplaceTempView("mm1_b")
+    spark.sql("MERGE INTO graft.mm1 t USING mm1_b s ON t.Id = s.Id " +
+      "WHEN MATCHED AND s.Amount < 0 THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(rowsOf("mm1") == Seq(("a", 10L), ("c", 3L), ("d", 4L)))
+
+    // first-match-wins with overlapping conditions: the EARLIER clause takes
+    // the row even though the later one also matches
+    wh.replace("mm2", df(("a", 5)), Seq("Id"))
+    df(("a", 7)).createOrReplaceTempView("mm2_b")
+    spark.sql("MERGE INTO graft.mm2 t USING mm2_b s ON t.Id = s.Id " +
+      "WHEN MATCHED AND s.Amount > 0 THEN UPDATE SET Amount = s.Amount * 100 " +
+      "WHEN MATCHED THEN UPDATE SET Amount = s.Amount")
+    assert(rowsOf("mm2") == Seq(("a", 700L)))
+
+    // conditional DELETE + INSERT (no update clause): matched-but-failing
+    // rows stay, matched-passing rows go, unmatched source rows insert
+    wh.replace("mm3", df(("a", 1), ("b", 9)), Seq("Id"))
+    df(("a", 0), ("b", 0), ("z", 5)).createOrReplaceTempView("mm3_b")
+    spark.sql("MERGE INTO graft.mm3 t USING mm3_b s ON t.Id = s.Id " +
+      "WHEN MATCHED AND t.Amount > 5 THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(rowsOf("mm3") == Seq(("a", 1L), ("z", 5L)))
+  }
+
   test("SQL MERGE BY SOURCE rejects source references in SET values") {
     wh.replace("mb4", df(("a", 1)), Seq("Id"))
     df(("z", 9)).createOrReplaceTempView("mb4_b")
@@ -285,10 +315,14 @@ class CatalogSpec extends SparkSpec {
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
       "WHEN MATCHED THEN UPDATE SET Id = concat(s.Id, 'x') " +
       "WHEN NOT MATCHED THEN INSERT *").contains("ON key"))
-    // DELETE mixed with other clauses
+    // several matched clauses where a non-last one is unconditional: Spark's
+    // parser enforces this (NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION); the
+    // rule carries the same check as defense-in-depth for plan-built merges
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id = s.Id " +
-      "WHEN MATCHED AND s.Amount > 1 THEN DELETE " +
-      "WHEN NOT MATCHED THEN INSERT *").contains("only clause"))
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+      .matches("(?s).*(except the last|NON_LAST_MATCHED_CLAUSE).*"))
     // non-equi ON
     assert(bad("MERGE INTO graft.mr t USING mr_batch s ON t.Id > s.Id " +
       "WHEN MATCHED THEN UPDATE SET * " +
