@@ -310,6 +310,50 @@ object SimilarityQueries {
       recall.join(top1, "probe_id").orderBy("probe_id")
     },
 
+    // The warehouse-SERVED vector index under the DuckDB oracle: q133 gates
+    // the IVF-PQ serving ALGEBRA inline; this gates the actual
+    // [[graft.sink.VectorIndexIngest]] path — freeze the same frozen model
+    // into warehouse tables, ingest the corpus in TWO batches (the
+    // incremental path, not a batch build), then answer the probes from the
+    // index: manifest cell-pruned code files, broadcast ADC distance table,
+    // exact-decimal sums. The output must match DuckDB's independent
+    // computation at full (rank, id, distance) identity — proving the
+    // index-resident serving state (codes round-tripped through parquet,
+    // batching-invariant by the frozen-model discipline) bit-equal to the
+    // declarative algebra. At 100 TB this is the difference that matters:
+    // the served path reads M-int code rows of ~nprobe/cells of the corpus
+    // and never the float vectors.
+    "q134_vector_index_served" -> { (s, dir) =>
+      import graft.functions.ProductQuantization
+      import graft.sink.{VectorIndexIngest, Warehouse}
+      val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+      val emb = spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val comp = emb.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast(Dec)).cast("double") / count(lit(1))).as("c"))
+      val cents = comp.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cv"))
+        .select(col("label").cast("long").as("cell"), col("cv"))
+      val model = ProductQuantization.initCodebook(
+        emb.select(col("vec_id"), col("v")), DIM, PQ_M, PQ_K)
+      val wh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-q134").toString)
+      val ing = new VectorIndexIngest(wh, "vec_id", "v", DIM, PQ_M, PQ_K)
+      ing.freeze("e", cents, model)
+      val src = emb.select(col("vec_id"), col("v"))
+      ing.ingest("e", src.filter(col("vec_id") % 2 === 0))
+      ing.ingest("e", src.filter(col("vec_id") % 2 === 1))
+      val probes = emb.filter(col("vec_id") < N_PROBES)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      ing.search("e", probes, NPROBE_CELLS, TOPK, excludeSelf = true)
+        .select(col("probe_id"), col("rank"), col("vec_id"),
+          round(col("adc_d2"), 6).as("adc_d2"))
+        .orderBy("probe_id", "rank")
+    },
+
     // One Lloyd (k-means) refinement iteration over the IVF coarse
     // quantizer — the index-BUILD operator the search queries assume:
     // reassign every vector to its nearest current centroid, then report
@@ -775,19 +819,19 @@ object SimilarityQueries {
        |  round(CAST(sum(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_sq_dist
        |FROM a GROUP BY sub_id, cell ORDER BY sub_id, cell""".stripMargin
 
-  /** Mirror of q133's full IVF-PQ serving chain. Subvector slices, the d2
-    * folds, the decimal centroid/codebook means, and the decimal ADC sums
-    * are each the proven q83/q65 mirrors; ranking runs on the raw doubles
-    * with (adc ASC, vec_id ASC) ties, identical across engines.
+  /** The frozen-model IVF-PQ serving chain in pure SQL — shared by q133
+    * (recall metric) and q134 (the warehouse-SERVED path gated against the
+    * same independent computation). Subvector slices, the d2 folds, the
+    * decimal centroid/codebook means, and the decimal ADC sums are each the
+    * proven q83/q65 mirrors; ranking runs on the raw doubles with
+    * (adc ASC, vec_id ASC) ties, identical across engines.
     */
-  private lazy val q133Oracle = {
+  private lazy val ivfPqApproxSql = {
     val sub = DIM / PQ_M
     def subD2(a: String, b: String) =
       s"""list_reduce(list_transform(generate_series(1, $sub),
          |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""".stripMargin
-    s"""WITH exact AS ($q60Oracle),
-       |approx AS (
-       |  WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |  comp AS (
        |    SELECT label, g.i AS pos,
        |      CAST(sum(CAST(v[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
@@ -841,7 +885,18 @@ object SimilarityQueries {
        |    SELECT probe_id, vec_id, adc_d2, row_number() OVER (
        |      PARTITION BY probe_id ORDER BY adc_d2 ASC, vec_id ASC) AS rank
        |    FROM scored)
-       |  SELECT probe_id, rank, vec_id, adc_d2 FROM ranked WHERE rank <= $TOPK),
+       |  SELECT probe_id, rank, vec_id, adc_d2 FROM ranked WHERE rank <= $TOPK""".stripMargin
+  }
+
+  /** Mirror of q133's full IVF-PQ serving chain. Subvector slices, the d2
+    * folds, the decimal centroid/codebook means, and the decimal ADC sums
+    * are each the proven q83/q65 mirrors; ranking runs on the raw doubles
+    * with (adc ASC, vec_id ASC) ties, identical across engines.
+    */
+  private lazy val q133Oracle =
+    s"""WITH exact AS ($q60Oracle),
+       |approx AS (
+       |  $ivfPqApproxSql),
        |rec AS (
        |  SELECT e.probe_id,
        |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -853,10 +908,20 @@ object SimilarityQueries {
        |  FROM approx WHERE rank = 1)
        |SELECT r.probe_id, r.recall_at_10, t.top1_vec_id, t.top1_adc
        |FROM rec r JOIN t1 t USING (probe_id) ORDER BY probe_id""".stripMargin
-  }
+
+  /** q134's oracle: the SAME serving-chain SQL, emitted row-for-row — the
+    * warehouse-resident index path must reproduce DuckDB's independent
+    * computation at full (rank, id, distance) identity.
+    */
+  private lazy val q134Oracle =
+    s"""WITH approx AS (
+       |  $ivfPqApproxSql)
+       |SELECT probe_id, rank, vec_id, round(adc_d2, 6) AS adc_d2
+       |FROM approx ORDER BY probe_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q133_ivfpq_recall" -> q133Oracle,
+    "q134_vector_index_served" -> q134Oracle,
     "q126_embedding_audit" ->
       s"""SELECT vec_id, label,
          |  CAST(len(v) AS INT) AS dim,

@@ -149,6 +149,11 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
              confirmed: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
     require(terms.distinct.size == terms.size, "query terms must be distinct")
+    // one pivot column pair per term: right for the keyword-query shape this
+    // serves; a wide "query" (document-sized term sets) belongs on the
+    // corpus-scan path (q113's algebra), not a thousand-column pivot
+    require(terms.size <= 64,
+      s"search supports at most 64 terms (got ${terms.size}); use the corpus-scan BM25 for document-shaped queries")
     require(wh.exists(postingsTable(name)) && wh.exists(cstatsTable(name)),
       s"no search index for table: $name (ingest first)")
     // persisted: consumers = per-term df aggregate + the scoring pivot

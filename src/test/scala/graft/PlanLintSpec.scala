@@ -41,8 +41,10 @@ class PlanLintSpec extends SparkSpec {
       "q131_semdedup",
       // q133 composes three bounded broadcast crosses: corpus/probe cell
       // assignment against the centroid table (q65/q73's shape) and the ADC
-      // probe x M x K distance table onto the code scan (IvfPq.search).
-      "q133_ivfpq_recall")
+      // probe x M x K distance table onto the code scan (IvfPq.search);
+      // q134 serves the same algebra from the warehouse-resident index
+      // (same bounded crosses, code scan manifest-pruned).
+      "q133_ivfpq_recall", "q134_vector_index_served")
 
   /** Plan statically (AQE off): AQE wraps plans before stage codegen is
     * decided, hiding both the `*(n)` markers and the pre-reoptimization
