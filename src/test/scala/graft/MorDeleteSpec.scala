@@ -179,12 +179,15 @@ class MorDeleteSpec extends SparkSpec {
     assert(wh.dataFiles("t").map(_.path) == before,
       "merge-delete must be MOR: no data file rewritten")
     assert(wh.currentManifest("t").deletes.nonEmpty)
-    // DELETE mixed with other clauses stays rejected
-    val e = intercept[UnsupportedOperationException](spark.sql(
+    // DELETE + INSERT now combines (replace-shaped rewrite): the target read
+    // inside the rewrite sees the PENDING MOR deletes (rows 2/3 stay gone —
+    // nothing matches), so the unmatched source rows insert
+    spark.sql(
       """MERGE INTO gmd.t t USING mdel_src s ON t.id = s.id
         |WHEN MATCHED THEN DELETE
-        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
-    assert(e.getMessage.contains("only clause"))
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(ids(wh, "t") == Seq(1L, 2L, 3L, 99L),
+      "MOR-deleted rows must stay deleted; unmatched source rows insert")
   }
 
   test("expiry keeps referenced delete files; sweeps them with their snapshots") {
