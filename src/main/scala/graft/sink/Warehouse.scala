@@ -1149,18 +1149,22 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     }
 
   /** The candidate table state the audit step reads: base + batch for an
-    * append stage, the batch alone for a replace stage.
+    * append stage, the batch alone for a replace stage. The base rides
+    * [[morFrame]], so PENDING equality deletes apply exactly as they do on
+    * every other read — an audit must never see rows a publish would not
+    * adopt. Staged files are sequenced above every pending delete for the
+    * audit view, mirroring publish (adopted files get the publish commit's
+    * seq, shielding them from carried-forward deletes).
     */
   def loadStage(name: String, stageId: String): DataFrame = {
     val (p, mode, _) = findStage(name, stageId)
     val sm = Manifest.read(p)
-    val files =
-      if (mode == "append") currentManifest(name).files ++ sm.files else sm.files
-    if (files.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), sm.schema)
-    else
-      spark.read.schema(sm.schema)
-        .parquet(files.map(f => tableDir(name).resolve(f.path).toString): _*)
+    val cur = currentManifest(name)
+    val (files, deletes) =
+      if (mode == "append")
+        (cur.files ++ sm.files.map(_.copy(seq = Long.MaxValue)), cur.deletes)
+      else (sm.files, Nil)
+    morFrame(name, Manifest(sm.schema, files, deletes))
   }
 
   /** `stage-<id>...published` tombstone beside a marker: durable proof the

@@ -172,6 +172,30 @@ class WapSpec extends SparkSpec {
     assert(wh.listStages("t").isEmpty)
   }
 
+  test("audit view applies pending MOR deletes; staged rows are shielded like publish") {
+    val root = tmpDir("wap-mor")
+    val wh = new Warehouse(spark, root)
+    wh.replace("t", df("a" -> 1, "b" -> 2), Seq("Id"))
+    // pending equality delete on 'a' — no rewrite, delete rides the manifest
+    wh.equalityDelete("t", spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row("a")).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("Id",
+          org.apache.spark.sql.types.StringType)))))
+    // stage a batch that RE-ADDS 'a': the staged row must survive the older
+    // delete in the audit view (publish sequences adopted files above it)
+    val id = wh.stageAppend("t", df("a" -> 99, "c" -> 3))
+    val audit = wh.loadStage("t", id).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(audit == Seq(("a", 99L), ("b", 2L), ("c", 3L)),
+      s"audit must hide the deleted row and keep the staged re-insert: $audit")
+    // publish: the real table state equals what the audit certified
+    wh.publishStage("t", id)
+    val after = wh.load("t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(after == audit, s"published state $after diverged from audit view $audit")
+  }
+
   test("residual window closed: crash + full snapshot expiry still re-publishes as a no-op") {
     val root = tmpDir("wap-closed")
     val wh = new Warehouse(spark, root)
