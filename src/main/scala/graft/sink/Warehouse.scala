@@ -536,24 +536,41 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val sized = man.files.map(f => f -> Files.size(tableDir(name).resolve(f.path)))
     val (smalls, bigs) = sized.partition(_._2 < targetBytes)
     if (smalls.size < 2) return currentVersion(name)
-    val next = currentVersion(name) + 1
-    val statsFor = inheritedStatsCols(Some(man))
-    val src = spark.read.schema(man.schema)
-      .parquet(smalls.map { case (f, _) => tableDir(name).resolve(f.path).toString }: _*)
     val nOut = math.max(1L, (smalls.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+    val spec = partitionSpec(name)
+    val zCols = zOrderBy.toSeq.flatMap { case (a, b) => Seq(a, b) }
     // OPTIMIZE ZORDER analog: re-lay the rewritten rows on the Morton curve
     // of two columns so their per-file bounds become rectangles (both
     // dimensions prune); plain sortBy range-clusters one leading dimension.
-    val packed = zOrderBy match {
-      case Some((a, b)) => graft.functions.ZOrder.layout(src, a, b, nOut)
-      case None if sortBy.nonEmpty =>
-        src.repartitionByRange(nOut, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
-      case None => src.coalesce(nOut)
-    }
-    val zCols = zOrderBy.toSeq.flatMap { case (a, b) => Seq(a, b) }
-    val rewritten = writeData(name, packed, man.schema, s"d${next}c",
-      statsFor ++ sortBy ++ zCols, seq = next)
-    commitManifest(name, next, Manifest(man.schema, bigs.map(_._1) ++ rewritten))
+    // A declared partition spec re-clusters by its transform values first
+    // (sortBy within them) so transform bounds come out tight again —
+    // unless z-order was asked for, which IS the layout choice.
+    rewriteSmallFiles(name, man, smalls.map(_._1), sortBy ++ zCols, src =>
+      zOrderBy match {
+        case Some((a, b)) => graft.functions.ZOrder.layout(src, a, b, nOut)
+        case None if spec.nonEmpty => cluster(src, sortBy, spec)
+        case None if sortBy.nonEmpty =>
+          src.repartitionByRange(nOut, sortBy.map(col): _*)
+            .sortWithinPartitions(sortBy.map(col): _*)
+        case None => src.coalesce(nOut)
+      })
+  }
+
+  /** Shared rewrite core of [[compact]] (byte grain, layout options) and
+    * [[compactFiles]] (manifest row grain, key clustering): read the
+    * victims, lay them out, write with inherited + extra stats at the new
+    * commit's seq, carry everything else forward untouched.
+    */
+  private def rewriteSmallFiles(name: String, man: Manifest, victims: Seq[DataFile],
+                                extraStats: Seq[String], layout: DataFrame => DataFrame): Long = {
+    val next = currentVersion(name) + 1
+    val src = spark.read.schema(man.schema)
+      .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
+    val rewritten = writeData(name, layout(src), man.schema, s"d${next}c",
+      extraStats ++ inheritedStatsCols(Some(man)), seq = next)
+    val victimSet = victims.map(_.path).toSet
+    commitManifest(name, next, Manifest(man.schema,
+      man.files.filterNot(f => victimSet(f.path)) ++ rewritten, man.deletes))
   }
 
   /** J1 merge disposition: delete target rows whose PK tuple appears in the
@@ -1039,40 +1056,28 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   private def materializePendingDeletes(name: String): Unit =
     if (exists(name) && currentManifest(name).deletes.nonEmpty) compactDeletes(name)
 
-  /** Small-file compaction (Iceberg `rewriteDataFiles` bin-pack analog):
-    * rewrite every data file under `smallRows` rows into freshly clustered
-    * files, carrying larger files into the new snapshot untouched — one
-    * manifest commit, content byte-identical, prior snapshots still
-    * travelable until expiry. The operational answer to ingest-granularity
-    * rot: streaming micro-batches and O(batch) index appends accrete a
-    * file per trigger, and at 100 TB a scan's task count (and its manifest)
-    * grows with FILE count, not data size.
-    *
-    * Grain note: the manifest tracks row counts, not bytes, so the
-    * threshold is rows — for a fixed schema that is proportional to bytes
-    * and, unlike a filesystem stat sweep, free at any table size.
-    *
-    * `clusterBy` re-clusters the rewritten rows (in addition to the
-    * table's partition spec, which is always applied) so a compacted
-    * index table keeps its probe-pruning key ranges tight — e.g. a
-    * postings table compacts with `clusterBy = Seq("term")`. Pending MOR
-    * deletes materialize first (no resurrection); a table with fewer than
-    * two small files is already compact and commits nothing.
+  /** [[compact]]'s manifest-grain face (same `rewriteDataFiles` family, one
+    * shared rewrite core): select victims by ROW COUNT — manifest-resident,
+    * so the sweep makes zero filesystem stat calls at any table size
+    * (proportional to bytes for a fixed schema) — and re-cluster them on
+    * `clusterBy` keys within the table's partition spec, so a compacted
+    * index table keeps its probe-pruning key ranges tight (a postings table
+    * compacts with `clusterBy = Seq("term")`, a codes table with `cell`).
+    * Use [[compact]] when true byte sizing or a sortBy/z-order layout is
+    * wanted. Pending MOR deletes materialize first (no resurrection); a
+    * table with fewer than two small files is already compact and commits
+    * nothing; content is byte-identical and prior snapshots stay
+    * travelable until expiry.
     */
   def compactFiles(name: String, smallRows: Long = 100000L,
                    clusterBy: Seq[String] = Nil): Long = {
     require(exists(name), s"no such table: $name")
     materializePendingDeletes(name)
     val man = currentManifest(name)
-    val (small, big) = man.files.partition(_.rows < smallRows)
+    val (small, _) = man.files.partition(_.rows < smallRows)
     if (small.size < 2) return currentVersion(name)
-    val next = currentVersion(name) + 1
-    val frame = spark.read.schema(man.schema)
-      .parquet(small.map(f => tableDir(name).resolve(f.path).toString): _*)
-    val rewritten = writeData(name,
-      cluster(frame, clusterBy, partitionSpec(name)), man.schema,
-      s"d${next}c", clusterBy ++ inheritedStatsCols(Some(man)), seq = next)
-    commitManifest(name, next, Manifest(man.schema, big ++ rewritten, man.deletes))
+    rewriteSmallFiles(name, man, small, clusterBy,
+      src => cluster(src, clusterBy, partitionSpec(name)))
   }
 
   // --------------------------------------------- write-audit-publish (WAP) --

@@ -74,6 +74,22 @@ class CompactFilesSpec extends SparkSpec {
     assert(wh.load("t").count() == 12)
   }
 
+  test("byte-grain compact() on a partitioned table keeps transform bounds tight too") {
+    val wh = new Warehouse(spark, tmpDir("cf-bytes-part"))
+    wh.create("t", schema, Seq("days(ts)"))
+    for (d <- Seq("2020-01-01", "2020-01-02"); s <- 0 until 2)
+      wh.append("t", rows(d, s * 3 until s * 3 + 3))
+    assert(wh.dataFiles("t").size == 4)
+    wh.compact("t", targetBytes = 1L << 20) // every file is "small"
+    val after = wh.dataFiles("t")
+    assert(after.size < 4)
+    after.foreach { f =>
+      val s = f.stats("days(ts)")
+      assert(s.min == s.max, s"compacted file ${f.path} spans days [${s.min}, ${s.max}]")
+    }
+    assert(wh.load("t").count() == 12)
+  }
+
   test("clusterBy re-establishes probe-key ranges on a compacted index table") {
     val wh = new Warehouse(spark, tmpDir("cf-cluster"))
     val postings = StructType(Seq(
