@@ -1350,6 +1350,9 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
 
   /** Scan only the files [[addedFiles]] reports — the incremental-consumer
     * read path. Empty diff ⇒ empty frame with the snapshot schema.
+    * File-grain, so rows a pending MOR equality delete in the window
+    * removed are still reported (the same documented superset caveat as
+    * rewrites); [[diffRows]] is the exact path and applies them.
     */
   def readAdded(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
     val m = manifestAt(name, toVersion)
