@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{CharEntropy, CosineSimilarity, FreqFns, FreqMergeAgg, FreqSketchAgg, FreqTopItems, KllFns, KllMergeAgg, KllQuantile, KllSketchAgg, LshSignature, TokenSetCount, TextVectorFns}
+import graft.functions.expressions.{CharEntropy, CosineSimilarity, FreqFns, FreqMergeAgg, FreqSketchAgg, FreqTopItems, KllFns, KllMergeAgg, KllQuantile, KllSketchAgg, LshSignature, SqDistFns, SquaredDistance, TokenSetCount, TextVectorFns}
 
 /** Session-extension entry point: makes the engine's native expressions
   * available cluster-wide without per-session registration calls —
@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_native"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_native"),
       exprs => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(SqDistFns.FnName),
+      new ExpressionInfo(classOf[SquaredDistance].getName, SqDistFns.FnName),
+      exprs => SquaredDistance(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier(TextVectorFns.LshFnName),
       new ExpressionInfo(classOf[LshSignature].getName, TextVectorFns.LshFnName),

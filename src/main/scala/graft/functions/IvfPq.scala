@@ -57,6 +57,7 @@ object IvfPq {
     */
   def search(probes: DataFrame, index: Index, nprobe: Int = 2,
       topK: Int = 10, excludeSelf: Boolean = false): DataFrame = {
+    graft.functions.expressions.SqDistFns.register(probes.sparkSession)
     val wCell = Window.partitionBy("probe_id").orderBy(col("cscore").desc, col("cell").asc)
     val assigned = probes.crossJoin(broadcast(index.centroids))
       .withColumn("cscore", VectorFns.cosine(col("pv"), col("cv")))
@@ -74,8 +75,11 @@ object IvfPq {
         .withColumnRenamed("cv", "ccv"), Seq("sub_id"))
       .select(col("probe_id"), col("cell"), col("sub_id"),
         col("code_cell"),
-        aggregate(zip_with(col("psv"), col("ccv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x).as("d2"))
+        // native fused loop, bit-identical to the aggregate(zip_with(...))
+        // fold (the probe table is tiny, but the expression keeps the whole
+        // projection inside codegen); registered by the search entry below
+        graft.functions.expressions.SqDistFns.sqDistNative(
+          col("psv"), col("ccv")).as("d2"))
     val wRank = Window.partitionBy("probe_id").orderBy(col("adc_d2").asc, col("vec_id").asc)
     val scored = index.codes
       .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("sub_id", "code_cell")))

@@ -43,11 +43,18 @@ object ProductQuantization {
 
   private val Dec = DataTypes.createDecimalType(28, 12)
 
-  /** Squared L2 distance between two equal-length double arrays — exact
-    * left fold, deterministic in one pass.
+  /** Squared L2 distance between two equal-length double arrays — the
+    * native fused loop ([[graft.functions.expressions.SquaredDistance]]),
+    * bit-identical to the `aggregate(zip_with(...))` left fold it replaced
+    * (same IEEE op sequence; HOFs run interpreted with a lambda frame per
+    * element, and this sits inside the corpus x K training/encode stages).
+    * Callers register via [[ensureRegistered]] at their public entry points.
     */
   private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    graft.functions.expressions.SqDistFns.sqDistNative(a, b)
+
+  private def ensureRegistered(df: DataFrame): Unit =
+    graft.functions.expressions.SqDistFns.register(df.sparkSession)
 
   /** Explode (vec_id, v) into M subvector rows (vec_id, sub_id, sv). */
   private def subvectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
@@ -87,6 +94,7 @@ object ProductQuantization {
   def train(emb: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
       maxIter: Int = 5): (PQModel, Seq[PQIter]) = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
+    ensureRegistered(emb)
     val subDim = dim / m
     // deterministic spread-out init: Murmur3 hash of (vec_id, sub_id) mod k
     var cur = subvectors(emb, m, subDim)
@@ -141,6 +149,7 @@ object ProductQuantization {
     * loop — this is the oracle-checked witness for its per-iteration step.
     */
   def trainStepAudit(emb: DataFrame, dim: Int, m: Int, k: Int): DataFrame = {
+    ensureRegistered(emb)
     val subDim = dim / m
     val subs = subvectors(emb, m, subDim)
       .withColumn("cell", pmod(col("vec_id") + col("sub_id"), lit(k)))
@@ -158,11 +167,13 @@ object ProductQuantization {
   /** Encode vectors to codes: (vec_id, codes array<int>), codes[i] = the
     * cell of subspace i. Linear scan against the broadcast codebook.
     */
-  def encode(emb: DataFrame, model: PQModel): DataFrame =
+  def encode(emb: DataFrame, model: PQModel): DataFrame = {
+    ensureRegistered(emb)
     reassign(subvectors(emb, model.m, model.subDim), model.codebook)
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("cell")))),
         e => e.getField("cell")).as("codes"))
+  }
 
   /** Reconstruct approximate vectors from codes: concatenate each code's
     * centroid in subspace order.
@@ -180,6 +191,7 @@ object ProductQuantization {
     * costs M joins-by-lookup + a sum — the float corpus is never touched.
     */
   def adcTopK(probes: DataFrame, codes: DataFrame, model: PQModel, topK: Int = 10): DataFrame = {
+    ensureRegistered(probes)
     val probeSubs = probes
       .select(col("probe_id"), explode(sequence(lit(0), lit(model.m - 1))).as("sub_id"),
         col("pv"))
