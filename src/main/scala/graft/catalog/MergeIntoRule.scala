@@ -78,10 +78,12 @@ object GraftMergeRule extends Rule[LogicalPlan] {
   }
 
   private def fail(msg: String): Nothing = throw new UnsupportedOperationException(
-    "graft MERGE INTO supports ON = AND-ed same-named column equalities with " +
-      "matched clauses UPDATE SET */partial [AND cond] or a single DELETE " +
-      "[AND cond], plus not-matched INSERT [AND cond] — no NOT MATCHED BY " +
-      s"SOURCE, schema evolution, or key reassignment — $msg")
+    "graft MERGE INTO supports ON = AND-ed same-named column equalities; " +
+      "WHEN MATCHED clauses UPDATE SET */partial or DELETE [AND cond], several " +
+      "combined first-match-wins (all but the last need AND <condition>); at most " +
+      "one WHEN NOT MATCHED INSERT */columns [AND cond]; at most one WHEN NOT " +
+      "MATCHED BY SOURCE UPDATE/DELETE [AND cond]; WITH SCHEMA EVOLUTION only on " +
+      s"the plain upsert — no key reassignment — $msg")
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
@@ -377,8 +379,8 @@ object GraftMergeRule extends Rule[LogicalPlan] {
             }, Filter(remap(c, toFresh), joined))
         }
         return AppendData.byPosition(r, projected, delOpts)
-      case (as, _) if as.exists(_.isInstanceOf[DeleteAction]) =>
-        fail("WHEN MATCHED THEN DELETE must be the only clause")
+      // no other DeleteAction shape reaches here: the replaceRewrite guard
+      // above intercepts every multi-clause or insert-combined DELETE
       case _ => ()
     }
 

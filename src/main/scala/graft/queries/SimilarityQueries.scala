@@ -339,19 +339,29 @@ object SimilarityQueries {
         .select(col("label").cast("long").as("cell"), col("cv"))
       val model = ProductQuantization.initCodebook(
         emb.select(col("vec_id"), col("v")), DIM, PQ_M, PQ_K)
-      val wh = new Warehouse(s,
-        java.nio.file.Files.createTempDirectory("graft-q134").toString)
-      val ing = new VectorIndexIngest(wh, "vec_id", "v", DIM, PQ_M, PQ_K)
-      ing.freeze("e", cents, model)
-      val src = emb.select(col("vec_id"), col("v"))
-      ing.ingest("e", src.filter(col("vec_id") % 2 === 0))
-      ing.ingest("e", src.filter(col("vec_id") % 2 === 1))
-      val probes = emb.filter(col("vec_id") < N_PROBES)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-      ing.search("e", probes, NPROBE_CELLS, TOPK, excludeSelf = true)
-        .select(col("probe_id"), col("rank"), col("vec_id"),
-          round(col("adc_d2"), 6).as("adc_d2"))
-        .orderBy("probe_id", "rank")
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q134")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        val ing = new VectorIndexIngest(wh, "vec_id", "v", DIM, PQ_M, PQ_K)
+        ing.freeze("e", cents, model)
+        val src = emb.select(col("vec_id"), col("v"))
+        ing.ingest("e", src.filter(col("vec_id") % 2 === 0))
+        ing.ingest("e", src.filter(col("vec_id") % 2 === 1))
+        val probes = emb.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        // localCheckpoint (eager) detaches the result from the index files
+        // so the temp warehouse can be reclaimed — repeated correctness/bench
+        // runs must not accumulate orphan index data in the temp dir
+        ing.search("e", probes, NPROBE_CELLS, TOPK, excludeSelf = true)
+          .select(col("probe_id"), col("rank"), col("vec_id"),
+            round(col("adc_d2"), 6).as("adc_d2"))
+          .orderBy("probe_id", "rank")
+          .localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     },
 
     // One Lloyd (k-means) refinement iteration over the IVF coarse

@@ -104,7 +104,18 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     */
   def ingest(name: String, df: DataFrame): Report = {
     val (cents, model) = frozen(name)
-    val emb = df.select(col(pkCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    // One row per pk BEFORE encode: a duplicate pk would flow through
+    // encode's groupBy(vec_id)/collect_list as a 2M-length codes array whose
+    // posexplode positions misalign sub_ids in the ADC join — and the corrupt
+    // row would then block a correct re-ingest via the left_anti pk guard.
+    // Keeper is the JSON-minimal row: deterministic under any partitioning,
+    // same discipline as appendDeduped's tiebreak, so a streaming replay of
+    // a duplicate-bearing batch converges on the same survivor.
+    val wd = Window.partitionBy(pkCol)
+      .orderBy(to_json(struct(df.columns.map(col): _*)).asc)
+    val batch = df.withColumn("__rn", row_number().over(wd))
+      .filter(col("__rn") === 1).drop("__rn")
+    val emb = batch.select(col(pkCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
     val codes = ProductQuantization.encode(emb, model)
       .join(assignCells(emb, cents), "vec_id")
       .select(col("vec_id").as(pkCol), col("cell"), col("codes"))
@@ -120,7 +131,7 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     // touches ~nprobe/cells of the files, not every batch's
     wh.append(codesTable(name), newCodes,
       statsCols = Seq("cell", pkCol), clusterBy = Seq("cell"))
-    val rep = wh.appendDeduped(name, df, fpCol = pkCol, pk = pkCol,
+    val rep = wh.appendDeduped(name, batch, fpCol = pkCol, pk = pkCol,
       statsCols = Seq(pkCol))
     Report(rep.version, rep.appended, newCodes.count())
   }

@@ -493,9 +493,15 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     */
   def appendDeduped(name: String, df: DataFrame, fpCol: String, pk: String,
       statsCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil): DedupAppendReport = {
+    // row_number (not min-pk equality): when fpCol == pk every row in a
+    // duplicate group shares the min pk, so an equality keeper is vacuous
+    // and duplicate-pk batches would land whole. The JSON render of the full
+    // row is a deterministic total-order tiebreak for same-pk rows, so the
+    // keeper is stable under any partitioning and across replays.
     val w = Window.partitionBy(fpCol)
-    val inBatch = df.withColumn("__keeper", min(pk).over(w))
-      .filter(col(pk) === col("__keeper")).drop("__keeper")
+      .orderBy(col(pk).asc, to_json(struct(df.columns.map(col): _*)).asc)
+    val inBatch = df.withColumn("__keeper", row_number().over(w))
+      .filter(col("__keeper") === 1).drop("__keeper")
     val fresh =
       if (!exists(name)) inBatch
       else inBatch.join(load(name).select(fpCol).distinct(), Seq(fpCol), "left_anti")

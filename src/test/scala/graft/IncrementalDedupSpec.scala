@@ -51,6 +51,23 @@ class IncrementalDedupSpec extends SparkSpec {
       s"report version ${replay.version} != current ${wh.currentVersion("corpus")}")
   }
 
+  test("fpCol == pk: duplicate-pk rows collapse to one deterministic keeper") {
+    // the old min-pk equality keeper was vacuous here (every copy of a
+    // duplicated pk shares the min pk), so duplicate-pk batches landed whole
+    val wh = new Warehouse(spark, tmpDir("wh-dedup-pk"))
+    val r = wh.appendDeduped("corpus",
+      docs((1, "x", "zz"), (1, "x", "aa"), (2, "y", "bb")), "doc_id", "doc_id")
+    assert(r.appended == 2 && r.dupInBatch == 1, s"got $r")
+    val kept = wh.load("corpus").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    // JSON-minimal row wins the same-pk tie: "aa" sorts before "zz"
+    assert(kept == Set((1L, "aa"), (2L, "bb")), s"got $kept")
+    // replay of the same duplicate-bearing batch converges (appends nothing)
+    val replay = wh.appendDeduped("corpus",
+      docs((1, "x", "zz"), (1, "x", "aa"), (2, "y", "bb")), "doc_id", "doc_id")
+    assert(replay.appended == 0, s"got $replay")
+  }
+
   test("report arithmetic always balances: appended + dups = batch size") {
     val wh = new Warehouse(spark, tmpDir("wh-dedup4"))
     val batch = docs((1, "A", "x"), (2, "A", "x"), (3, "B", "y"), (4, "C", "z"))

@@ -107,6 +107,35 @@ class VectorIndexIngestSpec extends SparkSpec {
       .select("probe_id", "rank", "vec_id", "adc_d2")) == adc)
   }
 
+  test("duplicate-pk batch: one survivor per pk, codes stay well-formed") {
+    // un-deduped, a duplicate pk flows through encode's collect_list as a
+    // 2M-length codes array that misaligns ADC sub_ids AND permanently
+    // blocks a correct re-ingest via the left_anti pk guard
+    val model = ProductQuantization.initCodebook(emb(vecs(0 until 12)), DIM, M, K)
+    val clean = new Warehouse(spark, tmpDir("vii-dup-clean"))
+    val ingClean = ingester(clean)
+    ingClean.freeze("v", cellCents, model)
+    ingClean.ingest("v", vecs(0 until 12))
+
+    val wh = new Warehouse(spark, tmpDir("vii-dup"))
+    val ing = ingester(wh)
+    ing.freeze("v", cellCents, model)
+    // every row duplicated (streaming-replay shape: same pk, same vector)
+    val rep = ing.ingest("v", vecs(0 until 12).union(vecs(0 until 12)))
+    assert(rep.appended == 12 && rep.codes == 12, rep.toString)
+    // exactly one code row per pk, every codes array exactly M long
+    val badLen = wh.load("v__codes")
+      .filter(size(col("codes")) =!= M).count()
+    assert(badLen == 0, s"$badLen malformed codes arrays")
+    assert(wh.load("v__codes").select("id").distinct().count() == 12)
+    // serving state identical to the never-duplicated twin
+    val probes = probesOf(vecs(0 until 12), 2)
+    assert(sorted(ing.search("v", probes, nprobe = 2, topK = 5)
+      .withColumnRenamed("id", "vec_id")) ==
+      sorted(ingClean.search("v", probes, nprobe = 2, topK = 5)
+        .withColumnRenamed("id", "vec_id")))
+  }
+
   test("replaying a completed batch appends nothing anywhere") {
     val wh = new Warehouse(spark, tmpDir("vii-replay"))
     val ing = ingester(wh)
