@@ -164,6 +164,51 @@ object EtlQueries {
         .orderBy("c_custkey", "valid_from")
     },
 
+    // Exact CDC rollup over a scripted warehouse history (the
+    // Warehouse.readChanges change feed under the DuckDB oracle): append two
+    // batches, merge-update a third of the first batch (file rewrite with
+    // carry-over), commit a pending MOR equality delete, then compact — and
+    // read the exact +I/-D row feed across the whole window at O(changed
+    // files). DuckDB computes the same delta declaratively as final-state
+    // EXCEPT ALL initial-state (and the reverse), so the feed's bag
+    // semantics — an update is its old row -D plus its new row +I, rewrite
+    // carry-over cancels, a no-op compact contributes nothing — are gated
+    // at full identity. At 100 TB this is the incremental-consumer read:
+    // O(changed files), never a table rescan (spec-pinned in ChangeFeedSpec).
+    "q135_change_feed_rollup" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      // the warehouse widens DECIMAL to DOUBLE at auto-create (§1.3 lattice),
+      // so row identity lives in the double domain — bal + 100 is the same
+      // IEEE op in both engines — and only the FINAL rollup sums in decimal
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("bal"))
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q135")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        val a = cust.filter(col("c_custkey") % 3 === 0)
+        val b = cust.filter(col("c_custkey") % 3 === 1)
+        val v1 = wh.append("cdc", a, statsCols = Seq("c_custkey"))
+        wh.append("cdc", b, statsCols = Seq("c_custkey"))
+        wh.merge("cdc",
+          a.filter(col("c_custkey") % 6 === 0)
+            .withColumn("bal", col("bal") + 100),
+          Seq("c_custkey"))
+        wh.equalityDelete("cdc",
+          cust.filter(col("c_custkey") % 5 === 0).select("c_custkey"))
+        val vN = wh.compactFiles("cdc")
+        wh.readChanges("cdc", v1, vN)
+          .withColumnRenamed("_change_type", "change_type")
+          .groupBy("change_type", "c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), dsum(col("bal")).as("bal_delta"))
+          .orderBy("change_type", "c_mktsegment")
+          .localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    },
+
     // F1/F2: timestamp canonicalization — epoch-millis <-> native timestamp
     // round-trip and ISO-8601 render (records.py:32-45 without the string
     // storage trap).
@@ -234,6 +279,25 @@ object EtlQueries {
         |  TRUE, CAST(bal AS DOUBLE)
         |FROM incoming WHERE c_custkey IN (SELECT c_custkey FROM changed)
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q135_change_feed_rollup" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer),
+        |a AS (SELECT * FROM cust WHERE c_custkey % 3 = 0),
+        |b AS (SELECT * FROM cust WHERE c_custkey % 3 = 1),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 6 = 0 THEN bal + 100 ELSE bal END AS bal
+        |  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)),
+        |fin AS (SELECT * FROM merged WHERE c_custkey % 5 <> 0),
+        |changes AS (
+        |  SELECT '+I' AS change_type, * FROM (SELECT * FROM fin EXCEPT ALL SELECT * FROM a)
+        |  UNION ALL
+        |  SELECT '-D' AS change_type, * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM fin))
+        |SELECT change_type, c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_delta
+        |FROM changes GROUP BY change_type, c_mktsegment
+        |ORDER BY change_type, c_mktsegment""".stripMargin,
 
     "q06_dedup_latest" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (

@@ -47,6 +47,80 @@ class ChangeFeedSpec extends SparkSpec {
       Set(("b", 2L)))
   }
 
+  private def bag(d: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+    d.collect().toSeq.map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+
+  /** readChanges must equal the two-full-scan arbiter, both directions. */
+  private def assertMatchesDiff(wh: Warehouse, t: String, from: Long, to: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ch = wh.readChanges(t, from, to)
+    val (add, rem) = wh.diffRows(t, from, to)
+    assert(bag(ch.filter(col("_change_type") === "+I").drop("_change_type")) == bag(add),
+      s"+I mismatch for $from -> $to")
+    assert(bag(ch.filter(col("_change_type") === "-D").drop("_change_type")) == bag(rem),
+      s"-D mismatch for $from -> $to")
+  }
+
+  test("readChanges equals diffRows across append/merge/delete/compact/WAP history") {
+    val wh = new Warehouse(spark, tmpDir("cf-exact"))
+    val vs = scala.collection.mutable.ArrayBuffer[Long]()
+    vs += wh.append("t", df(("a", 1), ("b", 2), ("c", 3)), statsCols = Seq("Id"))
+    vs += wh.append("t", df(("d", 4), ("e", 5)), statsCols = Seq("Id"))
+    vs += wh.merge("t", df(("b", 20), ("f", 60)), Seq("Id")) // rewrite carry-over
+    vs += wh.equalityDelete("t", df(("a", 0), ("d", 0)).select("Id")) // pending MOR
+    vs += wh.compactDeletes("t") // delete materialization: no row change
+    vs += wh.compactFiles("t") // pure rewrite: no row change
+    vs += wh.publishStage("t", wh.stageAppend("t", df(("g", 7)))) // WAP adoption
+    for (i <- vs.indices; j <- vs.indices)
+      assertMatchesDiff(wh, "t", vs(i), vs(j))
+    // the no-row-change commits yield an empty exact feed
+    assert(wh.readChanges("t", vs(3), vs(5)).count() == 0)
+  }
+
+  test("readChanges reads only changed files, not the table") {
+    import org.apache.spark.sql.functions.col
+    val wh = new Warehouse(spark, tmpDir("cf-cost"))
+    val v1 = wh.append("t", df(("a", 1), ("b", 2)), statsCols = Seq("Id"))
+    val v2 = wh.append("t", df(("c", 3)), statsCols = Seq("Id"))
+    // append-only window: exactly the new batch's files are opened
+    val addedOnly = wh.readChanges("t", v1, v2)
+    assert(addedOnly.inputFiles.length == wh.addedFiles("t", v1, v2).size,
+      s"expected only added files, read ${addedOnly.inputFiles.length}")
+    // MOR-delete window: the untouched file is proven disjoint by stats and
+    // never opened — only the hit file plus the delete-key file are read
+    val v3 = wh.equalityDelete("t", df(("c", 0)).select("Id"))
+    val win = wh.readChanges("t", v2, v3)
+    assert(bag(win.drop("_change_type")) == bag(df(("c", 3))) &&
+      win.select("_change_type").distinct().collect().map(_.getString(0)).toSeq == Seq("-D"))
+    assert(win.inputFiles.length <= 2,
+      s"stats-disjoint shared file must not be read: ${win.inputFiles.toSeq}")
+    // a window delete CAN hit a shared file the feed must then read
+    val v4 = wh.equalityDelete("t", df(("a", 0)).select("Id"))
+    assertMatchesDiff(wh, "t", v3, v4)
+  }
+
+  test("readChanges across additive schema evolution; destructive refuses") {
+    import org.apache.spark.sql.functions.col
+    val wh = new Warehouse(spark, tmpDir("cf-evolve"))
+    val v1 = wh.append("t", df(("a", 1)))
+    val v2 = wh.addColumns("t", Seq(StructField("Extra", StringType)))
+    // evolution alone changes no rows
+    assert(wh.readChanges("t", v1, v2).count() == 0)
+    val evolved = spark.createDataFrame(
+      Seq(Row("b", 2L, "x")).asJava,
+      StructType(schema.fields :+ StructField("Extra", StringType)))
+    val v3 = wh.append("t", evolved)
+    val ch = wh.readChanges("t", v1, v3)
+    assert(ch.columns.toSeq == Seq("Id", "Amount", "Extra", "_change_type"))
+    assert(bag(ch) == Map(Seq[Any]("b", 2L, "x", "+I") -> 1))
+    // destructive change (simulated narrower to-side) refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      wh.readChanges("t", v3, v1)
+    }
+    assert(err.getMessage.contains("destructive schema change"),
+      s"unexpected: ${err.getMessage}")
+  }
+
   test("empty diff yields an empty frame with the snapshot schema") {
     val wh = new Warehouse(spark, tmpDir("cf-empty"))
     val v1 = wh.append("t", df(("a", 1)))
