@@ -14,18 +14,64 @@ import org.apache.spark.sql.SparkSession
   *   - materialization is a full write to the `noop` sink, not `count()` —
   *     `count()` lets `EliminateSorts` + column pruning skip the final sorts
   *     and projection the Verify path actually pays.
+  *
+  * Self-defense (round-10 review item — two of the last three driver
+  * artifacts were contention-poisoned and cost a round of adjudication
+  * each; the harness now defends itself instead of recording conditions and
+  * hoping):
+  *   - IDLE GATE: before the sweep, wait (bounded) for the box's 1-minute
+  *     loadavg to drain below SPARK_GRAFT_BENCH_IDLE_LOAD — a neighbor
+  *     competing for memory bandwidth inflates the bandwidth-heavy queries
+  *     3-30× even at loadavg ≪ cores (the round-10 driver artifact);
+  *   - RE-RUN: a query whose STEADY-STATE iterations (2..n — iteration 1 is
+  *     legitimately cold for the cache-bearing queries) spread past
+  *     SPARK_GRAFT_BENCH_RETRY_FACTOR × their min, or whose iteration saw
+  *     loadavg above the oversubscription ceiling, gets up to
+  *     SPARK_GRAFT_BENCH_RETRIES extra iterations — clean samples vote the
+  *     poisoned one out of the median;
+  *   - SELF-DECLARED VALIDITY: the artifact carries a top-level
+  *     `contended` flag (gate never drained, or some query still
+  *     spread-violated after retries) in BOTH the stdout line and the full
+  *     file, so a poisoned run announces itself instead of being
+  *     adjudicated a round later.
   */
 object Bench {
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** A query's sample set is suspect when its steady-state iterations
+    * (all but the first — the first pays cache population by design)
+    * spread wider than `factor`×, or some iteration ran on an
+    * oversubscribed box (loadavg > ceiling: more runnable threads than
+    * cores is contention by definition, whoever owns them).
+    */
+  private[graft] def suspect(times: Seq[Double], loads: Seq[Double],
+                             factor: Double, loadCeil: Double): Boolean = {
+    val steady = times.drop(1)
+    (steady.size >= 2 && steady.max > factor * steady.min) ||
+      loads.exists(_ > loadCeil)
+  }
+
+  /** Final per-query verdict AFTER re-runs: the REPORTED number (the median)
+    * is tainted when it still sits `factor`× above the best observed run —
+    * i.e. the clean samples failed to outvote the poisoned ones — or when
+    * every iteration ran oversubscribed (uniform contention is invisible to
+    * spread; only the load evidence remains). A single outvoted spike does
+    * NOT taint: its sample stays in the spread for the reader, but the
+    * median it failed to move is trustworthy.
+    */
+  private[graft] def tainted(times: Seq[Double], loads: Seq[Double],
+                             factor: Double, loadCeil: Double): Boolean =
+    times.size >= 2 && (median(times) > factor * times.min ||
+      (loads.nonEmpty && loads.forall(_ > loadCeil)))
+
   /** 1-minute system load average via /proc/loadavg (Linux; -1 elsewhere).
-    * Captured at run start and end so a contention-poisoned artifact carries
-    * the evidence in-band: loadavg ≫ core count means the box was shared and
-    * the numbers measure the neighbor, not the plan (the round-8 refresh
-    * showed 24 false 2× "regressions" for exactly this reason).
+    * Captured at run start/end, per iteration, and by the idle gate, so a
+    * contention-poisoned artifact carries the evidence in-band: the
+    * round-8 refresh showed 24 false 2× "regressions" for exactly this
+    * reason.
     */
   private def loadAvg(): Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
@@ -36,8 +82,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val idleLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_LOAD", "4.0").toDouble
+    val idleWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT", "240").toInt
+    val retryFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_FACTOR", "2.5").toDouble
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    val loadCeil = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_CEIL",
+      Runtime.getRuntime.availableProcessors.toString).toDouble
+
+    // Idle gate: refuse to measure on a visibly busy box until it drains
+    // (bounded wait). If it never drains, measure anyway but self-flag.
+    var gateWaited = 0
+    while (loadAvg() > idleLoad && gateWaited < idleWaitSec) {
+      Thread.sleep(5000); gateWaited += 5
+    }
     val loadStart = loadAvg()
+    val gateFailed = loadStart > idleLoad
     val startedAt = java.time.Instant.now().toString
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,6 +124,7 @@ object Bench {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    var retriedTotal = 0
     val results = selected.map { case (name, fn) =>
       // Per-query isolation: q57/q72/q74 deliberately never unpersist (the
       // Verify posture) — without clearing, cached frames and their memory
@@ -70,39 +132,61 @@ object Bench {
       // earlier queries' persists. Iterations WITHIN a query keep the cache
       // (the median should reflect the query's own steady state).
       spark.catalog.clearCache()
-      val times = (1 to iters).flatMap { _ =>
+      def runOnce(): Option[(Double, Double)] = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          Some(((System.nanoTime() - t0) / 1e9, loadAvg()))
         } catch { case _: Throwable => None }
       }
-      name -> times
+      val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      (1 to iters).foreach(_ => runOnce().foreach(samples += _))
+      // contended-iteration re-run: extra clean samples outvote the
+      // poisoned one in the median; bounded so a genuinely busy box can't
+      // stall the sweep
+      var extra = 0
+      while (extra < maxRetries && samples.size >= 2 &&
+        suspect(samples.map(_._1).toSeq, samples.map(_._2).toSeq, retryFactor, loadCeil)) {
+        runOnce().foreach(samples += _)
+        extra += 1
+      }
+      retriedTotal += extra
+      val bad = tainted(samples.map(_._1).toSeq, samples.map(_._2).toSeq,
+        retryFactor, loadCeil)
+      (name, samples.map(_._1).toSeq, samples.map(_._2).toSeq, bad)
     }
     def f(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    val medians = results.map { case (k, ts) => k -> (if (ts.isEmpty) -1.0 else median(ts)) }
+    val medians = results.map { case (k, ts, _, _) => k -> (if (ts.isEmpty) -1.0 else median(ts)) }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, ts) =>
+    val spread = results.map { case (k, ts, _, _) =>
       if (ts.isEmpty) s"\"$k\":[-1,-1,-1]"
       else s"\"$k\":[${f(ts.min)},${f(median(ts))},${f(ts.max)}]"
     }.mkString("{", ",", "}")
-    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    val total = if (medians.nonEmpty) medians.map(_._2).sum else 0.0
+    val suspectQueries = results.collect { case (k, _, _, true) => k }.toSeq
+    val loadMaxIter = {
+      val ls = results.flatMap { case (_, _, loads, _) => loads }
+      if (ls.isEmpty) -1.0 else ls.max
+    }
+    val contended = gateFailed || suspectQueries.nonEmpty
     // stdout stays ONE line, but COMPACT (medians only): rounds 3-5 proved
     // the capture pipeline truncates long lines (~13 queries lost, "parsed":
     // null in every BENCH artifact). The full record — including the
     // [min, median, max] spread that lets a reader discount contention-
-    // polluted rows — goes to a file instead.
+    // polluted rows — goes to a file instead. `contended` rides in BOTH:
+    // the driver's artifact must self-declare its validity.
     val compact =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","contended":$contended,"queries":$qs,"sf":"$sfDir"}"""
     // Run-conditions provenance (round-8 review item): who measured, when,
-    // and how loaded the box was. Readers discount the artifact when
-    // loadavg is a large multiple of the core count.
+    // how loaded the box was, and what the harness did about it.
     val conditions =
       s"""{"started":"$startedAt","iters":$iters,"cores":${Runtime.getRuntime.availableProcessors},""" +
-        s""""local_threads":"$cpus","loadavg_start":${f(loadStart)},"loadavg_end":${f(loadAvg())}}"""
+        s""""local_threads":"$cpus","loadavg_start":${f(loadStart)},"loadavg_end":${f(loadAvg())},""" +
+        s""""loadavg_max_iter":${f(loadMaxIter)},"gate_waited_sec":$gateWaited,"gate_failed":$gateFailed,""" +
+        s""""retried_iters":$retriedTotal,"suspect_queries":[${suspectQueries.map("\"" + _ + "\"").mkString(",")}]}"""
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"conditions":$conditions,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","contended":$contended,"queries":$qs,"spread":$spread,"conditions":$conditions,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }

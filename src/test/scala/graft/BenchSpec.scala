@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's self-defense arithmetic: median robustness and the
+  * suspect-sample criterion that drives contended-iteration re-runs and the
+  * artifact's self-declared `contended` flag.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("median: odd, even, and outlier robustness") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+    // one poisoned sample among clean ones does not own the median
+    assert(Bench.median(Seq(1.0, 1.1, 30.0)) == 1.1)
+    // an extra clean sample votes the poisoned one further out
+    assert(Bench.median(Seq(1.0, 1.5, 30.0, 1.0)) == 1.25)
+  }
+
+  test("suspect: steady-state spread triggers, cold first iteration does not") {
+    // iteration 1 is legitimately cold (cache population) — 3x on the first
+    // sample alone must NOT trigger a re-run
+    assert(!Bench.suspect(Seq(3.0, 1.0, 1.1), Seq(1.0, 1.0, 1.0), 2.5, 32.0))
+    // a poisoned steady-state iteration DOES trigger
+    assert(Bench.suspect(Seq(1.0, 1.0, 3.0), Seq(1.0, 1.0, 1.0), 2.5, 32.0))
+    // re-run samples restoring a tight steady majority still flag until the
+    // spread itself tightens — the criterion is spread, not vote count
+    assert(Bench.suspect(Seq(1.0, 1.0, 3.0, 1.0, 1.0), Seq.fill(5)(1.0), 2.5, 32.0))
+  }
+
+  test("suspect: oversubscription loadavg ceiling triggers regardless of times") {
+    assert(Bench.suspect(Seq(1.0, 1.0, 1.0), Seq(1.0, 40.0, 1.0), 2.5, 32.0))
+    assert(!Bench.suspect(Seq(1.0, 1.0, 1.0), Seq(1.0, 20.0, 1.0), 2.5, 32.0))
+  }
+
+  test("tainted: outvoted spike is clean, unmoved median or uniform load is not") {
+    // one spike among clean samples: re-runs protected the median -> clean
+    assert(!Bench.tainted(Seq(1.0, 1.0, 3.0, 1.0, 1.0), Seq.fill(5)(1.0), 2.5, 32.0))
+    // majority poisoned: the median IS the contention -> tainted
+    assert(Bench.tainted(Seq(1.0, 3.0, 3.0, 3.0, 3.0), Seq.fill(5)(1.0), 2.5, 32.0))
+    // uniform contention is invisible to spread; load evidence flags it
+    assert(Bench.tainted(Seq(3.0, 3.0, 3.0), Seq(40.0, 40.0, 40.0), 2.5, 32.0))
+    assert(!Bench.tainted(Seq(3.0, 3.0, 3.0), Seq(40.0, 20.0, 40.0), 2.5, 32.0))
+  }
+
+  test("suspect: too few samples never triggers the spread arm") {
+    assert(!Bench.suspect(Seq(1.0), Seq(1.0), 2.5, 32.0))
+    assert(!Bench.suspect(Seq(1.0, 9.0), Seq(1.0, 1.0), 2.5, 32.0))
+  }
+}
