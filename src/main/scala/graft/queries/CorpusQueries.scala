@@ -416,6 +416,34 @@ object CorpusQueries {
         .select(col("source"), explode(col("toks")).as("subword"))
         .groupBy("source", "subword").agg(count(lit(1)).as("cnt"))
         .orderBy("source", "subword")
+    },
+
+    // Byte-level vs code-point BPE under ONE oracle (q129's leftover made a
+    // gate): the corpus words are decorated deterministically into a
+    // punctuation/non-ASCII-bearing universe — 'a'→'ä', 'o'→'ö' (both
+    // 2-byte UTF-8), plus '!'/'.' by length parity — and encoded with the
+    // SAME frozen merge table in BOTH seeding modes. The modes provably
+    // diverge on exactly the multi-byte characters: code-point mode seeds
+    // 'ä' as one symbol, byte-level mode as its two remapped UTF-8 bytes
+    // ('Ã','¤' — GPT-2 bytes_to_unicode keeps printable Latin-1), so the
+    // (mode, subword) rows differ and BOTH are DuckDB-gated at full token
+    // identity. Same scan shape as q129: native-expression encode inside
+    // codegen, zero shuffle before the bounded (mode, source-free) agg.
+    "q136_bpe_byte_level" -> { (s, dir) =>
+      graft.functions.expressions.BpeFns.register(s)
+      val words = regexp_extract_all(normalize(col("text")), lit("[a-z0-9]+"), lit(0))
+      val deco = transform(words, w => concat(
+        regexp_replace(regexp_replace(w, "a", "ä"), "o", "ö"),
+        when(length(w) % 2 === 0, "!").otherwise(".")))
+      def side(byteLevel: Boolean, mode: String) =
+        spread(read(s, dir, "documents"))
+          .select(explode(graft.functions.expressions.BpeFns
+            .bpeEncodeNative(deco, graft.functions.BpeMerges.frozen, byteLevel))
+            .as("subword"))
+          .groupBy("subword").agg(count(lit(1)).as("cnt"))
+          .select(lit(mode).as("mode"), col("subword"), col("cnt"))
+      side(byteLevel = true, "byte").unionByName(side(byteLevel = false, "cp"))
+        .orderBy("mode", "subword")
     }
   )
 
@@ -430,12 +458,35 @@ object CorpusQueries {
     * SQL replace is greedy left-to-right non-overlapping, exactly the
     * sequential-apply semantics of BpeEncode/BpeTrainer.applyMerge.
     */
-  private def bpeEncodeSql(wordExpr: String): String = {
+  private def bpeEncodeSql(wordExpr: String): String =
+    mergeFoldSql(cpSeedSql(wordExpr))
+
+  /** Code-point seed: each character wrapped ␟c␟. */
+  private def cpSeedSql(wordExpr: String): String = {
     val sep = "chr(31)"
-    val rep = s"$sep || array_to_string(string_split($wordExpr, ''), $sep || $sep) || $sep"
-    graft.functions.BpeMerges.frozen.foldLeft(rep) { case (acc, (a, b)) =>
+    s"$sep || array_to_string(string_split($wordExpr, ''), $sep || $sep) || $sep"
+  }
+
+  private def mergeFoldSql(seedExpr: String): String = {
+    val sep = "chr(31)"
+    graft.functions.BpeMerges.frozen.foldLeft(seedExpr) { case (acc, (a, b)) =>
       s"replace($acc, $sep||'$a'||$sep||$sep||'$b'||$sep, $sep||'${a + b}'||$sep)"
     }
+  }
+
+  /** q136's byte-level seed, exact for its CONSTRUCTED universe: the only
+    * multi-byte characters are the injected 'ä' (0xC3 0xA4) and 'ö'
+    * (0xC3 0xB6), and all four bytes sit in bytes_to_unicode's keep range
+    * (printable Latin-1 maps to itself — `BpeCodec.ByteToChar`), so the
+    * byte seed is the code-point seed with each multi-byte symbol split
+    * into its two byte characters. ASCII symbols are their own bytes.
+    */
+  private def bpeEncodeByteSql(wordExpr: String): String = {
+    val sep = "chr(31)"
+    val byteSeed = s"replace(replace(${cpSeedSql(wordExpr)}, " +
+      s"$sep||'ä'||$sep, $sep||'Ã'||$sep||$sep||'¤'||$sep), " +
+      s"$sep||'ö'||$sep, $sep||'Ã'||$sep||$sep||'¶'||$sep)"
+    mergeFoldSql(byteSeed)
   }
   /** Same gram universe as DedupQueries' oracles: md5 of the space-joined
     * window; concat_ws skips the NULL tail slots exactly like the Spark
@@ -495,6 +546,24 @@ object CorpusQueries {
          |FROM enc)
          |SELECT source, subword, CAST(count(*) AS BIGINT) AS cnt
          |FROM tok GROUP BY source, subword ORDER BY source, subword""".stripMargin,
+
+    "q136_bpe_byte_level" ->
+      s"""WITH w AS (
+         |  SELECT unnest(regexp_extract_all($normSql, '[a-z0-9]+')) AS word
+         |  FROM documents),
+         |d AS (SELECT replace(replace(word, 'a', 'ä'), 'o', 'ö') ||
+         |    CASE WHEN length(word) % 2 = 0 THEN '!' ELSE '.' END AS dword
+         |  FROM w),
+         |tok AS (
+         |  SELECT 'byte' AS mode,
+         |    unnest(string_split(trim(e, chr(31)), chr(31) || chr(31))) AS subword
+         |  FROM (SELECT ${bpeEncodeByteSql("dword")} AS e FROM d)
+         |  UNION ALL
+         |  SELECT 'cp' AS mode,
+         |    unnest(string_split(trim(e, chr(31)), chr(31) || chr(31))) AS subword
+         |  FROM (SELECT ${bpeEncodeSql("dword")} AS e FROM d))
+         |SELECT mode, subword, CAST(count(*) AS BIGINT) AS cnt
+         |FROM tok GROUP BY mode, subword ORDER BY mode, subword""".stripMargin,
 
     "q113_bm25_search" -> bm25Oracle,
 

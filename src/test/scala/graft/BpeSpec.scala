@@ -211,6 +211,32 @@ class BpeSpec extends SparkSpec {
     assert(row.getSeq[String](0) == row.getSeq[String](1))
   }
 
+  test("byte-level != code-point seeding on multi-byte characters (q136's universe)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.expressions.{BpeCodec, BpeFns}
+    import graft.functions.BpeMerges
+    BpeFns.register(spark)
+    // 'ä' (0xC3 0xA4): one code-point symbol vs two remapped byte symbols —
+    // the q136 divergence, pinned here at the token level
+    val d = spark.range(1).select(array(lit("tät!"), lit("öre.")).as("ws"))
+    val row = d.select(
+      BpeFns.bpeEncodeNative(col("ws"), BpeMerges.frozen).as("chars"),
+      BpeFns.bpeEncodeNative(col("ws"), BpeMerges.frozen, byteLevel = true).as("bytes"))
+      .head()
+    val chars = row.getSeq[String](0)
+    val bytes = row.getSeq[String](1)
+    assert(chars != bytes)
+    assert(chars.contains("ä") && chars.contains("ö"))
+    // the byte side carries the remapped UTF-8 bytes instead (keep-range
+    // Latin-1 maps to itself: C3='Ã', A4='¤', B6='¶')
+    assert(bytes.contains("Ã") && bytes.contains("¤") && bytes.contains("¶"))
+    assert(!bytes.contains("ä") && !bytes.contains("ö"))
+    // punctuation seeds identically in both modes (single printable byte)
+    assert(chars.count(_ == "!") == 1 && bytes.count(_ == "!") == 1)
+    // and the byte tokens still decode back to the original words
+    assert(BpeCodec.decodeByteSymbols(bytes) == "tät!öre.")
+  }
+
   test("frozen merge table is well-formed and chainable") {
     import graft.functions.BpeMerges
     val f = BpeMerges.frozen
