@@ -32,8 +32,10 @@ import graft.functions.ProductQuantization.PQModel
   * batches are mutually comparable and a search result is independent of
   * HOW the corpus was batched (spec-proven). Re-freezing is refused once
   * codes exist: a codebook change would silently invalidate every committed
-  * code. Model refresh = a new index name, built beside, swapped by rename —
-  * the same blue/green trade FAISS shops make.
+  * code. Model refresh = a new index name, built beside, swapped by
+  * [[swapFamily]] ([[Warehouse.renameAll]] — corpus/cells/codebook/codes
+  * move under ONE durable intent, so a reader sees the old family or the
+  * new one, never a mix) — the same blue/green trade FAISS shops make.
   *
   * Commit order and replay safety ([[SearchIndexIngest]]'s discipline):
   * codes FIRST (idempotent by pk — anti-join against stored pks), corpus
@@ -145,6 +147,27 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     */
   def compact(name: String, smallRows: Long = 100000L): Long =
     wh.compactFiles(codesTable(name), smallRows, clusterBy = Seq("cell"))
+
+  /** Blue/green swap: promote the complete family built under `from`
+    * (corpus + frozen model + codes) to `to` in ONE atomic intent
+    * ([[Warehouse.renameAll]]) — a searcher resolves the whole old family
+    * or the whole new one, never a frankenindex; a crash mid-swap
+    * converges on the next access. The retiring `to` family (when present)
+    * moves aside to `<to>__retired_<n>` in the same intent.
+    */
+  def swapFamily(from: String, to: String): Unit = {
+    val parts = Seq("", "__cells", "__codebook", "__codes")
+    val retire =
+      if (!wh.exists(to)) Nil
+      else {
+        var n = 0
+        while (wh.exists(s"${to}__retired_$n")) n += 1
+        parts.map(p => s"$to$p" -> s"${to}__retired_$n$p")
+          .filter { case (f, _) => wh.exists(f) }
+      }
+    wh.renameAll(retire ++
+      parts.map(p => s"$from$p" -> s"$to$p").filter { case (f, _) => wh.exists(f) })
+  }
 
   /** Code-table files whose [min,max] cell range intersects the probed cell
     * set — the manifest-stat prune (same comparison domain as every other

@@ -62,8 +62,13 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * pointer — probing m0 directly keeps such a table visible (and
     * [[currentVersion]]'s forward scan then recovers its version).
     */
-  def exists(name: String): Boolean =
+  def exists(name: String): Boolean = {
+    // pending multi-table rename intents roll forward BEFORE any probe:
+    // every access path enters here, so no reader can observe a half-moved
+    // family (see [[renameAll]])
+    recoverPendingRenames()
     Files.exists(pointer(name)) || Files.exists(manifestPath(name, 0L))
+  }
 
   /** S12 catalog listing. */
   def listTables(): Seq[String] =
@@ -175,12 +180,97 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   }
 
   /** Rename a table (manifest paths are table-dir-relative, so a plain
-    * directory move is a complete rename).
+    * directory move is a complete rename). Single-table only — for a
+    * multi-table family swap (an index's corpus/cells/codebook/codes moving
+    * together) use [[renameAll]], which is atomic to observers.
     */
   def rename(from: String, to: String): Unit = {
     require(exists(from), s"no such table: $from")
     require(!Files.exists(tableDir(to)), s"table already exists: $to")
     Files.move(tableDir(from), tableDir(to))
+  }
+
+  // ------------------------------------------------- atomic family rename --
+
+  private def intentsDir = Paths.get(root, "_intents")
+
+  /** Atomic multi-table rename — the blue/green index-family swap
+    * ([[VectorIndexIngest]]'s corpus + `__cells` + `__codebook` + `__codes`
+    * must move together; per-table [[rename]] would let a reader see a
+    * mixed family). The WAP-tombstone discipline applied to renames: ONE
+    * durable intent marker (tmp + ATOMIC_MOVE) records every pair before
+    * any directory moves, every access path ([[exists]]) rolls pending
+    * intents forward before probing, and the marker is deleted only after
+    * all moves hold — so an observer sees the family fully old (marker not
+    * yet durable) or fully new (roll-forward completes the swap before the
+    * probe answers), never a mix, and a crash between any two moves
+    * converges on the next access.
+    *
+    * Pairs execute IN ORDER, so a chained swap
+    * `Seq(live -> retired, candidate -> live)` is one atomic trade.
+    * Validation is sequential against the simulated end state: each `from`
+    * must exist (possibly produced by an earlier pair), each `to` must be
+    * free (possibly freed by an earlier pair).
+    */
+  def renameAll(pairs: Seq[(String, String)]): Unit = {
+    recoverPendingRenames()
+    require(pairs.nonEmpty, "renameAll needs at least one pair")
+    require(pairs.map(_._1).distinct.size == pairs.size, "duplicate source table")
+    require(pairs.map(_._2).distinct.size == pairs.size, "duplicate target table")
+    // simulate in order: present tables after each pair
+    var present = listTables().toSet ++
+      pairs.map(_._1).filter(n => Files.exists(tableDir(n)))
+    pairs.foreach { case (f, t) =>
+      require(present.contains(f), s"no such table: $f")
+      require(!present.contains(t) && !Files.exists(tableDir(t)) || pairs.exists(_._1 == t),
+        s"table already exists: $t")
+      require(f != t, s"self-rename: $f")
+      present = present - f + t
+    }
+    Files.createDirectories(intentsDir)
+    val marker = intentsDir.resolve(s"rename-${java.util.UUID.randomUUID().toString.take(8)}")
+    val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
+    Files.writeString(tmp, pairs.map { case (f, t) => s"$f\t$t" }.mkString("\n"))
+    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+    executeRenameIntent(marker)
+  }
+
+  /** Roll one intent forward, pair by pair, tolerating a racing recoverer:
+    * a pair is done when `to` exists and `from` does not; a pair still
+    * pending moves; anything else cannot converge and fails loudly. The
+    * marker is deleted only after every pair holds.
+    */
+  private def executeRenameIntent(marker: Path): Unit = {
+    val pairs = Files.readString(marker).split('\n').toSeq.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+    }
+    pairs.foreach { case (f, t) =>
+      val fd = tableDir(f); val td = tableDir(t)
+      if (Files.exists(fd) && !Files.exists(td)) {
+        try Files.move(fd, td)
+        catch { case _: java.nio.file.FileSystemException => () } // racer won; verified below
+      }
+      if (!(Files.exists(td) && !Files.exists(fd)))
+        throw new IllegalStateException(
+          s"rename intent $f -> $t cannot converge (from=${Files.exists(fd)}, to=${Files.exists(td)})")
+    }
+    Files.deleteIfExists(marker)
+  }
+
+  /** Complete any pending [[renameAll]] intents (oldest first). One stat
+    * call when none have ever been created — the common case — so the
+    * [[exists]]-path guard is effectively free.
+    */
+  private def recoverPendingRenames(): Unit = {
+    if (!Files.exists(intentsDir)) return
+    val markers = {
+      val s = Files.list(intentsDir)
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .filter(p => p.getFileName.toString.startsWith("rename-") &&
+          !p.getFileName.toString.endsWith(".tmp")).toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    markers.foreach(executeRenameIntent)
   }
 
   /** Data files of the current snapshot — stats included (for catalog
