@@ -1182,6 +1182,61 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       src => cluster(src, clusterBy, partitionSpec(name)))
   }
 
+  /** Thresholds for [[maintain]] — each maps one manifest-resident signal
+    * to one maintenance action (all signals cost zero data-file reads):
+    *   - `deleteKeyRatio`: [[compactDeletes]] when pending MOR delete keys
+    *     reach this fraction of table rows (the `$deletes`-table signal —
+    *     every read pays the anti-joins until materialization), or when the
+    *     pending delete FILE count alone reaches `maxDeleteFiles` (many tiny
+    *     deletes cost per-file key scans regardless of key volume);
+    *   - `smallFileRows`/`smallFileCount`: [[compactFiles]] when at least
+    *     `smallFileCount` files sit under `smallFileRows` rows (the
+    *     `$files`/`$partitions` small-file-buildup signal — O(batch)
+    *     ingestion inevitably accretes them);
+    *   - `keepSnapshots`: [[expireSnapshots]] when history exceeds it
+    *     (tagged snapshots stay protected, per expiry's own contract).
+    */
+  final case class MaintenancePolicy(deleteKeyRatio: Double = 0.05,
+      maxDeleteFiles: Int = 8, smallFileRows: Long = 100000L,
+      smallFileCount: Int = 8, keepSnapshots: Int = 10)
+
+  /** What [[maintain]] did and why — `version` is the table's version after
+    * the pass (unchanged when the table was healthy).
+    */
+  final case class MaintenanceReport(version: Long, deletesCompacted: Boolean,
+      filesCompacted: Boolean, snapshotsExpired: Boolean)
+
+  /** Policy-driven auto-maintenance: read the manifest signals and run
+    * exactly the actions they justify — the Iceberg maintenance-procedures
+    * analog, driven by the same metadata the `$files`/`$deletes`/
+    * `$partitions` tables expose. Results are never changed (each action
+    * is a content-preserving rewrite, spec-pinned) and a healthy table
+    * commits NOTHING — maintain is idempotent and safe on a schedule. At
+    * 100 TB this is the difference between a table that stays fast and one
+    * that drowns in delete anti-joins and per-file open costs: the decision
+    * itself stays metadata-scale, so a scheduler can sweep every table
+    * cheaply and only pay rewrite cost where a signal fired.
+    */
+  def maintain(name: String,
+               policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    require(exists(name), s"no such table: $name")
+    val man = currentManifest(name)
+    val tableRows = math.max(man.files.map(_.rows).sum, 1L)
+    val deleteKeys = man.deletes.map(_.rows).sum
+    val doDeletes = man.deletes.nonEmpty &&
+      (deleteKeys.toDouble / tableRows >= policy.deleteKeyRatio ||
+        man.deletes.size >= policy.maxDeleteFiles)
+    if (doDeletes) compactDeletes(name)
+    // re-read: delete materialization may have rewritten files
+    val man2 = currentManifest(name)
+    val doFiles =
+      man2.files.count(_.rows < policy.smallFileRows) >= policy.smallFileCount
+    if (doFiles) compactFiles(name, policy.smallFileRows)
+    val doExpire = history(name).size > policy.keepSnapshots
+    if (doExpire) expireSnapshots(name, policy.keepSnapshots)
+    MaintenanceReport(currentVersion(name), doDeletes, doFiles, doExpire)
+  }
+
   // --------------------------------------------- write-audit-publish (WAP) --
 
   /** Stage a batch as an UNPUBLISHED candidate (Iceberg WAP pattern): data
