@@ -46,7 +46,7 @@ import graft.sink.Warehouse
   * `mergeBroadcastMaxKeys` = merge broadcast gate (also settable session-wide
   * via `spark.graft.mergeBroadcastMaxKeys`).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var rootDir: String = _
@@ -197,6 +197,23 @@ class GraftCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean =
     ident.namespace().isEmpty && warehouse.drop(ident.name())
 
+  // ---- FunctionCatalog: the partition transforms as V2 functions, so
+  // Spark's storage-partitioned-join planner (`V2ScanPartitioningAndOrdering`
+  // → loadV2FunctionOpt) can resolve a scan-reported KeyGroupedPartitioning
+  // into comparable TransformExpressions (see [[SpjSupport]]).
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    requireFlat(namespace)
+    TransformFunctions.names.map(Identifier.of(Array.empty[String], _)).toArray
+  }
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction = {
+    if (ident.namespace().nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    TransformFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     requireFlat(oldIdent.namespace()); requireFlat(newIdent.namespace())
     warehouse.rename(oldIdent.name(), newIdent.name())
@@ -251,8 +268,18 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
         "(spark.sql.extensions) so MorReadRule serves the MOR frame, or run " +
         "compactDeletes first.")
     val paths = manifest.files.map(f => warehouse.resolvePath(table, f.path))
-    new ParquetTable(name(), spark, options, paths, Some(manifest.schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options)
+    val pt = new ParquetTable(name(), spark, options, paths, Some(manifest.schema),
+      classOf[ParquetFileFormat])
+    // Storage-partitioned joins: when the manifest proves every file is
+    // single-valued on the declared partition transforms, the scan reports
+    // its key-grouped clustering and co-partitioned joins plan shuffle-free
+    // (see [[SpjSupport]]; needs spark.sql.sources.v2.bucketing.enabled).
+    SpjSupport.infoFor(warehouse.partitionSpec(table), manifest,
+      rel => new org.apache.hadoop.fs.Path(warehouse.resolvePath(table, rel)).toUri.getPath) match {
+      case Some(info) =>
+        new SpjScanBuilder(spark, pt.fileIndex, pt.schema, pt.dataSchema, options, info)
+      case None => pt.newScanBuilder(options)
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

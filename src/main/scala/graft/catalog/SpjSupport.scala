@@ -1,0 +1,209 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{HasPartitionKey, InputPartition, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sink.{ColStat, Manifest, PartitionTransforms}
+
+/** Storage-partitioned join (SPJ) support: scans of tables whose declared
+  * partition spec provably clusters every data file on a single partition
+  * value report that clustering to Spark as a `KeyGroupedPartitioning`, and
+  * Spark's `EnsureRequirements` then joins two co-partitioned tables with
+  * ZERO shuffle exchange — each task zips one partition-value group of files
+  * from each side (Iceberg's SPJ analog; the reference's warehouse relies on
+  * the same Iceberg bucket metadata for engine-side co-location).
+  *
+  * This is the 100 TB fact-fact join story: with `bucket(n, key)` declared
+  * on both tables, the suite's big FK joins stop shuffling both sides —
+  * the single largest exchange cost in the plan — and AQE never has to
+  * re-plan a skewed shuffle that no longer exists.
+  *
+  * Eligibility is decided from the MANIFEST, not the data: every file must
+  * carry a stat for every spec transform with `min == max` (single-valued).
+  * Writes guarantee this by splitting files hive-style on the materialized
+  * transform value ([[graft.sink.Warehouse]] `cluster`/`writeData`), and
+  * pre-SPJ tables whose files straddle values simply fall back to the
+  * shuffled plan — reporting is an optimization, never a correctness claim.
+  *
+  * Wiring: [[GraftTable.newScanBuilder]] builds [[SpjScanBuilder]] when
+  * [[SpjSupport.infoFor]] accepts the manifest; the built scan is a
+  * [[KeyGroupedParquetScan]] — Spark's own vectorized parquet scan plus
+  * `SupportsReportPartitioning` — and the transform functions resolve
+  * through [[GraftCatalog]]'s `FunctionCatalog` face ([[TransformFunctions]]).
+  * Requires `spark.sql.sources.v2.bucketing.enabled=true` (Spark's SPJ
+  * master switch) to actually drop the exchanges.
+  */
+object SpjSupport {
+
+  /** One spec transform, ready for both planning faces: the V2 `Transform`
+    * Spark resolves against the function catalog, and the parser that turns
+    * a file's manifest stat string into the partition-key catalyst value.
+    */
+  final case class KeyField(transform: Transform, parse: String => Any)
+
+  /** Everything the scan needs to report clustering: the V2 transforms (spec
+    * order) and, per absolute file path, the file's rendered partition-value
+    * tuple (None = the file's value is null for that transform).
+    */
+  final case class Info(transforms: Seq[Transform], keyStrsByPath: Map[String, Seq[Option[String]]],
+                        private val fields: Seq[KeyField]) {
+    def keyRow(strs: Seq[Option[String]]): InternalRow =
+      new GenericInternalRow(strs.zip(fields).map { case (s, f) => s.map(f.parse).orNull }.toArray)
+    def distinctKeys: Int = keyStrsByPath.values.toSet.size
+  }
+
+  private def integral(dt: DataType) =
+    dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+
+  /** Identity partition values must be reconstructable from the rendered
+    * stat string EXACTLY as catalyst internal values; floats/decimals are
+    * excluded (text round-trip risk buys nothing — nobody identity-partitions
+    * on them) and unsupported types just disable SPJ for the table.
+    */
+  private def identityParser(dt: DataType): Option[String => Any] = dt match {
+    case StringType    => Some(s => UTF8String.fromString(s))
+    case ByteType      => Some(s => java.lang.Byte.valueOf(s.toByte))
+    case ShortType     => Some(s => java.lang.Short.valueOf(s.toShort))
+    case IntegerType   => Some(s => java.lang.Integer.valueOf(s.toInt))
+    case LongType      => Some(s => java.lang.Long.valueOf(s.toLong))
+    case DateType      => Some(s => java.lang.Integer.valueOf(s.toInt))  // stat = epoch day
+    case TimestampType => Some(s => java.lang.Long.valueOf(s.toLong))   // stat = epoch micros
+    case BooleanType   => Some(s => java.lang.Boolean.valueOf(s == "1")) // stat = 0/1
+    case _             => None
+  }
+
+  private def keyField(f: PartitionTransforms.Field, dt: DataType): Option[KeyField] = f.fn match {
+    case "identity" =>
+      identityParser(dt).map(p => KeyField(Expressions.identity(f.src), p))
+    case "bucket" =>
+      Some(KeyField(Expressions.bucket(f.param.get, f.src),
+        s => java.lang.Integer.valueOf(s.toInt)))
+    case "truncate" =>
+      val parse: String => Any =
+        if (dt == StringType) s => UTF8String.fromString(s) else s => java.lang.Long.valueOf(s.toLong)
+      Some(KeyField(Expressions.apply("truncate",
+        Expressions.literal(Integer.valueOf(f.param.get)), Expressions.column(f.src)), parse))
+    case "years"  => Some(KeyField(Expressions.years(f.src), s => java.lang.Long.valueOf(s.toLong)))
+    case "months" => Some(KeyField(Expressions.months(f.src), s => java.lang.Long.valueOf(s.toLong)))
+    case "days"   => Some(KeyField(Expressions.days(f.src), s => java.lang.Long.valueOf(s.toLong)))
+    case "hours"  => Some(KeyField(Expressions.hours(f.src), s => java.lang.Long.valueOf(s.toLong)))
+    case _        => None
+  }
+
+  /** Decide SPJ eligibility for one snapshot. Returns None (→ plain scan,
+    * shuffled joins, always correct) unless EVERY spec transform is
+    * representable and EVERY data file is provably single-valued on EVERY
+    * transform (stat present with min == max; an all-null "z" stat is the
+    * null partition value). O(files × transforms), manifest-resident —
+    * no data IO.
+    */
+  def infoFor(spec: Seq[String], manifest: Manifest,
+              pathOf: String => String): Option[Info] = {
+    if (spec.isEmpty || manifest.files.isEmpty || manifest.deletes.nonEmpty) return None
+    val parsed = spec.map(PartitionTransforms.parse)
+    if (parsed.exists(_.isEmpty)) return None
+    val fields = parsed.flatten
+    val kfs = fields.map { f =>
+      manifest.schema.fields.find(_.name == f.src) match {
+        case Some(sf) => keyField(f, sf.dataType)
+        case None     => None
+      }
+    }
+    if (kfs.exists(_.isEmpty)) return None
+    val keyOf: graft.sink.DataFile => Option[Seq[Option[String]]] = df => {
+      val vals = fields.map { f =>
+        df.stats.get(f.key) match {
+          case Some(ColStat("z", _, _))               => Some(None)
+          case Some(ColStat(_, mn, mx)) if mn == mx   => Some(Some(mn))
+          case _                                      => None
+        }
+      }
+      if (vals.exists(_.isEmpty)) None else Some(vals.flatten)
+    }
+    val entries = manifest.files.map(df => keyOf(df).map(k => pathOf(df.path) -> k))
+    if (entries.exists(_.isEmpty)) None
+    else Some(Info(kfs.flatten.map(_.transform), entries.flatten.toMap, kfs.flatten))
+  }
+}
+
+/** A [[FilePartition]] that knows its partition-value tuple — what lets
+  * Spark's `DataSourceV2ScanExecBase.groupPartitions` key-group the scan.
+  * Still a FilePartition, so Spark's own `FilePartitionReaderFactory`
+  * (vectorized parquet reader, whole-stage codegen) reads it unchanged.
+  */
+final class KeyedFilePartition(index: Int, files: Array[PartitionedFile], key: InternalRow)
+    extends FilePartition(index, files) with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** Spark's own `ParquetScan` (inherits pushdown, vectorization, codegen,
+  * stats) plus `SupportsReportPartitioning`: input partitions are regrouped
+  * so each holds exactly the file chunks of ONE partition-value tuple, and
+  * the reported `KeyGroupedPartitioning` names the spec transforms. Spark
+  * does the rest — `V2ScanPartitioningAndOrdering` resolves the transforms
+  * through the catalog's functions, and co-partitioned joins drop their
+  * exchanges.
+  *
+  * Case-class equality is inherited from ParquetScan (same table, same
+  * pushdowns → equal), which is exactly what scan reuse wants: eligibility
+  * is a pure function of the manifest, so two equal scans always report the
+  * same clustering.
+  */
+final class KeyGroupedParquetScan(base: ParquetScan, info: SpjSupport.Info)
+    extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
+      base.readDataSchema, base.readPartitionSchema, base.pushedFilters, base.options,
+      base.pushedAggregate, base.partitionFilters, base.dataFilters,
+      base.pushedVariantExtractions)
+    with SupportsReportPartitioning {
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      info.transforms.toArray[org.apache.spark.sql.connector.expressions.Expression],
+      info.distinctKeys)
+
+  /** Regroup the parent's planned chunks by partition value. Parallelism is
+    * one task per surviving value-group — inherent to SPJ (a co-partitioned
+    * join task must hold a whole group), so bucket counts should be chosen
+    * ≥ cluster parallelism (n=32+ here, hundreds on a real cluster).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val chunks = super.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(s"unexpected partition ${other.getClass}")
+    }
+    val grouped = chunks.groupBy { pf =>
+      val p = pf.filePath.toPath.toUri.getPath
+      info.keyStrsByPath.getOrElse(p,
+        throw new IllegalStateException(s"file $p missing from the SPJ key map"))
+    }
+    grouped.toSeq.sortBy(_._1.map(_.getOrElse(" ")).mkString(""))
+      .zipWithIndex.map { case ((key, files), i) =>
+        new KeyedFilePartition(i, files, info.keyRow(key)): InputPartition
+      }.toArray
+  }
+}
+
+/** Spark's ParquetScanBuilder with one twist: the built scan reports the
+  * table's key-grouped clustering. Aggregate-pushdown scans (footer-served
+  * MIN/MAX/COUNT) bypass the wrap — their output is not row-grained and
+  * nothing joins on it.
+  */
+final class SpjScanBuilder(sparkSession: org.apache.spark.sql.SparkSession,
+                           fileIndex: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
+                           schema: StructType, dataSchema: StructType,
+                           options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+                           info: SpjSupport.Info)
+    extends ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, options) {
+  override def build(): ParquetScan = {
+    val base = super.build()
+    if (base.pushedAggregate.isDefined) base
+    else new KeyGroupedParquetScan(base, info)
+  }
+}

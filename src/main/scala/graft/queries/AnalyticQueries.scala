@@ -16,6 +16,22 @@ object AnalyticQueries {
 
   private val BIG_ORDER_QTY = 250 // q116: large-volume order threshold
 
+  /** q137's per-JVM warehouse root. STABLE across invocations on purpose:
+    * Spark caches catalog plugins by name after first load, so the catalog
+    * conf must keep pointing at the same path — each run wipes the
+    * CONTENTS and rewrites, and the finally-wipe leaves nothing behind
+    * (the q134 temp-dir discipline).
+    */
+  private lazy val q137Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q137")
+
+  private def wipe(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.filter(_ != p).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: single-pass grouped scan of the biggest fact. Partial
     // aggregation (map-side combine) keeps shuffle rows = #groups, not #rows.
@@ -45,6 +61,62 @@ object AnalyticQueries {
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
+    },
+
+    // Storage-partitioned co-located join (q137): the fact-fact orderkey
+    // join that q21/q22 shuffle BOTH sides of, re-run through the warehouse
+    // with bucket(32, orderkey) declared on both tables. The hive-split
+    // writes make every file single-valued per bucket, the scans report
+    // KeyGroupedPartitioning (catalog/SpjSupport), and Spark's SPJ machinery
+    // zips per-bucket file groups with ZERO join exchanges —
+    // BucketedJoinSpec pins the shuffle-free plan; this query pins the
+    // ANSWER against DuckDB at full identity. At 100 TB the orderkey
+    // shuffle of two fact tables is the single biggest exchange in the
+    // suite; bucketing both sides at write time deletes it from every
+    // downstream join. Per-iteration cost deliberately includes the
+    // bucketed table build (the amortized write that buys shuffle-free
+    // serving), mirroring q134's index-build accounting.
+    "q137_bucketed_colocated_join" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val conf = s.conf
+      val savedConfs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+      wipe(q137Root)
+      try {
+        conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        // force a real join of both sides: broadcasting the dim would bypass
+        // the exchange this query exists to prove away
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.catalog.gq137", classOf[graft.catalog.GraftCatalog].getName)
+        conf.set("spark.sql.catalog.gq137.root", q137Root.toString)
+        val wh = new Warehouse(s, q137Root.toString)
+        val o = read(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        val li = read(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        wh.create("orders_b", o.schema, Seq("bucket(32,o_orderkey)"))
+        wh.create("lineitem_b", li.schema, Seq("bucket(32,l_orderkey)"))
+        wh.append("orders_b", o)
+        wh.append("lineitem_b", li)
+        // eager localCheckpoint detaches the result from the bucketed table
+        // files so the per-run warehouse can be wiped (q134 discipline)
+        s.sql(
+          """SELECT o_orderpriority,
+            |  count(*) AS n_items,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            |FROM gq137.orders_b JOIN gq137.lineitem_b ON o_orderkey = l_orderkey
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+          .localCheckpoint()
+      } finally {
+        savedConfs.foreach {
+          case (k, Some(v)) => conf.set(k, v)
+          case (k, None)    => conf.unset(k)
+        }
+        wipe(q137Root)
+      }
     },
 
     // TPC-H Q17 shape: "small-quantity" lineitems vs their part's average —
@@ -563,6 +635,17 @@ object AnalyticQueries {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    // q137's oracle: the same join over the RAW parquet tables — the
+    // bucketed warehouse round-trip and shuffle-free plan must change
+    // nothing about the answer.
+    "q137_bucketed_colocated_join" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q106_salted_join" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,

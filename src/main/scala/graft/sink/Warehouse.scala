@@ -405,7 +405,13 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // expireSnapshots.
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dir = tableDir(name).resolve(s"$dirName-$attempt")
-    in.write.mode("overwrite").parquet(dir.toString)
+    // Materialized transform columns ([[cluster]]) hive-split the write so
+    // every file is single-valued per transform (the SPJ invariant); the
+    // __graft_p columns live only in directory names, never file content.
+    val pcols = in.columns.filter(_.startsWith(SpecColPrefix))
+      .sortBy(_.stripPrefix(SpecColPrefix).toInt)
+    val w = in.write.mode("overwrite")
+    (if (pcols.isEmpty) w else w.partitionBy(pcols: _*)).parquet(dir.toString)
     val scs = statCols(schema, cols)
     val base = spark.read.schema(schema).parquet(dir.toString)
       .select(input_file_name().as("__file") +: schema.fieldNames.map(col).toSeq: _*)
@@ -508,25 +514,46 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
                       spec: Seq[String] = Nil): DataFrame = {
     // declared partition transforms cluster FIRST (files align with
     // partition values, so the transform bounds are tight — one or few
-    // values per file), then any explicit clusterBy within them
-    val specExprs = spec.flatMap { s =>
+    // values per file), then any explicit clusterBy within them.
+    //
+    // Transform values are MATERIALIZED as __graft_p{i} columns rather than
+    // clustered as bare expressions: writeData partitionBy's them, which
+    // hive-splits the batch so every data file holds exactly ONE partition
+    // value — the invariant storage-partitioned joins need (SpjSupport
+    // proves it back from the manifest's min==max stats). Range clustering
+    // alone leaves boundary files straddling two adjacent values.
+    require(!in.columns.exists(_.startsWith(SpecColPrefix)),
+      s"column names starting with $SpecColPrefix are reserved for partition transforms")
+    val specCols: Seq[(String, Column)] = spec.zipWithIndex.flatMap { case (s, i) =>
       PartitionTransforms.parse(s).flatMap { f =>
-        if (f.fn == "identity") Some(col(f.src))
-        else in.schema.fields.find(_.name == f.src).flatMap(sf =>
-          PartitionTransforms.exprAndKind(f, sf.dataType).map(_._1))
+        val e =
+          if (f.fn == "identity") in.schema.fields.find(_.name == f.src).map(_ => col(f.src))
+          else in.schema.fields.find(_.name == f.src).flatMap(sf =>
+            PartitionTransforms.exprAndKind(f, sf.dataType).map(_._1))
+        e.map(expr => s"$SpecColPrefix$i" -> expr)
       }
     }
-    val all = specExprs ++ clusterBy.map(col)
+    val withP = specCols.foldLeft(in) { case (d, (n, e)) => d.withColumn(n, e) }
+    val all = specCols.map(p => col(p._1)) ++ clusterBy.map(col)
     if (all.isEmpty) in
-    else if (specExprs.nonEmpty) {
+    else if (specCols.nonEmpty) {
       // explicit partition count (REPARTITION_BY_NUM): AQE must not
       // coalesce away the partition-value file boundaries — a small batch
       // collapsed into one file would put every partition value in every
-      // file and no transform bound could ever prune
+      // file and no transform bound could ever prune. The sort leads with
+      // the __graft_p columns, so the partitioned write's required ordering
+      // is already satisfied and the clusterBy order inside each file
+      // survives (FileFormatWriter skips its own sort).
       val n = in.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-      in.repartitionByRange(n, all: _*).sortWithinPartitions(all: _*)
-    } else in.repartitionByRange(all: _*).sortWithinPartitions(all: _*)
+      withP.repartitionByRange(n, all: _*).sortWithinPartitions(all: _*)
+    } else withP.repartitionByRange(all: _*).sortWithinPartitions(all: _*)
   }
+
+  /** Reserved prefix for materialized partition-transform columns — present
+    * only between [[cluster]] and [[writeData]]'s partitionBy, never in file
+    * content (hive-style writes drop partition columns) or table schema.
+    */
+  private val SpecColPrefix = "__graft_p"
 
   /** Shared batch-commit path: conform, cluster, write the batch's files,
     * commit a manifest that either carries prior files forward (append) or
@@ -1666,9 +1693,13 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       finally s.close()
     }
     dataDirs.foreach { dir =>
+      // walk, not list: partitioned writes hive-split data one directory
+      // level down (`__graft_p0=3/part-*.parquet`), and a non-recursive
+      // sweep would see zero parquets and wholesale-delete a LIVE dir
       val files = {
-        val s = Files.list(dir)
-        try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala.toSeq
+        val s = Files.walk(dir)
+        try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+          .filter(Files.isRegularFile(_)).toSeq
         finally s.close()
       }
       val parquets = files.filter(_.getFileName.toString.endsWith(".parquet"))

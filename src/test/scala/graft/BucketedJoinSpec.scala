@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.sink.Warehouse
+
+/** Storage-partitioned joins: two tables bucketed on the join key plan their
+  * join with ZERO shuffle exchanges — each task zips one bucket's files from
+  * both sides — while producing exactly the rows the shuffled plan produces.
+  * Also pins the enabling invariant (hive-split writes make every file
+  * single-valued on the spec transforms) and the graceful fallbacks.
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  /** Count shuffle exchanges in the FINAL (post-AQE) physical plan. */
+  private def shuffles(df: DataFrame): Int = {
+    df.collect() // force execution so AQE's final plan exists
+    def count(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
+  private def withSpj[A](body: => A): A = {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ: SPJ is the subject
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  private def freshCatalog(tag: String): (Warehouse, String) = {
+    val root = tmpDir(s"graft-spj-$tag")
+    spark.conf.set(s"spark.sql.catalog.$tag", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$tag.root", root)
+    (new Warehouse(spark, root), tag)
+  }
+
+  test("bucketed fact-fact join plans with zero shuffles and matches the shuffled plan") {
+    val (wh, cat) = freshCatalog("spjb")
+    val orders = spark.range(0, 2000).select(col("id").as("o_id"),
+      (col("id") % 97).as("cust"), (col("id") * 3).as("total"))
+    val items = spark.range(0, 6000).select((col("id") % 2000).as("o_id"),
+      col("id").as("li_id"), (col("id") % 11).as("qty"))
+    wh.create("orders", orders.schema, Seq("bucket(8,o_id)"))
+    wh.create("items", items.schema, Seq("bucket(8,o_id)"))
+    // two appends each: SPJ must group MULTIPLE files per bucket
+    wh.append("orders", orders.filter(col("o_id") < 1000))
+    wh.append("orders", orders.filter(col("o_id") >= 1000))
+    wh.append("items", items.filter(col("li_id") < 3000))
+    wh.append("items", items.filter(col("li_id") >= 3000))
+
+    // the write invariant SPJ rests on: every file single-valued per transform
+    for (t <- Seq("orders", "items"); f <- wh.currentManifest(t).files) {
+      val st = f.stats("bucket(8,o_id)")
+      assert(st.min == st.max, s"$t file ${f.path} straddles buckets: $st")
+    }
+
+    val q = s"SELECT o.o_id, o.total, i.li_id, i.qty FROM $cat.orders o JOIN $cat.items i ON o.o_id = i.o_id"
+    val (spjRows, nShuffles) = withSpj {
+      val df = spark.sql(q)
+      (df.collect().toSet, shuffles(df))
+    }
+    assert(nShuffles == 0, s"expected a shuffle-free storage-partitioned join, got $nShuffles exchanges")
+    val plain = spark.sql(q).collect().toSet // bucketing conf off: shuffled plan
+    assert(spjRows == plain)
+    assert(spjRows.size == 6000)
+  }
+
+  test("SPJ groups cover every row when one side is missing buckets (pushPartValues)") {
+    val (wh, cat) = freshCatalog("spjm")
+    val left = spark.range(0, 500).select(col("id").as("k"), col("id").as("v"))
+    wh.create("l", left.schema, Seq("bucket(8,k)"))
+    wh.create("r", left.schema, Seq("bucket(8,k)"))
+    wh.append("l", left)
+    wh.append("r", left.filter(col("k") % 16 === 0)) // sparse: some buckets empty on the right
+    val q = s"SELECT l.k, r.v FROM $cat.l l JOIN $cat.r r ON l.k = r.k"
+    val (rows, n) = withSpj {
+      val df = spark.sql(q)
+      (df.collect().toSet, shuffles(df))
+    }
+    assert(n == 0)
+    assert(rows == (0 until 500 by 16).map(i => org.apache.spark.sql.Row(i.toLong, i.toLong)).toSet)
+  }
+
+  test("identity-partitioned tables co-locate too; mixed specs fall back correctly") {
+    val (wh, cat) = freshCatalog("spji")
+    val d = spark.range(0, 300).select((col("id") % 5).cast("int").as("g"), col("id").as("v"))
+    wh.create("a", d.schema, Seq("g"))
+    wh.create("b", d.schema, Seq("g"))
+    wh.append("a", d)
+    wh.append("b", d)
+    val q = s"SELECT a.g, sum(a.v + b.v) AS s FROM $cat.a a JOIN $cat.b b ON a.g = b.g GROUP BY a.g"
+    val (rows, n) = withSpj {
+      val df = spark.sql(q)
+      (df.collect().toSet, shuffles(df))
+    }
+    // join itself is co-located; the groupBy on g rides the same clustering
+    assert(n == 0, s"identity SPJ expected shuffle-free join+agg, got $n")
+    assert(rows == spark.sql(q).collect().toSet)
+
+    // one bucketed + one unpartitioned: falls back to a correct shuffled join
+    wh.create("plain", d.schema, Nil)
+    wh.append("plain", d)
+    val qm = s"SELECT a.g, p.v FROM $cat.a a JOIN $cat.plain p ON a.g = p.g"
+    val (mixedRows, mixedShuffles) = withSpj {
+      val df = spark.sql(qm)
+      (df.collect().length, shuffles(df))
+    }
+    assert(mixedShuffles > 0)
+    assert(mixedRows == spark.sql(qm).collect().length)
+  }
+
+  test("bucket counts must match: bucket(8) vs bucket(4) does not co-locate, stays correct") {
+    val (wh, cat) = freshCatalog("spjx")
+    val d = spark.range(0, 400).select(col("id").as("k"), col("id").as("v"))
+    wh.create("b8", d.schema, Seq("bucket(8,k)"))
+    wh.create("b4", d.schema, Seq("bucket(4,k)"))
+    wh.append("b8", d)
+    wh.append("b4", d)
+    val q = s"SELECT x.k FROM $cat.b8 x JOIN $cat.b4 y ON x.k = y.k"
+    val (cnt, n) = withSpj {
+      val df = spark.sql(q)
+      (df.collect().length, shuffles(df))
+    }
+    assert(n > 0, "mismatched bucket counts must NOT claim co-partitioning")
+    assert(cnt == 400)
+  }
+
+  test("V2 transform functions agree with the write-side column expressions") {
+    import graft.sink.PartitionTransforms
+    // evaluate through SQL so resolution exercises the same FunctionCatalog
+    // path the planner uses
+    spark.conf.set("spark.sql.catalog.spjf", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjf.root", tmpDir("graft-spjf"))
+    val rows = spark.range(-50, 50)
+      .select(col("id"),
+        concat(lit("k"), col("id")).as("s"),
+        timestamp_micros(col("id") * 7230000001L).as("ts"))
+    rows.createOrReplaceTempView("spjf_in")
+    val fdf = spark.sql(
+      """SELECT spjf.bucket(8, id) AS b_id, spjf.bucket(16, s) AS b_s,
+        |       spjf.truncate(10, id) AS t_id, spjf.truncate(2, s) AS t_s,
+        |       spjf.days(ts) AS d, spjf.hours(ts) AS h,
+        |       spjf.years(ts) AS y, spjf.months(ts) AS m
+        |FROM spjf_in""".stripMargin)
+    def expr(spec: String, dt: org.apache.spark.sql.types.DataType) =
+      PartitionTransforms.exprAndKind(PartitionTransforms.parse(spec).get, dt).get._1
+    import org.apache.spark.sql.types._
+    val edf = rows.select(
+      expr("bucket(8,id)", LongType).as("b_id"), expr("bucket(16,s)", StringType).as("b_s"),
+      expr("truncate(10,id)", LongType).as("t_id"), expr("truncate(2,s)", StringType).as("t_s"),
+      expr("days(ts)", TimestampType).as("d"), expr("hours(ts)", TimestampType).as("h"),
+      expr("years(ts)", TimestampType).as("y"), expr("months(ts)", TimestampType).as("m"))
+    val f = fdf.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val e = edf.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(f == e)
+  }
+}

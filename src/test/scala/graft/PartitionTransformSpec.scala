@@ -192,6 +192,34 @@ class PartitionTransformSpec extends SparkSpec {
     assert(plan.contains("LocalTableScan") || plan.contains("LocalScan"), plan)
   }
 
+  test("expireSnapshots sweeps hive-split layouts correctly: old files go, live data survives") {
+    // partitioned writes nest parquet under __graft_p0=v/ dirs; the orphan
+    // sweep must WALK them — a non-recursive listing would see zero parquets
+    // in a live dir and wholesale-delete it (the r11 regression this pins)
+    val root = tmpDir("pt-expire")
+    val wh = new graft.sink.Warehouse(spark, root)
+    val d1 = spark.range(0, 40).selectExpr("id", "cast(id % 4 as int) as g")
+    wh.create("t", d1.schema, Seq("bucket(4,id)"))
+    wh.append("t", d1)
+    wh.replace("t", d1.filter(org.apache.spark.sql.functions.col("id") < 20)) // v1 files now dead
+    val before = wh.load("t").collect().toSet
+    wh.expireSnapshots("t", keepLast = 1, orphanGraceMs = 0L)
+    assert(wh.load("t").collect().toSet == before)
+    assert(wh.load("t").count() == 20)
+    // v1's replaced files actually swept despite living one dir level down
+    val td = java.nio.file.Paths.get(root, "t")
+    val stray = {
+      val s = java.nio.file.Files.walk(td)
+      try {
+        import scala.jdk.CollectionConverters._
+        val live = wh.currentManifest("t").files.map(_.path).toSet
+        s.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+          .map(p => td.relativize(p).toString).filterNot(live).toList
+      } finally s.close()
+    }
+    assert(stray.isEmpty, s"unreferenced parquet files survived the sweep: $stray")
+  }
+
   test("projection unit checks: literal side matches the column side, bit for bit") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     // days: micros floor-division == unix_date(to_date(ts)) under UTC
