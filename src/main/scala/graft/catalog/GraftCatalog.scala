@@ -274,12 +274,11 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
     // single-valued on the declared partition transforms, the scan reports
     // its key-grouped clustering and co-partitioned joins plan shuffle-free
     // (see [[SpjSupport]]; needs spark.sql.sources.v2.bucketing.enabled).
-    SpjSupport.infoFor(warehouse.partitionSpec(table), manifest,
-      rel => new org.apache.hadoop.fs.Path(warehouse.resolvePath(table, rel)).toUri.getPath) match {
-      case Some(info) =>
-        new SpjScanBuilder(spark, pt.fileIndex, pt.schema, pt.dataSchema, options, info)
-      case None => pt.newScanBuilder(options)
-    }
+    def norm(rel: String): String =
+      new org.apache.hadoop.fs.Path(warehouse.resolvePath(table, rel)).toUri.getPath
+    val filesByPath = manifest.files.map(f => norm(f.path) -> f).toMap
+    val info = SpjSupport.infoFor(warehouse.partitionSpec(table), manifest, norm)
+    new SpjScanBuilder(spark, pt.fileIndex, pt.schema, pt.dataSchema, options, filesByPath, info)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

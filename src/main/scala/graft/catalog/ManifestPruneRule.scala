@@ -73,7 +73,11 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     case _ => true
   }
 
-  private def check(file: DataFile, col: String, op: String, l: Literal): Boolean = {
+  /** Shared with runtime (DPP) pruning — [[V2PredicatePruning]] routes the
+    * join-driven IN-sets through the same bounds + transform projection, so
+    * static and dynamic file skipping can never disagree.
+    */
+  private[catalog] def check(file: DataFile, col: String, op: String, l: Literal): Boolean = {
     if (l.value == null) return false // col OP null matches no row
     val raw = file.stats.get(col) match {
       case None => true // no bounds recorded for this column — keep the file

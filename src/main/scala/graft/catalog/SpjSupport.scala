@@ -133,6 +133,53 @@ object SpjSupport {
   }
 }
 
+/** Runtime (join-driven) file pruning: converts the V2 `Predicate`s Spark's
+  * dynamic-partition-pruning machinery hands a `SupportsRuntimeV2Filtering`
+  * scan — IN-sets of join-key values harvested from the filtering side at
+  * execution time — into the SAME per-file bounds test the static
+  * [[ManifestPruneRule]] uses (raw min/max + transform projection, so a
+  * bucket-partitioned fact prunes whole buckets from a dim's surviving
+  * keys). Conservative: unknown predicate shapes keep the file.
+  */
+object V2PredicatePruning {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.connector.expressions.{NamedReference, Expression => V2Expr, Literal => V2Literal}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private def colOf(e: V2Expr): Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+    case _ => None
+  }
+  // LiteralValue carries Catalyst-internal values (UTF8String, micros, days)
+  // — exactly what ManifestPruneRule.check's render side expects
+  private def litOf(e: V2Expr): Option[Literal] = e match {
+    case l: V2Literal[_] => Some(Literal(l.value, l.dataType))
+    case _ => None
+  }
+
+  /** May `file` contain a row satisfying runtime predicate `p`? */
+  def mayMatch(file: graft.sink.DataFile, p: Predicate): Boolean = p.name() match {
+    case "IN" =>
+      val ch = p.children()
+      (colOf(ch(0)), ch.drop(1).toSeq.map(litOf)) match {
+        case (Some(c), ls) if ls.nonEmpty && ls.forall(_.isDefined) =>
+          ls.flatten.exists(l => ManifestPruneRule.check(file, c, "=", l))
+        case _ => true
+      }
+    case "=" =>
+      val ch = p.children()
+      (for (c <- colOf(ch(0)); l <- litOf(ch(1))) yield ManifestPruneRule.check(file, c, "=", l))
+        .orElse(for (l <- litOf(ch(0)); c <- colOf(ch(1))) yield ManifestPruneRule.check(file, c, "=", l))
+        .getOrElse(true)
+    case "AND" =>
+      p.children().forall {
+        case q: Predicate => mayMatch(file, q)
+        case _            => true
+      }
+    case _ => true
+  }
+}
+
 /** A [[FilePartition]] that knows its partition-value tuple — what lets
   * Spark's `DataSourceV2ScanExecBase.groupPartitions` key-group the scan.
   * Still a FilePartition, so Spark's own `FilePartitionReaderFactory`
@@ -144,23 +191,86 @@ final class KeyedFilePartition(index: Int, files: Array[PartitionedFile], key: I
 }
 
 /** Spark's own `ParquetScan` (inherits pushdown, vectorization, codegen,
-  * stats) plus `SupportsReportPartitioning`: input partitions are regrouped
-  * so each holds exactly the file chunks of ONE partition-value tuple, and
-  * the reported `KeyGroupedPartitioning` names the spec transforms. Spark
-  * does the rest — `V2ScanPartitioningAndOrdering` resolves the transforms
-  * through the catalog's functions, and co-partitioned joins drop their
-  * exchanges.
+  * stats) plus `SupportsRuntimeV2Filtering`: at execution time Spark's
+  * dynamic-partition-pruning rules hand the scan the IN-set of join-key
+  * values that actually survived the filtering side, and the scan drops
+  * every data file whose manifest bounds (raw min/max AND transform
+  * projection -- [[V2PredicatePruning]]) prove it disjoint. This is the
+  * join-driven complement of the static `ManifestPruneRule`: a selective
+  * dim filter prunes FACT files before a single fact byte is read -- at
+  * 100 TB the difference between scanning the table and scanning the few
+  * buckets/ranges the dim's keys live in. Wraps EVERY warehouse scan
+  * (pruning is manifest-resident, costs nothing when no runtime filter
+  * arrives).
   *
-  * Case-class equality is inherited from ParquetScan (same table, same
-  * pushdowns → equal), which is exactly what scan reuse wants: eligibility
-  * is a pure function of the manifest, so two equal scans always report the
-  * same clustering.
+  * `filesByPath` keys are normalized absolute paths; values the manifest
+  * entries whose stats drive the pruning. Case-class equality is inherited
+  * from ParquetScan; runtime-filter state is deliberately excluded (Spark
+  * distinguishes filtered scans by the exec node's runtimeFilters, and
+  * canonicalization strips them).
   */
-final class KeyGroupedParquetScan(base: ParquetScan, info: SpjSupport.Info)
+sealed class GraftParquetScan(base: ParquetScan,
+                              filesByPath: Map[String, graft.sink.DataFile])
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
       base.readDataSchema, base.readPartitionSchema, base.pushedFilters, base.options,
       base.pushedAggregate, base.partitionFilters, base.dataFilters,
       base.pushedVariantExtractions)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Paths surviving runtime filters; None = no filter arrived. Mutable by
+    * design -- Spark calls filter() on the planned scan then re-plans
+    * partitions (the Iceberg SparkBatchQueryScan protocol). Multiple calls
+    * intersect.
+    */
+  @volatile private var allowed: Option[Set[String]] = None
+
+  /** Columns a runtime filter can prune on: any schema column with recorded
+    * per-file bounds, plus the SOURCE columns of partition transforms
+    * (bucket/days/... projection gives them pruning power beyond raw
+    * bounds).
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val statKeys = filesByPath.valuesIterator.flatMap(_.stats.keysIterator).toSet
+    val cols = statKeys.map(k => PartitionTransforms.parseKey(k).map(_.src).getOrElse(k))
+    val schemaCols = dataSchema.fieldNames.toSet
+    cols.intersect(schemaCols).toArray.sorted.map(Expressions.column)
+  }
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val kept = filesByPath.filter { case (_, df) =>
+      predicates.forall(V2PredicatePruning.mayMatch(df, _))
+    }.keySet
+    allowed = Some(allowed.fold(kept)(_ intersect kept))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = super.planInputPartitions()
+    allowed match {
+      case None => parts
+      case Some(ok) =>
+        parts.iterator.flatMap {
+          case fp: FilePartition =>
+            val kept = fp.files.filter(pf => ok.contains(pf.filePath.toPath.toUri.getPath))
+            if (kept.isEmpty) None else Some(kept)
+          case other => throw new IllegalStateException(s"unexpected partition ${other.getClass}")
+        }.zipWithIndex.map { case (files, i) => FilePartition(i, files): InputPartition }.toArray
+    }
+  }
+}
+
+/** [[GraftParquetScan]] plus `SupportsReportPartitioning`: input partitions
+  * are regrouped so each holds exactly the file chunks of ONE
+  * partition-value tuple, and the reported `KeyGroupedPartitioning` names
+  * the spec transforms. Spark does the rest -- `V2ScanPartitioningAndOrdering`
+  * resolves the transforms through the catalog's functions, and
+  * co-partitioned joins drop their exchanges. Runtime filters compose:
+  * pruned files vanish from their groups (a group losing every file
+  * disappears; pushPartValues covers the asymmetry).
+  */
+final class KeyGroupedParquetScan(base: ParquetScan,
+                                  filesByPath: Map[String, graft.sink.DataFile],
+                                  info: SpjSupport.Info)
+    extends GraftParquetScan(base, filesByPath)
     with SupportsReportPartitioning {
 
   override def outputPartitioning(): Partitioning =
@@ -168,10 +278,11 @@ final class KeyGroupedParquetScan(base: ParquetScan, info: SpjSupport.Info)
       info.transforms.toArray[org.apache.spark.sql.connector.expressions.Expression],
       info.distinctKeys)
 
-  /** Regroup the parent's planned chunks by partition value. Parallelism is
-    * one task per surviving value-group — inherent to SPJ (a co-partitioned
-    * join task must hold a whole group), so bucket counts should be chosen
-    * ≥ cluster parallelism (n=32+ here, hundreds on a real cluster).
+  /** Regroup the parent's planned (and runtime-filtered) chunks by partition
+    * value. Parallelism is one task per surviving value-group -- inherent to
+    * SPJ (a co-partitioned join task must hold a whole group), so bucket
+    * counts should be chosen >= cluster parallelism (n=32+ here, hundreds on
+    * a real cluster).
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val chunks = super.planInputPartitions().flatMap {
@@ -183,27 +294,32 @@ final class KeyGroupedParquetScan(base: ParquetScan, info: SpjSupport.Info)
       info.keyStrsByPath.getOrElse(p,
         throw new IllegalStateException(s"file $p missing from the SPJ key map"))
     }
-    grouped.toSeq.sortBy(_._1.map(_.getOrElse(" ")).mkString(""))
+    grouped.toSeq.sortBy(_._1.map(_.getOrElse(" ")).mkString(""))
       .zipWithIndex.map { case ((key, files), i) =>
         new KeyedFilePartition(i, files, info.keyRow(key)): InputPartition
       }.toArray
   }
 }
 
-/** Spark's ParquetScanBuilder with one twist: the built scan reports the
-  * table's key-grouped clustering. Aggregate-pushdown scans (footer-served
-  * MIN/MAX/COUNT) bypass the wrap — their output is not row-grained and
-  * nothing joins on it.
+/** Spark's ParquetScanBuilder with one twist: the built scan carries the
+  * manifest (runtime file pruning), and reports the table's key-grouped
+  * clustering when the snapshot is SPJ-eligible. Aggregate-pushdown scans
+  * (footer-served MIN/MAX/COUNT) bypass the wrap -- their output is not
+  * row-grained and nothing joins on or runtime-filters it.
   */
 final class SpjScanBuilder(sparkSession: org.apache.spark.sql.SparkSession,
                            fileIndex: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
                            schema: StructType, dataSchema: StructType,
                            options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
-                           info: SpjSupport.Info)
+                           filesByPath: Map[String, graft.sink.DataFile],
+                           info: Option[SpjSupport.Info])
     extends ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, options) {
   override def build(): ParquetScan = {
     val base = super.build()
     if (base.pushedAggregate.isDefined) base
-    else new KeyGroupedParquetScan(base, info)
+    else info match {
+      case Some(i) => new KeyGroupedParquetScan(base, filesByPath, i)
+      case None    => new GraftParquetScan(base, filesByPath)
+    }
   }
 }

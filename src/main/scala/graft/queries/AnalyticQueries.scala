@@ -25,6 +25,10 @@ object AnalyticQueries {
   private lazy val q137Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q137")
 
+  /** q138's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q138Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q138")
+
   private def wipe(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -116,6 +120,55 @@ object AnalyticQueries {
           case (k, None)    => conf.unset(k)
         }
         wipe(q137Root)
+      }
+    },
+
+    // Runtime-pruned join (q138): the DPP serving path under the oracle.
+    // The fact (lineitem, bucketed on orderkey) is joined to a dim (orders)
+    // carrying a SELECTIVE filter; at execution Spark hands the fact scan
+    // the surviving orderkeys (SupportsRuntimeV2Filtering) and
+    // V2PredicatePruning drops every fact file whose manifest bounds or
+    // bucket projection prove it disjoint — fact IO shrinks to the buckets
+    // the dim's keys live in, before any fact byte is read. RuntimeFilterSpec
+    // pins the pruning mechanics and the planted dynamicpruning subquery;
+    // this query pins the ANSWER against DuckDB. At 100 TB this is the
+    // standard star-join shape: dim filters prune fact scans at runtime,
+    // which no static pruning can do.
+    "q138_runtime_pruned_join" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val conf = s.conf
+      val savedConfs = Seq(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats").map(k => k -> conf.getOption(k))
+      wipe(q138Root)
+      try {
+        // v2 relations carry no row-count stats; the fallback-ratio
+        // heuristic is what decides DPP for a fresh catalog in production
+        conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+        conf.set("spark.sql.catalog.gq138", classOf[graft.catalog.GraftCatalog].getName)
+        conf.set("spark.sql.catalog.gq138.root", q138Root.toString)
+        val wh = new Warehouse(s, q138Root.toString)
+        val li = read(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+        val o = read(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+        wh.create("li_b", li.schema, Seq("bucket(16,l_orderkey)"))
+        wh.create("ord", o.schema, Nil)
+        wh.append("li_b", li)
+        wh.append("ord", o)
+        s.sql(
+          """SELECT l_returnflag,
+            |  count(*) AS n_items,
+            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            |FROM gq138.li_b JOIN gq138.ord ON l_orderkey = o_orderkey
+            |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+          .localCheckpoint()
+      } finally {
+        savedConfs.foreach {
+          case (k, Some(v)) => conf.set(k, v)
+          case (k, None)    => conf.unset(k)
+        }
+        wipe(q138Root)
       }
     },
 
@@ -646,6 +699,16 @@ object AnalyticQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q138's oracle: the same selectively-filtered star join over the RAW
+    // parquet — runtime file pruning must be invisible to the answer.
+    "q138_runtime_pruned_join" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q106_salted_join" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,

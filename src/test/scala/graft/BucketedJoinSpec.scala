@@ -149,6 +149,46 @@ class BucketedJoinSpec extends SparkSpec {
     assert(cnt == 400)
   }
 
+  test("shuffle-one-side: bucketed x plain join shuffles ONLY the plain side") {
+    val (wh, cat) = freshCatalog("spjo")
+    val d = spark.range(0, 800).select(col("id").as("k"), col("id").as("v"))
+    wh.create("fact", d.schema, Seq("bucket(8,k)"))
+    wh.create("dim", d.schema, Nil)
+    wh.append("fact", d)
+    wh.append("dim", d.filter(col("k") % 3 === 0))
+    val q = s"SELECT f.k, m.v FROM $cat.fact f JOIN $cat.dim m ON f.k = m.k"
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.shuffle.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      val (rows, n) = withSpj {
+        val df = spark.sql(q)
+        (df.collect().toSet, shuffles(df))
+      }
+      // one exchange: the dim hashes into the fact's bucket partitioning via
+      // the catalog's bucket function; the fact side reads in place
+      assert(n == 1, s"expected exactly the dim-side shuffle, got $n")
+      assert(rows == d.filter(col("k") % 3 === 0).collect()
+        .map(r => org.apache.spark.sql.Row(r.getLong(0), r.getLong(1))).toSet)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", v)
+      case None    => spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+    }
+  }
+
+  test("aggregation on the bucket key runs shuffle-free over a bucketed table") {
+    val (wh, cat) = freshCatalog("spja")
+    val d = spark.range(0, 1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    wh.create("t", d.schema, Seq("bucket(8,k)"))
+    wh.append("t", d)
+    val q = s"SELECT k, sum(v) AS s FROM $cat.t GROUP BY k"
+    val (cnt, n) = withSpj {
+      val df = spark.sql(q)
+      (df.collect().length, shuffles(df))
+    }
+    assert(cnt == 1000)
+    assert(n == 0, s"bucket clustering should satisfy the groupBy distribution, got $n shuffles")
+  }
+
   test("V2 transform functions agree with the write-side column expressions") {
     import graft.sink.PartitionTransforms
     // evaluate through SQL so resolution exercises the same FunctionCatalog

@@ -1,0 +1,120 @@
+package graft.catalog
+
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.SparkSpec
+import graft.sink.Warehouse
+
+/** Runtime (join-driven) file pruning — `SupportsRuntimeV2Filtering` on
+  * warehouse scans. The unit face: the scan's filter() must drop exactly the
+  * files the manifest proves disjoint from the runtime IN-set, through BOTH
+  * pruning channels (raw min/max bounds AND bucket-transform projection).
+  * The integration face: a selective dim filter in a real join plants a
+  * dynamic-pruning subquery on the fact scan and the answer is unchanged.
+  */
+class RuntimeFilterSpec extends SparkSpec {
+
+  private def scanOf(root: String, table: String): GraftParquetScan = {
+    val cat = new GraftCatalog
+    cat.initialize("rfspec", new CaseInsensitiveStringMap(java.util.Map.of("root", root)))
+    cat.loadTable(Identifier.of(Array.empty, table)).asInstanceOf[SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      .asInstanceOf[GraftParquetScan]
+  }
+
+  private def fileCount(s: GraftParquetScan): Int =
+    s.planInputPartitions().map { case fp: FilePartition => fp.files.length }.sum
+
+  test("filter() prunes via bucket projection: IN-set keeps only matching buckets") {
+    val root = tmpDir("rf-bucket")
+    val wh = new Warehouse(spark, root)
+    val d = spark.range(0, 400).select(col("id").as("k"), col("id").as("v"))
+    wh.create("t", d.schema, Seq("bucket(4,k)"))
+    wh.append("t", d)
+    val all = fileCount(scanOf(root, "t"))
+    assert(all >= 4, s"expected at least one file per bucket, got $all")
+
+    val s = scanOf(root, "t")
+    s.filter(Array(new Predicate("IN",
+      Array(Expressions.column("k"), Expressions.literal(5L)))))
+    val kept = fileCount(s)
+    assert(kept < all, s"IN-set of one key must prune buckets ($kept vs $all)")
+    // surviving files must still cover the key: the query stays correct
+    val expectedBucket = spark.sql("SELECT pmod(hash(5L), 4)").head().getInt(0)
+    val buckets = wh.currentManifest("t").files
+      .filter(f => s.planInputPartitions().exists { case fp: FilePartition =>
+        fp.files.exists(_.filePath.toPath.toUri.getPath.endsWith(f.path)) })
+      .map(_.stats("bucket(4,k)").min.toInt).toSet
+    assert(buckets == Set(expectedBucket))
+  }
+
+  test("filter() prunes via raw bounds on range-clustered tables; repeated filters intersect") {
+    val root = tmpDir("rf-range")
+    val wh = new Warehouse(spark, root)
+    val d = spark.range(0, 4000).select(col("id").as("k"), col("id").as("v"))
+    wh.create("t", d.schema, Nil)
+    // two appends with disjoint ranges -> at least two files with disjoint
+    // k-bounds (AQE may coalesce a single clustered batch into one file)
+    wh.append("t", d.filter(col("k") < 2000), statsCols = Seq("k"), clusterBy = Seq("k"))
+    wh.append("t", d.filter(col("k") >= 2000), statsCols = Seq("k"), clusterBy = Seq("k"))
+    val all = fileCount(scanOf(root, "t"))
+    assert(all >= 2)
+
+    val s = scanOf(root, "t")
+    s.filter(Array(new Predicate("IN",
+      Array(Expressions.column("k"), Expressions.literal(1L), Expressions.literal(2L)))))
+    val kept = fileCount(s)
+    assert(kept == 1, s"two adjacent keys live in one range file, got $kept of $all")
+    // a second (contradictory) filter intersects to zero files
+    s.filter(Array(new Predicate("IN",
+      Array(Expressions.column("k"), Expressions.literal(3999L)))))
+    assert(fileCount(s) == 0)
+  }
+
+  test("unknown predicate shapes keep every file (conservative)") {
+    val root = tmpDir("rf-cons")
+    val wh = new Warehouse(spark, root)
+    val d = spark.range(0, 100).select(col("id").as("k"))
+    wh.create("t", d.schema, Seq("bucket(4,k)"))
+    wh.append("t", d)
+    val s = scanOf(root, "t")
+    val all = fileCount(s)
+    s.filter(Array(new Predicate("ALWAYS_TRUE", Array.empty)))
+    assert(fileCount(s) == all)
+  }
+
+  test("end-to-end: selective dim filter plants dynamic pruning on the fact scan, answer unchanged") {
+    val root = tmpDir("rf-e2e")
+    spark.conf.set("spark.sql.catalog.rfe2e", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rfe2e.root", root)
+    val wh = new Warehouse(spark, root)
+    val fact = spark.range(0, 5000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val dim = spark.range(0, 100)
+      .select(col("id").as("k"), when(col("id") === 7, "x").otherwise("y").as("tag"))
+    wh.create("fact", fact.schema, Seq("bucket(8,k)"))
+    wh.create("dim", dim.schema, Nil)
+    wh.append("fact", fact)
+    wh.append("dim", dim)
+    val saved = spark.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    try {
+      // v2 stats undercount selectivity here; the fallback-ratio heuristic
+      // is what a fresh catalog without ANALYZE would use in production too
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val df = spark.sql(
+        "SELECT f.k, f.v FROM rfe2e.fact f JOIN rfe2e.dim d ON f.k = d.k WHERE d.tag = 'x'")
+      val rows = df.collect()
+      assert(rows.toSeq == Seq(org.apache.spark.sql.Row(7L, 14L)))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), s"expected a runtime filter on the fact scan:\n$plan")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
+      case None    => spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    }
+  }
+}
