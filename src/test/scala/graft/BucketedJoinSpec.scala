@@ -149,6 +149,28 @@ class BucketedJoinSpec extends SparkSpec {
     assert(cnt == 400)
   }
 
+  test("static manifest pruning composes with SPJ: filtered side still co-locates") {
+    // ManifestPruneRule (active in this extensions-registered session) swaps
+    // the filtered relation for a pruned-manifest table; SpjSupport must
+    // recompute eligibility on the SURVIVING files and the join still plans
+    // shuffle-free (pushPartValues covers the now-missing buckets)
+    val (wh, cat) = freshCatalog("spjp")
+    val d = spark.range(0, 600).select(col("id").as("k"), col("id").as("v"))
+    wh.create("a", d.schema, Seq("bucket(8,k)"))
+    wh.create("b", d.schema, Seq("bucket(8,k)"))
+    wh.append("a", d)
+    wh.append("b", d)
+    // k = 5 statically prunes side a to one bucket's files (bucket equality
+    // projection); the join then zips that bucket against b's matching group
+    val q = s"SELECT a.k, b.v FROM $cat.a a JOIN $cat.b b ON a.k = b.k WHERE a.k = 5"
+    val (rows, n) = withSpj {
+      val df = spark.sql(q)
+      (df.collect().toSeq, shuffles(df))
+    }
+    assert(rows == Seq(org.apache.spark.sql.Row(5L, 5L)))
+    assert(n == 0, s"pruned-side SPJ expected shuffle-free, got $n")
+  }
+
   test("shuffle-one-side: bucketed x plain join shuffles ONLY the plain side") {
     val (wh, cat) = freshCatalog("spjo")
     val d = spark.range(0, 800).select(col("id").as("k"), col("id").as("v"))
