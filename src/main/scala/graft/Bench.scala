@@ -78,6 +78,31 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Machine-speed calibration: a fixed, deterministic single-thread integer
+    * loop (xorshift fold) timed in ms. UNIFORM host slowdown — thermal
+    * throttling, a noisy hypervisor, cold caches — is invisible to both the
+    * loadavg evidence and the per-iteration spread (every sample slows
+    * together), but it scales this number identically; two artifacts can be
+    * normalized by their calibration ratio before any cross-run regression
+    * verdict (the round-11 refresh measured a clean-gate run 1.25× a
+    * midnight run on the same box — exactly the drift this makes visible).
+    * The fold result is consumed so the JIT cannot dead-code the loop.
+    */
+  private[graft] def calibrate(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (acc == 42L) System.err.println("calibration sentinel") // un-DCE-able
+    ms
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -98,6 +123,8 @@ object Bench {
     val loadStart = loadAvg()
     val gateFailed = loadStart > idleLoad
     val startedAt = java.time.Instant.now().toString
+    calibrate() // JIT warmup pass, discarded
+    val calibStart = calibrate()
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -184,7 +211,8 @@ object Bench {
       s"""{"started":"$startedAt","iters":$iters,"cores":${Runtime.getRuntime.availableProcessors},""" +
         s""""local_threads":"$cpus","loadavg_start":${f(loadStart)},"loadavg_end":${f(loadAvg())},""" +
         s""""loadavg_max_iter":${f(loadMaxIter)},"gate_waited_sec":$gateWaited,"gate_failed":$gateFailed,""" +
-        s""""retried_iters":$retriedTotal,"suspect_queries":[${suspectQueries.map("\"" + _ + "\"").mkString(",")}]}"""
+        s""""retried_iters":$retriedTotal,"calib_ms_start":${f(calibStart)},"calib_ms_end":${f(calibrate())},""" +
+        s""""suspect_queries":[${suspectQueries.map("\"" + _ + "\"").mkString(",")}]}"""
     val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","contended":$contended,"queries":$qs,"spread":$spread,"conditions":$conditions,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")

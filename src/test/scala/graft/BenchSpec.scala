@@ -47,4 +47,14 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.suspect(Seq(1.0), Seq(1.0), 2.5, 32.0))
     assert(!Bench.suspect(Seq(1.0, 9.0), Seq(1.0, 1.0), 2.5, 32.0))
   }
+
+  test("calibrate: positive, finite, and stable enough to serve as a speed index") {
+    Bench.calibrate() // JIT warmup, discarded like the main's
+    val a = Bench.calibrate()
+    val b = Bench.calibrate()
+    assert(a > 0 && b > 0 && a.isFinite && b.isFinite)
+    // back-to-back warmed runs on one box should agree within 3x — the
+    // signal it exists for (cross-RUN host drift) is far larger than that
+    assert(math.max(a, b) / math.min(a, b) < 3.0, s"calibration unstable: $a vs $b")
+  }
 }

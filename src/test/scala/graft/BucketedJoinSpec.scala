@@ -149,6 +149,24 @@ class BucketedJoinSpec extends SparkSpec {
     assert(cnt == 400)
   }
 
+  test("multi-way SPJ: a three-table co-partitioned join chain plans zero shuffles") {
+    val (wh, cat) = freshCatalog("spj3")
+    val d = spark.range(0, 400).select(col("id").as("k"), col("id").as("v"))
+    for (t <- Seq("x", "y", "z")) {
+      wh.create(t, d.schema, Seq("bucket(8,k)"))
+      wh.append(t, d)
+    }
+    val q = s"""SELECT x.k, x.v + y.v + z.v AS s
+               |FROM $cat.x x JOIN $cat.y y ON x.k = y.k JOIN $cat.z z ON y.k = z.k""".stripMargin
+    val (rows, n) = withSpj {
+      val df = spark.sql(q)
+      (df.collect(), shuffles(df))
+    }
+    assert(n == 0, s"three-way co-partitioned chain expected shuffle-free, got $n")
+    assert(rows.length == 400)
+    assert(rows.map(r => r.getLong(1)).sum == (0L until 400L).map(_ * 3).sum)
+  }
+
   test("static manifest pruning composes with SPJ: filtered side still co-locates") {
     // ManifestPruneRule (active in this extensions-registered session) swaps
     // the filtered relation for a pruned-manifest table; SpjSupport must

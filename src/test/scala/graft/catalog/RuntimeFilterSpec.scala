@@ -31,6 +31,63 @@ class RuntimeFilterSpec extends SparkSpec {
   private def fileCount(s: GraftParquetScan): Int =
     s.planInputPartitions().map { case fp: FilePartition => fp.files.length }.sum
 
+  private def survivingPaths(s: GraftParquetScan): Seq[String] =
+    s.planInputPartitions().flatMap { case fp: FilePartition =>
+      fp.files.map(_.filePath.toPath.toUri.getPath)
+    }.toSeq
+
+  private def samples[T](g: org.scalacheck.Gen[T], n: Int, seed0: Long): Seq[T] =
+    (0 until n).map(i => g.pureApply(org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(seed0 + i)))
+
+  test("property: runtime pruning never drops a file containing a matching key") {
+    import org.scalacheck.Gen
+    val caseGen = Gen.zip(
+      Gen.listOfN(40, Gen.choose(-1000L, 1000L)),   // table keys (dups fine)
+      Gen.listOfN(4, Gen.choose(-1000L, 1000L)),    // runtime IN-set
+      Gen.oneOf(2, 4, 8))                           // bucket count
+    for (((ks, probes, nb), i) <- samples(caseGen, 5, 1137L).zipWithIndex) {
+      val root = tmpDir(s"rf-prop$i")
+      val wh = new Warehouse(spark, root)
+      import spark.implicits._
+      val d = ks.toDF("k").select(col("k"), (col("k") * 2).as("v"))
+      wh.create("t", d.schema, Seq(s"bucket($nb,k)"))
+      // two appends: multiple files per bucket across commits
+      wh.append("t", d.limit(20))
+      wh.append("t", d)
+      val s = scanOf(root, "t")
+      s.filter(Array(new Predicate("IN",
+        (Expressions.column("k") +: probes.map(p => Expressions.literal(p))).toArray)))
+      val paths = survivingPaths(s)
+      val survivors: Set[Long] =
+        if (paths.isEmpty) Set.empty
+        else spark.read.schema(d.schema).parquet(paths: _*)
+          .select("k").collect().map(_.getLong(0)).toSet
+      val mustSurvive = ks.toSet.intersect(probes.toSet)
+      assert(mustSurvive.subsetOf(survivors),
+        s"pruning dropped matching keys: ${mustSurvive -- survivors} (case $i, nb=$nb)")
+    }
+  }
+
+  test("property: any append history stays SPJ-eligible (every file single-valued)") {
+    import org.scalacheck.Gen
+    val histGen = Gen.listOfN(3, Gen.listOfN(25, Gen.choose(-500L, 500L)))
+    for ((batches, i) <- samples(histGen, 4, 2137L).zipWithIndex) {
+      val root = tmpDir(s"rf-spj$i")
+      val wh = new Warehouse(spark, root)
+      import spark.implicits._
+      val schema = batches.head.toDF("k").select(col("k"), col("k").as("v")).schema
+      wh.create("t", schema, Seq("bucket(4,k)"))
+      batches.foreach(b => wh.append("t", b.toDF("k").select(col("k"), col("k").as("v"))))
+      for (f <- wh.currentManifest("t").files) {
+        val st = f.stats("bucket(4,k)")
+        assert(st.min == st.max, s"file ${f.path} straddles buckets: $st (case $i)")
+      }
+      // and the scan actually reports clustering (the KeyGrouped subclass)
+      assert(scanOf(root, "t").isInstanceOf[KeyGroupedParquetScan])
+    }
+  }
+
   test("filter() prunes via bucket projection: IN-set keeps only matching buckets") {
     val root = tmpDir("rf-bucket")
     val wh = new Warehouse(spark, root)
