@@ -359,7 +359,16 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
         new UnsupportedOperationException(s"cannot convert delete predicate $p")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    warehouse.deleteWhere(table, cond)
+    // session knob picks the IO shape, not the semantics: "cow" (default)
+    // rewrites the touched files now; "positional" commits (file, ordinal)
+    // pairs and defers the rewrite to compactDeletes — the 100 TB
+    // retention-sweep posture
+    spark.conf.getOption("spark.graft.delete.mode").map(_.toLowerCase) match {
+      case Some("positional") => warehouse.positionDelete(table, cond)
+      case None | Some("cow") => warehouse.deleteWhere(table, cond)
+      case Some(other) => throw new IllegalArgumentException(
+        s"spark.graft.delete.mode must be cow or positional, got: $other")
+    }
   }
 }
 
@@ -402,6 +411,12 @@ private[catalog] class GraftWriteBuilder(table: String, root: String, info: Logi
           case "replace" => wh.replace(table, data, pks)
           case "merge"   => wh.merge(table, data, pks)
           case "append"  => wh.append(table, data, pks)
+          case "merge-on-read" =>
+            // MOR upsert: one O(batch) commit (data files + equality-delete
+            // file of the batch keys), zero target rewrites — the CDC
+            // fast-ingest disposition; reads anti-join until compactDeletes
+            require(pks.nonEmpty, "merge-on-read requires primaryKeys")
+            wh.morMerge(table, data, pks)
           case "delete-matched" =>
             // MERGE ... WHEN MATCHED THEN DELETE: the incoming rows carry
             // the join keys; commit them as an O(batch) MOR equality delete
@@ -457,7 +472,8 @@ private[catalog] object MetaTables {
     StructField("key_count", LongType, nullable = false),
     StructField("seq", LongType, nullable = false),
     StructField("key_columns", ArrayType(StringType, containsNull = false), nullable = false),
-    StructField("stats", MapType(StringType, statSchema, valueContainsNull = false))))
+    StructField("stats", MapType(StringType, statSchema, valueContainsNull = false)),
+    StructField("kind", StringType, nullable = false))) // "eq" | "pos"
 
   val SnapshotsSchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -489,7 +505,7 @@ private[catalog] object MetaTables {
       Some(new MetaTable(displayName, DeletesSchema, () => {
         val m = version.map(wh.manifestAt(base, _)).getOrElse(wh.currentManifest(base))
         m.deletes.map(d => Row(wh.resolvePath(base, d.path), d.rows, d.seq, d.cols,
-          d.stats.map { case (c, s) => c -> Row(s.kind, s.min, s.max) })).toArray
+          d.stats.map { case (c, s) => c -> Row(s.kind, s.min, s.max) }, d.kind)).toArray
       }))
     // per-partition-value rollup (Iceberg partitions-table analog): derived
     // entirely from the manifest's per-file transform stat bounds — a bound

@@ -29,6 +29,14 @@ object AnalyticQueries {
   private lazy val q138Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q138")
 
+  /** q139's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q139Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q139")
+
+  /** q140's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q140Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q140")
+
   private def wipe(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -170,6 +178,63 @@ object AnalyticQueries {
         }
         wipe(q138Root)
       }
+    },
+
+    // Positional MOR delete under the oracle (q139): commit (file, ordinal)
+    // delete pairs for a predicate — zero data files rewritten — and serve
+    // the table through the merge-on-read anti-join on _metadata.row_index.
+    // DuckDB adjudicates the SERVED rows against plain WHERE NOT(pred): the
+    // pending-delete read path must be indistinguishable from the rewrite.
+    // At 100 TB this is the deferred-IO delete: a retention/GDPR sweep
+    // commits O(matched rows) pairs on the ingest path and compactDeletes
+    // pays the rewrite later, off-peak (PositionalDeleteSpec pins shielding,
+    // materialization, rename survival, and CDC exactness).
+    "q139_positional_delete" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q139Root)
+      try {
+        val wh = new Warehouse(s, q139Root.toString)
+        val o = read(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        wh.append("orders_m", o, statsCols = Seq("o_totalprice"))
+        wh.positionDelete("orders_m",
+          col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+        val served = wh.load("orders_m")
+        served.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint()
+      } finally wipe(q139Root)
+    },
+
+    // MOR upsert under the oracle (q140): the merge-on-read ingest path —
+    // base table, then ONE O(batch) morMerge commit (batch data files + an
+    // equality-delete file of the batch keys, zero target rewrites) — served
+    // with the deletes still PENDING. DuckDB adjudicates the anti-joined
+    // read against the latest-state CASE form: upsert-by-delete must be
+    // indistinguishable from upsert-by-rewrite. At 100 TB this is the CDC
+    // fast path: scattered keys would make copy-on-write merge rewrite most
+    // files per batch; morMerge defers that IO to compactDeletes, off the
+    // ingest path (MorMergeSpec pins merge-equivalence, replay convergence,
+    // O(batch) manifests, and CDC exactness).
+    "q140_mor_upsert" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q140Root)
+      try {
+        val wh = new Warehouse(s, q140Root.toString)
+        val o = read(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        wh.replace("orders_u", o, Seq("o_orderkey"))
+        val batch = o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("o_orderstatus", lit("U"))
+        wh.morMerge("orders_u", batch, Seq("o_orderkey"))
+        wh.load("orders_u").groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint()
+      } finally wipe(q140Root)
     },
 
     // TPC-H Q17 shape: "small-quantity" lineitems vs their part's average —
@@ -709,6 +774,25 @@ object AnalyticQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q139's oracle: the positional-delete MOR read must equal a plain
+    // WHERE NOT(predicate) over the raw table (NULL-predicate rows kept).
+    "q139_positional_delete" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE NOT coalesce(o_orderstatus = 'F' AND o_totalprice < 100000.0, FALSE)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q140's oracle: the pending-delete MOR upsert read must equal the
+    // latest-state CASE form over the raw table.
+    "q140_mor_upsert" ->
+      """SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN CAST(o_totalprice * 2 AS DECIMAL(18,2)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q106_salted_join" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,

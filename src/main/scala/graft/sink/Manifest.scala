@@ -36,15 +36,23 @@ final case class ColStat(kind: String, min: String, max: String)
 final case class DataFile(path: String, rows: Long, stats: Map[String, ColStat],
                           seq: Long = 0L)
 
-/** One equality-delete file (Iceberg v2 merge-on-read analog): a parquet
-  * file of key tuples over `cols`; a row of any data file with
-  * `seq < this.seq` is deleted when it equals some tuple on ALL of `cols`
-  * (plain equality — null keys never match, same contract as merge).
-  * `stats` carries per-column min/max of the key tuples so
+/** One merge-on-read delete file (Iceberg v2 analog). Two kinds:
+  *
+  *   - `"eq"` (equality): a parquet file of key tuples over `cols`; a row
+  *     of any data file with `seq < this.seq` is deleted when it equals
+  *     some tuple on ALL of `cols` (plain equality — null keys never
+  *     match, same contract as merge).
+  *   - `"pos"` (positional): a parquet file of (data-file relative path,
+  *     row index) pairs — Iceberg v2 position deletes; a row is deleted
+  *     when its (file, ordinal) matches a pair. `cols` is empty; the
+  *     file-path column's stat bounds let pruning skip whole data files.
+  *
+  * `stats` carries per-column min/max of the tuples so
   * [[Warehouse.compactDeletes]] can prove data files untouched.
   */
 final case class DeleteFile(path: String, rows: Long, seq: Long,
-                            cols: Seq[String], stats: Map[String, ColStat])
+                            cols: Seq[String], stats: Map[String, ColStat],
+                            kind: String = "eq")
 
 /** One table snapshot: the table schema plus the list of data files that make
   * up the snapshot, plus any pending equality-delete files (merge-on-read).
@@ -105,7 +113,7 @@ object Manifest {
     m.deletes.foreach { d =>
       sb.append("D\t").append(d.path).append('\t').append(d.rows).append('\t')
         .append(d.seq).append('\t').append(d.cols.map(b64).mkString(","))
-        .append('\t').append(statsStr(d.stats)).append('\n')
+        .append('\t').append(statsStr(d.stats)).append('\t').append(d.kind).append('\n')
     }
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.writeString(tmp, sb.toString)
@@ -128,7 +136,9 @@ object Manifest {
       val parts = l.split('\t')
       DeleteFile(parts(1), parts(2).toLong, parts(3).toLong,
         if (parts(4).isEmpty) Nil else parts(4).split(',').toSeq.map(unb64),
-        if (parts.length < 6) Map.empty else parseStats(parts(5)))
+        if (parts.length < 6) Map.empty else parseStats(parts(5)),
+        // lines written before the kind field existed are equality deletes
+        if (parts.length < 7) "eq" else parts(6))
     }
     Manifest(schema, files, deletes)
   }

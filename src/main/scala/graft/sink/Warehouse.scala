@@ -309,18 +309,63 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
     else if (m.deletes.isEmpty) scan(m.files)
     else {
-      m.files.groupBy(f => m.deletes.filter(_.seq > f.seq))
+      // positional deletes reference exact (file, ordinal) pairs, so the
+      // path-bound prune is exact applicability metadata, not just an
+      // optimization — a file outside every pos delete's path range joins
+      // nothing and belongs with the lighter group
+      def applicable(f: DataFile) = m.deletes.filter(d =>
+        d.seq > f.seq && (d.kind != "pos" || !statsDisjoint(f, d)))
+      m.files.groupBy(applicable)
         .toSeq.sortBy(_._2.head.path) // deterministic group order
         .map { case (dels, files) =>
-          dels.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
-            .foldLeft(scan(files)) { case (acc, (cols, ds)) =>
+          val (posDels, eqDels) = dels.partition(_.kind == "pos")
+          // position columns ride the SCAN (hidden _metadata is only
+          // reachable on the file-source relation itself), get anti-joined
+          // away last, and are dropped before the union
+          val base =
+            if (posDels.isEmpty) scan(files)
+            else scan(files)
+              .withColumn(PosFileCol, relFileExpr(name))
+              .withColumn(PosIdxCol, col("_metadata.row_index"))
+          val afterEq = eqDels.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
+            .foldLeft(base) { case (acc, (cols, ds)) =>
               val keySchema = StructType(m.schema.fields.filter(f => cols.contains(f.name)))
               val keys = spark.read.schema(keySchema)
                 .parquet(ds.map(d => tableDir(name).resolve(d.path).toString): _*)
               acc.join(keys, cols, "left_anti")
             }
+          if (posDels.isEmpty) afterEq
+          else {
+            val pairs = spark.read.schema(PosDeleteSchema)
+              .parquet(posDels.map(d => tableDir(name).resolve(d.path).toString): _*)
+            afterEq.join(pairs, Seq(PosFileCol, PosIdxCol), "left_anti")
+              .drop(PosFileCol, PosIdxCol)
+          }
         }.reduce(_ unionByName _)
     }
+  }
+
+  /** Column names and schema of positional delete files — (data-file
+    * relative path, row ordinal). The names must never collide with the
+    * reserved partition-transform prefix (`__graft_p*`) or user columns.
+    */
+  private val PosFileCol = "__pdel_file"
+  private val PosIdxCol = "__pdel_pos"
+  private val PosDeleteSchema = StructType(Seq(
+    StructField(PosFileCol, StringType, nullable = false),
+    StructField(PosIdxCol, LongType, nullable = false)))
+
+  /** Table-relative path of the scanned row's data file, derived from
+    * `_metadata.file_path`. Anchored on the table directory's ABSOLUTE path
+    * (scheme-agnostic: Spark renders the metadata path as a URI whose
+    * slash count varies by filesystem), and shared verbatim by the write
+    * ([[positionDelete]]) and read ([[morFrame]]) sides — the pairs only
+    * match if both derive the path identically. Relative paths also make
+    * the pairs survive [[rename]]/[[renameAll]], which move the table dir.
+    */
+  private def relFileExpr(name: String): Column = {
+    val dir = tableDir(name).toAbsolutePath.normalize.toString + "/"
+    expr(s"substring(_metadata.file_path, instr(_metadata.file_path, '$dir') + ${dir.length})")
   }
 
   /** All committed (non-expired) snapshot versions of a table, oldest first. */
@@ -787,6 +832,50 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     } finally keys.unpersist()
   }
 
+  /** MERGE-ON-READ upsert (the Iceberg/Flink streaming "upsert mode" analog,
+    * and [[merge]]'s deferred-IO sibling): ONE atomic commit carrying the
+    * batch's data files PLUS an equality-delete file of the batch's distinct
+    * PK tuples — no target file is read, pruned, or rewritten, so the commit
+    * is O(batch) REGARDLESS of key scatter. [[merge]] stays the right call
+    * when keys cluster (its stat pruning bounds the rewrite); this is the
+    * right call for high-frequency CDC ingestion whose keys spray across a
+    * 100 TB table — there every batch would rewrite most files, while here
+    * the rewrite IO is deferred to [[compactDeletes]] / the next rewrite op,
+    * off the ingest path.
+    *
+    * Semantics are exactly [[merge]]'s: prior rows with the batch's keys die
+    * (the delete's seq = next applies only to files with seq < next — the
+    * batch's own files are shielded by the strict-< rule), the whole batch
+    * lands (in-batch duplicate keys all land, merge's documented contract —
+    * pre-shape with [[mergeLatest]]'s window if that matters), and null-keyed
+    * rows never match (always pure inserts). Replaying a batch converges by
+    * value: the replay's delete kills the prior copy, so content is stable.
+    * Reads pay the MOR anti-join until materialization ([[morFrame]]); the
+    * same PK-presence guard as merge falls back to append.
+    */
+  def morMerge(name: String, df: DataFrame, pks: Seq[String],
+               clusterBy: Seq[String] = Nil): Long = {
+    if (pks.isEmpty || !pks.forall(df.columns.contains) || !exists(name))
+      return append(name, df, pks.filter(df.columns.contains),
+        clusterBy.filter(df.columns.contains))
+    val man = currentManifest(name)
+    val schema = man.schema
+    val in = SchemaOps.conform(df, schema)
+    val spec = partitionSpec(name)
+    val next = currentVersion(name) + 1
+    val statsFor = pks ++ clusterBy ++ spec ++ inheritedStatsCols(Some(man))
+    val dataEntries = writeData(name, cluster(in, clusterBy, spec), schema,
+      s"d${next}b", statsFor, seq = next)
+    val keySchema = StructType(schema.fields.filter(f => pks.contains(f.name)))
+    val delEntries = writeData(name, in.select(pks.map(col): _*).distinct(),
+      keySchema, s"del$next", pks, seq = next)
+    val dels = delEntries.filter(_.rows > 0)
+      .map(e => DeleteFile(e.path, e.rows, next, pks, e.stats))
+    if (dataEntries.isEmpty && dels.isEmpty) return currentVersion(name) // empty batch
+    commitManifest(name, next,
+      Manifest(schema, man.files ++ dataEntries, man.deletes ++ dels))
+  }
+
   /** Engine variant of merge: when one batch carries several versions of a PK,
     * keep only the latest by `orderCol` (row_number over PK partition) — the
     * semantically intended behavior given the reference's `ORDER BY rk ASC`
@@ -1137,6 +1226,62 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     commitManifest(name, next, Manifest(man.schema, man.files, man.deletes ++ dels))
   }
 
+  /** Per-call outcome of [[positionDelete]]: committed version (unchanged
+    * when nothing matched), position pairs committed, and how many files the
+    * predicate's stat bounds excluded from the position scan.
+    */
+  final case class PositionDeleteReport(version: Long, positions: Long, prunedFiles: Int)
+
+  /** Iceberg-v2-style MERGE-ON-READ POSITIONAL delete: evaluate `cond` once,
+    * commit the matching rows' (data-file path, row ordinal) pairs, rewrite
+    * NOTHING. The complement of [[equalityDelete]]: that one suits
+    * delete-by-key (the key set IS the delete), this one suits
+    * delete-by-predicate when the rewrite IO of [[deleteWhere]] must be
+    * deferred — a GDPR/retention sweep over a 100 TB table commits O(matched
+    * rows) pairs now, and [[compactDeletes]] pays the rewrite later, off the
+    * ingest path. Reads apply the pairs as an exact (file, ordinal)
+    * anti-join via Spark's `_metadata.row_index` ([[morFrame]]); files
+    * outside every pair's path bounds are provably untouched.
+    *
+    * The position scan itself is stat-pruned by the RESOLVED predicate
+    * (same bound logic as [[deleteWhere]]), so computing the pairs reads
+    * O(may-match files), never the table. Row ordinals are stable because
+    * data files are immutable, and every rewrite op materializes pending
+    * deletes first ([[materializePendingDeletes]]) — a rewrite that moved
+    * rows while pairs pend would silently retarget them.
+    *
+    * SQL null semantics: rows where `cond` is NULL are KEPT.
+    */
+  def positionDelete(name: String, cond: Column): PositionDeleteReport = {
+    require(exists(name), s"no such table: $name")
+    val man = currentManifest(name)
+    val resolved = spark.createDataFrame(new java.util.ArrayList[Row](), man.schema)
+      .filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(return PositionDeleteReport(currentVersion(name), 0L, man.files.size))
+    val (victims, untouched) =
+      man.files.partition(f => graft.catalog.ManifestPruneRule.mayMatch(f, resolved))
+    if (victims.isEmpty)
+      return PositionDeleteReport(currentVersion(name), 0L, untouched.size)
+    val next = currentVersion(name) + 1
+    val pairs = spark.read.schema(man.schema)
+      .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
+      .filter(coalesce(cond, lit(false)))
+      .select(relFileExpr(name).as(PosFileCol),
+        col("_metadata.row_index").as(PosIdxCol))
+      // cluster by path so each delete file's path bounds stay tight and
+      // compactDeletes/morFrame grouping can skip unreferenced data files
+      .repartitionByRange(col(PosFileCol))
+      .sortWithinPartitions(PosFileCol, PosIdxCol)
+    val entries = writeData(name, pairs, PosDeleteSchema, s"pdel$next",
+      Seq(PosFileCol, PosIdxCol), seq = next)
+    val dels = entries.filter(_.rows > 0)
+      .map(e => DeleteFile(e.path, e.rows, next, Nil, e.stats, kind = "pos"))
+    if (dels.isEmpty) return PositionDeleteReport(currentVersion(name), 0L, untouched.size)
+    commitManifest(name, next, Manifest(man.schema, man.files, man.deletes ++ dels))
+    PositionDeleteReport(next, dels.map(_.rows).sum, untouched.size)
+  }
+
   /** Materialize pending equality deletes into rewritten data files (the
     * Iceberg rewrite-deletes maintenance action) and clear the manifest's
     * delete list. Files PROVABLY untouched by every delete that applies to
@@ -1153,16 +1298,23 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * equality) — shared by [[compactDeletes]] (skip the rewrite) and
     * [[readChanges]] (skip the changed-file scan).
     */
-  private def statsDisjoint(f: DataFile, d: DeleteFile): Boolean = d.cols.exists { c =>
-    (f.stats.get(c), d.stats.get(c)) match {
-      case (Some(ColStat("z", _, _)), _) => true // no non-null data value
-      case (_, Some(ColStat("z", _, _))) => true // no non-null key value
-      case (Some(fs), Some(ds)) => ds.kind == fs.kind &&
-        (StatsPruning.cmp(fs.kind, fs.min, ds.max) > 0 ||
-          StatsPruning.cmp(fs.kind, fs.max, ds.min) < 0)
-      case _ => false
+  private def statsDisjoint(f: DataFile, d: DeleteFile): Boolean =
+    if (d.kind == "pos")
+      // a positional delete names data files BY PATH: provably untouched
+      // when the file's path falls outside the delete's path bounds
+      d.stats.get(PosFileCol).exists(ds => ds.kind == "s" &&
+        (StatsPruning.cmp("s", f.path, ds.min) < 0 ||
+          StatsPruning.cmp("s", f.path, ds.max) > 0))
+    else d.cols.exists { c =>
+      (f.stats.get(c), d.stats.get(c)) match {
+        case (Some(ColStat("z", _, _)), _) => true // no non-null data value
+        case (_, Some(ColStat("z", _, _))) => true // no non-null key value
+        case (Some(fs), Some(ds)) => ds.kind == fs.kind &&
+          (StatsPruning.cmp(fs.kind, fs.min, ds.max) > 0 ||
+            StatsPruning.cmp(fs.kind, fs.max, ds.min) < 0)
+        case _ => false
+      }
     }
-  }
 
   def compactDeletes(name: String): Long = {
     val man = currentManifest(name)

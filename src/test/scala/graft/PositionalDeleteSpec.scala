@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sink.Warehouse
+
+/** Iceberg-v2-style POSITIONAL merge-on-read deletes
+  * (`Warehouse.positionDelete`): commit (file, row-ordinal) pairs instead of
+  * keys or rewrites; reads anti-join on `_metadata.row_index`. Pins the
+  * delete semantics, re-insert shielding, materialization, composition with
+  * equality deletes, rename survival, the nested (hive-split) path form,
+  * and readChanges/diffRows exactness across a positional-delete commit.
+  */
+class PositionalDeleteSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("Id", StringType), StructField("Amount", LongType)))
+
+  private def df(rows: (String, Long)*): DataFrame =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+
+  private def rowsOf(d: DataFrame): Set[(String, Long)] =
+    d.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("positionDelete removes exactly the predicate's rows; prior snapshot intact") {
+    val wh = new Warehouse(spark, tmpDir("pd-basic"))
+    val v1 = wh.append("t", df("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L), statsCols = Seq("Amount"))
+    val rep = wh.positionDelete("t", col("Amount") % 2 === 0)
+    assert(rep.positions == 2L)
+    assert(rowsOf(wh.load("t")) == Set("a" -> 1L, "c" -> 3L))
+    assert(rowsOf(wh.loadVersion("t", v1)).size == 4) // time travel unaffected
+    // deletes are pending (MOR), no data file rewritten
+    val man = wh.currentManifest("t")
+    assert(man.deletes.nonEmpty && man.deletes.forall(_.kind == "pos"))
+    assert(man.files.map(_.path) == wh.manifestAt("t", v1).files.map(_.path))
+  }
+
+  test("re-inserted rows with the same values survive (ordinals reference old files only)") {
+    val wh = new Warehouse(spark, tmpDir("pd-shield"))
+    wh.append("t", df("a" -> 1L, "b" -> 2L))
+    wh.positionDelete("t", col("Id") === "b")
+    wh.append("t", df("b" -> 2L)) // same VALUE, new file, new ordinal
+    assert(rowsOf(wh.load("t")) == Set("a" -> 1L, "b" -> 2L))
+  }
+
+  test("SQL null semantics: rows where the predicate is NULL are kept") {
+    val wh = new Warehouse(spark, tmpDir("pd-null"))
+    wh.append("t", spark.createDataFrame(
+      Seq(Row("a", 1L), Row("b", null), Row("c", 3L)).asJava, schema))
+    wh.positionDelete("t", col("Amount") > 2L) // NULL for b
+    assert(wh.load("t").count() == 2)
+  }
+
+  test("no-match predicate commits nothing; unresolvable-free path prunes files") {
+    val wh = new Warehouse(spark, tmpDir("pd-noop"))
+    val v = wh.append("t", df("a" -> 1L, "b" -> 2L), statsCols = Seq("Amount"))
+    val rep = wh.positionDelete("t", col("Amount") > 100L)
+    assert(rep.version == v && rep.positions == 0L)
+    assert(rep.prunedFiles >= 1) // stat bounds excluded every file
+    assert(wh.currentManifest("t").deletes.isEmpty)
+  }
+
+  test("compactDeletes materializes: rows unchanged, pending cleared, disjoint files carried") {
+    val wh = new Warehouse(spark, tmpDir("pd-compact"))
+    wh.append("t", df("a" -> 1L, "b" -> 2L), statsCols = Seq("Id"))
+    wh.append("t", df("c" -> 3L, "d" -> 4L), statsCols = Seq("Id"))
+    val before = wh.currentManifest("t").files.map(_.path).toSet
+    wh.positionDelete("t", col("Id") === "d") // touches only the second append's file(s)
+    val expect = rowsOf(wh.load("t"))
+    wh.compactDeletes("t")
+    assert(rowsOf(wh.load("t")) == expect)
+    val man = wh.currentManifest("t")
+    assert(man.deletes.isEmpty)
+    // files outside the delete's path bounds carried byte-identical (path-preserved)
+    val carried = man.files.map(_.path).toSet.intersect(before)
+    assert(carried.nonEmpty, "expected provably-untouched files to carry over")
+  }
+
+  test("equality and positional deletes pending together compose correctly") {
+    val wh = new Warehouse(spark, tmpDir("pd-mixed"))
+    wh.append("t", df("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+    wh.equalityDelete("t", df("a" -> 0L).select("Id"))
+    wh.positionDelete("t", col("Amount") === 3L)
+    assert(rowsOf(wh.load("t")) == Set("b" -> 2L, "d" -> 4L))
+    wh.compactDeletes("t")
+    assert(rowsOf(wh.load("t")) == Set("b" -> 2L, "d" -> 4L))
+  }
+
+  test("positional deletes survive table rename (pairs are table-relative)") {
+    val root = tmpDir("pd-rename")
+    val wh = new Warehouse(spark, root)
+    wh.append("t", df("a" -> 1L, "b" -> 2L, "c" -> 3L))
+    wh.positionDelete("t", col("Id") === "b")
+    wh.rename("t", "t2")
+    assert(rowsOf(wh.load("t2")) == Set("a" -> 1L, "c" -> 3L))
+  }
+
+  test("hive-split (partitioned) tables: nested data-file paths match exactly") {
+    val wh = new Warehouse(spark, tmpDir("pd-part"))
+    val d = spark.range(0, 200).select(concat(lit("k"), col("id")).as("Id"), col("id").as("Amount"))
+    wh.create("t", d.schema, Seq("bucket(4,Amount)"))
+    wh.append("t", d)
+    val rep = wh.positionDelete("t", col("Amount") >= 150L)
+    assert(rep.positions == 50L)
+    assert(wh.load("t").count() == 150L)
+    assert(wh.load("t").agg(max("Amount")).head().getLong(0) == 149L)
+  }
+
+  test("readChanges equals diffRows across a positional-delete history, both directions") {
+    val wh = new Warehouse(spark, tmpDir("pd-cdc"))
+    def bag(d: DataFrame): Map[Seq[Any], Int] =
+      d.collect().toSeq.map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val vs = scala.collection.mutable.ArrayBuffer[Long]()
+    vs += wh.append("t", df("a" -> 1L, "b" -> 2L, "c" -> 3L), statsCols = Seq("Id"))
+    vs += wh.append("t", df("d" -> 4L, "e" -> 5L), statsCols = Seq("Id"))
+    vs += wh.positionDelete("t", col("Amount") % 2 === 0).version // pending pos delete
+    vs += wh.append("t", df("b" -> 2L), statsCols = Seq("Id")) // re-insert post-delete
+    vs += wh.compactDeletes("t") // materialization: no row change
+    for (i <- vs.indices; j <- vs.indices) {
+      val ch = wh.readChanges("t", vs(i), vs(j))
+      val (add, rem) = wh.diffRows("t", vs(i), vs(j))
+      assert(bag(ch.filter(col("_change_type") === "+I").drop("_change_type")) == bag(add),
+        s"+I mismatch ${vs(i)} -> ${vs(j)}")
+      assert(bag(ch.filter(col("_change_type") === "-D").drop("_change_type")) == bag(rem),
+        s"-D mismatch ${vs(i)} -> ${vs(j)}")
+    }
+  }
+
+  test("$deletes metadata table reports the kind column") {
+    val root = tmpDir("pd-meta")
+    val wh = new Warehouse(spark, root)
+    wh.append("t", df("a" -> 1L, "b" -> 2L))
+    wh.equalityDelete("t", df("a" -> 0L).select("Id"))
+    wh.positionDelete("t", col("Id") === "b")
+    spark.conf.set("spark.sql.catalog.pdm", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pdm.root", root)
+    val kinds = spark.sql("SELECT kind, key_count FROM pdm.`t$deletes` ORDER BY kind")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(kinds == Seq(("eq", 1L), ("pos", 1L)))
+  }
+}
