@@ -101,6 +101,36 @@ object CorpusStream {
         ()
       }
 
+  /** Streaming CDC upsert: continuous change capture into a keyed warehouse
+    * table through [[Warehouse.morMerge]] — each micro-batch lands as ONE
+    * O(batch) commit (batch data files + an equality-delete file of its
+    * keys), so ingest cost never depends on table size or key scatter; the
+    * read side pays the MOR anti-join until [[Warehouse.compactDeletes]]
+    * (schedule it via [[Warehouse.maintain]], off the ingest path). This is
+    * the Flink/Iceberg streaming "upsert mode" shape at 100 TB.
+    *
+    * Exactly-once rides the batch-id ledger (the `RollupStream` guard):
+    * morMerge replays CONVERGE by value (the replay's delete kills the
+    * prior copy), but a skipped replay also avoids accreting duplicate
+    * delete/data files — so the ledger is an IO optimization AND the
+    * no-churn guarantee, while correctness never rests on it.
+    */
+  def ingestUpserts(spark: SparkSession, watchDir: String,
+      schema: StructType, wh: Warehouse, table: String, pks: Seq[String],
+      checkpointDir: Option[String] = None,
+      streamId: String = "upsert"): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.schema(schema).parquet(watchDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"${watchDir.stripSuffix("/")}/_checkpoint_$streamId"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > wh.lastCommittedBatchId(table, streamId)) {
+          wh.morMerge(table, batch, pks)
+          wh.recordBatchId(table, streamId, batchId)
+        }
+        ()
+      }
+
   /** Streaming dual of [[graft.sink.VectorIndexIngest]]: micro-batches of
     * (pk, vector) rows assign + PQ-encode against the FROZEN model and land
     * in the cell-clustered codes table, then the corpus — ANN search serves

@@ -98,6 +98,38 @@ class MorMergeSpec extends SparkSpec {
     assert(before.subsetOf(wh.currentManifest("t").files.map(_.path).toSet))
   }
 
+  test("streaming CDC upserts == batch morMerge; replay and rebuilt checkpoint add nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.CorpusStream
+    def drain(w: org.apache.spark.sql.streaming.DataStreamWriter[Row]): Unit = {
+      val q = w.trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(60000), "stream did not drain in 60s")
+      finally q.stop()
+    }
+    val watch = tmpDir("mm-stream-watch")
+    val ckpt = tmpDir("mm-stream-ckpt")
+    val wh = new Warehouse(spark, tmpDir("mm-stream"))
+    wh.replace("t", df("a" -> 1L, "b" -> 2L), Seq("Id"))
+    df("b" -> 20L, "c" -> 3L).coalesce(1).write.mode("append").parquet(watch)
+    drain(CorpusStream.ingestUpserts(spark, watch, schema, wh, "t", Seq("Id"), Some(ckpt)))
+    val expect = bag(df("a" -> 1L, "b" -> 20L, "c" -> 3L))
+    assert(bag(wh.load("t")) == expect)
+    val version = wh.currentVersion("t")
+    // same checkpoint: nothing new to process, version untouched
+    drain(CorpusStream.ingestUpserts(spark, watch, schema, wh, "t", Seq("Id"), Some(ckpt)))
+    assert(wh.currentVersion("t") == version)
+    // REBUILT checkpoint: the source replays every file, the batch-id
+    // ledger skips the already-committed ids — zero commits, same content
+    drain(CorpusStream.ingestUpserts(spark, watch, schema, wh, "t", Seq("Id"),
+      Some(tmpDir("mm-stream-ckpt2"))))
+    assert(wh.currentVersion("t") == version)
+    assert(bag(wh.load("t")) == expect)
+    // a genuinely new drop lands incrementally
+    df("c" -> 30L).coalesce(1).write.mode("append").parquet(watch)
+    drain(CorpusStream.ingestUpserts(spark, watch, schema, wh, "t", Seq("Id"), Some(ckpt)))
+    assert(bag(wh.load("t")) == bag(df("a" -> 1L, "b" -> 20L, "c" -> 30L)))
+  }
+
   test("SQL DELETE honors spark.graft.delete.mode = positional") {
     val root = tmpDir("mm-delmode")
     spark.conf.set("spark.sql.catalog.gdm", classOf[graft.catalog.GraftCatalog].getName)
