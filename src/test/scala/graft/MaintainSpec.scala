@@ -98,4 +98,18 @@ class MaintainSpec extends SparkSpec {
     assert(!rep2.deletesCompacted && !rep2.filesCompacted && !rep2.snapshotsExpired)
     assert(rep2.version == rep.version)
   }
+
+  test("positional deletes drive the same delete signals (kind-generic policy)") {
+    import org.apache.spark.sql.functions.col
+    val wh = new Warehouse(spark, tmpDir("mt-pos"))
+    wh.append("t", df(0 until 100), statsCols = Seq("Id"))
+    wh.positionDelete("t", col("Id") < 10L) // 10% of rows as position pairs
+    val before = content(wh, "t")
+    assert(wh.currentManifest("t").deletes.exists(_.kind == "pos"))
+    val rep = wh.maintain("t")
+    assert(rep.deletesCompacted)
+    assert(wh.currentManifest("t").deletes.isEmpty)
+    assert(content(wh, "t") == before)
+    assert(before.size == 90)
+  }
 }
