@@ -234,6 +234,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: morMerge and merge converge to identical content on random histories") {
+    // deferred-IO upsert (delete-file + append) vs copy-on-write rewrite:
+    // same algebra, so any batch history must land identical bags — before
+    // AND after the MOR side materializes its pending deletes
+    val histGen = Gen.listOfN(3, batchGen)
+    for ((batches, i) <- samples(histGen, 4, 11137L).zipWithIndex) {
+      val cow = new Warehouse(spark, tmpDir(s"p-mmcow$i"))
+      val mor = new Warehouse(spark, tmpDir(s"p-mmmor$i"))
+      cow.replace("t", df(batches.head)); mor.replace("t", df(batches.head))
+      batches.tail.foreach { b =>
+        cow.merge("t", df(b), Seq("Id"))
+        mor.morMerge("t", df(b), Seq("Id"))
+      }
+      def bag(w: Warehouse) = w.load("t").collect().toSeq.map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(bag(mor) == bag(cow), s"case $i diverged before materialization")
+      mor.compactDeletes("t")
+      assert(bag(mor) == bag(cow), s"case $i diverged after materialization")
+    }
+  }
+
+  test("property: positionDelete and deleteWhere remove identical rows on random predicates") {
+    import org.apache.spark.sql.functions.col
+    val caseGen = Gen.zip(batchGen, Gen.choose(0L, 99L))
+    for (((rows, threshold), i) <- samples(caseGen, 4, 21137L).zipWithIndex) {
+      val cow = new Warehouse(spark, tmpDir(s"p-pdcow$i"))
+      val pos = new Warehouse(spark, tmpDir(s"p-pdpos$i"))
+      cow.replace("t", df(rows)); pos.replace("t", df(rows))
+      val cond = col("Amount") >= threshold
+      cow.deleteWhere("t", cond)
+      pos.positionDelete("t", cond)
+      def bag(w: Warehouse) = w.load("t").collect().toSeq.map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(bag(pos) == bag(cow), s"case $i diverged with pending position pairs")
+      pos.compactDeletes("t")
+      assert(bag(pos) == bag(cow), s"case $i diverged after materialization")
+    }
+  }
+
   test("property: results are invariant to shuffle partition count") {
     // The determinism contract every query Scaladoc claims ("reproducible on
     // any cluster size / any retry") checked directly: re-running under a
