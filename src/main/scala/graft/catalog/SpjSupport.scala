@@ -59,9 +59,6 @@ object SpjSupport {
     def distinctKeys: Int = keyStrsByPath.values.toSet.size
   }
 
-  private def integral(dt: DataType) =
-    dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
-
   /** Identity partition values must be reconstructable from the rendered
     * stat string EXACTLY as catalyst internal values; floats/decimals are
     * excluded (text round-trip risk buys nothing — nobody identity-partitions
@@ -85,11 +82,15 @@ object SpjSupport {
     case "bucket" =>
       Some(KeyField(Expressions.bucket(f.param.get, f.src),
         s => java.lang.Integer.valueOf(s.toInt)))
-    case "truncate" =>
-      val parse: String => Any =
-        if (dt == StringType) s => UTF8String.fromString(s) else s => java.lang.Long.valueOf(s.toLong)
-      Some(KeyField(Expressions.apply("truncate",
-        Expressions.literal(Integer.valueOf(f.param.get)), Expressions.column(f.src)), parse))
+    // truncate is deliberately NOT reported: Spark's SPJ compatibility
+    // check compares bound functions by canonical name (+ numBuckets for
+    // the special-cased bucket transform), and a BoundFunction is bound
+    // from TYPES only — the width literal can neither ride the canonical
+    // name nor be compared, so truncate(4,s) vs truncate(8,s) would
+    // silently claim co-partitioning and zip mismatched groups (wrong
+    // rows, no error). Bucket is safe: its count IS compared via
+    // numBucketsOpt (BucketedJoinSpec pins the mismatch fallback).
+    case "truncate" => None
     case "years"  => Some(KeyField(Expressions.years(f.src), s => java.lang.Long.valueOf(s.toLong)))
     case "months" => Some(KeyField(Expressions.months(f.src), s => java.lang.Long.valueOf(s.toLong)))
     case "days"   => Some(KeyField(Expressions.days(f.src), s => java.lang.Long.valueOf(s.toLong)))

@@ -27,11 +27,16 @@ import org.apache.spark.sql.types._
   * value Spark computes through the function can never disagree with the
   * partition a row was actually written to.
   *
-  * Canonical names embed the parameter and the input type
-  * (`graft.bucket[16](long)`): Spark's shuffle-spec compatibility check
-  * compares canonical names, NOT literal arguments, so `bucket(16, x)` vs
-  * `bucket(32, y)` must already differ by name or a mismatched pair would
-  * silently co-locate.
+  * Compatibility safety: Spark's shuffle-spec check compares bound
+  * functions by CANONICAL NAME plus — for the special-cased bucket
+  * transform only — the bucket-count literal (`numBucketsOpt`). A
+  * BoundFunction is bound from argument TYPES, so a parameter value can
+  * never ride the canonical name; bucket(16) vs bucket(32) is kept apart
+  * by Spark's own count comparison (spec-pinned), while truncate has no
+  * such channel — which is why [[SpjSupport]] refuses to REPORT truncate
+  * clustering at all (a width mismatch would silently co-locate). The
+  * canonical names here embed the input type: bucketing an int column and
+  * a long column hash differently, so they must never co-locate either.
   */
 object TransformFunctions {
 
@@ -83,9 +88,10 @@ object TransformFunctions {
   }
 
   /** `truncate(w, col)`: ints floor to a multiple of w (as long), strings cut
-    * to their first w chars. Width rides the canonical name: the shuffle-spec
-    * check never compares literal args, and truncate(4) vs truncate(8) are
-    * NOT co-partitioned.
+    * to their first w chars. NOTE: truncate clustering is never REPORTED for
+    * SPJ ([[SpjSupport]]) — the width cannot be compared across join sides
+    * (see the object doc) — so this function exists for resolution
+    * completeness, not co-location claims.
     */
   private object TruncateUnbound extends UnboundFunction {
     override def name(): String = "truncate"

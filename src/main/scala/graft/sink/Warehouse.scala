@@ -324,9 +324,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           // away last, and are dropped before the union
           val base =
             if (posDels.isEmpty) scan(files)
-            else scan(files)
-              .withColumn(PosFileCol, relFileExpr(name))
-              .withColumn(PosIdxCol, col("_metadata.row_index"))
+            else withFilePositions(name, files, scan(files))
           val afterEq = eqDels.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
             .foldLeft(base) { case (acc, (cols, ds)) =>
               val keySchema = StructType(m.schema.fields.filter(f => cols.contains(f.name)))
@@ -355,17 +353,38 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     StructField(PosFileCol, StringType, nullable = false),
     StructField(PosIdxCol, LongType, nullable = false)))
 
-  /** Table-relative path of the scanned row's data file, derived from
-    * `_metadata.file_path`. Anchored on the table directory's ABSOLUTE path
-    * (scheme-agnostic: Spark renders the metadata path as a URI whose
-    * slash count varies by filesystem), and shared verbatim by the write
-    * ([[positionDelete]]) and read ([[morFrame]]) sides — the pairs only
-    * match if both derive the path identically. Relative paths also make
-    * the pairs survive [[rename]]/[[renameAll]], which move the table dir.
+  /** The exact string `_metadata.file_path` yields for a manifest-relative
+    * data file: `file:` + the URI-ENCODED absolute path (hadoop `Path`
+    * rendering — a space becomes `%20`). Positional-delete matching joins
+    * on this form rather than doing string surgery on it, so the pairs
+    * themselves stay in the DECODED manifest-path domain (comparable with
+    * `DataFile.path` in [[statsDisjoint]], portable across [[rename]]).
     */
-  private def relFileExpr(name: String): Column = {
-    val dir = tableDir(name).toAbsolutePath.normalize.toString + "/"
-    expr(s"substring(_metadata.file_path, instr(_metadata.file_path, '$dir') + ${dir.length})")
+  private def metaPathOf(name: String, rel: String): String =
+    "file:" + new org.apache.hadoop.fs.Path(
+      tableDir(name).resolve(rel).toAbsolutePath.normalize.toString).toUri.toString
+
+  /** Attach (relative data-file path, row ordinal) columns to a scan of
+    * `files` — the positional-delete identity. The metadata column is
+    * materialized on the file-source relation (it is hidden elsewhere),
+    * then an exact broadcast join against the manifest's own path mapping
+    * converts the encoded URI to the decoded relative path: no prefix
+    * arithmetic, no encoding assumptions beyond [[metaPathOf]] (spec-pinned
+    * on space/percent-bearing roots), no SQL-string injection surface.
+    * Shared verbatim by the write ([[positionDelete]]) and read
+    * ([[morFrame]]) sides — pairs only match if both derive identically.
+    */
+  private def withFilePositions(name: String, files: Seq[DataFile],
+                                scan: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val mapping = spark.createDataFrame(
+      files.map(f => Row(metaPathOf(name, f.path), f.path)).asJava,
+      StructType(Seq(StructField("__pdel_meta", StringType, nullable = false),
+        StructField(PosFileCol, StringType, nullable = false))))
+    scan.withColumn("__pdel_meta", col("_metadata.file_path"))
+      .withColumn(PosIdxCol, col("_metadata.row_index"))
+      .join(broadcast(mapping), Seq("__pdel_meta"))
+      .drop("__pdel_meta")
   }
 
   /** All committed (non-expired) snapshot versions of a table, oldest first. */
@@ -1255,6 +1274,10 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   def positionDelete(name: String, cond: Column): PositionDeleteReport = {
     require(exists(name), s"no such table: $name")
     val man = currentManifest(name)
+    // reserved-name guard (the __graft_p discipline): the MOR read would
+    // silently overwrite-then-drop a user column with these names
+    require(!man.schema.fieldNames.exists(Seq(PosFileCol, PosIdxCol, "__pdel_meta").contains),
+      s"positionDelete reserves column names $PosFileCol/$PosIdxCol/__pdel_meta; rename the table column")
     val resolved = spark.createDataFrame(new java.util.ArrayList[Row](), man.schema)
       .filter(cond).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
@@ -1264,11 +1287,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     if (victims.isEmpty)
       return PositionDeleteReport(currentVersion(name), 0L, untouched.size)
     val next = currentVersion(name) + 1
-    val pairs = spark.read.schema(man.schema)
+    val scanned = spark.read.schema(man.schema)
       .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
+    val pairs = withFilePositions(name, victims, scanned)
       .filter(coalesce(cond, lit(false)))
-      .select(relFileExpr(name).as(PosFileCol),
-        col("_metadata.row_index").as(PosIdxCol))
+      .select(col(PosFileCol), col(PosIdxCol))
       // cluster by path so each delete file's path bounds stay tight and
       // compactDeletes/morFrame grouping can skip unreferenced data files
       .repartitionByRange(col(PosFileCol))
@@ -1840,7 +1863,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
         .filter { p =>
           val n = p.getFileName.toString
-          Files.isDirectory(p) && (n.startsWith("d") || n.startsWith("stg"))
+          // d* data dirs, del* equality-delete dirs, pdel* positional-delete
+          // dirs, stg* staged dirs — everything that can hold referenced or
+          // orphaned parquet
+          Files.isDirectory(p) &&
+            (n.startsWith("d") || n.startsWith("pdel") || n.startsWith("stg"))
         }.toSeq
       finally s.close()
     }

@@ -229,6 +229,27 @@ class BucketedJoinSpec extends SparkSpec {
     assert(n == 0, s"bucket clustering should satisfy the groupBy distribution, got $n shuffles")
   }
 
+  test("truncate specs never claim co-partitioning (width is uncomparable across sides)") {
+    // Spark's SPJ check compares bound functions by canonical name (+ count
+    // for bucket only); a truncate WIDTH mismatch has no comparison channel,
+    // so reporting truncate clustering would zip truncate(2) against
+    // truncate(4) groups and silently drop rows — SpjSupport must refuse
+    val (wh, cat) = freshCatalog("spjt")
+    val d = spark.range(0, 300).select(concat(lit("k"), lpad(col("id").cast("string"), 4, "0")).as("s"),
+      col("id").as("v"))
+    wh.create("t2", d.schema, Seq("truncate(2,s)"))
+    wh.create("t4", d.schema, Seq("truncate(4,s)"))
+    wh.append("t2", d)
+    wh.append("t4", d)
+    val q = s"SELECT a.s FROM $cat.t2 a JOIN $cat.t4 b ON a.s = b.s"
+    val (cnt, n) = withSpj {
+      val df = spark.sql(q)
+      (df.collect().length, shuffles(df))
+    }
+    assert(n > 0, "truncate-partitioned tables must fall back to a shuffled join")
+    assert(cnt == 300)
+  }
+
   test("V2 transform functions agree with the write-side column expressions") {
     import graft.sink.PartitionTransforms
     // evaluate through SQL so resolution exercises the same FunctionCatalog

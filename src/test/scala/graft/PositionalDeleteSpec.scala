@@ -129,6 +129,51 @@ class PositionalDeleteSpec extends SparkSpec {
     }
   }
 
+  test("URI-escapable characters in the warehouse path: pairs still match exactly") {
+    // _metadata.file_path is URI-ENCODED ('pd space' -> 'pd%20space');
+    // matching joins on the exact encoded form and stores DECODED relative
+    // paths, so a root with spaces/percents must behave identically
+    val base = java.nio.file.Files.createTempDirectory("pd space %odd")
+    val wh = new Warehouse(spark, base.toString)
+    wh.append("t", df("a" -> 1L, "b" -> 2L, "c" -> 3L), statsCols = Seq("Id"))
+    wh.append("t", df("d" -> 4L), statsCols = Seq("Id"))
+    val rep = wh.positionDelete("t", col("Amount") % 2 === 0)
+    assert(rep.positions == 2L)
+    assert(rowsOf(wh.load("t")) == Set("a" -> 1L, "c" -> 3L))
+    // pair bounds live in the decoded manifest-path domain: compaction's
+    // disjointness proof must not falsely skip (resurrect) anything
+    wh.compactDeletes("t")
+    assert(rowsOf(wh.load("t")) == Set("a" -> 1L, "c" -> 3L))
+  }
+
+  test("expireSnapshots sweeps orphaned and expired pdel* delete files") {
+    val root = tmpDir("pd-expire")
+    val wh = new Warehouse(spark, root)
+    wh.append("t", df("a" -> 1L, "b" -> 2L), statsCols = Seq("Id"))
+    wh.positionDelete("t", col("Id") === "b")
+    wh.compactDeletes("t") // pairs now unreferenced by the CURRENT manifest
+    wh.expireSnapshots("t", keepLast = 1, orphanGraceMs = 0L)
+    val stray = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "t"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.toString)
+          .filter(p => p.contains("/pdel") && p.endsWith(".parquet")).toList
+      } finally s.close()
+    }
+    assert(stray.isEmpty, s"expired positional-delete files survived the sweep: $stray")
+    assert(rowsOf(wh.load("t")) == Set("a" -> 1L))
+  }
+
+  test("a table column named __pdel_file is refused loudly") {
+    val wh = new Warehouse(spark, tmpDir("pd-reserved"))
+    val bad = spark.createDataFrame(Seq(Row("x", 1L)).asJava,
+      StructType(Seq(StructField("__pdel_file", StringType), StructField("Amount", LongType))))
+    wh.append("t", bad)
+    val e = intercept[IllegalArgumentException](wh.positionDelete("t", col("Amount") === 1L))
+    assert(e.getMessage.contains("reserves column names"))
+  }
+
   test("$deletes metadata table reports the kind column") {
     val root = tmpDir("pd-meta")
     val wh = new Warehouse(spark, root)
