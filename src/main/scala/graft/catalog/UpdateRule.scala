@@ -38,22 +38,26 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
   private def fail(msg: String): Nothing = throw new UnsupportedOperationException(
     s"graft UPDATE supports plain column assignments with subquery-free expressions — $msg")
 
-  /** Re-key resolved attribute references to by-name lookups so the
-    * expression binds against the engine-side scan of the same table.
+  /** Subquery guard runs at PLANNING (loud, early); the by-name re-keying
+    * happens at EXECUTION ([[GraftUpdateCommand.run]]): the command must
+    * carry the RESOLVED originals, because CheckAnalysis walks a command's
+    * expression arguments and an `UnresolvedAttribute` stored here fails
+    * analysis of the whole statement (latent until the first plain
+    * `UPDATE ... WHERE col = ...` — the MERGE face never hit it).
     */
-  private def byName(e: Expression): Expression = {
+  private def checked(e: Expression): Expression = {
     if (SubqueryExpression.hasSubquery(e)) fail("subqueries are not supported here")
-    e.transform { case a: Attribute => UnresolvedAttribute.quoted(a.name) }
+    e
   }
 
   private def rewrite(u: UpdateTable, gt: GraftTable): LogicalPlan = {
     val sets = u.assignments.map {
-      case Assignment(k: Attribute, v) => k.name -> byName(v)
+      case Assignment(k: Attribute, v) => k.name -> checked(v)
       case a => fail(s"SET target ${a.key.sql} is not a plain column")
     }
     if (sets.map(_._1.toLowerCase).distinct.size != sets.size)
       fail("a column is assigned more than once")
-    GraftUpdateCommand(gt.root, gt.table, sets, u.condition.map(byName))
+    GraftUpdateCommand(gt.root, gt.table, sets, u.condition.map(checked))
   }
 }
 
@@ -66,10 +70,22 @@ private[catalog] case class GraftUpdateCommand(root: String, table: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val wh = new Warehouse(spark, root)
-    def toCol(e: Expression) = org.apache.spark.sql.graft.ColumnBridge.column(e)
-    wh.updateWhere(table,
-      cond.map(toCol).getOrElse(org.apache.spark.sql.functions.lit(true)),
-      sets.map { case (k, v) => k -> toCol(v) }.toMap)
+    // re-key the RESOLVED attribute references to by-name lookups here, at
+    // execution, so they bind against the engine-side scan of the same
+    // table (storing unresolved names in the command fails CheckAnalysis)
+    def toCol(e: Expression) = org.apache.spark.sql.graft.ColumnBridge.column(
+      e.transform { case a: Attribute => UnresolvedAttribute.quoted(a.name) })
+    val c = cond.map(toCol).getOrElse(org.apache.spark.sql.functions.lit(true))
+    val assignments = sets.map { case (k, v) => k -> toCol(v) }.toMap
+    // same IO-shape knob as DELETE: "cow" (default) rewrites touched files
+    // now; "positional" commits (pairs + updated rows) in one MOR commit
+    // and defers the rewrite to compactDeletes
+    spark.conf.getOption("spark.graft.update.mode").map(_.toLowerCase) match {
+      case Some("positional") => wh.positionUpdate(table, c, assignments)
+      case None | Some("cow") => wh.updateWhere(table, c, assignments)
+      case Some(other) => throw new IllegalArgumentException(
+        s"spark.graft.update.mode must be cow or positional, got: $other")
+    }
     Nil
   }
 }

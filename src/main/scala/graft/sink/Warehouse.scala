@@ -301,13 +301,25 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * every rewrite op return to zero. With no pending deletes this is
     * exactly the plain parquet scan.
     */
-  private[graft] def morFrame(name: String, m: Manifest): DataFrame = {
+  private[graft] def morFrame(name: String, m: Manifest): DataFrame =
+    morFrameImpl(name, m, keepPositions = false)
+
+  /** [[morFrame]] with an option the MOR verbs need: `keepPositions = true`
+    * attaches and RETAINS the ([[PosFileCol]], [[PosIdxCol]]) identity of
+    * every surviving row — [[positionUpdate]] reads the delete-applied view
+    * and still knows exactly which (file, ordinal) each matched row came
+    * from, so chained MOR updates never materialize and never resurrect.
+    */
+  private def morFrameImpl(name: String, m: Manifest,
+                           keepPositions: Boolean): DataFrame = {
     def scan(files: Seq[DataFile]) =
       spark.read.schema(m.schema)
         .parquet(files.map(f => tableDir(name).resolve(f.path).toString): _*)
     if (m.files.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
-    else if (m.deletes.isEmpty) scan(m.files)
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        if (!keepPositions) m.schema
+        else StructType(m.schema.fields.toSeq ++ PosDeleteSchema.fields))
+    else if (m.deletes.isEmpty && !keepPositions) scan(m.files)
     else {
       // positional deletes reference exact (file, ordinal) pairs, so the
       // path-bound prune is exact applicability metadata, not just an
@@ -321,9 +333,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           val (posDels, eqDels) = dels.partition(_.kind == "pos")
           // position columns ride the SCAN (hidden _metadata is only
           // reachable on the file-source relation itself), get anti-joined
-          // away last, and are dropped before the union
+          // away last, and are dropped before the union unless the caller
+          // asked to keep them
+          val needPos = keepPositions || posDels.nonEmpty
           val base =
-            if (posDels.isEmpty) scan(files)
+            if (!needPos) scan(files)
             else withFilePositions(name, files, scan(files))
           val afterEq = eqDels.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
             .foldLeft(base) { case (acc, (cols, ds)) =>
@@ -332,13 +346,15 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
                 .parquet(ds.map(d => tableDir(name).resolve(d.path).toString): _*)
               acc.join(keys, cols, "left_anti")
             }
-          if (posDels.isEmpty) afterEq
-          else {
-            val pairs = spark.read.schema(PosDeleteSchema)
-              .parquet(posDels.map(d => tableDir(name).resolve(d.path).toString): _*)
-            afterEq.join(pairs, Seq(PosFileCol, PosIdxCol), "left_anti")
-              .drop(PosFileCol, PosIdxCol)
-          }
+          val afterPos =
+            if (posDels.isEmpty) afterEq
+            else {
+              val pairs = spark.read.schema(PosDeleteSchema)
+                .parquet(posDels.map(d => tableDir(name).resolve(d.path).toString): _*)
+              afterEq.join(pairs, Seq(PosFileCol, PosIdxCol), "left_anti")
+            }
+          if (needPos && !keepPositions) afterPos.drop(PosFileCol, PosIdxCol)
+          else afterPos
         }.reduce(_ unionByName _)
     }
   }
@@ -1164,6 +1180,79 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       man.schema, s"d${next}u", inheritedStatsCols(Some(man)), seq = next)
     commitManifest(name, next, Manifest(man.schema, untouched ++ rewritten))
     UpdateReport(next, updated, untouched.size)
+  }
+
+  /** Per-call outcome of [[positionUpdate]]. */
+  final case class PositionUpdateReport(version: Long, updated: Long, prunedFiles: Int)
+
+  /** MERGE-ON-READ row-level UPDATE — [[updateWhere]]'s deferred-IO sibling
+    * and the last MOR verb beside [[positionDelete]] and [[morMerge]]: ONE
+    * atomic commit of a positional-delete file (the matched rows' (file,
+    * ordinal) pairs) PLUS data files holding the UPDATED versions of
+    * exactly those rows. No untouched row is rewritten — commit cost is
+    * O(matched rows), not O(touched files) — and the new rows (seq = next)
+    * are shielded from the delete (strict-< rule), so a read serves old
+    * rows minus the pairs, union the updated copies: exactly UPDATE.
+    *
+    * Shares [[updateWhere]]'s contract: SET expressions all see the OLD row
+    * (a, b swap works), assigned values cast to the declared column type,
+    * NULL-condition rows untouched, a no-match predicate commits nothing,
+    * and the matched-row scan is stat-pruned by the resolved predicate. At
+    * 100 TB this is the GDPR-update / backfill-correction shape: a
+    * scattered predicate that would make [[updateWhere]] rewrite most files
+    * commits only the changed rows now; [[compactDeletes]] pays the rewrite
+    * later, off the ingest path.
+    */
+  def positionUpdate(name: String, cond: Column,
+                     set: Map[String, Column]): PositionUpdateReport = {
+    require(exists(name), s"no such table: $name")
+    val man = currentManifest(name)
+    require(set.nonEmpty, "positionUpdate needs at least one assignment")
+    val bad = set.keys.filterNot(man.schema.fieldNames.contains)
+    require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
+    require(!man.schema.fieldNames.exists(Seq(PosFileCol, PosIdxCol, "__pdel_meta").contains),
+      s"positionUpdate reserves column names $PosFileCol/$PosIdxCol/__pdel_meta; rename the table column")
+    val resolved = spark.createDataFrame(new java.util.ArrayList[Row](), man.schema)
+      .filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(return PositionUpdateReport(currentVersion(name), 0L, man.files.size))
+    val (victims, untouched) =
+      man.files.partition(f => graft.catalog.ManifestPruneRule.mayMatch(f, resolved))
+    if (victims.isEmpty)
+      return PositionUpdateReport(currentVersion(name), 0L, untouched.size)
+    val next = currentVersion(name) + 1
+    // matched rows WITH their positions, computed once over the
+    // DELETE-APPLIED view (the pair write and the updated-row write must
+    // see the same matched set, and a row already dead to a pending
+    // equality/positional delete must never be resurrected as an "updated"
+    // copy — chained MOR verbs compose without materializing)
+    val matched = morFrameImpl(name,
+        Manifest(man.schema, victims, man.deletes), keepPositions = true)
+      .filter(coalesce(cond, lit(false)))
+      .persist()
+    try {
+      val pairEntries = writeData(name,
+        matched.select(col(PosFileCol), col(PosIdxCol))
+          .repartitionByRange(col(PosFileCol))
+          .sortWithinPartitions(PosFileCol, PosIdxCol),
+        PosDeleteSchema, s"pdel$next", Seq(PosFileCol, PosIdxCol), seq = next)
+      val dels = pairEntries.filter(_.rows > 0)
+        .map(e => DeleteFile(e.path, e.rows, next, Nil, e.stats, kind = "pos"))
+      if (dels.isEmpty) return PositionUpdateReport(currentVersion(name), 0L, untouched.size)
+      // ONE projection so every SET expression sees the OLD row (SQL UPDATE
+      // semantics — `SET a = b, b = a` swaps)
+      val updatedFrame = matched.select(man.schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(v) => v.cast(f.dataType).as(f.name)
+          case None    => col(f.name)
+        }
+      }: _*)
+      val newData = writeData(name, cluster(updatedFrame, Nil, partitionSpec(name)),
+        man.schema, s"d${next}u", inheritedStatsCols(Some(man)), seq = next)
+      commitManifest(name, next,
+        Manifest(man.schema, man.files ++ newData, man.deletes ++ dels))
+      PositionUpdateReport(next, dels.map(_.rows).sum, untouched.size)
+    } finally matched.unpersist()
   }
 
   /** Schema evolution, ADD-COLUMN case: commit a manifest whose schema is

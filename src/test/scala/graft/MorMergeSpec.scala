@@ -130,6 +130,37 @@ class MorMergeSpec extends SparkSpec {
     assert(bag(wh.load("t")) == bag(df("a" -> 1L, "b" -> 20L, "c" -> 30L)))
   }
 
+  test("plain SQL UPDATE (default cow mode) resolves and rewrites — incl. WHERE on columns") {
+    // regression pin: the UPDATE command used to store unresolved-by-name
+    // expressions, failing CheckAnalysis on the first real `UPDATE ... WHERE
+    // col = ...` (the MERGE face never exercised this path)
+    val root = tmpDir("mm-updcow")
+    spark.conf.set("spark.sql.catalog.guc", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.guc.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.replace("t", df("a" -> 1L, "b" -> 2L, "c" -> 3L), Seq("Id"))
+    spark.sql("UPDATE guc.t SET Amount = Amount * 10 WHERE Id <> 'c'")
+    assert(bag(wh.load("t")) == bag(df("a" -> 10L, "b" -> 20L, "c" -> 3L)))
+    assert(wh.currentManifest("t").deletes.isEmpty) // cow: rewrite, no MOR state
+  }
+
+  test("SQL UPDATE honors spark.graft.update.mode = positional") {
+    val root = tmpDir("mm-updmode")
+    spark.conf.set("spark.sql.catalog.gup", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gup.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.replace("t", df("a" -> 1L, "b" -> 2L, "c" -> 3L), Seq("Id"))
+    val before = wh.currentManifest("t").files.map(_.path).toSet
+    try {
+      spark.conf.set("spark.graft.update.mode", "positional")
+      spark.sql("UPDATE gup.t SET Amount = Amount + 100 WHERE Id = 'b'")
+    } finally spark.conf.unset("spark.graft.update.mode")
+    val man = wh.currentManifest("t")
+    assert(man.deletes.exists(_.kind == "pos"), "expected a pending positional delete")
+    assert(before.subsetOf(man.files.map(_.path).toSet), "positional UPDATE must not rewrite")
+    assert(bag(wh.load("t")) == bag(df("a" -> 1L, "b" -> 102L, "c" -> 3L)))
+  }
+
   test("SQL DELETE honors spark.graft.delete.mode = positional") {
     val root = tmpDir("mm-delmode")
     spark.conf.set("spark.sql.catalog.gdm", classOf[graft.catalog.GraftCatalog].getName)

@@ -174,6 +174,68 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(e.getMessage.contains("reserves column names"))
   }
 
+  test("positionUpdate == updateWhere: same content, old-row SET semantics (swap works)") {
+    val cow = new Warehouse(spark, tmpDir("pu-cow"))
+    val mor = new Warehouse(spark, tmpDir("pu-mor"))
+    val base = spark.createDataFrame(Seq(
+      Row("a", 1L), Row("b", 2L), Row("c", 3L), Row("d", 4L)).asJava, schema)
+    cow.append("t", base, statsCols = Seq("Amount"))
+    mor.append("t", base, statsCols = Seq("Amount"))
+    // swap-flavored SET: Amount must be computed from the OLD Id, and Id
+    // from the OLD Amount — one-projection semantics, not sequential
+    val set = Map(
+      "Id" -> concat(col("Id"), col("Amount").cast("string")),
+      "Amount" -> (col("Amount") * 10L))
+    cow.updateWhere("t", col("Amount") % 2 === 0, set)
+    val rep = mor.positionUpdate("t", col("Amount") % 2 === 0, set)
+    assert(rep.updated == 2L)
+    def bag(w: Warehouse) = w.load("t").collect().toSeq.map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(bag(mor) == bag(cow))
+    mor.compactDeletes("t")
+    assert(bag(mor) == bag(cow))
+  }
+
+  test("positionUpdate is O(matched): prior files carry; chained updates compose unmaterialized") {
+    val wh = new Warehouse(spark, tmpDir("pu-chain"))
+    wh.append("t", df("a" -> 1L, "b" -> 2L, "c" -> 3L), statsCols = Seq("Id"))
+    val before = wh.currentManifest("t").files.map(_.path).toSet
+    wh.positionUpdate("t", col("Id") === "b", Map("Amount" -> (col("Amount") + 100L)))
+    val man1 = wh.currentManifest("t")
+    assert(before.subsetOf(man1.files.map(_.path).toSet), "positionUpdate must not rewrite")
+    assert(man1.deletes.forall(_.kind == "pos"))
+    // second update hits the UPDATED copy (102), not the dead original (2),
+    // and must not force a materialization first
+    wh.positionUpdate("t", col("Id") === "b", Map("Amount" -> (col("Amount") * 2L)))
+    assert(wh.currentManifest("t").deletes.size > man1.deletes.size, "still merge-on-read")
+    assert(rowsOf(wh.load("t")) == Set("a" -> 1L, "b" -> 204L, "c" -> 3L))
+    wh.compactDeletes("t")
+    assert(rowsOf(wh.load("t")) == Set("a" -> 1L, "b" -> 204L, "c" -> 3L))
+  }
+
+  test("positionUpdate never resurrects rows dead to a pending delete") {
+    val wh = new Warehouse(spark, tmpDir("pu-dead"))
+    wh.append("t", df("a" -> 1L, "b" -> 2L, "c" -> 3L))
+    wh.equalityDelete("t", df("b" -> 0L).select("Id")) // b is dead, pending
+    // predicate matches the DEAD row's values too — it must not come back
+    wh.positionUpdate("t", col("Amount") <= 2L, Map("Amount" -> (col("Amount") + 10L)))
+    assert(rowsOf(wh.load("t")) == Set("a" -> 11L, "c" -> 3L))
+    wh.compactDeletes("t")
+    assert(rowsOf(wh.load("t")) == Set("a" -> 11L, "c" -> 3L))
+  }
+
+  test("positionUpdate no-match and null-condition behavior mirrors updateWhere") {
+    val wh = new Warehouse(spark, tmpDir("pu-noop"))
+    wh.append("t", spark.createDataFrame(
+      Seq(Row("a", 1L), Row("b", null)).asJava, schema), statsCols = Seq("Amount"))
+    val v = wh.currentVersion("t")
+    val rep = wh.positionUpdate("t", col("Amount") > 100L, Map("Amount" -> lit(0L)))
+    assert(rep.version == v && rep.updated == 0L)
+    // NULL condition rows untouched
+    wh.positionUpdate("t", col("Amount") >= 1L, Map("Amount" -> (col("Amount") + 1L)))
+    assert(wh.load("t").collect().map(r => Option(r.get(1))).toSet == Set(Some(2L), None))
+  }
+
   test("$deletes metadata table reports the kind column") {
     val root = tmpDir("pd-meta")
     val wh = new Warehouse(spark, root)
