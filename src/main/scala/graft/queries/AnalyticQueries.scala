@@ -37,6 +37,10 @@ object AnalyticQueries {
   private lazy val q140Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q140")
 
+  /** q141's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q141Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q141")
+
   private def wipe(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -235,6 +239,36 @@ object AnalyticQueries {
           .orderBy("o_orderstatus")
           .localCheckpoint()
       } finally wipe(q140Root)
+    },
+
+    // MOR UPDATE under the oracle (q141): positionUpdate commits the
+    // matched rows' (file, ordinal) delete pairs PLUS their updated copies
+    // in one O(matched-rows) commit — no untouched row rewritten — and the
+    // table is served with the pairs still PENDING (old rows anti-joined
+    // away, updated copies unioned in). DuckDB adjudicates against the
+    // latest-state CASE form: update-by-pairs must be indistinguishable
+    // from update-by-rewrite. At 100 TB this is the scattered-predicate
+    // correction (GDPR field fix, backfill repair) where updateWhere would
+    // rewrite most files; compactDeletes pays that later, off the ingest
+    // path (PositionalDeleteSpec pins swap semantics, chained composition,
+    // and no-resurrection).
+    "q141_mor_update" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q141Root)
+      try {
+        val wh = new Warehouse(s, q141Root.toString)
+        val o = read(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        wh.append("orders_pu", o, statsCols = Seq("o_totalprice"))
+        wh.positionUpdate("orders_pu",
+          col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0,
+          Map("o_totalprice" -> (col("o_totalprice") + 1000.0),
+            "o_orderstatus" -> lit("R")))
+        wh.load("orders_pu").groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint()
+      } finally wipe(q141Root)
     },
 
     // TPC-H Q17 shape: "small-quantity" lineitems vs their part's average —
@@ -791,6 +825,15 @@ object AnalyticQueries {
       """SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
         |  count(*) AS n_orders,
         |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN CAST(o_totalprice * 2 AS DECIMAL(18,2)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q141's oracle: the pending-pairs MOR update read must equal the
+    // latest-state CASE form over the raw table.
+    "q141_mor_update" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' AND o_totalprice < 100000.0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' AND o_totalprice < 100000.0 THEN CAST(o_totalprice + 1000.0 AS DECIMAL(18,2)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
