@@ -273,6 +273,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: positionUpdate and updateWhere produce identical content on random inputs") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val caseGen = Gen.zip(batchGen, Gen.choose(0L, 99L))
+    for (((rows, threshold), i) <- samples(caseGen, 4, 31137L).zipWithIndex) {
+      val cow = new Warehouse(spark, tmpDir(s"p-pucow$i"))
+      val mor = new Warehouse(spark, tmpDir(s"p-pumor$i"))
+      cow.replace("t", df(rows)); mor.replace("t", df(rows))
+      val cond = col("Amount") < threshold
+      // old-row semantics on both assignments (Id derives from OLD Amount)
+      val set = Map(
+        "Id" -> concat_ws("-", col("Id"), col("Amount")),
+        "Amount" -> (col("Amount") * 3L + 1L))
+      cow.updateWhere("t", cond, set)
+      mor.positionUpdate("t", cond, set)
+      def bag(w: Warehouse) = w.load("t").collect().toSeq.map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(bag(mor) == bag(cow), s"case $i diverged with pending pairs")
+      mor.compactDeletes("t")
+      assert(bag(mor) == bag(cow), s"case $i diverged after materialization")
+    }
+  }
+
   test("property: results are invariant to shuffle partition count") {
     // The determinism contract every query Scaladoc claims ("reproducible on
     // any cluster size / any retry") checked directly: re-running under a
