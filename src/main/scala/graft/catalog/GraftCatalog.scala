@@ -203,7 +203,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   // into comparable TransformExpressions (see [[SpjSupport]]).
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] = {
-    requireFlat(namespace)
+    // FunctionCatalog contract: unknown namespace -> NoSuchNamespaceException
+    // (not IllegalArgumentException; mirrors loadFunction's NoSuchFunction).
+    if (namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
     TransformFunctions.names.map(Identifier.of(Array.empty[String], _)).toArray
   }
 

@@ -295,7 +295,13 @@ final class KeyGroupedParquetScan(base: ParquetScan,
       info.keyStrsByPath.getOrElse(p,
         throw new IllegalStateException(s"file $p missing from the SPJ key map"))
     }
-    grouped.toSeq.sortBy(_._1.map(_.getOrElse(" ")).mkString(""))
+    // Element-wise lexicographic ordering on the key tuple itself (None
+    // first): unambiguous across tuple boundaries, so ("ab","c") and
+    // ("a","bc") sort as distinct keys -- a separator-free concat would
+    // collide them and the deterministic group order this sort exists for
+    // would not be delivered.
+    grouped.toSeq.sortBy(_._1.toSeq)(
+      scala.math.Ordering.Implicits.seqOrdering[Seq, Option[String]])
       .zipWithIndex.map { case ((key, files), i) =>
         new KeyedFilePartition(i, files, info.keyRow(key)): InputPartition
       }.toArray

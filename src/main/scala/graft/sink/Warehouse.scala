@@ -422,9 +422,9 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * as epoch days, booleans as 0/1. Unsupported types yield no stats
     * (pruning then treats the column as unknown = always-overlapping).
     */
-  private case class StatCol(name: String, kind: String, minExpr: Column, maxExpr: Column)
+  private[sink] case class StatCol(name: String, kind: String, minExpr: Column, maxExpr: Column)
 
-  private def statCols(schema: StructType, cols: Seq[String]): Seq[StatCol] =
+  private[sink] def statCols(schema: StructType, cols: Seq[String]): Seq[StatCol] =
     cols.distinct.flatMap { c =>
       schema.fields.find(_.name == c) match {
         case Some(f) => f.dataType match {
@@ -451,9 +451,30 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * (NaN/Infinity, or a string too long to be worth storing — Iceberg
     * truncates bounds; we drop them, which is only ever conservative).
     */
-  private def renderStat(kind: String, v: Any): Option[String] = Option(v).map(_.toString).filter { s =>
-    if (kind == "n") scala.util.Try(BigDecimal(s)).isSuccess else s.length <= 256
+  private def renderStat(kind: String, v: Any): Option[String] = {
+    // -0.0 == 0.0 under both comparison domains, but their strings differ;
+    // normalize so footer-derived bounds (parquet's reader widens zero
+    // bounds to (-0.0, +0.0)) and scan-derived bounds render identically
+    val norm = v match {
+      case f: java.lang.Float  if f.floatValue() == 0f  => java.lang.Float.valueOf(0f)
+      case d: java.lang.Double if d.doubleValue() == 0d => java.lang.Double.valueOf(0d)
+      case x => x
+    }
+    Option(norm).map(_.toString).filter { s =>
+      if (kind == "n") scala.util.Try(BigDecimal(s)).isSuccess else s.length <= 256
+    }
   }
+
+  /** One column's [[ColStat]] from its (min, max) aggregate/footer values —
+    * the ONE rendering used by both the scan and footer stat paths, so
+    * their manifests stay bit-identical. None = unrenderable (NaN, huge
+    * string): the column is left out and pruning keeps the file in scope.
+    */
+  private def statFromBounds(sc: StatCol, mn: Any, mx: Any): Option[(String, ColStat)] =
+    (renderStat(sc.kind, mn), renderStat(sc.kind, mx)) match {
+      case (Some(a), Some(b)) => Some(sc.name -> ColStat(sc.kind, a, b))
+      case _                  => None
+    }
 
   /** Bounds map of one aggregated row carrying `__mn$i`/`__mx$i` columns for
     * `scs` — the ONE place per-column stats are materialized (file bounds in
@@ -464,19 +485,27 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       val mn = r.get(r.fieldIndex(s"__mn$i"))
       val mx = r.get(r.fieldIndex(s"__mx$i"))
       if (mn == null) Some(sc.name -> ColStat("z", "", "")) // all-null in this column
-      else (renderStat(sc.kind, mn), renderStat(sc.kind, mx)) match {
-        case (Some(a), Some(b)) => Some(sc.name -> ColStat(sc.kind, a, b))
-        case _                  => None // unknown: pruning must keep it in scope
-      }
+      else statFromBounds(sc, mn, mx) // None = unknown: pruning keeps the file in scope
     }.toMap
 
   /** Write `in` under `dirName` and return one [[DataFile]] per written
-    * parquet file, with per-file min/max stats for `cols` gathered in a
-    * single O(batch) grouped scan (count + 2 aggs per stat column, grouped
-    * by `input_file_name`).
+    * parquet file, with per-file row counts and min/max stats for `cols`
+    * harvested from the PARQUET FOOTERS just written — O(files)
+    * metadata-only reads, zero re-scan of the batch (the Iceberg writer
+    * discipline: manifest bounds come from the footer the write already
+    * produced). Partition-transform stat keys materialized by [[cluster]]
+    * (hive-split, single-valued per file) are read back from the
+    * `__graft_p<i>=<value>` directory names; `spec` supplies the index →
+    * transform-key mapping. Any column the footer can't prove
+    * ([[FooterStats.Unknown]] — INT96, NaN bounds, missing stats) falls
+    * back to a column-pruned grouped scan for THAT column only; a
+    * completely unreadable footer falls back to the legacy full scan.
+    * Both paths render through [[statFromBounds]], so the resulting
+    * manifests are bit-identical (`FooterStatsSpec`).
     */
   private def writeData(name: String, in: DataFrame, schema: StructType,
-                        dirName: String, cols: Seq[String], seq: Long = 0L): Seq[DataFile] = {
+                        dirName: String, cols: Seq[String], seq: Long = 0L,
+                        spec: Seq[String] = Nil): Seq[DataFile] = {
     // Unique per ATTEMPT, not just per version: two racing writers both
     // computing the same `next` must never share a directory — the loser's
     // mode("overwrite") would destroy the winner's already-committed files
@@ -488,21 +517,136 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // Materialized transform columns ([[cluster]]) hive-split the write so
     // every file is single-valued per transform (the SPJ invariant); the
     // __graft_p columns live only in directory names, never file content.
-    val pcols = in.columns.filter(_.startsWith(SpecColPrefix))
+    val pcols = in.columns.filter(isSpecCol)
       .sortBy(_.stripPrefix(SpecColPrefix).toInt)
+    // Warehouse files write INT64-micros timestamps (the Iceberg-mandated
+    // parquet form): Spark's default INT96 is deprecated and has NO defined
+    // stat sort order, which would force every timestamp stat column back
+    // onto the scan fallback — and timestamps are the watermark columns,
+    // the commonest stats of all. Scoped flip + restore: the conf is
+    // session-global and OTHER writes in the session (e.g. Verify's result
+    // dumps, user exports) must keep their own flavor. A concurrent writer
+    // racing the restore at worst lands INT96 files, whose timestamp stats
+    // simply fall back to the scan — correctness never rests on this.
+    val TsConf = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.get(TsConf)
     val w = in.write.mode("overwrite")
-    (if (pcols.isEmpty) w else w.partitionBy(pcols: _*)).parquet(dir.toString)
+    try {
+      spark.conf.set(TsConf, "TIMESTAMP_MICROS")
+      (if (pcols.isEmpty) w else w.partitionBy(pcols: _*)).parquet(dir.toString)
+    } finally spark.conf.set(TsConf, prevTs)
     val scs = statCols(schema, cols)
+    val td = tableDir(name).toAbsolutePath.normalize
+    val files = FooterStats.listParquetFiles(dir)
+    if (files.isEmpty) return Nil
+
+    // --- classify stat columns: footer-provable, path-provable, scan-only
+    val physical = scs.filter(sc => schema.fieldNames.contains(sc.name))
+    val specIdxOfKey: Map[String, Int] = spec.zipWithIndex.flatMap { case (s, i) =>
+      PartitionTransforms.parse(s).filter(_.fn != "identity").map(_.key -> i)
+    }.toMap
+    val pathable = scs.filterNot(physical.contains).filter(sc =>
+      specIdxOfKey.get(sc.name).exists(i => pcols.contains(s"$SpecColPrefix$i")))
+    val physTypes = physical.map(sc =>
+      sc.name -> schema.fields.find(_.name == sc.name).get.dataType)
+
+    // --- phase 1: footers (parallel, metadata-only) + hive-dir values
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size))
+    val footer: Seq[(Path, Option[(Long, Map[String, FooterStats.Outcome])])] =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(files.map(f =>
+            scala.concurrent.Future(f -> FooterStats.read(f, conf, physTypes)))),
+          scala.concurrent.duration.Duration(600, "s"))
+      } finally pool.shutdown()
+
+    val DefaultPart =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    val SpecDir = s"""${java.util.regex.Pattern.quote(SpecColPrefix)}(\\d+)=(.*)""".r
+    // per file: spec index -> raw hive dir value (still escaped)
+    def dirValues(f: Path): Map[Int, String] =
+      td.relativize(f.toAbsolutePath.normalize).iterator().asScala.flatMap(seg =>
+        seg.toString match {
+          case SpecDir(i, v) => Some(i.toInt -> v)
+          case _             => None
+        }).toMap
+    // path outcome of one transform stat col for one file
+    def pathOutcome(sc: StatCol, dirs: Map[Int, String]): FooterStats.Outcome =
+      dirs.get(specIdxOfKey(sc.name)) match {
+        case None => FooterStats.Unknown
+        case Some(DefaultPart) =>
+          // "n" transforms are null only for a null source (→ "z"); a
+          // string truncate value collapses BOTH null and "" into this dir
+          // name, so it alone can't prove which — scan that column instead
+          if (sc.kind == "n") FooterStats.AllNull else FooterStats.Unknown
+        case Some(raw) => FooterStats.Bounds(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw),
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw))
+      }
+
+    val fullFallback = footer.exists(_._2.isEmpty)
+    val perFile: Map[Path, (Long, Map[String, FooterStats.Outcome])] =
+      if (fullFallback) Map.empty
+      else footer.collect { case (f, Some((rows, phys))) =>
+        val dirs = dirValues(f)
+        f -> (rows, phys ++ pathable.map(sc => sc.name -> pathOutcome(sc, dirs)))
+      }.toMap
+
+    // --- phase 2: one column-pruned grouped scan for whatever is unproven
+    val scanCols: Set[String] =
+      if (fullFallback) scs.map(_.name).toSet
+      else scs.map(_.name).toSet -- (physical ++ pathable).map(_.name) ++
+        perFile.valuesIterator.flatMap(_._2.collect {
+          case (c, FooterStats.Unknown) => c
+        })
+    val scanScs = scs.filter(sc => scanCols.contains(sc.name))
+    val scanned: Map[String, (Long, Map[String, ColStat])] =
+      if (scanScs.isEmpty && !fullFallback) Map.empty
+      else fileFactsViaScan(dir, schema, scanScs, td)
+
+    // --- assemble (empty files produce no manifest entry, as the grouped
+    // scan path never saw them)
+    if (fullFallback)
+      return scanned.toSeq.map { case (rel, (rows, stats)) => DataFile(rel, rows, stats, seq) }
+    files.flatMap { f =>
+      val rel = td.relativize(f.toAbsolutePath.normalize).toString
+      val (rows, outcomes) = perFile(f)
+      if (rows == 0L) None
+      else {
+        val proven = scs.filterNot(sc => scanCols.contains(sc.name)).flatMap { sc =>
+          outcomes.get(sc.name) match {
+            case Some(FooterStats.AllNull)         => Some(sc.name -> ColStat("z", "", ""))
+            case Some(FooterStats.Bounds(mn, mx))  => statFromBounds(sc, mn, mx)
+            case _                                 => None
+          }
+        }.toMap
+        val fromScan = scanned.get(rel).map(_._2).getOrElse(Map.empty)
+          .filter { case (c, _) => scanCols.contains(c) }
+        Some(DataFile(rel, rows, proven ++ fromScan, seq))
+      }
+    }
+  }
+
+  /** Scan-derived per-file facts (row count + stats for `scs`) for every
+    * parquet file under `dir` — the legacy single grouped scan, kept as the
+    * fallback for footer-unprovable columns and as the oracle the
+    * footer-path property spec compares against.
+    */
+  private[sink] def fileFactsViaScan(dir: Path, schema: StructType, scs: Seq[StatCol],
+                                     td: Path): Map[String, (Long, Map[String, ColStat])] = {
     val base = spark.read.schema(schema).parquet(dir.toString)
       .select(input_file_name().as("__file") +: schema.fieldNames.map(col).toSeq: _*)
     val aggs = count(lit(1)).as("__rows") +:
       scs.zipWithIndex.flatMap { case (sc, i) => Seq(sc.minExpr.as(s"__mn$i"), sc.maxExpr.as(s"__mx$i")) }
-    val td = tableDir(name).toAbsolutePath.normalize
     base.groupBy("__file").agg(aggs.head, aggs.tail: _*).collect().toSeq.map { r =>
       val abs = Paths.get(java.net.URI.create(r.getString(r.fieldIndex("__file"))))
       val rel = td.relativize(abs.toAbsolutePath.normalize).toString
-      DataFile(rel, r.getLong(r.fieldIndex("__rows")), statsOfRow(r, scs), seq)
-    }
+      rel -> (r.getLong(r.fieldIndex("__rows")), statsOfRow(r, scs))
+    }.toMap
   }
 
   /** Commit manifest `m` as version `next`: a true compare-and-swap.
@@ -558,6 +702,66 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * files, so it only fires on out-of-band deletion — better a loud
     * failure here than a restored table whose scans die file-not-found.
     */
+  /** Test seam: invoked once at the head of every [[commitOrRebase]], BEFORE
+    * the first CAS attempt — specs install a one-shot interfering commit
+    * here to deterministically land a competing writer inside the race
+    * window. Production: no-op.
+    */
+  private[sink] var preCommitHook: (String, Long) => Unit = (_, _) => ()
+
+  /** Optimistic commit with AUTOMATIC REBASE — Iceberg's commit-retry loop.
+    *
+    * Try the prepared manifest; on a lost CAS race, re-read the winner's
+    * manifest and ask `rebase(newBase, newNext)` for a manifest that
+    * re-expresses THIS commit on the new base. The loser's data files are
+    * already on disk and immutable, so a rebase is METADATA-ONLY — zero
+    * data rewrite, zero re-read; for append-shaped commits (append,
+    * morMerge, equalityDelete, position pairs) only the manifest list and
+    * the entries' sequence numbers change. `rebase` returns None on a TRUE
+    * conflict — the winner invalidated what this operation read (rewrote a
+    * victim file, changed the schema, added rows/deletes that overlap the
+    * op's scope) — and then we fail LOUDLY with
+    * [[java.util.ConcurrentModificationException]]: the caller must redo
+    * the whole operation against the new state (Iceberg's validation
+    * semantics for non-append commits).
+    *
+    * The loop re-reads version-then-manifest (`manifestAt` of the version
+    * just read): if yet another commit lands in between, the CAS pre-check
+    * fails and the loop simply goes around again — a rebase can never land
+    * on a base it did not read.
+    */
+  private[sink] def commitOrRebase(name: String, next: Long, first: Manifest,
+      rebase: (Manifest, Long) => Option[Manifest], maxRetries: Int = 5): Long = {
+    preCommitHook(name, next)
+    try return commitManifest(name, next, first)
+    catch { case _: java.util.ConcurrentModificationException => }
+    var tries = 0
+    while (tries < maxRetries) {
+      tries += 1
+      val curV = currentVersion(name)
+      val base = manifestAt(name, curV)
+      rebase(base, curV + 1) match {
+        case None => throw new java.util.ConcurrentModificationException(
+          s"$name: lost the commit race for v$next and the winning commit conflicts " +
+            "with what this operation read; redo the operation")
+        case Some(m) =>
+          try return commitManifest(name, curV + 1, m)
+          catch { case _: java.util.ConcurrentModificationException => }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$name: commit still racing after $maxRetries rebase attempts; redo the operation")
+  }
+
+  /** Rebase guard: every file in `needed` survives in `base` UNCHANGED
+    * (same path, sequence number, row count) — i.e. the op's read set was
+    * not rewritten/removed by the commit that won the race.
+    */
+  private def filesIntact(base: Manifest, needed: Seq[DataFile]): Boolean = {
+    val byPath = base.files.iterator.map(f => f.path -> f).toMap
+    needed.forall(f => byPath.get(f.path).exists(b => b.seq == f.seq && b.rows == f.rows))
+  }
+
   def restore(name: String, version: Long): Long = {
     val m = manifestAt(name, version)
     val missing = (m.files.map(_.path) ++ m.deletes.map(_.path))
@@ -602,8 +806,8 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // value — the invariant storage-partitioned joins need (SpjSupport
     // proves it back from the manifest's min==max stats). Range clustering
     // alone leaves boundary files straddling two adjacent values.
-    require(!in.columns.exists(_.startsWith(SpecColPrefix)),
-      s"column names starting with $SpecColPrefix are reserved for partition transforms")
+    require(!in.columns.exists(isSpecCol),
+      s"column names of the form $SpecColPrefix<digits> are reserved for partition transforms")
     val specCols: Seq[(String, Column)] = spec.zipWithIndex.flatMap { case (s, i) =>
       PartitionTransforms.parse(s).flatMap { f =>
         val e =
@@ -635,6 +839,16 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     */
   private val SpecColPrefix = "__graft_p"
 
+  /** Exactly the reserved shape `__graft_p<digits>` — a user column named,
+    * say, `__graft_price` is NOT reserved and flows through every write
+    * path untouched.
+    */
+  private def isSpecCol(c: String): Boolean =
+    c.startsWith(SpecColPrefix) && {
+      val rest = c.stripPrefix(SpecColPrefix)
+      rest.nonEmpty && rest.forall(_.isDigit)
+    }
+
   /** Shared batch-commit path: conform, cluster, write the batch's files,
     * commit a manifest that either carries prior files forward (append) or
     * lists only the batch (replace).
@@ -648,12 +862,21 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val in = cluster(SchemaOps.conform(df, schema), clusterBy, spec)
     val next = currentVersion(name) + 1
     val entries = writeData(name, in, schema, s"d${next}b",
-      statsCols ++ clusterBy ++ spec ++ inheritedStatsCols(existing), seq = next)
+      statsCols ++ clusterBy ++ spec ++ inheritedStatsCols(existing), seq = next, spec = spec)
     val prior = if (keepPrior) existing.map(_.files).getOrElse(Nil) else Nil
     // append carries pending MOR deletes forward (the new files' seq shields
     // them); replace truncates — pending deletes die with the old content
     val priorDeletes = if (keepPrior) existing.map(_.deletes).getOrElse(Nil) else Nil
-    commitManifest(name, next, Manifest(schema, prior ++ entries, priorDeletes))
+    // Rebase: append-shaped — restamp the batch's entries to the new
+    // version and re-list over the winner's files/deletes; replace still
+    // truncates (that IS its disposition semantic: target == last batch).
+    // A concurrent schema change conflicts (this batch was conformed to
+    // the schema it read).
+    commitOrRebase(name, next, Manifest(schema, prior ++ entries, priorDeletes),
+      (base, n2) =>
+        if (base.schema != schema) None
+        else if (keepPrior) Some(Manifest(schema, base.files ++ entries.map(_.copy(seq = n2)), base.deletes))
+        else Some(Manifest(schema, entries.map(_.copy(seq = n2)), Nil)))
   }
 
   /** S8 append disposition: O(batch) — writes only the incoming files; the
@@ -770,10 +993,21 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val src = spark.read.schema(man.schema)
       .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
     val rewritten = writeData(name, layout(src), man.schema, s"d${next}c",
-      extraStats ++ inheritedStatsCols(Some(man)), seq = next)
+      extraStats ++ inheritedStatsCols(Some(man)), seq = next, spec = partitionSpec(name))
     val victimSet = victims.map(_.path).toSet
-    commitManifest(name, next, Manifest(man.schema,
-      man.files.filterNot(f => victimSet(f.path)) ++ rewritten, man.deletes))
+    // Rebase: compaction is content-preserving, so concurrently-ADDED files
+    // simply carry through; but the victims must survive unchanged (their
+    // rows now live in `rewritten`) and no concurrent delete may land (a
+    // delete with seq < the restamped rewrite would be skipped by the
+    // strict-< rule and its victims resurrected).
+    commitOrRebase(name, next, Manifest(man.schema,
+      man.files.filterNot(f => victimSet(f.path)) ++ rewritten, man.deletes),
+      (base, n2) =>
+        if (base.schema != man.schema || base.deletes != man.deletes ||
+            !filesIntact(base, victims)) None
+        else Some(Manifest(man.schema,
+          base.files.filterNot(f => victimSet(f.path)) ++ rewritten.map(_.copy(seq = n2)),
+          base.deletes)))
   }
 
   /** J1 merge disposition: delete target rows whose PK tuple appears in the
@@ -859,10 +1093,30 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           if (keyCount <= mergeBroadcastMaxKeys) broadcast(keys)
           else keys.hint("merge")
         val kept = target.join(keysSide, pks, "left_anti")
-        writeData(name, cluster(kept, clusterBy, spec), schema, s"d${next}r", statsFor, seq = next)
+        writeData(name, cluster(kept, clusterBy, spec), schema, s"d${next}r", statsFor,
+          seq = next, spec = spec)
       }
-    val batchEntries = writeData(name, cluster(in, clusterBy, spec), schema, s"d${next}b", statsFor, seq = next)
-    commitManifest(name, next, Manifest(schema, untouched ++ rewritten ++ batchEntries))
+    val batchEntries = writeData(name, cluster(in, clusterBy, spec), schema, s"d${next}b",
+      statsFor, seq = next, spec = spec)
+    // Rebase (Iceberg merge validation): victims must survive unchanged
+    // (their keyed rows were rewritten into `rewritten`), no concurrent
+    // MOR delete may have landed, and any concurrently-ADDED file must be
+    // provably key-disjoint from the batch (else its rows should have been
+    // merged and this op must redo). Untouched files the winner rewrote
+    // (compaction) are fine: their replacements arrive as added files and
+    // pass the same disjointness proof or conflict.
+    commitOrRebase(name, next, Manifest(schema, untouched ++ rewritten ++ batchEntries),
+      (base, n2) => {
+        val mine = (victims ++ untouched).map(_.path).toSet
+        val added = base.files.filterNot(f => mine.contains(f.path))
+        if (base.schema != schema || base.deletes != man.deletes ||
+            !filesIntact(base, victims) || !(noMatchPossible || added.forall(disjoint))) None
+        else {
+          val victimPaths = victims.map(_.path).toSet
+          Some(Manifest(schema, base.files.filterNot(f => victimPaths.contains(f.path)) ++
+            rewritten.map(_.copy(seq = n2)) ++ batchEntries.map(_.copy(seq = n2)), base.deletes))
+        }
+      })
 
     } finally keys.unpersist()
   }
@@ -900,15 +1154,23 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val next = currentVersion(name) + 1
     val statsFor = pks ++ clusterBy ++ spec ++ inheritedStatsCols(Some(man))
     val dataEntries = writeData(name, cluster(in, clusterBy, spec), schema,
-      s"d${next}b", statsFor, seq = next)
+      s"d${next}b", statsFor, seq = next, spec = spec)
     val keySchema = StructType(schema.fields.filter(f => pks.contains(f.name)))
     val delEntries = writeData(name, in.select(pks.map(col): _*).distinct(),
       keySchema, s"del$next", pks, seq = next)
     val dels = delEntries.filter(_.rows > 0)
       .map(e => DeleteFile(e.path, e.rows, next, pks, e.stats))
     if (dataEntries.isEmpty && dels.isEmpty) return currentVersion(name) // empty batch
-    commitManifest(name, next,
-      Manifest(schema, man.files ++ dataEntries, man.deletes ++ dels))
+    // Rebase: a pure row-delta — restamp data + delete entries to the new
+    // version and re-list over the winner's state. The delete's new seq
+    // correctly covers concurrently-added files too (serial order: their
+    // append, then this upsert).
+    commitOrRebase(name, next,
+      Manifest(schema, man.files ++ dataEntries, man.deletes ++ dels),
+      (base, n2) =>
+        if (base.schema != schema) None
+        else Some(Manifest(schema, base.files ++ dataEntries.map(_.copy(seq = n2)),
+          base.deletes ++ dels.map(_.copy(seq = n2)))))
   }
 
   /** Engine variant of merge: when one batch carries several versions of a PK,
@@ -1124,11 +1386,27 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // values, their bounds go loose, and transform pruning degrades
     val kept = cluster(target.filter(!coalesce(cond, lit(false))), Nil, partitionSpec(name))
     val rewritten = writeData(name, kept, man.schema, s"d${next}r",
-      inheritedStatsCols(Some(man)), seq = next)
+      inheritedStatsCols(Some(man)), seq = next, spec = partitionSpec(name))
     val deleted = victims.map(_.rows).sum - rewritten.map(_.rows).sum
     if (deleted == 0L) // predicate overlapped bounds but matched no rows
       return DeleteReport(currentVersion(name), 0L, untouched.size)
-    commitManifest(name, next, Manifest(man.schema, untouched ++ rewritten, man.deletes))
+    // Rebase: victims intact, no concurrent deletes, and every
+    // concurrently-added file must be PROVABLY predicate-disjoint (its rows
+    // were never filtered — carrying a may-match file would silently keep
+    // rows this delete should remove).
+    commitOrRebase(name, next, Manifest(man.schema, untouched ++ rewritten, man.deletes),
+      (base, n2) => {
+        val mine = (victims ++ untouched).map(_.path).toSet
+        val added = base.files.filterNot(f => mine.contains(f.path))
+        if (base.schema != man.schema || base.deletes != man.deletes ||
+            !filesIntact(base, victims) ||
+            added.exists(f => graft.catalog.ManifestPruneRule.mayMatch(f, resolved))) None
+        else {
+          val victimPaths = victims.map(_.path).toSet
+          Some(Manifest(man.schema, base.files.filterNot(f => victimPaths.contains(f.path)) ++
+            rewritten.map(_.copy(seq = n2)), base.deletes))
+        }
+      })
     DeleteReport(next, deleted, untouched.size)
   }
 
@@ -1177,8 +1455,23 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     }: _*)
     // same re-clustering as deleteWhere: keep transform bounds tight on rewrite
     val rewritten = writeData(name, cluster(rewrittenFrame, Nil, partitionSpec(name)),
-      man.schema, s"d${next}u", inheritedStatsCols(Some(man)), seq = next)
-    commitManifest(name, next, Manifest(man.schema, untouched ++ rewritten))
+      man.schema, s"d${next}u", inheritedStatsCols(Some(man)), seq = next,
+      spec = partitionSpec(name))
+    // Rebase: same validation as deleteWhere — a concurrently-added file
+    // that may match the predicate holds rows this UPDATE never rewrote.
+    commitOrRebase(name, next, Manifest(man.schema, untouched ++ rewritten),
+      (base, n2) => {
+        val mine = (victims ++ untouched).map(_.path).toSet
+        val added = base.files.filterNot(f => mine.contains(f.path))
+        if (base.schema != man.schema || base.deletes.nonEmpty ||
+            !filesIntact(base, victims) ||
+            added.exists(f => graft.catalog.ManifestPruneRule.mayMatch(f, resolved))) None
+        else {
+          val victimPaths = victims.map(_.path).toSet
+          Some(Manifest(man.schema, base.files.filterNot(f => victimPaths.contains(f.path)) ++
+            rewritten.map(_.copy(seq = n2))))
+        }
+      })
     UpdateReport(next, updated, untouched.size)
   }
 
@@ -1248,9 +1541,19 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
         }
       }: _*)
       val newData = writeData(name, cluster(updatedFrame, Nil, partitionSpec(name)),
-        man.schema, s"d${next}u", inheritedStatsCols(Some(man)), seq = next)
-      commitManifest(name, next,
-        Manifest(man.schema, man.files ++ newData, man.deletes ++ dels))
+        man.schema, s"d${next}u", inheritedStatsCols(Some(man)), seq = next,
+        spec = partitionSpec(name))
+      // Rebase: the pairs target (file, ordinal) positions read from the
+      // base snapshot — valid only while those exact files (and the delete
+      // set they were filtered through) survive; concurrently-added files
+      // carry (their rows post-date this update's read).
+      commitOrRebase(name, next,
+        Manifest(man.schema, man.files ++ newData, man.deletes ++ dels),
+        (base, n2) =>
+          if (base.schema != man.schema || base.deletes != man.deletes ||
+              !filesIntact(base, victims)) None
+          else Some(Manifest(man.schema, base.files ++ newData.map(_.copy(seq = n2)),
+            base.deletes ++ dels.map(_.copy(seq = n2)))))
       PositionUpdateReport(next, dels.map(_.rows).sum, untouched.size)
     } finally matched.unpersist()
   }
@@ -1331,7 +1634,12 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val dels = entries.filter(_.rows > 0)
       .map(e => DeleteFile(e.path, e.rows, next, cols, e.stats))
     if (dels.isEmpty) return currentVersion(name) // empty key set: no-op
-    commitManifest(name, next, Manifest(man.schema, man.files, man.deletes ++ dels))
+    // Rebase: delete-only row delta — restamp; the new seq covers
+    // concurrently-added files (their append serializes before this delete)
+    commitOrRebase(name, next, Manifest(man.schema, man.files, man.deletes ++ dels),
+      (base, n2) =>
+        if (base.schema != man.schema) None
+        else Some(Manifest(man.schema, base.files, base.deletes ++ dels.map(_.copy(seq = n2)))))
   }
 
   /** Per-call outcome of [[positionDelete]]: committed version (unchanged
@@ -1376,9 +1684,12 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     if (victims.isEmpty)
       return PositionDeleteReport(currentVersion(name), 0L, untouched.size)
     val next = currentVersion(name) + 1
-    val scanned = spark.read.schema(man.schema)
-      .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
-    val pairs = withFilePositions(name, victims, scanned)
+    // pairs come from the DELETE-APPLIED view (as positionUpdate): a row
+    // already dead to a pending equality/positional delete gets no
+    // redundant pair, so delete files don't accrete dead entries and the
+    // report's `positions` counts rows actually removed from the live view
+    val pairs = morFrameImpl(name,
+        Manifest(man.schema, victims, man.deletes), keepPositions = true)
       .filter(coalesce(cond, lit(false)))
       .select(col(PosFileCol), col(PosIdxCol))
       // cluster by path so each delete file's path bounds stay tight and
@@ -1390,7 +1701,13 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val dels = entries.filter(_.rows > 0)
       .map(e => DeleteFile(e.path, e.rows, next, Nil, e.stats, kind = "pos"))
     if (dels.isEmpty) return PositionDeleteReport(currentVersion(name), 0L, untouched.size)
-    commitManifest(name, next, Manifest(man.schema, man.files, man.deletes ++ dels))
+    // Rebase: positional pairs are valid only while their target files and
+    // the delete set they were computed through survive unchanged.
+    commitOrRebase(name, next, Manifest(man.schema, man.files, man.deletes ++ dels),
+      (base, n2) =>
+        if (base.schema != man.schema || base.deletes != man.deletes ||
+            !filesIntact(base, victims)) None
+        else Some(Manifest(man.schema, base.files, base.deletes ++ dels.map(_.copy(seq = n2)))))
     PositionDeleteReport(next, dels.map(_.rows).sum, untouched.size)
   }
 
@@ -1440,9 +1757,20 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       else {
         val frame = morFrame(name, Manifest(man.schema, victims, man.deletes))
         writeData(name, cluster(frame, Nil, partitionSpec(name)), man.schema,
-          s"d${next}x", inheritedStatsCols(Some(man)), seq = next)
+          s"d${next}x", inheritedStatsCols(Some(man)), seq = next,
+          spec = partitionSpec(name))
       }
-    commitManifest(name, next, Manifest(man.schema, untouched ++ rewritten))
+    // Rebase: clears the delete list it materialized, so the winner must
+    // not have changed it; victims intact; concurrently-added files carry
+    // (their seq post-dates every pending delete, so none applied to them).
+    commitOrRebase(name, next, Manifest(man.schema, untouched ++ rewritten),
+      (base, n2) => {
+        val victimPaths = victims.map(_.path).toSet
+        if (base.schema != man.schema || base.deletes != man.deletes ||
+            !filesIntact(base, victims)) None
+        else Some(Manifest(man.schema, base.files.filterNot(f => victimPaths.contains(f.path)) ++
+          rewritten.map(_.copy(seq = n2))))
+      })
   }
 
   /** Pending-MOR-delete guard for rewrite ops — see [[compactDeletes]]. */
@@ -1565,7 +1893,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val id = java.util.UUID.randomUUID().toString.take(8)
     val spec = partitionSpec(name)
     val entries = writeData(name, cluster(SchemaOps.conform(df, schema), Nil, spec),
-      schema, s"stg$id", statsCols ++ spec ++ inheritedStatsCols(Some(man)))
+      schema, s"stg$id", statsCols ++ spec ++ inheritedStatsCols(Some(man)), spec = spec)
     Manifest.write(stagePath(name, id, mode, base), Manifest(schema, entries))
     id
   }

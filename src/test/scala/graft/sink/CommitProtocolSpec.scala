@@ -116,4 +116,179 @@ class CommitProtocolSpec extends SparkSpec {
     assert(wh.append("t", df(1)) == 2L)
     assert(wh.load("t").count() == 3)
   }
+
+  // ------------------------------------------------------ automatic rebase --
+  // commitOrRebase: a lost CAS race rebases append-shaped commits onto the
+  // winner's manifest (metadata-only, zero data rewrite) and re-VALIDATES
+  // read-set-dependent commits, aborting loudly on true conflict. The
+  // preCommitHook seam lands an interfering commit deterministically inside
+  // the race window (between data write and first CAS attempt).
+
+  private val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+  private def kv(rows: (Long, Long)*) = TestSpark.spark.createDataFrame(
+    rows.map(r => Row(r._1, r._2)).asJava, kvSchema)
+
+  /** Run `body` with a ONE-SHOT interfering action fired at wh's next
+    * commit attempt; always uninstalls the hook.
+    */
+  private def withInterference(wh: Warehouse)(interfere: => Unit)(body: => Unit): Unit = {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    wh.preCommitHook = (_, _) => if (fired.compareAndSet(false, true)) interfere
+    try body finally wh.preCommitHook = (_, _) => ()
+    assert(fired.get(), "interference never fired — race window not exercised")
+  }
+
+  test("rebase: two concurrent appends both land, zero data rewrite") {
+    val root = tmpDir("wh-rb-append")
+    val wh1 = new Warehouse(spark, root)
+    val wh2 = new Warehouse(spark, root)
+    wh1.replace("t", kv((1L, 10L)), statsCols = Seq("k")) // v0
+    withInterference(wh1)(wh2.append("t", kv((2L, 20L), (3L, 30L)), statsCols = Seq("k"))) {
+      val v = wh1.append("t", kv((4L, 40L)), statsCols = Seq("k"))
+      assert(v == 2L, s"loser rebases onto the winner's v1 and commits v2, got v$v")
+    }
+    assert(wh1.load("t").count() == 4) // nobody's rows lost
+    val man = wh1.currentManifest("t")
+    // BOTH writers computed next=1 and wrote d1b-* dirs; the loser kept its
+    // ORIGINAL data file (zero rewrite) — only its manifest entry's seq was
+    // restamped to the landed v2. Identify the loser's file by its k=4 stat.
+    val rebased = man.files.filter(_.stats.get("k").exists(st => st.min == "4"))
+    assert(rebased.nonEmpty && rebased.forall(f => f.seq == 2L && f.path.startsWith("d1b")),
+      s"rebased entries must be restamped in place, got ${man.files.map(f => (f.path, f.seq))}")
+    // and the winner's files are untouched at their committed seq
+    val winners = man.files.filter(_.stats.get("k").exists(st => Set("2", "3").contains(st.min)))
+    assert(winners.nonEmpty && winners.forall(_.seq == 1L))
+  }
+
+  test("rebase: append aborts on a concurrent schema change (batch conformed to the old schema)") {
+    val root = tmpDir("wh-rb-schema")
+    val wh1 = new Warehouse(spark, root)
+    val wh2 = new Warehouse(spark, root)
+    wh1.replace("t", kv((1L, 10L)))
+    withInterference(wh1)(wh2.addColumns("t", Seq(StructField("extra", StringType)))) {
+      val e = intercept[java.util.ConcurrentModificationException](wh1.append("t", kv((2L, 20L))))
+      assert(e.getMessage.contains("redo the operation"))
+    }
+    assert(wh1.load("t").count() == 1) // aborted commit left no rows behind
+  }
+
+  test("rebase: merge over a concurrently-REWRITTEN victim aborts loudly") {
+    val root = tmpDir("wh-rb-mergeconf")
+    val wh1 = new Warehouse(spark, root)
+    val wh2 = new Warehouse(spark, root)
+    // ONE data file holding both keys: the two merges then fight over the
+    // same victim (per-row files would let them commute — and they may)
+    wh1.replace("t", kv((1L, 10L), (2L, 20L)).coalesce(1), statsCols = Seq("k"))
+    // interferer rewrites the same victim file (merges key 2)
+    withInterference(wh1)(wh2.merge("t", kv((2L, 222L)), Seq("k"))) {
+      val e = intercept[java.util.ConcurrentModificationException](
+        wh1.merge("t", kv((1L, 111L)), Seq("k")))
+      assert(e.getMessage.contains("redo the operation"))
+    }
+    // table state is exactly the winner's
+    assert(wh1.load("t").orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 222L)))
+    // and the documented recovery — redo the merge — converges
+    wh1.merge("t", kv((1L, 111L)), Seq("k"))
+    assert(wh1.load("t").orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 111L), (2L, 222L)))
+  }
+
+  test("rebase: merge lands over a concurrent key-DISJOINT append and aborts on an overlapping one") {
+    val root = tmpDir("wh-rb-mergedisj")
+    val wh1 = new Warehouse(spark, root)
+    val wh2 = new Warehouse(spark, root)
+    wh1.replace("t", kv((1L, 10L), (2L, 20L)), statsCols = Seq("k"))
+    // disjoint: appended keys 100.. can't match merge keys 1..2 (stat-proven)
+    withInterference(wh1)(wh2.append("t", kv((100L, 1000L), (101L, 1010L)), statsCols = Seq("k"))) {
+      assert(wh1.merge("t", kv((2L, 222L)), Seq("k")) == 2L)
+    }
+    assert(wh1.load("t").orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 222L), (100L, 1000L), (101L, 1010L)))
+    // overlapping: the winner appended a row with a key THIS merge upserts —
+    // carrying it would resurrect the old version; must abort
+    withInterference(wh1)(wh2.append("t", kv((5L, 50L)), statsCols = Seq("k"))) {
+      val e = intercept[java.util.ConcurrentModificationException](
+        wh1.merge("t", kv((5L, 555L)), Seq("k")))
+      assert(e.getMessage.contains("redo the operation"))
+    }
+    // redo converges
+    wh1.merge("t", kv((5L, 555L)), Seq("k"))
+    assert(wh1.load("t").filter("k = 5").collect().map(_.getLong(1)).toSeq == Seq(555L))
+  }
+
+  test("rebase: morMerge row-delta applies over a concurrent append, winner's duplicate key dies") {
+    val root = tmpDir("wh-rb-mor")
+    val wh1 = new Warehouse(spark, root)
+    val wh2 = new Warehouse(spark, root)
+    wh1.replace("t", kv((1L, 10L)), statsCols = Seq("k"))
+    // winner appends ANOTHER row for key 1 plus a new key 3
+    withInterference(wh1)(wh2.append("t", kv((1L, 99L), (3L, 30L)), statsCols = Seq("k"))) {
+      wh1.morMerge("t", kv((1L, 111L)), Seq("k"))
+    }
+    // serial order is winner-then-upsert: BOTH old copies of key 1 are dead
+    assert(wh1.load("t").orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 111L), (3L, 30L)))
+  }
+
+  test("rebase: deleteWhere lands over a predicate-disjoint append, aborts on a may-match one") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("wh-rb-del")
+    val wh1 = new Warehouse(spark, root)
+    val wh2 = new Warehouse(spark, root)
+    wh1.replace("t", kv((1L, 10L), (2L, 20L), (3L, 30L)), statsCols = Seq("k"))
+    withInterference(wh1)(wh2.append("t", kv((100L, 1000L)), statsCols = Seq("k"))) {
+      val r = wh1.deleteWhere("t", col("k") <= 2L)
+      assert(r.deleted == 2L)
+    }
+    assert(wh1.load("t").orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(3L, 100L))
+    // may-match append (k=1 inside the predicate range) must abort the
+    // delete; k=2 is re-appended first so the delete has a live victim and
+    // actually reaches its commit
+    wh1.append("t", kv((2L, 22L)), statsCols = Seq("k"))
+    withInterference(wh1)(wh2.append("t", kv((1L, 11L)), statsCols = Seq("k"))) {
+      val e = intercept[java.util.ConcurrentModificationException](
+        wh1.deleteWhere("t", col("k") <= 2L))
+      assert(e.getMessage.contains("redo the operation"))
+    }
+    // redo converges: the winner's k=1 row is now visible to the predicate
+    assert(wh1.deleteWhere("t", col("k") <= 2L).deleted == 2L)
+    assert(wh1.load("t").orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(3L, 100L))
+  }
+
+  test("rebase: positionDelete restamps over a disjoint append, aborts when a victim is rewritten") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("wh-rb-pdel")
+    val wh1 = new Warehouse(spark, root)
+    val wh2 = new Warehouse(spark, root)
+    wh1.replace("t", kv((1L, 10L), (2L, 20L)), statsCols = Seq("k"))
+    withInterference(wh1)(wh2.append("t", kv((100L, 1000L)), statsCols = Seq("k"))) {
+      val r = wh1.positionDelete("t", col("k") === 1L)
+      assert(r.positions == 1L)
+    }
+    assert(wh1.load("t").orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(2L, 100L))
+    // victim rewritten by a concurrent merge -> stale (file, ordinal) pairs must abort
+    withInterference(wh1)(wh2.merge("t", kv((2L, 222L)), Seq("k"))) {
+      val e = intercept[java.util.ConcurrentModificationException](
+        wh1.positionDelete("t", col("k") === 2L))
+      assert(e.getMessage.contains("redo the operation"))
+    }
+    // redo converges against the rewritten file
+    assert(wh1.positionDelete("t", col("k") === 2L).positions == 1L)
+    assert(wh1.load("t").orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(100L))
+  }
+
+  test("rebase: compaction carries a concurrent append through and keeps every row") {
+    val root = tmpDir("wh-rb-compact")
+    val wh1 = new Warehouse(spark, root)
+    val wh2 = new Warehouse(spark, root)
+    wh1.replace("t", kv((1L, 10L)), statsCols = Seq("k"))
+    wh1.append("t", kv((2L, 20L)), statsCols = Seq("k"))
+    wh1.append("t", kv((3L, 30L)), statsCols = Seq("k"))
+    withInterference(wh1)(wh2.append("t", kv((4L, 40L)), statsCols = Seq("k"))) {
+      wh1.compact("t")
+    }
+    assert(wh1.load("t").orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
 }

@@ -1,0 +1,137 @@
+package graft.sink
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Property pin for the footer-derived write stats (`Warehouse.writeData`):
+  * the manifest a commit produces from parquet FOOTERS (+ hive partition
+  * dirs) must be BIT-IDENTICAL — same row counts, same stat keys, same
+  * rendered min/max strings, same "z" markers, same dropped columns — to
+  * the one the legacy full grouped scan (`fileFactsViaScan`, kept as the
+  * fallback) would produce. Covers every stat kind, nulls, all-null
+  * columns, unicode/empty/oversized strings, NaN/±Inf/-0.0 floats, narrow
+  * and wide decimals, pre-1970 timestamps, and hive-split nested paths
+  * (including null partition values) across append/merge/morMerge/
+  * deleteWhere/compact commits.
+  */
+class FooterStatsSpec extends graft.SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  /** Recompute every committed file's (rows, stats) with the scan oracle
+    * and compare against the manifest writeData committed.
+    */
+  private def assertFooterEqualsScan(wh: Warehouse, root: String, name: String,
+                                     wanted: Seq[String],
+                                     checkNoMissingFiles: Boolean = false): Unit = {
+    val man = wh.currentManifest(name)
+    assert(man.files.nonEmpty, s"$name: no files to check")
+    val scs = wh.statCols(man.schema, wanted)
+    val td = Paths.get(root, name).toAbsolutePath.normalize
+    val byDir = man.files.groupBy(_.path.split('/').head)
+    val oracle: Map[String, (Long, Map[String, ColStat])] =
+      byDir.keys.flatMap(d => wh.fileFactsViaScan(td.resolve(d), man.schema, scs, td)).toMap
+    man.files.foreach { f =>
+      val (rows, stats) = oracle.getOrElse(f.path, fail(s"${f.path}: not seen by scan oracle"))
+      assert(f.rows == rows, s"${f.path}: rows ${f.rows} != scan $rows")
+      assert(f.stats == stats,
+        s"${f.path}:\n  footer: ${f.stats.toSeq.sortBy(_._1)}\n  scan:   ${stats.toSeq.sortBy(_._1)}")
+    }
+    // and (append-only histories: no superseded files linger in shared
+    // dirs) no file the oracle saw is missing from the manifest — 0-row
+    // files excepted, neither path records them
+    if (checkNoMissingFiles) oracle.foreach { case (p, (rows, _)) =>
+      assert(rows == 0L || man.files.exists(_.path == p), s"$p: in scan oracle, not in manifest")
+    }
+  }
+
+  private val kitchenSchema = StructType(Seq(
+    StructField("s", StringType), StructField("b", ByteType),
+    StructField("sh", ShortType), StructField("i", IntegerType),
+    StructField("l", LongType), StructField("f", FloatType),
+    StructField("d", DoubleType), StructField("dec", DecimalType(9, 2)),
+    StructField("wide", DecimalType(25, 6)), StructField("ts", TimestampType),
+    StructField("dt", DateType), StructField("bool", BooleanType),
+    StructField("allnull", StringType)))
+  private val kitchenCols = kitchenSchema.fieldNames.toSeq
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def dt(s: String) = java.sql.Date.valueOf(s)
+  private def dec(s: String) = new java.math.BigDecimal(s)
+
+  private def kitchenRows: Seq[Row] = Seq(
+    Row("alpha", 1.toByte, 10.toShort, 100, 1000L, 1.5f, 2.5d, dec("12.34"),
+      dec("1234567890123456789.123456"), ts("2024-03-01 10:00:00.123456"),
+      dt("2024-03-01"), true, null),
+    Row("Ωmega🦓", (-5).toByte, (-10).toShort, -100, -1000L, -0.0f, 0.0d,
+      dec("-99.99"), dec("-0.000001"), ts("1969-12-31 23:00:00"),
+      dt("1969-06-01"), false, null),
+    Row("", 0.toByte, 0.toShort, 0, 0L, Float.NaN, Double.PositiveInfinity,
+      dec("0.00"), dec("0.000000"), ts("2024-03-02 00:00:00"),
+      dt("2024-03-02"), null, null),
+    Row("z" * 300, null, null, null, null, null, null, null, null, null, null,
+      null, null),
+    Row(null, 7.toByte, 7.toShort, 7, 7L, 7.5f, -7.5d, dec("7.77"),
+      dec("7.000007"), ts("2030-01-01 01:02:03"), dt("2030-01-01"), true, null))
+
+  test("footer stats == scan stats: every type, nulls, NaN/Inf/-0.0, unicode, oversized strings") {
+    val root = tmpDir("fs-kitchen")
+    val wh = new Warehouse(spark, root)
+    val df = spark.createDataFrame(kitchenRows.asJava, kitchenSchema)
+    wh.append("t", df, statsCols = kitchenCols)
+    assertFooterEqualsScan(wh, root, "t", kitchenCols, checkNoMissingFiles = true)
+    // a second append (multiple files/dirs in one manifest) stays identical
+    wh.append("t", df, statsCols = kitchenCols)
+    assertFooterEqualsScan(wh, root, "t", kitchenCols, checkNoMissingFiles = true)
+  }
+
+  test("footer stats == scan stats across hive-split nested paths (partition transforms)") {
+    val root = tmpDir("fs-part")
+    val wh = new Warehouse(spark, root)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType),
+      StructField("ts", TimestampType), StructField("v", DoubleType)))
+    wh.create("t", schema, Seq("days(ts)", "bucket(4,id)", "truncate(2,cat)"))
+    val rows = Seq(
+      Row(1L, "apple", ts("2024-01-01 05:00:00"), 1.0),
+      Row(2L, "apricot", ts("2024-01-01 23:59:59"), 2.0),
+      Row(3L, "banana", ts("2024-01-03 00:00:00"), 3.0),
+      Row(4L, null, ts("2024-01-03 12:00:00"), 4.0),       // null truncate value
+      Row(5L, "", ts("2024-01-04 00:00:00"), 5.0),          // EMPTY string: hive default dir too
+      Row(6L, "cherry", null, 6.0),                          // null days value
+      Row(null, "date", ts("1969-01-05 00:00:00"), null))    // null bucket, pre-1970 days
+    val wanted = Seq("id", "cat", "ts", "v", "days(ts)", "bucket(4,id)", "truncate(2,cat)")
+    wh.append("t", spark.createDataFrame(rows.asJava, schema), statsCols = Seq("id", "cat", "ts", "v"))
+    assertFooterEqualsScan(wh, root, "t", wanted)
+    // merge rewrites + re-clusters under the spec; stats must stay identical
+    wh.merge("t", spark.createDataFrame(Seq(
+      Row(2L, "avocado", ts("2024-01-02 01:00:00"), 20.0),
+      Row(8L, "berry", ts("2024-01-05 00:00:00"), 8.0)).asJava, schema), Seq("id"))
+    assertFooterEqualsScan(wh, root, "t", wanted)
+    // morMerge: data files + equality-delete key files in one commit
+    wh.morMerge("t", spark.createDataFrame(Seq(
+      Row(3L, "blueberry", ts("2024-01-06 00:00:00"), 30.0)).asJava, schema), Seq("id"))
+    assertFooterEqualsScan(wh, root, "t", wanted)
+  }
+
+  test("footer stats == scan stats after deleteWhere and compact rewrites") {
+    val root = tmpDir("fs-rewrite")
+    val wh = new Warehouse(spark, root)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("ts", TimestampType)))
+    wh.create("t", schema, Seq("bucket(2,id)"))
+    val rows = (1L to 40L).map(i =>
+      Row(i, if (i % 7 == 0) null else s"g${i % 3}",
+        ts(f"2024-02-${(i % 28 + 1)}%02d 00:00:00")))
+    wh.append("t", spark.createDataFrame(rows.asJava, schema), statsCols = Seq("id", "g", "ts"))
+    wh.append("t", spark.createDataFrame(rows.take(10).asJava, schema), statsCols = Seq("id", "g", "ts"))
+    val wanted = Seq("id", "g", "ts", "bucket(2,id)")
+    wh.deleteWhere("t", col("id") > 35L)
+    assertFooterEqualsScan(wh, root, "t", wanted)
+    wh.compact("t")
+    assertFooterEqualsScan(wh, root, "t", wanted)
+  }
+}

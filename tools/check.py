@@ -25,6 +25,8 @@ def canon(df):
     # normalize dtypes: timestamps -> ns, ints -> int64, floats -> float64
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[ns]")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
