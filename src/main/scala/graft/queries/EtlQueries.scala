@@ -209,6 +209,58 @@ object EtlQueries {
       }
     },
 
+    // The change feed as a STREAMING SOURCE (ChangeFeedStream): q135 reads
+    // one window by hand; here an incremental CONSUMER follows the same
+    // kind of scripted history through the durable version-ledger loop —
+    // maintainRollup polls interleaved with commits (append / morMerge
+    // upsert / MOR equality delete / compaction), each poll folding that
+    // window's +I/-D rows into SIGNED count/sum partials (+1/-1, ±value) at
+    // O(changed files). The rollup table — never the fact — is then read
+    // and must equal DuckDB's direct aggregate over the FINAL state: every
+    // retraction (upsert's old row, deleted keys) must have subtracted
+    // exactly. The 100 TB shape: a downstream materialization follows a
+    // mutating fact table at O(changes)/poll with no rescan
+    // (ChangeFeedStreamSpec pins windows, replay, crash re-delivery).
+    "q142_change_feed_consumer_rollup" -> { (s, dir) =>
+      import graft.sink.{IncrementalRollup, Warehouse}
+      import graft.streaming.ChangeFeedStream
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("bal"))
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q142")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        val spec = IncrementalRollup.Spec(Seq("c_mktsegment"), Seq(
+          IncrementalRollup.CountStar("cnt"),
+          IncrementalRollup.SumOf(dec(col("bal")), "bal_sum")))
+        def poll(): Unit = ChangeFeedStream.maintainRollup(wh, "cdc", "roll", spec, "q142")
+        val a = cust.filter(col("c_custkey") % 3 === 0)
+        val b = cust.filter(col("c_custkey") % 3 === 1)
+        wh.create("cdc", org.apache.spark.sql.types.StructType(
+          SchemaOps.widenSchema(cust.schema).fields.map(_.copy(nullable = true))))
+        wh.append("cdc", a, statsCols = Seq("c_custkey"))
+        poll()
+        wh.morMerge("cdc",
+          a.filter(col("c_custkey") % 6 === 0).withColumn("bal", col("bal") + 100),
+          Seq("c_custkey"))
+        poll()
+        wh.append("cdc", b, statsCols = Seq("c_custkey"))
+        wh.equalityDelete("cdc",
+          cust.filter(col("c_custkey") % 5 === 0).select("c_custkey"))
+        poll()
+        wh.compactFiles("cdc")
+        poll()
+        IncrementalRollup.read(wh, "roll", spec)
+          .filter(col("cnt") =!= 0L) // fully-retracted groups fold to zero
+          .withColumn("bal_sum", col("bal_sum").cast("double"))
+          .orderBy("c_mktsegment")
+          .localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    },
+
     // F1/F2: timestamp canonicalization — epoch-millis <-> native timestamp
     // round-trip and ISO-8601 render (records.py:32-45 without the string
     // storage trap).
@@ -279,6 +331,21 @@ object EtlQueries {
         |  TRUE, CAST(bal AS DOUBLE)
         |FROM incoming WHERE c_custkey IN (SELECT c_custkey FROM changed)
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q142_change_feed_consumer_rollup" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer),
+        |a AS (SELECT * FROM cust WHERE c_custkey % 3 = 0),
+        |b AS (SELECT * FROM cust WHERE c_custkey % 3 = 1),
+        |upserted AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 6 = 0 THEN bal + 100 ELSE bal END AS bal FROM a),
+        |fin AS (
+        |  SELECT * FROM (SELECT * FROM upserted UNION ALL SELECT * FROM b)
+        |  WHERE c_custkey % 5 <> 0)
+        |SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM fin GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q135_change_feed_rollup" ->
       """WITH cust AS (

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sink.{IncrementalRollup, Warehouse}
+import graft.streaming.ChangeFeedStream
+
+/** The change feed as a streaming source (`ChangeFeedStream`): a durable
+  * version-ledger loop over `Warehouse.readChanges` delivering each
+  * commit's +I/-D rows once, in contiguous gapless windows, across
+  * restarts — and the two downstream materializations it feeds (a
+  * merge-maintained mirror table and a retraction-aware CDC rollup).
+  */
+class ChangeFeedStreamSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("g", StringType),
+    StructField("v", DecimalType(10, 2))))
+
+  private def kv(rows: (Long, String, String)*) = spark.createDataFrame(
+    rows.map(r => Row(r._1, r._2, new java.math.BigDecimal(r._3))).asJava, schema)
+
+  private def bag(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  /** Scripted multi-commit history over a pk-keyed fact table: append,
+    * morMerge upsert, positional delete, compaction (row-preserving),
+    * copy-on-write delete, append.
+    */
+  private def runHistory(wh: Warehouse, poll: () => Unit): Unit = {
+    wh.create("fact", schema)                                    // v0 empty
+    wh.append("fact", kv((1L, "a", "1.00"), (2L, "a", "2.00"), (3L, "b", "3.00"),
+      (4L, "b", "4.00"), (5L, "c", "5.00"), (6L, "c", "6.00")), statsCols = Seq("k"))
+    poll()
+    wh.morMerge("fact", kv((2L, "a", "22.00"), (7L, "c", "7.00")), Seq("k"))
+    wh.positionDelete("fact", col("k") === 3L)
+    poll()
+    wh.compact("fact")
+    wh.deleteWhere("fact", col("k") >= 6L)
+    wh.append("fact", kv((8L, "b", "8.00")), statsCols = Seq("k"))
+    poll()
+  }
+
+  test("incremental windows are contiguous and fold to the one-shot readChanges(0, head)") {
+    val root = tmpDir("cfs-fold")
+    val wh = new Warehouse(spark, root)
+    val windows = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var plus: Option[DataFrame] = None
+    var minus: Option[DataFrame] = None
+    def deliver(): Unit = ChangeFeedStream.poll(wh, "fact", "folder") { (ch, from, to) =>
+      windows += ((from, to))
+      val p = ch.filter(col("_change_type") === "+I").drop("_change_type").localCheckpoint()
+      val m = ch.filter(col("_change_type") === "-D").drop("_change_type").localCheckpoint()
+      plus = Some(plus.map(_.unionAll(p)).getOrElse(p))
+      minus = Some(minus.map(_.unionAll(m)).getOrElse(m))
+    }
+    runHistory(wh, deliver _)
+    val head = wh.currentVersion("fact")
+    // contiguous, gapless, non-overlapping — starting at v0
+    assert(windows.head._1 == 0L && windows.last._2 == head)
+    assert(windows.sliding(2).forall { case Seq((_, a), (b, _)) => a == b; case _ => true })
+    // an extra poll with no new commits delivers NOTHING (and doesn't move)
+    val before = windows.size
+    deliver()
+    assert(windows.size == before)
+    // net fold of all windows == one-shot feed: accPlus − accMinus ≡
+    // onePlus − oneMinus as bags ⇔ accPlus ∪ oneMinus ≡ accMinus ∪ onePlus
+    val one = wh.readChanges("fact", 0L, head).localCheckpoint()
+    val onePlus = one.filter(col("_change_type") === "+I").drop("_change_type")
+    val oneMinus = one.filter(col("_change_type") === "-D").drop("_change_type")
+    val lhs = plus.get.unionAll(oneMinus)
+    val rhs = minus.get.unionAll(onePlus)
+    assert(lhs.exceptAll(rhs).isEmpty && rhs.exceptAll(lhs).isEmpty,
+      "incremental windows must net to the one-shot change feed")
+  }
+
+  test("mirror: downstream copy converges to the source snapshot at every poll") {
+    val root = tmpDir("cfs-mirror")
+    val wh = new Warehouse(spark, root)
+    def sync(): Unit = {
+      val cur = ChangeFeedStream.mirror(wh, "fact", "copy", Seq("k"), "mirrorer")
+      val want = bag(wh.loadVersion("fact", cur))
+      val got = bag(wh.load("copy"))
+      assert(got == want, s"mirror at v$cur:\n  copy: $got\n  fact: $want")
+    }
+    runHistory(wh, sync _)
+    // late extra sync is a no-op and still converged
+    sync()
+    assert(bag(wh.load("copy")) == bag(wh.load("fact")))
+  }
+
+  test("crash re-delivery: a failed apply re-delivers the SAME window; a rebuilt caller re-delivers nothing") {
+    val root = tmpDir("cfs-crash")
+    val wh = new Warehouse(spark, root)
+    wh.create("fact", schema)
+    wh.append("fact", kv((1L, "a", "1.00")), statsCols = Seq("k"))
+    // apply crashes AFTER seeing the window: cursor must not advance
+    val seen = collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Seq[Any]])]
+    intercept[RuntimeException] {
+      ChangeFeedStream.poll(wh, "fact", "crasher") { (ch, from, to) =>
+        seen += ((from, to, bag(ch)))
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(ChangeFeedStream.cursor(wh, "fact", "crasher") == -1L)
+    // retry: same bounds, same rows (snapshots are immutable)
+    ChangeFeedStream.poll(wh, "fact", "crasher") { (ch, from, to) =>
+      seen += ((from, to, bag(ch)))
+    }
+    assert(seen.size == 2 && seen(0) == seen(1), s"re-delivery must be identical: $seen")
+    // a "rebuilt" consumer (no in-memory state exists at all — the cursor is
+    // the warehouse ledger) re-delivers nothing
+    var called = false
+    ChangeFeedStream.poll(wh, "fact", "crasher") { (_, _, _) => called = true }
+    assert(!called && ChangeFeedStream.cursor(wh, "fact", "crasher") == 1L)
+  }
+
+  test("seek: a late consumer starts at the chosen version and only sees later commits") {
+    val root = tmpDir("cfs-seek")
+    val wh = new Warehouse(spark, root)
+    wh.create("fact", schema)
+    wh.append("fact", kv((1L, "a", "1.00")), statsCols = Seq("k"))   // v1
+    ChangeFeedStream.seek(wh, "fact", "late", wh.currentVersion("fact"))
+    wh.append("fact", kv((2L, "b", "2.00")), statsCols = Seq("k"))   // v2
+    var got: Seq[Seq[Any]] = Nil
+    ChangeFeedStream.poll(wh, "fact", "late") { (ch, from, to) =>
+      assert(from == 1L && to == 2L)
+      got = bag(ch.drop("_change_type"))
+    }
+    assert(got == bag(kv((2L, "b", "2.00"))))
+  }
+
+  test("CDC rollup: count/sum maintained exactly across upserts, deletes and compaction") {
+    val root = tmpDir("cfs-rollup")
+    val wh = new Warehouse(spark, root)
+    val spec = IncrementalRollup.Spec(Seq("g"), Seq(
+      IncrementalRollup.CountStar("n"),
+      IncrementalRollup.SumOf(col("v"), "sv")))
+    def sync(): Unit = {
+      ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "roller")
+      // fully-retracted groups fold to n=0 rows (the retraction-stream
+      // artifact); live groups must match the direct aggregate exactly
+      val got = bag(IncrementalRollup.read(wh, "roll", spec).filter(col("n") =!= 0L))
+      val want = bag(wh.load("fact").groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+      assert(got == want, s"rollup:\n  got:  $got\n  want: $want")
+    }
+    runHistory(wh, sync _)
+    // replayed maintenance call is a no-op (version-keyed ledger guard)
+    val v = wh.currentVersion("roll")
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "roller")
+    assert(wh.currentVersion("roll") == v)
+    // min/max are not subtractable: refuse loudly, never approximate
+    val bad = IncrementalRollup.Spec(Seq("g"), Seq(IncrementalRollup.MinOf(col("v"), "mv")))
+    wh.append("fact", kv((9L, "z", "9.00")), statsCols = Seq("k"))
+    val e = intercept[IllegalArgumentException](
+      ChangeFeedStream.maintainRollup(wh, "fact", "roll2", bad, "roller2"))
+    assert(e.getMessage.contains("subtractable"))
+  }
+}
