@@ -164,33 +164,47 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     }
   }
 
-  /** `ALTER TABLE graft.t ADD COLUMN c TYPE` — the explicit schema-evolution
-    * DDL: a manifest-only schema commit ([[graft.sink.Warehouse.addColumns]],
-    * no data rewrite, null-backfill on read, old snapshots keep their own
-    * schema). Only top-level trailing nullable adds: positions would force
-    * a rewrite-or-reorder story, NOT NULL cannot hold for existing rows,
-    * and every other change class (rename/drop/retype) is refused loudly —
+  /** Schema-evolution DDL — every supported change is a MANIFEST-ONLY
+    * commit (zero data rewrite, old snapshots keep their own schema):
+    *   - `ADD COLUMN c TYPE` (nullable, trailing) —
+    *     [[graft.sink.Warehouse.addColumns]], null-backfill on read;
+    *   - `RENAME COLUMN a TO b` — [[graft.sink.Warehouse.renameColumn]]:
+    *     scans resolve by parquet field id, so the rename relabels the
+    *     field and remaps its manifest stats/spec/delete-key uses;
+    *   - `DROP COLUMN c` — [[graft.sink.Warehouse.dropColumn]]: the field
+    *     leaves the schema, files keep their bytes, the id is never reused.
+    * Positions (FIRST/AFTER), NOT NULL, and retype stay refused loudly —
     * implicit widening on write stays conform's job.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     requireFlat(ident.namespace())
-    val adds = changes.map {
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"only top-level $what is supported, not ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    changes.foreach {
       case a: TableChange.AddColumn =>
-        if (a.fieldNames.length != 1)
-          throw new UnsupportedOperationException(
-            s"only top-level ADD COLUMN is supported, not ${a.fieldNames.mkString(".")}")
+        val n = topLevel(a.fieldNames(), "ADD COLUMN")
         if (a.position() != null)
           throw new UnsupportedOperationException(
             "ADD COLUMN ... FIRST/AFTER is not supported; columns append at the end")
         if (!a.isNullable)
           throw new UnsupportedOperationException(
             "ADD COLUMN ... NOT NULL is not supported: existing rows have no value")
-        org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType, nullable = true)
+        adds += org.apache.spark.sql.types.StructField(n, a.dataType, nullable = true)
+      case r: TableChange.RenameColumn =>
+        warehouse.renameColumn(ident.name(), topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+      case d: TableChange.DeleteColumn =>
+        warehouse.dropColumn(ident.name(), topLevel(d.fieldNames(), "DROP COLUMN"))
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}; " +
-          "only ADD COLUMN (nullable, trailing) is supported")
+          "supported: ADD COLUMN (nullable, trailing), RENAME COLUMN, DROP COLUMN")
     }
-    warehouse.addColumns(ident.name(), adds)
+    val addFields = adds.result()
+    if (addFields.nonEmpty) warehouse.addColumns(ident.name(), addFields)
     loadTable(ident)
   }
 

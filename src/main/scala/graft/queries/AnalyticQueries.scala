@@ -25,6 +25,10 @@ object AnalyticQueries {
   private lazy val q137Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q137")
 
+  /** q143's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q143Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q143")
+
   /** q138's per-JVM warehouse root — same stable-path discipline. */
   private lazy val q138Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q138")
@@ -132,6 +136,67 @@ object AnalyticQueries {
           case (k, None)    => conf.unset(k)
         }
         wipe(q137Root)
+      }
+    },
+
+    // Partition-spec evolution under the oracle (q143): q137's bucketed
+    // fact-fact join served ACROSS an evolution boundary. The orders side
+    // is created bucket(16,o_orderkey), half the rows land, the spec
+    // evolves to bucket(32) WITHOUT rewriting the old files, and the other
+    // half lands under the new layout. Phase 'mixed' joins the mixed-spec
+    // table (SPJ correctly refuses co-partitioning — shuffled join, same
+    // rows); then compactFiles re-clusters everything under the current
+    // spec and phase 'uniform' serves the same join from the re-bucketed
+    // layout (the zero-exchange plan, pinned in PartitionSpecEvolutionSpec).
+    // Both phases must agree with DuckDB's direct aggregate — evolution is
+    // a layout fact, never an answer fact. The 100 TB story: re-bucketing a
+    // grown table is one metadata write, rewrite IO is deferred to
+    // compaction, and no serving window ever returns wrong rows.
+    "q143_spec_evolution_join" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val conf = s.conf
+      val savedConfs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+      wipe(q143Root)
+      try {
+        conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.catalog.gq143", classOf[graft.catalog.GraftCatalog].getName)
+        conf.set("spark.sql.catalog.gq143.root", q143Root.toString)
+        val wh = new Warehouse(s, q143Root.toString)
+        val o = read(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        val li = read(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        wh.create("orders_e", o.schema, Seq("bucket(16,o_orderkey)"))
+        wh.create("lineitem_e", li.schema, Seq("bucket(32,l_orderkey)"))
+        wh.append("lineitem_e", li)
+        val cut = o.agg(org.apache.spark.sql.functions.expr("percentile(o_orderkey, 0.5)"))
+          .head().getDouble(0).toLong
+        wh.append("orders_e", o.filter(col("o_orderkey") <= cut))
+        wh.updateSpec("orders_e", Seq("bucket(32,o_orderkey)"))
+        wh.append("orders_e", o.filter(col("o_orderkey") > cut))
+        val q =
+          """SELECT o_orderpriority,
+            |  count(*) AS n_items,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            |FROM gq143.orders_e JOIN gq143.lineitem_e ON o_orderkey = l_orderkey
+            |GROUP BY o_orderpriority""".stripMargin
+        val mixed = s.sql(q).withColumn("phase", lit("mixed")).localCheckpoint()
+        wh.compactFiles("orders_e", smallRows = Long.MaxValue)
+        val uniform = s.sql(q).withColumn("phase", lit("uniform")).localCheckpoint()
+        mixed.unionByName(uniform)
+          .select("phase", "o_orderpriority", "n_items", "sum_qty")
+          .orderBy("phase", "o_orderpriority")
+          .localCheckpoint()
+      } finally {
+        savedConfs.foreach {
+          case (k, Some(v)) => conf.set(k, v)
+          case (k, None)    => conf.unset(k)
+        }
+        wipe(q143Root)
       }
     },
 
@@ -798,6 +863,18 @@ object AnalyticQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q143's oracle: the same aggregate from the raw parquet, once per
+    // phase — layout evolution must be answer-invisible in both states.
+    "q143_spec_evolution_join" ->
+      """WITH agg AS (
+        |  SELECT o_orderpriority, count(*) AS n_items,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_orderpriority)
+        |SELECT phase, o_orderpriority, n_items, sum_qty
+        |FROM (VALUES ('mixed'), ('uniform')) p(phase) CROSS JOIN agg
+        |ORDER BY phase, o_orderpriority""".stripMargin,
 
     // q138's oracle: the same selectively-filtered star join over the RAW
     // parquet — runtime file pruning must be invisible to the answer.

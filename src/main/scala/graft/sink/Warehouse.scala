@@ -52,8 +52,59 @@ import graft.schema.SchemaOps
 final class Warehouse(private[sink] val spark: SparkSession, root: String,
                       mergeBroadcastMaxKeys: Long = 4000000L) {
 
+  // Field-id resolution for warehouse scans (Spark's Iceberg-compat read
+  // path): when a requested schema carries `parquet.field.id` metadata,
+  // columns resolve BY ID against the ids the writer stamped into the
+  // files — names become pure labels, which is what makes RENAME COLUMN a
+  // metadata-only commit ([[renameColumn]]). Schemas WITHOUT ids (external
+  // data, pre-field-id tables) are untouched by this conf: Spark falls
+  // back to name matching exactly as before.
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   private def tableDir(name: String) = Paths.get(root, name)
   private def pointer(name: String) = tableDir(name).resolve("_current")
+
+  // ------------------------------------------------------------ field ids --
+
+  /** Spark's parquet field-id metadata key (ParquetUtils.FIELD_ID_METADATA_KEY). */
+  private val FieldIdKey = "parquet.field.id"
+
+  private[sink] def fieldIdOf(f: StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey)) else None
+
+  private def hasFieldIds(schema: StructType): Boolean = {
+    val ids = schema.fields.flatMap(fieldIdOf)
+    ids.length == schema.fields.length && ids.distinct.length == ids.length
+  }
+
+  /** Stamp positional field ids 1..n unless the schema already carries a
+    * complete, duplicate-free id set (round-tripped from another table —
+    * keep it: ids are identity).
+    */
+  private def withFieldIds(schema: StructType): StructType =
+    if (hasFieldIds(schema)) schema
+    else StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong(FieldIdKey, i + 1L).build())
+    })
+
+  /** Highest field id EVER assigned to this table — ids are never reused
+    * (Iceberg's rule: a re-added column with a recycled id would read the
+    * dropped column's bytes out of old files). The counter file is advanced
+    * BEFORE any schema commit that consumes ids, so a crash can only leave
+    * a gap, never a reuse.
+    */
+  private def maxFieldIdPath(name: String) = tableDir(name).resolve("_maxfid")
+
+  private def reserveFieldIds(name: String, n: Int, floor: Long): Long = {
+    val p = maxFieldIdPath(name)
+    val cur = if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+    val base = math.max(cur, floor)
+    val tmp = p.resolveSibling("_maxfid.tmp")
+    Files.writeString(tmp, (base + n).toString)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    base
+  }
   private def manifestPath(name: String, v: Long) = tableDir(name).resolve(s"m$v.manifest")
 
   /** S6 existence probe. A table exists once it has any committed snapshot:
@@ -140,7 +191,8 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   def create(name: String, schema: StructType, partitionBy: Seq[String]): Long = {
     require(!exists(name), s"table already exists: $name")
     Files.createDirectories(tableDir(name))
-    val widened = StructType(schema.fields.map(_.copy(nullable = true)))
+    val widened = withFieldIds(StructType(schema.fields.map(_.copy(nullable = true))))
+    reserveFieldIds(name, 0, widened.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max))
     if (partitionBy.nonEmpty) {
       val canon = PartitionTransforms.canonical(partitionBy, widened)
       val tmp = tableDir(name).resolve("_spec.tmp")
@@ -152,6 +204,38 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   }
 
   private def specPath(name: String) = tableDir(name).resolve("_spec")
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's evolve-spec story): change the
+    * table's declared transforms WITHOUT rewriting a byte — files keep the
+    * layout (and the per-file transform bounds) they were written under;
+    * only writes from now on cluster/hive-split by the new spec and record
+    * its bounds. Everything downstream already resolves PER FILE:
+    *
+    *   - predicate pruning ([[graft.catalog.ManifestPruneRule]]) tests
+    *     whatever transform bounds each file carries — old-spec files keep
+    *     pruning by their old bounds, new files by the new;
+    *   - storage-partitioned joins ([[graft.catalog.SpjSupport]]) report
+    *     clustering only when EVERY live file is single-valued under the
+    *     CURRENT spec — a mixed table simply falls back to shuffled joins
+    *     (correct, just not exchange-free) until a rewrite
+    *     ([[compactFiles]], which re-clusters by the current spec) makes
+    *     it uniform again;
+    *   - retired transforms stop being collected on new writes
+    *     ([[inheritedStatsCols]]).
+    *
+    * So re-bucketing a grown 100 TB table is one metadata write now plus
+    * rewrite IO ONLY where and when compaction chooses to pay it — never a
+    * stop-the-world relayout. Validated against the CURRENT schema; an
+    * empty `newSpec` un-partitions the table.
+    */
+  def updateSpec(name: String, newSpec: Seq[String]): Unit = {
+    require(exists(name), s"no such table: $name")
+    val canon = PartitionTransforms.canonical(newSpec, currentManifest(name).schema)
+    val tmp = tableDir(name).resolve("_spec.tmp")
+    Files.writeString(tmp, canon.mkString("\n"))
+    Files.move(tmp, specPath(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Declared partition transforms (canonical form); empty when
     * unpartitioned. Table-level metadata: survives replace/merge, moves
@@ -530,7 +614,18 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // simply fall back to the scan — correctness never rests on this.
     val TsConf = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.get(TsConf)
-    val w = in.write.mode("overwrite")
+    // the written frame must carry the table schema's field-id metadata so
+    // the files record the ids scans resolve by (write conf defaults true);
+    // callers' transforms may have dropped it, so re-apply in one projection
+    val stamped =
+      if (!hasFieldIds(schema)) in
+      else in.select(in.columns.toSeq.map { c =>
+        schema.fields.find(_.name == c) match {
+          case Some(f) => col(c).as(c, f.metadata)
+          case None    => col(c) // __graft_p partition columns
+        }
+      }: _*)
+    val w = stamped.write.mode("overwrite")
     try {
       spark.conf.set(TsConf, "TIMESTAMP_MICROS")
       (if (pcols.isEmpty) w else w.partitionBy(pcols: _*)).parquet(dir.toString)
@@ -774,9 +869,17 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
 
   /** Stats columns already tracked by the table's current files — new writes
     * keep collecting them so merge pruning never degrades over time.
+    * Transform keys of a RETIRED partition spec ([[updateSpec]]) are the
+    * exception: old files keep their old-spec bounds (per-file pruning
+    * still consults them), but new writes collect only the CURRENT spec's
+    * transforms — recomputing a retired transform would pay a per-write
+    * column scan for bounds no new file is clustered by.
     */
-  private def inheritedStatsCols(existing: Option[Manifest]): Seq[String] =
-    existing.toSeq.flatMap(_.files).flatMap(_.stats.keys).distinct
+  private def inheritedStatsCols(name: String, existing: Option[Manifest]): Seq[String] = {
+    val keys = existing.toSeq.flatMap(_.files).flatMap(_.stats.keys).distinct
+    lazy val live = partitionSpec(name).toSet
+    keys.filter(k => PartitionTransforms.parseKey(k).isEmpty || live.contains(k))
+  }
 
   /** Conform incoming data to the existing table schema — target schema wins,
     * extras dropped, missing null-filled (`salesforce_pipeline.py:153-174`).
@@ -785,8 +888,8 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * regardless.
     */
   private def targetSchema(existing: Option[Manifest], df: DataFrame): StructType =
-    existing.map(_.schema).getOrElse(
-      StructType(SchemaOps.widenSchema(df.schema).fields.map(_.copy(nullable = true))))
+    existing.map(_.schema).getOrElse(withFieldIds(
+      StructType(SchemaOps.widenSchema(df.schema).fields.map(_.copy(nullable = true)))))
 
   /** Range-cluster a batch on `cols` before writing: rows land in files with
     * DISJOINT, sorted key ranges, so the per-file min/max bounds are tight
@@ -862,7 +965,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val in = cluster(SchemaOps.conform(df, schema), clusterBy, spec)
     val next = currentVersion(name) + 1
     val entries = writeData(name, in, schema, s"d${next}b",
-      statsCols ++ clusterBy ++ spec ++ inheritedStatsCols(existing), seq = next, spec = spec)
+      statsCols ++ clusterBy ++ spec ++ inheritedStatsCols(name, existing), seq = next, spec = spec)
     val prior = if (keepPrior) existing.map(_.files).getOrElse(Nil) else Nil
     // append carries pending MOR deletes forward (the new files' seq shields
     // them); replace truncates — pending deletes die with the old content
@@ -992,8 +1095,13 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val next = currentVersion(name) + 1
     val src = spark.read.schema(man.schema)
       .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
+    // current spec transforms requested EXPLICITLY: after a spec evolution
+    // the victims may predate the current spec entirely, so inheritance
+    // alone would leave the re-clustered files without the bounds the new
+    // layout prunes (and SPJ qualifies) by
     val rewritten = writeData(name, layout(src), man.schema, s"d${next}c",
-      extraStats ++ inheritedStatsCols(Some(man)), seq = next, spec = partitionSpec(name))
+      extraStats ++ partitionSpec(name) ++ inheritedStatsCols(name, Some(man)),
+      seq = next, spec = partitionSpec(name))
     val victimSet = victims.map(_.path).toSet
     // Rebase: compaction is content-preserving, so concurrently-ADDED files
     // simply carry through; but the victims must survive unchanged (their
@@ -1077,7 +1185,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
 
     val next = currentVersion(name) + 1
     val spec = partitionSpec(name)
-    val statsFor = pks ++ spec ++ inheritedStatsCols(Some(man))
+    val statsFor = pks ++ spec ++ inheritedStatsCols(name, Some(man))
     val rewritten =
       if (victims.isEmpty) Nil
       else {
@@ -1152,7 +1260,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val in = SchemaOps.conform(df, schema)
     val spec = partitionSpec(name)
     val next = currentVersion(name) + 1
-    val statsFor = pks ++ clusterBy ++ spec ++ inheritedStatsCols(Some(man))
+    val statsFor = pks ++ clusterBy ++ spec ++ inheritedStatsCols(name, Some(man))
     val dataEntries = writeData(name, cluster(in, clusterBy, spec), schema,
       s"d${next}b", statsFor, seq = next, spec = spec)
     val keySchema = StructType(schema.fields.filter(f => pks.contains(f.name)))
@@ -1317,7 +1425,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           .drop("__in_fp", "__fp_t", "__close")
 
         val next = currentVersion(name) + 1
-        val statsFor = pks ++ inheritedStatsCols(Some(man))
+        val statsFor = pks ++ inheritedStatsCols(name, Some(man))
         val rewritten =
           if (victims.isEmpty) Nil
           else writeData(name,
@@ -1386,7 +1494,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // values, their bounds go loose, and transform pruning degrades
     val kept = cluster(target.filter(!coalesce(cond, lit(false))), Nil, partitionSpec(name))
     val rewritten = writeData(name, kept, man.schema, s"d${next}r",
-      inheritedStatsCols(Some(man)), seq = next, spec = partitionSpec(name))
+      inheritedStatsCols(name, Some(man)), seq = next, spec = partitionSpec(name))
     val deleted = victims.map(_.rows).sum - rewritten.map(_.rows).sum
     if (deleted == 0L) // predicate overlapped bounds but matched no rows
       return DeleteReport(currentVersion(name), 0L, untouched.size)
@@ -1455,7 +1563,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     }: _*)
     // same re-clustering as deleteWhere: keep transform bounds tight on rewrite
     val rewritten = writeData(name, cluster(rewrittenFrame, Nil, partitionSpec(name)),
-      man.schema, s"d${next}u", inheritedStatsCols(Some(man)), seq = next,
+      man.schema, s"d${next}u", inheritedStatsCols(name, Some(man)), seq = next,
       spec = partitionSpec(name))
     // Rebase: same validation as deleteWhere — a concurrently-added file
     // that may match the predicate holds rows this UPDATE never rewrote.
@@ -1541,7 +1649,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
         }
       }: _*)
       val newData = writeData(name, cluster(updatedFrame, Nil, partitionSpec(name)),
-        man.schema, s"d${next}u", inheritedStatsCols(Some(man)), seq = next,
+        man.schema, s"d${next}u", inheritedStatsCols(name, Some(man)), seq = next,
         spec = partitionSpec(name))
       // Rebase: the pairs target (file, ordinal) positions read from the
       // base snapshot — valid only while those exact files (and the delete
@@ -1579,9 +1687,21 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val clash = fields.map(_.name)
       .filter(n => man.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(clash.isEmpty, s"column(s) already exist: ${clash.mkString(", ")}")
+    // new fields get NEVER-REUSED ids (counter advanced before the commit);
+    // id-less legacy tables stay id-less (name matching keeps working)
+    val stamped =
+      if (!hasFieldIds(man.schema)) fields
+      else {
+        val base = reserveFieldIds(name, fields.size,
+          man.schema.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max))
+        fields.zipWithIndex.map { case (f, i) =>
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id", base + i + 1L).build())
+        }
+      }
     val next = currentVersion(name) + 1
     commitManifest(name, next,
-      Manifest(StructType(man.schema.fields ++ fields), man.files, man.deletes))
+      Manifest(StructType(man.schema.fields ++ stamped), man.files, man.deletes))
   }
 
   /** Idempotent evolve step for `MERGE ... WITH SCHEMA EVOLUTION`: add the
@@ -1599,6 +1719,93 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     require(conflict.isEmpty,
       s"schema evolution cannot change column types: ${conflict.map(_.name).mkString(", ")}")
     if (missing.nonEmpty) addColumns(name, missing.map(_.copy(nullable = true)).toSeq)
+  }
+
+  /** Schema evolution, RENAME-COLUMN case — METADATA-ONLY, the Iceberg
+    * field-id story: scans resolve warehouse columns by the `parquet.field.id`
+    * the writer stamped into every file (names are labels, ids are
+    * identity), so a rename is one manifest commit that relabels the field
+    * and remaps every manifest-resident use of the old name: per-file stat
+    * keys (plain and transform — `days(old)` → `days(new)`), pending
+    * delete-file key columns and their stats, and the partition-spec
+    * entries whose source is the renamed column. ZERO data IO at any table
+    * size; files keep their physical column names forever and keep
+    * resolving by id.
+    *
+    * Time travel stays coherent: an old manifest pairs its OLD names with
+    * the same ids, so `loadVersion` before the rename serves the old
+    * labels over the same bytes. Refuses on tables predating field ids
+    * (their files carry no ids to resolve by — a rewrite would be needed,
+    * and silently degrading to name matching would read nulls).
+    */
+  def renameColumn(name: String, from: String, to: String): Long = {
+    require(exists(name), s"no such table: $name")
+    val man = currentManifest(name)
+    require(man.schema.fieldNames.contains(from), s"no such column: $from")
+    require(!man.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column already exists: $to")
+    require(hasFieldIds(man.schema),
+      s"$name predates field ids: files resolve by NAME, so a metadata-only " +
+        "rename would null the column; rewrite the table first")
+    def remapKey(k: String): String =
+      if (k == from) to
+      else PartitionTransforms.parseKey(k) match {
+        case Some(pf) if pf.src == from => pf.copy(src = to).key
+        case _                          => k
+      }
+    val newSchema = StructType(man.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val files = man.files.map(f => f.copy(stats =
+      f.stats.map { case (k, v) => remapKey(k) -> v }))
+    val dels = man.deletes.map(d => d.copy(
+      cols = d.cols.map(c => if (c == from) to else c),
+      stats = d.stats.map { case (k, v) => remapKey(k) -> v }))
+    val v = commitManifest(name, currentVersion(name) + 1,
+      Manifest(newSchema, files, dels))
+    // spec rewrite AFTER the commit: a crash in between leaves transforms
+    // naming a column that no longer exists, which every consumer treats
+    // conservatively (cluster skips the transform, SPJ/prune disable) —
+    // never wrong results, and the next rename/updateSpec heals it
+    val spec = partitionSpec(name)
+    val newSpec = spec.map(s => PartitionTransforms.parse(s) match {
+      case Some(pf) if pf.src == from => pf.copy(src = to).key
+      case _                          => s
+    })
+    if (newSpec != spec) {
+      val tmp = tableDir(name).resolve("_spec.tmp")
+      Files.writeString(tmp, newSpec.mkString("\n"))
+      Files.move(tmp, specPath(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    v
+  }
+
+  /** Schema evolution, DROP-COLUMN case — metadata-only: the field leaves
+    * the schema, its manifest stats leave with it, the FILES keep their
+    * bytes (time travel to pre-drop versions still reads them; the id is
+    * never reused — [[reserveFieldIds]] — so a later re-add can't resurrect
+    * them). Refuses while the column is a partition-transform source or
+    * keys a PENDING equality delete (materialize first): dropping either
+    * would silently change which rows die.
+    */
+  def dropColumn(name: String, colName: String): Long = {
+    require(exists(name), s"no such table: $name")
+    val man = currentManifest(name)
+    require(man.schema.fieldNames.contains(colName), s"no such column: $colName")
+    require(man.schema.fields.length > 1, "cannot drop the last column")
+    require(hasFieldIds(man.schema),
+      s"$name predates field ids; rewrite the table first")
+    val specSrcs = partitionSpec(name).flatMap(PartitionTransforms.parse).map(_.src)
+    require(!specSrcs.contains(colName),
+      s"$colName is a partition-transform source; update the spec first")
+    require(!man.deletes.exists(_.cols.contains(colName)),
+      s"$colName keys pending equality deletes; compactDeletes first")
+    def dropsKey(k: String): Boolean =
+      k == colName || PartitionTransforms.parseKey(k).exists(_.src == colName)
+    val newSchema = StructType(man.schema.fields.filterNot(_.name == colName))
+    val files = man.files.map(f => f.copy(stats = f.stats.filterNot { case (k, _) => dropsKey(k) }))
+    val dels = man.deletes.map(d => d.copy(stats = d.stats.filterNot { case (k, _) => dropsKey(k) }))
+    commitManifest(name, currentVersion(name) + 1, Manifest(newSchema, files, dels))
   }
 
   // ------------------------------------------ merge-on-read (MOR) deletes --
@@ -1757,7 +1964,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       else {
         val frame = morFrame(name, Manifest(man.schema, victims, man.deletes))
         writeData(name, cluster(frame, Nil, partitionSpec(name)), man.schema,
-          s"d${next}x", inheritedStatsCols(Some(man)), seq = next,
+          s"d${next}x", inheritedStatsCols(name, Some(man)), seq = next,
           spec = partitionSpec(name))
       }
     // Rebase: clears the delete list it materialized, so the winner must
@@ -1893,7 +2100,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val id = java.util.UUID.randomUUID().toString.take(8)
     val spec = partitionSpec(name)
     val entries = writeData(name, cluster(SchemaOps.conform(df, schema), Nil, spec),
-      schema, s"stg$id", statsCols ++ spec ++ inheritedStatsCols(Some(man)), spec = spec)
+      schema, s"stg$id", statsCols ++ spec ++ inheritedStatsCols(name, Some(man)), spec = spec)
     Manifest.write(stagePath(name, id, mode, base), Manifest(schema, entries))
     id
   }
@@ -2171,17 +2378,32 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * at 100 TB an incremental consumer pays for its changes, never the
     * table.
     *
-    * Schema evolution: additive only — a column added in the window reads
-    * as null for from-side rows (matching what the evolved scan itself
-    * yields for pre-evolution files); a dropped or retyped column refuses
-    * loudly rather than fabricating a diff.
+    * Schema evolution: a column added in the window reads as null for
+    * from-side rows (matching what the evolved scan itself yields for
+    * pre-evolution files); a RENAMED column is the same field id relabeled
+    * and diffs by value under its new name; a DROPPED column projects away
+    * (rows differing only there collapse, the to-schema's semantics); a
+    * retyped column refuses loudly rather than fabricating a diff.
     */
   def readChanges(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
     val mFrom = manifestAt(name, fromVersion)
     val mTo = manifestAt(name, toVersion)
-    mFrom.schema.fields.foreach { f =>
-      require(mTo.schema.fields.exists(g => g.name == f.name && g.dataType == f.dataType),
-        s"readChanges across a destructive schema change on '${f.name}' is unsupported")
+    // field correspondence across the window: BY ID when both schemas carry
+    // field ids (so a rename is the same field relabeled and a reused NAME
+    // is a different field), by name otherwise. A matched pair must keep
+    // its type (retype refuses); a from-field with no counterpart was
+    // DROPPED and projects away (rows differing only there collapse — the
+    // to-schema's own semantics); a to-field with no counterpart was added
+    // and null-fills on the from side.
+    val bothIds = hasFieldIds(mFrom.schema) && hasFieldIds(mTo.schema)
+    val fromById = mFrom.schema.fields.flatMap(f => fieldIdOf(f).map(_ -> f)).toMap
+    def fromFieldFor(g: StructField): Option[StructField] =
+      if (bothIds) fieldIdOf(g).flatMap(fromById.get)
+      else mFrom.schema.fields.find(_.name == g.name)
+    mTo.schema.fields.foreach { g =>
+      fromFieldFor(g).foreach(f =>
+        require(f.dataType == g.dataType,
+          s"readChanges across a destructive schema change on '${g.name}' is unsupported"))
     }
     val fromByPath = mFrom.files.map(f => f.path -> f).toMap
     val toPaths = mTo.files.map(_.path).toSet
@@ -2203,9 +2425,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       Manifest(mTo.schema, added ++ affected, mTo.deletes))
     val fromRaw = morFrame(name,
       Manifest(mFrom.schema, removed ++ affected.map(f => fromByPath(f.path)), mFrom.deletes))
-    val changedFrom = fromRaw.select(mTo.schema.fields.toSeq.map { f =>
-      if (mFrom.schema.fieldNames.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+    val changedFrom = fromRaw.select(mTo.schema.fields.toSeq.map { g =>
+      fromFieldFor(g) match {
+        case Some(f) => col(f.name).as(g.name)
+        case None    => lit(null).cast(g.dataType).as(g.name)
+      }
     }: _*)
     changedTo.exceptAll(changedFrom).withColumn("_change_type", lit("+I"))
       .unionByName(

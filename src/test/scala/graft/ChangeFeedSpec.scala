@@ -113,12 +113,12 @@ class ChangeFeedSpec extends SparkSpec {
     val ch = wh.readChanges("t", v1, v3)
     assert(ch.columns.toSeq == Seq("Id", "Amount", "Extra", "_change_type"))
     assert(bag(ch) == Map(Seq[Any]("b", 2L, "x", "+I") -> 1))
-    // destructive change (simulated narrower to-side) refuses loudly
-    val err = intercept[IllegalArgumentException] {
-      wh.readChanges("t", v3, v1)
-    }
-    assert(err.getMessage.contains("destructive schema change"),
-      s"unexpected: ${err.getMessage}")
+    // the REVERSE window is a drop-shaped feed now (column-id evolution,
+    // round 12): the evolved column is absent from the to-side schema and
+    // projects away, so the feed emits v1's schema — no refusal
+    val back = wh.readChanges("t", v3, v1)
+    assert(back.columns.toSeq == Seq("Id", "Amount", "_change_type"))
+    assert(bag(back) == Map(Seq[Any]("b", 2L, "-D") -> 1))
   }
 
   test("empty diff yields an empty frame with the snapshot schema") {

@@ -51,15 +51,20 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(old.count() == 2)
   }
 
-  test("ALTER TABLE rejects NOT NULL, duplicates, positions, and non-add changes") {
+  test("ALTER TABLE rejects NOT NULL, duplicates, positions, and retype; rename/drop evolve") {
     wh.replace("t2", df(("a", 1)), Seq("Id"))
     def bad(sql: String): String = intercept[Exception](spark.sql(sql)).getMessage
     assert(bad("ALTER TABLE gevo.t2 ADD COLUMN c LONG NOT NULL").contains("NOT NULL"))
     assert(bad("ALTER TABLE gevo.t2 ADD COLUMN Amount LONG").contains("already exist"))
     assert(bad("ALTER TABLE gevo.t2 ADD COLUMN c LONG FIRST").contains("FIRST/AFTER"))
-    assert(bad("ALTER TABLE gevo.t2 RENAME COLUMN Amount TO amt")
-      .contains("only ADD COLUMN"))
-    assert(bad("ALTER TABLE gevo.t2 DROP COLUMN Amount").contains("only ADD COLUMN"))
+    assert(bad("ALTER TABLE gevo.t2 ALTER COLUMN Amount TYPE STRING")
+      .contains("unsupported ALTER TABLE change"))
+    // rename and drop are metadata-only field-id evolution now
+    // (ColumnEvolutionSpec pins the semantics; here just the DDL face)
+    spark.sql("ALTER TABLE gevo.t2 RENAME COLUMN Amount TO amt")
+    assert(spark.sql("SELECT amt FROM gevo.t2").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    spark.sql("ALTER TABLE gevo.t2 DROP COLUMN amt")
+    assert(spark.sql("SELECT * FROM gevo.t2").columns.toSeq == Seq("Id"))
   }
 
   test("MERGE WITH SCHEMA EVOLUTION adds the extra source column; plain MERGE drops it") {
