@@ -152,13 +152,21 @@ object Bench {
       case None => SparkEntry.queries
     }
     var retriedTotal = 0
-    val results = selected.map { case (name, fn) =>
+    // SORTED sweep order: a Map's hash order reshuffles the whole sweep
+    // whenever a query is added, silently changing every row's predecessor
+    // (and its inherited JVM/GC state) between rounds — round 12 measured
+    // q133 at 7.97 s mid-sweep vs 5.47 s isolated purely from that. Sorted
+    // order is stable: adding qNNN perturbs only its own neighborhood.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Per-query isolation: q57/q72/q74 deliberately never unpersist (the
       // Verify posture) — without clearing, cached frames and their memory
       // pressure accumulate across the 60-query sweep and later rows pay for
       // earlier queries' persists. Iterations WITHIN a query keep the cache
-      // (the median should reflect the query's own steady state).
+      // (the median should reflect the query's own steady state). The GC
+      // nudge drains the predecessor's freed cache blocks so they don't
+      // surface as collection pauses inside THIS query's timings.
       spark.catalog.clearCache()
+      System.gc()
       def runOnce(): Option[(Double, Double)] = {
         val t0 = System.nanoTime()
         try {

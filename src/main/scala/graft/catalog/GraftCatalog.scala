@@ -199,6 +199,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         warehouse.renameColumn(ident.name(), topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
       case d: TableChange.DeleteColumn =>
         warehouse.dropColumn(ident.name(), topLevel(d.fieldNames(), "DROP COLUMN"))
+      // partition-spec evolution DDL:
+      //   ALTER TABLE graft.t SET TBLPROPERTIES ('partition.spec' = 'bucket(8,id),days(ts)')
+      // ('' un-partitions) — metadata-only, files keep their layout
+      // (Warehouse.updateSpec; PartitionSpecEvolutionSpec)
+      case p: TableChange.SetProperty if p.property == "partition.spec" =>
+        // top-level comma split only: 'bucket(8,k),days(ts)' has commas
+        // INSIDE transform parens too
+        val entries = {
+          val out = Seq.newBuilder[String]
+          val cur = new StringBuilder
+          var depth = 0
+          p.value.foreach {
+            case ',' if depth == 0 => out += cur.result(); cur.clear()
+            case c =>
+              if (c == '(') depth += 1 else if (c == ')') depth -= 1
+              cur += c
+          }
+          out += cur.result()
+          out.result().map(_.trim).filter(_.nonEmpty)
+        }
+        warehouse.updateSpec(ident.name(), entries)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}; " +
           "supported: ADD COLUMN (nullable, trailing), RENAME COLUMN, DROP COLUMN")

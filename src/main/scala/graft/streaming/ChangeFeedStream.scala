@@ -73,20 +73,63 @@ object ChangeFeedStream {
     * Replay-safe: re-delivery of a window re-applies the same delta onto a
     * state it already produced — the delete kills the previously-merged
     * copies, the insert re-lands them (morMerge's replay-convergence).
+    *
+    * Schema evolution FOLLOWS the feed: the window's from→to schema diff
+    * on the fact (matched by the fact's own field ids) replays onto the
+    * copy BY NAME — renames rename (the copy keeps the renamed column's
+    * values instead of silently nulling a "new" column), adds add, drops
+    * drop — before the window's rows apply in the to-schema.
     */
   def mirror(wh: Warehouse, fact: String, copy: String, pks: Seq[String],
              consumerId: String): Long =
-    poll(wh, fact, consumerId) { (changes, _, _) =>
+    poll(wh, fact, consumerId) { (changes, from, to) =>
+      val toSchema = wh.manifestAt(fact, to).schema
+      if (!wh.exists(copy)) wh.create(copy, toSchema)
+      else replayEvolution(wh, copy, wh.manifestAt(fact, from).schema, toSchema)
       val inserts = changes.filter(col("_change_type") === "+I").drop("_change_type")
       val deletes = changes.filter(col("_change_type") === "-D").drop("_change_type")
-      if (!wh.exists(copy))
-        wh.create(copy, wh.currentManifest(fact).schema)
       // order matters within a window: a key updated in the window carries
       // its old row as -D and its new row as +I — delete first, then merge
       val delKeys = deletes.select(pks.map(col): _*)
       wh.equalityDelete(copy, delKeys)
       wh.morMerge(copy, inserts, pks)
     }
+
+  /** Replay the fact's from→to schema diff onto the copy, by name. Fields
+    * pair across the window by the FACT's field ids (the copy's own ids
+    * are an independent space — only names/types must track). Renames go
+    * through a reserved temp name first so pairwise swaps can't collide.
+    */
+  private def replayEvolution(wh: Warehouse, copy: String,
+                              fromSchema: org.apache.spark.sql.types.StructType,
+                              toSchema: org.apache.spark.sql.types.StructType): Unit = {
+    if (fromSchema == toSchema) return
+    val IdKey = "parquet.field.id"
+    def idOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
+      if (f.metadata.contains(IdKey)) Some(f.metadata.getLong(IdKey)) else None
+    val fromById = fromSchema.fields.flatMap(f => idOf(f).map(_ -> f)).toMap
+    val toById = toSchema.fields.flatMap(f => idOf(f).map(_ -> f)).toMap
+    val copyCols = wh.currentManifest(copy).schema.fieldNames.toSet
+    val renames = toById.toSeq.flatMap { case (id, g) =>
+      fromById.get(id).filter(f => f.name != g.name && copyCols.contains(f.name))
+        .map(f => f.name -> g.name)
+    }
+    // two-phase: old -> temp, temp -> new (a↔b swaps stay collision-free)
+    renames.zipWithIndex.foreach { case ((old, _), i) =>
+      wh.renameColumn(copy, old, s"__cfs_ren_$i") }
+    renames.zipWithIndex.foreach { case ((_, nw), i) =>
+      wh.renameColumn(copy, s"__cfs_ren_$i", nw) }
+    val dropped = fromById.collect { case (id, f)
+      if !toById.contains(id) && copyCols.contains(f.name) => f.name }
+    if (dropped.nonEmpty) {
+      // a pending equality delete keyed on the doomed column blocks the
+      // drop; materialize first (bounded by the copy's own pending set)
+      if (wh.currentManifest(copy).deletes.exists(_.cols.exists(dropped.toSet)))
+        wh.compactDeletes(copy)
+      dropped.foreach(wh.dropColumn(copy, _))
+    }
+    wh.addMissingColumns(copy, toSchema)
+  }
 
   /** Subtractable rollup measures: CDC maintenance needs the inverse
     * operation (`-D` rows RETRACT), which count and sum have and min/max do

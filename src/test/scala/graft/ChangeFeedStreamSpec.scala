@@ -133,6 +133,37 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(got == bag(kv((2L, "b", "2.00"))))
   }
 
+  test("mirror follows the fact's schema evolution: rename keeps values, add/drop replay") {
+    val root = tmpDir("cfs-evolve")
+    val wh = new Warehouse(spark, root)
+    def sync(): Long = ChangeFeedStream.mirror(wh, "fact", "copy", Seq("k"), "evolver")
+    wh.create("fact", schema)
+    wh.append("fact", kv((1L, "a", "1.00"), (2L, "b", "2.00")), statsCols = Seq("k"))
+    sync()
+    // rename mid-stream: the copy must RENAME too — values carried, not nulled
+    wh.renameColumn("fact", "v", "amount")
+    wh.morMerge("fact", spark.createDataFrame(Seq(
+      Row(3L, "c", new java.math.BigDecimal("3.00"))).asJava,
+      StructType(Seq(StructField("k", LongType), StructField("g", StringType),
+        StructField("amount", DecimalType(10, 2))))), Seq("k"))
+    sync()
+    assert(wh.load("copy").columns.toSeq == Seq("k", "g", "amount"))
+    assert(bag(wh.load("copy")) == bag(wh.load("fact")))
+    assert(wh.load("copy").filter(col("amount").isNull).count() == 0,
+      "renamed column values must carry through the mirror, not null out")
+    // add + drop mid-stream replay too
+    wh.addColumns("fact", Seq(StructField("note", StringType)))
+    wh.dropColumn("fact", "g")
+    wh.append("fact", spark.createDataFrame(Seq(
+      Row(4L, new java.math.BigDecimal("4.00"), "hi")).asJava,
+      StructType(Seq(StructField("k", LongType),
+        StructField("amount", DecimalType(10, 2)), StructField("note", StringType)))),
+      statsCols = Seq("k"))
+    sync()
+    assert(wh.load("copy").columns.toSeq == wh.load("fact").columns.toSeq)
+    assert(bag(wh.load("copy")) == bag(wh.load("fact")))
+  }
+
   test("CDC rollup: count/sum maintained exactly across upserts, deletes and compaction") {
     val root = tmpDir("cfs-rollup")
     val wh = new Warehouse(spark, root)

@@ -49,6 +49,22 @@ class PartitionSpecEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL face: ALTER TABLE SET TBLPROPERTIES('partition.spec') evolves the spec") {
+    val root = tmpDir("pse-sql")
+    spark.conf.set("spark.sql.catalog.psesql", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.psesql.root", root)
+    val wh = new Warehouse(spark, root)
+    val df = spark.range(0, 50).select(col("id").as("k"), (col("id") * 2).as("v"))
+    wh.create("t", df.schema, Seq("bucket(2,k)"))
+    wh.append("t", df)
+    spark.sql("ALTER TABLE psesql.t SET TBLPROPERTIES ('partition.spec' = 'bucket(8,k)')")
+    assert(wh.partitionSpec("t") == Seq("bucket(8,k)"))
+    spark.sql("ALTER TABLE psesql.t SET TBLPROPERTIES ('partition.spec' = '')")
+    assert(wh.partitionSpec("t") == Nil)
+    // still readable either way
+    assert(spark.sql("SELECT count(*) FROM psesql.t").head().getLong(0) == 50L)
+  }
+
   test("re-bucketing: old files untouched with old bounds, new files single-valued under the new spec") {
     val root = tmpDir("pse-rebucket")
     val wh = new Warehouse(spark, root)

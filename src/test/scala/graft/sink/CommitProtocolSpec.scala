@@ -291,4 +291,43 @@ class CommitProtocolSpec extends SparkSpec {
     assert(wh1.load("t").orderBy("k").collect().map(_.getLong(0)).toSeq ==
       Seq(1L, 2L, 3L, 4L))
   }
+
+  test("stress: racing writers with NO test hook — every commit lands or aborts loudly, nothing is lost") {
+    // 4 threads × 3 appends each, disjoint key ranges, all starting together
+    // on one table: the rebase loop must land ALL of them (append-shaped
+    // commits always rebase) with every row present exactly once and a
+    // strictly serial version history.
+    val root = tmpDir("wh-rb-stress")
+    val seed = new Warehouse(spark, root)
+    seed.create("t", kvSchema)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        try {
+          val wh = new Warehouse(spark, root)
+          barrier.await()
+          (0 until 3).foreach { b =>
+            val base = (w * 3 + b) * 100L
+            wh.append("t", kv((0 until 5).map(i => (base + i, base + i)): _*),
+              statsCols = Seq("k"))
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"appends are rebase-safe and must all land: ${errors.peek()}")
+    val rows = seed.load("t").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (for (w <- 0 until 4; b <- 0 until 3; i <- 0 until 5)
+      yield ((w * 3 + b) * 100L + i)).sorted
+    assert(rows == want, s"lost or duplicated rows: got ${rows.size}, want ${want.size}")
+    assert(seed.currentVersion("t") == 12L, "12 appends over v0 => serial history to v12")
+    // manifests form a chain: every version's file set is a superset of the
+    // previous one (append-only history, no clobbered commits)
+    (1L to 12L).foreach { v =>
+      val prev = seed.manifestAt("t", v - 1).files.map(_.path).toSet
+      val cur = seed.manifestAt("t", v).files.map(_.path).toSet
+      assert(prev.subsetOf(cur), s"v$v dropped files committed by v${v - 1}")
+    }
+  }
 }
