@@ -261,6 +261,50 @@ object EtlQueries {
       }
     },
 
+    // Multi-table TRANSACTIONS (Warehouse.transact): fact rows and their
+    // index postings land all-or-nothing — two transactional batches (the
+    // second staging an append AND a morMerge upsert of first-batch keys),
+    // then the SERVED state: an INNER join of fact with its posting index.
+    // Any torn commit (fact without postings or vice versa) changes the
+    // join's counts and the oracle catches it — the oracle recomputes the
+    // final state directly from raw parquet. The 100 TB shape: index-beside-
+    // corpus ingest where no reader can observe the corpus without its
+    // index entries (TransactionSpec pins crash roll-forward, idempotence,
+    // rebase under racing writers and concurrent renames).
+    "q144_transactional_ingest" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val orders = read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice").as("price"))
+      def postings(df: DataFrame) =
+        df.select(col("o_orderkey"), (col("o_custkey") % 16).as("bucket"))
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q144")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        val b1 = orders.filter(col("o_orderkey") % 3 === 0)
+        val b2 = orders.filter(col("o_orderkey") % 3 === 1)
+        val up = b1.filter(col("o_orderkey") % 6 === 0)
+          .withColumn("price", col("price") + 100)
+        wh.transact { tx =>
+          tx.append("fact", b1, statsCols = Seq("o_orderkey"))
+          tx.append("idx", postings(b1), statsCols = Seq("o_orderkey"))
+        }
+        wh.transact { tx =>
+          tx.append("fact", b2, statsCols = Seq("o_orderkey"))
+          tx.morMerge("fact", up, Seq("o_orderkey"))
+          tx.append("idx", postings(b2), statsCols = Seq("o_orderkey"))
+        }
+        wh.load("fact").join(wh.load("idx"), Seq("o_orderkey"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"), dsum(col("price")).as("revenue"))
+          .orderBy("bucket")
+          .localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    },
+
     // F1/F2: timestamp canonicalization — epoch-millis <-> native timestamp
     // round-trip and ISO-8601 render (records.py:32-45 without the string
     // storage trap).
@@ -346,6 +390,17 @@ object EtlQueries {
         |SELECT c_mktsegment, count(*) AS cnt,
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
         |FROM fin GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q144_transactional_ingest" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders),
+        |f AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN price + 100 ELSE price END AS price
+        |  FROM o WHERE o_orderkey % 3 IN (0, 1))
+        |SELECT o_custkey % 16 AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q135_change_feed_rollup" ->
       """WITH cust AS (

@@ -65,14 +65,34 @@ final case class DeleteFile(path: String, rows: Long, seq: Long,
 final case class Manifest(schema: StructType, files: Seq[DataFile],
                           deletes: Seq[DeleteFile] = Nil)
 
-/** Text serialization of a [[Manifest]]:
+/** Text serialization of a [[Manifest]]. Two on-disk forms:
   *
+  * '''v1 (flat)''' — the whole snapshot in one file:
   * {{{
   * graft-manifest v1
   * <schema json, one line>
   * <relpath>\t<rows>\t<colB64>:<kind>:<minB64>:<maxB64> <colB64>:... ...[\t<seq>]
   * D\t<relpath>\t<rows>\t<seq>\t<colB64>,<colB64>...\t<stats as above>
   * }}}
+  *
+  * '''v2 (segmented)''' — the Iceberg manifest-list analog. The snapshot
+  * file is a small ROOT whose entry lines are replayed IN ORDER:
+  * {{{
+  * graft-manifest v2
+  * <schema json, one line>
+  * S\t<segment file name>          — splice in that segment's entries
+  * X\t<relpath>                    — remove the entry (data or delete) at path
+  * }}}
+  * and each referenced segment (`g<uuid>.seg`, sibling of the root) is an
+  * IMMUTABLE batch of v1-format entry lines under a `graft-seg v1` header.
+  * Segments are shared by reference across snapshots, so a commit whose
+  * delta is D entries writes O(D) metadata — one new segment plus a root
+  * that carries the base root's lines forward — instead of re-listing all
+  * N files of the table ([[writeDelta]]). At 100 TB / millions of files
+  * that turns every append-shaped commit's metadata cost from O(table)
+  * into O(batch); the flat v1 write stays for small standalone manifests
+  * (WAP stages) and every reader auto-detects the form, so pre-v2 tables
+  * keep working and adopt segments on their next commit.
   *
   * Column names and stat values are base64-encoded so arbitrary key values
   * (tabs, colons, newlines) can never corrupt the framing. Data-file lines
@@ -82,6 +102,8 @@ final case class Manifest(schema: StructType, files: Seq[DataFile],
   */
 object Manifest {
   private val Header = "graft-manifest v1"
+  private val HeaderV2 = "graft-manifest v2"
+  private val SegHeader = "graft-seg v1"
 
   private def b64(s: String) =
     Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
@@ -102,44 +124,218 @@ object Manifest {
                       else ColStat(f(1), unb64(f(2)), unb64(f(3))))
     }.toMap
 
+  // ------------------------------------------------ entry line codec --
+
+  private def appendDataLine(sb: StringBuilder, f: DataFile): Unit =
+    sb.append(f.path).append('\t').append(f.rows).append('\t')
+      .append(statsStr(f.stats)).append('\t').append(f.seq).append('\n')
+
+  private def appendDeleteLine(sb: StringBuilder, d: DeleteFile): Unit =
+    sb.append("D\t").append(d.path).append('\t').append(d.rows).append('\t')
+      .append(d.seq).append('\t').append(d.cols.map(b64).mkString(","))
+      .append('\t').append(statsStr(d.stats)).append('\t').append(d.kind).append('\n')
+
+  private def parseDataLine(l: String): DataFile = {
+    val parts = l.split('\t')
+    val stats = if (parts.length < 3) Map.empty[String, ColStat] else parseStats(parts(2))
+    val seq = if (parts.length < 4) 0L else parts(3).toLong
+    DataFile(parts(0), parts(1).toLong, stats, seq)
+  }
+
+  private def parseDeleteLine(l: String): DeleteFile = {
+    val parts = l.split('\t')
+    DeleteFile(parts(1), parts(2).toLong, parts(3).toLong,
+      if (parts(4).isEmpty) Nil else parts(4).split(",", -1).toSeq.map(unb64),
+      if (parts.length < 6) Map.empty else parseStats(parts(5)),
+      // lines written before the kind field existed are equality deletes
+      if (parts.length < 7) "eq" else parts(6))
+  }
+
+  /** Entry-list codec shared with [[graft.sink.Warehouse.transact]]'s
+    * durable intent markers: the staged delta of a transaction is exactly a
+    * (data files, delete files) pair, so it serializes in the same line
+    * format segments use.
+    */
+  private[sink] def entriesString(files: Seq[DataFile], deletes: Seq[DeleteFile]): String = {
+    val sb = new StringBuilder
+    files.foreach(appendDataLine(sb, _))
+    deletes.foreach(appendDeleteLine(sb, _))
+    sb.toString
+  }
+
+  private[sink] def parseEntries(lines: Seq[String]): (Seq[DataFile], Seq[DeleteFile]) = {
+    val (delLines, dataLines) = lines.filter(_.nonEmpty).partition(_.startsWith("D\t"))
+    (dataLines.map(parseDataLine), delLines.map(parseDeleteLine))
+  }
+
+  private def atomicWrite(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Flat v1 write — one self-contained file listing every entry. Still the
+    * right form for small standalone manifests (WAP stage manifests are
+    * batch-sized); snapshot commits go through [[writeDelta]].
+    */
   def write(target: Path, m: Manifest): Unit = {
     val sb = new StringBuilder
     sb.append(Header).append('\n')
     sb.append(m.schema.json).append('\n')
-    m.files.foreach { f =>
-      sb.append(f.path).append('\t').append(f.rows).append('\t')
-        .append(statsStr(f.stats)).append('\t').append(f.seq).append('\n')
+    m.files.foreach(appendDataLine(sb, _))
+    m.deletes.foreach(appendDeleteLine(sb, _))
+    atomicWrite(target, sb.toString)
+  }
+
+  // --------------------------------------------------- v2 segments --
+
+  /** Immutable-segment cache: a segment's content never changes once a root
+    * references it (new commits write NEW uuid-named segments), so entries
+    * are cached by absolute path. Bounded LRU — at a million files per
+    * table the hot segments of the current snapshot stay resident and a
+    * `currentManifest` call re-reads only the O(1)-sized root.
+    */
+  private final case class SegEntries(files: Seq[DataFile], deletes: Seq[DeleteFile])
+  private val segCache: java.util.Map[String, SegEntries] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, SegEntries](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, SegEntries]) =
+          size() > 256
+      })
+
+  private def readSegment(p: Path): SegEntries = {
+    val key = p.toAbsolutePath.toString
+    val hit = segCache.get(key)
+    if (hit != null) return hit
+    val lines = Files.readAllLines(p)
+    require(lines.size() >= 1 && lines.get(0) == SegHeader, s"not a graft segment: $p")
+    val entries = (1 until lines.size()).iterator.map(lines.get).filter(_.nonEmpty).toSeq
+    val (delLines, dataLines) = entries.partition(_.startsWith("D\t"))
+    val seg = SegEntries(dataLines.map(parseDataLine), delLines.map(parseDeleteLine))
+    segCache.put(key, seg)
+    seg
+  }
+
+  private def writeSegment(dir: Path, files: Seq[DataFile],
+                           deletes: Seq[DeleteFile]): String = {
+    val name = s"g${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.seg"
+    val sb = new StringBuilder
+    sb.append(SegHeader).append('\n')
+    files.foreach(appendDataLine(sb, _))
+    deletes.foreach(appendDeleteLine(sb, _))
+    atomicWrite(dir.resolve(name), sb.toString)
+    name
+  }
+
+  /** The segment file names a root references (empty for flat v1 manifests)
+    * — [[graft.sink.Warehouse.expireSnapshots]] retention input.
+    */
+  def segmentRefs(root: Path): Seq[String] = {
+    val lines = Files.readAllLines(root)
+    if (lines.isEmpty || lines.get(0) != HeaderV2) Nil
+    else (2 until lines.size()).iterator.map(lines.get)
+      .filter(_.startsWith("S\t")).map(_.substring(2)).toSeq
+  }
+
+  /** Root line budget before a commit coalesces everything into one fresh
+    * segment: more than [[MaxSegments]] referenced segments, or more
+    * tombstones than live entries. Coalescing is the amortized-O(1)
+    * manifest compaction (Iceberg `rewrite_manifests`): one commit in ~64
+    * pays O(table) metadata so the other 63 pay O(batch).
+    */
+  private val MaxSegments = 64
+
+  /** Commit-path write: express `next` as the BASE root's lines plus this
+    * commit's delta — `X` tombstones for entries the commit removed or
+    * changed, one fresh segment for entries it added or changed — so the
+    * metadata written per commit is O(delta), not O(table). Falls back to
+    * coalescing (one segment holding every entry) when there is no usable
+    * base (v0, flat-v1 base — auto-upgrade), when the diff rewrites most
+    * entries anyway (renameColumn remaps every stats key), or when the
+    * carried root would exceed the segment/tombstone budget.
+    *
+    * The segment is written (atomically, uuid-named — raceless) BEFORE the
+    * root; a crash in between orphans the segment, which
+    * `expireSnapshots`'s grace-aged `g*.seg` sweep collects. Entry order is
+    * preserved per segment but NOT globally (carried entries keep base
+    * order, changed entries re-land at the tail) — no reader depends on
+    * manifest order (pruning, MOR overlay, change-feed diffs are all
+    * path-keyed).
+    */
+  def writeDelta(target: Path, next: Manifest, basePath: Option[Path]): Unit = {
+    val dir = target.getParent
+    def coalesce(): Unit =
+      if (next.files.isEmpty && next.deletes.isEmpty)
+        atomicWrite(target, s"$HeaderV2\n${next.schema.json}\n")
+      else {
+        val seg = writeSegment(dir, next.files, next.deletes)
+        atomicWrite(target, s"$HeaderV2\n${next.schema.json}\nS\t$seg\n")
+      }
+    val base = basePath.filter(Files.exists(_))
+    if (base.isEmpty) { coalesce(); return }
+    val baseLines = Files.readAllLines(base.get)
+    if (baseLines.isEmpty) { coalesce(); return }
+    val carried: Seq[String] = baseLines.get(0) match {
+      case HeaderV2 => (2 until baseLines.size()).iterator.map(baseLines.get)
+        .filter(l => l.startsWith("S\t") || l.startsWith("X\t")).toSeq
+      case Header =>
+        // flat v1 base: lift its entries into a segment once, then delta
+        val bm = read(base.get)
+        Seq("S\t" + writeSegment(dir, bm.files, bm.deletes))
+      case _ => { coalesce(); return }
     }
-    m.deletes.foreach { d =>
-      sb.append("D\t").append(d.path).append('\t').append(d.rows).append('\t')
-        .append(d.seq).append('\t').append(d.cols.map(b64).mkString(","))
-        .append('\t').append(statsStr(d.stats)).append('\t').append(d.kind).append('\n')
+    val bm = read(base.get)
+    val baseFiles = bm.files.iterator.map(f => f.path -> f).toMap
+    val baseDels = bm.deletes.iterator.map(d => d.path -> d).toMap
+    val nextFiles = next.files.iterator.map(f => f.path -> f).toMap
+    val nextDels = next.deletes.iterator.map(d => d.path -> d).toMap
+    val removed = bm.files.collect { case f if !nextFiles.get(f.path).contains(f) => f.path } ++
+      bm.deletes.collect { case d if !nextDels.get(d.path).contains(d) => d.path }
+    val addedFiles = next.files.filterNot(f => baseFiles.get(f.path).contains(f))
+    val addedDels = next.deletes.filterNot(d => baseDels.get(d.path).contains(d))
+    val live = next.files.size + next.deletes.size
+    val segCount = carried.count(_.startsWith("S\t")) + (if (addedFiles.nonEmpty || addedDels.nonEmpty) 1 else 0)
+    val tombCount = carried.count(_.startsWith("X\t")) + removed.size
+    if (segCount > MaxSegments || tombCount > math.max(64, live) ||
+        removed.size + addedFiles.size + addedDels.size >= math.max(1, live)) {
+      coalesce(); return
     }
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.writeString(tmp, sb.toString)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val sb = new StringBuilder
+    sb.append(HeaderV2).append('\n').append(next.schema.json).append('\n')
+    carried.foreach(l => sb.append(l).append('\n'))
+    removed.foreach(p => sb.append("X\t").append(p).append('\n'))
+    if (addedFiles.nonEmpty || addedDels.nonEmpty)
+      sb.append("S\t").append(writeSegment(dir, addedFiles, addedDels)).append('\n')
+    atomicWrite(target, sb.toString)
   }
 
   def read(source: Path): Manifest = {
     val lines = Files.readAllLines(source)
-    require(lines.size() >= 2 && lines.get(0) == Header, s"not a graft manifest: $source")
+    require(lines.size() >= 2 &&
+      (lines.get(0) == Header || lines.get(0) == HeaderV2),
+      s"not a graft manifest: $source")
     val schema = DataType.fromJson(lines.get(1)).asInstanceOf[StructType]
     val entries = (2 until lines.size()).iterator.map(lines.get).filter(_.nonEmpty).toSeq
-    val (delLines, dataLines) = entries.partition(_.startsWith("D\t"))
-    val files = dataLines.map { l =>
-      val parts = l.split('\t')
-      val stats = if (parts.length < 3) Map.empty[String, ColStat] else parseStats(parts(2))
-      val seq = if (parts.length < 4) 0L else parts(3).toLong
-      DataFile(parts(0), parts(1).toLong, stats, seq)
+    if (lines.get(0) == Header) {
+      val (delLines, dataLines) = entries.partition(_.startsWith("D\t"))
+      Manifest(schema, dataLines.map(parseDataLine), delLines.map(parseDeleteLine))
+    } else {
+      val dir = source.getParent
+      val files = new java.util.LinkedHashMap[String, DataFile]()
+      val dels = new java.util.LinkedHashMap[String, DeleteFile]()
+      entries.foreach { l =>
+        if (l.startsWith("S\t")) {
+          val seg = readSegment(dir.resolve(l.substring(2)))
+          seg.files.foreach(f => files.put(f.path, f))
+          seg.deletes.foreach(d => dels.put(d.path, d))
+        } else if (l.startsWith("X\t")) {
+          val p = l.substring(2)
+          files.remove(p); dels.remove(p)
+        } else throw new IllegalArgumentException(
+          s"unknown v2 root line in $source: ${l.take(40)}")
+      }
+      import scala.jdk.CollectionConverters._
+      Manifest(schema, files.values.asScala.toSeq, dels.values.asScala.toSeq)
     }
-    val deletes = delLines.map { l =>
-      val parts = l.split('\t')
-      DeleteFile(parts(1), parts(2).toLong, parts(3).toLong,
-        if (parts(4).isEmpty) Nil else parts(4).split(',').toSeq.map(unb64),
-        if (parts.length < 6) Map.empty else parseStats(parts(5)),
-        // lines written before the kind field existed are equality deletes
-        if (parts.length < 7) "eq" else parts(6))
-    }
-    Manifest(schema, files, deletes)
   }
 }

@@ -114,10 +114,12 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * [[currentVersion]]'s forward scan then recovers its version).
     */
   def exists(name: String): Boolean = {
-    // pending multi-table rename intents roll forward BEFORE any probe:
-    // every access path enters here, so no reader can observe a half-moved
-    // family (see [[renameAll]])
+    // pending multi-table rename AND transaction intents roll forward
+    // BEFORE any probe: every access path enters here, so no reader can
+    // observe a half-moved family ([[renameAll]]) and no pending
+    // transaction outlives a single warehouse access ([[transact]])
     recoverPendingRenames()
+    recoverPendingTxns()
     Files.exists(pointer(name)) || Files.exists(manifestPath(name, 0L))
   }
 
@@ -355,6 +357,219 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       finally s.close()
     }
     markers.foreach(executeRenameIntent)
+  }
+
+  // --------------------------------------------- multi-table transactions --
+
+  /** Atomic multi-table COMMIT — the write analog of [[renameAll]]: stage
+    * append-shaped writes (append / morMerge / equalityDelete) against any
+    * number of tables, then land them all-or-nothing. The canonical use is
+    * the index-beside-corpus ingest ([[VectorIndexIngest]] /
+    * [[SearchIndexIngest]] shapes): fact rows + index postings + a
+    * watermark upsert become ONE transaction, so no reader can observe the
+    * fact without its index entries.
+    *
+    * Protocol (durable intent + roll-forward — same discipline as
+    * `renameAll`):
+    *   1. `body` runs against the [[WarehouseTxn]]: each staged op writes
+    *      its DATA files immediately (into per-txn `dtx*`/`del*` attempt
+    *      dirs — orphaned and grace-swept if the txn never commits) and
+    *      accumulates a per-table (data entries, delete entries) delta.
+    *      Nothing is visible to readers.
+    *   2. The deltas are serialized to a durable intent marker
+    *      (`_intents/txn-<id>`, tmp + ATOMIC_MOVE). THIS is the commit
+    *      point of the transaction as a whole: before the marker, a crash
+    *      aborts cleanly (orphan files only); after it, every access path
+    *      ([[exists]]) rolls the remaining per-table commits forward.
+    *   3. Each table's delta lands as one snapshot commit through
+    *      [[commitOrRebase]]. Staged deltas are append-shaped, so a lost
+    *      CAS race REBASES (metadata-only restamp onto the winner — data
+    *      files never rewritten) and always lands; concurrent ADDITIVE or
+    *      RENAME schema evolution is absorbed by remapping the delta's
+    *      stats keys / delete-key columns through field ids
+    *      (`remapTxnDelta`). A per-table done-marker makes roll-forward
+    *      idempotent; a recovering process falls back to a path-presence
+    *      probe for the crash window between a commit and its done-marker.
+    *
+    * Isolation: readers see each table flip atomically at its own commit;
+    * cross-table atomicity is of the roll-forward kind (a reader racing the
+    * commit loop can observe table A's new snapshot before table B's — but
+    * B is guaranteed to land, and every warehouse access first drives
+    * pending intents to completion, so the window cannot outlive a single
+    * access by any process). Within one transaction, staged deletes apply
+    * to PRE-transaction rows only: all of a table's staged entries land at
+    * the same sequence number, so a staged morMerge's delete does not
+    * retro-delete a staged append's rows (snapshot-at-start semantics,
+    * spec-pinned).
+    *
+    * The one non-convergent race: a concurrent [[dropColumn]] of a column
+    * that KEYS a staged equality delete (invisible to dropColumn's
+    * pending-delete guard until the txn lands). Roll-forward then fails
+    * loudly and the intent stays pending for operator intervention — the
+    * same "cannot converge" posture as a damaged rename intent.
+    *
+    * Returns the committed (table → version) map, empty for an empty txn.
+    */
+  def transact(body: WarehouseTxn => Unit): Map[String, Long] = {
+    recoverPendingTxns()
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val txn = new WarehouseTxn(id)
+    body(txn)
+    val work = txn.deltas.toSeq.filter { case (_, d) =>
+      d.files.nonEmpty || d.dels.nonEmpty }
+    if (work.isEmpty) return Map.empty
+    Files.createDirectories(intentsDir)
+    val marker = intentsDir.resolve(s"txn-$id")
+    val sb = new StringBuilder("graft-txn v1\n")
+    work.foreach { case (name, d) =>
+      sb.append("== ").append(name).append('\n')
+        .append(d.schema.json).append('\n')
+        .append(Manifest.entriesString(d.files, d.dels))
+    }
+    val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+    executeTxnIntent(marker)
+    work.map { case (name, _) => name -> currentVersion(name) }.toMap
+  }
+
+  /** Roll one transaction intent forward, table by table. Idempotent:
+    * `.done<i>` side markers record completed tables; without one, a
+    * path-presence probe (the delta's file paths are txn-unique) detects a
+    * commit that landed just before a crash. The marker is deleted only
+    * after every table holds.
+    */
+  private def executeTxnIntent(marker: Path): Unit = {
+    val lines = Files.readAllLines(marker)
+    require(lines.size() >= 1 && lines.get(0) == "graft-txn v1",
+      s"not a txn intent: $marker")
+    // parse sections: "== name" / schema json / entry lines
+    val sections = scala.collection.mutable.ArrayBuffer
+      .empty[(String, StructType, Seq[DataFile], Seq[DeleteFile])]
+    var i = 1
+    while (i < lines.size()) {
+      val head = lines.get(i)
+      require(head.startsWith("== "), s"malformed txn intent at line $i: $marker")
+      val name = head.substring(3)
+      val schema = DataType.fromJson(lines.get(i + 1)).asInstanceOf[StructType]
+      var j = i + 2
+      val entry = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (j < lines.size() && !lines.get(j).startsWith("== ")) {
+        if (lines.get(j).nonEmpty) entry += lines.get(j); j += 1
+      }
+      val (fs, ds) = Manifest.parseEntries(entry.toSeq)
+      sections += ((name, schema, fs, ds))
+      i = j
+    }
+    sections.zipWithIndex.foreach { case ((name, schema, fs, ds), idx) =>
+      val done = marker.resolveSibling(s"${marker.getFileName}.done$idx")
+      if (!Files.exists(done)) {
+        val cur = currentManifest(name)
+        val landed = fs.forall(f => cur.files.exists(_.path == f.path)) &&
+          ds.forall(d => cur.deletes.exists(_.path == d.path))
+        if (!landed) commitTxnDelta(name, schema, fs, ds)
+        Files.writeString(done, "")
+      }
+    }
+    sections.indices.foreach(idx =>
+      Files.deleteIfExists(marker.resolveSibling(s"${marker.getFileName}.done$idx")))
+    Files.deleteIfExists(marker)
+  }
+
+  /** Land one table's staged delta as a snapshot commit, rebasing onto
+    * whatever head wins races. Concurrent schema evolution is absorbed by
+    * remapping through field ids: stats keys follow renames and drop with
+    * dropped columns (unmapped stats are only ever pruning hints — losing
+    * one is conservative); a staged delete KEYED on a dropped column cannot
+    * converge and fails loudly.
+    */
+  private def commitTxnDelta(name: String, staged: StructType,
+      fs: Seq[DataFile], ds: Seq[DeleteFile]): Long = {
+    def applied(base: Manifest, n2: Long): Option[Manifest] = {
+      val (rfs, rds) = remapTxnDelta(staged, base.schema, fs, ds)
+      Some(Manifest(base.schema,
+        base.files ++ rfs.map(_.copy(seq = n2)),
+        base.deletes ++ rds.map(_.copy(seq = n2))))
+    }
+    val next = currentVersion(name) + 1
+    commitOrRebase(name, next, applied(manifestAt(name, next - 1), next).get, applied)
+  }
+
+  /** Remap a staged delta from its staging-time schema to the commit-time
+    * schema by FIELD ID (the column-evolution contract: names are labels,
+    * ids are identity). Fast no-op when the schemas are equal.
+    */
+  private def remapTxnDelta(staged: StructType, base: StructType,
+      fs: Seq[DataFile], ds: Seq[DeleteFile]): (Seq[DataFile], Seq[DeleteFile]) = {
+    if (staged == base) return (fs, ds)
+    val baseNameById: Map[Long, String] =
+      base.fields.flatMap(f => fieldIdOf(f).map(_ -> f.name)).toMap
+    // staging-time name -> commit-time name; None = column dropped
+    val nameMap: Map[String, Option[String]] = staged.fields.flatMap { f =>
+      fieldIdOf(f).map(id => f.name -> baseNameById.get(id))
+    }.toMap
+    def remapKey(k: String): Option[String] = nameMap.get(k) match {
+      case Some(v) => v
+      case None => PartitionTransforms.parseKey(k) match {
+        case Some(pf) => nameMap.getOrElse(pf.src, Some(pf.src)) match {
+          case Some(nw) => Some(pf.copy(src = nw).key)
+          case None     => None // transform over a dropped column
+        }
+        case None => Some(k) // not a schema column (never prunes) — keep
+      }
+    }
+    def remapStats(stats: Map[String, ColStat]): Map[String, ColStat] =
+      stats.flatMap { case (k, v) => remapKey(k).map(_ -> v) }
+    val rds = ds.map { d =>
+      val cols = d.cols.map { c =>
+        nameMap.getOrElse(c, Some(c)).getOrElse(throw new IllegalStateException(
+          s"staged equality delete keys on dropped column $c; transaction cannot converge"))
+      }
+      d.copy(cols = cols, stats = remapStats(d.stats))
+    }
+    (fs.map(f => f.copy(stats = remapStats(f.stats))), rds)
+  }
+
+  /** Complete any pending [[transact]] intents (oldest first); re-entrancy
+    * guarded — roll-forward itself touches warehouse access paths.
+    */
+  private def recoverPendingTxns(): Unit = {
+    if (Warehouse.inTxnRecovery.get()) return
+    if (!Files.exists(intentsDir)) return
+    val markers = {
+      val s = Files.list(intentsDir)
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("txn-") && !n.endsWith(".tmp") && !n.contains(".done")
+        }.toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    if (markers.isEmpty) return
+    Warehouse.inTxnRecovery.set(true)
+    try markers.foreach(executeTxnIntent)
+    finally Warehouse.inTxnRecovery.set(false)
+  }
+
+  /** Explicit manifest compaction (Iceberg `rewrite_manifests`): commit the
+    * current snapshot again with its entry list coalesced into ONE fresh
+    * segment — metadata-only, zero data IO, content-identical. The
+    * automatic segment/tombstone budget already coalesces amortized-O(1);
+    * this is the operator's handle for doing it off the ingest path (e.g.
+    * before a read-heavy period, so every reader pays one-segment roots).
+    */
+  def rewriteManifests(name: String): Long = {
+    require(exists(name), s"no such table: $name")
+    var tries = 0
+    while (true) {
+      val cur = currentVersion(name)
+      try return commitManifest(name, cur + 1, manifestAt(name, cur), coalesce = true)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1; if (tries > 5) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Data files of the current snapshot — stats included (for catalog
@@ -762,7 +977,8 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * version was overtaken while their data-file job ran (minutes) — it
     * saves the manifest write, but correctness never rests on it.
     */
-  private[sink] def commitManifest(name: String, next: Long, m: Manifest): Long = {
+  private[sink] def commitManifest(name: String, next: Long, m: Manifest,
+                                   coalesce: Boolean = false): Long = {
     Files.createDirectories(tableDir(name))
     val cur = currentVersion(name)
     if (cur != next - 1)
@@ -772,7 +988,12 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val target = manifestPath(name, next)
     val attempt = target.resolveSibling(
       s"${target.getFileName}.w${java.util.UUID.randomUUID().toString.take(8)}")
-    Manifest.write(attempt, m)
+    // segmented write: O(delta) metadata — the root carries the base
+    // version's segment refs forward and only this commit's added/removed
+    // entries land as new lines (Manifest.writeDelta scaladoc); a baseless
+    // write is the forced-coalesce path ([[rewriteManifests]])
+    Manifest.writeDelta(attempt, m,
+      if (next == 0 || coalesce) None else Some(manifestPath(name, next - 1)))
     try Files.createLink(target, attempt)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -2485,7 +2706,13 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       .flatMap(p => refsOf(Manifest.read(p))).toSet
     val referenced = keep
       .flatMap(v => refsOf(Manifest.read(manifestPath(name, v)))).toSet ++ stageRefs
+    // manifest SEGMENTS are shared by reference across snapshot roots the
+    // same way data files are: a segment lives while ANY kept root lists it
+    // (collected BEFORE the roots are deleted)
+    val keptSegs = keep.flatMap(v => Manifest.segmentRefs(manifestPath(name, v))).toSet
+    val droppedSegs = drop.flatMap(v => Manifest.segmentRefs(manifestPath(name, v))).toSet
     drop.foreach(v => Files.deleteIfExists(manifestPath(name, v)))
+    (droppedSegs -- keptSegs).foreach(s => Files.deleteIfExists(tableDir(name).resolve(s)))
     val td = tableDir(name)
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     // orphaned commit-attempt temps (`m<v>.manifest.w<id>[.tmp]`): a crashed
@@ -2497,6 +2724,19 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
         .filter(p => p.getFileName.toString.matches("m\\d+\\.manifest\\.w.*") &&
           Files.getLastModifiedTime(p).toMillis < cutoff)
         .foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    // orphaned manifest segments (`g*.seg`): a crashed or CAS-losing
+    // committer's segment whose root never linked. Grace-aged like data
+    // orphans — an in-flight committer writes its segment BEFORE its root
+    locally {
+      val s = Files.list(td)
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("g") && n.endsWith(".seg") && !keptSegs.contains(n) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff
+        }.foreach(Files.deleteIfExists(_))
       finally s.close()
     }
     val dataDirs = {
@@ -2644,4 +2884,94 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       case WriteMode.Append  => append(res.name, df, keys, clusterBy = keys)
     }
   }
+
+  /** The staging face of [[transact]] — append-shaped writes only, because
+    * only append-shaped commits are unconditionally rebase-safe (the
+    * all-or-nothing guarantee must never meet a true OCC conflict mid-loop).
+    * Each op writes its data files NOW (in per-txn attempt dirs, invisible
+    * to readers) and stages manifest entries; the transaction's commit
+    * point is the durable intent marker.
+    */
+  final class WarehouseTxn private[sink] (txnId: String) {
+    private[sink] final class TxnDelta(val schema: StructType) {
+      var files: Vector[DataFile] = Vector.empty
+      var dels: Vector[DeleteFile] = Vector.empty
+    }
+    private[sink] val deltas =
+      scala.collection.mutable.LinkedHashMap.empty[String, TxnDelta]
+    private var opN = 0
+
+    private def deltaFor(name: String, schema: StructType): TxnDelta =
+      deltas.getOrElseUpdate(name, new TxnDelta(schema))
+
+    /** Staged [[Warehouse.append]]; auto-creates the table (the create
+      * itself is an ordinary empty-v0 commit, visible but contentless).
+      */
+    def append(name: String, df: DataFrame, statsCols: Seq[String] = Nil,
+               clusterBy: Seq[String] = Nil): Unit = {
+      if (!Warehouse.this.exists(name)) Warehouse.this.create(name, df.schema)
+      val man = currentManifest(name)
+      val spec = partitionSpec(name)
+      val in = cluster(SchemaOps.conform(df, man.schema), clusterBy, spec)
+      opN += 1
+      val entries = writeData(name, in, man.schema, s"dtx$txnId-$opN",
+        statsCols ++ clusterBy ++ spec ++ inheritedStatsCols(name, Some(man)),
+        seq = 0L, spec = spec)
+      deltaFor(name, man.schema).files ++= entries
+    }
+
+    /** Staged [[Warehouse.morMerge]] (one-commit merge-on-read upsert).
+      * Staged deletes apply to PRE-transaction rows only: every entry of a
+      * table lands at one sequence number, so this op's delete shields the
+      * whole transaction's staged rows, not just its own batch.
+      */
+    def morMerge(name: String, df: DataFrame, pks: Seq[String],
+                 clusterBy: Seq[String] = Nil): Unit = {
+      if (pks.isEmpty || !pks.forall(df.columns.contains) ||
+          !Warehouse.this.exists(name)) {
+        append(name, df, pks.filter(df.columns.contains),
+          clusterBy.filter(df.columns.contains))
+        return
+      }
+      val man = currentManifest(name)
+      val schema = man.schema
+      val in = SchemaOps.conform(df, schema)
+      val spec = partitionSpec(name)
+      opN += 1
+      val dataEntries = writeData(name, cluster(in, clusterBy, spec), schema,
+        s"dtx$txnId-$opN",
+        pks ++ clusterBy ++ spec ++ inheritedStatsCols(name, Some(man)),
+        seq = 0L, spec = spec)
+      val keySchema = StructType(schema.fields.filter(f => pks.contains(f.name)))
+      val delEntries = writeData(name, in.select(pks.map(col): _*).distinct(),
+        keySchema, s"deltx$txnId-$opN", pks, seq = 0L)
+      val d = deltaFor(name, schema)
+      d.files ++= dataEntries
+      d.dels ++= delEntries.filter(_.rows > 0)
+        .map(e => DeleteFile(e.path, e.rows, 0L, pks, e.stats))
+    }
+
+    /** Staged [[Warehouse.equalityDelete]]. */
+    def equalityDelete(name: String, keys: DataFrame): Unit = {
+      require(Warehouse.this.exists(name), s"no such table: $name")
+      val man = currentManifest(name)
+      val cols = keys.columns.toSeq
+      require(cols.nonEmpty && cols.forall(man.schema.fieldNames.contains),
+        s"delete key columns must be table columns: ${cols.mkString(",")}")
+      val keySchema = StructType(man.schema.fields.filter(f => cols.contains(f.name)))
+      opN += 1
+      val entries = writeData(name, SchemaOps.conform(keys, keySchema).distinct(),
+        keySchema, s"deltx$txnId-$opN", cols, seq = 0L)
+      deltaFor(name, man.schema).dels ++= entries.filter(_.rows > 0)
+        .map(e => DeleteFile(e.path, e.rows, 0L, cols, e.stats))
+    }
+  }
+}
+
+object Warehouse {
+  /** Re-entrancy guard for [[Warehouse.recoverPendingTxns]]: roll-forward
+    * itself goes through warehouse access paths that call `exists`.
+    */
+  private[sink] val inTxnRecovery: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 }

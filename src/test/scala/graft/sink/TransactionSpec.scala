@@ -1,0 +1,227 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.{SparkSpec, TestSpark}
+
+/** Atomic multi-table transactions ([[Warehouse.transact]]) — durable
+  * intent + roll-forward over append-shaped commits.
+  *
+  * Claims under test: staged writes are invisible before the intent lands
+  * and all-or-nothing after it; a crash at EVERY point of the commit loop
+  * rolls forward (not back) on the next warehouse access by any instance;
+  * roll-forward is idempotent (no double-applied rows) including the
+  * done-marker crash window; rebase absorbs concurrent appends and
+  * concurrent RENAME evolution (field-id remap of stats keys and delete
+  * cols); intra-txn deletes keep snapshot-at-start semantics; an abandoned
+  * transaction (no intent) leaves only grace-swept orphans.
+  */
+class TransactionSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val factSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", LongType)))
+  private val idxSchema = StructType(Seq(
+    StructField("k", LongType), StructField("cell", LongType)))
+
+  private def fact(rows: (Long, Long)*) = TestSpark.spark.createDataFrame(
+    rows.map { case (k, v) => Row(k, v) }.asJava, factSchema)
+  private def idx(rows: (Long, Long)*) = TestSpark.spark.createDataFrame(
+    rows.map { case (k, c) => Row(k, c) }.asJava, idxSchema)
+
+  private def rowsOf(wh: Warehouse, t: String): Set[Seq[Any]] =
+    wh.load(t).collect().map(_.toSeq).toSet
+
+  test("fact + index + watermark land as one transaction; empty txn commits nothing") {
+    val root = tmpDir("txn-basic")
+    val wh = new Warehouse(spark, root)
+    wh.create("fact", factSchema)
+    wh.create("idx", idxSchema)
+    assert(wh.transact(_ => ()) == Map.empty)
+    val versions = wh.transact { tx =>
+      tx.append("fact", fact(1L -> 10L, 2L -> 20L), statsCols = Seq("k"))
+      tx.append("idx", idx(1L -> 7L, 2L -> 3L), statsCols = Seq("cell"))
+      tx.morMerge("wm", fact(0L -> 20L), Seq("k")) // auto-created watermark table
+    }
+    assert(versions.keySet == Set("fact", "idx", "wm"))
+    assert(rowsOf(wh, "fact") == Set(Seq(1L, 10L), Seq(2L, 20L)))
+    assert(rowsOf(wh, "idx") == Set(Seq(1L, 7L), Seq(2L, 3L)))
+    assert(rowsOf(wh, "wm") == Set(Seq(0L, 20L)))
+    // second txn: morMerge upserts the watermark, equalityDelete trims idx
+    wh.transact { tx =>
+      tx.append("fact", fact(3L -> 30L), statsCols = Seq("k"))
+      tx.morMerge("wm", fact(0L -> 30L), Seq("k"))
+      tx.equalityDelete("idx", idx(1L -> 7L).select("k"))
+    }
+    assert(rowsOf(wh, "fact") == Set(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 30L)))
+    assert(rowsOf(wh, "idx") == Set(Seq(2L, 3L)))
+    assert(rowsOf(wh, "wm") == Set(Seq(0L, 30L)))
+  }
+
+  test("staged writes are invisible until the intent lands; body failure aborts cleanly") {
+    val root = tmpDir("txn-abort")
+    val wh = new Warehouse(spark, root)
+    wh.create("fact", factSchema)
+    intercept[RuntimeException] {
+      wh.transact { tx =>
+        tx.append("fact", fact(1L -> 10L))
+        assert(wh.load("fact").count() == 0, "staged rows visible before commit")
+        throw new RuntimeException("audit failed")
+      }
+    }
+    assert(wh.load("fact").count() == 0, "aborted txn left rows behind")
+    assert(wh.currentVersion("fact") == 0L)
+    // the orphaned staged files exist but are unreferenced...
+    val td = Paths.get(root, "fact")
+    val orphanDirs = {
+      val s = Files.list(td)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("dtx")).toSeq
+      finally s.close()
+    }
+    assert(orphanDirs.nonEmpty)
+    // ...and the grace-aged sweep collects them
+    val old = System.currentTimeMillis() - 7200000L
+    val walk = Files.walk(td)
+    try walk.iterator().asScala.filter(p => p.toString.contains("dtx"))
+      .foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(old)))
+    finally walk.close()
+    wh.expireSnapshots("fact", keepLast = 1)
+    val after = {
+      val s = Files.list(td)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("dtx")).toSeq
+      finally s.close()
+    }
+    assert(after.isEmpty, s"abandoned staged dirs not swept: $after")
+  }
+
+  test("crash after the intent: every access path rolls the whole transaction forward") {
+    val root = tmpDir("txn-crash")
+    val wh = new Warehouse(spark, root)
+    wh.create("fact", factSchema)
+    wh.create("idx", idxSchema)
+    // stage a txn but "crash" before executeTxnIntent: simulate by building
+    // the intent exactly as transact does, without running the commit loop
+    val staged = new Warehouse(spark, root)
+    staged.transact { tx =>
+      tx.append("fact", fact(1L -> 10L), statsCols = Seq("k"))
+      tx.append("idx", idx(1L -> 7L))
+    }
+    // capture the landed state, then rewind both tables and re-create the
+    // intent marker by hand from the txn serialization (the marker format
+    // is the contract)
+    val intents = Paths.get(root, "_intents")
+    // build a second txn's worth of files via a fresh staging that we
+    // interrupt: write marker manually from staged deltas
+    val m1fact = wh.currentManifest("fact")
+    val m1idx = wh.currentManifest("idx")
+    val factDelta = m1fact.files
+    val idxDelta = m1idx.files
+    // roll both tables back to empty v0 state by restoring version 0
+    wh.restore("fact", 0L)
+    wh.restore("idx", 0L)
+    assert(wh.load("fact").count() == 0)
+    // now hand-write an intent that re-lands the same deltas (paths are
+    // table-dir-relative and the files still exist)
+    val marker = intents.resolve("txn-crashtest01")
+    val sb = new StringBuilder("graft-txn v1\n")
+    sb.append("== fact\n").append(m1fact.schema.json).append('\n')
+      .append(Manifest.entriesString(factDelta, Nil))
+    sb.append("== idx\n").append(m1idx.schema.json).append('\n')
+      .append(Manifest.entriesString(idxDelta, Nil))
+    Files.writeString(marker, sb.toString)
+    // ANY access by a FRESH warehouse instance completes the transaction
+    val reader = new Warehouse(spark, root)
+    assert(reader.exists("fact"))
+    assert(!Files.exists(marker), "intent not consumed")
+    assert(rowsOf(reader, "fact") == Set(Seq(1L, 10L)))
+    assert(rowsOf(reader, "idx") == Set(Seq(1L, 7L)))
+  }
+
+  test("roll-forward is idempotent: done-marker crash window cannot double-apply") {
+    val root = tmpDir("txn-idem")
+    val wh = new Warehouse(spark, root)
+    wh.create("fact", factSchema)
+    wh.transact(tx => tx.append("fact", fact(1L -> 10L, 2L -> 20L), statsCols = Seq("k")))
+    val m = wh.currentManifest("fact")
+    // simulate: commit landed for the table but the marker survived a crash
+    // (done marker lost) — recovery must detect the delta already present
+    val marker = Paths.get(root, "_intents").resolve("txn-replay01")
+    val sb = new StringBuilder("graft-txn v1\n")
+    sb.append("== fact\n").append(m.schema.json).append('\n')
+      .append(Manifest.entriesString(m.files, Nil))
+    Files.writeString(marker, sb.toString)
+    val v = wh.currentVersion("fact")
+    val reader = new Warehouse(spark, root)
+    assert(reader.exists("fact"))
+    assert(!Files.exists(marker))
+    assert(reader.currentVersion("fact") == v, "re-applied an already-landed delta")
+    assert(reader.load("fact").count() == 2)
+  }
+
+  test("intra-txn snapshot-at-start: a staged morMerge does not retro-delete a staged append") {
+    val root = tmpDir("txn-snap")
+    val wh = new Warehouse(spark, root)
+    wh.create("fact", factSchema)
+    wh.append("fact", fact(1L -> 1L), statsCols = Seq("k")) // pre-txn row, k=1
+    wh.transact { tx =>
+      tx.append("fact", fact(1L -> 100L, 5L -> 500L), statsCols = Seq("k"))
+      tx.morMerge("fact", fact(1L -> 111L), Seq("k"))
+    }
+    // the morMerge delete kills the PRE-txn k=1 row; both staged k=1 rows
+    // land at the commit's seq and are shielded from it
+    assert(rowsOf(wh, "fact") ==
+      Set(Seq(1L, 100L), Seq(1L, 111L), Seq(5L, 500L)))
+  }
+
+  test("rebase: a concurrent append between staging and commit is absorbed, both land") {
+    val root = tmpDir("txn-race")
+    val wh = new Warehouse(spark, root)
+    wh.create("fact", factSchema)
+    // interleave: the racing append lands INSIDE the commit loop, before
+    // the txn's CAS attempt (preCommitHook fires at the head of every
+    // commitOrRebase)
+    var fired = false
+    wh.preCommitHook = (name, _) =>
+      if (name == "fact" && !fired) {
+        fired = true
+        val racer = new Warehouse(spark, root)
+        racer.append("fact", fact(9L -> 90L), statsCols = Seq("k"))
+      }
+    try wh.transact(tx => tx.append("fact", fact(1L -> 10L), statsCols = Seq("k")))
+    finally wh.preCommitHook = (_, _) => ()
+    assert(rowsOf(wh, "fact") == Set(Seq(1L, 10L), Seq(9L, 90L)))
+    // seq restamped onto the winner: staged entries carry the landed version
+    val landed = wh.currentManifest("fact")
+    assert(landed.files.map(_.seq).max == wh.currentVersion("fact"))
+  }
+
+  test("rebase: concurrent RENAME between staging and commit remaps stats keys and delete cols by field id") {
+    val root = tmpDir("txn-rename")
+    val wh = new Warehouse(spark, root)
+    wh.create("fact", factSchema)
+    wh.append("fact", fact(1L -> 1L, 2L -> 2L), statsCols = Seq("k"))
+    var fired = false
+    wh.preCommitHook = (name, _) =>
+      if (name == "fact" && !fired) {
+        fired = true
+        new Warehouse(spark, root).renameColumn("fact", "k", "key")
+      }
+    try wh.transact { tx =>
+      tx.morMerge("fact", fact(2L -> 22L, 3L -> 33L), Seq("k"))
+    }
+    finally wh.preCommitHook = (_, _) => ()
+    // the upsert landed under the renamed schema: k=2 replaced, k=3 new
+    assert(wh.load("fact").columns.toSeq == Seq("key", "v"))
+    assert(rowsOf(wh, "fact") == Set(Seq(1L, 1L), Seq(2L, 22L), Seq(3L, 33L)))
+    // staged stats keys and the pending delete's key column follow the rename
+    val man = wh.currentManifest("fact")
+    assert(man.deletes.nonEmpty && man.deletes.forall(_.cols == Seq("key")))
+    assert(man.files.filter(_.seq == wh.currentVersion("fact"))
+      .forall(f => f.stats.contains("key") && !f.stats.contains("k")))
+  }
+}
