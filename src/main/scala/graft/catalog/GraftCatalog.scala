@@ -46,7 +46,7 @@ import graft.sink.Warehouse
   * `mergeBroadcastMaxKeys` = merge broadcast gate (also settable session-wide
   * via `spark.graft.mergeBroadcastMaxKeys`).
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var rootDir: String = _
@@ -250,6 +250,25 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     TransformFunctions.load(ident.name()).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+  }
+
+  // ---- stored procedures (`CALL graft.system.compact(tbl => 't')`, ...):
+  // the Iceberg maintenance-procedures analog on Spark 4's ProcedureCatalog
+  // face — see [[GraftProcedures]] for the registry and result contracts.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (!namespace.sameElements(GraftProcedures.Namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    GraftProcedures.list()
+  }
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    def missing = new IllegalArgumentException(
+      s"no such procedure: ${ident.namespace().mkString(".")}.${ident.name()}; " +
+        s"known: ${GraftProcedures.list().map(_.name()).sorted.mkString(", ")} " +
+        "(namespace `system`)")
+    if (!ident.namespace().sameElements(GraftProcedures.Namespace)) throw missing
+    GraftProcedures.load(ident.name(), rootDir).getOrElse(throw missing)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

@@ -1,0 +1,181 @@
+package graft.catalog
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+import graft.sink.Warehouse
+
+/** SQL stored procedures — the Iceberg maintenance-procedures analog on
+  * Spark 4's DSv2 `ProcedureCatalog` face:
+  *
+  * {{{
+  * CALL graft.system.compact(tbl => 'events', target_mb => 256)
+  * CALL graft.system.compact_files(tbl => 'idx')
+  * CALL graft.system.compact_deletes(tbl => 'events')
+  * CALL graft.system.expire_snapshots(tbl => 'events', keep_last => 5)
+  * CALL graft.system.maintain(tbl => 'events')
+  * CALL graft.system.rewrite_manifests(tbl => 'events')
+  * CALL graft.system.restore(tbl => 'events', version => 3)
+  * CALL graft.system.create_tag(tbl => 'events', tag => 'audited')
+  * CALL graft.system.drop_tag(tbl => 'events', tag => 'audited')
+  * }}}
+  *
+  * Every procedure returns a one-row result scan describing what it did
+  * (version after, action flags) — driver-materialized via [[LocalScan]],
+  * the same vehicle as the `$files`/`$snapshots` metadata tables, because
+  * a maintenance outcome is O(1) rows at any table size. Named and
+  * positional arguments, defaults, and type coercion are Spark's: the
+  * analyzer binds against [[ProcedureParameter]] declarations.
+  *
+  * (Maintenance actions never change query results — compaction is
+  * content-preserving, expiry only drops history — so exposing them to SQL
+  * operators costs nothing in isolation guarantees; each lands through the
+  * same OCC commit protocol as every write.)
+  */
+private[catalog] object GraftProcedures {
+
+  private def param(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def param(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** One registered procedure: parameter declarations, result schema, and
+    * the warehouse action. `run` receives the bound arguments in
+    * declaration order.
+    */
+  private final case class Proc(name: String, description: String,
+      params: Array[ProcedureParameter], resultSchema: StructType,
+      run: (Warehouse, InternalRow) => Seq[Row])
+
+  private def str(in: InternalRow, i: Int): String = in.getUTF8String(i).toString
+
+  private val procs: Seq[Proc] = Seq(
+    Proc("compact",
+      "bin-pack small data files (byte grain) into ~target_mb files; " +
+        "content-preserving, one OCC commit",
+      Array(param("tbl", StringType), param("target_mb", IntegerType, "128")),
+      StructType(Seq(StructField("version", LongType),
+        StructField("files_before", IntegerType), StructField("files_after", IntegerType))),
+      (wh, in) => {
+        val t = str(in, 0)
+        val before = wh.currentManifest(t).files.size
+        val v = wh.compact(t, in.getInt(1).toLong << 20)
+        Seq(Row(v, before, wh.currentManifest(t).files.size))
+      }),
+
+    Proc("compact_files",
+      "rewrite sub-threshold files by manifest ROW counts, re-clustering " +
+        "partitioned tables by their transform values",
+      Array(param("tbl", StringType), param("small_rows", LongType, "100000")),
+      StructType(Seq(StructField("version", LongType),
+        StructField("files_before", IntegerType), StructField("files_after", IntegerType))),
+      (wh, in) => {
+        val t = str(in, 0)
+        val before = wh.currentManifest(t).files.size
+        val v = wh.compactFiles(t, in.getLong(1))
+        Seq(Row(v, before, wh.currentManifest(t).files.size))
+      }),
+
+    Proc("compact_deletes",
+      "materialize pending merge-on-read delete files into their data files",
+      Array(param("tbl", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("pending_deletes_before", IntegerType))),
+      (wh, in) => {
+        val t = str(in, 0)
+        val before = wh.currentManifest(t).deletes.size
+        Seq(Row(wh.compactDeletes(t), before))
+      }),
+
+    Proc("expire_snapshots",
+      "drop snapshots beyond keep_last (tags protected) and sweep " +
+        "unreferenced data files, segments and aged orphans",
+      Array(param("tbl", StringType), param("keep_last", IntegerType, "10")),
+      StructType(Seq(StructField("kept_snapshots", IntegerType))),
+      (wh, in) => {
+        val t = str(in, 0)
+        wh.expireSnapshots(t, in.getInt(1))
+        Seq(Row(wh.history(t).size))
+      }),
+
+    Proc("maintain",
+      "policy-driven maintenance off manifest-resident signals: compacts " +
+        "deletes/files and expires snapshots exactly when thresholds justify it",
+      Array(param("tbl", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("deletes_compacted", BooleanType),
+        StructField("files_compacted", BooleanType),
+        StructField("snapshots_expired", BooleanType))),
+      (wh, in) => {
+        val r = wh.maintain(str(in, 0))
+        Seq(Row(r.version, r.deletesCompacted, r.filesCompacted, r.snapshotsExpired))
+      }),
+
+    Proc("rewrite_manifests",
+      "coalesce the snapshot's manifest segments into one (metadata-only, " +
+        "zero data IO) — the explicit handle on the automatic segment budget",
+      Array(param("tbl", StringType)),
+      StructType(Seq(StructField("version", LongType))),
+      (wh, in) => Seq(Row(wh.rewriteManifests(str(in, 0))))),
+
+    Proc("restore",
+      "commit a NEW snapshot pointing at an older version's file list " +
+        "(rollback without erasing history)",
+      Array(param("tbl", StringType), param("version", LongType)),
+      StructType(Seq(StructField("version", LongType))),
+      (wh, in) => Seq(Row(wh.restore(str(in, 0), in.getLong(1))))),
+
+    Proc("create_tag",
+      "pin a snapshot under a named tag (protected from expiry); " +
+        "version -1 = current",
+      Array(param("tbl", StringType), param("tag", StringType),
+        param("version", LongType, "-1")),
+      StructType(Seq(StructField("tagged_version", LongType))),
+      (wh, in) => Seq(Row(wh.tagSnapshot(str(in, 0), str(in, 1), in.getLong(2))))),
+
+    Proc("drop_tag",
+      "release a tag (its snapshot becomes expirable)",
+      Array(param("tbl", StringType), param("tag", StringType)),
+      StructType(Seq(StructField("dropped", BooleanType))),
+      (wh, in) => Seq(Row(wh.dropTag(str(in, 0), str(in, 1)))))
+  )
+
+  private val byName: Map[String, Proc] = procs.map(p => p.name -> p).toMap
+
+  val Namespace: Array[String] = Array("system")
+
+  def list(): Array[Identifier] =
+    procs.map(p => Identifier.of(Namespace, p.name)).toArray
+
+  def load(name: String, root: String): Option[UnboundProcedure] =
+    byName.get(name).map { p =>
+      new UnboundProcedure {
+        override def name(): String = p.name
+        override def description(): String = p.description
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = p.name
+          override def description(): String = p.description
+          override def parameters(): Array[ProcedureParameter] = p.params
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            val wh = new Warehouse(SparkSession.active, root)
+            val rows = p.run(wh, input)
+            val conv = CatalystTypeConverters.createToCatalystConverter(p.resultSchema)
+            val data = rows.map(r => conv(r).asInstanceOf[InternalRow]).toArray
+            val scan: Scan = new LocalScan {
+              override def rows(): Array[InternalRow] = data
+              override def readSchema(): StructType = p.resultSchema
+            }
+            util.Collections.singletonList(scan).iterator()
+          }
+        }
+      }
+    }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sink.{Manifest, Warehouse}
+
+/** SQL stored procedures (`CALL graft.system.*` — Spark 4 ProcedureCatalog
+  * face, [[graft.catalog.GraftProcedures]]): each maintenance operation is
+  * SQL-addressable with named/positional/default arguments, returns a
+  * one-row outcome, and lands through the same commit protocol as the
+  * programmatic face.
+  */
+class ProcedureSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def freshCatalog(tag: String): (Warehouse, String, String) = {
+    val root = tmpDir(s"proc-$tag")
+    val cat = s"proc$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (new Warehouse(spark, root), cat, root)
+  }
+
+  private val schema = StructType(Seq(StructField("k", LongType)))
+  private def df(n: Long, from: Long = 0L) = TestSpark.spark.createDataFrame(
+    (from until from + n).map(Row(_)).asJava, schema)
+
+  test("compact: named args, defaults, one-row outcome; rows intact") {
+    val (wh, cat, root) = freshCatalog("compact")
+    wh.create("t", schema)
+    (0 until 6).foreach(i => wh.append("t", df(10, i * 10), statsCols = Seq("k")))
+    val before = wh.currentManifest("t").files.size
+    val out = spark.sql(s"CALL $cat.system.compact(tbl => 't', target_mb => 64)").head()
+    assert(out.getAs[Int]("files_before") == before)
+    assert(out.getAs[Int]("files_after") < before)
+    assert(wh.load("t").count() == 60)
+  }
+
+  test("expire_snapshots + restore: history trimmed, rollback committed as a new version") {
+    val (wh, cat, root) = freshCatalog("expire")
+    wh.create("t", schema)
+    (0 until 5).foreach(i => wh.append("t", df(2, i * 10)))
+    val rv = spark.sql(s"CALL $cat.system.restore(tbl => 't', version => 2)")
+      .head().getLong(0)
+    assert(rv == 6L && wh.load("t").count() == 4)
+    val kept = spark.sql(s"CALL $cat.system.expire_snapshots(tbl => 't', keep_last => 2)")
+      .head().getInt(0)
+    assert(kept == 2 && wh.history("t").size == 2)
+    assert(wh.load("t").count() == 4)
+  }
+
+  test("rewrite_manifests: coalesces segments metadata-only; content identical") {
+    val (wh, cat, root) = freshCatalog("rwm")
+    wh.create("t", schema)
+    (0 until 10).foreach(i => wh.append("t", df(3, i * 10), statsCols = Seq("k")))
+    val td = Paths.get(root, "t")
+    val before = wh.currentManifest("t")
+    val segsBefore = Manifest.segmentRefs(
+      td.resolve(s"m${wh.currentVersion("t")}.manifest"))
+    assert(segsBefore.size > 1)
+    val v = spark.sql(s"CALL $cat.system.rewrite_manifests(tbl => 't')").head().getLong(0)
+    val segsAfter = Manifest.segmentRefs(td.resolve(s"m$v.manifest"))
+    assert(segsAfter.size == 1, s"expected one segment, got ${segsAfter.size}")
+    val after = wh.currentManifest("t")
+    assert(after.files.toSet == before.files.toSet && after.deletes == before.deletes)
+    assert(wh.load("t").count() == 30)
+  }
+
+  test("compact_deletes + maintain: MOR deletes materialize; healthy table is a no-op") {
+    val (wh, cat, root) = freshCatalog("cdel")
+    wh.create("t", schema)
+    wh.append("t", df(20), statsCols = Seq("k"))
+    wh.equalityDelete("t", df(5))
+    val out = spark.sql(s"CALL $cat.system.compact_deletes(tbl => 't')").head()
+    assert(out.getAs[Int]("pending_deletes_before") == 1)
+    assert(wh.currentManifest("t").deletes.isEmpty)
+    assert(wh.load("t").count() == 15)
+    val m = spark.sql(s"CALL $cat.system.maintain(tbl => 't')").head()
+    assert(!m.getAs[Boolean]("deletes_compacted") && !m.getAs[Boolean]("files_compacted"))
+  }
+
+  test("create_tag / drop_tag: positional args, default version, tag-travel works") {
+    val (wh, cat, root) = freshCatalog("tag")
+    wh.create("t", schema)
+    wh.append("t", df(3))
+    spark.sql(s"CALL $cat.system.create_tag('t', 'audited')")
+    wh.append("t", df(3, 100))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'audited'")
+      .head().getLong(0) == 3)
+    assert(spark.sql(s"CALL $cat.system.drop_tag('t', 'audited')").head().getBoolean(0))
+    assert(wh.tags("t").isEmpty)
+  }
+
+  test("unknown procedure and wrong namespace fail loudly with the known list") {
+    val (wh, cat, root) = freshCatalog("unknown")
+    wh.create("t", schema)
+    val e = intercept[Exception](spark.sql(s"CALL $cat.system.vacuum(tbl => 't')"))
+    assert(e.getMessage.contains("no such procedure") ||
+      e.getMessage.contains("vacuum"))
+  }
+}
