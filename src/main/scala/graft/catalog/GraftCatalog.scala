@@ -539,6 +539,16 @@ private[catalog] object MetaTables {
     StructField("total_rows", LongType, nullable = false),
     StructField("tags", ArrayType(StringType, containsNull = false), nullable = false)))
 
+  val ManifestsSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("root_bytes", LongType, nullable = false),
+    StructField("n_segments", LongType, nullable = false),
+    StructField("n_tombstones", LongType, nullable = false),
+    StructField("segments", ArrayType(StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("bytes", LongType, nullable = false))), containsNull = false),
+      nullable = false)))
+
   val PartitionsSchema: StructType = StructType(Seq(
     // transform -> value in the stat comparison domain; a transform's value
     // is NULL for files whose bounds span several values (pre-spec files,
@@ -580,6 +590,18 @@ private[catalog] object MetaTables {
           .map { case (part, files) =>
             Row(part, files.size.toLong, files.map(_.rows).sum)
           }.toArray
+      }))
+    // manifest-STORAGE inspection (segmented store, Iceberg $manifests
+    // analog): per snapshot, the root's byte size, its referenced segments
+    // with sizes (shared by reference across versions), and tombstone
+    // count — the operator's view of when rewrite_manifests is worth it
+    case "manifests" if version.isEmpty =>
+      Some(new MetaTable(displayName, ManifestsSchema, () => {
+        wh.history(base).sorted.map { v =>
+          val (rootBytes, segs, tombs) = wh.manifestStorage(base, v)
+          Row(v, rootBytes, segs.size.toLong, tombs.toLong,
+            segs.map { case (p, b) => Row(p, b) })
+        }.toArray
       }))
     // the snapshots table IS the version axis — time travel on it is a
     // category error, surfaced as table-not-found

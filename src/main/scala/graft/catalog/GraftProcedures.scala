@@ -95,13 +95,16 @@ private[catalog] object GraftProcedures {
       }),
 
     Proc("expire_snapshots",
-      "drop snapshots beyond keep_last (tags protected) and sweep " +
-        "unreferenced data files, segments and aged orphans",
-      Array(param("tbl", StringType), param("keep_last", IntegerType, "10")),
+      "drop snapshots beyond keep_last (tags protected; older_than_ms > 0 " +
+        "additionally restricts to commits before that epoch instant) and " +
+        "sweep unreferenced data files, segments and aged orphans",
+      Array(param("tbl", StringType), param("keep_last", IntegerType, "10"),
+        param("older_than_ms", LongType, "-1")),
       StructType(Seq(StructField("kept_snapshots", IntegerType))),
       (wh, in) => {
         val t = str(in, 0)
-        wh.expireSnapshots(t, in.getInt(1))
+        wh.expireSnapshots(t, in.getInt(1),
+          olderThanMillis = Some(in.getLong(2)).filter(_ > 0))
         Seq(Row(wh.history(t).size))
       }),
 

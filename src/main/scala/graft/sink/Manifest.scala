@@ -237,6 +237,16 @@ object Manifest {
       .filter(_.startsWith("S\t")).map(_.substring(2)).toSeq
   }
 
+  /** Path-tombstone (`X` line) count of a v2 root; 0 for flat v1 — the
+    * `$manifests` inspection signal for "how much dead weight is this root
+    * carrying" (alongside segment count, which drives auto-coalescing).
+    */
+  def tombstoneCount(root: Path): Int = {
+    val lines = Files.readAllLines(root)
+    if (lines.isEmpty || lines.get(0) != HeaderV2) 0
+    else (2 until lines.size()).count(i => lines.get(i).startsWith("X\t"))
+  }
+
   /** Root line budget before a commit coalesces everything into one fresh
     * segment: more than [[MaxSegments]] referenced segments, or more
     * tombstones than live entries. Coalescing is the amortized-O(1)

@@ -104,6 +104,63 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
     } finally toks.unpersist()
   }
 
+  /** [[ingest]] with the three membership-bearing commits — postings,
+    * doclens, corpus — fused into ONE [[Warehouse.transact]] unit. The
+    * crash-orphan window `ingest` documents (index rows whose corpus row
+    * never landed, shielded by `confirmed = true`) does not exist here: no
+    * reader can observe a posting without its corpus row, so searches never
+    * need the reconciliation semi-join. The cstats rollup stays FEED-driven
+    * (maintained after the transaction, ledger-idempotent) — it is a
+    * derived normalizer whose one-poll lag is benign, and feed discipline
+    * keeps `ingest`/`ingestAtomic` freely mixable on one index: the ledger
+    * folds each doclens commit exactly once regardless of which path made
+    * it. Replay-safe the same way: a crashed transaction commits NOTHING,
+    * and a full re-run anti-joins to empty everywhere.
+    */
+  def ingestAtomic(name: String, df: DataFrame): Report = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(pkCol), TextFns.tokens(col(textCol)).as("tk"))
+      .select(col(pkCol), col("tk"), size(col("tk")).cast("long").as("dl"))
+      .persist()
+    try {
+      val posts = toks
+        .select(col(pkCol), col("dl"), explode(col("tk")).as("term"))
+        .groupBy(col("term"), col(pkCol), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col("term"), col(pkCol), col("tf"), col("dl"))
+      val newPosts = (
+        if (!wh.exists(postingsTable(name))) posts
+        else posts.join(wh.load(postingsTable(name)).select(col(pkCol)).distinct(),
+          Seq(pkCol), "left_anti")
+        ).localCheckpoint()
+      val lens = toks.select(col(pkCol), col("dl"))
+      val newLens = (
+        if (!wh.exists(doclensTable(name))) lens
+        else lens.join(wh.load(doclensTable(name)).select(col(pkCol)),
+          Seq(pkCol), "left_anti")
+        ).localCheckpoint()
+      // appendDeduped's algebra at STAGING time (same json-minimal keeper,
+      // same fp anti-join), so the corpus append can ride the transaction
+      val w = Window.partitionBy(pkCol)
+        .orderBy(col(pkCol).asc, to_json(struct(df.columns.map(col): _*)).asc)
+      val inBatch = df.withColumn("__keeper", row_number().over(w))
+        .filter(col("__keeper") === 1).drop("__keeper")
+      val fresh = (
+        if (!wh.exists(name)) inBatch
+        else inBatch.join(wh.load(name).select(pkCol).distinct(), Seq(pkCol), "left_anti")
+        ).localCheckpoint()
+      wh.transact { tx =>
+        tx.append(postingsTable(name), newPosts,
+          statsCols = Seq("term", pkCol), clusterBy = Seq("term"))
+        tx.append(doclensTable(name), newLens, statsCols = Seq(pkCol))
+        tx.append(name, fresh, statsCols = Seq(pkCol))
+      }
+      IncrementalRollup.maintainFromFeed(wh, doclensTable(name),
+        cstatsTable(name), statsSpec)
+      Report(wh.currentVersion(name), fresh.count(), newPosts.count())
+    } finally toks.unpersist()
+  }
+
   /** Compact the postings table's ingest-granularity files
     * ([[Warehouse.compactFiles]] with `clusterBy = term`): every per-batch
     * append lands one term-range file, and after many small batches their

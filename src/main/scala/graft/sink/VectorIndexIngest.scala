@@ -138,6 +138,41 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     Report(rep.version, rep.appended, newCodes.count())
   }
 
+  /** [[ingest]] with the codes and corpus commits fused into ONE
+    * [[Warehouse.transact]] unit: no reader can observe an indexed code
+    * without its corpus row or vice versa, so the crash-orphan
+    * reconciliation `search(confirmed = true)` exists for is structurally
+    * unnecessary on this path. Same model freeze, same duplicate-pk keeper,
+    * same idempotent anti-joins — a crashed transaction commits nothing and
+    * a full replay converges.
+    */
+  def ingestAtomic(name: String, df: DataFrame): Report = {
+    val (cents, model) = frozen(name)
+    val wd = Window.partitionBy(pkCol)
+      .orderBy(to_json(struct(df.columns.map(col): _*)).asc)
+    val batch = df.withColumn("__rn", row_number().over(wd))
+      .filter(col("__rn") === 1).drop("__rn")
+    val emb = batch.select(col(pkCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val codes = ProductQuantization.encode(emb, model)
+      .join(assignCells(emb, cents), "vec_id")
+      .select(col("vec_id").as(pkCol), col("cell"), col("codes"))
+    val newCodes = (
+      if (!wh.exists(codesTable(name))) codes
+      else codes.join(wh.load(codesTable(name)).select(col(pkCol)),
+        Seq(pkCol), "left_anti")
+      ).localCheckpoint()
+    val fresh = (
+      if (!wh.exists(name)) batch
+      else batch.join(wh.load(name).select(pkCol).distinct(), Seq(pkCol), "left_anti")
+      ).localCheckpoint()
+    wh.transact { tx =>
+      tx.append(codesTable(name), newCodes,
+        statsCols = Seq("cell", pkCol), clusterBy = Seq("cell"))
+      tx.append(name, fresh, statsCols = Seq(pkCol))
+    }
+    Report(wh.currentVersion(name), fresh.count(), newCodes.count())
+  }
+
   /** Compact the codes table's ingest-granularity files
     * ([[Warehouse.compactFiles]] with `clusterBy = cell`): per-batch
     * appends each span the batch's cells, and after many small batches a

@@ -572,6 +572,21 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     -1L // unreachable
   }
 
+  /** Storage facts of one snapshot's manifest ROOT for `$manifests`
+    * inspection: (root bytes, referenced segments with their byte sizes,
+    * tombstone count). Zero data IO — root + a stat per segment.
+    */
+  def manifestStorage(name: String, version: Long):
+      (Long, Seq[(String, Long)], Int) = {
+    val p = manifestPath(name, version)
+    require(Files.exists(p), s"no such snapshot: $name v=$version")
+    val segs = Manifest.segmentRefs(p).map { s =>
+      val sp = tableDir(name).resolve(s)
+      s -> (if (Files.exists(sp)) Files.size(sp) else -1L)
+    }
+    (Files.size(p), segs, Manifest.tombstoneCount(p))
+  }
+
   /** Data files of the current snapshot — stats included (for catalog
     * introspection and tests).
     */
@@ -2669,14 +2684,18 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * and the grace keeps the sweep from destroying them mid-write.
     */
   def expireSnapshots(name: String, keepLast: Int,
-                      orphanGraceMs: Long = 3600000L): Unit = {
+                      orphanGraceMs: Long = 3600000L,
+                      olderThanMillis: Option[Long] = None): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val versions = history(name)
     // Tagged snapshots are PROTECTED refs (Iceberg retention semantics):
     // expiry never drops a tagged manifest or the files it references, no
-    // matter how old — dropTag first to release it.
+    // matter how old — dropTag first to release it. With `olderThanMillis`
+    // (Iceberg expire_snapshots older_than): only droppable snapshots
+    // COMMITTED BEFORE the instant go — keepLast still floors retention.
     val tagged = tags(name).values.toSet
     val drop = versions.dropRight(keepLast).filterNot(tagged)
+      .filter(v => olderThanMillis.forall(commitTimeMillis(name, v) < _))
     val keep = versions.filterNot(drop.toSet)
     def refsOf(m: Manifest): Seq[String] = m.files.map(_.path) ++ m.deletes.map(_.path)
     // Finalize published-but-unfinalized stage markers BEFORE destroying the

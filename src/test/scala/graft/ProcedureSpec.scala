@@ -94,6 +94,38 @@ class ProcedureSpec extends SparkSpec {
     assert(wh.tags("t").isEmpty)
   }
 
+  test("expire_snapshots older_than_ms: a past instant drops nothing, a future instant trims to keep_last") {
+    val (wh, cat, root) = freshCatalog("older")
+    wh.create("t", schema)
+    (0 until 4).foreach(i => wh.append("t", df(2, i * 10)))
+    assert(wh.history("t").size == 5)
+    // every commit is newer than epoch-ms 1000 => nothing droppable
+    spark.sql(s"CALL $cat.system.expire_snapshots(tbl => 't', keep_last => 1, older_than_ms => 1000)")
+    assert(wh.history("t").size == 5)
+    val future = System.currentTimeMillis() + 3600000L
+    spark.sql(s"CALL $cat.system.expire_snapshots(tbl => 't', keep_last => 2, older_than_ms => $future)")
+    assert(wh.history("t").size == 2)
+    assert(wh.load("t").count() == 8)
+  }
+
+  test("$manifests metadata table: root/segment storage facts per snapshot") {
+    val (wh, cat, root) = freshCatalog("mmeta")
+    wh.create("t", schema)
+    (0 until 4).foreach(i => wh.append("t", df(2, i * 10), statsCols = Seq("k")))
+    val rows = spark.sql(s"SELECT * FROM $cat.`t$$manifests` ORDER BY version").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val head = rows.last
+    assert(head.getAs[Long]("n_segments") == 4L) // one fresh segment per append
+    assert(head.getAs[Long]("n_tombstones") == 0L)
+    val segs = head.getAs[scala.collection.Seq[Row]]("segments")
+    assert(segs.size == 4 && segs.forall(_.getAs[Long]("bytes") > 0))
+    // rewrite_manifests collapses the head root to one segment, visible here
+    spark.sql(s"CALL $cat.system.rewrite_manifests(tbl => 't')")
+    val after = spark.sql(
+      s"SELECT n_segments FROM $cat.`t$$manifests` ORDER BY version DESC LIMIT 1").head()
+    assert(after.getLong(0) == 1L)
+  }
+
   test("unknown procedure and wrong namespace fail loudly with the known list") {
     val (wh, cat, root) = freshCatalog("unknown")
     wh.create("t", schema)

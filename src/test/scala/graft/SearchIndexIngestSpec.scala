@@ -81,6 +81,29 @@ class SearchIndexIngestSpec extends SparkSpec {
     assert(ing1.search("c", QUERY, k = 10).collect().toSeq == want)
   }
 
+  test("ingestAtomic: one-transaction ingest serves identically and mixes with ingest()") {
+    val wh = new Warehouse(spark, tmpDir("sii-atomic"))
+    val ing = ingester(wh)
+    val rA = ing.ingestAtomic("c", batchA)
+    assert(rA.docs == 3 && rA.postings > 0)
+    ing.ingest("c", batchB) // mixed disciplines on ONE index
+    val want = scanBm25(batchA.unionByName(batchB), QUERY, 10)
+    assert(ing.search("c", QUERY, k = 10).collect().toSeq == want)
+    // the feed ledger folded each doclens commit exactly once across both
+    // paths: the one-row rollup matches a direct recount
+    val stats = graft.sink.IncrementalRollup.read(wh, "c__cstats",
+      graft.sink.IncrementalRollup.Spec(Nil, Seq(
+        graft.sink.IncrementalRollup.CountStar("n_docs"),
+        graft.sink.IncrementalRollup.SumOf(col("dl").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(28, 0)), "total_dl")))).head()
+    assert(stats.getAs[Long]("n_docs") == 5L)
+    // replaying the atomic batch appends nothing anywhere
+    val counts = Seq("c", "c__postings", "c__doclens").map(t => wh.load(t).count())
+    val rep = ing.ingestAtomic("c", batchA)
+    assert(rep.docs == 0 && rep.postings == 0)
+    assert(Seq("c", "c__postings", "c__doclens").map(t => wh.load(t).count()) == counts)
+  }
+
   test("replaying a completed batch appends nothing anywhere") {
     val wh = new Warehouse(spark, tmpDir("sii-replay"))
     val ing = ingester(wh)

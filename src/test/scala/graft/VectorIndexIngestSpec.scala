@@ -107,6 +107,26 @@ class VectorIndexIngestSpec extends SparkSpec {
       .select("probe_id", "rank", "vec_id", "adc_d2")) == adc)
   }
 
+  test("ingestAtomic: one-transaction ingest serves identically, mixes with ingest(), replay-inert") {
+    val all = vecs(0 until 24)
+    val model = ProductQuantization.initCodebook(emb(all), DIM, M, K)
+    val want = sorted(IvfPq.search(probesOf(all, 2), directIndex(all, model),
+      nprobe = 2, topK = 5))
+    val wh = new Warehouse(spark, tmpDir("vii-atomic"))
+    val ing = ingester(wh)
+    ing.freeze("v", cellCents, model)
+    val rep = ing.ingestAtomic("v", vecs(0 until 12))
+    assert(rep.appended == 12 && rep.codes == 12, rep.toString)
+    ing.ingest("v", vecs(12 until 24)) // mixed disciplines on ONE index
+    assert(wh.load("v__codes").count() == 24 && wh.load("v").count() == 24)
+    assert(sorted(ing.search("v", probesOf(all, 2), nprobe = 2, topK = 5)
+      .withColumnRenamed("id", "vec_id")) == want)
+    // replaying the atomic batch appends nothing anywhere
+    val rep2 = ing.ingestAtomic("v", vecs(0 until 12))
+    assert(rep2.appended == 0 && rep2.codes == 0, rep2.toString)
+    assert(wh.load("v__codes").count() == 24 && wh.load("v").count() == 24)
+  }
+
   test("duplicate-pk batch: one survivor per pk, codes stay well-formed") {
     // un-deduped, a duplicate pk flows through encode's collect_list as a
     // 2M-length codes array that misaligns ADC sub_ids AND permanently
