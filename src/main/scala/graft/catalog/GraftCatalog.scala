@@ -185,6 +185,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       fieldNames(0)
     }
     val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    val addDefaults = Map.newBuilder[String, String]
     changes.foreach {
       case a: TableChange.AddColumn =>
         val n = topLevel(a.fieldNames(), "ADD COLUMN")
@@ -194,6 +195,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         if (!a.isNullable)
           throw new UnsupportedOperationException(
             "ADD COLUMN ... NOT NULL is not supported: existing rows have no value")
+        // `ADD COLUMN c T DEFAULT <const>` = Iceberg initial-default:
+        // pre-addition files serve the frozen constant, metadata-only
+        if (a.defaultValue() != null) {
+          val sql = a.defaultValue().getSql
+          if (sql == null) throw new UnsupportedOperationException(
+            "ADD COLUMN DEFAULT needs a SQL-expressible constant")
+          addDefaults += (n -> sql)
+        }
         adds += org.apache.spark.sql.types.StructField(n, a.dataType, nullable = true)
       case r: TableChange.RenameColumn =>
         warehouse.renameColumn(ident.name(), topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
@@ -225,7 +234,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
           "supported: ADD COLUMN (nullable, trailing), RENAME COLUMN, DROP COLUMN")
     }
     val addFields = adds.result()
-    if (addFields.nonEmpty) warehouse.addColumns(ident.name(), addFields)
+    if (addFields.nonEmpty)
+      warehouse.addColumns(ident.name(), addFields, addDefaults.result())
     loadTable(ident)
   }
 

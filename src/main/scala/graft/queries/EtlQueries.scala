@@ -305,6 +305,43 @@ object EtlQueries {
       }
     },
 
+    // ADD COLUMN with INITIAL DEFAULT (Iceberg v3 semantics, Spark
+    // EXISTS_DEFAULT metadata): a metadata-only commit after which
+    // pre-addition FILES serve the frozen constant while post-addition
+    // writes serve stored values — including genuine nulls. The served
+    // aggregate groups by the evolved column across both file generations;
+    // DuckDB recomputes the same final state with a CASE over the batch
+    // boundary (InitialDefaultSpec pins rewrite materialization, rename
+    // carry-through, MOR interplay, the DDL face, and validation).
+    "q145_initial_default" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      import org.apache.spark.sql.types.{StringType, StructField}
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").as("bal"))
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q145")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        val b1 = cust.filter(col("c_custkey") % 2 === 0)
+        val b2 = cust.filter(col("c_custkey") % 2 === 1)
+          .withColumn("tier", when(col("bal") > 5000, lit("gold")))
+        wh.create("cust", org.apache.spark.sql.types.StructType(
+          SchemaOps.widenSchema(b1.schema).fields.map(_.copy(nullable = true))))
+        wh.append("cust", b1, statsCols = Seq("c_custkey"))
+        wh.addColumns("cust", Seq(StructField("tier", StringType)),
+          Map("tier" -> "'basic'"))
+        wh.append("cust", b2, statsCols = Seq("c_custkey"))
+        wh.load("cust")
+          .groupBy("tier")
+          .agg(count(lit(1)).as("cnt"), dsum(col("bal")).as("bal_sum"))
+          .orderBy(col("tier").asc) // Spark asc = NULLS FIRST; oracle matches
+          .localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    },
+
     // F1/F2: timestamp canonicalization — epoch-millis <-> native timestamp
     // round-trip and ISO-8601 render (records.py:32-45 without the string
     // storage trap).
@@ -401,6 +438,17 @@ object EtlQueries {
         |SELECT o_custkey % 16 AS bucket, count(*) AS cnt,
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q145_initial_default" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal AS bal FROM customer),
+        |f AS (
+        |  SELECT bal, 'basic' AS tier FROM c WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT bal, CASE WHEN bal > 5000 THEN 'gold' END AS tier
+        |  FROM c WHERE c_custkey % 2 = 1)
+        |SELECT tier, count(*) AS cnt,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM f GROUP BY tier ORDER BY tier NULLS FIRST""".stripMargin,
 
     "q135_change_feed_rollup" ->
       """WITH cust AS (

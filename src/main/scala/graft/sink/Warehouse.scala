@@ -482,17 +482,34 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * dropped columns (unmapped stats are only ever pruning hints — losing
     * one is conservative); a staged delete KEYED on a dropped column cannot
     * converge and fails loudly.
+    *
+    * Own retry loop rather than [[commitOrRebase]] because the landed-check
+    * must re-run against EVERY new base: an intent can be executed by a
+    * racing recoverer (another thread/process whose `exists` probe saw the
+    * marker before this one finished), and the loser of that race must
+    * recognize the delta already present — delta paths are txn-unique, so
+    * presence in the base IS proof of landing — instead of re-appending it.
     */
   private def commitTxnDelta(name: String, staged: StructType,
       fs: Seq[DataFile], ds: Seq[DeleteFile]): Long = {
-    def applied(base: Manifest, n2: Long): Option[Manifest] = {
+    preCommitHook(name, currentVersion(name) + 1)
+    var tries = 0
+    while (tries < 50) {
+      tries += 1
+      val curV = currentVersion(name)
+      val base = manifestAt(name, curV)
+      val landed = fs.forall(f => base.files.exists(_.path == f.path)) &&
+        ds.forall(d => base.deletes.exists(_.path == d.path))
+      if (landed) return curV
       val (rfs, rds) = remapTxnDelta(staged, base.schema, fs, ds)
-      Some(Manifest(base.schema,
-        base.files ++ rfs.map(_.copy(seq = n2)),
-        base.deletes ++ rds.map(_.copy(seq = n2))))
+      val next = curV + 1
+      try return commitManifest(name, next, Manifest(base.schema,
+        base.files ++ rfs.map(_.copy(seq = next)),
+        base.deletes ++ rds.map(_.copy(seq = next))))
+      catch { case _: java.util.ConcurrentModificationException => }
     }
-    val next = currentVersion(name) + 1
-    commitOrRebase(name, next, applied(manifestAt(name, next - 1), next).get, applied)
+    throw new java.util.ConcurrentModificationException(
+      s"$name: transaction delta still racing after 50 attempts; redo the transaction")
   }
 
   /** Remap a staged delta from its staging-time schema to the commit-time
@@ -1913,7 +1930,27 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * This is the DDL spelling; implicit widening on write (the reference's
     * dlt behavior) stays [[SchemaOps.conform]]/first-write widening.
     */
-  def addColumns(name: String, fields: Seq[StructField]): Long = {
+  def addColumns(name: String, fields: Seq[StructField]): Long =
+    addColumns(name, fields, Map.empty[String, String])
+
+  /** [[addColumns]] with INITIAL DEFAULTS (Iceberg v3 initial-default
+    * semantics): `defaults` maps new-column names to constant SQL
+    * expressions; rows in files written BEFORE the addition read the
+    * default, rows written after read what was stored — including genuine
+    * nulls. Still a METADATA-ONLY commit at any table size: the default
+    * rides the schema field as Spark's `EXISTS_DEFAULT` metadata, which the
+    * parquet readers apply exactly when a FILE lacks the column — no
+    * seq-based file splitting, no read-path branching, and every rewrite
+    * op (compact/merge/deleteWhere/...) materializes the value physically
+    * because its victim scan already serves it. The expression must be a
+    * deterministic constant — it is evaluated ONCE here and stored as the
+    * canonical literal, so every future scan sees the same frozen value
+    * (write-side CURRENT DEFAULT is deliberately not implemented: writes
+    * conform with explicit nulls, the documented target-schema-wins
+    * contract).
+    */
+  def addColumns(name: String, fields: Seq[StructField],
+                 defaults: Map[String, String]): Long = {
     require(exists(name), s"no such table: $name")
     require(fields.nonEmpty, "ADD COLUMN needs at least one column")
     val bad = fields.filterNot(_.nullable)
@@ -1923,14 +1960,39 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val clash = fields.map(_.name)
       .filter(n => man.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(clash.isEmpty, s"column(s) already exist: ${clash.mkString(", ")}")
+    val unknown = defaults.keySet -- fields.map(_.name).toSet
+    require(unknown.isEmpty, s"defaults for columns not being added: ${unknown.mkString(", ")}")
+    val withDefaults = fields.map { f =>
+      defaults.get(f.name) match {
+        case None => f
+        case Some(sqlExpr) =>
+          // evaluate ONCE, freeze as a canonical literal (a later scan must
+          // never re-evaluate arbitrary SQL from table metadata)
+          val q = spark.sql(s"SELECT CAST(($sqlExpr) AS ${f.dataType.sql})")
+          // strip the projection Alias (whose foldable is defined false)
+          val e = q.queryExecution.analyzed.expressions.head match {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+            case other => other
+          }
+          require(e.deterministic && e.foldable,
+            s"initial default for ${f.name} must be a deterministic constant: $sqlExpr")
+          val v = q.head().get(0)
+          require(v != null,
+            s"initial default for ${f.name} does not cast to ${f.dataType.sql}: $sqlExpr")
+          val frozen = org.apache.spark.sql.catalyst.expressions.Literal
+            .create(v, f.dataType).sql
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString("EXISTS_DEFAULT", frozen).build())
+      }
+    }
     // new fields get NEVER-REUSED ids (counter advanced before the commit);
     // id-less legacy tables stay id-less (name matching keeps working)
     val stamped =
-      if (!hasFieldIds(man.schema)) fields
+      if (!hasFieldIds(man.schema)) withDefaults
       else {
         val base = reserveFieldIds(name, fields.size,
           man.schema.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max))
-        fields.zipWithIndex.map { case (f, i) =>
+        withDefaults.zipWithIndex.map { case (f, i) =>
           f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
             .putLong("parquet.field.id", base + i + 1L).build())
         }

@@ -200,6 +200,43 @@ class TransactionSpec extends SparkSpec {
     assert(landed.files.map(_.seq).max == wh.currentVersion("fact"))
   }
 
+  test("stress: racing transactions over shared tables — every txn lands whole, nothing lost") {
+    // 3 threads x 2 transactions each, all writing BOTH tables with
+    // disjoint key ranges: the rebase loop must land every per-table commit
+    // and the fact/idx row sets must stay in lockstep (no torn txn).
+    val root = tmpDir("txn-stress")
+    val seed = new Warehouse(spark, root)
+    seed.create("fact", factSchema)
+    seed.create("idx", idxSchema)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(3)
+    val threads = (0 until 3).map { w =>
+      new Thread(() => {
+        try {
+          val wh = new Warehouse(spark, root)
+          barrier.await()
+          (0 until 2).foreach { b =>
+            val base = (w * 2 + b) * 100L
+            wh.transact { tx =>
+              tx.append("fact", fact((0 until 4).map(i => (base + i, base + i)): _*),
+                statsCols = Seq("k"))
+              tx.append("idx", idx((0 until 4).map(i => (base + i, i.toLong)): _*))
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    assert(errors.isEmpty, s"transactions are rebase-safe and must all land: ${errors.peek()}")
+    val factKeys = seed.load("fact").select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val idxKeys = seed.load("idx").select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (for (t <- 0 until 6; i <- 0 until 4) yield t * 100L + i).sorted
+    assert(factKeys == want, s"fact lost rows: ${factKeys.size} vs ${want.size}")
+    assert(idxKeys == want, "fact and idx diverged — a transaction tore")
+    // 6 txns x 2 tables => each table saw exactly 6 serial commits over v0
+    assert(seed.currentVersion("fact") == 6L && seed.currentVersion("idx") == 6L)
+  }
+
   test("rebase: concurrent RENAME between staging and commit remaps stats keys and delete cols by field id") {
     val root = tmpDir("txn-rename")
     val wh = new Warehouse(spark, root)
