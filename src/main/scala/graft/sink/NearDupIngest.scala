@@ -71,6 +71,45 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     size(filter(zip_with(a, b, (x, y) => x === y), m => m))
 
   def ingest(name: String, df: DataFrame): Report = {
+    val st = stage(name, df)
+    try {
+      wh.append(sigsTable(name), st.newSigs, statsCols = Seq(pkCol))
+      wh.append(bandsTable(name), st.newBands, statsCols = Seq("band_key"))
+      val version = wh.append(name, st.outRows, statsCols = Seq(pkCol))
+      Report(version, st.appended, st.total - st.kept, st.kept - st.appended)
+    } finally st.sigs.unpersist()
+  }
+
+  /** [[ingest]] with the three appends fused into ONE [[Warehouse.transact]]
+    * unit: sigs, bands and corpus land all-or-nothing, so the crash-orphan
+    * states the commit-order discipline below exists to heal (index rows
+    * whose doc never landed, reconciled on replay by the exact-hit
+    * corpus-membership check) cannot arise on this path. Same staging, same
+    * idempotent anti-joins — mixing ingest()/ingestAtomic() on one index
+    * stays safe, and a crashed transaction commits nothing.
+    */
+  def ingestAtomic(name: String, df: DataFrame): Report = {
+    val st = stage(name, df)
+    try {
+      wh.transact { tx =>
+        tx.append(sigsTable(name), st.newSigs, statsCols = Seq(pkCol))
+        tx.append(bandsTable(name), st.newBands, statsCols = Seq("band_key"))
+        tx.append(name, st.outRows, statsCols = Seq(pkCol))
+      }
+      Report(wh.currentVersion(name), st.appended, st.total - st.kept,
+        st.kept - st.appended)
+    } finally st.sigs.unpersist()
+  }
+
+  /** Everything up to (but excluding) the commits: in-batch near-dup
+    * collapse, corpus probe with orphan reconciliation, and the deduped
+    * index/corpus frames ready to land under either commit discipline.
+    * `sigs` stays persisted — the frames reference it; callers unpersist.
+    */
+  private final case class Staged(sigs: DataFrame, newSigs: DataFrame,
+    newBands: DataFrame, outRows: DataFrame, total: Long, kept: Long, appended: Long)
+
+  private def stage(name: String, df: DataFrame): Staged = {
     val total = df.count()
     val sigs = signed(df).persist() // consumers: in-batch pairs, corpus probe, survivor joins
     try {
@@ -139,35 +178,33 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
       val keptCount = kept.select(pkCol).count()
       val appended = survivors.count()
 
-      // ---- three O(batch) appends: INDEX TABLES FIRST (sigs, then bands),
-      // corpus last. Index-first means a crash before the corpus commit
-      // leaves orphan index rows, which the reconciliation above heals on
-      // replay; corpus-first would instead leave admitted docs INVISIBLE to
-      // the index — a silent recall hole where their future near-dups sail
-      // in. Sigs before bands keeps every band row verifiable (a sig row
+      // ---- three O(batch) appends (built here, committed by the caller):
+      // `ingest` lands them INDEX TABLES FIRST (sigs, then bands), corpus
+      // last. Index-first means a crash before the corpus commit leaves
+      // orphan index rows, which the reconciliation above heals on replay;
+      // corpus-first would instead leave admitted docs INVISIBLE to the
+      // index — a silent recall hole where their future near-dups sail in.
+      // Sigs before bands keeps every band row verifiable (a sig row
       // without bands is inert — probes key on bands). Both index appends
       // are IDEMPOTENT BY PK (anti-join against the stored pks, one pruned
       // one-column probe each): a reconciled replay re-admits docs whose
       // index rows partially or fully survived the crash, and the index
-      // must not accrete duplicates for them.
+      // must not accrete duplicates for them. (`ingestAtomic` makes the
+      // ordering moot — all three land in one transaction.)
       val survSigs = sigs.join(survivors, Seq(pkCol))
-      val newSigs = survSigs.select(col(pkCol), col("sig"))
-      wh.append(sigsTable(name),
-        if (!wh.exists(sigsTable(name))) newSigs
-        else newSigs.join(wh.load(sigsTable(name)).select(col(pkCol)),
-          Seq(pkCol), "left_anti"),
-        statsCols = Seq(pkCol))
-      val newBands = survSigs
+      val newSigs0 = survSigs.select(col(pkCol), col("sig"))
+      val newSigs =
+        if (!wh.exists(sigsTable(name))) newSigs0
+        else newSigs0.join(wh.load(sigsTable(name)).select(col(pkCol)),
+          Seq(pkCol), "left_anti")
+      val newBands0 = survSigs
         .select(col(pkCol), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-      wh.append(bandsTable(name),
-        if (!wh.exists(bandsTable(name))) newBands
-        else newBands.join(wh.load(bandsTable(name)).select(col(pkCol)).distinct(),
-          Seq(pkCol), "left_anti"),
-        statsCols = Seq("band_key"))
+      val newBands =
+        if (!wh.exists(bandsTable(name))) newBands0
+        else newBands0.join(wh.load(bandsTable(name)).select(col(pkCol)).distinct(),
+          Seq(pkCol), "left_anti")
       val outRows = df.join(survivors, Seq(pkCol))
-      val version = wh.append(name, outRows, statsCols = Seq(pkCol))
-
-      Report(version, appended, total - keptCount, keptCount - appended)
-    } finally sigs.unpersist()
+      Staged(sigs, newSigs, newBands, outRows, total, keptCount, appended)
+    } catch { case t: Throwable => sigs.unpersist(); throw t }
   }
 }

@@ -95,6 +95,24 @@ class NearDupIngestSpec extends SparkSpec {
     assert(wh.load("corpus").count() == 2)
   }
 
+  test("ingestAtomic: one-transaction ingest — same collapse/dedup, mixes with ingest(), replay-inert") {
+    val wh = new Warehouse(spark, tmpDir("ndi-atomic"))
+    val ing = ingester(wh)
+    val r = ing.ingestAtomic("corpus", docs(1L -> baseText, 2L -> nearText, 3L -> otherText))
+    assert(r.appended == 2 && r.dupInBatch == 1 && r.dupVsCorpus == 0, r.toString)
+    assert(wh.load("corpus").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // cross-discipline: a multi-commit ingest dedups against the atomic one
+    val r2 = ing.ingest("corpus", docs(4L -> nearText))
+    assert(r2.appended == 0 && r2.dupVsCorpus == 1, r2.toString)
+    // index and corpus in lockstep (no torn state to reconcile)
+    assert(wh.load("corpus__sigs").count() == 2 && wh.load("corpus").count() == 2)
+    // replaying the atomic batch appends nothing anywhere
+    val r3 = ing.ingestAtomic("corpus", docs(1L -> baseText, 3L -> otherText))
+    assert(r3.appended == 0, r3.toString)
+    assert(wh.load("corpus__sigs").count() == 2 &&
+      wh.load("corpus__bands").select("doc_id").distinct().count() == 2)
+  }
+
   test("crash ordering: index appends commit BEFORE the corpus append") {
     val root = tmpDir("ndi-order")
     val wh = new Warehouse(spark, root)
