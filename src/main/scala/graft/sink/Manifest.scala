@@ -285,16 +285,18 @@ object Manifest {
     if (base.isEmpty) { coalesce(); return }
     val baseLines = Files.readAllLines(base.get)
     if (baseLines.isEmpty) { coalesce(); return }
+    val bm = read(base.get)
+    // v1 flat base: lift its entries into a segment once, then delta — but
+    // only AFTER the budget check below decides against coalescing, so a
+    // replace/rename-shaped commit over a v1 base doesn't write a dead
+    // full-table segment
+    val isV1 = baseLines.get(0) == Header
     val carried: Seq[String] = baseLines.get(0) match {
       case HeaderV2 => (2 until baseLines.size()).iterator.map(baseLines.get)
         .filter(l => l.startsWith("S\t") || l.startsWith("X\t")).toSeq
-      case Header =>
-        // flat v1 base: lift its entries into a segment once, then delta
-        val bm = read(base.get)
-        Seq("S\t" + writeSegment(dir, bm.files, bm.deletes))
+      case Header => Nil // lifted lazily below
       case _ => { coalesce(); return }
     }
-    val bm = read(base.get)
     val baseFiles = bm.files.iterator.map(f => f.path -> f).toMap
     val baseDels = bm.deletes.iterator.map(d => d.path -> d).toMap
     val nextFiles = next.files.iterator.map(f => f.path -> f).toMap
@@ -304,15 +306,19 @@ object Manifest {
     val addedFiles = next.files.filterNot(f => baseFiles.get(f.path).contains(f))
     val addedDels = next.deletes.filterNot(d => baseDels.get(d.path).contains(d))
     val live = next.files.size + next.deletes.size
-    val segCount = carried.count(_.startsWith("S\t")) + (if (addedFiles.nonEmpty || addedDels.nonEmpty) 1 else 0)
+    val segCount = carried.count(_.startsWith("S\t")) + (if (isV1) 1 else 0) +
+      (if (addedFiles.nonEmpty || addedDels.nonEmpty) 1 else 0)
     val tombCount = carried.count(_.startsWith("X\t")) + removed.size
     if (segCount > MaxSegments || tombCount > math.max(64, live) ||
         removed.size + addedFiles.size + addedDels.size >= math.max(1, live)) {
       coalesce(); return
     }
+    val carriedFinal =
+      if (!isV1) carried
+      else Seq("S\t" + writeSegment(dir, bm.files, bm.deletes))
     val sb = new StringBuilder
     sb.append(HeaderV2).append('\n').append(next.schema.json).append('\n')
-    carried.foreach(l => sb.append(l).append('\n'))
+    carriedFinal.foreach(l => sb.append(l).append('\n'))
     removed.foreach(p => sb.append("X\t").append(p).append('\n'))
     if (addedFiles.nonEmpty || addedDels.nonEmpty)
       sb.append("S\t").append(writeSegment(dir, addedFiles, addedDels)).append('\n')

@@ -429,7 +429,13 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
     Files.writeString(tmp, sb.toString)
     Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
-    executeTxnIntent(marker)
+    // guard re-entry: the commit work inside goes through access paths
+    // whose `exists` probe would otherwise see OUR marker and execute the
+    // same intent a second time, nested
+    val wasIn = Warehouse.inTxnRecovery.get()
+    Warehouse.inTxnRecovery.set(true)
+    try executeTxnIntent(marker)
+    finally Warehouse.inTxnRecovery.set(wasIn)
     work.map { case (name, _) => name -> currentVersion(name) }.toMap
   }
 
@@ -1214,6 +1220,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val existing = if (exists(name)) Some(currentManifest(name)) else None
     Files.createDirectories(tableDir(name))
     val schema = targetSchema(existing, df)
+    // first-append auto-create must record the id high-water mark exactly
+    // like create() does: without it, dropColumn + addColumns on such a
+    // table could REUSE the dropped field's id and resurrect its bytes
+    if (existing.isEmpty && hasFieldIds(schema))
+      reserveFieldIds(name, 0, schema.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max))
     val spec = partitionSpec(name)
     val in = cluster(SchemaOps.conform(df, schema), clusterBy, spec)
     val next = currentVersion(name) + 1
@@ -2100,6 +2111,12 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       s"$colName keys pending equality deletes; compactDeletes first")
     def dropsKey(k: String): Boolean =
       k == colName || PartitionTransforms.parseKey(k).exists(_.src == colName)
+    // advance the id high-water mark over the DOOMED id before it leaves
+    // the schema: tables auto-created by a first append have no _maxfid
+    // file, and without this a later addColumns could hand the dropped id
+    // to a new column — which would then resolve against pre-drop files
+    // and resurrect the dropped column's bytes
+    reserveFieldIds(name, 0, man.schema.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max))
     val newSchema = StructType(man.schema.fields.filterNot(_.name == colName))
     val files = man.files.map(f => f.copy(stats = f.stats.filterNot { case (k, _) => dropsKey(k) }))
     val dels = man.deletes.map(d => d.copy(stats = d.stats.filterNot { case (k, _) => dropsKey(k) }))

@@ -97,8 +97,22 @@ object ChangeFeedStream {
 
   /** Replay the fact's from→to schema diff onto the copy, by name. Fields
     * pair across the window by the FACT's field ids (the copy's own ids
-    * are an independent space — only names/types must track). Renames go
-    * through a reserved temp name first so pairwise swaps can't collide.
+    * are an independent space — only names/types must track).
+    *
+    * CRASH-IDEMPOTENT by construction: each step is a durable commit, and
+    * a re-delivered window (crash anywhere inside) resumes exactly where
+    * it stopped —
+    *   - DROPS run FIRST, so a window combining `DROP b` with
+    *     `RENAME a TO b` (legal name reuse across two fact commits) never
+    *     collides on the occupied name;
+    *   - renames are two-phase through a TARGET-DERIVED temp name
+    *     (`__cfs_ren_<hex(target)>`), and each phase is state-probed: a
+    *     rename old→new applies old→temp only while `old` exists and
+    *     temp→new only while the temp exists, so a crash between the
+    *     phases resumes from the temp instead of stranding it (and a
+    *     completed rename is simply skipped). Pairwise swaps a↔b stay
+    *     collision-free because every old vacates into its own temp before
+    *     any temp lands on its target.
     */
   private def replayEvolution(wh: Warehouse, copy: String,
                               fromSchema: org.apache.spark.sql.types.StructType,
@@ -109,16 +123,8 @@ object ChangeFeedStream {
       if (f.metadata.contains(IdKey)) Some(f.metadata.getLong(IdKey)) else None
     val fromById = fromSchema.fields.flatMap(f => idOf(f).map(_ -> f)).toMap
     val toById = toSchema.fields.flatMap(f => idOf(f).map(_ -> f)).toMap
-    val copyCols = wh.currentManifest(copy).schema.fieldNames.toSet
-    val renames = toById.toSeq.flatMap { case (id, g) =>
-      fromById.get(id).filter(f => f.name != g.name && copyCols.contains(f.name))
-        .map(f => f.name -> g.name)
-    }
-    // two-phase: old -> temp, temp -> new (a↔b swaps stay collision-free)
-    renames.zipWithIndex.foreach { case ((old, _), i) =>
-      wh.renameColumn(copy, old, s"__cfs_ren_$i") }
-    renames.zipWithIndex.foreach { case ((_, nw), i) =>
-      wh.renameColumn(copy, s"__cfs_ren_$i", nw) }
+    def copyCols = wh.currentManifest(copy).schema.fieldNames.toSet
+    // drops first (see scaladoc): ids present in `from` but gone in `to`
     val dropped = fromById.collect { case (id, f)
       if !toById.contains(id) && copyCols.contains(f.name) => f.name }
     if (dropped.nonEmpty) {
@@ -127,6 +133,24 @@ object ChangeFeedStream {
       if (wh.currentManifest(copy).deletes.exists(_.cols.exists(dropped.toSet)))
         wh.compactDeletes(copy)
       dropped.foreach(wh.dropColumn(copy, _))
+    }
+    // renames: paired purely by fact ids (no liveness filter — resumption
+    // must see a rename whose `old` already vacated), temp derived from the
+    // TARGET so a resumed window recomputes the same temp
+    val renames = toById.toSeq.flatMap { case (id, g) =>
+      fromById.get(id).filter(_.name != g.name).map(f => f.name -> g.name)
+    }
+    def tempOf(target: String) =
+      "__cfs_ren_" + target.getBytes("UTF-8").map("%02x".format(_)).mkString
+    locally {
+      val cols = copyCols
+      renames.foreach { case (old, nw) =>
+        if (cols.contains(old)) wh.renameColumn(copy, old, tempOf(nw)) }
+    }
+    locally {
+      val cols = copyCols
+      renames.foreach { case (_, nw) =>
+        if (cols.contains(tempOf(nw))) wh.renameColumn(copy, tempOf(nw), nw) }
     }
     wh.addMissingColumns(copy, toSchema)
   }
@@ -154,17 +178,28 @@ object ChangeFeedStream {
     * signed partials, folded by [[IncrementalRollup.read]]'s merge
     * exactly as batch partials are.
     *
-    * Exactly-once: the rollup table's own ledger records the covered
-    * source version BEFORE the cursor advances — a re-delivered window
-    * (crash between the two records) is detected and skipped, so no delta
-    * is ever double-counted ([[RollupStream]]'s guard, keyed by source
-    * version instead of checkpoint batch id — content-derived, so it also
-    * survives a rebuilt caller).
+    * Exactly-once FOR REAL: the signed partials and the ledger row land as
+    * ONE [[Warehouse.transact]] unit — the partials append and the
+    * `<rollup>__ledger` upsert (consumer → covered source version) are
+    * atomic, so there is no crash point at which the delta committed but
+    * the ledger did not (the window the pre-transaction design had between
+    * its append and its ledger record). A re-delivered window reads the
+    * ledger TABLE, sees itself covered, and skips; the file-ledger is also
+    * consulted for tables maintained before the ledger table existed.
     */
   def maintainRollup(wh: Warehouse, fact: String, rollup: String,
                      spec: IncrementalRollup.Spec, consumerId: String): Long =
     poll(wh, fact, consumerId) { (changes, _, to) =>
-      if (to > wh.lastCommittedBatchId(rollup, sid(consumerId))) {
+      val ledger = s"${rollup}__ledger"
+      val recorded = math.max(
+        wh.lastCommittedBatchId(rollup, sid(consumerId)), // pre-ledger-table compat
+        if (!wh.exists(ledger)) -1L
+        else {
+          val r = wh.load(ledger).filter(col("consumer") === consumerId)
+            .agg(max(col("v"))).head()
+          if (r.isNullAt(0)) -1L else r.getLong(0)
+        })
+      if (to > recorded) {
         val sign = when(col("_change_type") === "+I", lit(1)).otherwise(lit(-1))
         val partials = changes.groupBy(spec.keys.map(col): _*)
           .agg(signedPartial(spec.measures.head, sign),
@@ -172,8 +207,19 @@ object ChangeFeedStream {
         if (!wh.exists(rollup))
           wh.create(rollup, org.apache.spark.sql.types.StructType(
             partials.schema.fields.map(_.copy(nullable = true))))
-        wh.append(rollup, partials, statsCols = spec.keys)
-        wh.recordBatchId(rollup, sid(consumerId), to)
+        val spark = partials.sparkSession
+        import scala.jdk.CollectionConverters._
+        val ledgerRow = spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(consumerId, to)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("consumer",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.LongType))))
+        wh.transact { tx =>
+          tx.append(rollup, partials, statsCols = spec.keys)
+          tx.morMerge(ledger, ledgerRow, Seq("consumer"))
+        }
       }
     }
 }

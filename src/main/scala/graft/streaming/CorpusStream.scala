@@ -91,13 +91,16 @@ object CorpusStream {
   def ingestIndexed(spark: SparkSession, watchDir: String,
       schema: StructType, ing: graft.sink.SearchIndexIngest, table: String,
       checkpointDir: Option[String] = None,
-      streamId: String = "searchindex"): DataStreamWriter[org.apache.spark.sql.Row] =
+      streamId: String = "searchindex",
+      atomic: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream.schema(schema).parquet(watchDir)
       .writeStream.outputMode("append")
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"${watchDir.stripSuffix("/")}/_checkpoint_$streamId"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ing.ingest(table, batch)
+        // atomic = each micro-batch's postings/doclens/corpus land as ONE
+        // transaction (no orphan-index crash states between commits)
+        if (atomic) ing.ingestAtomic(table, batch) else ing.ingest(table, batch)
         ()
       }
 
@@ -141,13 +144,14 @@ object CorpusStream {
   def ingestVectorIndexed(spark: SparkSession, watchDir: String,
       schema: StructType, ing: graft.sink.VectorIndexIngest, table: String,
       checkpointDir: Option[String] = None,
-      streamId: String = "vectorindex"): DataStreamWriter[org.apache.spark.sql.Row] =
+      streamId: String = "vectorindex",
+      atomic: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream.schema(schema).parquet(watchDir)
       .writeStream.outputMode("append")
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"${watchDir.stripSuffix("/")}/_checkpoint_$streamId"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ing.ingest(table, batch)
+        if (atomic) ing.ingestAtomic(table, batch) else ing.ingest(table, batch)
         ()
       }
 }

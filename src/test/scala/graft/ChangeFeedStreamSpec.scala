@@ -164,6 +164,53 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(bag(wh.load("copy")) == bag(wh.load("fact")))
   }
 
+  test("mirror evolution is crash-resumable: a stranded mid-rename temp completes on re-delivery") {
+    val root = tmpDir("cfs-evolve-crash")
+    val wh = new Warehouse(spark, root)
+    def sync(): Long = ChangeFeedStream.mirror(wh, "fact", "copy", Seq("k"), "crasher")
+    wh.create("fact", schema)
+    wh.append("fact", kv((1L, "a", "1.00"), (2L, "b", "2.00")), statsCols = Seq("k"))
+    sync()
+    wh.renameColumn("fact", "v", "amount")
+    wh.append("fact", spark.createDataFrame(Seq(
+      Row(3L, "c", new java.math.BigDecimal("3.00"))).asJava,
+      StructType(Seq(StructField("k", LongType), StructField("g", StringType),
+        StructField("amount", DecimalType(10, 2))))), statsCols = Seq("k"))
+    // simulate a crash BETWEEN the two rename phases of the window's
+    // evolution replay: phase 1 (old -> target-derived temp) committed on
+    // the copy, then the process died before phase 2 — and before the
+    // cursor advanced, so the window re-delivers
+    val temp = "__cfs_ren_" + "amount".getBytes("UTF-8").map("%02x".format(_)).mkString
+    wh.renameColumn("copy", "v", temp)
+    sync() // re-delivery must COMPLETE the rename, not strand the temp
+    assert(wh.load("copy").columns.toSeq == Seq("k", "g", "amount"),
+      s"stranded temp: ${wh.load("copy").columns.toSeq}")
+    assert(bag(wh.load("copy")) == bag(wh.load("fact")))
+    assert(wh.load("copy").filter(col("amount").isNull).count() == 0,
+      "pre-window rows must keep their values through the resumed rename")
+  }
+
+  test("mirror evolution: a window combining DROP b with RENAME a TO b replays (drops first)") {
+    val root = tmpDir("cfs-evolve-reuse")
+    val wh = new Warehouse(spark, root)
+    def sync(): Long = ChangeFeedStream.mirror(wh, "fact", "copy", Seq("k"), "reuser")
+    wh.create("fact", schema)
+    wh.append("fact", kv((1L, "a", "1.00"), (2L, "b", "2.00")), statsCols = Seq("k"))
+    sync()
+    // one WINDOW spanning both commits: drop g, then rename v -> g
+    wh.dropColumn("fact", "g")
+    wh.renameColumn("fact", "v", "g")
+    wh.append("fact", spark.createDataFrame(Seq(
+      Row(3L, new java.math.BigDecimal("3.00"))).asJava,
+      StructType(Seq(StructField("k", LongType), StructField("g", DecimalType(10, 2))))),
+      statsCols = Seq("k"))
+    sync()
+    assert(wh.load("copy").columns.toSeq == Seq("k", "g"))
+    assert(bag(wh.load("copy")) == bag(wh.load("fact")))
+    assert(wh.load("copy").filter(col("g").isNull).count() == 0,
+      "renamed-onto-reused-name values must carry, not null out")
+  }
+
   test("CDC rollup: count/sum maintained exactly across upserts, deletes and compaction") {
     val root = tmpDir("cfs-rollup")
     val wh = new Warehouse(spark, root)

@@ -140,6 +140,26 @@ class ColumnEvolutionSpec extends SparkSpec {
     assert(wh.readChanges("t", preDrop, preDrop + 1).isEmpty)
   }
 
+  test("drop then re-add on a FIRST-APPEND auto-created table: id still never reused") {
+    // auto-create (no explicit create()) is the path that historically never
+    // wrote the id high-water mark — without the dropColumn/writeBatch
+    // reservations, addColumns would hand the dropped id to the new column
+    // and scans would resurrect the dead column's bytes from pre-drop files
+    val root = tmpDir("ce-autocreate-drop")
+    val wh = new Warehouse(spark, root)
+    wh.append("t", kv((1L, 10L), (2L, 20L)), statsCols = Seq("k")) // auto-create
+    wh.dropColumn("t", "v")
+    wh.addColumns("t", Seq(StructField("v2", LongType)))
+    val got = wh.load("t").orderBy("k").collect().toSeq
+    assert(got.forall(_.isNullAt(1)),
+      s"re-added column must read NULL, not the dropped column's bytes: $got")
+    // and the ids really are distinct in the manifest schema
+    val ids = wh.currentManifest("t").schema.fields
+      .map(f => f.metadata.getLong("parquet.field.id")).toSeq
+    assert(ids.distinct.size == ids.size && ids.max >= 3L,
+      s"dropped id reused: $ids")
+  }
+
   test("refusals: collision, partition source, pending-delete key, last column") {
     val root = tmpDir("ce-refuse")
     val wh = new Warehouse(spark, root)

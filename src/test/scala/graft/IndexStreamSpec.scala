@@ -68,6 +68,33 @@ class IndexStreamSpec extends SparkSpec {
       "replay must append nothing")
   }
 
+  test("atomic streamed ingest: per-micro-batch transactions serve identically, replay adds 0") {
+    val batchA = Seq(1L -> "spark merge spark join scan",
+      2L -> "merge dup merge dup filter", 3L -> "window rank sort order limit")
+    val batchB = Seq(4L -> "spark dup spark dup spark",
+      5L -> "scan filter project exchange shuffle")
+    val query = Seq("spark", "merge", "dup")
+    val whB = new Warehouse(spark, tmpDir("isa-batch"))
+    val ingB = new SearchIndexIngest(whB, "doc_id", "text")
+    ingB.ingest("c", docs(batchA: _*)); ingB.ingest("c", docs(batchB: _*))
+    val want = ingB.search("c", query, k = 10).collect().toSeq
+
+    val watch = tmpDir("isa-watch")
+    val whS = new Warehouse(spark, tmpDir("isa-stream"))
+    val ingS = new SearchIndexIngest(whS, "doc_id", "text")
+    docs(batchA: _*).write.mode("append").parquet(watch)
+    drain(CorpusStream.ingestIndexed(spark, watch, docSchema, ingS, "c",
+      checkpointDir = Some(tmpDir("isa-cp1")), atomic = true))
+    // index and corpus in lockstep after every micro-batch (one txn each)
+    assert(whS.load("c").count() == whS.load("c__doclens").count())
+    docs(batchB: _*).write.mode("append").parquet(watch)
+    drain(CorpusStream.ingestIndexed(spark, watch, docSchema, ingS, "c",
+      checkpointDir = Some(tmpDir("isa-cp2")), atomic = true)) // fresh cp: A replays
+    assert(ingS.search("c", query, k = 10).collect().toSeq == want)
+    for (t <- Seq("c", "c__postings", "c__doclens"))
+      assert(whS.load(t).count() == whB.load(t).count(), s"$t diverged")
+  }
+
   // ---- IVF-PQ vector index stream ----------------------------------------
 
   private val DIM = 8

@@ -126,6 +126,19 @@ class ProcedureSpec extends SparkSpec {
     assert(after.getLong(0) == 1L)
   }
 
+  test("SHOW PROCEDURES / DESCRIBE PROCEDURE surface the registry") {
+    val (wh, cat, root) = freshCatalog("show")
+    wh.create("t", schema)
+    val names = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+      .select("procedure_name").collect().map(_.getString(0)).toSet
+    assert(names == Set("compact", "compact_files", "compact_deletes",
+      "expire_snapshots", "maintain", "rewrite_manifests", "restore",
+      "create_tag", "drop_tag"))
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.maintain")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("maintain") && desc.contains("policy-driven"))
+  }
+
   test("unknown procedure and wrong namespace fail loudly with the known list") {
     val (wh, cat, root) = freshCatalog("unknown")
     wh.create("t", schema)
