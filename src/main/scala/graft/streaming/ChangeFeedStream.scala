@@ -70,29 +70,80 @@ object ChangeFeedStream {
     * consumption. The copy table converges to `loadVersion(fact, cursor)`
     * after every poll (spec-pinned), so a downstream system can follow a
     * 100 TB table at O(changes) cost per poll with no full-table sync.
-    * Replay-safe: re-delivery of a window re-applies the same delta onto a
-    * state it already produced — the delete kills the previously-merged
-    * copies, the insert re-lands them (morMerge's replay-convergence).
+    *
+    * Exactly-once STRUCTURALLY: the window's delta and the applied-version
+    * marker (`<copy>__ledger`, consumer → fact version) land as ONE
+    * [[Warehouse.transact]] commit, so there is no crash point at which
+    * the data applied but the marker did not. A re-delivered window —
+    * including one WIDENED by commits that landed between the crash and
+    * the restart — narrows to the uncovered suffix
+    * `readChanges(applied, to)` before applying; without the marker a
+    * widened window is NOT generally replay-safe (a key changed in the
+    * applied prefix and reverted in the suffix nets out of the wide diff
+    * and would strand the copy on the pre-revert value — spec-pinned).
+    * The marker read is manifest-stat bounds on `v` — zero Spark jobs.
+    * One maintainer per copy table, which the single-consumer marker
+    * already implies.
     *
     * Schema evolution FOLLOWS the feed: the window's from→to schema diff
     * on the fact (matched by the fact's own field ids) replays onto the
     * copy BY NAME — renames rename (the copy keeps the renamed column's
     * values instead of silently nulling a "new" column), adds add, drops
-    * drop — before the window's rows apply in the to-schema.
+    * drop — before the window's rows apply in the to-schema. The
+    * evolution steps are separate crash-resumable commits (see
+    * [[replayEvolution]]); only the data delta + marker need the
+    * transaction.
     */
   def mirror(wh: Warehouse, fact: String, copy: String, pks: Seq[String],
              consumerId: String): Long =
-    poll(wh, fact, consumerId) { (changes, from, to) =>
-      val toSchema = wh.manifestAt(fact, to).schema
-      if (!wh.exists(copy)) wh.create(copy, toSchema)
-      else replayEvolution(wh, copy, wh.manifestAt(fact, from).schema, toSchema)
-      val inserts = changes.filter(col("_change_type") === "+I").drop("_change_type")
-      val deletes = changes.filter(col("_change_type") === "-D").drop("_change_type")
-      // order matters within a window: a key updated in the window carries
-      // its old row as -D and its new row as +I — delete first, then merge
-      val delKeys = deletes.select(pks.map(col): _*)
-      wh.equalityDelete(copy, delKeys)
-      wh.morMerge(copy, inserts, pks)
+    poll(wh, fact, consumerId) { (changes0, from0, to) =>
+      val ledger = s"${copy}__ledger"
+      val applied = statMarker(wh, ledger, "v")
+      if (to > applied) {
+        val from = math.max(from0, applied)
+        val changes = if (from > from0) wh.readChanges(fact, from, to) else changes0
+        val toSchema = wh.manifestAt(fact, to).schema
+        if (!wh.exists(copy)) wh.create(copy, toSchema)
+        else replayEvolution(wh, copy, wh.manifestAt(fact, from).schema, toSchema)
+        val inserts = changes.filter(col("_change_type") === "+I").drop("_change_type")
+        val deletes = changes.filter(col("_change_type") === "-D").drop("_change_type")
+        // order within the window is the txn's snapshot-at-start rule: both
+        // delete files (the -D keys and morMerge's pk keys) apply to
+        // PRE-transaction rows only, so a key updated in the window has its
+        // old row killed and its new row shielded
+        val delKeys = deletes.select(pks.map(col): _*)
+        val spark = changes.sparkSession
+        val row = spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(consumerId, to)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("consumer",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.LongType))))
+        wh.transact { tx =>
+          tx.equalityDelete(copy, delKeys)
+          tx.morMerge(copy, inserts, pks)
+          if (wh.exists(ledger)) tx.morMerge(ledger, row, Seq("consumer"))
+          else tx.append(ledger, row, statsCols = Seq("consumer", "v"))
+        }
+      }
+    }
+
+  /** Highest manifest-stat upper bound of numeric column `col` across a
+    * table's files, -1 when absent — the zero-Spark-job read of a
+    * monotone high-water marker committed WITH the data it covers
+    * (morMerge leaves superseded marker rows in older files, but a
+    * monotone marker's max is the live one).
+    */
+  private def statMarker(wh: Warehouse, table: String, col: String): Long =
+    if (!wh.exists(table)) -1L
+    else {
+      val m = wh.currentManifest(table)
+      if (!m.schema.fieldNames.contains(col)) -1L
+      else m.files.flatMap(_.stats.get(col))
+        .collect { case graft.sink.ColStat("n", _, mx) if mx.nonEmpty =>
+          new java.math.BigDecimal(mx).longValue() }
+        .foldLeft(-1L)(math.max)
     }
 
   /** Replay the fact's from→to schema diff onto the copy, by name. Fields
@@ -178,48 +229,46 @@ object ChangeFeedStream {
     * signed partials, folded by [[IncrementalRollup.read]]'s merge
     * exactly as batch partials are.
     *
-    * Exactly-once FOR REAL: the signed partials and the ledger row land as
-    * ONE [[Warehouse.transact]] unit — the partials append and the
-    * `<rollup>__ledger` upsert (consumer → covered source version) are
-    * atomic, so there is no crash point at which the delta committed but
-    * the ledger did not (the window the pre-transaction design had between
-    * its append and its ledger record). A re-delivered window reads the
-    * ledger TABLE, sees itself covered, and skips; the file-ledger is also
-    * consulted for tables maintained before the ledger table existed.
+    * Exactly-once STRUCTURALLY: each partials batch carries the covered
+    * source version as a `__cfs_v` column, so the delta and its own
+    * watermark are THE SAME COMMIT — there is no crash point at which one
+    * landed without the other (the window the original append-then-record
+    * design had). The replay guard reads the high-water mark from the
+    * rollup manifest's `__cfs_v` stat bounds — zero Spark jobs, O(files)
+    * metadata — and a re-delivered window WIDENED by commits that landed
+    * between the crash and the restart narrows to the uncovered suffix
+    * `readChanges(marker, to)`, so the covered prefix never double-applies
+    * (spec-pinned). [[IncrementalRollup.read]]'s keyed fold ignores the
+    * extra column. Legacy rollups (pre-marker) upgrade in place with a
+    * metadata-only ADD COLUMN and keep their file-ledger guard for history
+    * already covered. One maintainer per rollup table (two would
+    * double-count by construction — same as the ledger it replaces);
+    * compact a CDC-maintained rollup with `compactFiles` (content-
+    * preserving), not [[IncrementalRollup.compact]], whose keyed re-fold
+    * would drop the marker column.
     */
   def maintainRollup(wh: Warehouse, fact: String, rollup: String,
                      spec: IncrementalRollup.Spec, consumerId: String): Long =
-    poll(wh, fact, consumerId) { (changes, _, to) =>
-      val ledger = s"${rollup}__ledger"
+    poll(wh, fact, consumerId) { (changes0, from, to) =>
+      val VCol = "__cfs_v"
       val recorded = math.max(
-        wh.lastCommittedBatchId(rollup, sid(consumerId)), // pre-ledger-table compat
-        if (!wh.exists(ledger)) -1L
-        else {
-          val r = wh.load(ledger).filter(col("consumer") === consumerId)
-            .agg(max(col("v"))).head()
-          if (r.isNullAt(0)) -1L else r.getLong(0)
-        })
+        wh.lastCommittedBatchId(rollup, sid(consumerId)), // legacy file ledger
+        statMarker(wh, rollup, VCol))
       if (to > recorded) {
+        val changes =
+          if (recorded > from) wh.readChanges(fact, recorded, to) else changes0
         val sign = when(col("_change_type") === "+I", lit(1)).otherwise(lit(-1))
         val partials = changes.groupBy(spec.keys.map(col): _*)
           .agg(signedPartial(spec.measures.head, sign),
             spec.measures.tail.map(signedPartial(_, sign)): _*)
+          .withColumn(VCol, lit(to))
         if (!wh.exists(rollup))
           wh.create(rollup, org.apache.spark.sql.types.StructType(
             partials.schema.fields.map(_.copy(nullable = true))))
-        val spark = partials.sparkSession
-        import scala.jdk.CollectionConverters._
-        val ledgerRow = spark.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(consumerId, to)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("consumer",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("v",
-              org.apache.spark.sql.types.LongType))))
-        wh.transact { tx =>
-          tx.append(rollup, partials, statsCols = spec.keys)
-          tx.morMerge(ledger, ledgerRow, Seq("consumer"))
-        }
+        else if (!wh.currentManifest(rollup).schema.fieldNames.contains(VCol))
+          wh.addColumns(rollup, Seq(org.apache.spark.sql.types.StructField(
+            VCol, org.apache.spark.sql.types.LongType))) // legacy upgrade, metadata-only
+        wh.append(rollup, partials, statsCols = spec.keys :+ VCol)
       }
     }
 }

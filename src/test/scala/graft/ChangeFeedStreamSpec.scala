@@ -238,4 +238,52 @@ class ChangeFeedStreamSpec extends SparkSpec {
       ChangeFeedStream.maintainRollup(wh, "fact", "roll2", bad, "roller2"))
     assert(e.getMessage.contains("subtractable"))
   }
+
+  test("rollup crash window: partials committed, cursor lost, MORE commits land — re-delivery narrows to the uncovered suffix") {
+    val wh = new Warehouse(spark, tmpDir("cfs-rollup-crash"))
+    val spec = IncrementalRollup.Spec(Seq("g"), Seq(
+      IncrementalRollup.CountStar("n"), IncrementalRollup.SumOf(col("v"), "sv")))
+    wh.create("fact", schema)
+    wh.append("fact", kv((1L, "a", "1.00"), (2L, "b", "2.00")), statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "c")
+    // same-bounds re-delivery (cursor lost, no new commits): the in-commit
+    // __cfs_v marker covers the window — zero new rollup commits
+    ChangeFeedStream.seek(wh, "fact", "c", 0L)
+    val rv = wh.currentVersion("roll")
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "c")
+    assert(wh.currentVersion("roll") == rv, "covered window must not re-apply")
+    // widened re-delivery: cursor lost AND commits landed before the
+    // restart — the wide window (0, head] must narrow to (marker, head]
+    // or the covered prefix double-counts
+    ChangeFeedStream.seek(wh, "fact", "c", 0L)
+    wh.append("fact", kv((3L, "a", "4.00")), statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "c")
+    val got = bag(IncrementalRollup.read(wh, "roll", spec).filter(col("n") =!= 0L))
+    val want = bag(wh.load("fact").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+    assert(got == want, s"widened window double-applied:\n  got:  $got\n  want: $want")
+  }
+
+  test("mirror crash window: applied marker rides the txn — an ABA revert across the gap replays exactly") {
+    val wh = new Warehouse(spark, tmpDir("cfs-mirror-crash"))
+    wh.create("fact", schema)
+    wh.append("fact", kv((1L, "a", "1.00")), statsCols = Seq("k"))
+    ChangeFeedStream.mirror(wh, "fact", "copy", Seq("k"), "m")
+    val v1 = wh.currentVersion("fact")
+    wh.morMerge("fact", kv((1L, "a", "9.00")), Seq("k"))
+    ChangeFeedStream.mirror(wh, "fact", "copy", Seq("k"), "m") // (v1, v2] applied
+    // same-bounds re-delivery: the txn-committed marker covers it
+    ChangeFeedStream.seek(wh, "fact", "m", v1)
+    val cv = wh.currentVersion("copy")
+    ChangeFeedStream.mirror(wh, "fact", "copy", Seq("k"), "m")
+    assert(wh.currentVersion("copy") == cv, "covered window must not re-apply")
+    // widened re-delivery with an ABA revert: k=1 returns to its v1 value
+    // before the restart, so the WIDE diff (v1, v3] nets the key out — only
+    // the marker-narrowed suffix (v2, v3] sees the revert
+    ChangeFeedStream.seek(wh, "fact", "m", v1)
+    wh.morMerge("fact", kv((1L, "a", "1.00")), Seq("k"))
+    ChangeFeedStream.mirror(wh, "fact", "copy", Seq("k"), "m")
+    assert(bag(wh.load("copy")) == bag(wh.load("fact")),
+      "ABA revert across the crash gap must replay exactly")
+  }
 }
