@@ -134,6 +134,8 @@ object Bench {
       // Same guard as Verify: sibling-alias capture is an analysis error,
       // not a silent wrong answer (round-6 q75 class).
       .config("spark.sql.lateralColumnAlias.enableImplicitResolution", "false")
+      // same session shape as Verify: catalog rules active
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimization batch, i.e. BEFORE V2ScanRelationPushDown, so it narrows
     // the file list and parquet pushdown then applies to the survivors.
     e.injectOptimizerRule(_ => graft.catalog.ManifestPruneRule)
+    // Metadata-only aggregates: global COUNT(*)/MIN/MAX over an unfiltered
+    // warehouse scan collapse to a one-row LocalRelation served from the
+    // manifest's row counts / column bounds — zero file opens.
+    e.injectOptimizerRule(_ => graft.catalog.StatsAggRule)
     // SQL MERGE INTO on graft tables → the disposition=merge write path
     // (must run in the resolution batch, before Spark's row-level rewrites
     // reject tables without SupportsRowLevelOperations).

@@ -17,6 +17,9 @@ object Verify {
       // implicit lateral-alias resolution on, that mistake is a silent wrong
       // answer (round-6 q75); with it off, an analysis error.
       .config("spark.sql.lateralColumnAlias.enableImplicitResolution", "false")
+      // the production session shape: catalog rules (MOR reads, manifest
+      // pruning, stat-served aggregates) active exactly as in specs
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

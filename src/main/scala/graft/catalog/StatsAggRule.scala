@@ -1,0 +1,156 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sink.{Manifest, StatsPruning}
+
+/** Metadata-only aggregates: a global `COUNT(*)` / `MIN(col)` / `MAX(col)`
+  * over an unfiltered warehouse scan is answered from the MANIFEST — file
+  * row counts and per-file column bounds — and the whole scan collapses to
+  * a one-row [[LocalRelation]]. Zero file opens, zero Spark jobs: at
+  * 100 TB, `SELECT count(*) FROM t` goes from "read every footer" (Spark's
+  * own parquet aggregate pushdown) or "scan the table" to an O(files)
+  * driver-side fold over metadata the commit already paid for — the
+  * engine analog of Iceberg's snapshot-summary/manifest-served counts.
+  *
+  * Correctness gates (each bails to the ordinary plan, never approximates):
+  *   - no grouping, no `Filter` anywhere below the aggregate, relation
+  *     reached through at most a column-pruning `Project`;
+  *   - no pending MOR deletes (a delete file may have removed the extreme
+  *     row / changes the count) — note MOR snapshots are normally rewritten
+  *     to the anti-joined frame at resolution ([[MorReadRule]]) and so
+  *     never reach this rule as bare relations;
+  *   - `MIN`/`MAX` need EVERY data file to carry a recorded stat for the
+  *     column in the type's expected domain ("z" all-null files contribute
+  *     nothing); a single stat-less file bails. This automatically excludes
+  *     columns whose value is virtual for old files (ADD COLUMN with
+  *     initial default: pre-add files have no stat) and anything whose
+  *     bound the writer dropped (NaN floats, >256-char strings);
+  *   - bounds are ATTAINED values, never truncated — the write path drops
+  *     unrenderable bounds instead of truncating ([[graft.sink.Warehouse]]
+  *     `renderStat`, [[graft.sink.FooterStats]]), which is what makes
+  *     serving MIN/MAX from them exact;
+  *   - float/double zero bounds bail: ±0.0 render identically ("0.0"), so
+  *     the sign of a zero extreme is unrecoverable from the stat;
+  *   - `COUNT(DISTINCT ...)`, `count(col)` (needs null counts, not
+  *     tracked), FILTER clauses, and non-constant count children bail.
+  *
+  * Injected via [[graft.GraftExtensions]] in the operator-optimization
+  * batch, after [[MorReadRule]]/time-travel resolution — the manifest on
+  * the relation is exactly the snapshot the query addresses, so
+  * `VERSION AS OF` counts serve from the pinned snapshot.
+  */
+object StatsAggRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
+      unwrap(child) match {
+        case Some((t, nameOf)) if t.prunedManifest.isEmpty && t.manifest.deletes.isEmpty =>
+          val m = t.manifest
+          val served = aggExprs.map(serve(m, nameOf, _))
+          if (served.contains(None)) agg
+          else LocalRelation(agg.output, Seq(InternalRow.fromSeq(served.map(_.get))))
+        case _ => agg
+      }
+  }
+
+  /** The relation beneath at most one column-pruning/renaming `Project`,
+    * plus the exprId → manifest-column-name map for the plan's output.
+    */
+  private def unwrap(plan: LogicalPlan): Option[(GraftTable, Map[ExprId, String])] =
+    plan match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTable => Some((t, r.output.map(a => a.exprId -> a.name).toMap))
+        case _             => None
+      }
+      case Project(list, inner) => unwrap(inner).flatMap { case (t, base) =>
+        val mapped = list.map {
+          case a: AttributeReference           => base.get(a.exprId).map(a.exprId -> _)
+          case al @ Alias(a: AttributeReference, _) => base.get(a.exprId).map(al.exprId -> _)
+          case _                               => None
+        }
+        if (mapped.contains(None)) None else Some((t, mapped.flatten.toMap))
+      }
+      case _ => None
+    }
+
+  /** One output slot's manifest-served value (catalyst-internal), or None
+    * to bail. `Some(null)` is a legitimate answer (empty/all-null MIN).
+    */
+  private def serve(m: Manifest, nameOf: Map[ExprId, String],
+                    e: NamedExpression): Option[Any] = e match {
+    case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
+      case Count(Seq(l: Literal)) if l.value != null =>
+        Some(m.files.map(_.rows).sum)
+      case Min(a: AttributeReference) => bound(m, nameOf.get(a.exprId), a.dataType, isMin = true)
+      case Max(a: AttributeReference) => bound(m, nameOf.get(a.exprId), a.dataType, isMin = false)
+      case _ => None
+    }
+    case Alias(l: Literal, _) => Some(l.value) // SELECT count(*), 'tag' FROM t
+    case _ => None
+  }
+
+  /** Fold one column's per-file bounds into the table extreme. Bail unless
+    * every file carries the stat in the expected domain; "z" files are
+    * all-null and contribute nothing (SQL MIN/MAX null semantics).
+    */
+  private def bound(m: Manifest, col: Option[String], dt: DataType,
+                    isMin: Boolean): Option[Any] = col.flatMap { c =>
+    expectedKind(dt).flatMap { kind =>
+      val sts = m.files.map(_.stats.get(c))
+      if (sts.contains(None)) None
+      else {
+        val live = sts.flatten.filterNot(_.kind == "z")
+        if (live.exists(_.kind != kind)) None
+        else if (live.isEmpty) Some(null) // empty table or all-null column
+        else {
+          val best = live.map(st => if (isMin) st.min else st.max)
+            .reduce((a, b) =>
+              if ((StatsPruning.cmp(kind, a, b) <= 0) == isMin) a else b)
+          parse(dt, best)
+        }
+      }
+    }
+  }
+
+  /** Stat domain the write side records for `dt` ([[graft.sink.Warehouse]]
+    * `statCols`); None = type never gets servable stats (incl. NTZ).
+    */
+  private def expectedKind(dt: DataType): Option[String] = dt match {
+    case StringType => Some("s")
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         _: DecimalType | TimestampType | DateType | BooleanType => Some("n")
+    case _ => None
+  }
+
+  /** Inverse of the write side's stat rendering, into catalyst-internal
+    * values (timestamps = epoch micros, dates = epoch days).
+    */
+  private def parse(dt: DataType, s: String): Option[Any] = dt match {
+    case StringType  => Some(UTF8String.fromString(s))
+    case ByteType    => Some(s.toByte)
+    case ShortType   => Some(s.toShort)
+    case IntegerType => Some(s.toInt)
+    case LongType    => Some(s.toLong)
+    case FloatType   =>
+      val f = s.toFloat
+      if (f == 0f) None else Some(f) // ±0.0 sign lost at render
+    case DoubleType  =>
+      val d = s.toDouble
+      if (d == 0d) None else Some(d)
+    case d: DecimalType =>
+      val dec = Decimal(new java.math.BigDecimal(s))
+      if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
+    case TimestampType => Some(s.toLong)
+    case DateType      => Some(s.toInt)
+    case BooleanType   => Some(s == "1")
+    case _             => None
+  }
+}

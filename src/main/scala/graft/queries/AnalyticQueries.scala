@@ -45,6 +45,10 @@ object AnalyticQueries {
   private lazy val q141Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q141")
 
+  /** q146's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q146Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q146")
+
   private def wipe(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -136,6 +140,44 @@ object AnalyticQueries {
           case (k, None)    => conf.unset(k)
         }
         wipe(q137Root)
+      }
+    },
+
+    // Metadata-only aggregates (q146): global COUNT(*)/MIN/MAX over an
+    // unfiltered warehouse scan answered from the MANIFEST — StatsAggRule
+    // collapses the whole query to a one-row LocalRelation folded from the
+    // commit's own row counts and column bounds: zero file opens, zero
+    // Spark jobs on the serving side (StatsAggSpec pins the plan shape and
+    // every bail-out). The oracle recomputes the same aggregates from the
+    // raw parquet, so a single stale or truncated bound is a hash miss. At
+    // 100 TB this is "SELECT count(*) FROM t" in milliseconds from
+    // metadata the ingest already paid for (Iceberg snapshot-summary
+    // analog), vs a full-table scan — the per-iteration cost here is
+    // deliberately the BUILD (append with stats), q134/q137's accounting.
+    "q146_metadata_aggregates" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val conf = s.conf
+      wipe(q146Root)
+      try {
+        conf.set("spark.sql.catalog.gq146", classOf[graft.catalog.GraftCatalog].getName)
+        conf.set("spark.sql.catalog.gq146.root", q146Root.toString)
+        val li = read(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        val wh = new Warehouse(s, q146Root.toString)
+        wh.create("li", org.apache.spark.sql.types.StructType(
+          li.schema.fields.map(_.copy(nullable = true))))
+        wh.append("li", li,
+          statsCols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        s.sql(
+          """SELECT count(*) AS n,
+            |  min(l_orderkey) AS mn_key, max(l_orderkey) AS mx_key,
+            |  min(l_returnflag) AS mn_rf, max(l_returnflag) AS mx_rf,
+            |  min(l_quantity) AS mn_qty, max(l_quantity) AS mx_qty,
+            |  min(l_shipdate) AS mn_ship, max(l_shipdate) AS mx_ship
+            |FROM gq146.li""".stripMargin)
+          .localCheckpoint()
+      } finally {
+        wipe(q146Root)
       }
     },
 
@@ -875,6 +917,17 @@ object AnalyticQueries {
         |SELECT phase, o_orderpriority, n_items, sum_qty
         |FROM (VALUES ('mixed'), ('uniform')) p(phase) CROSS JOIN agg
         |ORDER BY phase, o_orderpriority""".stripMargin,
+
+    // q146's oracle: the same global aggregates recomputed from the raw
+    // parquet — a manifest-served bound that is stale, truncated, or in
+    // the wrong domain is a direct hash miss.
+    "q146_metadata_aggregates" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  min(l_orderkey) AS mn_key, max(l_orderkey) AS mx_key,
+        |  min(l_returnflag) AS mn_rf, max(l_returnflag) AS mx_rf,
+        |  min(l_quantity) AS mn_qty, max(l_quantity) AS mx_qty,
+        |  min(l_shipdate) AS mn_ship, max(l_shipdate) AS mx_ship
+        |FROM lineitem""".stripMargin,
 
     // q138's oracle: the same selectively-filtered star join over the RAW
     // parquet — runtime file pruning must be invisible to the answer.

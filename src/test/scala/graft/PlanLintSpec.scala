@@ -46,6 +46,11 @@ class PlanLintSpec extends SparkSpec {
       // (same bounded crosses, code scan manifest-pruned).
       "q133_ivfpq_recall", "q134_vector_index_served")
 
+  // q146 is the metadata-only aggregate: StatsAggRule collapses the whole
+  // query to a one-row LocalTableScan — no scan, no join, and therefore no
+  // codegen span. The absence IS the feature (StatsAggSpec pins it).
+  private val allowedNoCodegen = Set("q146_metadata_aggregates")
+
   /** Plan statically (AQE off): AQE wraps plans before stage codegen is
     * decided, hiding both the `*(n)` markers and the pre-reoptimization
     * exchange layout the lints inspect.
@@ -61,7 +66,7 @@ class PlanLintSpec extends SparkSpec {
       val plan = staticPlan(fn).toString
       val cartesian = (plan.contains("CartesianProduct") ||
         plan.contains("BroadcastNestedLoopJoin")) && !allowedCartesian(name)
-      val noCodegen = !plan.contains("*(")
+      val noCodegen = !plan.contains("*(") && !allowedNoCodegen(name)
       if (cartesian) Some(s"$name: cartesian/nested-loop join")
       else if (noCodegen) Some(s"$name: no whole-stage-codegen span")
       else None

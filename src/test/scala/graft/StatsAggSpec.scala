@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sink.Warehouse
+
+/** Metadata-only aggregates (`StatsAggRule`): global COUNT(*)/MIN/MAX over
+  * an unfiltered catalog scan served from manifest row counts / column
+  * bounds — the plan collapses to a one-row LocalRelation with ZERO file
+  * reads — and every bail-out path stays correct through the ordinary scan.
+  */
+class StatsAggSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val cat = "sagg"
+  private lazy val root: String = {
+    val r = tmpDir("graft-sagg")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", r)
+    r
+  }
+  private def wh = new Warehouse(spark, root)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("s", StringType),
+    StructField("d", DecimalType(10, 2)), StructField("ts", TimestampType),
+    StructField("dt", DateType), StructField("b", BooleanType),
+    StructField("x", DoubleType), StructField("nul", StringType)))
+
+  private def rows(n: Int, offset: Long = 0L) = spark.createDataFrame(
+    (0 until n).map { i =>
+      Row(offset + i, s"s${"%03d".format(i)}", new java.math.BigDecimal(s"$i.25"),
+        java.sql.Timestamp.valueOf(s"2024-01-0${i % 9 + 1} 10:00:00"),
+        java.sql.Date.valueOf(s"2024-02-0${i % 9 + 1}"), i % 2 == 0,
+        i * 1.5 + 1.0, null)
+    }.asJava, schema)
+
+  private def servedFromStats(df: DataFrame): Boolean = {
+    val p = df.queryExecution.optimizedPlan
+    var local = false; var scan = false
+    p.foreach {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => local = true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+             | _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => scan = true
+      case _ => ()
+    }
+    local && !scan
+  }
+
+  test("COUNT(*)/MIN/MAX of every stat domain serve from the manifest — LocalRelation plan, scan-identical values") {
+    wh.create("t1", schema)
+    wh.append("t1", rows(7), statsCols = Seq("id", "s", "d", "ts", "dt", "b", "x", "nul"))
+    wh.append("t1", rows(5, offset = 100L), statsCols = Seq("id", "s", "d", "ts", "dt", "b", "x", "nul"))
+    val q = spark.sql(
+      s"""SELECT count(*) AS n, min(id) AS mn_id, max(id) AS mx_id,
+         |  min(s) AS mn_s, max(s) AS mx_s, min(d) AS mn_d, max(d) AS mx_d,
+         |  min(ts) AS mn_ts, max(ts) AS mx_ts, min(dt) AS mn_dt, max(dt) AS mx_dt,
+         |  min(b) AS mn_b, max(b) AS mx_b, min(x) AS mn_x, max(x) AS mx_x,
+         |  min(nul) AS mn_nul FROM $cat.t1""".stripMargin)
+    assert(servedFromStats(q), s"expected stat-served plan:\n${q.queryExecution.optimizedPlan}")
+    // values must equal the genuine scan's (fresh frame, no catalog rule)
+    val direct = wh.load("t1").agg(
+      count(lit(1)).as("n"), min("id").as("mn_id"), max("id").as("mx_id"),
+      min("s").as("mn_s"), max("s").as("mx_s"), min("d").as("mn_d"), max("d").as("mx_d"),
+      min("ts").as("mn_ts"), max("ts").as("mx_ts"), min("dt").as("mn_dt"), max("dt").as("mx_dt"),
+      min("b").as("mn_b"), max("b").as("mx_b"), min("x").as("mn_x"), max("x").as("mx_x"),
+      min("nul").as("mn_nul"))
+    assert(q.collect().toSeq.map(_.toSeq) == direct.collect().toSeq.map(_.toSeq))
+  }
+
+  test("empty table: count 0 and null extremes, still metadata-served") {
+    wh.create("t_empty", schema)
+    val q = spark.sql(s"SELECT count(*) AS n, min(id) AS mn, max(s) AS mx FROM $cat.t_empty")
+    assert(servedFromStats(q))
+    assert(q.collect().toSeq.map(_.toSeq) == Seq(Seq(0L, null, null)))
+  }
+
+  test("bail-outs: unstatted column, filter, group-by, distinct, FILTER clause — ordinary plan, correct answers") {
+    wh.create("t2", StructType(Seq(StructField("k", LongType), StructField("v", LongType))))
+    wh.append("t2", spark.createDataFrame(
+      Seq(Row(1L, 10L), Row(2L, 20L), Row(3L, 30L)).asJava,
+      StructType(Seq(StructField("k", LongType), StructField("v", LongType)))),
+      statsCols = Seq("k")) // v deliberately unstatted
+    val unstat = spark.sql(s"SELECT min(v) AS mn FROM $cat.t2")
+    assert(!servedFromStats(unstat), "a stat-less column must not serve from the manifest")
+    assert(unstat.head().getLong(0) == 10L)
+    val filtered = spark.sql(s"SELECT count(*) AS n FROM $cat.t2 WHERE k > 1")
+    assert(!servedFromStats(filtered) && filtered.head().getLong(0) == 2L)
+    val grouped = spark.sql(s"SELECT k, count(*) AS n FROM $cat.t2 GROUP BY k")
+    assert(!servedFromStats(grouped) && grouped.count() == 3L)
+    val dist = spark.sql(s"SELECT count(DISTINCT k) AS n FROM $cat.t2")
+    assert(!servedFromStats(dist) && dist.head().getLong(0) == 3L)
+    val fc = spark.sql(s"SELECT count(*) FILTER (WHERE k > 2) AS n FROM $cat.t2")
+    assert(!servedFromStats(fc) && fc.head().getLong(0) == 1L)
+    // count(k) needs null counts the manifest doesn't track
+    val ck = spark.sql(s"SELECT count(k) AS n FROM $cat.t2")
+    assert(!servedFromStats(ck) && ck.head().getLong(0) == 3L)
+  }
+
+  test("pending MOR deletes: counts reflect the deletes (never the raw manifest)") {
+    wh.create("t3", StructType(Seq(StructField("k", LongType))))
+    val s1 = StructType(Seq(StructField("k", LongType)))
+    wh.append("t3", spark.createDataFrame(Seq(Row(1L), Row(2L), Row(3L)).asJava, s1),
+      statsCols = Seq("k"))
+    wh.equalityDelete("t3", spark.createDataFrame(Seq(Row(2L)).asJava, s1))
+    val q = spark.sql(s"SELECT count(*) AS n, max(k) AS mx FROM $cat.t3")
+    assert(q.collect().toSeq.map(_.toSeq) == Seq(Seq(2L, 3L)))
+  }
+
+  test("ADD COLUMN with initial default: the virtual column bails to the scan and serves the default") {
+    wh.create("t4", StructType(Seq(StructField("k", LongType))))
+    val s1 = StructType(Seq(StructField("k", LongType)))
+    wh.append("t4", spark.createDataFrame(Seq(Row(1L), Row(2L)).asJava, s1), statsCols = Seq("k"))
+    wh.addColumns("t4", Seq(StructField("tag", LongType)), Map("tag" -> "42"))
+    val q = spark.sql(s"SELECT min(tag) AS mn, max(tag) AS mx, count(*) AS n FROM $cat.t4")
+    assert(!servedFromStats(q), "pre-add files carry no stat for the default column")
+    assert(q.collect().toSeq.map(_.toSeq) == Seq(Seq(42L, 42L, 2L)))
+  }
+
+  test("time travel: the pinned snapshot's manifest answers, not the head's") {
+    wh.create("t5", StructType(Seq(StructField("k", LongType))))
+    val s1 = StructType(Seq(StructField("k", LongType)))
+    wh.append("t5", spark.createDataFrame(Seq(Row(1L), Row(2L)).asJava, s1), statsCols = Seq("k"))
+    val v = wh.currentVersion("t5")
+    wh.append("t5", spark.createDataFrame(Seq(Row(9L)).asJava, s1), statsCols = Seq("k"))
+    val q = spark.sql(s"SELECT count(*) AS n, max(k) AS mx FROM $cat.t5 VERSION AS OF $v")
+    assert(servedFromStats(q))
+    assert(q.collect().toSeq.map(_.toSeq) == Seq(Seq(2L, 2L)))
+    val head = spark.sql(s"SELECT count(*) AS n, max(k) AS mx FROM $cat.t5")
+    assert(servedFromStats(head))
+    assert(head.collect().toSeq.map(_.toSeq) == Seq(Seq(3L, 9L)))
+  }
+
+  test("float/double zero extremes bail (±0.0 sign is unrecoverable from the rendered bound)") {
+    wh.create("t6", StructType(Seq(StructField("x", DoubleType))))
+    wh.append("t6", spark.createDataFrame(Seq(Row(-0.0d), Row(2.5d)).asJava,
+      StructType(Seq(StructField("x", DoubleType)))), statsCols = Seq("x"))
+    val q = spark.sql(s"SELECT min(x) AS mn FROM $cat.t6")
+    assert(!servedFromStats(q), "a zero bound must fall back to the scan")
+    // the scan preserves the sign the stat cannot
+    assert(java.lang.Double.compare(q.head().getDouble(0), -0.0d) == 0)
+    val mx = spark.sql(s"SELECT max(x) AS mx FROM $cat.t6")
+    assert(servedFromStats(mx) && mx.head().getDouble(0) == 2.5d)
+  }
+}
