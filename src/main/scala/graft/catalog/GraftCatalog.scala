@@ -88,7 +88,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val v = try version.toLong catch {
       case _: NumberFormatException =>
         try warehouse.resolveTag(baseName, version) catch {
-          case _: IllegalArgumentException => throw new NoSuchTableException(ident)
+          case _: IllegalArgumentException =>
+            // branch ref (Iceberg semantics: VERSION AS OF accepts a tag OR
+            // a branch): resolve to the branch HEAD, pinned at analysis time
+            val bname = s"$baseName@$version"
+            if (!baseName.contains("@") && ident.name() == baseName &&
+                warehouse.exists(bname))
+              return new GraftTable(s"$catalogName.$bname", bname, rootDir,
+                Some(warehouse.currentVersion(bname)))
+            throw new NoSuchTableException(ident)
         }
     }
     loadAt(ident, Some(v))

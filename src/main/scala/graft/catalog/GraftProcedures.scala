@@ -25,6 +25,9 @@ import graft.sink.Warehouse
   * CALL graft.system.restore(tbl => 'events', version => 3)
   * CALL graft.system.create_tag(tbl => 'events', tag => 'audited')
   * CALL graft.system.drop_tag(tbl => 'events', tag => 'audited')
+  * CALL graft.system.create_branch(tbl => 'events', branch => 'wap')
+  * CALL graft.system.publish_branch(tbl => 'events', branch => 'wap')
+  * CALL graft.system.drop_branch(tbl => 'events', branch => 'wap')
   * }}}
   *
   * Every procedure returns a one-row result scan describing what it did
@@ -147,7 +150,34 @@ private[catalog] object GraftProcedures {
       "release a tag (its snapshot becomes expirable)",
       Array(param("tbl", StringType), param("tag", StringType)),
       StructType(Seq(StructField("dropped", BooleanType))),
-      (wh, in) => Seq(Row(wh.dropTag(str(in, 0), str(in, 1)))))
+      (wh, in) => Seq(Row(wh.dropTag(str(in, 0), str(in, 1))))),
+
+    Proc("create_branch",
+      "fork a writable branch ledger (`tbl@branch`) from a committed " +
+        "snapshot — hard-linked fork manifest, zero data IO; version -1 = current",
+      Array(param("tbl", StringType), param("branch", StringType),
+        param("version", LongType, "-1")),
+      StructType(Seq(StructField("branch_version", LongType),
+        StructField("fork_version", LongType))),
+      (wh, in) => {
+        val (t, b) = (str(in, 0), str(in, 1))
+        val bv = wh.createBranch(t, b, in.getLong(2))
+        Seq(Row(bv, wh.forkVersion(t, b)))
+      }),
+
+    Proc("publish_branch",
+      "fast-forward main to the branch head in ONE atomic commit " +
+        "(refuses loudly if main advanced since the fork — that is a merge)",
+      Array(param("tbl", StringType), param("branch", StringType)),
+      StructType(Seq(StructField("version", LongType))),
+      (wh, in) => Seq(Row(wh.publishBranch(str(in, 0), str(in, 1))))),
+
+    Proc("drop_branch",
+      "abandon a branch: its ledger goes; branch-only files become " +
+        "orphans the next expire_snapshots reclaims",
+      Array(param("tbl", StringType), param("branch", StringType)),
+      StructType(Seq(StructField("dropped", BooleanType))),
+      (wh, in) => Seq(Row(wh.dropBranch(str(in, 0), str(in, 1)))))
   )
 
   private val byName: Map[String, Proc] = procs.map(p => p.name -> p).toMap

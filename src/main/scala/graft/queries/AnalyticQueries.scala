@@ -49,6 +49,10 @@ object AnalyticQueries {
   private lazy val q146Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q146")
 
+  /** q147's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q147Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q147")
+
   private def wipe(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -329,6 +333,47 @@ object AnalyticQueries {
     // files per batch; morMerge defers that IO to compactDeletes, off the
     // ingest path (MorMergeSpec pins merge-equivalence, replay convergence,
     // O(batch) manifests, and CDC exactness).
+    // Branch write-audit-publish under the oracle (q147): half the orders
+    // land on main, a branch forks (hard-linked manifest, ZERO data IO),
+    // the other half plus a MOR price-correction merge land ON THE BRANCH
+    // (multi-commit WAP — main serves the untouched pre-fork snapshot the
+    // whole time, probed as `main_pre_publish`), then publishBranch
+    // fast-forwards main to the branch head in ONE atomic commit whose
+    // manifest delta is O(branch changes). DuckDB adjudicates the final
+    // published state against the direct CASE form over raw parquet, and
+    // the isolation probe against the even-key count — a torn publish, a
+    // leaked branch write, or a dropped main commit is a hash miss. At
+    // 100 TB this is the audited-backfill workflow: build and validate N
+    // commits beside production, publish by pointer swap.
+    "q147_branch_wap" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q147Root)
+      try {
+        val wh = new Warehouse(s, q147Root.toString)
+        val o = read(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        wh.create("ord", org.apache.spark.sql.types.StructType(
+          o.schema.fields.map(_.copy(nullable = true))))
+        wh.append("ord", o.filter(col("o_orderkey") % 2 === 0),
+          statsCols = Seq("o_orderkey"))
+        wh.createBranch("ord", "wap")
+        wh.append("ord@wap", o.filter(col("o_orderkey") % 2 === 1),
+          statsCols = Seq("o_orderkey"))
+        wh.morMerge("ord@wap",
+          o.filter(col("o_orderkey") % 10 === 4)
+            .withColumn("o_totalprice", col("o_totalprice") * 2)
+            .withColumn("o_orderstatus", lit("W")),
+          Seq("o_orderkey"))
+        val mainPre = wh.load("ord").count() // isolation probe: pre-fork snapshot
+        wh.publishBranch("ord", "wap")
+        wh.load("ord").groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("main_pre_publish", lit(mainPre))
+          .orderBy("o_orderstatus")
+          .localCheckpoint()
+      } finally wipe(q147Root)
+    },
+
     "q140_mor_upsert" -> { (s, dir) =>
       import graft.sink.Warehouse
       wipe(q140Root)
@@ -928,6 +973,18 @@ object AnalyticQueries {
         |  min(l_quantity) AS mn_qty, max(l_quantity) AS mx_qty,
         |  min(l_shipdate) AS mn_ship, max(l_shipdate) AS mx_ship
         |FROM lineitem""".stripMargin,
+
+    // q147's oracle: the published state must equal the direct CASE form
+    // over the raw table (all orders, %10==4 rows price-doubled + status
+    // 'W'), and the isolation probe must equal the even-key count — a torn
+    // publish, leaked branch write, or dropped main commit is a hash miss.
+    "q147_branch_wap" ->
+      """SELECT CASE WHEN o_orderkey % 10 = 4 THEN 'W' ELSE o_orderstatus END AS o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderkey % 10 = 4 THEN CAST(o_totalprice * 2 AS DECIMAL(18,2)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS main_pre_publish
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q138's oracle: the same selectively-filtered star join over the RAW
     // parquet — runtime file pruning must be invisible to the answer.

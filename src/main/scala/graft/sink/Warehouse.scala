@@ -61,8 +61,28 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   // back to name matching exactly as before.
   spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
-  private def tableDir(name: String) = Paths.get(root, name)
-  private def pointer(name: String) = tableDir(name).resolve("_current")
+  // ------------------------------------------------------------ ref names --
+
+  /** Split `t@branch` into (base table, branch). A branch is a ref-suffixed
+    * manifest NAMESPACE inside the base table's directory: branch manifests
+    * are `m<v>@<branch>.manifest`, the pointer hint `_current@<branch>` —
+    * same data files, same segments, same commit protocol. Every verb that
+    * resolves paths through [[tableDir]]/[[manifestPath]]/[[pointer]]
+    * (append, merge, morMerge, deletes, compaction, schema evolution,
+    * restore, change feed, transactions) therefore works on a branch
+    * unchanged — the Iceberg branch story recast as per-ref ledgers.
+    */
+  private[sink] def splitRef(name: String): (String, Option[String]) = {
+    val i = name.indexOf('@')
+    if (i < 0) (name, None) else (name.substring(0, i), Some(name.substring(i + 1)))
+  }
+  private def refOf(name: String): Option[String] = splitRef(name)._2
+  private def refSuffix(name: String): String =
+    refOf(name).map("@" + _).getOrElse("")
+
+  private def tableDir(name: String) = Paths.get(root, splitRef(name)._1)
+  private def pointer(name: String) =
+    tableDir(name).resolve(s"_current${refSuffix(name)}")
 
   // ------------------------------------------------------------ field ids --
 
@@ -105,7 +125,8 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     base
   }
-  private def manifestPath(name: String, v: Long) = tableDir(name).resolve(s"m$v.manifest")
+  private def manifestPath(name: String, v: Long) =
+    tableDir(name).resolve(s"m$v${refSuffix(name)}.manifest")
 
   /** S6 existence probe. A table exists once it has any committed snapshot:
     * the pointer is the normal signal, but a crash between the very first
@@ -191,6 +212,8 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * ever mentioning the layout. See [[PartitionTransforms]].
     */
   def create(name: String, schema: StructType, partitionBy: Seq[String]): Long = {
+    require(refOf(name).isEmpty,
+      s"cannot create a table at a branch name: $name (use createBranch)")
     require(!exists(name), s"table already exists: $name")
     Files.createDirectories(tableDir(name))
     val widened = withFieldIds(StructType(schema.fields.map(_.copy(nullable = true))))
@@ -258,8 +281,12 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     finally s.close()
   }
 
-  /** Drop a table: removes data, manifests, and the pointer. */
+  /** Drop a table: removes data, manifests, and the pointer. Refuses a
+    * branch name — that would wipe the whole table dir; [[dropBranch]]
+    * removes just the ledger.
+    */
   def drop(name: String): Boolean = {
+    require(refOf(name).isEmpty, s"use dropBranch to drop a branch: $name")
     if (!Files.exists(tableDir(name))) return false
     deleteRecursively(tableDir(name))
     true
@@ -271,6 +298,8 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * together) use [[renameAll]], which is atomic to observers.
     */
   def rename(from: String, to: String): Unit = {
+    require(refOf(from).isEmpty && refOf(to).isEmpty,
+      s"cannot rename a branch: $from -> $to (branches move with their table)")
     require(exists(from), s"no such table: $from")
     require(!Files.exists(tableDir(to)), s"table already exists: $to")
     Files.move(tableDir(from), tableDir(to))
@@ -301,6 +330,8 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   def renameAll(pairs: Seq[(String, String)]): Unit = {
     recoverPendingRenames()
     require(pairs.nonEmpty, "renameAll needs at least one pair")
+    require(pairs.forall(p => refOf(p._1).isEmpty && refOf(p._2).isEmpty),
+      "cannot rename branches (they move with their table)")
     require(pairs.map(_._1).distinct.size == pairs.size, "duplicate source table")
     require(pairs.map(_._2).distinct.size == pairs.size, "duplicate target table")
     // simulate in order: present tables after each pair
@@ -744,11 +775,14 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   def history(name: String): Seq[Long] =
     if (!Files.exists(tableDir(name))) Nil
     else {
+      // per-ref ledger: `m<v>.manifest` on main, `m<v>@<branch>.manifest`
+      // on a branch — each ledger sees only its own files
+      val pat = ("m(\\d+)" + java.util.regex.Pattern.quote(refSuffix(name)) +
+        "\\.manifest").r
       val s = Files.list(tableDir(name))
       try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
         .asScala.map(_.getFileName.toString)
-        .filter(n => n.startsWith("m") && n.endsWith(".manifest"))
-        .map(_.stripPrefix("m").stripSuffix(".manifest").toLong).toSeq.sorted
+        .collect { case pat(v) => v.toLong }.toSeq.sorted
       finally s.close()
     }
 
@@ -1218,6 +1252,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   private def writeBatch(name: String, df: DataFrame, statsCols: Seq[String],
                          clusterBy: Seq[String], keepPrior: Boolean): Long = {
     val existing = if (exists(name)) Some(currentManifest(name)) else None
+    // a branch ledger is only ever born by forking ([[createBranch]]):
+    // auto-creating one here would silently start an empty, unrelated
+    // history inside the base table's directory
+    require(existing.nonEmpty || refOf(name).isEmpty,
+      s"no such branch: $name (createBranch first)")
     Files.createDirectories(tableDir(name))
     val schema = targetSchema(existing, df)
     // first-append auto-create must record the id high-water mark exactly
@@ -2593,6 +2632,10 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // (pinning its snapshot against expiry forever would be worse)
     require(!tag.forall(_.isDigit),
       s"invalid tag name: $tag (all-digit names collide with snapshot versions)")
+    // tags name MAIN-ledger snapshots: a branch version number lives in a
+    // different version space, and a tag protecting "v3" must be
+    // unambiguous about whose v3 it pins against expiry
+    require(refOf(name).isEmpty, s"tags name main-ledger snapshots, not branch ones: $name")
     val v = if (version < 0) currentVersion(name) else version
     require(v >= 0 && Files.exists(manifestPath(name, v)),
       s"no such snapshot to tag: $name v=$v")
@@ -2631,6 +2674,130 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   /** Release a tag (its snapshot becomes expirable again). */
   def dropTag(name: String, tag: String): Boolean =
     Files.deleteIfExists(tagPath(name, tag))
+
+  // ------------------------------------------------------------- branches --
+
+  private def forkPath(base: String, branch: String) =
+    tableDir(base).resolve(s"_fork@$branch")
+
+  /** Fork a WRITABLE branch from a committed snapshot (Iceberg branch
+    * analog; default: the current one). The branch is a full per-ref
+    * ledger named `<table>@<branch>`: its v0 manifest is a HARD LINK of
+    * the fork snapshot's — zero data IO, zero manifest copying, shared
+    * segments — and every warehouse verb (append, merge, morMerge,
+    * positional deletes, compaction, schema evolution, restore, change
+    * feed, transactions, time travel) works on the branch name unchanged,
+    * because they all resolve paths per ref. Data files stay in the base
+    * table's directory, shared BY PATH across every ref exactly like
+    * snapshots share them across versions; [[expireSnapshots]] counts every
+    * ref's manifests when deciding what is still referenced.
+    *
+    * This is the WAP pattern generalized from one staged batch to an
+    * arbitrary multi-commit workflow: build/audit N commits on the branch
+    * while main serves traffic untouched, then [[publishBranch]]
+    * fast-forwards main to the branch head in one atomic commit — or
+    * [[dropBranch]] abandons the whole line and expiry reclaims its files.
+    *
+    * Creation is itself atomic (the v0 hard link is a CREATE_NEW CAS): of
+    * two racing `createBranch` calls, one loses loudly.
+    */
+  def createBranch(name: String, branch: String, version: Long = -1L): Long = {
+    require(refOf(name).isEmpty, s"cannot branch a branch: $name")
+    require(branch.matches("[A-Za-z0-9][A-Za-z0-9._-]*"), s"invalid branch name: $branch")
+    require(exists(name), s"no such table: $name")
+    val v = if (version < 0) currentVersion(name) else version
+    require(v >= 0 && Files.exists(manifestPath(name, v)),
+      s"no such snapshot to branch: $name v=$v")
+    val bname = s"$name@$branch"
+    // fork point FIRST: publishBranch's fast-forward check must never see
+    // a branch without one (a crash after this write but before the link
+    // leaves a stale _fork file, overwritten by the next createBranch)
+    val fp = forkPath(name, branch)
+    val tmp = fp.resolveSibling(fp.getFileName.toString + ".tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, fp, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    try Files.createLink(manifestPath(bname, 0L), manifestPath(name, v))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(s"branch already exists: $bname")
+    }
+    val ptmp = tableDir(name).resolve(s"_current@$branch.tmp")
+    Files.writeString(ptmp, "0")
+    Files.move(ptmp, pointer(bname), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    0L
+  }
+
+  /** All branches of a table, detected from their ledger files (not the
+    * pointer hints — a crash can lose a hint, never a committed manifest).
+    */
+  def branches(name: String): Seq[String] =
+    if (!Files.exists(tableDir(name))) Nil
+    else {
+      val pat = "m\\d+@(.+)\\.manifest".r
+      val s = Files.list(tableDir(name))
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .map(_.getFileName.toString)
+        .collect { case pat(b) => b }.toSeq.distinct.sorted
+      finally s.close()
+    }
+
+  /** The MAIN-ledger version a branch last forked from / published to —
+    * the base both sides share, and therefore the fast-forward guard.
+    */
+  def forkVersion(name: String, branch: String): Long = {
+    val fp = forkPath(name, branch)
+    require(Files.exists(fp), s"no such branch: $name@$branch")
+    Files.readString(fp).trim.toLong
+  }
+
+  /** Publish a branch head onto main as ONE atomic commit — the
+    * fast-forward half of write-audit-publish. Requires main to still sit
+    * at the branch's fork point: if main advanced since the fork, the two
+    * lines have DIVERGED and publishing would silently drop main's commits
+    * — that is a merge, and we refuse loudly (Iceberg's fast_forward
+    * semantics). The committed manifest is the branch head's — a delta
+    * write against main's current (= the fork snapshot), so the publish
+    * costs O(branch changes) metadata and ZERO data IO; the branch's data
+    * files are already in the table directory. On success the fork point
+    * advances to the published version, so a long-lived branch can keep
+    * cycling build→publish indefinitely.
+    */
+  def publishBranch(name: String, branch: String): Long = {
+    require(refOf(name).isEmpty, s"publish targets the base table: $name")
+    val bname = s"$name@$branch"
+    require(exists(bname), s"no such branch: $bname")
+    val forkV = forkVersion(name, branch)
+    val head = currentManifest(bname)
+    val cur = currentVersion(name)
+    if (cur != forkV)
+      throw new java.util.ConcurrentModificationException(
+        s"$name advanced since $bname forked (v$forkV -> v$cur): not a fast-forward; " +
+          "re-branch from the new head and replay, or reconcile manually")
+    val v = commitManifest(name, cur + 1, head)
+    val fp = forkPath(name, branch)
+    val tmp = fp.resolveSibling(fp.getFileName.toString + ".tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, fp, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Abandon a branch: its ledger (manifests + pointer + fork point) goes;
+    * data files the branch alone referenced become orphans that the next
+    * [[expireSnapshots]] reclaims. Files shared with main or another
+    * branch survive — reference counting IS the manifest union.
+    */
+  def dropBranch(name: String, branch: String): Boolean = {
+    require(refOf(name).isEmpty, s"dropBranch targets the base table: $name")
+    val bname = s"$name@$branch"
+    if (!Files.exists(tableDir(name)) || history(bname).isEmpty) return false
+    history(bname).foreach(v => Files.deleteIfExists(manifestPath(bname, v)))
+    Files.deleteIfExists(pointer(bname))
+    Files.deleteIfExists(forkPath(name, branch))
+    true
+  }
 
   /** Change feed, file grain: the data files snapshot `toVersion` references
     * that `fromVersion` does not — for appends this IS the set of ingested
@@ -2772,7 +2939,18 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // matter how old — dropTag first to release it. With `olderThanMillis`
     // (Iceberg expire_snapshots older_than): only droppable snapshots
     // COMMITTED BEFORE the instant go — keepLast still floors retention.
-    val tagged = tags(name).values.toSet
+    // Tags name MAIN-ledger versions, so they protect nothing on a branch
+    // ledger (whose version numbers are a different space).
+    val tagged = if (refOf(name).nonEmpty) Set.empty[Long] else tags(name).values.toSet
+    // Every OTHER ref of this table keeps its entire ledger: its manifests'
+    // files and segments are live no matter what this ref drops — branches
+    // share data files with main (and each other) by path, and the v0 fork
+    // manifest is a hard link whose content must stay resolvable.
+    val base = splitRef(name)._1
+    val otherRefManifests: Seq[Path] =
+      (Seq(base) ++ branches(base).map(b => s"$base@$b"))
+        .filterNot(_ == name)
+        .flatMap(rn => history(rn).map(v => manifestPath(rn, v)))
     val drop = versions.dropRight(keepLast).filterNot(tagged)
       .filter(v => olderThanMillis.forall(commitTimeMillis(name, v) < _))
     val keep = versions.filterNot(drop.toSet)
@@ -2787,8 +2965,10 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     listStages(name).foreach { id =>
       val (p, _, _) = findStage(name, id)
       val paths = Manifest.read(p).files.map(_.path).toSet
-      val published = paths.nonEmpty && versions.exists(v =>
-        paths.subsetOf(manifestAt(name, v).files.map(_.path).toSet))
+      val published = paths.nonEmpty && (versions.exists(v =>
+        paths.subsetOf(manifestAt(name, v).files.map(_.path).toSet)) ||
+        otherRefManifests.exists(mp =>
+          paths.subsetOf(Manifest.read(mp).files.map(_.path).toSet)))
       if (published)
         Files.move(p, tombstoneOf(p), StandardCopyOption.ATOMIC_MOVE)
     }
@@ -2803,11 +2983,14 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       .map(id => findStage(name, id)._1)
       .flatMap(p => refsOf(Manifest.read(p))).toSet
     val referenced = keep
-      .flatMap(v => refsOf(Manifest.read(manifestPath(name, v)))).toSet ++ stageRefs
+      .flatMap(v => refsOf(Manifest.read(manifestPath(name, v)))).toSet ++ stageRefs ++
+      otherRefManifests.flatMap(p => refsOf(Manifest.read(p)))
     // manifest SEGMENTS are shared by reference across snapshot roots the
     // same way data files are: a segment lives while ANY kept root lists it
-    // (collected BEFORE the roots are deleted)
-    val keptSegs = keep.flatMap(v => Manifest.segmentRefs(manifestPath(name, v))).toSet
+    // (collected BEFORE the roots are deleted) — including every other
+    // ref's roots
+    val keptSegs = keep.flatMap(v => Manifest.segmentRefs(manifestPath(name, v))).toSet ++
+      otherRefManifests.flatMap(Manifest.segmentRefs)
     val droppedSegs = drop.flatMap(v => Manifest.segmentRefs(manifestPath(name, v))).toSet
     drop.foreach(v => Files.deleteIfExists(manifestPath(name, v)))
     (droppedSegs -- keptSegs).foreach(s => Files.deleteIfExists(tableDir(name).resolve(s)))
@@ -2819,7 +3002,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     locally {
       val s = Files.list(td)
       try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-        .filter(p => p.getFileName.toString.matches("m\\d+\\.manifest\\.w.*") &&
+        .filter(p => p.getFileName.toString.matches("m\\d+(@.+)?\\.manifest\\.w.*") &&
           Files.getLastModifiedTime(p).toMillis < cutoff)
         .foreach(Files.deleteIfExists(_))
       finally s.close()
