@@ -257,6 +257,32 @@ sealed class GraftParquetScan(base: ParquetScan,
         }.zipWithIndex.map { case (files, i) => FilePartition(i, files): InputPartition }.toArray
     }
   }
+
+  /** Manifest-exact planning statistics (Iceberg SparkScan analog). Spark's
+    * stock `FileScan` estimate is on-disk bytes — compressed, and blind to
+    * both row counts and column pruning — so the planner's broadcast
+    * decision runs on the wrong number in exactly the cases that matter
+    * (narrow projection of a wide fact). The manifest already holds exact
+    * per-file row counts the commit paid for: report their sum as
+    * `numRows`, and size the scan as rows x the READ schema's row width, so
+    * a 2-column projection of a 40-column table is costed as 2 columns.
+    * Composes with pruning at every grain: `ManifestPruneRule` shrinks
+    * `filesByPath` before planning, and an arrived runtime filter
+    * (`allowed`) shrinks it again on re-plan. Counts are exact for the
+    * files scanned; pushed data filters only reduce them further, keeping
+    * this a safe upper bound — same contract as Iceberg's.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val files = allowed.fold(filesByPath.values)(
+      ok => filesByPath.collect { case (p, df) if ok(p) => df })
+    val rows = files.iterator.map(_.rows).sum
+    val width = readDataSchema.fields.map(_.dataType.defaultSize).sum.max(1)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(rows * width, 1L))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 }
 
 /** [[GraftParquetScan]] plus `SupportsReportPartitioning`: input partitions
