@@ -87,6 +87,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val baseName = MetaTables.parse(ident.name()).map(_._1).getOrElse(ident.name())
     val v = try version.toLong catch {
       case _: NumberFormatException =>
+        // tags and branch refs both name MAIN-ledger state: on a branch
+        // identifier a non-numeric version would resolve a main tag and
+        // then serve that number from the BRANCH ledger — an unrelated
+        // snapshot. Numeric versions stay per-ledger time travel.
+        if (baseName.contains("@")) throw new NoSuchTableException(ident)
         try warehouse.resolveTag(baseName, version) catch {
           case _: IllegalArgumentException =>
             // branch ref (Iceberg semantics: VERSION AS OF accepts a tag OR

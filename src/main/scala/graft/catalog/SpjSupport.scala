@@ -266,6 +266,12 @@ sealed class GraftParquetScan(base: ParquetScan,
     * per-file row counts the commit paid for: report their sum as
     * `numRows`, and size the scan as rows x the READ schema's row width, so
     * a 2-column projection of a 40-column table is costed as 2 columns.
+    * Variable-width columns cut the other way — `defaultSize` is a flat 20
+    * for strings, so a fat-text column would be costed near zero and flip
+    * joins to broadcasts that OOM; when the read schema includes one, the
+    * estimate charges the surviving files' on-disk bytes (net of the fixed
+    * columns' share) instead, keeping the narrow-projection win without
+    * the fat-string regression.
     * Composes with pruning at every grain: `ManifestPruneRule` shrinks
     * `filesByPath` before planning, and an arrived runtime filter
     * (`allowed`) shrinks it again on re-plan. Counts are exact for the
@@ -273,13 +279,44 @@ sealed class GraftParquetScan(base: ParquetScan,
     * this a safe upper bound — same contract as Iceberg's.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val files = allowed.fold(filesByPath.values)(
-      ok => filesByPath.collect { case (p, df) if ok(p) => df })
-    val rows = files.iterator.map(_.rows).sum
-    val width = readDataSchema.fields.map(_.dataType.defaultSize).sum.max(1)
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, StringType, StructType}
+    def isVar(dt: DataType): Boolean = dt match {
+      case StringType | BinaryType                     => true
+      case _: ArrayType | _: MapType | _: StructType   => true
+      case _                                           => false
+    }
+    val surviving = allowed.fold(filesByPath)(ok => filesByPath.filter(kv => ok(kv._1)))
+    val rows = surviving.valuesIterator.map(_.rows).sum
+    // partition columns live in directory names, not file bytes: always a
+    // flat per-row charge
+    val partW = readPartitionSchema.fields.map(_.dataType.defaultSize).sum
+    val readFields = readDataSchema.fields
+    val readFixedW = readFields.filterNot(f => isVar(f.dataType)).map(_.dataType.defaultSize).sum
+    val size =
+      if (!readFields.exists(f => isVar(f.dataType)))
+        // fixed-width read schema: rows x width is (near-)exact — the
+        // narrow-projection broadcast win this override exists for
+        math.max(rows * (readFixedW + partW).max(1), 1L)
+      else {
+        // variable-width columns are read: defaultSize (a flat 20 for
+        // strings) can be a massive UNDERestimate, and a too-small size
+        // flips joins to broadcasts that OOM. Charge the surviving files'
+        // ON-DISK bytes net of the fixed columns' share, apportioned by
+        // var-column count — compressed, so still conservative-low, but it
+        // tracks the real payload where the width formula is blind.
+        val lenByPath = fileIndex.allFiles().iterator
+          .map(f => f.getPath.toUri.getPath -> f.getLen).toMap
+        val disk = surviving.keysIterator.map(p => lenByPath.getOrElse(p, 0L)).sum
+        val fixedFullW = dataSchema.fields.filterNot(f => isVar(f.dataType))
+          .map(_.dataType.defaultSize).sum
+        val nVarFull = dataSchema.fields.count(f => isVar(f.dataType)).max(1)
+        val nVarRead = readFields.count(f => isVar(f.dataType))
+        val readVarW = readFields.filter(f => isVar(f.dataType)).map(_.dataType.defaultSize).sum
+        val varShare = math.max(disk - rows * fixedFullW, 0L) * nVarRead / nVarFull
+        math.max(rows * (readFixedW + partW) + math.max(rows * readVarW, varShare), 1L)
+      }
     new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(math.max(rows * width, 1L))
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
     }
   }

@@ -323,16 +323,6 @@ object AnalyticQueries {
       } finally wipe(q139Root)
     },
 
-    // MOR upsert under the oracle (q140): the merge-on-read ingest path —
-    // base table, then ONE O(batch) morMerge commit (batch data files + an
-    // equality-delete file of the batch keys, zero target rewrites) — served
-    // with the deletes still PENDING. DuckDB adjudicates the anti-joined
-    // read against the latest-state CASE form: upsert-by-delete must be
-    // indistinguishable from upsert-by-rewrite. At 100 TB this is the CDC
-    // fast path: scattered keys would make copy-on-write merge rewrite most
-    // files per batch; morMerge defers that IO to compactDeletes, off the
-    // ingest path (MorMergeSpec pins merge-equivalence, replay convergence,
-    // O(batch) manifests, and CDC exactness).
     // Branch write-audit-publish under the oracle (q147): half the orders
     // land on main, a branch forks (hard-linked manifest, ZERO data IO),
     // the other half plus a MOR price-correction merge land ON THE BRANCH
@@ -374,6 +364,16 @@ object AnalyticQueries {
       } finally wipe(q147Root)
     },
 
+    // MOR upsert under the oracle (q140): the merge-on-read ingest path —
+    // base table, then ONE O(batch) morMerge commit (batch data files + an
+    // equality-delete file of the batch keys, zero target rewrites) — served
+    // with the deletes still PENDING. DuckDB adjudicates the anti-joined
+    // read against the latest-state CASE form: upsert-by-delete must be
+    // indistinguishable from upsert-by-rewrite. At 100 TB this is the CDC
+    // fast path: scattered keys would make copy-on-write merge rewrite most
+    // files per batch; morMerge defers that IO to compactDeletes, off the
+    // ingest path (MorMergeSpec pins merge-equivalence, replay convergence,
+    // O(batch) manifests, and CDC exactness).
     "q140_mor_upsert" -> { (s, dir) =>
       import graft.sink.Warehouse
       wipe(q140Root)

@@ -1072,8 +1072,10 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
         throw new java.util.ConcurrentModificationException(
           s"$name: lost the commit race for v$next (concurrent writer); re-read and retry")
     } finally Files.deleteIfExists(attempt)
-    // best-effort hint update; readers recover via the forward scan
-    val tmp = tableDir(name).resolve(s"_current.tmp$next")
+    // best-effort hint update; readers recover via the forward scan (the
+    // tmp name is ref-suffixed: a main and a branch commit at the same
+    // version number must not collide on the staging path)
+    val tmp = tableDir(name).resolve(s"_current${refSuffix(name)}.tmp$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -2636,6 +2638,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // different version space, and a tag protecting "v3" must be
     // unambiguous about whose v3 it pins against expiry
     require(refOf(name).isEmpty, s"tags name main-ledger snapshots, not branch ones: $name")
+    // and the mirror of createBranch's shadow guard: `VERSION AS OF '<x>'`
+    // tries tags before branches, so a tag named like a live branch would
+    // silently capture the branch's resolution
+    require(!branches(name).contains(tag),
+      s"a branch named '$tag' exists on $name: VERSION AS OF would shadow it")
     val v = if (version < 0) currentVersion(name) else version
     require(v >= 0 && Files.exists(manifestPath(name, v)),
       s"no such snapshot to tag: $name v=$v")
@@ -2662,10 +2669,15 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       finally s.close()
     }
 
-  /** Resolve a tag to its snapshot version. */
-  def resolveTag(name: String, tag: String): Long =
+  /** Resolve a tag to its snapshot version. Tags name MAIN-ledger
+    * snapshots, so resolving one through a branch name would cross version
+    * spaces — refused (same guard as [[tagSnapshot]]).
+    */
+  def resolveTag(name: String, tag: String): Long = {
+    require(refOf(name).isEmpty, s"tags name main-ledger snapshots, not branch ones: $name")
     tags(name).getOrElse(tag,
       throw new IllegalArgumentException(s"no such tag: $name@$tag"))
+  }
 
   /** Scan the snapshot a tag names. */
   def loadTag(name: String, tag: String): DataFrame =
@@ -2704,29 +2716,47 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   def createBranch(name: String, branch: String, version: Long = -1L): Long = {
     require(refOf(name).isEmpty, s"cannot branch a branch: $name")
     require(branch.matches("[A-Za-z0-9][A-Za-z0-9._-]*"), s"invalid branch name: $branch")
+    // the two VERSION AS OF collisions, refused at create time: an
+    // all-digit name parses as a snapshot version (the branch would be
+    // unreachable from SQL), and a tag of the same name wins resolution
+    // (the branch would be silently shadowed) — mirror of tagSnapshot's
+    // guards
+    require(!branch.forall(_.isDigit),
+      s"invalid branch name: $branch (all-digit names collide with snapshot versions)")
     require(exists(name), s"no such table: $name")
+    require(!tags(name).contains(branch),
+      s"a tag named '$branch' exists on $name: VERSION AS OF would shadow the branch")
     val v = if (version < 0) currentVersion(name) else version
     require(v >= 0 && Files.exists(manifestPath(name, v)),
       s"no such snapshot to branch: $name v=$v")
     val bname = s"$name@$branch"
-    // fork point FIRST: publishBranch's fast-forward check must never see
-    // a branch without one (a crash after this write but before the link
-    // leaves a stale _fork file, overwritten by the next createBranch)
-    val fp = forkPath(name, branch)
-    val tmp = fp.resolveSibling(fp.getFileName.toString + ".tmp")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, fp, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // the v0 hard link IS the create CAS — it must come FIRST: of two
+    // racing createBranch calls (or a failed orchestration retry against a
+    // LIVE branch) the loser touches nothing, in particular not the
+    // winner's fork point, which guards publishBranch's fast-forward check
+    // against silently dropping main commits
     try Files.createLink(manifestPath(bname, 0L), manifestPath(name, v))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalArgumentException(s"branch already exists: $bname")
     }
+    // fork point second: a crash between the link and this write is
+    // repaired by [[forkVersion]] — the v0 hard link pins the fork
+    // snapshot's inode, so the fork version is recoverable
+    writeForkPoint(name, branch, v)
     val ptmp = tableDir(name).resolve(s"_current@$branch.tmp")
     Files.writeString(ptmp, "0")
     Files.move(ptmp, pointer(bname), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     0L
+  }
+
+  private def writeForkPoint(name: String, branch: String, v: Long): Unit = {
+    val fp = forkPath(name, branch)
+    val tmp = fp.resolveSibling(fp.getFileName.toString + ".tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, fp, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** All branches of a table, detected from their ledger files (not the
@@ -2748,8 +2778,20 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     */
   def forkVersion(name: String, branch: String): Long = {
     val fp = forkPath(name, branch)
-    require(Files.exists(fp), s"no such branch: $name@$branch")
-    Files.readString(fp).trim.toLong
+    if (Files.exists(fp)) return Files.readString(fp).trim.toLong
+    // repair createBranch's crash window (v0 link landed, fork-point write
+    // didn't): the v0 manifest is a hard link of the fork snapshot's, so
+    // the shared inode identifies which main version was forked; persist
+    // the recovered value so the repair runs once
+    val v0 = manifestPath(s"$name@$branch", 0L)
+    require(Files.exists(v0), s"no such branch: $name@$branch")
+    val recovered = history(name)
+      .find(v => Files.isSameFile(v0, manifestPath(name, v)))
+      .getOrElse(throw new IllegalStateException(
+        s"cannot recover the fork point of $name@$branch: its v0 manifest " +
+          "matches no main snapshot (fork snapshot expired mid-repair?)"))
+    writeForkPoint(name, branch, recovered)
+    recovered
   }
 
   /** Publish a branch head onto main as ONE atomic commit — the
@@ -2771,16 +2813,24 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val forkV = forkVersion(name, branch)
     val head = currentManifest(bname)
     val cur = currentVersion(name)
-    if (cur != forkV)
+    if (cur != forkV) {
+      // roll-forward for OUR crash window (main commit landed, fork-point
+      // advance didn't): if main's head already IS the branch head, the
+      // publish completed — repair the fork point instead of wedging every
+      // future publish behind a manual reconcile. Set-compare: the two
+      // roots replay their segments in different orders
+      val mainHead = currentManifest(name)
+      if (mainHead.schema == head.schema && mainHead.files.toSet == head.files.toSet &&
+          mainHead.deletes.toSet == head.deletes.toSet) {
+        writeForkPoint(name, branch, cur)
+        return cur
+      }
       throw new java.util.ConcurrentModificationException(
         s"$name advanced since $bname forked (v$forkV -> v$cur): not a fast-forward; " +
           "re-branch from the new head and replay, or reconcile manually")
+    }
     val v = commitManifest(name, cur + 1, head)
-    val fp = forkPath(name, branch)
-    val tmp = fp.resolveSibling(fp.getFileName.toString + ".tmp")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, fp, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writeForkPoint(name, branch, v)
     v
   }
 
@@ -2793,9 +2843,13 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     require(refOf(name).isEmpty, s"dropBranch targets the base table: $name")
     val bname = s"$name@$branch"
     if (!Files.exists(tableDir(name)) || history(bname).isEmpty) return false
-    history(bname).foreach(v => Files.deleteIfExists(manifestPath(bname, v)))
-    Files.deleteIfExists(pointer(bname))
+    // visibility off FIRST (fork point, then pointer), ledger last: a
+    // crash mid-drop must never leave a publishable-looking branch whose
+    // early manifests are gone — without a fork point publish refuses, and
+    // a re-run of dropBranch (or the next one) finishes the tail
     Files.deleteIfExists(forkPath(name, branch))
+    Files.deleteIfExists(pointer(bname))
+    history(bname).foreach(v => Files.deleteIfExists(manifestPath(bname, v)))
     true
   }
 
@@ -2955,6 +3009,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       .filter(v => olderThanMillis.forall(commitTimeMillis(name, v) < _))
     val keep = versions.filterNot(drop.toSet)
     def refsOf(m: Manifest): Seq[String] = m.files.map(_.path) ++ m.deletes.map(_.path)
+    // parse each other-ref manifest ONCE (the stage-publication loop below
+    // would otherwise re-read all of them per stage, and the liveness fold
+    // a third time): O(refs x versions) manifest IO, not O(stages x ...)
+    val otherRefParsed: Seq[Manifest] = otherRefManifests.map(Manifest.read)
+    val otherRefPathSets: Seq[Set[String]] = otherRefParsed.map(_.files.map(_.path).toSet)
     // Finalize published-but-unfinalized stage markers BEFORE destroying the
     // snapshots that prove publication (a crash inside publishStage's one-
     // rename window leaves such a marker): the evidence check runs while
@@ -2967,8 +3026,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       val paths = Manifest.read(p).files.map(_.path).toSet
       val published = paths.nonEmpty && (versions.exists(v =>
         paths.subsetOf(manifestAt(name, v).files.map(_.path).toSet)) ||
-        otherRefManifests.exists(mp =>
-          paths.subsetOf(Manifest.read(mp).files.map(_.path).toSet)))
+        otherRefPathSets.exists(paths.subsetOf))
       if (published)
         Files.move(p, tombstoneOf(p), StandardCopyOption.ATOMIC_MOVE)
     }
@@ -2984,7 +3042,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       .flatMap(p => refsOf(Manifest.read(p))).toSet
     val referenced = keep
       .flatMap(v => refsOf(Manifest.read(manifestPath(name, v)))).toSet ++ stageRefs ++
-      otherRefManifests.flatMap(p => refsOf(Manifest.read(p)))
+      otherRefParsed.flatMap(refsOf)
     // manifest SEGMENTS are shared by reference across snapshot roots the
     // same way data files are: a segment lives while ANY kept root lists it
     // (collected BEFORE the roots are deleted) — including every other

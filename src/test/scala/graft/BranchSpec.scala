@@ -219,4 +219,67 @@ class BranchSpec extends SparkSpec {
     intercept[IllegalArgumentException] { wh.createBranch("t11", "dev") } // duplicate
     intercept[IllegalArgumentException] { wh.publishBranch("t11", "nope") }
   }
+
+  test("a failed duplicate createBranch touches nothing: fork point survives, divergence still refuses") {
+    wh.create("t13", schema)
+    wh.append("t13", frame(1L -> "a"), statsCols = Seq("k"))
+    wh.createBranch("t13", "dev")
+    wh.append("t13@dev", frame(2L -> "b"), statsCols = Seq("k"))
+    wh.append("t13", frame(3L -> "c"), statsCols = Seq("k")) // main diverges
+    val forkBefore = wh.forkVersion("t13", "dev")
+    // a retry/race loser must not clobber the live branch's fork point —
+    // that would let the next publish pass the fast-forward guard and
+    // silently drop main's post-fork commit
+    intercept[IllegalArgumentException] { wh.createBranch("t13", "dev") }
+    assert(wh.forkVersion("t13", "dev") == forkBefore)
+    intercept[java.util.ConcurrentModificationException] { wh.publishBranch("t13", "dev") }
+    assert(asMap("t13") == Map(1L -> "a", 3L -> "c"), "main intact after refused publish")
+  }
+
+  test("forkVersion self-repairs the createBranch crash window from the v0 hard link") {
+    wh.create("t14", schema)
+    wh.append("t14", frame(1L -> "a"), statsCols = Seq("k"))
+    wh.append("t14", frame(2L -> "b"), statsCols = Seq("k"))
+    wh.createBranch("t14", "dev", version = 1L)
+    val fp = java.nio.file.Paths.get(root, "t14", "_fork@dev")
+    java.nio.file.Files.delete(fp) // simulate the crash between link and fork write
+    assert(wh.forkVersion("t14", "dev") == 1L, "recovered from the v0 hard link's inode")
+    assert(java.nio.file.Files.exists(fp), "repair persists so it runs once")
+    assert(java.nio.file.Files.readString(fp).trim == "1")
+  }
+
+  test("publishBranch rolls forward a crashed fork-point advance instead of wedging") {
+    wh.create("t15", schema)
+    wh.append("t15", frame(1L -> "a"), statsCols = Seq("k"))
+    wh.createBranch("t15", "dev")
+    wh.append("t15@dev", frame(2L -> "b"), statsCols = Seq("k"))
+    val published = wh.publishBranch("t15", "dev")
+    val fp = java.nio.file.Paths.get(root, "t15", "_fork@dev")
+    java.nio.file.Files.writeString(fp, "1") // simulate: main commit landed, fork advance didn't
+    // the re-driven publish must recognize main's head IS the branch head,
+    // repair the fork point, and commit NOTHING new
+    assert(wh.publishBranch("t15", "dev") == published)
+    assert(wh.currentVersion("t15") == published, "no duplicate commit from the roll-forward")
+    assert(wh.forkVersion("t15", "dev") == published)
+    assert(asMap("t15") == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("name collisions with VERSION AS OF are refused in both directions; tags never resolve through branch names") {
+    wh.create("t16", schema)
+    wh.append("t16", frame(1L -> "a"), statsCols = Seq("k"))
+    wh.tagSnapshot("t16", "gold")
+    intercept[IllegalArgumentException] { wh.createBranch("t16", "7") }      // parses as a version
+    intercept[IllegalArgumentException] { wh.createBranch("t16", "gold") }   // tag shadows branch
+    wh.createBranch("t16", "dev")
+    intercept[IllegalArgumentException] { wh.tagSnapshot("t16", "dev") }     // branch shadows tag
+    // a main tag must not resolve through a branch identifier: the tag's
+    // number names a MAIN snapshot, not the branch-ledger version
+    intercept[IllegalArgumentException] { wh.resolveTag("t16@dev", "gold") }
+    wh.append("t16@dev", frame(2L -> "b"), statsCols = Seq("k"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.`t16@dev` VERSION AS OF 'gold'").collect()
+    }
+    // numeric branch-ledger time travel stays available
+    assert(spark.sql(s"SELECT * FROM $cat.`t16@dev` VERSION AS OF 1").count() == 2L)
+  }
 }

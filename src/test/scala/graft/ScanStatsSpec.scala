@@ -111,6 +111,12 @@ class ScanStatsSpec extends SparkSpec {
       assert(hasBhj, "planner must broadcast the narrow warehouse projection " +
         "from its manifest-exact stats:\n" + joined.queryExecution.executedPlan)
       assert(joined.count() == 200000)
+      // the mirror case: reading the fat VAR-WIDTH column must not shrink
+      // to defaultSize-of-string and flip to a broadcast that materializes
+      // the whole payload — the estimate charges the on-disk bytes instead
+      val fat = fact.join(spark.table(s"$cat.dim"), "k")
+      assert(!fat.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "a full read of the fat dim must NOT broadcast:\n" + fat.queryExecution.executedPlan)
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None)    => conf.unset(k)
