@@ -572,6 +572,15 @@ private[catalog] object MetaTables {
       StructField("bytes", LongType, nullable = false))), containsNull = false),
       nullable = false)))
 
+  val RefsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false), // "branch" | "tag"
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    // the MAIN version a branch last forked from / published to; NULL for
+    // tags and for main itself
+    StructField("fork_version", LongType, nullable = true)))
+
   val PartitionsSchema: StructType = StructType(Seq(
     // transform -> value in the stat comparison domain; a transform's value
     // is NULL for files whose bounds span several values (pre-spec files,
@@ -639,6 +648,28 @@ private[catalog] object MetaTables {
             tagsByV.getOrElse(v, Nil))
         }.toArray
       }))
+    // the ref axis itself (Iceberg $refs analog): main + every branch +
+    // every tag, with head/tagged versions and commit times — each ref's
+    // version in ITS OWN ledger's space (which is why branch rows carry the
+    // main-space fork_version beside it). Like $snapshots, time travel on
+    // the ref axis is a category error.
+    case "refs" if version.isEmpty =>
+      Some(new MetaTable(displayName, RefsSchema, () => {
+        val main = {
+          val v = wh.currentVersion(base)
+          Row("main", "branch", v, new java.sql.Timestamp(wh.commitTimeMillis(base, v)), null)
+        }
+        val branchRows = wh.branches(base).map { b =>
+          val bname = s"$base@$b"
+          val v = wh.currentVersion(bname)
+          Row(b, "branch", v, new java.sql.Timestamp(wh.commitTimeMillis(bname, v)),
+            wh.forkVersion(base, b))
+        }
+        val tagRows = wh.tags(base).toSeq.sortBy(_._1).map { case (t, v) =>
+          Row(t, "tag", v, new java.sql.Timestamp(wh.commitTimeMillis(base, v)), null)
+        }
+        (main +: branchRows) ++ tagRows
+      }.toArray))
     case _ => None
   }
 }

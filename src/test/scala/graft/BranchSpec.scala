@@ -282,4 +282,27 @@ class BranchSpec extends SparkSpec {
     // numeric branch-ledger time travel stays available
     assert(spark.sql(s"SELECT * FROM $cat.`t16@dev` VERSION AS OF 1").count() == 2L)
   }
+
+  test("$refs metadata table lists main, branches (with fork points), and tags") {
+    wh.create("t17", schema)
+    wh.append("t17", frame(1L -> "a"), statsCols = Seq("k"))
+    wh.tagSnapshot("t17", "gold")
+    wh.createBranch("t17", "dev")
+    wh.append("t17@dev", frame(2L -> "b"), statsCols = Seq("k"))
+    val refs = spark.sql(s"SELECT name, type, version, fork_version FROM $cat.`t17$$refs`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(refs == Set(
+      ("main", "branch", 1L, -1L),     // main head: create v0 + append v1
+      ("dev", "branch", 1L, 1L),       // branch head v1 IN ITS LEDGER, forked from main v1
+      ("gold", "tag", 1L, -1L)))
+    // a metadata scan reads no data files
+    val plan = spark.sql(s"SELECT * FROM $cat.`t17$$refs`")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("Parquet"), plan)
+    // the ref axis is not a version axis: time travel on it is refused
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.`t17$$refs` VERSION AS OF 0").collect()
+    }
+  }
 }
