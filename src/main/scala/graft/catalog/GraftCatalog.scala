@@ -333,7 +333,8 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
   override def schema(): StructType = manifest.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -358,7 +359,12 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
       new org.apache.hadoop.fs.Path(warehouse.resolvePath(table, rel)).toUri.getPath
     val filesByPath = manifest.files.map(f => norm(f.path) -> f).toMap
     val info = SpjSupport.infoFor(warehouse.partitionSpec(table), manifest, norm)
-    new SpjScanBuilder(spark, pt.fileIndex, pt.schema, pt.dataSchema, options, filesByPath, info)
+    // a LIVE table scan can also be planned as a micro-batch stream
+    // (readStream.table): the ref carries what GraftMicroBatchStream needs
+    // to poll the version ledger
+    val streamRef = if (version.isEmpty && prunedManifest.isEmpty) Some((table, root)) else None
+    new SpjScanBuilder(spark, pt.fileIndex, pt.schema, pt.dataSchema, options, filesByPath,
+      info, streamRef)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

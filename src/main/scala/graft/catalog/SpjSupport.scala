@@ -211,7 +211,8 @@ final class KeyedFilePartition(index: Int, files: Array[PartitionedFile], key: I
   * canonicalization strips them).
   */
 sealed class GraftParquetScan(base: ParquetScan,
-                              filesByPath: Map[String, graft.sink.DataFile])
+                              filesByPath: Map[String, graft.sink.DataFile],
+                              streamRef: Option[(String, String)] = None)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
       base.readDataSchema, base.readPartitionSchema, base.pushedFilters, base.options,
       base.pushedAggregate, base.partitionFilters, base.dataFilters,
@@ -320,6 +321,21 @@ sealed class GraftParquetScan(base: ParquetScan,
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
     }
   }
+
+  /** `spark.readStream.table(...)` — see [[GraftMicroBatchStream]]. Only a
+    * live, unpruned table can be a stream (a pinned snapshot never grows,
+    * and a pruned scan's file set is query-local).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val (t, r) = streamRef.getOrElse(throw new UnsupportedOperationException(
+      "streaming read is supported only on a live warehouse table " +
+        "(not a time-travel snapshot or a pruned scan)"))
+    require(readPartitionSchema.isEmpty,
+      s"streaming read of hive-split (partition-transformed) table $t is not supported; " +
+        "read the identity-layout table or consume ChangeFeedStream")
+    new GraftMicroBatchStream(t, r, this, options)
+  }
 }
 
 /** [[GraftParquetScan]] plus `SupportsReportPartitioning`: input partitions
@@ -382,14 +398,15 @@ final class SpjScanBuilder(sparkSession: org.apache.spark.sql.SparkSession,
                            schema: StructType, dataSchema: StructType,
                            options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
                            filesByPath: Map[String, graft.sink.DataFile],
-                           info: Option[SpjSupport.Info])
+                           info: Option[SpjSupport.Info],
+                           streamRef: Option[(String, String)] = None)
     extends ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, options) {
   override def build(): ParquetScan = {
     val base = super.build()
     if (base.pushedAggregate.isDefined) base
     else info match {
       case Some(i) => new KeyGroupedParquetScan(base, filesByPath, i)
-      case None    => new GraftParquetScan(base, filesByPath)
+      case None    => new GraftParquetScan(base, filesByPath, streamRef)
     }
   }
 }

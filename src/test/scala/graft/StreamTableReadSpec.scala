@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.apache.spark.sql.types._
+
+import graft.sink.Warehouse
+
+/** `spark.readStream.table("cat.t")` — the DSv2 micro-batch read of a
+  * warehouse table (`GraftMicroBatchStream`): offsets ARE snapshot versions,
+  * each batch is exactly the files its commit window added, restarts replay
+  * from Spark's offset log with zero re-delivery, and non-append commits
+  * refuse loudly (or are skipped with `stream-skip-changes`).
+  */
+class StreamTableReadSpec extends SparkSpec {
+
+  private val cat = "strc"
+  private lazy val root: String = {
+    val r = tmpDir("graft-streamread")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", r)
+    r
+  }
+  private def wh = new Warehouse(spark, root)
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+  private def frame(rows: (Long, String)*) =
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows.map(r => Row(r._1, r._2))).asJava,
+      schema)
+
+  private def memRows(name: String): Set[(Long, String)] =
+    spark.table(name).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("delivers history, then follows appends; restart from checkpoint re-delivers nothing") {
+    wh.create("s1", schema)
+    wh.append("s1", frame(1L -> "a"), statsCols = Seq("k"))
+    wh.append("s1", frame(2L -> "b"), statsCols = Seq("k"))
+    val ckpt = tmpDir("ckpt-s1")
+    // foreachBatch (checkpoint-recoverable, unlike the memory sink) into a
+    // shared buffer — restart proves the offset log, the buffer the rows
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def start() = spark.readStream.table(s"$cat.s1")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        df.collect().foreach(r => got.add((r.getLong(0), r.getString(1))))
+      }
+      .option("checkpointLocation", ckpt).start()
+    import scala.jdk.CollectionConverters._
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(got.asScala.toSet == Set(1L -> "a", 2L -> "b"), "full history as the first batches")
+      wh.append("s1", frame(3L -> "c"), statsCols = Seq("k"))
+      q1.processAllAvailable()
+      assert(got.asScala.toSet == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    } finally q1.stop()
+
+    // a rebuilt query on the SAME checkpoint must re-deliver nothing:
+    // offsets are snapshot versions in Spark's offset log
+    got.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.isEmpty, "no re-delivery after restart")
+      wh.append("s1", frame(4L -> "d"), statsCols = Seq("k"))
+      q2.processAllAvailable()
+      assert(got.asScala.toSet == Set(4L -> "d"), "only the new commit after restart")
+    } finally q2.stop()
+  }
+
+  test("streaming projection and filter ride the scan: pruned columns, pushed predicates") {
+    wh.create("s2", schema)
+    wh.append("s2", frame(1L -> "a", 2L -> "b", 3L -> "c"), statsCols = Seq("k"))
+    val q = spark.readStream.table(s"$cat.s2")
+      .filter(col("k") >= 2).select("v")
+      .writeStream.outputMode("append").format("memory").queryName("s2_m")
+      .option("checkpointLocation", tmpDir("ckpt-s2")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("s2_m").collect().map(_.getString(0)).toSet == Set("b", "c"))
+    } finally q.stop()
+  }
+
+  test("stream-start-version=latest skips existing data and follows only new commits") {
+    wh.create("s3", schema)
+    wh.append("s3", frame(1L -> "old"), statsCols = Seq("k"))
+    val q = spark.readStream.option("stream-start-version", "latest").table(s"$cat.s3")
+      .writeStream.outputMode("append").format("memory").queryName("s3_m")
+      .option("checkpointLocation", tmpDir("ckpt-s3")).start()
+    try {
+      q.processAllAvailable()
+      assert(memRows("s3_m").isEmpty)
+      wh.append("s3", frame(2L -> "new"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      assert(memRows("s3_m") == Set(2L -> "new"))
+    } finally q.stop()
+  }
+
+  test("a non-append commit refuses loudly; stream-skip-changes skips it and keeps following") {
+    wh.create("s4", schema)
+    wh.append("s4", frame(1L -> "a", 2L -> "b"), statsCols = Seq("k"))
+    val strict = spark.readStream.table(s"$cat.s4")
+      .writeStream.outputMode("append").format("memory").queryName("s4_strict")
+      .option("checkpointLocation", tmpDir("ckpt-s4a")).start()
+    try {
+      strict.processAllAvailable()
+      wh.compactFiles("s4") // rewrites small files -> removes files from the manifest
+      wh.append("s4", frame(3L -> "c"), statsCols = Seq("k"))
+      val ex = intercept[StreamingQueryException] { strict.processAllAvailable() }
+      assert(ex.getMessage.contains("append-only") ||
+        Option(ex.getCause).exists(_.getMessage.contains("append-only")), ex.getMessage)
+    } finally strict.stop()
+
+    // skip mode: the compaction commit delivers nothing (its rows were
+    // already delivered from the pre-compaction files), the append follows
+    val lax = spark.readStream.option("stream-skip-changes", "true").table(s"$cat.s4")
+      .writeStream.outputMode("append").format("memory").queryName("s4_lax")
+      .option("checkpointLocation", tmpDir("ckpt-s4b")).start()
+    try {
+      lax.processAllAvailable()
+      // v0 create + v1 append delivered; compaction v2 skipped ENTIRELY
+      // (its rewritten file would double-deliver rows 1,2 otherwise)
+      assert(memRows("s4_lax") == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+      wh.append("s4", frame(4L -> "d"), statsCols = Seq("k"))
+      lax.processAllAvailable()
+      assert(memRows("s4_lax") == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    } finally lax.stop()
+  }
+
+  test("stream-max-files-per-trigger drains a backlog in bounded micro-batches") {
+    wh.create("s6", schema)
+    (1L to 4L).foreach(i => wh.append("s6", frame(i -> s"v$i"), statsCols = Seq("k")))
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = spark.readStream.option("stream-max-files-per-trigger", "1").table(s"$cat.s6")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val n = df.count().toInt
+        if (n > 0) batchSizes.add(n)
+        ()
+      }
+      .option("checkpointLocation", tmpDir("ckpt-s6")).start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      // four single-file commits, budget 1 file/trigger -> four bounded
+      // batches, never one catch-up mega-batch
+      assert(batchSizes.asScala.toList == List(1, 1, 1, 1),
+        s"expected 4 bounded batches, got $batchSizes")
+    } finally q.stop()
+  }
+
+  test("guards: time-travel snapshots cannot stream; pending MOR deletes fail at scan build") {
+    wh.create("s5", schema)
+    wh.append("s5", frame(1L -> "a"), statsCols = Seq("k"))
+    wh.morMerge("s5", frame(1L -> "A"), Seq("k"))
+    val q = spark.readStream.table(s"$cat.s5")
+      .writeStream.outputMode("append").format("memory").queryName("s5_m")
+      .option("checkpointLocation", tmpDir("ckpt-s5")).start()
+    try {
+      val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("\n")
+      assert(msgs.contains("pending equality-delete") || msgs.contains("append-only"), msgs)
+    } finally q.stop()
+  }
+}
