@@ -46,7 +46,8 @@ import graft.sink.Warehouse
   * `mergeBroadcastMaxKeys` = merge broadcast gate (also settable session-wide
   * via `spark.graft.mergeBroadcastMaxKeys`).
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var rootDir: String = _
@@ -298,6 +299,81 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     requireFlat(oldIdent.namespace()); requireFlat(newIdent.namespace())
     warehouse.rename(oldIdent.name(), newIdent.name())
   }
+
+  // ---- atomic CTAS/RTAS (StagingTableCatalog): `CREATE TABLE ... AS
+  // SELECT`, `REPLACE TABLE ... AS SELECT`, `CREATE OR REPLACE ...` plan as
+  // the ATOMIC execs — the query writes into an invisible staged table and
+  // ONE commit publishes ([[graft.sink.Warehouse.stageCreateTable]]); a
+  // failed query aborts to nothing. Without this face, Spark's fallback is
+  // create-then-insert-then-drop-on-failure: a reader can observe the empty
+  // table, and a driver crash strands it.
+
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    staged(ident, columns, partitions, replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    staged(ident, columns, partitions, replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    staged(ident, columns, partitions, replace = true, orCreate = true)
+
+  private def staged(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], replace: Boolean, orCreate: Boolean): StagedTable = {
+    requireFlat(ident.namespace())
+    val wh = warehouse
+    val name = ident.name()
+    val already = wh.exists(name)
+    if (!replace && already) throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !already) throw new NoSuchTableException(ident)
+    val schema = StructType(
+      columns.map(c => StructField(c.name(), c.dataType(), c.nullable())))
+    val stage = wh.stageCreateTable(name, schema, partitions.map(specOf).toSeq,
+      replaceExisting = replace && already)
+    new StagedGraftTable(s"$catalogName.$name", schema, stage)
+  }
+}
+
+/** Staged CTAS/RTAS table: Spark writes the query result through the V1
+  * shim into the stage's invisible `ctas*` files, then exactly one of
+  * commit (one snapshot commit publishes) / abort (files vanish) runs.
+  */
+private[catalog] class StagedGraftTable(displayName: String, schema0: StructType,
+    stage: Warehouse#CtasStage) extends StagedTable with SupportsWrite {
+
+  override def name(): String = displayName
+  override def schema(): StructType = schema0
+  // RTAS plans OverwriteByExpression(AlwaysTrue) against the STAGED
+  // relation, so it must advertise truncate — a no-op here: the stage holds
+  // nothing to truncate, "overwrite the staged emptiness" IS the write
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SupportsOverwriteV2 {
+      override def truncate(): WriteBuilder = this
+      override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+        require(predicates.isEmpty ||
+          (predicates.length == 1 && predicates(0).name() == "ALWAYS_TRUE"),
+          "a staged CTAS write can only overwrite the whole (empty) stage")
+        this
+      }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+            val statsCols = Option(info.options().get("stats-cols")).toSeq
+              .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+            stage.write(data, statsCols)
+          }
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = stage.commit()
+  override def abortStagedChanges(): Unit = stage.abort()
 }
 
 /** One warehouse table (optionally pinned to a snapshot version for time

@@ -2614,6 +2614,138 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     Files.deleteIfExists(p)
   }
 
+  // --------------------------------------------- atomic CTAS/RTAS staging --
+
+  /** Stage an atomic `CREATE [OR REPLACE] TABLE ... AS SELECT` (the
+    * StagingTableCatalog lifecycle): data files are written for real into
+    * the (possibly not-yet-existing) table directory, but the table stays
+    * INVISIBLE — [[exists]] is "a committed manifest is present", and none
+    * is until [[CtasStage.commit]] lands exactly one snapshot commit. A
+    * failed query aborts to nothing: no half-created table for readers to
+    * trip on, no empty husk to clean up (the non-atomic alternative —
+    * create-then-insert — exposes both states).
+    *
+    * `replaceExisting = true` stages an RTAS over the current version:
+    * commit REDEFINES the table (new schema, new partition spec, content =
+    * exactly the query result) as one snapshot commit, CAS-guarded against
+    * concurrent writers ([[publishStage]]'s replace conflict rule); old
+    * snapshots keep serving time travel. A crash between write and commit
+    * orphans only `ctas*` attempt dirs — once the table exists (or existed
+    * all along), [[expireSnapshots]]'s grace-aged unreferenced-file sweep
+    * collects them.
+    */
+  def stageCreateTable(name: String, schema: StructType, spec: Seq[String],
+                       replaceExisting: Boolean): CtasStage =
+    new CtasStage(name, schema, spec, replaceExisting)
+
+  final class CtasStage private[sink] (name: String, rawSchema: StructType,
+      spec: Seq[String], replaceExisting: Boolean) {
+    require(refOf(name).isEmpty,
+      s"cannot create a table at a branch name: $name (use createBranch)")
+    // fast-fail only — the real create-vs-create race is decided by the
+    // v0 commitManifest CAS in commit()
+    require(replaceExisting || !Warehouse.this.exists(name),
+      s"table already exists: $name")
+    require(!replaceExisting || Warehouse.this.exists(name),
+      s"no such table to replace: $name")
+
+    /** The committed table's schema: widened nullable + field-id-stamped,
+      * frozen here so every staged file carries the ids scans resolve by.
+      */
+    private val schema: StructType =
+      withFieldIds(StructType(rawSchema.fields.map(_.copy(nullable = true))))
+    private val canon = PartitionTransforms.canonical(spec, schema)
+    private val baseV: Option[Long] =
+      if (replaceExisting) Some(currentVersion(name)) else None
+    private val id = java.util.UUID.randomUUID().toString.take(8)
+    private var entries: Vector[DataFile] = Vector.empty
+
+    /** Write one batch of the query result (Spark's CTAS exec writes once;
+      * multiple calls accumulate). Files land under a stage-unique `ctas*`
+      * dir — unreferenced by any snapshot until commit.
+      */
+    def write(df: DataFrame, statsCols: Seq[String] = Nil): Unit = {
+      Files.createDirectories(tableDir(name))
+      val in = cluster(SchemaOps.conform(df, schema), Nil, canon)
+      entries = entries ++ writeData(name, in, schema, s"ctas$id-${entries.size}",
+        statsCols ++ canon, seq = 0L, spec = canon)
+    }
+
+    /** Publish: exactly ONE snapshot commit makes the table (or its new
+      * definition) visible. CREATE commits v0 directly with the staged
+      * files — racing creators are serialized by the manifest CAS, the
+      * loser surfaces `ConcurrentModificationException` and its files are
+      * aborted by the caller. REPLACE commits base+1 and refuses if the
+      * table moved since staging (the query read nothing from the table,
+      * but "replace" semantics promise the definition the user saw).
+      */
+    def commit(): Long = {
+      Files.createDirectories(tableDir(name))
+      val target = baseV match {
+        case None => 0L
+        case Some(b) =>
+          val cur = currentVersion(name)
+          if (cur != b) throw new java.util.ConcurrentModificationException(
+            s"$name: RTAS staged against v$b but table is at v$cur; re-run")
+          b + 1
+      }
+      // aux metadata: id high-water mark always (monotonic, harmless on a
+      // lost race); the spec FILE only for CREATE, where the dir is still
+      // invisible — an RTAS spec write before the commit would flip the
+      // LIVE table's layout mid-flight, so it lands after instead
+      reserveFieldIds(name, 0, schema.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max))
+      if (baseV.isEmpty && canon.nonEmpty) writeSpecFile(name, canon)
+      val v = commitManifest(name, target,
+        Manifest(schema, entries.map(_.copy(seq = target))))
+      // RTAS redefines the table's spec too (Iceberg REPLACE semantics); a
+      // crash inside this one-write window leaves the old spec file — a
+      // layout hint, never a correctness input (pruning/SPJ resolve per
+      // FILE from manifest stats)
+      if (baseV.nonEmpty) writeSpecFile(name, canon)
+      v
+    }
+
+    /** Abandon: every `ctas<id>*` dir of this stage goes wholesale — by id
+      * GLOB, not the entry list, because a query that failed MID-write
+      * (task abort inside `df.write.parquet`) leaves a partial attempt dir
+      * that never produced entries. No snapshot ever referenced any of it.
+      * A table directory created solely for this stage — the table never
+      * came to exist — goes with it.
+      */
+    def abort(): Unit = {
+      val d = tableDir(name)
+      if (Files.isDirectory(d)) {
+        val mine = {
+          val s = Files.list(d)
+          try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+            .filter(_.getFileName.toString.startsWith(s"ctas$id-")).toSeq
+          finally s.close()
+        }
+        mine.foreach(deleteRecursively)
+      }
+      entries = Vector.empty
+      if (baseV.isEmpty && !Warehouse.this.exists(name)) {
+        val d = tableDir(name)
+        val leftover = if (!Files.isDirectory(d)) Nil else {
+          val s = Files.list(d)
+          try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala.toSeq
+          finally s.close()
+        }
+        // only metadata this stage itself wrote can remain (id counter);
+        // anything else means a concurrent actor owns the dir — leave it
+        if (leftover.forall(p => p.getFileName.toString.startsWith("_")))
+          deleteRecursively(d)
+      }
+    }
+  }
+
+  private def writeSpecFile(name: String, canon: Seq[String]): Unit = {
+    val tmp = tableDir(name).resolve("_spec.tmp")
+    Files.writeString(tmp, canon.mkString("\n"))
+    Files.move(tmp, specPath(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   // ---------------------------------------------------------------- tags --
 
   private def tagPath(name: String, tag: String) = {
