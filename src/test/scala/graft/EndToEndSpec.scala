@@ -79,9 +79,10 @@ class EndToEndSpec extends SparkSpec {
       .append()
     assert(spark.sql("SELECT count(*) FROM e2e.account").head().getLong(0) == 2500)
     assert(spark.sql("SELECT count(DISTINCT Id) FROM e2e.account").head().getLong(0) == 2500)
-    // CTAS committed v0 (create) + v1 (first batch); merge added v2; the
-    // pre-merge snapshot stays time-travel-readable in SQL
-    assert(spark.sql("SELECT count(*) FROM e2e.account VERSION AS OF 1").head().getLong(0) == 2000)
-    assert(wh.history("account") == Seq(0L, 1L, 2L))
+    // ATOMIC CTAS (StagingTableCatalog): create + first batch land as the
+    // SINGLE v0 commit; merge added v1; the pre-merge snapshot stays
+    // time-travel-readable in SQL
+    assert(spark.sql("SELECT count(*) FROM e2e.account VERSION AS OF 0").head().getLong(0) == 2000)
+    assert(wh.history("account") == Seq(0L, 1L))
   }
 }
