@@ -80,5 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Warehouse.updateWhere (Spark's own path needs
     // SupportsRowLevelOperations).
     e.injectResolutionRule(_ => graft.catalog.GraftUpdateRule)
+    // Persisted SQL views: DDL is claimed at PARSE time (Spark 4.1 rejects
+    // view DDL on non-session catalogs before any extension rule runs) and
+    // reads substitute the stored SQL at analysis time.
+    e.injectParser((session, delegate) =>
+      new graft.catalog.GraftViewParser(session, delegate))
+    e.injectResolutionRule(session => new graft.catalog.GraftViewSubstitution(session))
   }
 }

@@ -5,7 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, NoSuchViewException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, Predicate, And => V2And, Not => V2Not, Or => V2Or}
@@ -47,7 +47,7 @@ import graft.sink.Warehouse
   * via `spark.graft.mergeBroadcastMaxKeys`).
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var rootDir: String = _
@@ -59,6 +59,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   override def name(): String = catalogName
+
+  /** Warehouse root (view substitution reaches the `_views` store by it). */
+  private[catalog] def root: String = rootDir
 
   private def warehouse = new Warehouse(SparkSession.active, rootDir)
 
@@ -300,6 +303,87 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     warehouse.rename(oldIdent.name(), newIdent.name())
   }
 
+  // ---- SQL views (ViewCatalog): `CREATE [OR REPLACE] VIEW graft.v AS
+  // SELECT ...` persists the defining SQL (plus the resolution context and
+  // analyzed schema) as one metadata file under `<root>/_views/` — the
+  // Iceberg REST-catalog views analog. Pure metadata: a view re-resolves at
+  // analysis time of each querying statement, so it always reads current
+  // snapshots and composes with time travel / branches / MOR like inline
+  // SQL would. See [[ViewStore]] for the durability/race contract.
+
+  private def views = new ViewStore(rootDir)
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    if (namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace.toArray)
+    views.list().map(Identifier.of(Array.empty[String], _)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && views.exists(ident.name())
+
+  override def loadView(ident: Identifier): View = {
+    if (ident.namespace().nonEmpty) throw new NoSuchViewException(ident)
+    val r = views.load(ident.name()).getOrElse(throw new NoSuchViewException(ident))
+    new GraftView(ident.name(), r)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    requireFlat(info.ident().namespace())
+    val name = info.ident().name()
+    // a view must not shadow a table: name resolution tries tables first in
+    // some paths and views first in others — refusing the collision outright
+    // keeps `graft.x` meaning ONE thing
+    if (warehouse.exists(name))
+      throw new TableAlreadyExistsException(info.ident())
+    if (!views.create(name, recordOf(info)))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident())
+    loadView(info.ident())
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    requireFlat(info.ident().namespace())
+    val name = info.ident().name()
+    if (warehouse.exists(name)) throw new TableAlreadyExistsException(info.ident())
+    if (!orCreate && !views.exists(name)) throw new NoSuchViewException(info.ident())
+    views.put(name, recordOf(info))
+    loadView(info.ident())
+  }
+
+  private def recordOf(info: ViewInfo): ViewStore.ViewRecord =
+    ViewStore.ViewRecord(info.sql(), info.currentCatalog(),
+      info.currentNamespace().toSeq, info.schema(),
+      info.queryColumnNames().toSeq, info.columnAliases().toSeq,
+      info.columnComments().toSeq, info.properties().asScala.toMap)
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    if (ident.namespace().nonEmpty) throw new NoSuchViewException(ident)
+    val vs = views
+    val r = vs.load(ident.name()).getOrElse(throw new NoSuchViewException(ident))
+    val props = changes.foldLeft(r.properties) {
+      case (p, s: ViewChange.SetProperty)    => p + (s.property() -> s.value())
+      case (p, d: ViewChange.RemoveProperty) => p - d.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"unsupported ALTER VIEW change: $other")
+    }
+    vs.put(ident.name(), r.copy(properties = props))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && views.drop(ident.name())
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    requireFlat(from.namespace()); requireFlat(to.namespace())
+    if (!views.exists(from.name())) throw new NoSuchViewException(from)
+    if (warehouse.exists(to.name())) throw new TableAlreadyExistsException(to)
+    try views.rename(from.name(), to.name())
+    catch {
+      case _: IllegalStateException =>
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
+    }
+  }
+
   // ---- atomic CTAS/RTAS (StagingTableCatalog): `CREATE TABLE ... AS
   // SELECT`, `REPLACE TABLE ... AS SELECT`, `CREATE OR REPLACE ...` plan as
   // the ATOMIC execs — the query writes into an invisible staged table and
@@ -334,6 +418,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       replaceExisting = replace && already)
     new StagedGraftTable(s"$catalogName.$name", schema, stage)
   }
+}
+
+/** One persisted SQL view, served back to Spark's view resolution. */
+private[catalog] class GraftView(viewName: String, r: ViewStore.ViewRecord)
+    extends View {
+  override def name(): String = viewName
+  override def query(): String = r.sql
+  override def currentCatalog(): String = r.currentCatalog
+  override def currentNamespace(): Array[String] = r.currentNamespace.toArray
+  override def schema(): StructType = r.schema
+  override def queryColumnNames(): Array[String] = r.queryColumnNames.toArray
+  override def columnAliases(): Array[String] = r.columnAliases.toArray
+  override def columnComments(): Array[String] = r.columnComments.toArray
+  override def properties(): util.Map[String, String] = r.properties.asJava
 }
 
 /** Staged CTAS/RTAS table: Spark writes the query result through the V1
@@ -439,8 +537,10 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
     // (readStream.table): the ref carries what GraftMicroBatchStream needs
     // to poll the version ledger
     val streamRef = if (version.isEmpty && prunedManifest.isEmpty) Some((table, root)) else None
+    // ANALYZE-served column stats ride the same live-and-unpruned gate:
+    // other populations weren't the ones measured
     new SpjScanBuilder(spark, pt.fileIndex, pt.schema, pt.dataSchema, options, filesByPath,
-      info, streamRef)
+      info, streamRef, statsRef = streamRef)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

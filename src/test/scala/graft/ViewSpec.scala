@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sink.Warehouse
+
+/** Persisted SQL views (ViewCatalog): create/select/replace/alter/rename/
+  * drop through SQL, snapshot-freshness (a view re-resolves per statement),
+  * name-collision refusals against tables.
+  */
+class ViewSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private lazy val root = {
+    val dir = tmpDir("graft-views")
+    spark.conf.set("spark.sql.catalog.gview", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gview.root", dir)
+    dir
+  }
+  private lazy val wh = { root; new Warehouse(spark, root) }
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("n", LongType)))
+  private def df(rows: (String, Long)*) =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+
+  test("CREATE VIEW persists; SELECT re-resolves against the CURRENT snapshot") {
+    wh.replace("base_t", df(("a", 1), ("b", 2), ("c", 3)))
+    spark.sql("CREATE VIEW gview.big AS SELECT k, n FROM gview.base_t WHERE n >= 2")
+    def rows() = spark.sql("SELECT k, n FROM gview.big ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows() == Seq(("b", 2L), ("c", 3L)))
+    // the view is METADATA: new commits show through without any DDL
+    wh.append("base_t", df(("d", 9)))
+    assert(rows() == Seq(("b", 2L), ("c", 3L), ("d", 9L)))
+    // survives a fresh catalog instance (durable, not session state)
+    spark.conf.set("spark.sql.catalog.gview2", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gview2.root", root)
+    assert(spark.sql("SELECT count(*) AS c FROM gview2.big").head().getLong(0) == 3L)
+  }
+
+  test("SHOW VIEWS lists; CREATE OR REPLACE redefines; ALTER/RENAME/DROP work") {
+    spark.sql("CREATE VIEW gview.v2 AS SELECT 1 AS one")
+    val listed = spark.sql("SHOW VIEWS IN gview").collect().map(_.getString(1)).toSet
+    assert(listed.contains("v2"), listed.toString)
+    intercept[Exception](spark.sql("CREATE VIEW gview.v2 AS SELECT 2 AS two"))
+    spark.sql("CREATE OR REPLACE VIEW gview.v2 AS SELECT 2 AS two")
+    assert(spark.sql("SELECT two FROM gview.v2").head().getInt(0) == 2)
+    spark.sql("ALTER VIEW gview.v2 SET TBLPROPERTIES ('note' = 'x')")
+    spark.sql("ALTER VIEW gview.v2 RENAME TO v2r")
+    assert(spark.sql("SELECT two FROM gview.v2r").head().getInt(0) == 2)
+    spark.sql("DROP VIEW gview.v2r")
+    intercept[Exception](spark.sql("SELECT * FROM gview.v2r"))
+  }
+
+  test("views never shadow tables: creation at a table name refuses (both directions)") {
+    wh.replace("solid_t", df(("a", 1)))
+    intercept[Exception](
+      spark.sql("CREATE VIEW gview.solid_t AS SELECT 1 AS one"))
+    spark.sql("CREATE VIEW gview.v3 AS SELECT 1 AS one")
+    // a rename onto a table name refuses too
+    intercept[Exception](spark.sql("ALTER VIEW gview.v3 RENAME TO solid_t"))
+    spark.sql("DROP VIEW gview.v3")
+  }
+
+  test("views compose: over a view, with time travel inside, join with tables") {
+    wh.replace("tt_t", df(("a", 1)))
+    wh.append("tt_t", df(("b", 2)))
+    spark.sql("CREATE VIEW gview.tt_v0 AS SELECT k FROM gview.tt_t VERSION AS OF 0")
+    assert(spark.sql("SELECT k FROM gview.tt_v0").collect().map(_.getString(0)).toSeq == Seq("a"))
+    spark.sql("CREATE VIEW gview.tt_join AS " +
+      "SELECT t.k, t.n FROM gview.tt_t t JOIN gview.tt_v0 v ON t.k = v.k")
+    assert(spark.sql("SELECT k, n FROM gview.tt_join").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 1L)))
+  }
+}
