@@ -124,6 +124,19 @@ private[catalog] object GraftProcedures {
         Seq(Row(r.version, r.deletesCompacted, r.filesCompacted, r.snapshotsExpired))
       }),
 
+    Proc("analyze",
+      "one column-pruned pass computing per-column HLL distinct sketches + " +
+        "null counts + length stats, stored beside the table and served to " +
+        "CBO as DSv2 columnStats on every later scan; cols '' = all atomic",
+      Array(param("tbl", StringType), param("cols", StringType, "''")),
+      StructType(Seq(StructField("version", LongType),
+        StructField("row_count", LongType), StructField("columns", IntegerType))),
+      (wh, in) => {
+        val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val r = wh.analyzeTable(str(in, 0), cols)
+        Seq(Row(r.version, r.rows, r.cols.size))
+      }),
+
     Proc("rewrite_manifests",
       "coalesce the snapshot's manifest segments into one (metadata-only, " +
         "zero data IO) — the explicit handle on the automatic segment budget",

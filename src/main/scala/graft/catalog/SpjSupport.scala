@@ -212,7 +212,8 @@ final class KeyedFilePartition(index: Int, files: Array[PartitionedFile], key: I
   */
 sealed class GraftParquetScan(base: ParquetScan,
                               filesByPath: Map[String, graft.sink.DataFile],
-                              streamRef: Option[(String, String)] = None)
+                              streamRef: Option[(String, String)] = None,
+                              statsRef: Option[(String, String)] = None)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
       base.readDataSchema, base.readPartitionSchema, base.pushedFilters, base.options,
       base.pushedAggregate, base.partitionFilters, base.dataFilters,
@@ -319,7 +320,43 @@ sealed class GraftParquetScan(base: ParquetScan,
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = ndvStats
     }
+  }
+
+  /** ANALYZE-served per-column statistics ([[graft.sink.Warehouse.analyzeTable]]):
+    * NDV / null count / length stats for the read columns, handed to
+    * Catalyst as DSv2 `columnStats` so CBO's join reorder and selectivity
+    * estimation run on measured numbers. Served only for LIVE, unpruned
+    * scans (`statsRef`, the same gate as streaming): a time-travel snapshot
+    * or a prune-restricted file set is a different population than the one
+    * analyzed. Staleness across later commits is the ordinary ANALYZE
+    * contract — estimates, versioned by the analyze, refreshed by the next
+    * `CALL graft.system.analyze`.
+    */
+  private lazy val ndvStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import java.util.OptionalLong
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+    for {
+      (t, r) <- statsRef
+      cs <- new graft.sink.Warehouse(sparkSession, r).columnStats(t)
+      f <- readDataSchema.fields
+      e <- cs.cols.get(f.name)
+    } m.put(Expressions.column(f.name), new ColumnStatistics {
+      override def distinctCount(): OptionalLong = OptionalLong.of(e.ndv)
+      override def nullCount(): OptionalLong = OptionalLong.of(e.nullCount)
+      override def avgLen(): OptionalLong =
+        if (e.avgLen >= 0) OptionalLong.of(e.avgLen) else OptionalLong.empty()
+      override def maxLen(): OptionalLong =
+        if (e.maxLen >= 0) OptionalLong.of(e.maxLen) else OptionalLong.empty()
+    })
+    m
   }
 
   /** `spark.readStream.table(...)` — see [[GraftMicroBatchStream]]. Only a
@@ -349,8 +386,9 @@ sealed class GraftParquetScan(base: ParquetScan,
   */
 final class KeyGroupedParquetScan(base: ParquetScan,
                                   filesByPath: Map[String, graft.sink.DataFile],
-                                  info: SpjSupport.Info)
-    extends GraftParquetScan(base, filesByPath)
+                                  info: SpjSupport.Info,
+                                  statsRef: Option[(String, String)] = None)
+    extends GraftParquetScan(base, filesByPath, None, statsRef)
     with SupportsReportPartitioning {
 
   override def outputPartitioning(): Partitioning =
@@ -399,14 +437,15 @@ final class SpjScanBuilder(sparkSession: org.apache.spark.sql.SparkSession,
                            options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
                            filesByPath: Map[String, graft.sink.DataFile],
                            info: Option[SpjSupport.Info],
-                           streamRef: Option[(String, String)] = None)
+                           streamRef: Option[(String, String)] = None,
+                           statsRef: Option[(String, String)] = None)
     extends ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, options) {
   override def build(): ParquetScan = {
     val base = super.build()
     if (base.pushedAggregate.isDefined) base
     else info match {
-      case Some(i) => new KeyGroupedParquetScan(base, filesByPath, i)
-      case None    => new GraftParquetScan(base, filesByPath, streamRef)
+      case Some(i) => new KeyGroupedParquetScan(base, filesByPath, i, statsRef)
+      case None    => new GraftParquetScan(base, filesByPath, streamRef, statsRef)
     }
   }
 }
