@@ -53,6 +53,18 @@ object AnalyticQueries {
   private lazy val q147Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q147")
 
+  /** q148's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q148Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q148")
+
+  /** q149's per-JVM warehouse + watch + checkpoint root — same discipline. */
+  private lazy val q149Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q149")
+
+  /** q150's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q150Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q150")
+
   private def wipe(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -362,6 +374,107 @@ object AnalyticQueries {
           .orderBy("o_orderstatus")
           .localCheckpoint()
       } finally wipe(q147Root)
+    },
+
+    // Atomic CTAS under the oracle (q148): `CREATE OR REPLACE TABLE ... AS
+    // SELECT` through the StagingTableCatalog — the query result writes into
+    // an INVISIBLE staged table and exactly ONE snapshot commit publishes
+    // (n_commits probes it: the created table's history must be the single
+    // v0). DuckDB adjudicates the published content against the direct
+    // aggregate over raw parquet. At 100 TB atomic CTAS is the difference
+    // between "a reader can observe the empty half-created table" and
+    // publish-or-nothing.
+    "q148_atomic_ctas" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q148Root)
+      try {
+        s.conf.set("spark.sql.catalog.gq148", classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq148.root", q148Root.toString)
+        val wh = new Warehouse(s, q148Root.toString)
+        wh.replace("ord_src",
+          read(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"))
+        s.sql(
+          """CREATE OR REPLACE TABLE gq148.ord_sum AS
+            |SELECT o_orderpriority,
+            |  count(*) AS n_orders,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM gq148.ord_src GROUP BY o_orderpriority""".stripMargin)
+        val nCommits = wh.history("ord_sum").size
+        s.sql("SELECT o_orderpriority, n_orders, total FROM gq148.ord_sum")
+          .withColumn("n_commits", lit(nCommits))
+          .orderBy("o_orderpriority")
+          .localCheckpoint()
+      } finally wipe(q148Root)
+    },
+
+    // Streaming table sink under the oracle (q149): two disjoint parquet
+    // drops (even keys as-is, odd keys transformed) drain through
+    // `writeStream.format(GraftSinkProvider)` with disposition=upsert —
+    // each micro-batch ONE O(batch) morMerge commit, exactly-once via the
+    // warehouse batch-id ledger (maxFilesPerTrigger=1 forces two real
+    // batches; disjoint keys make the result batching-order-independent,
+    // which is what lets a HASH-exact oracle adjudicate a streaming path).
+    // DuckDB sees the latest-state CASE form over raw orders.
+    "q149_stream_sink_upsert" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q149Root)
+      try {
+        val watch = q149Root.resolve("watch").toString
+        val whRoot = q149Root.resolve("wh").toString
+        val o = read(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("append").parquet(watch)
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 3)
+          .withColumn("o_orderstatus", lit("S"))
+          .write.mode("append").parquet(watch)
+        val q = s.readStream.schema(o.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch)
+          .writeStream.outputMode("append")
+          .format("graft.streaming.GraftSinkProvider")
+          .option("root", whRoot).option("table", "orders_s")
+          .option("disposition", "upsert").option("keys", "o_orderkey")
+          .option("checkpointLocation", q149Root.resolve("cp").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(300000), "q149 stream did not drain")
+        q.stop()
+        new Warehouse(s, whRoot).load("orders_s")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint()
+      } finally wipe(q149Root)
+    },
+
+    // Persisted SQL views under the oracle (q150): CREATE OR REPLACE VIEW
+    // stores the defining SQL as catalog metadata; the SELECT re-resolves it
+    // at analysis time against the CURRENT snapshot — including a commit
+    // that landed AFTER the view was created (the second append below), so
+    // the oracle proves views are metadata over live state, not frozen
+    // results. DuckDB adjudicates against the same aggregate over raw
+    // parquet.
+    "q150_sql_view" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q150Root)
+      try {
+        s.conf.set("spark.sql.catalog.gq150", classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq150.root", q150Root.toString)
+        val wh = new Warehouse(s, q150Root.toString)
+        val o = read(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        wh.replace("ord_v", o.filter(col("o_orderkey") % 2 === 0))
+        s.sql(
+          """CREATE OR REPLACE VIEW gq150.ord_view AS
+            |SELECT o_orderpriority,
+            |  count(*) AS n_orders,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM gq150.ord_v GROUP BY o_orderpriority""".stripMargin)
+        // the view must see THIS commit too — it re-resolves per statement
+        wh.append("ord_v", o.filter(col("o_orderkey") % 2 === 1))
+        s.sql("SELECT o_orderpriority, n_orders, total FROM gq150.ord_view")
+          .orderBy("o_orderpriority")
+          .localCheckpoint()
+      } finally wipe(q150Root)
     },
 
     // MOR upsert under the oracle (q140): the merge-on-read ingest path —
@@ -1005,6 +1118,35 @@ object AnalyticQueries {
         |FROM orders
         |WHERE NOT coalesce(o_orderstatus = 'F' AND o_totalprice < 100000.0, FALSE)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q148's oracle: the atomically-CTAS'd table must equal the direct
+    // aggregate over raw parquet, and the single-commit probe must be 1.
+    "q148_atomic_ctas" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS n_commits
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q149's oracle: the stream-sunk upsert table must equal the
+    // latest-state CASE form over raw orders (odd keys transformed).
+    "q149_stream_sink_upsert" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'S' ELSE o_orderstatus END AS o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_totalprice * 3 AS DECIMAL(18,2)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q150's oracle: the view-served aggregate must equal the same
+    // aggregate over ALL raw orders — including the half appended AFTER
+    // the view was created.
+    "q150_sql_view" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q140's oracle: the pending-delete MOR upsert read must equal the
     // latest-state CASE form over the raw table.
