@@ -60,6 +60,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   override def name(): String = catalogName
 
+  /** Declared catalog abilities: table constraints (CHECK enforced by
+    * Spark's `ResolveTableConstraints` on every V2 write once the table
+    * reports them; PK/UNIQUE/FK as RELY metadata — [[ConstraintStore]]).
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+
   /** Warehouse root (view substitution reaches the `_views` store by it). */
   private[catalog] def root: String = rootDir
 
@@ -149,6 +156,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       StructType(columns.map(c => StructField(c.name(), c.dataType(), c.nullable()))),
       partitions, properties)
 
+  /** `CREATE TABLE ... (x INT, CONSTRAINT c CHECK (x > 0), PRIMARY KEY …)`
+    * arrives on the TableInfo overload; persist the constraints beside the
+    * table so every later write serves them (Spark's own
+    * `ResolveTableConstraints` splices enforced CHECKs into the write's
+    * query — enforcement is free once the table reports them).
+    */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val t = createTable(ident, info.columns(), info.partitions(), info.properties())
+    if (info.constraints() != null && info.constraints().nonEmpty) {
+      val cs = new ConstraintStore(rootDir)
+      info.constraints().foreach(cs.add(ident.name(), _))
+      return loadTable(ident)
+    }
+    t
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -229,6 +252,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       //   ALTER TABLE graft.t SET TBLPROPERTIES ('partition.spec' = 'bucket(8,id),days(ts)')
       // ('' un-partitions) — metadata-only, files keep their layout
       // (Warehouse.updateSpec; PartitionSpecEvolutionSpec)
+      // ALTER TABLE ... ADD CONSTRAINT / DROP CONSTRAINT: metadata-only;
+      // enforced CHECKs apply to writes from now on (existing rows are
+      // whatever they are — validationStatus stays as declared)
+      case a: TableChange.AddConstraint =>
+        new ConstraintStore(rootDir).add(ident.name(), a.constraint())
+      case d: TableChange.DropConstraint =>
+        new ConstraintStore(rootDir).drop(ident.name(), d.name(), d.ifExists())
       case p: TableChange.SetProperty if p.property == "partition.spec" =>
         // top-level comma split only: 'bucket(8,k),days(ts)' has commas
         // INSIDE transform parens too
@@ -505,6 +535,13 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
   }
 
   override def schema(): StructType = manifest.schema
+
+  /** Stored table constraints ([[ConstraintStore]]): Spark's
+    * `ResolveTableConstraints` reads these off every V2 write target and
+    * splices enforced CHECK validation into the writing query.
+    */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    new ConstraintStore(root).list(table).toArray
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
