@@ -65,7 +65,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     * reports them; PK/UNIQUE/FK as RELY metadata — [[ConstraintStore]]).
     */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // write-side column DEFAULTs: with the capability declared, Spark's
+      // own ResolveDefaultColumns fills omitted columns at ANALYSIS time
+      // from the CURRENT_DEFAULT field metadata the DDL stored — engine-side
+      // writes keep the conform (null-fill) contract untouched
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
 
   /** Warehouse root (view substitution reaches the `_views` store by it). */
   private[catalog] def root: String = rootDir
@@ -152,9 +157,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
-    createTable(ident,
-      StructType(columns.map(c => StructField(c.name(), c.dataType(), c.nullable()))),
-      partitions, properties)
+    // V2 Column -> StructField carrying DEFAULT metadata
+    // (CURRENT_DEFAULT/EXISTS_DEFAULT) and comments through — Spark's own
+    // CatalogV2Util conversion is private[sql], so the equivalent inline
+    createTable(ident, StructType(columns.map { c =>
+      var f = StructField(c.name(), c.dataType(), c.nullable())
+      Option(c.comment()).foreach(cm => f = f.withComment(cm))
+      Option(c.defaultValue()).foreach { dv =>
+        val sql = dv.getSql
+        f = f.withCurrentDefaultValue(sql).withExistenceDefaultValue(sql)
+      }
+      f
+    }), partitions, properties)
 
   /** `CREATE TABLE ... (x INT, CONSTRAINT c CHECK (x > 0), PRIMARY KEY …)`
     * arrives on the TableInfo overload; persist the constraints beside the

@@ -14,6 +14,20 @@ import Tables._
   */
 object EtlQueries {
 
+  /** q151's per-JVM warehouse root — the stable-path discipline
+    * (AnalyticQueries.q137Root): catalog plugins are cached by name, so the
+    * root conf must never change; each run wipes the contents instead.
+    */
+  private lazy val q151Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q151")
+
+  private def wipe(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.filter(_ != p).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P3/P4/I1: strict-> watermark scan, pushed to the parquet reader
     // (reference synthesizes `WHERE rk > w ORDER BY rk`, records.py:87-94).
@@ -342,6 +356,40 @@ object EtlQueries {
       }
     },
 
+    // Write-side column DEFAULTs (SUPPORT_COLUMN_DEFAULT_VALUE): CREATE
+    // TABLE declares `tier STRING DEFAULT 'basic'`; an INSERT that OMITS
+    // the column is filled at ANALYSIS time by Spark's own
+    // ResolveDefaultColumns from the CURRENT_DEFAULT field metadata the DDL
+    // stored in the manifest schema — no engine-side hole-filling, no
+    // storage rewrite. Second INSERT stores explicit values incl. genuine
+    // NULLs; the served aggregate groups across both. DuckDB recomputes the
+    // same final state with a CASE over the insert boundary
+    // (ColumnDefaultSpec pins the DEFAULT keyword, typed defaults,
+    // fresh-catalog persistence, and the conform boundary).
+    "q151_column_default" -> { (s, dir) =>
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").as("bal"))
+      // stable per-JVM root: Spark caches catalog plugins by name after
+      // first load, so the catalog conf must keep pointing at the same path
+      // — each run wipes the CONTENTS and rewrites (the q137 discipline)
+      wipe(q151Root)
+      s.conf.set("spark.sql.catalog.gq151", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq151.root", q151Root.toString)
+      try {
+        cust.createOrReplaceTempView("q151_src")
+        s.sql("CREATE TABLE gq151.cust (c_custkey BIGINT, bal DOUBLE, tier STRING DEFAULT 'basic')")
+        s.sql("INSERT INTO gq151.cust (c_custkey, bal) " +
+          "SELECT c_custkey, bal FROM q151_src WHERE c_custkey % 2 = 0")
+        s.sql("INSERT INTO gq151.cust SELECT c_custkey, bal, " +
+          "CASE WHEN bal > 5000 THEN 'gold' END FROM q151_src WHERE c_custkey % 2 = 1")
+        s.table("gq151.cust")
+          .groupBy("tier")
+          .agg(count(lit(1)).as("cnt"), dsum(col("bal")).as("bal_sum"))
+          .orderBy(col("tier").asc) // Spark asc = NULLS FIRST; oracle matches
+          .localCheckpoint()
+      } finally wipe(q151Root)
+    },
+
     // F1/F2: timestamp canonicalization — epoch-millis <-> native timestamp
     // round-trip and ISO-8601 render (records.py:32-45 without the string
     // storage trap).
@@ -440,6 +488,17 @@ object EtlQueries {
         |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q145_initial_default" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal AS bal FROM customer),
+        |f AS (
+        |  SELECT bal, 'basic' AS tier FROM c WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT bal, CASE WHEN bal > 5000 THEN 'gold' END AS tier
+        |  FROM c WHERE c_custkey % 2 = 1)
+        |SELECT tier, count(*) AS cnt,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM f GROUP BY tier ORDER BY tier NULLS FIRST""".stripMargin,
+
+    "q151_column_default" ->
       """WITH c AS (SELECT c_custkey, c_acctbal AS bal FROM customer),
         |f AS (
         |  SELECT bal, 'basic' AS tier FROM c WHERE c_custkey % 2 = 0
