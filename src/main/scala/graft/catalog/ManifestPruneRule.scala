@@ -34,11 +34,45 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
       r.table match {
         case t: GraftTable if t.prunedManifest.isEmpty =>
           val files = t.manifest.files
-          val kept = files.filter(file => mayMatch(file, cond))
+          val kept = files.filter(file =>
+            mayMatch(file, cond) && bloomMayMatch(t, file, cond))
           if (kept.size < files.size) f.copy(child = r.copy(table = t.withFiles(kept)))
           else f
         case _ => f
       }
+  }
+
+  /** Point-lookup pruning via per-file Bloom sidecars
+    * ([[graft.sink.BloomIndex]], built by `Warehouse.buildBloomIndex`):
+    * `col = literal` / `col IN (...)` conjuncts drop files whose filter
+    * proves the value absent — the case range stats can never prune (a
+    * high-cardinality key the table is not clustered by spans every file's
+    * bounds). No false negatives ⇒ pruning on a miss is exact; missing
+    * sidecars, type mismatches, and non-equality shapes keep the file.
+    * Catalog-rule-only (not part of [[mayMatch]]): the sidecar reads are
+    * per-file driver IO that equality-heavy internal callers (DPP IN-sets,
+    * merge victim selection) must not pay implicitly.
+    */
+  private def bloomMayMatch(t: GraftTable, file: DataFile, cond: Expression): Boolean = {
+    import graft.sink.BloomIndex
+    // same path resolution as the scan builder's (branch-ref aware)
+    lazy val wh = new graft.sink.Warehouse(
+      org.apache.spark.sql.SparkSession.active, t.root)
+    def typeOk(a: AttributeReference): Boolean =
+      t.manifest.schema.fields.exists(f0 => f0.name == a.name && f0.dataType == a.dataType)
+    def hit(a: AttributeReference, l: Literal): Boolean =
+      if (l.value == null || !typeOk(a)) true
+      else BloomIndex.hashLiteral(l) match {
+        case Some(h) => BloomIndex.mightContain(wh.resolvePath(t.table, file.path), a.name, h)
+        case None    => true
+      }
+    splitConjunctivePredicates(cond).forall {
+      case EqualTo(a: AttributeReference, l: Literal) => hit(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => hit(a, l)
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => hit(a, v.asInstanceOf[Literal]))
+      case _ => true
+    }
   }
 
   /** May `file` contain a row satisfying `cond`? Unknown shapes → true.
@@ -68,8 +102,13 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists(v => check(file, a.name, "=", v.asInstanceOf[Literal]))
     case IsNotNull(a: AttributeReference) =>
-      // an all-null ("z") file has no row passing IS NOT NULL
-      file.stats.get(a.name).forall(_.kind != "z")
+      // an all-null ("z") file has no row passing IS NOT NULL; with a
+      // recorded null count, nulls == rows proves the same without "z"
+      file.stats.get(a.name).forall(st => st.kind != "z" && st.nulls != file.rows)
+    case IsNull(a: AttributeReference) =>
+      // a file with a PROVEN zero null count has no row passing IS NULL;
+      // unknown (-1) keeps the file
+      file.stats.get(a.name).forall(_.nulls != 0L)
     case _ => true
   }
 

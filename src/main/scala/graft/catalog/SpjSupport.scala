@@ -121,8 +121,8 @@ object SpjSupport {
     val keyOf: graft.sink.DataFile => Option[Seq[Option[String]]] = df => {
       val vals = fields.map { f =>
         df.stats.get(f.key) match {
-          case Some(ColStat("z", _, _))               => Some(None)
-          case Some(ColStat(_, mn, mx)) if mn == mx   => Some(Some(mn))
+          case Some(ColStat("z", _, _, _))            => Some(None)
+          case Some(ColStat(_, mn, mx, _)) if mn == mx => Some(Some(mn))
           case _                                      => None
         }
       }
@@ -213,12 +213,24 @@ final class KeyedFilePartition(index: Int, files: Array[PartitionedFile], key: I
 sealed class GraftParquetScan(base: ParquetScan,
                               filesByPath: Map[String, graft.sink.DataFile],
                               streamRef: Option[(String, String)] = None,
-                              statsRef: Option[(String, String)] = None)
+                              statsRef: Option[(String, String)] = None,
+                              val keepPaths: Option[Set[String]] = None)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
       base.readDataSchema, base.readPartitionSchema, base.pushedFilters, base.options,
       base.pushedAggregate, base.partitionFilters, base.dataFilters,
       base.pushedVariantExtractions)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // `keepPaths` is the build-time LIMIT/top-k file selection
+  // ([[TopNPruning]]): unlike runtime-filter state it must participate in
+  // scan equality, or exchange/scan reuse could substitute a limit-pruned
+  // scan for a full one (case-class equality inherited from ParquetScan
+  // compares only the base fields).
+  override def equals(o: Any): Boolean = o match {
+    case g: GraftParquetScan => super.equals(g) && keepPaths == g.keepPaths
+    case _                   => false
+  }
+  override def hashCode(): Int = super.hashCode() * 31 + keepPaths.hashCode()
 
   /** Paths surviving runtime filters; None = no filter arrived. Mutable by
     * design -- Spark calls filter() on the planned scan then re-plans
@@ -233,6 +245,11 @@ sealed class GraftParquetScan(base: ParquetScan,
     * bounds).
     */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // a limit/top-k-pruned scan must not compose with runtime filters: the
+    // ≥ k row guarantee was computed over the kept files' FULL contents, and
+    // a join-driven filter removing rows (or whole kept files) could leave
+    // fewer than k — while a correct execution would still deliver k
+    if (keepPaths.isDefined) return Array.empty
     val statKeys = filesByPath.valuesIterator.flatMap(_.stats.keysIterator).toSet
     val cols = statKeys.map(k => PartitionTransforms.parseKey(k).map(_.src).getOrElse(k))
     val schemaCols = dataSchema.fieldNames.toSet
@@ -246,9 +263,18 @@ sealed class GraftParquetScan(base: ParquetScan,
     allowed = Some(allowed.fold(kept)(_ intersect kept))
   }
 
+  /** Build-time (limit/top-k) ∩ runtime-filter survivors; None = no
+    * restriction. (The two never actually compose — `filterAttributes` is
+    * empty when `keepPaths` is set — but intersecting stays correct.)
+    */
+  private def surviving: Option[Set[String]] = (keepPaths, allowed) match {
+    case (None, None) => None
+    case (a, b)       => Some(Seq(a, b).flatten.reduce(_ intersect _))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = super.planInputPartitions()
-    allowed match {
+    surviving match {
       case None => parts
       case Some(ok) =>
         parts.iterator.flatMap {
@@ -287,7 +313,7 @@ sealed class GraftParquetScan(base: ParquetScan,
       case _: ArrayType | _: MapType | _: StructType   => true
       case _                                           => false
     }
-    val surviving = allowed.fold(filesByPath)(ok => filesByPath.filter(kv => ok(kv._1)))
+    val surviving = this.surviving.fold(filesByPath)(ok => filesByPath.filter(kv => ok(kv._1)))
     val rows = surviving.valuesIterator.map(_.rows).sum
     // partition columns live in directory names, not file bytes: always a
     // flat per-row charge
@@ -425,11 +451,13 @@ final class KeyGroupedParquetScan(base: ParquetScan,
   }
 }
 
-/** Spark's ParquetScanBuilder with one twist: the built scan carries the
-  * manifest (runtime file pruning), and reports the table's key-grouped
-  * clustering when the snapshot is SPJ-eligible. Aggregate-pushdown scans
-  * (footer-served MIN/MAX/COUNT) bypass the wrap -- their output is not
-  * row-grained and nothing joins on or runtime-filters it.
+/** Spark's ParquetScanBuilder with three twists: the built scan carries the
+  * manifest (runtime file pruning); it reports the table's key-grouped
+  * clustering when the snapshot is SPJ-eligible; and a pushed LIMIT /
+  * ORDER-BY-LIMIT selects a provably-sufficient file subset from manifest
+  * stats ([[TopNPruning]]) before a single byte is read. Aggregate-pushdown
+  * scans (footer-served MIN/MAX/COUNT) bypass the wrap -- their output is
+  * not row-grained and nothing joins on or runtime-filters it.
   */
 final class SpjScanBuilder(sparkSession: org.apache.spark.sql.SparkSession,
                            fileIndex: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
@@ -439,13 +467,66 @@ final class SpjScanBuilder(sparkSession: org.apache.spark.sql.SparkSession,
                            info: Option[SpjSupport.Info],
                            streamRef: Option[(String, String)] = None,
                            statsRef: Option[(String, String)] = None)
-    extends ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, options) {
+    extends ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, options)
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+
+  private var pushedK: Option[Int] = None
+  private var pushedOrders: Option[Array[org.apache.spark.sql.connector.expressions.SortOrder]] = None
+
+  // both pushes are PARTIAL: the scan only shrinks its file set; Spark keeps
+  // the Limit / Sort+Limit on top and computes the exact answer
+  override def pushLimit(limit: Int): Boolean = { pushedK = Some(limit); true }
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    pushedK = Some(limit); pushedOrders = Some(orders); true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** First sort key as (column, ascending, nullsFirst) when it is a bare
+    * top-level column — the only shape manifest bounds can reason about.
+    * Later keys only break ties inside the first key's threshold, which the
+    * at-or-before-τ keep rule already covers.
+    */
+  private def orderSpec(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder])
+      : Option[(String, Boolean, Boolean)] =
+    orders.headOption.flatMap { o =>
+      o.expression() match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if nr.fieldNames().length == 1 =>
+          Some((nr.fieldNames()(0),
+            o.direction() == org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+            o.nullOrdering() == org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+
   override def build(): ParquetScan = {
     val base = super.build()
     if (base.pushedAggregate.isDefined) base
-    else info match {
-      case Some(i) => new KeyGroupedParquetScan(base, filesByPath, i, statsRef)
-      case None    => new GraftParquetScan(base, filesByPath, streamRef, statsRef)
+    else {
+      // limit/top-k file selection is sound only over UNFILTERED scans: a
+      // pushed filter makes per-file row counts overcount surviving rows
+      val keep: Option[Set[String]] =
+        if (base.pushedFilters.nonEmpty || base.partitionFilters.nonEmpty ||
+            base.dataFilters.nonEmpty) None
+        else pushedK.flatMap { k =>
+          // TopNPruning speaks manifest entries; key them by the normalized
+          // absolute paths the scan planner compares against
+          val normFiles = filesByPath.toSeq.map { case (p, f) => f.copy(path = p) }
+          pushedOrders match {
+            case Some(orders) => orderSpec(orders).flatMap { case (c, asc, nf) =>
+              TopNPruning.topNKeep(normFiles, c, asc, nf, k.toLong)
+            }
+            case None => TopNPruning.limitKeep(normFiles, k.toLong)
+          }
+        }
+      (info, keep) match {
+        // a Sort/Limit above the scan breaks key-grouped co-partitioning
+        // anyway, so when the file selection applies it wins over SPJ
+        case (Some(i), None) => new KeyGroupedParquetScan(base, filesByPath, i, statsRef)
+        case (_, k)          => new GraftParquetScan(base, filesByPath, streamRef, statsRef, k)
+      }
     }
   }
 }

@@ -39,8 +39,12 @@ import graft.sink.{Manifest, StatsPruning}
   *     serving MIN/MAX from them exact;
   *   - float/double zero bounds bail: ±0.0 render identically ("0.0"), so
   *     the sign of a zero extreme is unrecoverable from the stat;
-  *   - `COUNT(DISTINCT ...)`, `count(col)` (needs null counts, not
-  *     tracked), FILTER clauses, and non-constant count children bail.
+  *   - `count(col)` serves from the per-file null counts the manifest now
+  *     records (Σ rows − nulls) when EVERY file carries one for the column
+  *     ("z" all-null files contribute 0; pre-null-count stats read as
+  *     unknown and bail);
+  *   - `COUNT(DISTINCT ...)`, FILTER clauses, and non-constant count
+  *     children bail.
   *
   * Injected via [[graft.GraftExtensions]] in the operator-optimization
   * batch, after [[MorReadRule]]/time-travel resolution — the manifest on
@@ -89,6 +93,20 @@ object StatsAggRule extends Rule[LogicalPlan] {
     case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
       case Count(Seq(l: Literal)) if l.value != null =>
         Some(m.files.map(_.rows).sum)
+      // count(col) = Σ (rows − nulls): servable when EVERY file carries a
+      // recorded null count for the column ("z" = all-null contributes 0);
+      // any unknown (-1 or stat-less file) bails
+      case Count(Seq(a: AttributeReference)) =>
+        nameOf.get(a.exprId).flatMap { c =>
+          val perFile = m.files.map { f =>
+            f.stats.get(c) match {
+              case Some(st) if st.kind == "z"  => Some(0L)
+              case Some(st) if st.nulls >= 0L  => Some(f.rows - st.nulls)
+              case _                           => None
+            }
+          }
+          if (perFile.contains(None)) None else Some(perFile.flatten.sum)
+        }
       case Min(a: AttributeReference) => bound(m, nameOf.get(a.exprId), a.dataType, isMin = true)
       case Max(a: AttributeReference) => bound(m, nameOf.get(a.exprId), a.dataType, isMin = false)
       case _ => None

@@ -65,6 +65,14 @@ object AnalyticQueries {
   private lazy val q150Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q150")
 
+  /** q152's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q152Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q152")
+
+  /** q153's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q153Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q153")
+
   private def wipe(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -195,6 +203,78 @@ object AnalyticQueries {
       } finally {
         wipe(q146Root)
       }
+    },
+
+    // Top-k file pruning under the oracle (q152): ORDER BY ... LIMIT over a
+    // range-clustered warehouse table plans only the files whose manifest
+    // bounds can reach the top-k threshold (TopNPruning credit/prune math,
+    // SupportsPushDownTopN on the scan builder; TopNPruneSpec pins the
+    // planned-file counts and property-tests soundness). Spark keeps the
+    // Sort+Limit — the push only shrinks IO — so the answer is exact and
+    // DuckDB adjudicates it directly against the raw parquet. At 100 TB
+    // this turns "latest 100 events by timestamp" from a full-table
+    // TakeOrdered into ~⌈k/rows-per-file⌉ file reads. Build cost is in the
+    // iteration by design (q146's accounting); both sort directions serve
+    // from the same build to pin asc and desc thresholds.
+    "q152_topk_prune" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q152Root)
+      try {
+        s.conf.set("spark.sql.catalog.gq152", classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq152.root", q152Root.toString)
+        val o = read(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        val wh = new Warehouse(s, q152Root.toString)
+        wh.create("ord", org.apache.spark.sql.types.StructType(
+          o.schema.fields.map(_.copy(nullable = true))))
+        // range-cluster on the sort key: files become near-disjoint price
+        // ranges, the layout the top-k file selection thrives on
+        wh.append("ord", o, statsCols = Seq("o_orderkey", "o_totalprice"),
+          clusterBy = Seq("o_totalprice"))
+        val top = s.sql(
+          """SELECT o_orderkey, o_totalprice, o_orderpriority, 'top' AS side
+            |FROM gq152.ord ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+        val bottom = s.sql(
+          """SELECT o_orderkey, o_totalprice, o_orderpriority, 'bottom' AS side
+            |FROM gq152.ord ORDER BY o_totalprice ASC, o_orderkey LIMIT 100""".stripMargin)
+        top.unionAll(bottom)
+          .orderBy(col("side").asc, col("o_orderkey").asc)
+          .localCheckpoint()
+      } finally wipe(q152Root)
+    },
+
+    // Bloom point-lookup index under the oracle (q153): per-file Bloom
+    // sidecars (Warehouse.buildBloomIndex, O(new files) incremental) let
+    // `WHERE h IN (...)` on an md5 key — whose per-file (min,max) spans the
+    // whole domain, so range stats prune NOTHING — plan only the files that
+    // might hold the probed values (ManifestPruneRule's bloom consult;
+    // BloomIndexSpec pins planned-file counts, partial-index safety, and
+    // scan-identity on random probes). No false negatives ⇒ the served rows
+    // are exact, and DuckDB adjudicates them via the same md5 join over raw
+    // parquet. The 100 TB shape: point lookups on an unclustered key read
+    // O(probes) files instead of the table.
+    "q153_bloom_point_lookup" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q153Root)
+      try {
+        s.conf.set("spark.sql.catalog.gq153", classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq153.root", q153Root.toString)
+        val o = read(s, dir, "orders")
+          .select(md5(col("o_orderkey").cast("string")).as("h"),
+            col("o_orderkey"), col("o_totalprice"))
+        val wh = new Warehouse(s, q153Root.toString)
+        wh.create("ord", org.apache.spark.sql.types.StructType(
+          o.schema.fields.map(_.copy(nullable = true))))
+        wh.append("ord", o, statsCols = Seq("h", "o_orderkey"))
+        wh.buildBloomIndex("ord", Seq("h"))
+        // probe the 5 smallest keys — literals, so the bloom consult fires
+        val probes = o.orderBy("o_orderkey").limit(5)
+          .collect().map(r => r.getString(0))
+        s.sql(s"""SELECT o_orderkey, o_totalprice FROM gq153.ord
+                 |WHERE h IN (${probes.map(p => s"'$p'").mkString(",")})
+                 |ORDER BY o_orderkey""".stripMargin)
+          .localCheckpoint()
+      } finally wipe(q153Root)
     },
 
     // Partition-spec evolution under the oracle (q143): q137's bucketed
@@ -1137,6 +1217,26 @@ object AnalyticQueries {
         |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_totalprice * 3 AS DECIMAL(18,2)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q153's oracle: bloom-pruned point lookups must equal the direct md5
+    // join over raw parquet (the 5 smallest keys' rows, exactly).
+    "q153_bloom_point_lookup" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice,
+        |             md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders),
+        |k AS (SELECT h FROM t ORDER BY o_orderkey LIMIT 5)
+        |SELECT t.o_orderkey, t.o_totalprice FROM t JOIN k USING (h)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q152's oracle: top-k file pruning may only shrink IO — both
+    // directions' top-100 must equal DuckDB's direct sort over raw orders.
+    "q152_topk_prune" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+        |top AS (SELECT o_orderkey, o_totalprice, o_orderpriority, 'top' AS side
+        |        FROM t ORDER BY o_totalprice DESC, o_orderkey LIMIT 100),
+        |bottom AS (SELECT o_orderkey, o_totalprice, o_orderpriority, 'bottom' AS side
+        |        FROM t ORDER BY o_totalprice ASC, o_orderkey LIMIT 100)
+        |SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM bottom)
+        |ORDER BY side, o_orderkey""".stripMargin,
 
     // q150's oracle: the view-served aggregate must equal the same
     // aggregate over ALL raw orders — including the half appended AFTER

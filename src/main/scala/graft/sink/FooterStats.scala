@@ -54,8 +54,11 @@ object FooterStats {
   sealed trait Outcome
   /** Column has no non-null value in the file (renders as the "z" stat). */
   case object AllNull extends Outcome
-  /** Proven bounds, as the JVM values the scan aggregate would produce. */
-  final case class Bounds(min: Any, max: Any) extends Outcome
+  /** Proven bounds, as the JVM values the scan aggregate would produce,
+    * plus the column's exact null count (footers that can't prove the null
+    * count are [[Unknown]] — the `isNumNullsSet` gate in [[mergeChunks]]).
+    */
+  final case class Bounds(min: Any, max: Any, nulls: Long) extends Outcome
   /** Footer can't prove this column — fall back to the scan for it. */
   case object Unknown extends Outcome
 
@@ -94,11 +97,13 @@ object FooterStats {
     var mn: Any = null
     var mx: Any = null
     var sawValue = false
+    var nulls = 0L
     for (cc <- chunks) {
       val st: Statistics[_] = cc.getStatistics
       if (st == null || !st.isNumNullsSet) return Unknown
       val nonNull = cc.getValueCount - st.getNumNulls
       if (nonNull < 0) return Unknown
+      nulls += st.getNumNulls
       if (nonNull > 0) {
         if (!st.hasNonNullValue) return Unknown // bounds dropped (NaN, huge binary)
         decode(dt, cc, st) match {
@@ -112,7 +117,7 @@ object FooterStats {
         }
       }
     }
-    if (!sawValue) AllNull else Bounds(mn, mx)
+    if (!sawValue) AllNull else Bounds(mn, mx, nulls)
   }
 
   private def signedInt(ann: LogicalTypeAnnotation): Boolean = ann match {

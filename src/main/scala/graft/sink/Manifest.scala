@@ -18,8 +18,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * assume the file may match. `"z"` is the opposite: under plain (non
   * null-safe) equality a null key never matches, so a `"z"` file is provably
   * disjoint from any key set on that column.
+  *
+  * `nulls` is the file's null-value count for the column (Iceberg's
+  * `null_value_counts` analog): −1 = unknown (stats written before the field
+  * existed). It powers `IS [NOT] NULL` file pruning, null-ordering-correct
+  * top-k file selection, and manifest-served `count(col)` — all of which
+  * treat −1 as "may have any mix" and decline to prune/serve.
   */
-final case class ColStat(kind: String, min: String, max: String)
+final case class ColStat(kind: String, min: String, max: String, nulls: Long = -1L)
 
 /** One immutable data file of a table snapshot: path relative to the table
   * directory, its row count, and optional per-column stats used for merge
@@ -71,7 +77,7 @@ final case class Manifest(schema: StructType, files: Seq[DataFile],
   * {{{
   * graft-manifest v1
   * <schema json, one line>
-  * <relpath>\t<rows>\t<colB64>:<kind>:<minB64>:<maxB64> <colB64>:... ...[\t<seq>]
+  * <relpath>\t<rows>\t<colB64>:<kind>:<minB64>:<maxB64>[:<nulls>] <colB64>:... ...[\t<seq>]
   * D\t<relpath>\t<rows>\t<seq>\t<colB64>,<colB64>...\t<stats as above>
   * }}}
   *
@@ -110,18 +116,22 @@ object Manifest {
   private def unb64(s: String) =
     new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
+  // a known null count rides as an optional 5th `:`-field; entries written
+  // before the field existed have 4 (or the z-form's 3) and read as -1
   private def statsStr(stats: Map[String, ColStat]): String =
     stats.toSeq.sortBy(_._1).map { case (c, st) =>
-      if (st.kind == "z") s"${b64(c)}:z::"
-      else s"${b64(c)}:${st.kind}:${b64(st.min)}:${b64(st.max)}"
+      val n = if (st.nulls >= 0) s":${st.nulls}" else ""
+      if (st.kind == "z") s"${b64(c)}:z::$n"
+      else s"${b64(c)}:${st.kind}:${b64(st.min)}:${b64(st.max)}$n"
     }.mkString(" ")
 
   private def parseStats(s: String): Map[String, ColStat] =
     if (s.isEmpty) Map.empty
     else s.split(' ').iterator.map { tok =>
       val f = tok.split(":", -1)
-      unb64(f(0)) -> (if (f(1) == "z") ColStat("z", "", "")
-                      else ColStat(f(1), unb64(f(2)), unb64(f(3))))
+      val nulls = if (f.length >= 5) f(4).toLong else -1L
+      unb64(f(0)) -> (if (f(1) == "z") ColStat("z", "", "", nulls)
+                      else ColStat(f(1), unb64(f(2)), unb64(f(3)), nulls))
     }.toMap
 
   // ------------------------------------------------ entry line codec --

@@ -181,7 +181,7 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
     val man = wh.currentManifest(t)
     val kept = man.files.filter { f =>
       f.stats.get("term") match {
-        case Some(ColStat("z", _, _)) => false
+        case Some(ColStat("z", _, _, _)) => false
         case Some(s) => terms.exists(q =>
           StatsPruning.cmp(s.kind, s.min, q) <= 0 &&
             StatsPruning.cmp(s.kind, s.max, q) >= 0)

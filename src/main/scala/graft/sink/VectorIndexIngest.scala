@@ -211,7 +211,7 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
   private[graft] def keptFiles(name: String, cells: Seq[Long]): Seq[DataFile] =
     wh.currentManifest(codesTable(name)).files.filter { f =>
       f.stats.get("cell") match {
-        case Some(ColStat("z", _, _)) => false
+        case Some(ColStat("z", _, _, _)) => false
         case Some(s) => cells.exists(c =>
           StatsPruning.cmp(s.kind, s.min, c.toString) <= 0 &&
             StatsPruning.cmp(s.kind, s.max, c.toString) >= 0)

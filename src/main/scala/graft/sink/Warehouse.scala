@@ -793,25 +793,30 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * as epoch days, booleans as 0/1. Unsupported types yield no stats
     * (pruning then treats the column as unknown = always-overlapping).
     */
-  private[sink] case class StatCol(name: String, kind: String, minExpr: Column, maxExpr: Column)
+  private[sink] case class StatCol(name: String, kind: String, minExpr: Column, maxExpr: Column,
+                                   cntExpr: Column)
 
   private[sink] def statCols(schema: StructType, cols: Seq[String]): Seq[StatCol] =
     cols.distinct.flatMap { c =>
       schema.fields.find(_.name == c) match {
         case Some(f) => f.dataType match {
-          case StringType     => Some(StatCol(c, "s", min(col(c)), max(col(c))))
-          case _: NumericType => Some(StatCol(c, "n", min(col(c)), max(col(c))))
-          case TimestampType  => Some(StatCol(c, "n", min(unix_micros(col(c))), max(unix_micros(col(c)))))
-          case DateType       => Some(StatCol(c, "n", min(unix_date(col(c))), max(unix_date(col(c)))))
-          case BooleanType    => Some(StatCol(c, "n", min(col(c).cast("int")), max(col(c).cast("int"))))
+          // cntExpr counts NON-NULL values (count(col) semantics): the scan
+          // fallback's null count is rows − cnt, exactly the footer's numNulls
+          case StringType     => Some(StatCol(c, "s", min(col(c)), max(col(c)), count(col(c))))
+          case _: NumericType => Some(StatCol(c, "n", min(col(c)), max(col(c)), count(col(c))))
+          case TimestampType  => Some(StatCol(c, "n", min(unix_micros(col(c))), max(unix_micros(col(c))), count(col(c))))
+          case DateType       => Some(StatCol(c, "n", min(unix_date(col(c))), max(unix_date(col(c))), count(col(c))))
+          case BooleanType    => Some(StatCol(c, "n", min(col(c).cast("int")), max(col(c).cast("int")), count(col(c))))
           case _              => None
         }
         // partition-transform stat key ("days(ts)", "bucket(16,id)", ...):
-        // min/max of the TRANSFORM value, same one-pass grouped agg
+        // min/max of the TRANSFORM value, same one-pass grouped agg (the
+        // transform value is null iff the source is null, so count(e) is the
+        // transform column's non-null count)
         case None => PartitionTransforms.parseKey(c).flatMap { pf =>
           schema.fields.find(_.name == pf.src).flatMap { sf =>
             PartitionTransforms.exprAndKind(pf, sf.dataType).map { case (e, k) =>
-              StatCol(c, k, min(e), max(e))
+              StatCol(c, k, min(e), max(e), count(e))
             }
           }
         }
@@ -841,23 +846,35 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * their manifests stay bit-identical. None = unrenderable (NaN, huge
     * string): the column is left out and pruning keeps the file in scope.
     */
-  private def statFromBounds(sc: StatCol, mn: Any, mx: Any): Option[(String, ColStat)] =
+  private def statFromBounds(sc: StatCol, mn: Any, mx: Any,
+                             nulls: Long = -1L): Option[(String, ColStat)] =
     (renderStat(sc.kind, mn), renderStat(sc.kind, mx)) match {
-      case (Some(a), Some(b)) => Some(sc.name -> ColStat(sc.kind, a, b))
+      case (Some(a), Some(b)) => Some(sc.name -> ColStat(sc.kind, a, b, nulls))
       case _                  => None
     }
 
   /** Bounds map of one aggregated row carrying `__mn$i`/`__mx$i` columns for
     * `scs` — the ONE place per-column stats are materialized (file bounds in
     * [[writeData]] and batch bounds in [[merge]] must stay comparable).
+    * Null counts ride along when the row also carries `__rows` + `__nn$i`
+    * (the per-file scan fallback does; merge's batch-bounds rows don't —
+    * their stats are transient pruning inputs, never persisted).
     */
-  private def statsOfRow(r: Row, scs: Seq[StatCol]): Map[String, ColStat] =
+  private def statsOfRow(r: Row, scs: Seq[StatCol]): Map[String, ColStat] = {
+    val names = r.schema.fieldNames.toSet
+    val rowsOpt = if (names.contains("__rows")) Some(r.getLong(r.fieldIndex("__rows"))) else None
     scs.zipWithIndex.flatMap { case (sc, i) =>
       val mn = r.get(r.fieldIndex(s"__mn$i"))
       val mx = r.get(r.fieldIndex(s"__mx$i"))
-      if (mn == null) Some(sc.name -> ColStat("z", "", "")) // all-null in this column
-      else statFromBounds(sc, mn, mx) // None = unknown: pruning keeps the file in scope
+      val nulls = rowsOpt match {
+        case Some(rows) if names.contains(s"__nn$i") =>
+          rows - r.getLong(r.fieldIndex(s"__nn$i"))
+        case _ => -1L
+      }
+      if (mn == null) Some(sc.name -> ColStat("z", "", "", nulls)) // all-null in this column
+      else statFromBounds(sc, mn, mx, nulls) // None = unknown: pruning keeps the file in scope
     }.toMap
+  }
 
   /** Write `in` under `dirName` and return one [[DataFile]] per written
     * parquet file, with per-file row counts and min/max stats for `cols`
@@ -965,9 +982,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           // string truncate value collapses BOTH null and "" into this dir
           // name, so it alone can't prove which — scan that column instead
           if (sc.kind == "n") FooterStats.AllNull else FooterStats.Unknown
+        // a hive-split dir holds exactly one non-null transform value, so
+        // every row's transform value is that value — null count 0
         case Some(raw) => FooterStats.Bounds(
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw),
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw))
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw), 0L)
       }
 
     val fullFallback = footer.exists(_._2.isEmpty)
@@ -1001,9 +1020,9 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       else {
         val proven = scs.filterNot(sc => scanCols.contains(sc.name)).flatMap { sc =>
           outcomes.get(sc.name) match {
-            case Some(FooterStats.AllNull)         => Some(sc.name -> ColStat("z", "", ""))
-            case Some(FooterStats.Bounds(mn, mx))  => statFromBounds(sc, mn, mx)
-            case _                                 => None
+            case Some(FooterStats.AllNull)             => Some(sc.name -> ColStat("z", "", "", rows))
+            case Some(FooterStats.Bounds(mn, mx, nls)) => statFromBounds(sc, mn, mx, nls)
+            case _                                     => None
           }
         }.toMap
         val fromScan = scanned.get(rel).map(_._2).getOrElse(Map.empty)
@@ -1023,12 +1042,65 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val base = spark.read.schema(schema).parquet(dir.toString)
       .select(input_file_name().as("__file") +: schema.fieldNames.map(col).toSeq: _*)
     val aggs = count(lit(1)).as("__rows") +:
-      scs.zipWithIndex.flatMap { case (sc, i) => Seq(sc.minExpr.as(s"__mn$i"), sc.maxExpr.as(s"__mx$i")) }
+      scs.zipWithIndex.flatMap { case (sc, i) =>
+        Seq(sc.minExpr.as(s"__mn$i"), sc.maxExpr.as(s"__mx$i"), sc.cntExpr.as(s"__nn$i")) }
     base.groupBy("__file").agg(aggs.head, aggs.tail: _*).collect().toSeq.map { r =>
       val abs = Paths.get(java.net.URI.create(r.getString(r.fieldIndex("__file"))))
       val rel = td.relativize(abs.toAbsolutePath.normalize).toString
       rel -> (r.getLong(r.fieldIndex("__rows")), statsOfRow(r, scs))
     }.toMap
+  }
+
+  /** Build per-file Bloom sidecars for `cols` ([[BloomIndex]]) — the
+    * point-lookup index for keys the table is NOT clustered by, consulted
+    * by the SQL catalog's file pruning for `=`/`IN` predicates.
+    *
+    * Incremental by immutability: only files MISSING a sidecar are scanned
+    * (one column-pruned pass per column, grouped by file), so re-running
+    * after every append indexes just the new batch — O(batch) like the
+    * other index-beside-corpus ingests. Compaction/expiry sweep sidecars
+    * with their data files; rewritten files simply need a re-run. Driver
+    * memory is bounded by (files-in-this-build × numBits/8); size `fpp`
+    * accordingly for huge backfills. Returns sidecars written.
+    */
+  def buildBloomIndex(name: String, cols: Seq[String], fpp: Double = 0.01): Int = {
+    val man = currentManifest(name)
+    val schema = man.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"buildBloomIndex: no such column $c in $name"))
+    var written = 0
+    cols.foreach { c =>
+      val todo = man.files.filter(f => !BloomIndex.exists(resolvePath(name, f.path), c))
+      if (todo.nonEmpty) {
+        graft.functions.BloomPrune.register(spark)
+        // one global sizing per build pass (the aggregate takes literals):
+        // the largest file decides, capped at Spark's bloom-agg limits
+        val expected = math.min(todo.map(_.rows).max.max(1L), 4000000L)
+        val numBits = math.max(math.min(
+          org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expected, fpp),
+          67108864L), 64L)
+        val absOf = todo.map(f =>
+          Paths.get(resolvePath(name, f.path)).toAbsolutePath.normalize.toString -> f).toMap
+        val rows = spark.read.schema(schema)
+          .parquet(todo.map(f => resolvePath(name, f.path)): _*)
+          .select(input_file_name().as("__f"), xxhash64(col(c)).as("__h"))
+          .groupBy("__f")
+          .agg(call_function(graft.functions.BloomPrune.AggName, col("__h"),
+            lit(expected), lit(numBits)).as("__b"))
+          .collect()
+        rows.foreach { r =>
+          val abs = Paths.get(java.net.URI.create(r.getString(0)))
+            .toAbsolutePath.normalize.toString
+          val bytes = r.getAs[Array[Byte]]("__b")
+          if (bytes != null && absOf.contains(abs)) {
+            BloomIndex.writeSidecar(abs, c, bytes)
+            written += 1
+          }
+        }
+      }
+    }
+    if (written > 0) BloomIndex.invalidate()
+    written
   }
 
   /** Commit manifest `m` as version `next`: a true compare-and-swap.
@@ -1476,7 +1548,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // ("z"), or both bounds known and the ranges don't intersect.
     def disjoint(f: DataFile): Boolean = pks.exists { c =>
       f.stats.get(c) match {
-        case Some(ColStat("z", _, _)) => true
+        case Some(ColStat("z", _, _, _)) => true
         case Some(fs) => batchStats.get(c).exists(bs =>
           bs.kind == fs.kind &&
             (StatsPruning.cmp(fs.kind, fs.min, bs.max) > 0 ||
@@ -1677,7 +1749,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       // min <= k <= max, hence overlaps the batch's [min, max].
       def disjoint(f: DataFile): Boolean = pks.exists { c =>
         f.stats.get(c) match {
-          case Some(ColStat("z", _, _)) => true
+          case Some(ColStat("z", _, _, _)) => true
           case Some(fs) => batchStats.get(c).exists(bs =>
             bs.kind == fs.kind &&
               (StatsPruning.cmp(fs.kind, fs.min, bs.max) > 0 ||
@@ -2299,8 +2371,8 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           StatsPruning.cmp("s", f.path, ds.max) > 0))
     else d.cols.exists { c =>
       (f.stats.get(c), d.stats.get(c)) match {
-        case (Some(ColStat("z", _, _)), _) => true // no non-null data value
-        case (_, Some(ColStat("z", _, _))) => true // no non-null key value
+        case (Some(ColStat("z", _, _, _)), _) => true // no non-null data value
+        case (_, Some(ColStat("z", _, _, _))) => true // no non-null key value
         case (Some(fs), Some(ds)) => ds.kind == fs.kind &&
           (StatsPruning.cmp(fs.kind, fs.min, ds.max) > 0 ||
             StatsPruning.cmp(fs.kind, fs.max, ds.min) < 0)

@@ -141,7 +141,7 @@ object ChangeFeedStream {
       val m = wh.currentManifest(table)
       if (!m.schema.fieldNames.contains(col)) -1L
       else m.files.flatMap(_.stats.get(col))
-        .collect { case graft.sink.ColStat("n", _, mx) if mx.nonEmpty =>
+        .collect { case graft.sink.ColStat("n", _, mx, _) if mx.nonEmpty =>
           new java.math.BigDecimal(mx).longValue() }
         .foldLeft(-1L)(math.max)
     }

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sink.{BloomIndex, Warehouse}
+
+/** Per-file Bloom sidecar index ([[graft.sink.BloomIndex]] +
+  * `Warehouse.buildBloomIndex` + the `=`/`IN` consult in
+  * `ManifestPruneRule`): point lookups on a high-cardinality key the table
+  * is NOT clustered by — the case where every file's (min, max) spans the
+  * whole domain and range stats prune nothing — plan only the files whose
+  * filter might contain the value, and answers stay exactly equal to the
+  * raw scan (no false negatives by construction).
+  */
+class BloomIndexSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("h", StringType), StructField("n", LongType)))
+
+  /** md5-keyed rows: key ranges of every batch overlap almost entirely. */
+  private def batch(lo: Long, hi: Long): DataFrame = {
+    val rows = (lo until hi).map(i => Row(null: String, i))
+    spark.createDataFrame(rows.asJava, schema)
+      .withColumn("h", md5(col("n").cast("string")))
+  }
+
+  private def scannedFiles(q: DataFrame, total: Int): Int = {
+    val s = q.queryExecution.executedPlan.toString
+    "\\[(\\d+) files\\]".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(total)
+  }
+
+  private def md5Of(n: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(n.toString.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  test("point lookups prune to the owning file; answers equal the raw scan") {
+    val root = tmpDir("bloom-pt")
+    spark.conf.set("spark.sql.catalog.blm", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blm.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", StructType(schema.fields.map(_.copy(nullable = true))))
+    // 4 appends, single file each; md5 keys overlap across all files
+    for (b <- 0 until 4)
+      wh.append("t", batch(b * 200L, b * 200L + 200L).coalesce(1), statsCols = Seq("h", "n"))
+    val man = wh.currentManifest("t")
+    assert(man.files.size >= 4)
+    val written = wh.buildBloomIndex("t", Seq("h"))
+    assert(written == man.files.size, s"one sidecar per file, wrote $written")
+    // range stats CANNOT prune these lookups (premise): every file's h-range
+    // spans the probe
+    val probe = md5Of(377L) // lives in batch 1's file only
+    val q = spark.sql(s"SELECT n FROM blm.t WHERE h = '$probe'")
+    assert(scannedFiles(q, man.files.size) == 1,
+      s"bloom must prune to the owning file:\n${q.queryExecution.executedPlan}")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(377L))
+    // absent key: all files prune, zero rows
+    val none = spark.sql(s"SELECT n FROM blm.t WHERE h = '${md5Of(999999L)}'")
+    assert(scannedFiles(none, man.files.size) == 0 || none.count() == 0L)
+    assert(none.count() == 0L)
+    // IN over keys from two files → exactly those two files
+    val in2 = spark.sql(
+      s"SELECT n FROM blm.t WHERE h IN ('${md5Of(5L)}', '${md5Of(605L)}') ORDER BY n")
+    assert(scannedFiles(in2, man.files.size) == 2)
+    assert(in2.collect().map(_.getLong(0)).toSeq == Seq(5L, 605L))
+  }
+
+  test("property: random lookups (present and absent) are scan-identical") {
+    val root = tmpDir("bloom-prop")
+    spark.conf.set("spark.sql.catalog.blmp", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blmp.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", StructType(schema.fields.map(_.copy(nullable = true))))
+    for (b <- 0 until 3)
+      wh.append("t", batch(b * 100L, b * 100L + 100L).coalesce(1), statsCols = Seq("h"))
+    wh.buildBloomIndex("t", Seq("h"))
+    val raw = wh.load("t")
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 0 until 12) {
+      val n = rnd.nextLong(600L) // half present, half absent
+      val k = md5Of(n)
+      val got = spark.sql(s"SELECT n FROM blmp.t WHERE h = '$k'")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val want = raw.filter(col("h") === k).select("n").collect().map(_.getLong(0)).toSeq.sorted
+      assert(got == want, s"lookup $n ($k)")
+    }
+  }
+
+  test("incremental build: only unindexed files are scanned; partial index stays correct") {
+    val root = tmpDir("bloom-incr")
+    spark.conf.set("spark.sql.catalog.blmi", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blmi.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", StructType(schema.fields.map(_.copy(nullable = true))))
+    wh.append("t", batch(0L, 100L).coalesce(1), statsCols = Seq("h"))
+    assert(wh.buildBloomIndex("t", Seq("h")) == wh.currentManifest("t").files.size)
+    // PARTIAL index: new unindexed batch must still be READ by lookups
+    wh.append("t", batch(100L, 200L).coalesce(1), statsCols = Seq("h"))
+    val total = wh.currentManifest("t").files.size
+    val k = md5Of(150L) // lives in the UNINDEXED batch
+    val q = spark.sql(s"SELECT n FROM blmi.t WHERE h = '$k'")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(150L),
+      "an unindexed file must never be pruned")
+    // second build touches only the new files
+    val before = wh.currentManifest("t").files
+      .count(f => BloomIndex.exists(wh.resolvePath("t", f.path), "h"))
+    val written = wh.buildBloomIndex("t", Seq("h"))
+    assert(before + written == total)
+    assert(wh.buildBloomIndex("t", Seq("h")) == 0, "fully indexed: re-run is a no-op")
+  }
+
+  test("compaction rewrites drop stale sidecars with their files; rebuilt index serves") {
+    val root = tmpDir("bloom-compact")
+    spark.conf.set("spark.sql.catalog.blmc", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blmc.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", StructType(schema.fields.map(_.copy(nullable = true))))
+    for (b <- 0 until 3)
+      wh.append("t", batch(b * 50L, b * 50L + 50L).coalesce(1), statsCols = Seq("h"))
+    wh.buildBloomIndex("t", Seq("h"))
+    wh.compact("t")
+    // new files are unindexed: lookups read them (correct), build re-indexes
+    val k = md5Of(77L)
+    assert(spark.sql(s"SELECT n FROM blmc.t WHERE h = '$k'")
+      .collect().map(_.getLong(0)).toSeq == Seq(77L))
+    val w = wh.buildBloomIndex("t", Seq("h"))
+    assert(w == wh.currentManifest("t").files.size)
+    assert(spark.sql(s"SELECT n FROM blmc.t WHERE h = '$k'")
+      .collect().map(_.getLong(0)).toSeq == Seq(77L))
+  }
+}

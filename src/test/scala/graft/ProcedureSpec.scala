@@ -133,7 +133,8 @@ class ProcedureSpec extends SparkSpec {
       .select("procedure_name").collect().map(_.getString(0)).toSet
     assert(names == Set("compact", "compact_files", "compact_deletes",
       "expire_snapshots", "maintain", "rewrite_manifests", "restore",
-      "create_tag", "drop_tag", "create_branch", "publish_branch", "drop_branch"))
+      "create_tag", "drop_tag", "create_branch", "publish_branch", "drop_branch",
+      "analyze"))
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.maintain")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("maintain") && desc.contains("policy-driven"))

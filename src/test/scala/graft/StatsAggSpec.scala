@@ -94,9 +94,32 @@ class StatsAggSpec extends SparkSpec {
     assert(!servedFromStats(dist) && dist.head().getLong(0) == 3L)
     val fc = spark.sql(s"SELECT count(*) FILTER (WHERE k > 2) AS n FROM $cat.t2")
     assert(!servedFromStats(fc) && fc.head().getLong(0) == 1L)
-    // count(k) needs null counts the manifest doesn't track
+    // count(k) serves from the manifest's per-file null counts;
+    // count(v) has no stat at all and must bail
     val ck = spark.sql(s"SELECT count(k) AS n FROM $cat.t2")
-    assert(!servedFromStats(ck) && ck.head().getLong(0) == 3L)
+    assert(servedFromStats(ck) && ck.head().getLong(0) == 3L)
+    val cv = spark.sql(s"SELECT count(v) AS n FROM $cat.t2")
+    assert(!servedFromStats(cv) && cv.head().getLong(0) == 3L)
+  }
+
+  test("count(col) serves exact non-null counts: mixed nulls, all-null column, scan-identical") {
+    wh.create("t_cnt", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("z", StringType))))
+    val s = StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("z", StringType)))
+    // two files (two appends): per-file null counts must SUM correctly
+    wh.append("t_cnt", spark.createDataFrame(Seq(
+      Row(1L, "a", null), Row(2L, null, null), Row(3L, "c", null)).asJava, s),
+      statsCols = Seq("k", "g", "z"))
+    wh.append("t_cnt", spark.createDataFrame(Seq(
+      Row(4L, null, null), Row(5L, null, null)).asJava, s),
+      statsCols = Seq("k", "g", "z"))
+    val q = spark.sql(
+      s"SELECT count(*) AS n, count(k) AS nk, count(g) AS ng, count(z) AS nz FROM $cat.t_cnt")
+    assert(servedFromStats(q), s"expected stat-served plan:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().toSeq.map(_.toSeq) == Seq(Seq(5L, 5L, 2L, 0L)))
   }
 
   test("pending MOR deletes: counts reflect the deletes (never the raw manifest)") {
