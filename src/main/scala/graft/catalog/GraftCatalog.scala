@@ -159,13 +159,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
                            properties: util.Map[String, String]): Table =
     // V2 Column -> StructField carrying DEFAULT metadata
     // (CURRENT_DEFAULT/EXISTS_DEFAULT) and comments through — Spark's own
-    // CatalogV2Util conversion is private[sql], so the equivalent inline
+    // CatalogV2Util conversion is private[sql], so the equivalent inline.
+    // CURRENT_DEFAULT keeps the SQL text (what future INSERTs re-resolve);
+    // EXISTS_DEFAULT must be the FROZEN evaluated literal (what
+    // pre-existing rows serve forever) — storing the raw SQL would
+    // re-evaluate e.g. CURRENT_DATE on every later scan and drift
+    // (CatalogV2Util stores dv.getValue for exactly this reason; same
+    // freeze invariant as Warehouse.addColumns).
     createTable(ident, StructType(columns.map { c =>
       var f = StructField(c.name(), c.dataType(), c.nullable())
       Option(c.comment()).foreach(cm => f = f.withComment(cm))
       Option(c.defaultValue()).foreach { dv =>
-        val sql = dv.getSql
-        f = f.withCurrentDefaultValue(sql).withExistenceDefaultValue(sql)
+        f = f.withCurrentDefaultValue(dv.getSql)
+        val frozen = Option(dv.getValue)
+          .map(l => org.apache.spark.sql.catalyst.expressions.Literal(
+            l.value(), l.dataType()).sql)
+          .getOrElse(dv.getSql) // no pre-evaluated literal: constant SQL only
+        f = f.withExistenceDefaultValue(frozen)
       }
       f
     }), partitions, properties)

@@ -58,10 +58,14 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     // same path resolution as the scan builder's (branch-ref aware)
     lazy val wh = new graft.sink.Warehouse(
       org.apache.spark.sql.SparkSession.active, t.root)
+    // O(1) short-circuit: only columns the table's marker names ever pay a
+    // sidecar probe — un-indexed tables/columns cost nothing at planning
+    val indexed = BloomIndex.indexedCols(wh.tableDirOf(t.table))
+    if (indexed.isEmpty) return true
     def typeOk(a: AttributeReference): Boolean =
       t.manifest.schema.fields.exists(f0 => f0.name == a.name && f0.dataType == a.dataType)
     def hit(a: AttributeReference, l: Literal): Boolean =
-      if (l.value == null || !typeOk(a)) true
+      if (l.value == null || !indexed.contains(a.name) || !typeOk(a)) true
       else BloomIndex.hashLiteral(l) match {
         case Some(h) => BloomIndex.mightContain(wh.resolvePath(t.table, file.path), a.name, h)
         case None    => true
@@ -71,6 +75,8 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
       case EqualTo(l: Literal, a: AttributeReference) => hit(a, l)
       case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists(v => hit(a, v.asInstanceOf[Literal]))
+      case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
+        vs.exists(v => hit(a, Literal(v, a.dataType)))
       case _ => true
     }
   }
@@ -101,6 +107,10 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     case LessThanOrEqual(l: Literal, a: AttributeReference)    => check(file, a.name, ">=", l)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists(v => check(file, a.name, "=", v.asInstanceOf[Literal]))
+    // OptimizeIn rewrites 11+-element IN lists to InSet in the same batch —
+    // values are already catalyst-internal, Literal wraps them directly
+    case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
+      vs.exists(v => check(file, a.name, "=", Literal(v, a.dataType)))
     case IsNotNull(a: AttributeReference) =>
       // an all-null ("z") file has no row passing IS NOT NULL; with a
       // recorded null count, nulls == rows proves the same without "z"

@@ -21,8 +21,11 @@ import graft.sink.{Manifest, StatsPruning}
   * engine analog of Iceberg's snapshot-summary/manifest-served counts.
   *
   * Correctness gates (each bails to the ordinary plan, never approximates):
-  *   - no grouping, no `Filter` anywhere below the aggregate, relation
-  *     reached through at most a column-pruning `Project`;
+  *   - no `Filter` anywhere below the aggregate, relation reached through
+  *     at most a column-pruning `Project`; grouping is served ONLY when
+  *     every file is provably single-valued on every grouping column (the
+  *     hive-split identity-partition invariant — groups are then unions of
+  *     whole files and fold per group); anything else bails;
   *   - no pending MOR deletes (a delete file may have removed the extreme
   *     row / changes the count) — note MOR snapshots are normally rewritten
   *     to the anti-joined frame at resolution ([[MorReadRule]]) and so
@@ -63,6 +66,72 @@ object StatsAggRule extends Rule[LogicalPlan] {
           else LocalRelation(agg.output, Seq(InternalRow.fromSeq(served.map(_.get))))
         case _ => agg
       }
+    // GROUP BY over columns every file is SINGLE-VALUED on (the hive-split
+    // identity-partition invariant SPJ already certifies per file): each
+    // group is a set of whole files, so grouped COUNT/MIN/MAX/count(col)
+    // fold from the manifest exactly like the global case — zero file
+    // opens for `SELECT region, count(*) ... GROUP BY region` on a
+    // region-partitioned 100 TB table.
+    case agg @ Aggregate(groupExprs, aggExprs, child, _)
+        if groupExprs.nonEmpty && groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(child) match {
+        case Some((t, nameOf)) if t.prunedManifest.isEmpty && t.manifest.deletes.isEmpty =>
+          serveGrouped(t.manifest, nameOf,
+            groupExprs.map(_.asInstanceOf[AttributeReference]), aggExprs) match {
+            case Some(rows) => LocalRelation(agg.output, rows)
+            case None       => agg
+          }
+        case _ => agg
+      }
+  }
+
+  /** Grouped serving: partition the manifest's files by their (single)
+    * value tuple on the grouping columns, then fold each group with the
+    * same per-slot logic as the global case. Bails (None) unless EVERY
+    * file is provably single-valued on EVERY grouping column (stat present,
+    * min == max in the expected domain, or "z" = the null group) and every
+    * output slot is servable within every group.
+    */
+  private def serveGrouped(m: Manifest, nameOf: Map[ExprId, String],
+                           groups: Seq[AttributeReference],
+                           aggExprs: Seq[NamedExpression]): Option[Seq[InternalRow]] = {
+    if (m.files.isEmpty) return Some(Nil) // empty table: no groups
+    val groupCols = groups.map(g => nameOf.get(g.exprId))
+    if (groupCols.contains(None)) return None
+    // group value of one file on one column: None = not single-valued (bail)
+    def fileKey(f: graft.sink.DataFile): Option[Seq[Option[String]]] = {
+      val parts = groups.zip(groupCols.flatten).map { case (g, c) =>
+        (f.stats.get(c), expectedKind(g.dataType)) match {
+          case (Some(st), _) if st.kind == "z"              => Some(None)
+          case (Some(st), Some(k)) if st.kind == k && st.min == st.max => Some(Some(st.min))
+          case _                                            => None
+        }
+      }
+      if (parts.contains(None)) None else Some(parts.map(_.get))
+    }
+    val keyed = m.files.map(f => fileKey(f).map(_ -> f))
+    if (keyed.contains(None)) return None
+    val byKey = keyed.flatten.groupBy(_._1).toSeq.map { case (k, fs) => k -> fs.map(_._2) }
+    // zero-float group keys bail in parse() (±0.0 renders identically);
+    // each group folds through the same slot logic over its member files
+    val rows = byKey.map { case (key, files) =>
+      val sub = Manifest(m.schema, files)
+      val keyOf: Map[ExprId, Any] = groups.zip(key).map { case (g, vOpt) =>
+        g.exprId -> (vOpt match {
+          case None    => null
+          case Some(s) => parse(g.dataType, s).getOrElse(return None)
+        })
+      }.toMap
+      val slots = aggExprs.map {
+        case a: AttributeReference if keyOf.contains(a.exprId) => Some(keyOf(a.exprId))
+        case al @ Alias(a: AttributeReference, _) if keyOf.contains(a.exprId) =>
+          Some(keyOf(a.exprId))
+        case e => serve(sub, nameOf, e)
+      }
+      if (slots.contains(None)) return None
+      InternalRow.fromSeq(slots.map(_.get))
+    }
+    Some(rows)
   }
 
   /** The relation beneath at most one column-pruning/renaming `Project`,

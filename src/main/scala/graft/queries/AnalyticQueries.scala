@@ -73,12 +73,11 @@ object AnalyticQueries {
   private lazy val q153Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q153")
 
-  private def wipe(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.filter(_ != p).foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+  /** q154's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q154Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q154")
+
+  // wipe: the shared stable-path helper lives in Tables (imported above)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: single-pass grouped scan of the biggest fact. Partial
@@ -241,6 +240,41 @@ object AnalyticQueries {
           .orderBy(col("side").asc, col("o_orderkey").asc)
           .localCheckpoint()
       } finally wipe(q152Root)
+    },
+
+    // Grouped metadata aggregates under the oracle (q154): GROUP BY over an
+    // identity-partitioned (hive-split) warehouse table — every file is
+    // single-valued on the grouping column, so each group is a union of
+    // whole files and StatsAggRule folds count(*)/count(col)/min/max per
+    // group straight from the manifest: the serving plan has NO scan and
+    // ZERO Spark jobs (StatsAggSpec pins the plan shape and the
+    // non-single-valued bail). DuckDB recomputes the same aggregates from
+    // raw parquet — one wrong per-file bound or row count is a hash miss.
+    // The 100 TB shape: "rows and extremes per region/day" — the dashboard
+    // query — served in milliseconds from metadata the ingest already paid
+    // for. Build cost (clustered append with stats) is in the iteration by
+    // design, q146's accounting.
+    "q154_grouped_metadata_agg" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q154Root)
+      try {
+        s.conf.set("spark.sql.catalog.gq154", classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq154.root", q154Root.toString)
+        val li = read(s, dir, "lineitem")
+          .select("l_returnflag", "l_orderkey", "l_quantity", "l_shipdate")
+        val wh = new Warehouse(s, q154Root.toString)
+        wh.create("li", org.apache.spark.sql.types.StructType(
+          li.schema.fields.map(_.copy(nullable = true))), Seq("l_returnflag"))
+        wh.append("li", li,
+          statsCols = Seq("l_returnflag", "l_orderkey", "l_quantity", "l_shipdate"))
+        s.sql(
+          """SELECT l_returnflag, count(*) AS n, count(l_quantity) AS nq,
+            |  min(l_orderkey) AS mn_key, max(l_orderkey) AS mx_key,
+            |  min(l_quantity) AS mn_qty, max(l_quantity) AS mx_qty,
+            |  min(l_shipdate) AS mn_ship, max(l_shipdate) AS mx_ship
+            |FROM gq154.li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+          .localCheckpoint()
+      } finally wipe(q154Root)
     },
 
     // Bloom point-lookup index under the oracle (q153): per-file Bloom
@@ -1217,6 +1251,17 @@ object AnalyticQueries {
         |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_totalprice * 3 AS DECIMAL(18,2)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q154's oracle: manifest-folded grouped aggregates must equal DuckDB's
+    // direct grouped aggregates over raw parquet.
+    "q154_grouped_metadata_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  count(l_quantity) AS nq,
+        |  CAST(min(l_orderkey) AS BIGINT) AS mn_key,
+        |  CAST(max(l_orderkey) AS BIGINT) AS mx_key,
+        |  min(l_quantity) AS mn_qty, max(l_quantity) AS mx_qty,
+        |  min(l_shipdate) AS mn_ship, max(l_shipdate) AS mx_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // q153's oracle: bloom-pruned point lookups must equal the direct md5
     // join over raw parquet (the 5 smallest keys' rows, exactly).

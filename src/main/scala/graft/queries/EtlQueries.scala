@@ -21,12 +21,7 @@ object EtlQueries {
   private lazy val q151Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q151")
 
-  private def wipe(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.filter(_ != p).foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+  // wipe: the shared stable-path helper lives in Tables (imported above)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P3/P4/I1: strict-> watermark scan, pushed to the parquet reader

@@ -49,4 +49,16 @@ object Tables {
   /** Revenue term l_extendedprice * (1 - l_discount) in exact arithmetic. */
   def revenue(price: Column, discount: Column): Column =
     dec(price) * (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) - dec(discount))
+
+  /** Wipe a per-JVM warehouse root's CONTENTS, keeping the directory itself
+    * (catalog plugins are cached by name after first load, so the root conf
+    * must keep pointing at the same path) — the one shared implementation
+    * of the stable-path discipline every temp-catalog query uses.
+    */
+  private[queries] def wipe(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.filter(_ != p).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 }

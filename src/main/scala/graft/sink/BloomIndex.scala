@@ -45,15 +45,16 @@ object BloomIndex {
   /** Driver-side sidecar cache. Data files are immutable and sidecar writes
     * are atomic, so a loaded filter never goes stale; a cached MISS can go
     * stale when an index is built later in the same JVM, so
-    * [[invalidate]] clears on every build. Bounded: evicts wholesale past
-    * `MaxEntries` (point lookups touch few files; a full-table probe of a
-    * million-file table must not pin GBs of filters).
+    * [[invalidate]] clears on every build. Bounded by accumulated BYTES
+    * (filters near the 8 MB bits cap must not pin GBs of driver heap), with
+    * wholesale eviction past the budget — point lookups touch few files.
     */
-  private val MaxEntries = 256
+  private val MaxCacheBytes = 128L << 20
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[BloomFilter]]()
+  private val cacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private[sink] def invalidate(): Unit = cache.clear()
+  private[sink] def invalidate(): Unit = { cache.clear(); cacheBytes.set(0L); indexedColsCache.clear() }
 
   private def load(p: Path): Option[BloomFilter] = {
     val key = p.toString
@@ -65,9 +66,63 @@ object BloomIndex {
         val in = Files.newInputStream(p)
         try Some(BloomFilter.readFrom(in)) finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None } // unreadable: never prune
-    if (cache.size >= MaxEntries) cache.clear()
+    val sz = v.map(_.bitSize() / 8).getOrElse(0L)
+    if (cacheBytes.addAndGet(sz) > MaxCacheBytes) {
+      cache.clear(); cacheBytes.set(sz)
+    }
     cache.putIfAbsent(key, v)
     v
+  }
+
+  // ------------------------------------------------- indexed-col marker --
+
+  /** Marker file naming the columns a table has EVER built sidecars for —
+    * the O(1) short-circuit that keeps un-indexed tables (and un-indexed
+    * columns) at zero planning cost: without it, every `=` conjunct of
+    * every query would pay a per-file `Files.exists` probe just to learn
+    * there is no index. Written by [[Warehouse.buildBloomIndex]]; absent on
+    * pre-index tables (→ no consult at all).
+    */
+  private def markerPath(tableDirAbs: String): Path =
+    Paths.get(tableDirAbs, "_bloom_cols")
+
+  private val indexedColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+
+  /** Columns `tableDirAbs` has a bloom index for (possibly partial over
+    * files). mtime-keyed cache: one small read per table per build.
+    */
+  def indexedCols(tableDirAbs: String): Set[String] = {
+    val p = markerPath(tableDirAbs)
+    if (!Files.exists(p)) return Set.empty
+    val mtime = Files.getLastModifiedTime(p).toMillis
+    val hit = indexedColsCache.get(tableDirAbs)
+    if (hit != null && hit._1 == mtime) return hit._2
+    // names ride base64 (same discipline as sidecar names): arbitrary
+    // column names can never corrupt the line framing
+    val cols = scala.util.Try {
+      val b = Set.newBuilder[String]
+      Files.readAllLines(p).forEach { s =>
+        if (s.nonEmpty) b += new String(
+          java.util.Base64.getUrlDecoder.decode(s),
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+      b.result()
+    }.getOrElse(Set.empty[String])
+    indexedColsCache.put(tableDirAbs, (mtime, cols))
+    cols
+  }
+
+  private[sink] def recordIndexedCols(tableDirAbs: String, cols: Seq[String]): Unit = {
+    val merged = indexedCols(tableDirAbs) ++ cols
+    val target = markerPath(tableDirAbs)
+    val tmp = target.resolveSibling("_bloom_cols.tmp")
+    Files.writeString(tmp, merged.toSeq.sorted.map(c =>
+      java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+        c.getBytes(java.nio.charset.StandardCharsets.UTF_8))).mkString("\n"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    indexedColsCache.remove(tableDirAbs)
   }
 
   /** xxhash64 (seed 42, Spark's default) of a predicate literal — the

@@ -190,6 +190,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   def resolvePath(name: String, rel: String): String =
     tableDir(name).resolve(rel).toString
 
+  /** Absolute table directory (branch-ref aware) — metadata markers like
+    * the bloom-index column list live directly under it.
+    */
+  def tableDirOf(name: String): String = tableDir(name).toString
+
   /** Commit epoch-millis of a snapshot (manifest file mtime) — supports
     * `TIMESTAMP AS OF` resolution in the SQL catalog.
     */
@@ -1099,6 +1104,10 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
         }
       }
     }
+    // marker = the O(1) planner short-circuit: queries consult sidecars
+    // only for columns recorded here (recorded even when nothing was
+    // missing — the marker may post-date the sidecars after a crash)
+    BloomIndex.recordIndexedCols(tableDir(name).toString, cols)
     if (written > 0) BloomIndex.invalidate()
     written
   }
@@ -2105,8 +2114,15 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
             s"initial default for ${f.name} does not cast to ${f.dataType.sql}: $sqlExpr")
           val frozen = org.apache.spark.sql.catalyst.expressions.Literal
             .create(v, f.dataType).sql
+          // EXISTS_DEFAULT: what pre-addition files serve (Iceberg initial
+          // default). CURRENT_DEFAULT: what future INSERTs that omit the
+          // column fill — with SUPPORT_COLUMN_DEFAULT_VALUE declared, the
+          // SQL face legally reaches this path and Spark's
+          // ResolveDefaultColumns reads this key; without it, an omitted
+          // column would silently land NULL instead of the declared value
           f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-            .putString("EXISTS_DEFAULT", frozen).build())
+            .putString("EXISTS_DEFAULT", frozen)
+            .putString("CURRENT_DEFAULT", frozen).build())
       }
     }
     // new fields get NEVER-REUSED ids (counter advanced before the commit);
@@ -3430,6 +3446,13 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       dead.foreach { p =>
         Files.deleteIfExists(p)
         Files.deleteIfExists(p.resolveSibling("." + p.getFileName.toString + ".crc"))
+      }
+      // bloom sidecars (`<file>.bloom.<colB64>`) die with their data file:
+      // sweep any whose data file is gone (incl. files this pass deleted)
+      files.filter(_.getFileName.toString.contains(".bloom.")).foreach { sc =>
+        val n = sc.getFileName.toString
+        val dataName = n.substring(0, n.indexOf(".bloom."))
+        if (!Files.exists(sc.resolveSibling(dataName))) Files.deleteIfExists(sc)
       }
       if (live.isEmpty && dead.size == nonLive.size)
         deleteRecursively(dir) // nothing referenced or pending: remove wholesale

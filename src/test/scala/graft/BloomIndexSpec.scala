@@ -27,10 +27,7 @@ class BloomIndexSpec extends SparkSpec {
       .withColumn("h", md5(col("n").cast("string")))
   }
 
-  private def scannedFiles(q: DataFrame, total: Int): Int = {
-    val s = q.queryExecution.executedPlan.toString
-    "\\[(\\d+) files\\]".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(total)
-  }
+  // scannedFiles: shared in SparkSpec
 
   private def md5Of(n: Long): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -67,6 +64,14 @@ class BloomIndexSpec extends SparkSpec {
       s"SELECT n FROM blm.t WHERE h IN ('${md5Of(5L)}', '${md5Of(605L)}') ORDER BY n")
     assert(scannedFiles(in2, man.files.size) == 2)
     assert(in2.collect().map(_.getLong(0)).toSeq == Seq(5L, 605L))
+    // 12-element IN: OptimizeIn rewrites to InSet (threshold 10) — pruning
+    // must survive the rewrite (the batch-point-lookup shape)
+    val twelve = (0L until 12L).map(md5Of) // all live in batch 0's file
+    val inSet = spark.sql(
+      s"SELECT n FROM blm.t WHERE h IN (${twelve.map(k => s"'$k'").mkString(",")}) ORDER BY n")
+    assert(scannedFiles(inSet, man.files.size) == 1,
+      s"InSet lookups must still bloom-prune:\n${inSet.queryExecution.executedPlan}")
+    assert(inSet.collect().map(_.getLong(0)).toSeq == (0L until 12L))
   }
 
   test("property: random lookups (present and absent) are scan-identical") {

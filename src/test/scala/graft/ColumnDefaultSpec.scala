@@ -86,4 +86,35 @@ class ColumnDefaultSpec extends SparkSpec {
     assert(f.metadata.contains("CURRENT_DEFAULT") &&
       f.metadata.getString("CURRENT_DEFAULT") == "'basic'")
   }
+
+  test("ALTER TABLE ADD COLUMN ... DEFAULT: old rows serve it AND new INSERTs fill it") {
+    val root = tmpDir("cdef-alter")
+    register("cdefe", root)
+    spark.sql("CREATE TABLE cdefe.t (k BIGINT)")
+    spark.sql("INSERT INTO cdefe.t VALUES (1)")
+    spark.sql("ALTER TABLE cdefe.t ADD COLUMN tier STRING DEFAULT 'basic'")
+    // EXISTS_DEFAULT: the pre-addition row reads the frozen constant
+    assert(spark.sql("SELECT tier FROM cdefe.t WHERE k = 1").head().getString(0) == "basic")
+    // CURRENT_DEFAULT: an INSERT that OMITS the column must fill the
+    // declared default, not NULL (the capability legalizes this DDL, so
+    // the metadata must carry both keys)
+    spark.sql("INSERT INTO cdefe.t (k) VALUES (2)")
+    assert(spark.sql("SELECT tier FROM cdefe.t WHERE k = 2").head().getString(0) == "basic")
+    spark.sql("INSERT INTO cdefe.t VALUES (3, DEFAULT)")
+    assert(spark.sql("SELECT tier FROM cdefe.t WHERE k = 3").head().getString(0) == "basic")
+  }
+
+  test("EXISTS_DEFAULT is the FROZEN literal, never the raw default SQL") {
+    val root = tmpDir("cdef-frozen")
+    register("cdeff", root)
+    // a computed-constant default: CURRENT_DEFAULT may keep the SQL text,
+    // but EXISTS_DEFAULT (what old rows serve forever) must be the
+    // evaluated literal — re-evaluating stored SQL at scan time drifts
+    spark.sql("CREATE TABLE cdeff.t (k BIGINT, n BIGINT DEFAULT 2 + 3)")
+    val f = spark.table("cdeff.t").schema("n")
+    val exists = f.metadata.getString("EXISTS_DEFAULT")
+    assert(!exists.contains("+"), s"EXISTS_DEFAULT must be frozen, got: $exists")
+    spark.sql("INSERT INTO cdeff.t (k) VALUES (1)")
+    assert(spark.sql("SELECT n FROM cdeff.t").head().getLong(0) == 5L)
+  }
 }

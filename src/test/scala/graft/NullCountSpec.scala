@@ -35,15 +35,7 @@ class NullCountSpec extends SparkSpec {
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
   }
 
-  /** File count of the (single) pruned warehouse scan in `df`'s plan — the
-    * GraftTable name carries a `[k files]` label only when pruning fired
-    * (visible in the EXECUTED plan string: logical catalog relations print
-    * the catalog identifier, not the table's own name).
-    */
-  private def scannedFiles(q: DataFrame, total: Int): Int = {
-    val s = q.queryExecution.executedPlan.toString
-    "\\[(\\d+) files\\]".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(total)
-  }
+  // scannedFiles: shared in SparkSpec
 
   test("IS NULL prunes zero-null files; IS NOT NULL prunes all-null-by-count files") {
     val root = tmpDir("nc-prune")

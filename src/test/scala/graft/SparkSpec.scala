@@ -26,4 +26,15 @@ trait SparkSpec extends AnyFunSuite {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** File count of the pruned warehouse scan in `q`'s EXECUTED plan — the
+    * GraftTable name carries a `[k files]` label only when file pruning
+    * fired (logical catalog relations print the catalog identifier
+    * instead, so only the executed plan shows it). Falls back to `total`
+    * when no label is present.
+    */
+  def scannedFiles(q: org.apache.spark.sql.DataFrame, total: Int): Int = {
+    val s = q.queryExecution.executedPlan.toString
+    "\\[(\\d+) files\\]".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(total)
+  }
 }

@@ -88,7 +88,8 @@ class StatsAggSpec extends SparkSpec {
     assert(unstat.head().getLong(0) == 10L)
     val filtered = spark.sql(s"SELECT count(*) AS n FROM $cat.t2 WHERE k > 1")
     assert(!servedFromStats(filtered) && filtered.head().getLong(0) == 2L)
-    val grouped = spark.sql(s"SELECT k, count(*) AS n FROM $cat.t2 GROUP BY k")
+    // GROUP BY an UNSTATTED column can never prove single-valued files
+    val grouped = spark.sql(s"SELECT v, count(*) AS n FROM $cat.t2 GROUP BY v")
     assert(!servedFromStats(grouped) && grouped.count() == 3L)
     val dist = spark.sql(s"SELECT count(DISTINCT k) AS n FROM $cat.t2")
     assert(!servedFromStats(dist) && dist.head().getLong(0) == 3L)
@@ -100,6 +101,32 @@ class StatsAggSpec extends SparkSpec {
     assert(servedFromStats(ck) && ck.head().getLong(0) == 3L)
     val cv = spark.sql(s"SELECT count(v) AS n FROM $cat.t2")
     assert(!servedFromStats(cv) && cv.head().getLong(0) == 3L)
+  }
+
+  test("grouped aggregates over identity-partitioned files serve from the manifest") {
+    val s = StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType)))
+    wh.create("t_grp", s, Seq("g"))
+    wh.append("t_grp", spark.createDataFrame(Seq(
+      Row("a", 1L), Row("a", 5L), Row("b", 2L), Row(null, 9L)).asJava, s),
+      statsCols = Seq("g", "v"))
+    wh.append("t_grp", spark.createDataFrame(Seq(
+      Row("a", 3L), Row("b", 7L)).asJava, s),
+      statsCols = Seq("g", "v"))
+    val q = spark.sql(
+      s"""SELECT g, count(*) AS n, count(v) AS nv, min(v) AS mn, max(v) AS mx
+         |FROM $cat.t_grp GROUP BY g ORDER BY g""".stripMargin)
+    assert(servedFromStats(q), s"expected stat-served plan:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().toSeq.map(_.toSeq) == Seq(
+      Seq(null, 1L, 1L, 9L, 9L),
+      Seq("a", 3L, 3L, 1L, 5L),
+      Seq("b", 2L, 2L, 2L, 7L)))
+    // a NON-single-valued layout bails: same data, no partition spec
+    wh.create("t_grp2", s)
+    wh.append("t_grp2", spark.createDataFrame(Seq(
+      Row("a", 1L), Row("b", 2L)).asJava, s).coalesce(1), statsCols = Seq("g", "v"))
+    val q2 = spark.sql(s"SELECT g, count(*) AS n FROM $cat.t_grp2 GROUP BY g")
+    assert(!servedFromStats(q2) && q2.count() == 2L)
   }
 
   test("count(col) serves exact non-null counts: mixed nulls, all-null column, scan-identical") {
