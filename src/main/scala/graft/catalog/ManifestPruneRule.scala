@@ -34,8 +34,14 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
       r.table match {
         case t: GraftTable if t.prunedManifest.isEmpty =>
           val files = t.manifest.files
+          // bloom context once per table: the marker read is the O(1)
+          // short-circuit that keeps un-indexed tables at zero extra cost
+          val wh = new graft.sink.Warehouse(
+            org.apache.spark.sql.SparkSession.active, t.root)
+          val indexed = graft.sink.BloomIndex.indexedCols(wh.tableDirOf(t.table))
           val kept = files.filter(file =>
-            mayMatch(file, cond) && bloomMayMatch(t, file, cond))
+            mayMatch(file, cond) &&
+              (indexed.isEmpty || bloomMayMatch(wh, indexed, t, file, cond)))
           if (kept.size < files.size) f.copy(child = r.copy(table = t.withFiles(kept)))
           else f
         case _ => f
@@ -53,15 +59,9 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     * per-file driver IO that equality-heavy internal callers (DPP IN-sets,
     * merge victim selection) must not pay implicitly.
     */
-  private def bloomMayMatch(t: GraftTable, file: DataFile, cond: Expression): Boolean = {
+  private def bloomMayMatch(wh: graft.sink.Warehouse, indexed: Set[String],
+                            t: GraftTable, file: DataFile, cond: Expression): Boolean = {
     import graft.sink.BloomIndex
-    // same path resolution as the scan builder's (branch-ref aware)
-    lazy val wh = new graft.sink.Warehouse(
-      org.apache.spark.sql.SparkSession.active, t.root)
-    // O(1) short-circuit: only columns the table's marker names ever pay a
-    // sidecar probe — un-indexed tables/columns cost nothing at planning
-    val indexed = BloomIndex.indexedCols(wh.tableDirOf(t.table))
-    if (indexed.isEmpty) return true
     def typeOk(a: AttributeReference): Boolean =
       t.manifest.schema.fields.exists(f0 => f0.name == a.name && f0.dataType == a.dataType)
     def hit(a: AttributeReference, l: Literal): Boolean =
