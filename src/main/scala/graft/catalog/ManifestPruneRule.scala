@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.types.StringType
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -111,6 +112,19 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     // values are already catalyst-internal, Literal wraps them directly
     case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
       vs.exists(v => check(file, a.name, "=", Literal(v, a.dataType)))
+    // `col LIKE 'p%'`: strings with prefix p live in [p, succ(p)) under the
+    // UTF-8 binary order the bounds were computed in
+    case StartsWith(a: AttributeReference, Literal(p, StringType)) if p != null =>
+      file.stats.get(a.name).forall(StatsPruning.mayMatchPrefix(_, p.toString))
+    // null-safe equality: a null literal matches only null rows (null-count
+    // powered); a non-null literal behaves like `=` (z-files excluded by
+    // mayMatch's own z rule)
+    case EqualNullSafe(a: AttributeReference, l: Literal) =>
+      if (l.value == null) file.stats.get(a.name).forall(_.nulls != 0L)
+      else check(file, a.name, "=", l)
+    case EqualNullSafe(l: Literal, a: AttributeReference) =>
+      if (l.value == null) file.stats.get(a.name).forall(_.nulls != 0L)
+      else check(file, a.name, "=", l)
     case IsNotNull(a: AttributeReference) =>
       // an all-null ("z") file has no row passing IS NOT NULL; with a
       // recorded null count, nulls == rows proves the same without "z"

@@ -77,6 +77,10 @@ object AnalyticQueries {
   private lazy val q154Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q154")
 
+  /** q155's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q155Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q155")
+
   // wipe: the shared stable-path helper lives in Tables (imported above)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,6 +244,36 @@ object AnalyticQueries {
           .orderBy(col("side").asc, col("o_orderkey").asc)
           .localCheckpoint()
       } finally wipe(q152Root)
+    },
+
+    // LIKE-prefix file pruning under the oracle (q155): a warehouse table
+    // range-clustered on a STRING key serves `WHERE p_name LIKE 'x%'` by
+    // intersecting each file's string bounds with the byte range
+    // [p, succ(p)) — ManifestPruneRule's StartsWith conjunct
+    // (PrefixPruneSpec pins the range math incl. unicode tails and the
+    // planned-file counts; PropertySpec fuzzes LIKE/<=> against raw
+    // filters). DuckDB adjudicates the grouped aggregate directly. The
+    // 100 TB shape: URL-prefix / date-string-prefix scans over a
+    // name-clustered corpus read O(matching range) files.
+    "q155_prefix_prune" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q155Root)
+      try {
+        s.conf.set("spark.sql.catalog.gq155", classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq155.root", q155Root.toString)
+        val p = read(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+        val wh = new Warehouse(s, q155Root.toString)
+        wh.create("part", org.apache.spark.sql.types.StructType(
+          p.schema.fields.map(_.copy(nullable = true))))
+        wh.append("part", p, statsCols = Seq("p_name", "p_partkey"),
+          clusterBy = Seq("p_name"))
+        s.sql(
+          """SELECT substring(p_name, 1, 3) AS pfx, count(*) AS n,
+            |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+            |FROM gq155.part WHERE p_name LIKE 'l%'
+            |GROUP BY 1 ORDER BY 1""".stripMargin)
+          .localCheckpoint()
+      } finally wipe(q155Root)
     },
 
     // Grouped metadata aggregates under the oracle (q154): GROUP BY over an
@@ -1250,6 +1284,14 @@ object AnalyticQueries {
         |  count(*) AS n_orders,
         |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_totalprice * 3 AS DECIMAL(18,2)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
         |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q155's oracle: the prefix-pruned scan's grouped aggregate must equal
+    // DuckDB's direct LIKE over raw parquet.
+    "q155_prefix_prune" ->
+      """SELECT substring(p_name, 1, 3) AS pfx, count(*) AS n,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM part WHERE p_name LIKE 'l%'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q154's oracle: manifest-folded grouped aggregates must equal DuckDB's

@@ -52,6 +52,29 @@ object StatsPruning {
     }
   }
 
+  /** May a row of a file with bounds `st` start with string prefix `p`?
+    * (`col LIKE 'p%'` — Catalyst's StartsWith.) Strings with prefix `p`
+    * occupy exactly the range [p, succ(p)) in UTF-8 binary order, where
+    * succ(p) increments p's last non-0xFF byte and truncates — so the file
+    * may match iff its bounds intersect that range. When every byte of `p`
+    * is 0xFF no successor exists and only the lower bound applies.
+    */
+  def mayMatchPrefix(st: ColStat, p: String): Boolean = {
+    if (st.kind == "z") return false
+    if (st.kind != "s") return true // domain mismatch: unknown
+    if (p.isEmpty) return true      // every string has the empty prefix
+    if (cmp("s", st.max, p) < 0) return false // whole file before the range
+    val bytes = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = bytes.length - 1
+    while (i >= 0 && bytes(i) == 0xFF.toByte) i -= 1
+    if (i < 0) return true // no successor: upper bound unbounded
+    val succ = java.util.Arrays.copyOf(bytes, i + 1)
+    succ(i) = (succ(i) + 1).toByte
+    // byte-order compare against the successor (UTF8String = UTF-8 bytes)
+    org.apache.spark.unsafe.types.UTF8String.fromString(st.min)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromBytes(succ)) < 0
+  }
+
   /** May a row of a file with bounds `st` satisfy `col OP value`?
     * An all-null file ("z") satisfies no comparison (SQL null semantics);
     * a domain mismatch is unknown → true.
