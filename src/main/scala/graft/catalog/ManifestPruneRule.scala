@@ -35,50 +35,80 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
       r.table match {
         case t: GraftTable if t.prunedManifest.isEmpty =>
           val files = t.manifest.files
-          // bloom context once per table: the marker read is the O(1)
-          // short-circuit that keeps un-indexed tables at zero extra cost
-          val wh = new graft.sink.Warehouse(
-            org.apache.spark.sql.SparkSession.active, t.root)
-          val indexed = graft.sink.BloomIndex.indexedCols(wh.tableDirOf(t.table))
+          // bloom probes extracted ONCE per filter node (hashes included —
+          // an InSet of a thousand uuids must not re-hash per file), and
+          // only when an equality-shaped conjunct exists at all: the common
+          // range-predicate query never touches the marker or a Warehouse
+          val probes = bloomProbes(t, cond)
+          lazy val resolve = probeResolver(t)
           val kept = files.filter(file =>
-            mayMatch(file, cond) &&
-              (indexed.isEmpty || bloomMayMatch(wh, indexed, t, file, cond)))
+            mayMatch(file, cond) && probes.forall { case (c, hs) =>
+              hs.exists(h => graft.sink.BloomIndex.mightContain(resolve(file.path), c, h))
+            })
           if (kept.size < files.size) f.copy(child = r.copy(table = t.withFiles(kept)))
           else f
         case _ => f
       }
   }
 
-  /** Point-lookup pruning via per-file Bloom sidecars
-    * ([[graft.sink.BloomIndex]], built by `Warehouse.buildBloomIndex`):
-    * `col = literal` / `col IN (...)` conjuncts drop files whose filter
-    * proves the value absent — the case range stats can never prune (a
-    * high-cardinality key the table is not clustered by spans every file's
-    * bounds). No false negatives ⇒ pruning on a miss is exact; missing
-    * sidecars, type mismatches, and non-equality shapes keep the file.
-    * Catalog-rule-only (not part of [[mayMatch]]): the sidecar reads are
-    * per-file driver IO that equality-heavy internal callers (DPP IN-sets,
-    * merge victim selection) must not pay implicitly.
+  /** One sidecar-path resolver per table (branch-ref aware — the same
+    * split [[graft.sink.Warehouse]] uses for every path).
     */
-  private def bloomMayMatch(wh: graft.sink.Warehouse, indexed: Set[String],
-                            t: GraftTable, file: DataFile, cond: Expression): Boolean = {
+  private def probeResolver(t: GraftTable): String => String = {
+    val wh = new graft.sink.Warehouse(org.apache.spark.sql.SparkSession.active, t.root)
+    rel => wh.resolvePath(t.table, rel)
+  }
+
+  /** Point-lookup probes via per-file Bloom sidecars
+    * ([[graft.sink.BloomIndex]], built by `Warehouse.buildBloomIndex`):
+    * each `col = literal` / `col IN (...)` / InSet conjunct on an INDEXED
+    * column becomes (column, candidate hashes); a file survives a probe iff
+    * its filter might contain SOME candidate. No false negatives ⇒ pruning
+    * on a miss is exact; missing sidecars, type mismatches, unhashable
+    * values, oversized sets, and non-equality shapes contribute no probe
+    * (keep). Catalog-rule-only (not part of [[mayMatch]]): sidecar reads
+    * are per-file driver IO that equality-heavy internal callers (DPP
+    * IN-sets, merge victim selection) must not pay implicitly.
+    */
+  private val MaxProbeValues = 512
+
+  private def bloomProbes(t: GraftTable, cond: Expression): Seq[(String, Seq[Long])] = {
     import graft.sink.BloomIndex
-    def typeOk(a: AttributeReference): Boolean =
-      t.manifest.schema.fields.exists(f0 => f0.name == a.name && f0.dataType == a.dataType)
-    def hit(a: AttributeReference, l: Literal): Boolean =
-      if (l.value == null || !indexed.contains(a.name) || !typeOk(a)) true
-      else BloomIndex.hashLiteral(l) match {
-        case Some(h) => BloomIndex.mightContain(wh.resolvePath(t.table, file.path), a.name, h)
-        case None    => true
-      }
-    splitConjunctivePredicates(cond).forall {
-      case EqualTo(a: AttributeReference, l: Literal) => hit(a, l)
-      case EqualTo(l: Literal, a: AttributeReference) => hit(a, l)
-      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists(v => hit(a, v.asInstanceOf[Literal]))
-      case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
-        vs.exists(v => hit(a, Literal(v, a.dataType)))
-      case _ => true
+    val conjs = splitConjunctivePredicates(cond)
+    val hasEq = conjs.exists {
+      case _: EqualTo | _: In | _: InSet => true
+      case _                             => false
+    }
+    if (!hasEq) return Nil
+    val indexed = BloomIndex.indexedCols(
+      new graft.sink.Warehouse(org.apache.spark.sql.SparkSession.active, t.root)
+        .tableDirOf(t.table))
+    if (indexed.isEmpty) return Nil
+    def usable(a: AttributeReference): Boolean =
+      indexed.contains(a.name) &&
+        t.manifest.schema.fields.exists(f0 => f0.name == a.name && f0.dataType == a.dataType)
+    // all candidate hashes of a value list, or None if ANY is unhashable
+    // (then the conjunct can't prune). Null values match no row under
+    // plain equality — they contribute no hash, and an all-null list
+    // yields an empty candidate set = prune everything, which is exact.
+    def hashes(ls: Seq[Literal]): Option[Seq[Long]] = {
+      val nonNull = ls.filter(_.value != null)
+      val hs = nonNull.map(BloomIndex.hashLiteral)
+      if (hs.contains(None)) None else Some(hs.flatten)
+    }
+    conjs.flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) if usable(a) =>
+        hashes(Seq(l)).map(a.name -> _)
+      case EqualTo(l: Literal, a: AttributeReference) if usable(a) =>
+        hashes(Seq(l)).map(a.name -> _)
+      case In(a: AttributeReference, vs)
+          if usable(a) && vs.nonEmpty && vs.size <= MaxProbeValues &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+        hashes(vs.map(_.asInstanceOf[Literal])).map(a.name -> _)
+      case InSet(a: AttributeReference, vs)
+          if usable(a) && vs.nonEmpty && vs.size <= MaxProbeValues =>
+        hashes(vs.toSeq.map(v => Literal(v, a.dataType))).map(a.name -> _)
+      case _ => None
     }
   }
 
@@ -109,8 +139,10 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists(v => check(file, a.name, "=", v.asInstanceOf[Literal]))
     // OptimizeIn rewrites 11+-element IN lists to InSet in the same batch —
-    // values are already catalyst-internal, Literal wraps them directly
-    case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
+    // values are already catalyst-internal, Literal wraps them directly.
+    // Capped: InSet is unbounded and this check runs per file; past the cap
+    // the conjunct just doesn't prune (conservative).
+    case InSet(a: AttributeReference, vs) if vs.nonEmpty && vs.size <= MaxProbeValues =>
       vs.exists(v => check(file, a.name, "=", Literal(v, a.dataType)))
     // `col LIKE 'p%'`: strings with prefix p live in [p, succ(p)) under the
     // UTF-8 binary order the bounds were computed in

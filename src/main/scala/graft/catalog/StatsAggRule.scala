@@ -98,13 +98,18 @@ object StatsAggRule extends Rule[LogicalPlan] {
     if (m.files.isEmpty) return Some(Nil) // empty table: no groups
     val groupCols = groups.map(g => nameOf.get(g.exprId))
     if (groupCols.contains(None)) return None
-    // group value of one file on one column: None = not single-valued (bail)
+    // group value of one file on one column: None = not single-valued
+    // (bail). min == max alone is NOT single-valued — min/max ignore
+    // nulls, so a file holding ('a', null) would fold its null row into
+    // the 'a' group; a PROVEN zero null count is required ("z" is the
+    // all-null dual; unknown −1 bails).
     def fileKey(f: graft.sink.DataFile): Option[Seq[Option[String]]] = {
       val parts = groups.zip(groupCols.flatten).map { case (g, c) =>
         (f.stats.get(c), expectedKind(g.dataType)) match {
-          case (Some(st), _) if st.kind == "z"              => Some(None)
-          case (Some(st), Some(k)) if st.kind == k && st.min == st.max => Some(Some(st.min))
-          case _                                            => None
+          case (Some(st), _) if st.kind == "z" => Some(None)
+          case (Some(st), Some(k)) if st.kind == k && st.min == st.max &&
+            st.nulls == 0L => Some(Some(st.min))
+          case _ => None
         }
       }
       if (parts.contains(None)) None else Some(parts.map(_.get))

@@ -67,10 +67,12 @@ object BloomIndex {
         try Some(BloomFilter.readFrom(in)) finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None } // unreadable: never prune
     val sz = v.map(_.bitSize() / 8).getOrElse(0L)
-    if (cacheBytes.addAndGet(sz) > MaxCacheBytes) {
-      cache.clear(); cacheBytes.set(sz)
+    // account bytes only for the entry that actually lands (a racing loser
+    // must not inflate the counter into premature wholesale eviction)
+    if (cache.putIfAbsent(key, v) == null &&
+        cacheBytes.addAndGet(sz) > MaxCacheBytes) {
+      cache.clear(); cacheBytes.set(0L)
     }
-    cache.putIfAbsent(key, v)
     v
   }
 
@@ -113,17 +115,26 @@ object BloomIndex {
     cols
   }
 
-  private[sink] def recordIndexedCols(tableDirAbs: String, cols: Seq[String]): Unit = {
-    val merged = indexedCols(tableDirAbs) ++ cols
-    val target = markerPath(tableDirAbs)
-    val tmp = target.resolveSibling("_bloom_cols.tmp")
-    Files.writeString(tmp, merged.toSeq.sorted.map(c =>
-      java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
-        c.getBytes(java.nio.charset.StandardCharsets.UTF_8))).mkString("\n"))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    indexedColsCache.remove(tableDirAbs)
-  }
+  /** Record `cols` as indexed (read-merge-write under a JVM lock: two
+    * same-process builds for different columns must not lose each other's
+    * set). A CROSS-process race can still drop a column from the marker —
+    * the warehouse is single-writer by design, and losing only disables
+    * pruning for that column until the next (idempotent, O(unindexed=0))
+    * re-run of buildBloomIndex; answers are never affected.
+    */
+  private[sink] def recordIndexedCols(tableDirAbs: String, cols: Seq[String]): Unit =
+    synchronized {
+      indexedColsCache.remove(tableDirAbs) // re-read the marker from disk
+      val merged = indexedCols(tableDirAbs) ++ cols
+      val target = markerPath(tableDirAbs)
+      val tmp = target.resolveSibling("_bloom_cols.tmp")
+      Files.writeString(tmp, merged.toSeq.sorted.map(c =>
+        java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+          c.getBytes(java.nio.charset.StandardCharsets.UTF_8))).mkString("\n"))
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      indexedColsCache.remove(tableDirAbs)
+    }
 
   /** xxhash64 (seed 42, Spark's default) of a predicate literal — the
     * driver-side twin of the executor-side `xxhash64(col)` the build used.

@@ -2114,15 +2114,17 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
             s"initial default for ${f.name} does not cast to ${f.dataType.sql}: $sqlExpr")
           val frozen = org.apache.spark.sql.catalyst.expressions.Literal
             .create(v, f.dataType).sql
-          // EXISTS_DEFAULT: what pre-addition files serve (Iceberg initial
-          // default). CURRENT_DEFAULT: what future INSERTs that omit the
-          // column fill — with SUPPORT_COLUMN_DEFAULT_VALUE declared, the
-          // SQL face legally reaches this path and Spark's
-          // ResolveDefaultColumns reads this key; without it, an omitted
-          // column would silently land NULL instead of the declared value
+          // EXISTS_DEFAULT: the FROZEN literal pre-addition files serve
+          // forever (Iceberg initial default — scans must never re-evaluate
+          // SQL). CURRENT_DEFAULT: the ORIGINAL SQL future INSERTs that omit
+          // the column re-resolve at their own analysis time (Spark DEFAULT
+          // semantics: `DEFAULT CURRENT_DATE` fills the INSERT day, not the
+          // ALTER day) — with SUPPORT_COLUMN_DEFAULT_VALUE declared the SQL
+          // face legally reaches this path and ResolveDefaultColumns reads
+          // this key; without it an omitted column would land NULL
           f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
             .putString("EXISTS_DEFAULT", frozen)
-            .putString("CURRENT_DEFAULT", frozen).build())
+            .putString("CURRENT_DEFAULT", sqlExpr).build())
       }
     }
     // new fields get NEVER-REUSED ids (counter advanced before the commit);

@@ -127,6 +127,15 @@ class StatsAggSpec extends SparkSpec {
       Row("a", 1L), Row("b", 2L)).asJava, s).coalesce(1), statsCols = Seq("g", "v"))
     val q2 = spark.sql(s"SELECT g, count(*) AS n FROM $cat.t_grp2 GROUP BY g")
     assert(!servedFromStats(q2) && q2.count() == 2L)
+    // min == max but nulls > 0 is NOT single-valued: the file holds BOTH an
+    // 'a' row and a null row — folding them into one group would lose the
+    // NULL group. Must bail and stay correct through the scan.
+    wh.create("t_grp3", s)
+    wh.append("t_grp3", spark.createDataFrame(Seq(
+      Row("a", 1L), Row(null, 2L)).asJava, s).coalesce(1), statsCols = Seq("g", "v"))
+    val q3 = spark.sql(s"SELECT g, count(*) AS n FROM $cat.t_grp3 GROUP BY g ORDER BY g")
+    assert(!servedFromStats(q3), "a min==max file with nulls must not serve groups")
+    assert(q3.collect().toSeq.map(_.toSeq) == Seq(Seq(null, 1L), Seq("a", 1L)))
   }
 
   test("count(col) serves exact non-null counts: mixed nulls, all-null column, scan-identical") {
