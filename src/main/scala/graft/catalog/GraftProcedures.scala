@@ -137,6 +137,20 @@ private[catalog] object GraftProcedures {
         Seq(Row(r.version, r.rows, r.cols.size))
       }),
 
+    Proc("build_bloom_index",
+      "per-file Bloom sidecars for point-lookup file pruning on " +
+        "high-cardinality unclustered keys; incremental — only files " +
+        "missing a sidecar are scanned, so re-running after appends " +
+        "indexes just the new batch",
+      Array(param("tbl", StringType), param("cols", StringType),
+        param("fpp", DoubleType, "0.01D")),
+      StructType(Seq(StructField("sidecars_written", IntegerType))),
+      (wh, in) => {
+        val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "build_bloom_index needs at least one column")
+        Seq(Row(wh.buildBloomIndex(str(in, 0), cols, in.getDouble(2))))
+      }),
+
     Proc("rewrite_manifests",
       "coalesce the snapshot's manifest segments into one (metadata-only, " +
         "zero data IO) — the explicit handle on the automatic segment budget",

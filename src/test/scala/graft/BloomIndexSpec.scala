@@ -118,6 +118,22 @@ class BloomIndexSpec extends SparkSpec {
     assert(wh.buildBloomIndex("t", Seq("h")) == 0, "fully indexed: re-run is a no-op")
   }
 
+  test("SQL face: CALL graft.system.build_bloom_index builds and lookups prune") {
+    val root = tmpDir("bloom-call")
+    spark.conf.set("spark.sql.catalog.blmq", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blmq.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", StructType(schema.fields.map(_.copy(nullable = true))))
+    for (b <- 0 until 3)
+      wh.append("t", batch(b * 100L, b * 100L + 100L).coalesce(1), statsCols = Seq("h"))
+    val out = spark.sql("CALL blmq.system.build_bloom_index(tbl => 't', cols => 'h')").head()
+    assert(out.getInt(0) == wh.currentManifest("t").files.size)
+    val total = wh.currentManifest("t").files.size
+    val q = spark.sql(s"SELECT n FROM blmq.t WHERE h = '${md5Of(42L)}'")
+    assert(scannedFiles(q, total) == 1)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(42L))
+  }
+
   test("compaction rewrites drop stale sidecars with their files; rebuilt index serves") {
     val root = tmpDir("bloom-compact")
     spark.conf.set("spark.sql.catalog.blmc", classOf[graft.catalog.GraftCatalog].getName)
