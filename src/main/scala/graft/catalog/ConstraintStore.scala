@@ -22,7 +22,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   * row with zero engine-side code. PK/UNIQUE/FK are informational (RELY
   * metadata for the optimizer), exactly the SPIP's contract.
   */
-private[catalog] final class ConstraintStore(root: String) {
+private[graft] final class ConstraintStore(root: String) {
 
   private def pathOf(table: String): Path = Paths.get(root, table, "_constraints")
 

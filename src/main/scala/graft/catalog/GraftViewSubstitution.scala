@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedSubqueryColumnAliases}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Analysis-time substitution of graft views: an [[UnresolvedRelation]]
@@ -54,7 +54,28 @@ class GraftViewSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
     if (seen((cat, name))) throw new IllegalStateException(
       s"recursive view: $cat.$name references itself (via ${seen.map(p => p._1 + "." + p._2).mkString(" -> ")})")
     val parsed = spark.sessionState.sqlParser.parsePlan(rec.sql)
-    val expanded = parsed.transformUp {
+    // CTEs first: substitution runs in the Resolution batch, AFTER Spark's
+    // own CTESubstitution, so a spliced UnresolvedWith would never resolve —
+    // and a CTE name must never be catalog-qualified (it is not a table).
+    // Inlining each definition at its use sites (bottom-up: inner WITH
+    // scopes first, so shadowing resolves inner-most, matching the
+    // analyzer) removes both hazards before qualification runs.
+    // transformUpWithSubqueries everywhere: view bodies reference tables,
+    // views and CTEs inside IN/EXISTS/scalar subqueries too.
+    val noCtes = parsed.transformUpWithSubqueries {
+      case UnresolvedWith(child, ctes, allowRecursion) =>
+        if (allowRecursion) throw new UnsupportedOperationException(
+          s"view $cat.$name uses a recursive CTE, which graft views do not support")
+        // later definitions may reference earlier ones in the same clause;
+        // the parser already folded `WITH t(a,b) AS` column aliases into
+        // each definition's SubqueryAlias, so the tuple needs no more care
+        var defs = Map.empty[String, LogicalPlan]
+        ctes.foreach { case (cteName, defn, _) =>
+          defs += cteName.toLowerCase(java.util.Locale.ROOT) -> substituteCtes(defn, defs)
+        }
+        substituteCtes(child, defs)
+    }
+    val expanded = noCtes.transformUpWithSubqueries {
       case ur: UnresolvedRelation if !ur.isStreaming && ur.options.isEmpty() =>
         // bare names resolve in the view's CREATION catalog, not the reader's
         val parts =
@@ -72,4 +93,17 @@ class GraftViewSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
       else UnresolvedSubqueryColumnAliases(rec.columnAliases, expanded)
     SubqueryAlias(name, aliased)
   }
+
+  /** Replace single-part relations naming a CTE in `defs` with that CTE's
+    * (already-inlined) definition. Case-insensitive, Spark's default CTE
+    * resolution; multi-part names can never be CTE references.
+    */
+  private def substituteCtes(plan: LogicalPlan,
+      defs: Map[String, LogicalPlan]): LogicalPlan =
+    if (defs.isEmpty) plan
+    else plan.transformUpWithSubqueries {
+      case ur: UnresolvedRelation if ur.multipartIdentifier.length == 1 &&
+          defs.contains(ur.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) =>
+        defs(ur.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT))
+    }
 }

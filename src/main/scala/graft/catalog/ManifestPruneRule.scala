@@ -87,6 +87,9 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     def usable(a: AttributeReference): Boolean =
       indexed.contains(a.name) &&
         t.manifest.schema.fields.exists(f0 => f0.name == a.name && f0.dataType == a.dataType)
+    // sidecars are keyed by field id (rename-stable) — BloomIndex.keyFor
+    def keyOf(a: AttributeReference): String =
+      BloomIndex.keyFor(t.manifest.schema, a.name)
     // all candidate hashes of a value list, or None if ANY is unhashable
     // (then the conjunct can't prune). Null values match no row under
     // plain equality — they contribute no hash, and an all-null list
@@ -98,16 +101,16 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     }
     conjs.flatMap {
       case EqualTo(a: AttributeReference, l: Literal) if usable(a) =>
-        hashes(Seq(l)).map(a.name -> _)
+        hashes(Seq(l)).map(keyOf(a) -> _)
       case EqualTo(l: Literal, a: AttributeReference) if usable(a) =>
-        hashes(Seq(l)).map(a.name -> _)
+        hashes(Seq(l)).map(keyOf(a) -> _)
       case In(a: AttributeReference, vs)
           if usable(a) && vs.nonEmpty && vs.size <= MaxProbeValues &&
             vs.forall(_.isInstanceOf[Literal]) =>
-        hashes(vs.map(_.asInstanceOf[Literal])).map(a.name -> _)
+        hashes(vs.map(_.asInstanceOf[Literal])).map(keyOf(a) -> _)
       case InSet(a: AttributeReference, vs)
           if usable(a) && vs.nonEmpty && vs.size <= MaxProbeValues =>
-        hashes(vs.toSeq.map(v => Literal(v, a.dataType))).map(a.name -> _)
+        hashes(vs.toSeq.map(v => Literal(v, a.dataType))).map(keyOf(a) -> _)
       case _ => None
     }
   }

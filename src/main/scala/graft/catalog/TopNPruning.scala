@@ -100,6 +100,9 @@ object TopNPruning {
       }
     }
     val ordered = creditable.sortWith {
+      // strict: two all-null-file entries are EQUAL, not mutually "before"
+      // (TimSort rejects a comparator where lt(a,b) && lt(b,a))
+      case ((None, _), (None, _)) => false
       case ((None, _), _) => true
       case (_, (None, _)) => false
       case ((Some(a), _), (Some(b), _)) =>

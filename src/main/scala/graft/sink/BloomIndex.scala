@@ -34,13 +34,30 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomIndex {
 
-  /** Sidecar path for one (data file, column). The column rides URL-safe
-    * base64 so arbitrary names can't corrupt the file name.
+  /** Sidecar KEY for a column: its parquet field id when present
+    * (`fid<N>`), the raw name otherwise. Field ids make sidecars
+    * rename-stable by construction — RENAME a→b keeps the id, so the
+    * index keeps serving under the new name with zero IO — and
+    * drop-then-readd-safe: ids are never reused
+    * ([[Warehouse.reserveFieldIds]]), so a re-introduced name maps to a
+    * FRESH id whose sidecars don't exist yet, and the dropped column's
+    * orphaned sidecars can never be consulted again. Id-less tables
+    * refuse rename/drop outright, so the name key is stable there too.
     */
-  def sidecar(dataFileAbs: String, col: String): Path =
+  def keyFor(schema: org.apache.spark.sql.types.StructType, col: String): String =
+    schema.fields.find(_.name == col) match {
+      case Some(f) if f.metadata.contains("parquet.field.id") =>
+        "fid" + f.metadata.getLong("parquet.field.id")
+      case _ => col
+    }
+
+  /** Sidecar path for one (data file, column key — [[keyFor]]). The key
+    * rides URL-safe base64 so arbitrary names can't corrupt the file name.
+    */
+  def sidecar(dataFileAbs: String, key: String): Path =
     Paths.get(dataFileAbs + ".bloom." +
       java.util.Base64.getUrlEncoder.withoutPadding
-        .encodeToString(col.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        .encodeToString(key.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   /** Driver-side sidecar cache. Data files are immutable and sidecar writes
     * are atomic, so a loaded filter never goes stale; a cached MISS can go
@@ -125,16 +142,34 @@ object BloomIndex {
   private[sink] def recordIndexedCols(tableDirAbs: String, cols: Seq[String]): Unit =
     synchronized {
       indexedColsCache.remove(tableDirAbs) // re-read the marker from disk
-      val merged = indexedCols(tableDirAbs) ++ cols
-      val target = markerPath(tableDirAbs)
-      val tmp = target.resolveSibling("_bloom_cols.tmp")
-      Files.writeString(tmp, merged.toSeq.sorted.map(c =>
-        java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
-          c.getBytes(java.nio.charset.StandardCharsets.UTF_8))).mkString("\n"))
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-      indexedColsCache.remove(tableDirAbs)
+      writeMarker(tableDirAbs, indexedCols(tableDirAbs) ++ cols)
     }
+
+  /** Schema evolution hook: RENAME remaps the marker entry (the field-id
+    * sidecars stay valid under the new name), DROP (`to` = None) removes
+    * it so probes of a later same-named column can't consult until that
+    * column is indexed in its own right. Crash between the schema commit
+    * and this marker write only DISABLES pruning for the renamed column
+    * (old name unqueryable, new name not in the marker) until the next
+    * buildBloomIndex — never a wrong answer.
+    */
+  private[sink] def remapIndexedCol(tableDirAbs: String, from: String,
+                                    to: Option[String]): Unit = synchronized {
+    indexedColsCache.remove(tableDirAbs)
+    val cur = indexedCols(tableDirAbs)
+    if (cur.contains(from)) writeMarker(tableDirAbs, cur - from ++ to)
+  }
+
+  private def writeMarker(tableDirAbs: String, cols: Set[String]): Unit = {
+    val target = markerPath(tableDirAbs)
+    val tmp = target.resolveSibling("_bloom_cols.tmp")
+    Files.writeString(tmp, cols.toSeq.sorted.map(c =>
+      java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+        c.getBytes(java.nio.charset.StandardCharsets.UTF_8))).mkString("\n"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    indexedColsCache.remove(tableDirAbs)
+  }
 
   /** xxhash64 (seed 42, Spark's default) of a predicate literal — the
     * driver-side twin of the executor-side `xxhash64(col)` the build used.
@@ -144,19 +179,19 @@ object BloomIndex {
     try Some(XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long])
     catch { case scala.util.control.NonFatal(_) => None }
 
-  /** May `dataFileAbs` contain a row whose `col` equals the value hashed as
-    * `h`? Missing/unreadable sidecar → true (can't prune).
+  /** May `dataFileAbs` contain a row whose keyed column equals the value
+    * hashed as `h`? Missing/unreadable sidecar → true (can't prune).
     */
-  def mightContain(dataFileAbs: String, col: String, h: Long): Boolean =
-    load(sidecar(dataFileAbs, col)).forall(_.mightContainLong(h))
+  def mightContain(dataFileAbs: String, key: String, h: Long): Boolean =
+    load(sidecar(dataFileAbs, key)).forall(_.mightContainLong(h))
 
-  /** True when a sidecar exists for (file, col) — test/introspection hook. */
-  def exists(dataFileAbs: String, col: String): Boolean =
-    Files.exists(sidecar(dataFileAbs, col))
+  /** True when a sidecar exists for (file, key) — test/introspection hook. */
+  def exists(dataFileAbs: String, key: String): Boolean =
+    Files.exists(sidecar(dataFileAbs, key))
 
-  private[sink] def writeSidecar(dataFileAbs: String, col: String,
+  private[sink] def writeSidecar(dataFileAbs: String, key: String,
                                  bytes: Array[Byte]): Unit = {
-    val target = sidecar(dataFileAbs, col)
+    val target = sidecar(dataFileAbs, key)
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.write(tmp, bytes)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,

@@ -1075,7 +1075,10 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       s"buildBloomIndex: no such column $c in $name"))
     var written = 0
     cols.foreach { c =>
-      val todo = man.files.filter(f => !BloomIndex.exists(resolvePath(name, f.path), c))
+      // sidecars are keyed by FIELD ID (rename-stable, never reused after
+      // drop), names only appear in the marker — BloomIndex.keyFor scaladoc
+      val key = BloomIndex.keyFor(schema, c)
+      val todo = man.files.filter(f => !BloomIndex.exists(resolvePath(name, f.path), key))
       if (todo.nonEmpty) {
         graft.functions.BloomPrune.register(spark)
         // one global sizing per build pass (the aggregate takes literals):
@@ -1098,7 +1101,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
             .toAbsolutePath.normalize.toString
           val bytes = r.getAs[Array[Byte]]("__b")
           if (bytes != null && absOf.contains(abs)) {
-            BloomIndex.writeSidecar(abs, c, bytes)
+            BloomIndex.writeSidecar(abs, key, bytes)
             written += 1
           }
         }
@@ -2217,6 +2220,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       Files.move(tmp, specPath(name), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
+    // bloom marker rides the rename too: sidecars are field-id-keyed (still
+    // valid — same id, same values), only the planner's name-keyed marker
+    // entry moves. Crash before this line just disables pruning for the
+    // new name until the next buildBloomIndex.
+    BloomIndex.remapIndexedCol(tableDir(name).toString, from, Some(to))
     v
   }
 
@@ -2251,7 +2259,13 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val newSchema = StructType(man.schema.fields.filterNot(_.name == colName))
     val files = man.files.map(f => f.copy(stats = f.stats.filterNot { case (k, _) => dropsKey(k) }))
     val dels = man.deletes.map(d => d.copy(stats = d.stats.filterNot { case (k, _) => dropsKey(k) }))
-    commitManifest(name, currentVersion(name) + 1, Manifest(newSchema, files, dels))
+    val v = commitManifest(name, currentVersion(name) + 1, Manifest(newSchema, files, dels))
+    // un-mark any bloom index on the dropped name: a later re-added column
+    // of the same name gets a FRESH field id, so the orphaned sidecars can
+    // never be consulted — but the name must leave the marker so probes
+    // don't pay sidecar-miss IO for an index that no longer applies
+    BloomIndex.remapIndexedCol(tableDir(name).toString, colName, None)
+    v
   }
 
   // ------------------------------------------ merge-on-read (MOR) deletes --

@@ -116,6 +116,7 @@ final class GraftTableSink(root: String, table: String, disposition: String,
       return
     }
     if (mergeSchema && wh.exists(table)) wh.addMissingColumns(table, data.schema)
+    validateChecks(data)
     disposition match {
       case "append"  => wh.append(table, data, statsCols, clusterBy)
       case "upsert"  => wh.morMerge(table, data, keys, clusterBy)
@@ -123,6 +124,31 @@ final class GraftTableSink(root: String, table: String, disposition: String,
       case "replace" => wh.replace(table, data, statsCols, clusterBy)
     }
     wh.recordBatchId(table, streamId, batchId)
+  }
+
+  /** Enforced CHECK constraints apply to streams too: Spark's own
+    * `ResolveTableConstraints` only guards V2 writes, and this sink lands
+    * batches through the Warehouse verbs directly — without this, a table
+    * whose catalog face reports an ENFORCED check could accumulate
+    * violating rows from a stream. One extra batch-sized pass, and only
+    * when a check exists at all (the constraint file probe is O(1)).
+    * CHECK semantics: a row violates only when the predicate is FALSE —
+    * null/unknown passes, the SQL-standard rule.
+    */
+  private def validateChecks(data: DataFrame): Unit = {
+    import org.apache.spark.sql.connector.catalog.constraints.Check
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val checks = new graft.catalog.ConstraintStore(root).list(table)
+      .collect { case c: Check if c.enforced() => c }
+    if (checks.isEmpty) return
+    val violates = checks
+      .map(c => not(coalesce(expr(c.predicateSql()), lit(true))))
+      .reduce(_ || _)
+    val bad = data.filter(violates).limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"micro-batch violates an ENFORCED CHECK constraint on $table " +
+        s"(${checks.map(c => s"${c.name()}: ${c.predicateSql()}").mkString("; ")}); " +
+        s"first violating row: ${bad.head}")
   }
 
   override def toString: String =

@@ -110,9 +110,11 @@ class BloomIndexSpec extends SparkSpec {
     val q = spark.sql(s"SELECT n FROM blmi.t WHERE h = '$k'")
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(150L),
       "an unindexed file must never be pruned")
-    // second build touches only the new files
-    val before = wh.currentManifest("t").files
-      .count(f => BloomIndex.exists(wh.resolvePath("t", f.path), "h"))
+    // second build touches only the new files (sidecars are field-id-keyed)
+    val man2 = wh.currentManifest("t")
+    val hKey = BloomIndex.keyFor(man2.schema, "h")
+    val before = man2.files
+      .count(f => BloomIndex.exists(wh.resolvePath("t", f.path), hKey))
     val written = wh.buildBloomIndex("t", Seq("h"))
     assert(before + written == total)
     assert(wh.buildBloomIndex("t", Seq("h")) == 0, "fully indexed: re-run is a no-op")
@@ -132,6 +134,39 @@ class BloomIndexSpec extends SparkSpec {
     val q = spark.sql(s"SELECT n FROM blmq.t WHERE h = '${md5Of(42L)}'")
     assert(scannedFiles(q, total) == 1)
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(42L))
+  }
+
+  test("schema evolution: rename keeps the index serving; drop+re-add maps to a fresh key") {
+    val root = tmpDir("bloom-evo")
+    spark.conf.set("spark.sql.catalog.blme", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blme.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", StructType(schema.fields.map(_.copy(nullable = true))))
+    for (b <- 0 until 3)
+      wh.append("t", batch(b * 100L, b * 100L + 100L).coalesce(1), statsCols = Seq("h"))
+    wh.buildBloomIndex("t", Seq("h"))
+    val total = wh.currentManifest("t").files.size
+    wh.renameColumn("t", "h", "hh")
+    // sidecars are field-id-keyed: the rename is metadata-only for the
+    // index too — lookups under the NEW name keep pruning with zero IO
+    val q = spark.sql(s"SELECT n FROM blme.t WHERE hh = '${md5Of(142L)}'")
+    assert(scannedFiles(q, total) == 1,
+      s"renamed column must keep bloom pruning:\n${q.queryExecution.executedPlan}")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(142L))
+    assert(wh.buildBloomIndex("t", Seq("hh")) == 0,
+      "rename must not orphan the sidecars (re-build would rescan)")
+    // DROP un-marks the column; a re-added same name gets a FRESH field id,
+    // so the dropped column's sidecars are unreachable by construction
+    val oldKey = BloomIndex.keyFor(wh.currentManifest("t").schema, "hh")
+    wh.dropColumn("t", "hh")
+    val dir = java.nio.file.Paths.get(root, "t").toString
+    assert(!BloomIndex.indexedCols(dir).contains("hh"), "drop must un-mark the column")
+    wh.addColumns("t", Seq(StructField("hh", StringType, nullable = true)))
+    val newKey = BloomIndex.keyFor(wh.currentManifest("t").schema, "hh")
+    assert(newKey != oldKey, s"re-added column must get a fresh sidecar key ($oldKey == $newKey)")
+    // correctness: the re-added column is all-null; a stale consult would
+    // still answer 0 rows here, but the marker no longer lists hh at all
+    assert(spark.sql(s"SELECT n FROM blme.t WHERE hh = '${md5Of(1L)}'").count() == 0L)
   }
 
   test("compaction rewrites drop stale sidecars with their files; rebuilt index serves") {

@@ -139,4 +139,27 @@ class GraftTableSinkSpec extends SparkSpec {
     assert(make(Map("root" -> "/x", "table" -> "t"),
       OutputMode.Complete()).toString.contains("replace"))
   }
+
+  test("enforced CHECK constraints guard the streaming sink too") {
+    val root = tmpDir("sink-check")
+    spark.conf.set("spark.sql.catalog.gsck", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsck.root", root)
+    spark.sql(
+      "CREATE TABLE gsck.guarded (id BIGINT, v STRING, CONSTRAINT id_pos CHECK (id > 0))")
+    val wh = new Warehouse(spark, root)
+    val sink = mkSink(root, "guarded")
+    sink.addBatch(0L, frame(1L -> "ok")) // satisfying batch lands
+    assert(wh.load("guarded").count() == 1L)
+    // the violating batch fails LOUDLY and commits nothing
+    val ex = intercept[IllegalStateException](
+      sink.addBatch(1L, frame(-5L -> "bad", 2L -> "fine")))
+    assert(ex.getMessage.contains("id_pos"), ex.getMessage)
+    assert(wh.load("guarded").collect().map(_.getLong(0)).toSet == Set(1L))
+    // a retried/clean batch under the same id still lands (nothing ledgered)
+    sink.addBatch(1L, frame(3L -> "ok2"))
+    assert(wh.load("guarded").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // null passes a CHECK (SQL semantics: only FALSE violates)
+    sink.addBatch(2L, spark.createDataFrame(Seq(Row(null, "n")).asJava, schema))
+    assert(wh.load("guarded").count() == 3L)
+  }
 }

@@ -73,4 +73,45 @@ class ViewSpec extends SparkSpec {
     assert(spark.sql("SELECT k, n FROM gview.tt_join").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 1L)))
   }
+
+  test("view bodies with CTEs: readable after splice, CTE names never bind to like-named tables") {
+    wh.replace("cte_t", df(("a", 1), ("b", 2)))
+    // decoy TABLE named like the view's CTE — the CTE must win inside the view
+    wh.replace("tmp", df(("z", 99)))
+    spark.sql("CREATE VIEW gview.cte_v AS " +
+      "WITH tmp AS (SELECT k, n + 10 AS n FROM gview.cte_t) SELECT k, n FROM tmp")
+    assert(spark.sql("SELECT k, n FROM gview.cte_v ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 11L), ("b", 12L)))
+    // chained CTEs (later referencing earlier) + a CTE referenced from a
+    // subquery expression — both must survive the Resolution-batch splice
+    spark.sql("CREATE VIEW gview.cte_chain AS " +
+      "WITH base AS (SELECT k, n FROM gview.cte_t), " +
+      "big AS (SELECT k FROM base WHERE n >= 2) " +
+      "SELECT k FROM gview.cte_t WHERE k IN (SELECT k FROM big)")
+    assert(spark.sql("SELECT k FROM gview.cte_chain").collect()
+      .map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("bare names inside view SUBQUERY expressions resolve in the CREATION catalog") {
+    wh.replace("subq_t", df(("a", 1), ("b", 2)))
+    wh.replace("subq_allow", df(("b", 0)))
+    val otherRoot = tmpDir("graft-views-other")
+    spark.conf.set("spark.sql.catalog.gother", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gother.root", otherRoot)
+    val who = new Warehouse(spark, otherRoot)
+    who.replace("subq_allow", df(("a", 0))) // decoy: same name, other catalog
+    val prev = spark.sessionState.catalogManager.currentCatalog.name()
+    try {
+      spark.sql("SET CATALOG gview")
+      spark.sql("CREATE VIEW gview.subq_v AS SELECT k FROM gview.subq_t t " +
+        "WHERE EXISTS (SELECT 1 FROM subq_allow a WHERE a.k = t.k)")
+      // read under a DIFFERENT current catalog holding the decoy: the view's
+      // subquery must still read the creation catalog's table
+      spark.sql("SET CATALOG gother")
+      val got = spark.sql("SELECT k FROM gview.subq_v").collect()
+        .map(_.getString(0)).toSeq
+      assert(got == Seq("b"),
+        s"subquery relation bound to the READER's catalog (wrong-table read): $got")
+    } finally spark.sql(s"SET CATALOG $prev")
+  }
 }

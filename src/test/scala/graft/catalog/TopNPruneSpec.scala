@@ -237,4 +237,17 @@ class TopNPruneSpec extends graft.SparkSpec {
     val scan = b.build().asInstanceOf[GraftParquetScan]
     assert(scan.keepPaths.isEmpty, "a filtered scan must not limit-prune files")
   }
+
+  test("comparator contract: many all-null creditable files sort strictly (no TimSort violation)") {
+    // ≥32 None-bound entries under nulls-first exercise TimSort's contract
+    // check: a comparator answering true for BOTH orderings of two all-null
+    // entries threw 'Comparison method violates its general contract' at
+    // planning time. The sort must complete and the selection stay sound.
+    val files = (0 until 40).map(i =>
+      DataFile(s"z$i", 3L, Map("v" -> ColStat("z", "", "", 3L)))) :+
+      DataFile("vals", 5L, Map("v" -> ColStat("n", "0", "4", 0L)))
+    val keep = TopNPruning.topNKeep(files, "v", asc = true, nullsFirst = true, 10L)
+    // 120 null rows credit before any value: the null-free value file prunes
+    assert(keep.contains(files.init.map(_.path).toSet), s"got $keep")
+  }
 }
