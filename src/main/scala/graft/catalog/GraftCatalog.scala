@@ -139,6 +139,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
     requireFlat(ident.namespace())
     MetaTables.parse(ident.name()) match {
+      // the CDC face: batch/streaming read of exact +I/-D change rows
+      // ([[ChangesTable]]). Live only — the version axis is the CONTENT of
+      // this table (from/to-version options, stream offsets), so VERSION AS
+      // OF on it is a category error, like $snapshots.
+      case Some((base, "changes")) if version.isEmpty && warehouse.exists(base) =>
+        return new ChangesTable(s"$catalogName.${ident.name()}", base, rootDir)
+      case _ => ()
+    }
+    MetaTables.parse(ident.name()) match {
       case Some((base, suffix)) if warehouse.exists(base) =>
         version.foreach { v =>
           if (!warehouse.history(base).contains(v)) throw new NoSuchTableException(ident)

@@ -21,6 +21,10 @@ object EtlQueries {
   private lazy val q151Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q151")
 
+  /** q156's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q156Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q156")
+
   // wipe: the shared stable-path helper lives in Tables (imported above)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -270,6 +274,67 @@ object EtlQueries {
       }
     },
 
+    // Row-level CDC as a DSv2 STREAMING SOURCE (ChangesTable): where q142
+    // polls ChangeFeedStream by hand, here `readStream.table("cat.`t$changes`")`
+    // follows the same kind of scripted history through Spark's own
+    // streaming machinery — offsets are snapshot versions in the checkpoint
+    // offset log, each micro-batch delivers one commit window's exact
+    // +I/-D rows (morMerge = -D old +I new, equality delete = -D,
+    // compaction = nothing), and the consumer aggregates the SIGNED feed.
+    // The oracle reconstructs every window's delivery declaratively. The
+    // 100 TB shape: a downstream readStream consumer follows a mutating
+    // table at O(changed rows) per trigger with no rescan and no bespoke
+    // poll loop (StreamTableReadSpec pins restart/no-re-delivery/admission).
+    "q156_cdc_stream_rollup" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("bal"))
+      wipe(q156Root)
+      val cp = java.nio.file.Files.createTempDirectory("graft-q156cp")
+      val wh = new Warehouse(s, q156Root.toString)
+      s.conf.set("spark.sql.catalog.gq156", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq156.root", q156Root.toString)
+      try {
+        val a = cust.filter(col("c_custkey") % 3 === 0)
+        val b = cust.filter(col("c_custkey") % 3 === 1)
+        wh.create("cdc", org.apache.spark.sql.types.StructType(
+          SchemaOps.widenSchema(cust.schema).fields.map(_.copy(nullable = true))))
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double, String)]()
+        val q = s.readStream.table("gq156.`cdc$changes`")
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.collect().foreach(r =>
+              buf.add((r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))))
+          }
+          .option("checkpointLocation", cp.toString).start()
+        try {
+          wh.append("cdc", a, statsCols = Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.morMerge("cdc",
+            a.filter(col("c_custkey") % 6 === 0).withColumn("bal", col("bal") + 100),
+            Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.append("cdc", b, statsCols = Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.equalityDelete("cdc",
+            cust.filter(col("c_custkey") % 5 === 0).select("c_custkey"))
+          q.processAllAvailable()
+          wh.compactFiles("cdc")
+          q.processAllAvailable()
+        } finally q.stop()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(buf.asScala.toSeq)
+          .toDF("c_custkey", "c_mktsegment", "bal", "change_type")
+          .groupBy("change_type", "c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), dsum(col("bal")).as("bal_delta"))
+          .orderBy("change_type", "c_mktsegment")
+          .localCheckpoint()
+      } finally {
+        wipe(q156Root)
+        wipe(cp)
+      }
+    },
+
     // Multi-table TRANSACTIONS (Warehouse.transact): fact rows and their
     // index postings land all-or-nothing — two transactional batches (the
     // second staging an append AND a morMerge upsert of first-batch keys),
@@ -470,6 +535,34 @@ object EtlQueries {
         |SELECT c_mktsegment, count(*) AS cnt,
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
         |FROM fin GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // q156: every commit window's delivery, reconstructed declaratively —
+    // w1 append a (+I), w2 morMerge upsert (-D old, +I new), w3 append b
+    // (+I), w4 equality delete (-D live rows keyed %5), w5 compaction
+    // (nothing). The aggregate gates the full signed feed.
+    "q156_cdc_stream_rollup" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer),
+        |a AS (SELECT * FROM cust WHERE c_custkey % 3 = 0),
+        |b AS (SELECT * FROM cust WHERE c_custkey % 3 = 1),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 6 = 0 THEN bal + 100 ELSE bal END AS bal FROM a),
+        |live AS (SELECT * FROM merged UNION ALL SELECT * FROM b),
+        |changes AS (
+        |  SELECT '+I' AS change_type, c_custkey, c_mktsegment, bal FROM a
+        |  UNION ALL
+        |  SELECT '-D', c_custkey, c_mktsegment, bal FROM a WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT '+I', c_custkey, c_mktsegment, bal + 100 FROM a WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT '+I', c_custkey, c_mktsegment, bal FROM b
+        |  UNION ALL
+        |  SELECT '-D', c_custkey, c_mktsegment, bal FROM live WHERE c_custkey % 5 = 0)
+        |SELECT change_type, c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_delta
+        |FROM changes GROUP BY change_type, c_mktsegment
+        |ORDER BY change_type, c_mktsegment""".stripMargin,
 
     "q144_transactional_ingest" ->
       """WITH o AS (

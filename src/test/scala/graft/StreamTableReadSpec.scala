@@ -153,6 +153,110 @@ class StreamTableReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ------------------------------------------------- $changes (CDC) face --
+
+  /** Signed net of a +I/-D row bag: the fold every CDC consumer computes. */
+  private def net(rows: Seq[(Long, String, String)]): Map[(Long, String), Int] =
+    rows.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(r => if (r._3 == "+I") 1 else -1).sum)
+      .filter(_._2 != 0).toMap
+
+  private def cdcRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  test("$changes stream: every commit kind delivers exact +I/-D; fold ≡ one-shot readChanges") {
+    wh.create("c1", schema)
+    val ckpt = tmpDir("ckpt-c1")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def start() = spark.readStream.table(s"$cat.`c1$$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val rows = cdcRows(df.toDF())
+        if (rows.nonEmpty) batches.incrementAndGet()
+        rows.foreach(got.add)
+      }
+      .option("checkpointLocation", ckpt).start()
+    import scala.jdk.CollectionConverters._
+
+    val q = start()
+    try {
+      wh.append("c1", frame(1L -> "a", 2L -> "b"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      assert(got.asScala.toSet == Set((1L, "a", "+I"), (2L, "b", "+I")))
+      // morMerge upsert: old row -D, new row +I, plus the fresh insert
+      wh.morMerge("c1", frame(2L -> "B", 3L -> "c"), Seq("k"))
+      q.processAllAvailable()
+      assert(got.asScala.toSet.contains((2L, "b", "-D")), s"upsert must retract the old row: $got")
+      assert(got.asScala.toSet.contains((2L, "B", "+I")))
+      assert(got.asScala.toSet.contains((3L, "c", "+I")))
+      // row-level delete arrives as -D
+      wh.equalityDelete("c1", frame(1L -> "x").select("k"))
+      q.processAllAvailable()
+      assert(got.asScala.toSet.contains((1L, "a", "-D")), s"delete must deliver -D: $got")
+      // compaction is a NO-OP in the feed (rewrite carry-over cancels)
+      val before = got.size()
+      wh.compactFiles("c1")
+      q.processAllAvailable()
+      assert(got.size() == before, s"compaction must deliver nothing: $got")
+      wh.append("c1", frame(4L -> "d"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      // the windowed deliveries FOLD to the one-shot feed (cancellation
+      // pairs like 2,b +I then -D net out of readChanges(0, head))
+      val head = wh.currentVersion("c1")
+      assert(net(got.asScala.toSeq) == net(cdcRows(wh.readChanges("c1", 0, head))),
+        s"stream fold must equal one-shot readChanges: $got")
+    } finally q.stop()
+
+    // restart on the same checkpoint: nothing re-delivers; a new commit
+    // delivers exactly its own window
+    got.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.isEmpty, s"no re-delivery after restart: $got")
+      val h1 = wh.currentVersion("c1")
+      wh.morMerge("c1", frame(4L -> "D2"), Seq("k"))
+      q2.processAllAvailable()
+      val h2 = wh.currentVersion("c1")
+      assert(got.asScala.toSet == cdcRows(wh.readChanges("c1", h1, h2)).toSet,
+        s"post-restart delivery must be exactly the new window: $got")
+    } finally q2.stop()
+  }
+
+  test("$changes: batch face serves windows; streaming admission bounds batches") {
+    wh.create("c2", schema)
+    wh.append("c2", frame(1L -> "a"), statsCols = Seq("k"))
+    wh.append("c2", frame(2L -> "b"), statsCols = Seq("k"))
+    wh.equalityDelete("c2", frame(1L -> "x").select("k"))
+    val head = wh.currentVersion("c2")
+    // batch default: full net history from empty (all surviving rows +I)
+    assert(cdcRows(spark.read.table(s"$cat.`c2$$changes`")).toSet ==
+      Set((2L, "b", "+I")))
+    // explicit window ≡ readChanges on the same bounds
+    val win = cdcRows(spark.read.option("from-version", 1)
+      .option("to-version", head).table(s"$cat.`c2$$changes`")).sorted
+    assert(win == cdcRows(wh.readChanges("c2", 1, head)).sorted)
+    // SQL face reads it too
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`c2$$changes`").head().getLong(0) == 1L)
+
+    // admission: 1 changed file per trigger → one batch per commit window
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.option("stream-max-files-per-trigger", "1")
+      .table(s"$cat.`c2$$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        if (df.count() > 0) nBatches.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", tmpDir("ckpt-c2")).start()
+    try {
+      q.processAllAvailable()
+      assert(nBatches.get() >= 2,
+        s"bounded admission must split the backlog, got ${nBatches.get()} batches")
+    } finally q.stop()
+  }
+
   test("guards: time-travel snapshots cannot stream; pending MOR deletes fail at scan build") {
     wh.create("s5", schema)
     wh.append("s5", frame(1L -> "a"), statsCols = Seq("k"))
