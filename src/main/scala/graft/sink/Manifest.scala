@@ -48,10 +48,13 @@ final case class DataFile(path: String, rows: Long, stats: Map[String, ColStat],
   *     of any data file with `seq < this.seq` is deleted when it equals
   *     some tuple on ALL of `cols` (plain equality — null keys never
   *     match, same contract as merge).
-  *   - `"pos"` (positional): a parquet file of (data-file relative path,
-  *     row index) pairs — Iceberg v2 position deletes; a row is deleted
-  *     when its (file, ordinal) matches a pair. `cols` is empty; the
-  *     file-path column's stat bounds let pruning skip whole data files.
+  *   - `"dv"` (deletion vector): a parquet file holding, per TARGET data
+  *     file, the roaring bitmap of its deleted row ordinals (Iceberg-v3 /
+  *     Delta DV analog of v2 position deletes); a row is deleted when its
+  *     file's vector contains its ordinal. `cols` lists the target file
+  *     paths — applicability is exact, and a commit that re-deletes from a
+  *     file writes the MERGED vector and supersedes the old entry, so
+  *     per-file delete state stays one live vector across any delete churn.
   *
   * `stats` carries per-column min/max of the tuples so
   * [[Warehouse.compactDeletes]] can prove data files untouched.

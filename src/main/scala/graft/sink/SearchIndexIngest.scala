@@ -224,7 +224,7 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
       val dfCols = terms.zipWithIndex.map { case (t, i) =>
         sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df$i") }
       val dfs = probe.agg(dfCols.head, dfCols.tail: _*)
-      val stats = corpus.crossJoin(dfs)
+      val stats = corpus.crossJoin(broadcast(dfs)) // one-row frames both sides
 
       // term-pivoted tf columns: the per-doc score is ONE fixed-order
       // expression (q113's exact shape), bit-stable under any partitioning

@@ -694,21 +694,21 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
         else StructType(m.schema.fields.toSeq ++ PosDeleteSchema.fields))
     else if (m.deletes.isEmpty && !keepPositions) scan(m.files)
     else {
-      // positional deletes reference exact (file, ordinal) pairs, so the
-      // path-bound prune is exact applicability metadata, not just an
-      // optimization — a file outside every pos delete's path range joins
-      // nothing and belongs with the lighter group
+      // deletion vectors name their target files explicitly (`cols`), so
+      // applicability is exact per-file metadata, not just an optimization —
+      // an untargeted file probes nothing and belongs with the lighter group
       def applicable(f: DataFile) = m.deletes.filter(d =>
-        d.seq > f.seq && (d.kind != "pos" || !statsDisjoint(f, d)))
+        if (d.kind == "dv") d.cols.contains(f.path)
+        else d.seq > f.seq)
       m.files.groupBy(applicable)
         .toSeq.sortBy(_._2.head.path) // deterministic group order
         .map { case (dels, files) =>
-          val (posDels, eqDels) = dels.partition(_.kind == "pos")
+          val (dvDels, eqDels) = dels.partition(_.kind == "dv")
           // position columns ride the SCAN (hidden _metadata is only
-          // reachable on the file-source relation itself), get anti-joined
-          // away last, and are dropped before the union unless the caller
+          // reachable on the file-source relation itself), feed the DV
+          // probe last, and are dropped before the union unless the caller
           // asked to keep them
-          val needPos = keepPositions || posDels.nonEmpty
+          val needPos = keepPositions || dvDels.nonEmpty
           val base =
             if (!needPos) scan(files)
             else withFilePositions(name, files, scan(files))
@@ -719,12 +719,17 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
                 .parquet(ds.map(d => tableDir(name).resolve(d.path).toString): _*)
               acc.join(keys, cols, "left_anti")
             }
+          // positional deletes apply as a per-row BITMAP PROBE inside the
+          // scan's codegen span (DvDeleted over a broadcast of this group's
+          // per-file bitmaps) — no anti-join, no shuffle, no pair scan; the
+          // newest DV per file wins (merge-on-write makes it a superset)
           val afterPos =
-            if (posDels.isEmpty) afterEq
+            if (dvDels.isEmpty) afterEq
             else {
-              val pairs = spark.read.schema(PosDeleteSchema)
-                .parquet(posDels.map(d => tableDir(name).resolve(d.path).toString): _*)
-              afterEq.join(pairs, Seq(PosFileCol, PosIdxCol), "left_anti")
+              val lookup = new graft.functions.expressions.DvLookup(
+                spark.sparkContext.broadcast(dvMapFor(name, dvDels, files)))
+              afterEq.filter(!graft.functions.expressions.DvFns.dvDeleted(
+                lookup, col(PosFileCol), col(PosIdxCol)))
             }
           if (needPos && !keepPositions) afterPos.drop(PosFileCol, PosIdxCol)
           else afterPos
@@ -741,6 +746,105 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   private val PosDeleteSchema = StructType(Seq(
     StructField(PosFileCol, StringType, nullable = false),
     StructField(PosIdxCol, LongType, nullable = false)))
+
+  // ------------------------------------------------ deletion vectors (DV) --
+
+  /** DV file schema: one row per TARGET data file — its merged roaring
+    * bitmap of deleted ordinals, live cardinality, and this commit's newly
+    * deleted count. One `dv<version>` parquet per positional commit.
+    */
+  private val DvBytesCol = "__dv_bytes"
+  private val DvCardCol = "__dv_card"
+  private val DvNewCol = "__dv_new"
+  private val DvFileSchema = StructType(Seq(
+    StructField(PosFileCol, StringType, nullable = false),
+    StructField(DvBytesCol, BinaryType, nullable = false),
+    StructField(DvCardCol, LongType, nullable = false),
+    StructField(DvNewCol, LongType, nullable = false)))
+
+  /** Latest DV bytes per target file across `dvs` (ascending seq: a later
+    * vector supersedes — merge-on-write makes it a superset), restricted to
+    * `want`. Driver-side read of O(affected files) tiny rows.
+    */
+  private def dvMapFor(name: String, dvs: Seq[DeleteFile],
+                       files: Seq[DataFile]): Map[String, Array[Byte]] = {
+    val want = files.map(_.path).toSet
+    val acc = scala.collection.mutable.HashMap[String, Array[Byte]]()
+    dvs.sortBy(_.seq).foreach { d =>
+      if (d.cols.exists(want))
+        spark.read.schema(DvFileSchema).parquet(resolvePath(name, d.path))
+          .select(PosFileCol, DvBytesCol).collect()
+          .foreach { r =>
+            val f = r.getString(0)
+            if (want(f)) acc(f) = r.getAs[Array[Byte]](1)
+          }
+    }
+    acc.toMap
+  }
+
+  /** Build and write this commit's DELETION VECTORS from `pairs` ((file,
+    * ordinal) rows derived from the delete-applied view): a distributed
+    * roaring aggregate per target file, MERGED ON WRITE with the manifest's
+    * latest DV for that file (new DV = old ∪ new — per-file delete state
+    * stays ONE live vector no matter how many delete commits touch it),
+    * landing as one `dv<next>` parquet. Returns (manifest delete entries,
+    * newly-deleted row count). The Iceberg-v3 DV story: pair files grew
+    * O(delete commits) and applied as an anti-join; vectors keep O(data
+    * files) entries (superseded vectors are swept at commit) and apply as a
+    * codegen'd bitmap probe.
+    */
+  private def writeDeletionVectors(name: String, next: Long, man: Manifest,
+                                   pairs: DataFrame): (Seq[DeleteFile], Long) = {
+    import scala.jdk.CollectionConverters._
+    graft.functions.expressions.DvFns.register(spark)
+    val F = graft.functions.expressions.DvFns
+    val newAgg = pairs.groupBy(PosFileCol).agg(
+      F.dvAgg(col(PosIdxCol)).as("__dv_add"),
+      count(lit(1)).as(DvNewCol))
+    val prevDf = spark.createDataFrame(
+      latestDvRows(name, man).map { case (f, b) => Row(f, b) }.asJava,
+      StructType(Seq(StructField(PosFileCol, StringType, nullable = false),
+        StructField("__dv_prev", BinaryType))))
+    val merged = F.dvOr(col("__dv_add"), col("__dv_prev"))
+    val dvFrame = newAgg.join(broadcast(prevDf), Seq(PosFileCol), "left")
+      .select(col(PosFileCol), merged.as(DvBytesCol),
+        F.dvCard(merged).as(DvCardCol), col(DvNewCol))
+      .coalesce(1).sortWithinPartitions(PosFileCol)
+    val entries = writeData(name, dvFrame, DvFileSchema, s"dv$next",
+      Seq(PosFileCol), seq = next).filter(_.rows > 0)
+    if (entries.isEmpty) return (Nil, 0L)
+    // targets + counts off the written (tiny, one-row-per-file) vector file
+    val meta = spark.read.schema(DvFileSchema)
+      .parquet(entries.map(e => resolvePath(name, e.path)): _*)
+      .select(PosFileCol, DvCardCol, DvNewCol).collect()
+    val targets = meta.map(_.getString(0)).toSeq.sorted
+    val total = meta.map(_.getLong(1)).sum
+    val fresh = meta.map(_.getLong(2)).sum
+    (entries.map(e => DeleteFile(e.path, total, next, targets, e.stats, kind = "dv")),
+      fresh)
+  }
+
+  /** Latest DV bytes per target across the whole manifest (merge-on-write
+    * input). */
+  private def latestDvRows(name: String, man: Manifest): Seq[(String, Array[Byte])] = {
+    val dvs = man.deletes.filter(_.kind == "dv")
+    if (dvs.isEmpty) return Nil
+    val acc = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+    dvs.sortBy(_.seq).foreach { d =>
+      spark.read.schema(DvFileSchema).parquet(resolvePath(name, d.path))
+        .select(PosFileCol, DvBytesCol).collect()
+        .foreach(r => acc(r.getString(0)) = r.getAs[Array[Byte]](1))
+    }
+    acc.toSeq
+  }
+
+  /** Drop manifest DV entries every one of whose targets is covered by this
+    * commit's new vector (fully superseded — the sweep that keeps delete
+    * metadata O(data files) across unbounded delete churn).
+    */
+  private def sweepSupersededDvs(deletes: Seq[DeleteFile],
+                                 targets: Set[String]): Seq[DeleteFile] =
+    deletes.filterNot(d => d.kind == "dv" && d.cols.toSet.subsetOf(targets))
 
   /** The exact string `_metadata.file_path` yields for a manifest-relative
     * data file: `file:` + the URI-ENCODED absolute path (hadoop `Path`
@@ -2021,14 +2125,11 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       .filter(coalesce(cond, lit(false)))
       .persist()
     try {
-      val pairEntries = writeData(name,
-        matched.select(col(PosFileCol), col(PosIdxCol))
-          .repartitionByRange(col(PosFileCol))
-          .sortWithinPartitions(PosFileCol, PosIdxCol),
-        PosDeleteSchema, s"pdel$next", Seq(PosFileCol, PosIdxCol), seq = next)
-      val dels = pairEntries.filter(_.rows > 0)
-        .map(e => DeleteFile(e.path, e.rows, next, Nil, e.stats, kind = "pos"))
+      val (dels, fresh) = writeDeletionVectors(name, next, man,
+        matched.select(col(PosFileCol), col(PosIdxCol)))
       if (dels.isEmpty) return PositionUpdateReport(currentVersion(name), 0L, untouched.size)
+      val targets = dels.head.cols.toSet
+      val kept = sweepSupersededDvs(man.deletes, targets)
       // ONE projection so every SET expression sees the OLD row (SQL UPDATE
       // semantics — `SET a = b, b = a` swaps)
       val updatedFrame = matched.select(man.schema.fields.toSeq.map { f =>
@@ -2045,13 +2146,13 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       // set they were filtered through) survive; concurrently-added files
       // carry (their rows post-date this update's read).
       commitOrRebase(name, next,
-        Manifest(man.schema, man.files ++ newData, man.deletes ++ dels),
+        Manifest(man.schema, man.files ++ newData, kept ++ dels),
         (base, n2) =>
           if (base.schema != man.schema || base.deletes != man.deletes ||
               !filesIntact(base, victims)) None
           else Some(Manifest(man.schema, base.files ++ newData.map(_.copy(seq = n2)),
-            base.deletes ++ dels.map(_.copy(seq = n2)))))
-      PositionUpdateReport(next, dels.map(_.rows).sum, untouched.size)
+            kept ++ dels.map(_.copy(seq = n2)))))
+      PositionUpdateReport(next, fresh, untouched.size)
     } finally matched.unpersist()
   }
 
@@ -2353,29 +2454,24 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val next = currentVersion(name) + 1
     // pairs come from the DELETE-APPLIED view (as positionUpdate): a row
     // already dead to a pending equality/positional delete gets no
-    // redundant pair, so delete files don't accrete dead entries and the
+    // redundant position, so vectors never accrete dead entries and the
     // report's `positions` counts rows actually removed from the live view
     val pairs = morFrameImpl(name,
         Manifest(man.schema, victims, man.deletes), keepPositions = true)
       .filter(coalesce(cond, lit(false)))
       .select(col(PosFileCol), col(PosIdxCol))
-      // cluster by path so each delete file's path bounds stay tight and
-      // compactDeletes/morFrame grouping can skip unreferenced data files
-      .repartitionByRange(col(PosFileCol))
-      .sortWithinPartitions(PosFileCol, PosIdxCol)
-    val entries = writeData(name, pairs, PosDeleteSchema, s"pdel$next",
-      Seq(PosFileCol, PosIdxCol), seq = next)
-    val dels = entries.filter(_.rows > 0)
-      .map(e => DeleteFile(e.path, e.rows, next, Nil, e.stats, kind = "pos"))
+    val (dels, fresh) = writeDeletionVectors(name, next, man, pairs)
     if (dels.isEmpty) return PositionDeleteReport(currentVersion(name), 0L, untouched.size)
-    // Rebase: positional pairs are valid only while their target files and
-    // the delete set they were computed through survive unchanged.
-    commitOrRebase(name, next, Manifest(man.schema, man.files, man.deletes ++ dels),
+    val targets = dels.head.cols.toSet
+    val kept = sweepSupersededDvs(man.deletes, targets)
+    // Rebase: the vectors are valid only while their target files and the
+    // delete set they were merged through survive unchanged.
+    commitOrRebase(name, next, Manifest(man.schema, man.files, kept ++ dels),
       (base, n2) =>
         if (base.schema != man.schema || base.deletes != man.deletes ||
             !filesIntact(base, victims)) None
-        else Some(Manifest(man.schema, base.files, base.deletes ++ dels.map(_.copy(seq = n2)))))
-    PositionDeleteReport(next, dels.map(_.rows).sum, untouched.size)
+        else Some(Manifest(man.schema, base.files, kept ++ dels.map(_.copy(seq = n2)))))
+    PositionDeleteReport(next, fresh, untouched.size)
   }
 
   /** Materialize pending equality deletes into rewritten data files (the
@@ -2395,12 +2491,10 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * [[readChanges]] (skip the changed-file scan).
     */
   private def statsDisjoint(f: DataFile, d: DeleteFile): Boolean =
-    if (d.kind == "pos")
-      // a positional delete names data files BY PATH: provably untouched
-      // when the file's path falls outside the delete's path bounds
-      d.stats.get(PosFileCol).exists(ds => ds.kind == "s" &&
-        (StatsPruning.cmp("s", f.path, ds.min) < 0 ||
-          StatsPruning.cmp("s", f.path, ds.max) > 0))
+    if (d.kind == "dv")
+      // a deletion vector names its target data files explicitly: provably
+      // untouched iff the file is not a target — exact, not a bound
+      !d.cols.contains(f.path)
     else d.cols.exists { c =>
       (f.stats.get(c), d.stats.get(c)) match {
         case (Some(ColStat("z", _, _, _)), _) => true // no non-null data value

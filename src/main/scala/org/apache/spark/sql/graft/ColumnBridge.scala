@@ -14,6 +14,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** The reverse direction — a [[Column]]'s Catalyst expression (for
+    * engine-built expressions over user-facing columns, e.g. the
+    * deletion-vector probe).
+    */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
   /** Wrap an analyzer-built logical plan back into a [[DataFrame]]
     * (`Dataset.ofRows` is `private[sql]`) — used by the MERGE
     * schema-evolution command to execute its already-resolved source plan

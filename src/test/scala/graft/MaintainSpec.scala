@@ -105,7 +105,7 @@ class MaintainSpec extends SparkSpec {
     wh.append("t", df(0 until 100), statsCols = Seq("Id"))
     wh.positionDelete("t", col("Id") < 10L) // 10% of rows as position pairs
     val before = content(wh, "t")
-    assert(wh.currentManifest("t").deletes.exists(_.kind == "pos"))
+    assert(wh.currentManifest("t").deletes.exists(_.kind == "dv"))
     val rep = wh.maintain("t")
     assert(rep.deletesCompacted)
     assert(wh.currentManifest("t").deletes.isEmpty)

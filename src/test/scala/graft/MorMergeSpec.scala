@@ -156,7 +156,7 @@ class MorMergeSpec extends SparkSpec {
       spark.sql("UPDATE gup.t SET Amount = Amount + 100 WHERE Id = 'b'")
     } finally spark.conf.unset("spark.graft.update.mode")
     val man = wh.currentManifest("t")
-    assert(man.deletes.exists(_.kind == "pos"), "expected a pending positional delete")
+    assert(man.deletes.exists(_.kind == "dv"), "expected a pending positional delete (deletion vector)")
     assert(before.subsetOf(man.files.map(_.path).toSet), "positional UPDATE must not rewrite")
     assert(bag(wh.load("t")) == bag(df("a" -> 1L, "b" -> 102L, "c" -> 3L)))
   }
@@ -173,7 +173,7 @@ class MorMergeSpec extends SparkSpec {
       spark.sql("DELETE FROM gdm.t WHERE Amount = 2")
     } finally spark.conf.unset("spark.graft.delete.mode")
     val man = wh.currentManifest("t")
-    assert(man.deletes.exists(_.kind == "pos"), "expected a pending positional delete")
+    assert(man.deletes.exists(_.kind == "dv"), "expected a pending positional delete (deletion vector)")
     assert(before.subsetOf(man.files.map(_.path).toSet), "positional DELETE must not rewrite")
     assert(bag(wh.load("t")) == bag(df("a" -> 1L, "c" -> 3L)))
   }

@@ -6,11 +6,15 @@ import org.apache.spark.sql.types._
 
 import graft.sink.Warehouse
 
-/** Iceberg-v2-style POSITIONAL merge-on-read deletes
-  * (`Warehouse.positionDelete`): commit (file, row-ordinal) pairs instead of
-  * keys or rewrites; reads anti-join on `_metadata.row_index`. Pins the
-  * delete semantics, re-insert shielding, materialization, composition with
-  * equality deletes, rename survival, the nested (hive-split) path form,
+/** POSITIONAL merge-on-read deletes as DELETION VECTORS
+  * (`Warehouse.positionDelete` + `functions.expressions.DeletionVector`):
+  * commit per-target-file roaring bitmaps of deleted ordinals instead of
+  * keys, pairs, or rewrites; reads probe the bitmap inside the scan's
+  * codegen span via `_metadata.row_index` (no anti-join), and re-deleting
+  * from a file MERGES into one superseding vector (Iceberg-v3 DV
+  * semantics). Pins the delete semantics, re-insert shielding,
+  * materialization, composition with equality deletes, rename survival,
+  * the nested (hive-split) path form, delete-churn metadata boundedness,
   * and readChanges/diffRows exactness across a positional-delete commit.
   */
 class PositionalDeleteSpec extends SparkSpec {
@@ -34,7 +38,7 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(rowsOf(wh.loadVersion("t", v1)).size == 4) // time travel unaffected
     // deletes are pending (MOR), no data file rewritten
     val man = wh.currentManifest("t")
-    assert(man.deletes.nonEmpty && man.deletes.forall(_.kind == "pos"))
+    assert(man.deletes.nonEmpty && man.deletes.forall(_.kind == "dv"))
     assert(man.files.map(_.path) == wh.manifestAt("t", v1).files.map(_.path))
   }
 
@@ -203,7 +207,7 @@ class PositionalDeleteSpec extends SparkSpec {
     wh.positionUpdate("t", col("Id") === "b", Map("Amount" -> (col("Amount") + 100L)))
     val man1 = wh.currentManifest("t")
     assert(before.subsetOf(man1.files.map(_.path).toSet), "positionUpdate must not rewrite")
-    assert(man1.deletes.forall(_.kind == "pos"))
+    assert(man1.deletes.forall(_.kind == "dv"))
     // second update hits the UPDATED copy (102), not the dead original (2),
     // and must not force a materialization first
     wh.positionUpdate("t", col("Id") === "b", Map("Amount" -> (col("Amount") * 2L)))
@@ -236,6 +240,32 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(wh.load("t").collect().map(r => Option(r.get(1))).toSet == Set(Some(2L), None))
   }
 
+  test("delete churn: metadata stays O(files) across many delete commits; reads probe, never anti-join") {
+    val wh = new Warehouse(spark, tmpDir("pd-churn"))
+    wh.append("t", df((0 until 200).map(i => s"k$i" -> i.toLong): _*), statsCols = Seq("Amount"))
+    val nFiles = wh.currentManifest("t").files.size
+    // 30 separate single-row delete commits against the SAME files: pair
+    // files would accrete one entry per commit; vectors MERGE ON WRITE and
+    // supersede, so the manifest's delete list stays bounded by file count
+    for (i <- 0 until 30) wh.positionDelete("t", col("Amount") === i.toLong)
+    val man = wh.currentManifest("t")
+    assert(man.deletes.size <= nFiles,
+      s"per-file delete state must stay O(files): ${man.deletes.size} entries over $nFiles files")
+    assert(man.deletes.forall(_.kind == "dv"))
+    // every commit's deletions live in the merged vectors
+    assert(wh.load("t").count() == 170L)
+    assert(rowsOf(wh.load("t")).forall(_._2 >= 30L))
+    // the MOR read plan is a bitmap PROBE inside the scan, not an anti-join
+    val plan = wh.load("t").queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"), s"DV read must not anti-join pair files:\n$plan")
+    assert(plan.contains("dv_deleted"), s"DV probe missing from the plan:\n$plan")
+    // cardinality accounting: the live vector reports all merged positions
+    assert(man.deletes.map(_.rows).sum == 30L)
+    wh.compactDeletes("t")
+    assert(wh.currentManifest("t").deletes.isEmpty)
+    assert(wh.load("t").count() == 170L)
+  }
+
   test("$deletes metadata table reports the kind column") {
     val root = tmpDir("pd-meta")
     val wh = new Warehouse(spark, root)
@@ -246,6 +276,6 @@ class PositionalDeleteSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.pdm.root", root)
     val kinds = spark.sql("SELECT kind, key_count FROM pdm.`t$deletes` ORDER BY kind")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(kinds == Seq(("eq", 1L), ("pos", 1L)))
+    assert(kinds == Seq(("dv", 1L), ("eq", 1L)))
   }
 }

@@ -56,7 +56,7 @@ class ManifestSegmentSpec extends SparkSpec {
       .map(_.take(2))
     nstats <- Gen.choose(0, 2)
     stats <- Gen.listOfN(nstats, statGen)
-    kind <- Gen.oneOf("eq", "pos")
+    kind <- Gen.oneOf("eq", "dv")
   } yield DeleteFile(path, rows, seq, cols, stats.toMap, kind)
 
   /** Evolve `prev` into a random successor: drop some entries, mutate some
