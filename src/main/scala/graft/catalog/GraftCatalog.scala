@@ -608,9 +608,11 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
     // to poll the version ledger
     val streamRef = if (version.isEmpty && prunedManifest.isEmpty) Some((table, root)) else None
     // ANALYZE-served column stats ride the same live-and-unpruned gate:
-    // other populations weren't the ones measured
+    // other populations weren't the ones measured. The bloom ref is
+    // UNCONDITIONAL: sidecars are per-file derived metadata, valid for any
+    // snapshot or pruned subset that references the file.
     new SpjScanBuilder(spark, pt.fileIndex, pt.schema, pt.dataSchema, options, filesByPath,
-      info, streamRef, statsRef = streamRef)
+      info, streamRef, statsRef = streamRef, bloomRef = Some((table, root)))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -805,7 +807,7 @@ private[catalog] object MetaTables {
     StructField("seq", LongType, nullable = false),
     StructField("key_columns", ArrayType(StringType, containsNull = false), nullable = false),
     StructField("stats", MapType(StringType, statSchema, valueContainsNull = false)),
-    StructField("kind", StringType, nullable = false))) // "eq" | "pos"
+    StructField("kind", StringType, nullable = false))) // "eq" | "dv"
 
   val SnapshotsSchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),

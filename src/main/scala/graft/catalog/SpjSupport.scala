@@ -179,6 +179,33 @@ object V2PredicatePruning {
       }
     case _ => true
   }
+
+  /** Equality-shaped (column, candidate literals) pairs inside a runtime
+    * predicate — the probe shapes the per-file Bloom sidecars can answer.
+    * Oversized IN-sets and non-literal children contribute nothing.
+    */
+  private val MaxProbeValues = 512
+
+  def eqShapes(p: Predicate): Seq[(String, Seq[Literal])] = p.name() match {
+    case "=" =>
+      val ch = p.children()
+      (for (c <- colOf(ch(0)); l <- litOf(ch(1))) yield (c, Seq(l)))
+        .orElse(for (l <- litOf(ch(0)); c <- colOf(ch(1))) yield (c, Seq(l)))
+        .toSeq
+    case "IN" =>
+      val ch = p.children()
+      (colOf(ch(0)), ch.drop(1).toSeq.map(litOf)) match {
+        case (Some(c), ls) if ls.nonEmpty && ls.size <= MaxProbeValues &&
+            ls.forall(_.isDefined) => Seq(c -> ls.flatten)
+        case _ => Nil
+      }
+    case "AND" =>
+      p.children().toSeq.flatMap {
+        case q: Predicate => eqShapes(q)
+        case _            => Nil
+      }
+    case _ => Nil
+  }
 }
 
 /** A [[FilePartition]] that knows its partition-value tuple — what lets
@@ -214,7 +241,8 @@ sealed class GraftParquetScan(base: ParquetScan,
                               filesByPath: Map[String, graft.sink.DataFile],
                               streamRef: Option[(String, String)] = None,
                               statsRef: Option[(String, String)] = None,
-                              val keepPaths: Option[Set[String]] = None)
+                              val keepPaths: Option[Set[String]] = None,
+                              bloomRef: Option[(String, String)] = None)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
       base.readDataSchema, base.readPartitionSchema, base.pushedFilters, base.options,
       base.pushedAggregate, base.partitionFilters, base.dataFilters,
@@ -257,9 +285,40 @@ sealed class GraftParquetScan(base: ParquetScan,
   }
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    val kept = filesByPath.filter { case (_, df) =>
+    val byStats = filesByPath.filter { case (_, df) =>
       predicates.forall(V2PredicatePruning.mayMatch(df, _))
-    }.keySet
+    }
+    // Bloom consult for equality-shaped runtime values (the DPP IN-set, a
+    // join-driven point lookup): on an INDEXED high-cardinality key whose
+    // per-file min/max spans the domain, bounds keep everything — the
+    // sidecar probe is the only channel that prunes. Hashes computed once
+    // per filter() call; the O(1) marker read gates all sidecar IO, so
+    // un-indexed tables/columns pay nothing here (same discipline as
+    // ManifestPruneRule's static consult).
+    val kept = bloomRef match {
+      case Some((t, r)) if byStats.nonEmpty =>
+        import graft.sink.BloomIndex
+        val indexed = BloomIndex.indexedCols(
+          new graft.sink.Warehouse(sparkSession, r).tableDirOf(t))
+        val probes: Seq[(String, Seq[Long])] =
+          if (indexed.isEmpty) Nil
+          else predicates.toSeq.flatMap(V2PredicatePruning.eqShapes).flatMap {
+            case (c, ls) =>
+              val field = dataSchema.fields.find(_.name == c)
+              if (!indexed.contains(c) ||
+                  !field.exists(f => ls.forall(_.dataType == f.dataType))) None
+              else {
+                val hs = ls.filter(_.value != null).map(BloomIndex.hashLiteral)
+                if (hs.contains(None)) None
+                else Some(BloomIndex.keyFor(dataSchema, c) -> hs.flatten)
+              }
+          }
+        if (probes.isEmpty) byStats.keySet
+        else byStats.keySet.filter(abs => probes.forall { case (key, hs) =>
+          hs.exists(h => BloomIndex.mightContain(abs, key, h))
+        })
+      case _ => byStats.keySet
+    }
     allowed = Some(allowed.fold(kept)(_ intersect kept))
   }
 
@@ -413,8 +472,9 @@ sealed class GraftParquetScan(base: ParquetScan,
 final class KeyGroupedParquetScan(base: ParquetScan,
                                   filesByPath: Map[String, graft.sink.DataFile],
                                   info: SpjSupport.Info,
-                                  statsRef: Option[(String, String)] = None)
-    extends GraftParquetScan(base, filesByPath, None, statsRef)
+                                  statsRef: Option[(String, String)] = None,
+                                  bloomRef: Option[(String, String)] = None)
+    extends GraftParquetScan(base, filesByPath, None, statsRef, None, bloomRef)
     with SupportsReportPartitioning {
 
   override def outputPartitioning(): Partitioning =
@@ -466,7 +526,8 @@ final class SpjScanBuilder(sparkSession: org.apache.spark.sql.SparkSession,
                            filesByPath: Map[String, graft.sink.DataFile],
                            info: Option[SpjSupport.Info],
                            streamRef: Option[(String, String)] = None,
-                           statsRef: Option[(String, String)] = None)
+                           statsRef: Option[(String, String)] = None,
+                           bloomRef: Option[(String, String)] = None)
     extends ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, options)
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
@@ -524,8 +585,10 @@ final class SpjScanBuilder(sparkSession: org.apache.spark.sql.SparkSession,
       (info, keep) match {
         // a Sort/Limit above the scan breaks key-grouped co-partitioning
         // anyway, so when the file selection applies it wins over SPJ
-        case (Some(i), None) => new KeyGroupedParquetScan(base, filesByPath, i, statsRef)
-        case (_, k)          => new GraftParquetScan(base, filesByPath, streamRef, statsRef, k)
+        case (Some(i), None) =>
+          new KeyGroupedParquetScan(base, filesByPath, i, statsRef, bloomRef)
+        case (_, k) =>
+          new GraftParquetScan(base, filesByPath, streamRef, statsRef, k, bloomRef)
       }
     }
   }

@@ -59,31 +59,79 @@ object StatsAggRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
       unwrap(child) match {
-        case Some((t, nameOf)) if t.prunedManifest.isEmpty && t.manifest.deletes.isEmpty =>
+        case Some((t, nameOf, _)) if t.prunedManifest.isEmpty && t.manifest.deletes.isEmpty =>
           val m = t.manifest
           val served = aggExprs.map(serve(m, nameOf, _))
           if (served.contains(None)) agg
           else LocalRelation(agg.output, Seq(InternalRow.fromSeq(served.map(_.get))))
         case _ => agg
       }
-    // GROUP BY over columns every file is SINGLE-VALUED on (the hive-split
-    // identity-partition invariant SPJ already certifies per file): each
-    // group is a set of whole files, so grouped COUNT/MIN/MAX/count(col)
-    // fold from the manifest exactly like the global case — zero file
-    // opens for `SELECT region, count(*) ... GROUP BY region` on a
-    // region-partitioned 100 TB table.
-    case agg @ Aggregate(groupExprs, aggExprs, child, _)
-        if groupExprs.nonEmpty && groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+    // GROUP BY over columns — or PARTITION-TRANSFORM expressions — every
+    // file is SINGLE-VALUED on (the hive-split invariant SPJ already
+    // certifies per file): each group is a set of whole files, so grouped
+    // COUNT/MIN/MAX/count(col) fold from the manifest exactly like the
+    // global case — zero file opens for `SELECT region, count(*) ...
+    // GROUP BY region` on a region-partitioned table, and for
+    // `GROUP BY CAST(ts AS DATE)` / `year(ts)` on a days()/years()-
+    // partitioned one (the commonest reporting shapes).
+    case agg @ Aggregate(groupExprs, aggExprs, child, _) if groupExprs.nonEmpty =>
       unwrap(child) match {
-        case Some((t, nameOf)) if t.prunedManifest.isEmpty && t.manifest.deletes.isEmpty =>
-          serveGrouped(t.manifest, nameOf,
-            groupExprs.map(_.asInstanceOf[AttributeReference]), aggExprs) match {
+        case Some((t, nameOf, specOf))
+            if t.prunedManifest.isEmpty && t.manifest.deletes.isEmpty =>
+          serveGrouped(t.manifest, nameOf, specOf, groupExprs, aggExprs) match {
             case Some(rows) => LocalRelation(agg.output, rows)
             case None       => agg
           }
         case _ => agg
       }
   }
+
+  /** How one grouping expression is served from per-file stats: the stat
+    * key to consult, the domain it must be in, and the parser from the
+    * rendered bound to the group's catalyst value.
+    */
+  private final case class GroupSpec(statKey: String, kind: String,
+                                     parseKey: String => Option[Any])
+
+  /** Recognize a grouping expression as manifest-servable: a bare column
+    * (raw per-file stats), an alias of a recognized transform pulled below
+    * the aggregate by `PullOutGroupingExpressions` (`specOf`), or a direct
+    * partition-transform shape over a source column whose TRANSFORM stats
+    * the write recorded — `CAST(ts AS DATE)` ≡ `days(ts)` and `year(ts)`
+    * ≡ `years(ts) + 1970` under a UTC zone (the transforms are pure UTC
+    * epoch arithmetic, so the equivalences hold only there; any other zone
+    * bails).
+    */
+  private def groupSpec(e: Expression, nameOf: Map[ExprId, String],
+                        specOf: Map[ExprId, GroupSpec]): Option[GroupSpec] =
+    e match {
+      case a: AttributeReference if specOf.contains(a.exprId) => specOf.get(a.exprId)
+      case a: AttributeReference =>
+        for { c <- nameOf.get(a.exprId); k <- expectedKind(a.dataType) }
+          yield GroupSpec(c, k, s => parse(a.dataType, s))
+      case other => transformSpec(other, nameOf)
+    }
+
+  /** The transform shapes themselves (see [[groupSpec]]). */
+  private def transformSpec(e: Expression, nameOf: Map[ExprId, String]): Option[GroupSpec] =
+    e match {
+      case c @ Cast(a: AttributeReference, DateType, _, _)
+          if a.dataType == TimestampType && utcZone(c.timeZoneId) =>
+        nameOf.get(a.exprId).map(src =>
+          GroupSpec(s"days($src)", "n", s => Some(s.toInt)))
+      case Year(c @ Cast(a: AttributeReference, DateType, _, _))
+          if a.dataType == TimestampType && utcZone(c.timeZoneId) =>
+        nameOf.get(a.exprId).map(src =>
+          GroupSpec(s"years($src)", "n", s => Some(s.toInt + 1970)))
+      case Year(a: AttributeReference) if a.dataType == DateType =>
+        nameOf.get(a.exprId).map(src =>
+          GroupSpec(s"years($src)", "n", s => Some(s.toInt + 1970)))
+      case _ => None
+    }
+
+  private def utcZone(tz: Option[String]): Boolean =
+    tz.exists(z => scala.util.Try(
+      java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC).getOrElse(false))
 
   /** Grouped serving: partition the manifest's files by their (single)
     * value tuple on the grouping columns, then fold each group with the
@@ -93,21 +141,25 @@ object StatsAggRule extends Rule[LogicalPlan] {
     * output slot is servable within every group.
     */
   private def serveGrouped(m: Manifest, nameOf: Map[ExprId, String],
-                           groups: Seq[AttributeReference],
+                           specOf: Map[ExprId, GroupSpec],
+                           groups: Seq[Expression],
                            aggExprs: Seq[NamedExpression]): Option[Seq[InternalRow]] = {
     if (m.files.isEmpty) return Some(Nil) // empty table: no groups
-    val groupCols = groups.map(g => nameOf.get(g.exprId))
-    if (groupCols.contains(None)) return None
-    // group value of one file on one column: None = not single-valued
+    val specs = groups.map(groupSpec(_, nameOf, specOf))
+    if (specs.contains(None)) return None
+    val gspecs = specs.flatten
+    // group value of one file on one grouping slot: None = not single-valued
     // (bail). min == max alone is NOT single-valued — min/max ignore
     // nulls, so a file holding ('a', null) would fold its null row into
     // the 'a' group; a PROVEN zero null count is required ("z" is the
-    // all-null dual; unknown −1 bails).
+    // all-null dual; unknown −1 bails). Transform slots consult the
+    // TRANSFORM's recorded stat, so a days()-split table serves GROUP BY
+    // day even though the raw timestamp is many-valued per file.
     def fileKey(f: graft.sink.DataFile): Option[Seq[Option[String]]] = {
-      val parts = groups.zip(groupCols.flatten).map { case (g, c) =>
-        (f.stats.get(c), expectedKind(g.dataType)) match {
-          case (Some(st), _) if st.kind == "z" => Some(None)
-          case (Some(st), Some(k)) if st.kind == k && st.min == st.max &&
+      val parts = gspecs.map { gs =>
+        f.stats.get(gs.statKey) match {
+          case Some(st) if st.kind == "z" => Some(None)
+          case Some(st) if st.kind == gs.kind && st.min == st.max &&
             st.nulls == 0L => Some(Some(st.min))
           case _ => None
         }
@@ -121,17 +173,24 @@ object StatsAggRule extends Rule[LogicalPlan] {
     // each group folds through the same slot logic over its member files
     val rows = byKey.map { case (key, files) =>
       val sub = Manifest(m.schema, files)
-      val keyOf: Map[ExprId, Any] = groups.zip(key).map { case (g, vOpt) =>
-        g.exprId -> (vOpt match {
+      val keyVals: Seq[Any] = gspecs.zip(key).map { case (gs, vOpt) =>
+        vOpt match {
           case None    => null
-          case Some(s) => parse(g.dataType, s).getOrElse(return None)
-        })
-      }.toMap
+          case Some(s) => gs.parseKey(s).getOrElse(return None)
+        }
+      }
+      // an output slot matching a grouping expression (bare or aliased, by
+      // semantic equality — covers both attr groups and transform shapes)
+      // serves the group key; everything else folds through `serve`
+      def groupValue(e: Expression): Option[Option[Any]] =
+        groups.zipWithIndex.collectFirst {
+          case (g, i) if g.semanticEquals(e) => Some(keyVals(i))
+        }
       val slots = aggExprs.map {
-        case a: AttributeReference if keyOf.contains(a.exprId) => Some(keyOf(a.exprId))
-        case al @ Alias(a: AttributeReference, _) if keyOf.contains(a.exprId) =>
-          Some(keyOf(a.exprId))
-        case e => serve(sub, nameOf, e)
+        case a: AttributeReference          => groupValue(a).getOrElse(None)
+        case al @ Alias(child, _)           =>
+          groupValue(child).getOrElse(serve(sub, nameOf, al))
+        case e                              => serve(sub, nameOf, e)
       }
       if (slots.contains(None)) return None
       InternalRow.fromSeq(slots.map(_.get))
@@ -139,22 +198,35 @@ object StatsAggRule extends Rule[LogicalPlan] {
     Some(rows)
   }
 
-  /** The relation beneath at most one column-pruning/renaming `Project`,
-    * plus the exprId → manifest-column-name map for the plan's output.
+  /** The relation beneath column-pruning/renaming `Project`s, plus the
+    * exprId → manifest-column-name map for plain columns AND the exprId →
+    * [[GroupSpec]] map for projected TRANSFORM aliases (the shape
+    * `PullOutGroupingExpressions` leaves below a GROUP BY over an
+    * expression: `Project [..., cast(ts as date) AS _groupingexpression]`).
     */
-  private def unwrap(plan: LogicalPlan): Option[(GraftTable, Map[ExprId, String])] =
+  private def unwrap(plan: LogicalPlan)
+      : Option[(GraftTable, Map[ExprId, String], Map[ExprId, GroupSpec])] =
     plan match {
       case r: DataSourceV2Relation => r.table match {
-        case t: GraftTable => Some((t, r.output.map(a => a.exprId -> a.name).toMap))
-        case _             => None
+        case t: GraftTable =>
+          Some((t, r.output.map(a => a.exprId -> a.name).toMap, Map.empty))
+        case _ => None
       }
-      case Project(list, inner) => unwrap(inner).flatMap { case (t, base) =>
-        val mapped = list.map {
-          case a: AttributeReference           => base.get(a.exprId).map(a.exprId -> _)
-          case al @ Alias(a: AttributeReference, _) => base.get(a.exprId).map(al.exprId -> _)
-          case _                               => None
+      case Project(list, inner) => unwrap(inner).flatMap { case (t, base, specs) =>
+        val mapped: Seq[Option[Either[(ExprId, String), (ExprId, GroupSpec)]]] = list.map {
+          case a: AttributeReference =>
+            base.get(a.exprId).map(n => scala.util.Left(a.exprId -> n))
+              .orElse(specs.get(a.exprId).map(s => scala.util.Right(a.exprId -> s)))
+          case al @ Alias(a: AttributeReference, _) =>
+            base.get(a.exprId).map(n => scala.util.Left(al.exprId -> n))
+              .orElse(specs.get(a.exprId).map(s => scala.util.Right(al.exprId -> s)))
+          case al @ Alias(child, _) =>
+            transformSpec(child, base).map(s => scala.util.Right(al.exprId -> s))
+          case _ => None
         }
-        if (mapped.contains(None)) None else Some((t, mapped.flatten.toMap))
+        if (mapped.contains(None)) None
+        else Some((t, mapped.flatten.collect { case scala.util.Left(e) => e }.toMap,
+          specs ++ mapped.flatten.collect { case scala.util.Right(e) => e }))
       }
       case _ => None
     }

@@ -77,6 +77,10 @@ object AnalyticQueries {
   private lazy val q154Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q154")
 
+  /** q157's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q157Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q157")
+
   /** q155's per-JVM warehouse root — same stable-path discipline. */
   private lazy val q155Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q155")
@@ -288,6 +292,38 @@ object AnalyticQueries {
     // query — served in milliseconds from metadata the ingest already paid
     // for. Build cost (clustered append with stats) is in the iteration by
     // design, q146's accounting.
+    // TRANSFORM-grouped metadata aggregates (q157): GROUP BY year(ts) on a
+    // years(ts)-partitioned table — q154's sibling where the grouping key
+    // is a partition-TRANSFORM expression, not an identity column. The
+    // write hive-splits files by the transform value and records its stat
+    // (min == max, zero nulls per file), so StatsAggRule folds each year's
+    // count/min/max straight from the manifest: the optimized plan is a
+    // LocalRelation — NO scan, NO exchange, ZERO file opens at any table
+    // size (StatsAggSpec pins the plan shape and the non-aligned bail).
+    // The commonest reporting shape on a time-partitioned 100 TB table.
+    "q157_transform_grouped_agg" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q157Root)
+      try {
+        s.conf.set("spark.sql.catalog.gq157", classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq157.root", q157Root.toString)
+        // parquet ms-timestamps read as NTZ; UTC session makes the cast the
+        // identity (the engine-wide convention — skill-documented)
+        val o = read(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+        val wh = new Warehouse(s, q157Root.toString)
+        wh.create("ord", org.apache.spark.sql.types.StructType(
+          o.schema.fields.map(_.copy(nullable = true))), Seq("years(o_orderdate)"))
+        wh.append("ord", o, statsCols = Seq("o_orderkey", "o_totalprice"))
+        s.sql(
+          """SELECT year(o_orderdate) AS yr, count(*) AS n,
+            |  min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key,
+            |  min(o_totalprice) AS mn_p, max(o_totalprice) AS mx_p
+            |FROM gq157.ord GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin)
+          .localCheckpoint()
+      } finally wipe(q157Root)
+    },
+
     "q154_grouped_metadata_agg" -> { (s, dir) =>
       import graft.sink.Warehouse
       wipe(q154Root)
@@ -1296,6 +1332,14 @@ object AnalyticQueries {
 
     // q154's oracle: manifest-folded grouped aggregates must equal DuckDB's
     // direct grouped aggregates over raw parquet.
+    // q157's oracle: the transform-grouped, manifest-served aggregate must
+    // equal DuckDB's direct per-year fold over raw parquet.
+    "q157_transform_grouped_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+        |  min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key,
+        |  min(o_totalprice) AS mn_p, max(o_totalprice) AS mx_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q154_grouped_metadata_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         |  count(l_quantity) AS nq,

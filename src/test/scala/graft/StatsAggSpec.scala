@@ -138,6 +138,58 @@ class StatsAggSpec extends SparkSpec {
     assert(q3.collect().toSeq.map(_.toSeq) == Seq(Seq(null, 1L), Seq("a", 1L)))
   }
 
+  test("TRANSFORM-grouped aggregates: GROUP BY CAST(ts AS DATE)/year(ts) on a days()/years()-split table") {
+    val s = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType)))
+    def tsRows(rows: (String, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(java.sql.Timestamp.valueOf(r._1), r._2)).asJava, s)
+    // days(ts)-split: every file single-valued on the TRANSFORM (the raw
+    // timestamp is many-valued) — GROUP BY the equivalent cast serves
+    wh.create("t_days", s, Seq("days(ts)"))
+    wh.append("t_days", tsRows(
+      "2024-03-01 08:00:00" -> 1L, "2024-03-01 17:30:00" -> 2L,
+      "2024-03-02 09:00:00" -> 5L), statsCols = Seq("v"))
+    wh.append("t_days", tsRows("2024-03-02 23:59:59" -> 7L), statsCols = Seq("v"))
+    val qd = spark.sql(
+      s"""SELECT CAST(ts AS DATE) AS day, count(*) AS n, min(v) AS mn, max(v) AS mx
+         |FROM $cat.t_days GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin)
+    assert(servedFromStats(qd), s"days-grouped must serve:\n${qd.queryExecution.optimizedPlan}")
+    assert(qd.collect().toSeq.map(_.toSeq) == Seq(
+      Seq(java.sql.Date.valueOf("2024-03-01"), 2L, 1L, 2L),
+      Seq(java.sql.Date.valueOf("2024-03-02"), 2L, 5L, 7L)))
+    // to_date(ts) resolves to the same cast — serves too
+    val qd2 = spark.sql(
+      s"SELECT to_date(ts) AS day, count(*) AS n FROM $cat.t_days GROUP BY to_date(ts)")
+    assert(servedFromStats(qd2), s"${qd2.queryExecution.optimizedPlan}")
+
+    // years(ts)-split: GROUP BY year(ts) serves with the +1970 re-offset
+    wh.create("t_years", s, Seq("years(ts)"))
+    wh.append("t_years", tsRows(
+      "2023-05-01 00:00:00" -> 1L, "2023-11-05 12:00:00" -> 3L,
+      "2024-01-01 00:00:00" -> 8L), statsCols = Seq("v"))
+    val qy = spark.sql(
+      s"""SELECT year(ts) AS yr, count(*) AS n, max(v) AS mx
+         |FROM $cat.t_years GROUP BY year(ts) ORDER BY yr""".stripMargin)
+    assert(servedFromStats(qy), s"years-grouped must serve:\n${qy.queryExecution.optimizedPlan}")
+    assert(qy.collect().toSeq.map(_.toSeq) == Seq(Seq(2023, 2L, 3L), Seq(2024, 1L, 8L)))
+
+    // NON-ALIGNED layout bails: same data, no days() spec — one file spans
+    // two days, so the transform stat is not single-valued; correct via scan
+    wh.create("t_flat", s)
+    wh.append("t_flat", tsRows(
+      "2024-03-01 08:00:00" -> 1L, "2024-03-02 09:00:00" -> 5L).coalesce(1),
+      statsCols = Seq("v"))
+    val qf = spark.sql(
+      s"SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM $cat.t_flat GROUP BY 1 ORDER BY 1")
+    assert(!servedFromStats(qf), "non-aligned layout must bail to the scan")
+    assert(qf.collect().map(_.getLong(1)).toSeq == Seq(1L, 1L))
+    // a years-split table does NOT serve day grouping (wrong transform)
+    val qwrong = spark.sql(
+      s"SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM $cat.t_years GROUP BY 1 ORDER BY 1")
+    assert(!servedFromStats(qwrong), "day grouping on a years-split table must bail")
+    assert(qwrong.count() == 3L)
+  }
+
   test("count(col) serves exact non-null counts: mixed nulls, all-null column, scan-identical") {
     wh.create("t_cnt", StructType(Seq(
       StructField("k", LongType), StructField("g", StringType),

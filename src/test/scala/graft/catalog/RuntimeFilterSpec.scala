@@ -134,6 +134,49 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(fileCount(s) == 0)
   }
 
+  test("filter() consults the Bloom index: runtime IN-sets prune where bounds cannot") {
+    val root = tmpDir("rf-bloom")
+    val wh = new Warehouse(spark, root)
+    def md5Of(n: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(n.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // md5-keyed files: every file's (min, max) spans ~the whole key domain,
+    // so bounds keep everything — only the sidecar probe can prune
+    val d = spark.range(0, 300)
+      .select(md5(col("id").cast("string")).as("h"), col("id").as("v"))
+    wh.create("t", d.schema)
+    for (b <- 0 until 3)
+      wh.append("t", d.filter(col("v") >= b * 100L && col("v") < b * 100L + 100L).coalesce(1),
+        statsCols = Seq("h"))
+    val all = fileCount(scanOf(root, "t"))
+    assert(all >= 3)
+    def inSet(keys: Seq[String]) = Array(new Predicate("IN",
+      (Expressions.column("h") +: keys.map(k =>
+        Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString(k)))).toArray))
+
+    // premise: WITHOUT the index, bounds keep every file
+    val s0 = scanOf(root, "t")
+    s0.filter(inSet(Seq(md5Of(42L))))
+    assert(fileCount(s0) == all, "un-indexed: bounds cannot prune md5 keys")
+
+    wh.buildBloomIndex("t", Seq("h"))
+    // one key from one file → that file only
+    val s1 = scanOf(root, "t")
+    s1.filter(inSet(Seq(md5Of(42L))))
+    assert(fileCount(s1) == 1, s"bloom must prune the runtime lookup to 1 file of $all")
+    // keys from two files → those two; answers never lose rows
+    val s2 = scanOf(root, "t")
+    s2.filter(inSet(Seq(md5Of(5L), md5Of(205L))))
+    assert(fileCount(s2) == 2)
+    val got = spark.read.schema(d.schema).parquet(survivingPaths(s2): _*)
+      .filter(col("h").isin(md5Of(5L), md5Of(205L)))
+      .select("v").collect().map(_.getLong(0)).toSet
+    assert(got == Set(5L, 205L))
+    // absent key: every file pruned (exact-on-miss, no false negatives)
+    val s3 = scanOf(root, "t")
+    s3.filter(inSet(Seq(md5Of(999999L))))
+    assert(fileCount(s3) == 0)
+  }
+
   test("unknown predicate shapes keep every file (conservative)") {
     val root = tmpDir("rf-cons")
     val wh = new Warehouse(spark, root)
