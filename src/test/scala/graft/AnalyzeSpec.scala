@@ -88,4 +88,44 @@ class AnalyzeSpec extends SparkSpec {
     val after = wh.analyzeTable("facts")
     assert(after.version == wh.currentVersion("facts") && after.rows == 5001)
   }
+
+  test("CBO proof-of-benefit: ANALYZE's NDV flips the join to a broadcast (same rows)") {
+    // fact 20k × 2 longs (≈320 KB est), dim 4k × 6 longs (≈192 KB est) —
+    // both above the 64 KB broadcast threshold. The dim filter hits a
+    // 2000-distinct column: WITHOUT column stats CBO cannot estimate the
+    // equality's selectivity (the filter keeps the dim's full size → sort
+    // merge); WITH the ANALYZE NDV the filter estimates ≈2 rows → the dim
+    // broadcasts. The plan CHANGE is the proof the stats pay rent.
+    val fs = StructType(Seq(StructField("k", LongType), StructField("fv", LongType)))
+    val ds = StructType(Seq(StructField("k", LongType), StructField("x", LongType),
+      StructField("p1", LongType), StructField("p2", LongType),
+      StructField("p3", LongType), StructField("p4", LongType)))
+    wh.replace("cbo_fact", spark.createDataFrame(
+      (0 until 20000).map(i => Row(i.toLong % 4000L, i.toLong)).asJava, fs))
+    wh.replace("cbo_dim", spark.createDataFrame(
+      (0 until 4000).map(i => Row(i.toLong, (i % 2000).toLong, 1L, 2L, 3L, 4L)).asJava, ds))
+    val q = "SELECT f.k, f.fv, d.x FROM gana.cbo_fact f " +
+      "JOIN gana.cbo_dim d ON f.k = d.k WHERE d.x = 7"
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val before = spark.sql(q).queryExecution.executedPlan.toString
+      assert(!before.contains("BroadcastHashJoin"),
+        s"premise: unanalyzed dim (192 KB estimated) must not broadcast:\n$before")
+      val rowsBefore = spark.sql(q).collect().map(_.toSeq).toSet
+      assert(rowsBefore.nonEmpty)
+      wh.analyzeTable("cbo_dim")
+      wh.analyzeTable("cbo_fact")
+      val after = spark.sql(q).queryExecution.executedPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"NDV-estimated filter (≈2 of 4000 rows) must flip the dim to broadcast:\n$after")
+      assert(spark.sql(q).collect().map(_.toSeq).toSet == rowsBefore, "same rows both plans")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
