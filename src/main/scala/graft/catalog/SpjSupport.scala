@@ -2,8 +2,8 @@ package graft.catalog
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{HasPartitionKey, InputPartition, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, Transform, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.read.{HasPartitionKey, InputPartition, SupportsReportOrdering, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
@@ -475,12 +475,64 @@ final class KeyGroupedParquetScan(base: ParquetScan,
                                   statsRef: Option[(String, String)] = None,
                                   bloomRef: Option[(String, String)] = None)
     extends GraftParquetScan(base, filesByPath, None, statsRef, None, bloomRef)
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       info.transforms.toArray[org.apache.spark.sql.connector.expressions.Expression],
       info.distinctKeys)
+
+  /** Per-partition sort order provable from manifest metadata alone: every
+    * file carries the [[graft.sink.SortMarker]] with the same LEADING
+    * field id, that id resolves to a READ-schema column with a recorded,
+    * null-free stat in one domain, and within every key group the files'
+    * [min, max] on it chain disjointly (so the group's files concatenate —
+    * in the order [[planInputPartitions]] arranges them — into one sorted
+    * run). Reported as `SupportsReportOrdering`, this is what lets a
+    * co-partitioned sort-merge join plan with NO per-partition Sort: the
+    * write already paid for the order (`cluster`'s sortWithinPartitions),
+    * the read should not pay again. Anything unprovable reports nothing —
+    * ordering is an optimization, never a correctness claim.
+    */
+  private[catalog] lazy val provenOrdering: Option[(String, String)] = {
+    import graft.sink.{SortMarker, StatsPruning}
+    val files = filesByPath.toSeq
+    val heads = files.map(_._2.stats.get(SortMarker.Key).flatMap(SortMarker.leadingId))
+    if (files.isEmpty || heads.contains(None) || heads.flatten.distinct.size != 1) None
+    else {
+      val fid = heads.head.get
+      readDataSchema.fields.find(f => f.metadata.contains("parquet.field.id") &&
+          f.metadata.getLong("parquet.field.id") == fid).flatMap { f =>
+        val col = f.name
+        val sts = files.map(_._2.stats.get(col))
+        // zero nulls everywhere: a second file's null-first run would land
+        // MID-partition and break the concatenated order
+        if (sts.exists(s => s.isEmpty || s.get.kind == "z" || s.get.nulls != 0L)) None
+        else {
+          val kind = sts.head.get.kind
+          if (sts.exists(_.get.kind != kind)) None
+          else {
+            val chains = files.groupBy { case (p, _) => info.keyStrsByPath.get(p) }
+              .values.forall { g =>
+                val ss = g.map(_._2.stats(col)).sortWith(
+                  (a, b) => StatsPruning.cmp(kind, a.min, b.min) < 0)
+                ss.zip(ss.drop(1)).forall { case (a, b) =>
+                  StatsPruning.cmp(kind, a.max, b.min) <= 0 }
+              }
+            if (chains) Some((col, kind)) else None
+          }
+        }
+      }
+    }
+  }
+
+  override def outputOrdering(): Array[V2SortOrder] =
+    provenOrdering.map { case (c, _) =>
+      // cluster() writes sortWithinPartitions(col) = ASC NULLS FIRST (and
+      // the proof above requires zero nulls anyway)
+      Array[V2SortOrder](Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+    }.getOrElse(Array.empty)
 
   /** Regroup the parent's planned (and runtime-filtered) chunks by partition
     * value. Parallelism is one task per surviving value-group -- inherent to
@@ -503,10 +555,31 @@ final class KeyGroupedParquetScan(base: ParquetScan,
     // ("a","bc") sort as distinct keys -- a separator-free concat would
     // collide them and the deterministic group order this sort exists for
     // would not be delivered.
+    //
+    // When the scan REPORTS ordering ([[provenOrdering]]), each group's
+    // chunks must be laid out in that order: files by ascending sort-key
+    // min (chains are disjoint, so min order IS the run order), split
+    // chunks of one file by offset. Without a reported ordering the
+    // arrangement is free.
+    def arrange(files: Array[PartitionedFile]): Array[PartitionedFile] =
+      provenOrdering match {
+        case None => files
+        case Some((c, kind)) =>
+          files.sortWith { (x, y) =>
+            val px = x.filePath.toPath.toUri.getPath
+            val py = y.filePath.toPath.toUri.getPath
+            if (px == py) x.start < y.start
+            else {
+              val cm = graft.sink.StatsPruning.cmp(kind,
+                filesByPath(px).stats(c).min, filesByPath(py).stats(c).min)
+              if (cm != 0) cm < 0 else px < py
+            }
+          }
+      }
     grouped.toSeq.sortBy(_._1.toSeq)(
       scala.math.Ordering.Implicits.seqOrdering[Seq, Option[String]])
       .zipWithIndex.map { case ((key, files), i) =>
-        new KeyedFilePartition(i, files, info.keyRow(key)): InputPartition
+        new KeyedFilePartition(i, arrange(files), info.keyRow(key)): InputPartition
       }.toArray
   }
 }

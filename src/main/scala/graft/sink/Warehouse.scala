@@ -1002,7 +1002,26 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     */
   private def writeData(name: String, in: DataFrame, schema: StructType,
                         dirName: String, cols: Seq[String], seq: Long = 0L,
-                        spec: Seq[String] = Nil): Seq[DataFile] = {
+                        spec: Seq[String] = Nil,
+                        sortedBy: Seq[String] = Nil): Seq[DataFile] = {
+    // SORT-ORDER marker: callers whose layout ran through [[cluster]] with
+    // explicit cluster keys declare it, and each written file records the
+    // keys' FIELD IDS under [[SortMarker.Key]] (ids survive rename, die
+    // with drop — the bloom-sidecar discipline). The key-grouped scan
+    // proves per-partition ordering back from these + chain-disjoint
+    // bounds and reports it (SupportsReportOrdering), which is what lets a
+    // co-partitioned SMJ plan with NO per-partition sorts.
+    val sortedIds: Option[String] =
+      if (sortedBy.isEmpty || schema.fieldNames.contains(SortMarker.Key)) None
+      else {
+        val ids = sortedBy.map(c => schema.fields.find(_.name == c).flatMap(fieldIdOf))
+        if (ids.contains(None)) None else Some(ids.flatten.mkString(","))
+      }
+    def withMarker(entries: Seq[DataFile]): Seq[DataFile] = sortedIds match {
+      case None    => entries
+      case Some(v) =>
+        entries.map(e => e.copy(stats = e.stats + (SortMarker.Key -> ColStat("s", v, v, 0L))))
+    }
     // Unique per ATTEMPT, not just per version: two racing writers both
     // computing the same `next` must never share a directory — the loser's
     // mode("overwrite") would destroy the winner's already-committed files
@@ -1121,8 +1140,9 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // --- assemble (empty files produce no manifest entry, as the grouped
     // scan path never saw them)
     if (fullFallback)
-      return scanned.toSeq.map { case (rel, (rows, stats)) => DataFile(rel, rows, stats, seq) }
-    files.flatMap { f =>
+      return withMarker(scanned.toSeq.map { case (rel, (rows, stats)) =>
+        DataFile(rel, rows, stats, seq) })
+    withMarker(files.flatMap { f =>
       val rel = td.relativize(f.toAbsolutePath.normalize).toString
       val (rows, outcomes) = perFile(f)
       if (rows == 0L) None
@@ -1138,7 +1158,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           .filter { case (c, _) => scanCols.contains(c) }
         Some(DataFile(rel, rows, proven ++ fromScan, seq))
       }
-    }
+    })
   }
 
   /** Scan-derived per-file facts (row count + stats for `scs`) for every
@@ -1458,7 +1478,8 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val in = cluster(SchemaOps.conform(df, schema), clusterBy, spec)
     val next = currentVersion(name) + 1
     val entries = writeData(name, in, schema, s"d${next}b",
-      statsCols ++ clusterBy ++ spec ++ inheritedStatsCols(name, existing), seq = next, spec = spec)
+      statsCols ++ clusterBy ++ spec ++ inheritedStatsCols(name, existing), seq = next, spec = spec,
+      sortedBy = clusterBy)
     val prior = if (keepPrior) existing.map(_.files).getOrElse(Nil) else Nil
     // append carries pending MOR deletes forward (the new files' seq shields
     // them); replace truncates — pending deletes die with the old content
@@ -1575,7 +1596,10 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           src.repartitionByRange(nOut, sortBy.map(col): _*)
             .sortWithinPartitions(sortBy.map(col): _*)
         case None => src.coalesce(nOut)
-      })
+      },
+      // z-order is not lexicographic and coalesce preserves nothing: only
+      // the sorted layouts declare the marker
+      sortedBy = if (zOrderBy.isDefined) Nil else sortBy)
   }
 
   /** Shared rewrite core of [[compact]] (byte grain, layout options) and
@@ -1584,7 +1608,8 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * commit's seq, carry everything else forward untouched.
     */
   private def rewriteSmallFiles(name: String, man: Manifest, victims: Seq[DataFile],
-                                extraStats: Seq[String], layout: DataFrame => DataFrame): Long = {
+                                extraStats: Seq[String], layout: DataFrame => DataFrame,
+                                sortedBy: Seq[String] = Nil): Long = {
     val next = currentVersion(name) + 1
     val src = spark.read.schema(man.schema)
       .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
@@ -1594,7 +1619,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     // layout prunes (and SPJ qualifies) by
     val rewritten = writeData(name, layout(src), man.schema, s"d${next}c",
       extraStats ++ partitionSpec(name) ++ inheritedStatsCols(name, Some(man)),
-      seq = next, spec = partitionSpec(name))
+      seq = next, spec = partitionSpec(name), sortedBy = sortedBy)
     val victimSet = victims.map(_.path).toSet
     // Rebase: compaction is content-preserving, so concurrently-ADDED files
     // simply carry through; but the victims must survive unchanged (their
@@ -1695,10 +1720,10 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
           else keys.hint("merge")
         val kept = target.join(keysSide, pks, "left_anti")
         writeData(name, cluster(kept, clusterBy, spec), schema, s"d${next}r", statsFor,
-          seq = next, spec = spec)
+          seq = next, spec = spec, sortedBy = clusterBy)
       }
     val batchEntries = writeData(name, cluster(in, clusterBy, spec), schema, s"d${next}b",
-      statsFor, seq = next, spec = spec)
+      statsFor, seq = next, spec = spec, sortedBy = clusterBy)
     // Rebase (Iceberg merge validation): victims must survive unchanged
     // (their keyed rows were rewritten into `rewritten`), no concurrent
     // MOR delete may have landed, and any concurrently-ADDED file must be
@@ -1755,7 +1780,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val next = currentVersion(name) + 1
     val statsFor = pks ++ clusterBy ++ spec ++ inheritedStatsCols(name, Some(man))
     val dataEntries = writeData(name, cluster(in, clusterBy, spec), schema,
-      s"d${next}b", statsFor, seq = next, spec = spec)
+      s"d${next}b", statsFor, seq = next, spec = spec, sortedBy = clusterBy)
     val keySchema = StructType(schema.fields.filter(f => pks.contains(f.name)))
     val delEntries = writeData(name, in.select(pks.map(col): _*).distinct(),
       keySchema, s"del$next", pks, seq = next)
@@ -2559,7 +2584,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val (small, _) = man.files.partition(_.rows < smallRows)
     if (small.size < 2) return currentVersion(name)
     rewriteSmallFiles(name, man, small, clusterBy,
-      src => cluster(src, clusterBy, partitionSpec(name)))
+      src => cluster(src, clusterBy, partitionSpec(name)), sortedBy = clusterBy)
   }
 
   /** Thresholds for [[maintain]] — each maps one manifest-resident signal
@@ -3731,7 +3756,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       val dataEntries = writeData(name, cluster(in, clusterBy, spec), schema,
         s"dtx$txnId-$opN",
         pks ++ clusterBy ++ spec ++ inheritedStatsCols(name, Some(man)),
-        seq = 0L, spec = spec)
+        seq = 0L, spec = spec, sortedBy = clusterBy)
       val keySchema = StructType(schema.fields.filter(f => pks.contains(f.name)))
       val delEntries = writeData(name, in.select(pks.map(col): _*).distinct(),
         keySchema, s"deltx$txnId-$opN", pks, seq = 0L)

@@ -51,6 +51,24 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  /** Count Sort nodes in the FINAL (post-AQE) physical plan. */
+  private def sorts(df: DataFrame): Int = {
+    df.collect()
+    def count(p: SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.SortExec => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
   private def freshCatalog(tag: String): (Warehouse, String) = {
     val root = tmpDir(s"graft-spj-$tag")
     spark.conf.set(s"spark.sql.catalog.$tag", classOf[graft.catalog.GraftCatalog].getName)
@@ -87,6 +105,48 @@ class BucketedJoinSpec extends SparkSpec {
     val plain = spark.sql(q).collect().toSet // bucketing conf off: shuffled plan
     assert(spjRows == plain)
     assert(spjRows.size == 6000)
+  }
+
+  test("key-sorted bucketed tables join with zero shuffles AND zero sorts (reported ordering)") {
+    val (wh, cat) = freshCatalog("spjord")
+    val orders = spark.range(0, 2000).select(col("id").as("o_id"), (col("id") * 3).as("total"))
+    val items = spark.range(0, 6000).select((col("id") % 2000).as("o_id"), col("id").as("li_id"))
+    wh.create("orders", orders.schema, Seq("bucket(8,o_id)"))
+    wh.create("items", items.schema, Seq("bucket(8,o_id)"))
+    // clusterBy the JOIN key: files land sorted by o_id (the sort marker
+    // records it) and the two appends' per-bucket o_id ranges are disjoint,
+    // so every group's files chain — the scan reports per-partition
+    // ordering and the SMJ plans with NO Sort on either side
+    wh.append("orders", orders.filter(col("o_id") < 1000), clusterBy = Seq("o_id"))
+    wh.append("orders", orders.filter(col("o_id") >= 1000), clusterBy = Seq("o_id"))
+    wh.append("items", items.filter(col("o_id") < 1000), clusterBy = Seq("o_id"))
+    wh.append("items", items.filter(col("o_id") >= 1000), clusterBy = Seq("o_id"))
+    val q = s"SELECT o.o_id, o.total, i.li_id FROM $cat.orders o JOIN $cat.items i ON o.o_id = i.o_id"
+    val (rows, nShuffles, nSorts) = withSpj {
+      val df = spark.sql(q)
+      (df.collect().toSet, shuffles(df), sorts(df))
+    }
+    assert(nShuffles == 0, s"expected shuffle-free SPJ, got $nShuffles")
+    assert(nSorts == 0, "reported per-partition ordering must remove the SMJ sorts")
+    assert(rows == spark.sql(q).collect().toSet)
+    assert(rows.size == 6000)
+
+    // OVERLAPPING per-bucket ranges (the original two-append layout) must
+    // NOT report ordering: the sorts stay and the answer stays right
+    val (wh2, cat2) = freshCatalog("spjord2")
+    wh2.create("l", orders.schema, Seq("bucket(8,o_id)"))
+    wh2.create("r", items.schema, Seq("bucket(8,o_id)"))
+    wh2.append("l", orders, clusterBy = Seq("o_id"))
+    wh2.append("l", orders.limit(500), clusterBy = Seq("o_id")) // overlaps everything
+    wh2.append("r", items, clusterBy = Seq("o_id"))
+    val q2 = s"SELECT l.o_id, r.li_id FROM $cat2.l l JOIN $cat2.r r ON l.o_id = r.o_id"
+    val (rows2, nShuffles2, nSorts2) = withSpj {
+      val df = spark.sql(q2)
+      (df.collect().length, shuffles(df), sorts(df))
+    }
+    assert(nShuffles2 == 0)
+    assert(nSorts2 > 0, "overlapping file ranges must NOT claim ordering")
+    assert(rows2 == withSpj(spark.sql(q2).collect().length))
   }
 
   test("SPJ groups cover every row when one side is missing buckets (pushPartValues)") {
