@@ -49,8 +49,12 @@ import graft.schema.SchemaOps
   *   the way an unconditional `broadcast()` hint would (the hint disables
   *   Spark's own size check).
   */
-final class Warehouse(private[sink] val spark: SparkSession, root: String,
-                      mergeBroadcastMaxKeys: Long = 4000000L) {
+final class Warehouse(private[sink] val spark: SparkSession,
+                      private[sink] val root: String,
+                      mergeBroadcastMaxKeys: Long = 4000000L)
+    extends WarehouseTransactions with WarehouseDv with WarehouseMor
+    with WarehouseStaging with WarehouseAnalyze with WarehouseRefs
+    with WarehouseChangeFeed with WarehouseStreamState {
 
   // Field-id resolution for warehouse scans (Spark's Iceberg-compat read
   // path): when a requested schema carries `parquet.field.id` metadata,
@@ -76,12 +80,12 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     val i = name.indexOf('@')
     if (i < 0) (name, None) else (name.substring(0, i), Some(name.substring(i + 1)))
   }
-  private def refOf(name: String): Option[String] = splitRef(name)._2
-  private def refSuffix(name: String): String =
+  private[sink] def refOf(name: String): Option[String] = splitRef(name)._2
+  private[sink] def refSuffix(name: String): String =
     refOf(name).map("@" + _).getOrElse("")
 
-  private def tableDir(name: String) = Paths.get(root, splitRef(name)._1)
-  private def pointer(name: String) =
+  private[sink] def tableDir(name: String) = Paths.get(root, splitRef(name)._1)
+  private[sink] def pointer(name: String) =
     tableDir(name).resolve(s"_current${refSuffix(name)}")
 
   // ------------------------------------------------------------ field ids --
@@ -92,7 +96,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
   private[sink] def fieldIdOf(f: StructField): Option[Long] =
     if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey)) else None
 
-  private def hasFieldIds(schema: StructType): Boolean = {
+  private[sink] def hasFieldIds(schema: StructType): Boolean = {
     val ids = schema.fields.flatMap(fieldIdOf)
     ids.length == schema.fields.length && ids.distinct.length == ids.length
   }
@@ -101,7 +105,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * complete, duplicate-free id set (round-tripped from another table —
     * keep it: ids are identity).
     */
-  private def withFieldIds(schema: StructType): StructType =
+  private[sink] def withFieldIds(schema: StructType): StructType =
     if (hasFieldIds(schema)) schema
     else StructType(schema.fields.zipWithIndex.map { case (f, i) =>
       f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
@@ -116,7 +120,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     */
   private def maxFieldIdPath(name: String) = tableDir(name).resolve("_maxfid")
 
-  private def reserveFieldIds(name: String, n: Int, floor: Long): Long = {
+  private[sink] def reserveFieldIds(name: String, n: Int, floor: Long): Long = {
     val p = maxFieldIdPath(name)
     val cur = if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
     val base = math.max(cur, floor)
@@ -125,7 +129,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     base
   }
-  private def manifestPath(name: String, v: Long) =
+  private[sink] def manifestPath(name: String, v: Long) =
     tableDir(name).resolve(s"m$v${refSuffix(name)}.manifest")
 
   /** S6 existence probe. A table exists once it has any committed snapshot:
@@ -233,7 +237,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     commitManifest(name, 0L, Manifest(widened, Nil))
   }
 
-  private def specPath(name: String) = tableDir(name).resolve("_spec")
+  private[sink] def specPath(name: String) = tableDir(name).resolve("_spec")
 
   /** PARTITION-SPEC EVOLUTION (Iceberg's evolve-spec story): change the
     * table's declared transforms WITHOUT rewriting a byte — files keep the
@@ -278,7 +282,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
       Files.readAllLines(specPath(name)).asScala.toSeq.map(_.trim).filter(_.nonEmpty)
     }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[sink] def deleteRecursively(p: Path): Unit = {
     val s = Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder[Path]())
       .iterator().asInstanceOf[java.util.Iterator[Path]].asScala
@@ -312,7 +316,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
 
   // ------------------------------------------------- atomic family rename --
 
-  private def intentsDir = Paths.get(root, "_intents")
+  private[sink] def intentsDir = Paths.get(root, "_intents")
 
   /** Atomic multi-table rename — the blue/green index-family swap
     * ([[VectorIndexIngest]]'s corpus + `__cells` + `__codebook` + `__codes`
@@ -395,220 +399,6 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     markers.foreach(executeRenameIntent)
   }
 
-  // --------------------------------------------- multi-table transactions --
-
-  /** Atomic multi-table COMMIT — the write analog of [[renameAll]]: stage
-    * append-shaped writes (append / morMerge / equalityDelete) against any
-    * number of tables, then land them all-or-nothing. The canonical use is
-    * the index-beside-corpus ingest ([[VectorIndexIngest]] /
-    * [[SearchIndexIngest]] shapes): fact rows + index postings + a
-    * watermark upsert become ONE transaction, so no reader can observe the
-    * fact without its index entries.
-    *
-    * Protocol (durable intent + roll-forward — same discipline as
-    * `renameAll`):
-    *   1. `body` runs against the [[WarehouseTxn]]: each staged op writes
-    *      its DATA files immediately (into per-txn `dtx*`/`del*` attempt
-    *      dirs — orphaned and grace-swept if the txn never commits) and
-    *      accumulates a per-table (data entries, delete entries) delta.
-    *      Nothing is visible to readers.
-    *   2. The deltas are serialized to a durable intent marker
-    *      (`_intents/txn-<id>`, tmp + ATOMIC_MOVE). THIS is the commit
-    *      point of the transaction as a whole: before the marker, a crash
-    *      aborts cleanly (orphan files only); after it, every access path
-    *      ([[exists]]) rolls the remaining per-table commits forward.
-    *   3. Each table's delta lands as one snapshot commit through
-    *      [[commitOrRebase]]. Staged deltas are append-shaped, so a lost
-    *      CAS race REBASES (metadata-only restamp onto the winner — data
-    *      files never rewritten) and always lands; concurrent ADDITIVE or
-    *      RENAME schema evolution is absorbed by remapping the delta's
-    *      stats keys / delete-key columns through field ids
-    *      (`remapTxnDelta`). A per-table done-marker makes roll-forward
-    *      idempotent; a recovering process falls back to a path-presence
-    *      probe for the crash window between a commit and its done-marker.
-    *
-    * Isolation: readers see each table flip atomically at its own commit;
-    * cross-table atomicity is of the roll-forward kind (a reader racing the
-    * commit loop can observe table A's new snapshot before table B's — but
-    * B is guaranteed to land, and every warehouse access first drives
-    * pending intents to completion, so the window cannot outlive a single
-    * access by any process). Within one transaction, staged deletes apply
-    * to PRE-transaction rows only: all of a table's staged entries land at
-    * the same sequence number, so a staged morMerge's delete does not
-    * retro-delete a staged append's rows (snapshot-at-start semantics,
-    * spec-pinned).
-    *
-    * The one non-convergent race: a concurrent [[dropColumn]] of a column
-    * that KEYS a staged equality delete (invisible to dropColumn's
-    * pending-delete guard until the txn lands). Roll-forward then fails
-    * loudly and the intent stays pending for operator intervention — the
-    * same "cannot converge" posture as a damaged rename intent.
-    *
-    * Returns the committed (table → version) map, empty for an empty txn.
-    */
-  def transact(body: WarehouseTxn => Unit): Map[String, Long] = {
-    recoverPendingTxns()
-    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    val txn = new WarehouseTxn(id)
-    body(txn)
-    val work = txn.deltas.toSeq.filter { case (_, d) =>
-      d.files.nonEmpty || d.dels.nonEmpty }
-    if (work.isEmpty) return Map.empty
-    Files.createDirectories(intentsDir)
-    val marker = intentsDir.resolve(s"txn-$id")
-    val sb = new StringBuilder("graft-txn v1\n")
-    work.foreach { case (name, d) =>
-      sb.append("== ").append(name).append('\n')
-        .append(d.schema.json).append('\n')
-        .append(Manifest.entriesString(d.files, d.dels))
-    }
-    val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
-    Files.writeString(tmp, sb.toString)
-    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
-    // guard re-entry: the commit work inside goes through access paths
-    // whose `exists` probe would otherwise see OUR marker and execute the
-    // same intent a second time, nested
-    val wasIn = Warehouse.inTxnRecovery.get()
-    Warehouse.inTxnRecovery.set(true)
-    try executeTxnIntent(marker)
-    finally Warehouse.inTxnRecovery.set(wasIn)
-    work.map { case (name, _) => name -> currentVersion(name) }.toMap
-  }
-
-  /** Roll one transaction intent forward, table by table. Idempotent:
-    * `.done<i>` side markers record completed tables; without one, a
-    * path-presence probe (the delta's file paths are txn-unique) detects a
-    * commit that landed just before a crash. The marker is deleted only
-    * after every table holds.
-    */
-  private def executeTxnIntent(marker: Path): Unit = {
-    val lines = Files.readAllLines(marker)
-    require(lines.size() >= 1 && lines.get(0) == "graft-txn v1",
-      s"not a txn intent: $marker")
-    // parse sections: "== name" / schema json / entry lines
-    val sections = scala.collection.mutable.ArrayBuffer
-      .empty[(String, StructType, Seq[DataFile], Seq[DeleteFile])]
-    var i = 1
-    while (i < lines.size()) {
-      val head = lines.get(i)
-      require(head.startsWith("== "), s"malformed txn intent at line $i: $marker")
-      val name = head.substring(3)
-      val schema = DataType.fromJson(lines.get(i + 1)).asInstanceOf[StructType]
-      var j = i + 2
-      val entry = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (j < lines.size() && !lines.get(j).startsWith("== ")) {
-        if (lines.get(j).nonEmpty) entry += lines.get(j); j += 1
-      }
-      val (fs, ds) = Manifest.parseEntries(entry.toSeq)
-      sections += ((name, schema, fs, ds))
-      i = j
-    }
-    sections.zipWithIndex.foreach { case ((name, schema, fs, ds), idx) =>
-      val done = marker.resolveSibling(s"${marker.getFileName}.done$idx")
-      if (!Files.exists(done)) {
-        val cur = currentManifest(name)
-        val landed = fs.forall(f => cur.files.exists(_.path == f.path)) &&
-          ds.forall(d => cur.deletes.exists(_.path == d.path))
-        if (!landed) commitTxnDelta(name, schema, fs, ds)
-        Files.writeString(done, "")
-      }
-    }
-    sections.indices.foreach(idx =>
-      Files.deleteIfExists(marker.resolveSibling(s"${marker.getFileName}.done$idx")))
-    Files.deleteIfExists(marker)
-  }
-
-  /** Land one table's staged delta as a snapshot commit, rebasing onto
-    * whatever head wins races. Concurrent schema evolution is absorbed by
-    * remapping through field ids: stats keys follow renames and drop with
-    * dropped columns (unmapped stats are only ever pruning hints — losing
-    * one is conservative); a staged delete KEYED on a dropped column cannot
-    * converge and fails loudly.
-    *
-    * Own retry loop rather than [[commitOrRebase]] because the landed-check
-    * must re-run against EVERY new base: an intent can be executed by a
-    * racing recoverer (another thread/process whose `exists` probe saw the
-    * marker before this one finished), and the loser of that race must
-    * recognize the delta already present — delta paths are txn-unique, so
-    * presence in the base IS proof of landing — instead of re-appending it.
-    */
-  private def commitTxnDelta(name: String, staged: StructType,
-      fs: Seq[DataFile], ds: Seq[DeleteFile]): Long = {
-    preCommitHook(name, currentVersion(name) + 1)
-    var tries = 0
-    while (tries < 50) {
-      tries += 1
-      val curV = currentVersion(name)
-      val base = manifestAt(name, curV)
-      val landed = fs.forall(f => base.files.exists(_.path == f.path)) &&
-        ds.forall(d => base.deletes.exists(_.path == d.path))
-      if (landed) return curV
-      val (rfs, rds) = remapTxnDelta(staged, base.schema, fs, ds)
-      val next = curV + 1
-      try return commitManifest(name, next, Manifest(base.schema,
-        base.files ++ rfs.map(_.copy(seq = next)),
-        base.deletes ++ rds.map(_.copy(seq = next))))
-      catch { case _: java.util.ConcurrentModificationException => }
-    }
-    throw new java.util.ConcurrentModificationException(
-      s"$name: transaction delta still racing after 50 attempts; redo the transaction")
-  }
-
-  /** Remap a staged delta from its staging-time schema to the commit-time
-    * schema by FIELD ID (the column-evolution contract: names are labels,
-    * ids are identity). Fast no-op when the schemas are equal.
-    */
-  private def remapTxnDelta(staged: StructType, base: StructType,
-      fs: Seq[DataFile], ds: Seq[DeleteFile]): (Seq[DataFile], Seq[DeleteFile]) = {
-    if (staged == base) return (fs, ds)
-    val baseNameById: Map[Long, String] =
-      base.fields.flatMap(f => fieldIdOf(f).map(_ -> f.name)).toMap
-    // staging-time name -> commit-time name; None = column dropped
-    val nameMap: Map[String, Option[String]] = staged.fields.flatMap { f =>
-      fieldIdOf(f).map(id => f.name -> baseNameById.get(id))
-    }.toMap
-    def remapKey(k: String): Option[String] = nameMap.get(k) match {
-      case Some(v) => v
-      case None => PartitionTransforms.parseKey(k) match {
-        case Some(pf) => nameMap.getOrElse(pf.src, Some(pf.src)) match {
-          case Some(nw) => Some(pf.copy(src = nw).key)
-          case None     => None // transform over a dropped column
-        }
-        case None => Some(k) // not a schema column (never prunes) — keep
-      }
-    }
-    def remapStats(stats: Map[String, ColStat]): Map[String, ColStat] =
-      stats.flatMap { case (k, v) => remapKey(k).map(_ -> v) }
-    val rds = ds.map { d =>
-      val cols = d.cols.map { c =>
-        nameMap.getOrElse(c, Some(c)).getOrElse(throw new IllegalStateException(
-          s"staged equality delete keys on dropped column $c; transaction cannot converge"))
-      }
-      d.copy(cols = cols, stats = remapStats(d.stats))
-    }
-    (fs.map(f => f.copy(stats = remapStats(f.stats))), rds)
-  }
-
-  /** Complete any pending [[transact]] intents (oldest first); re-entrancy
-    * guarded — roll-forward itself touches warehouse access paths.
-    */
-  private def recoverPendingTxns(): Unit = {
-    if (Warehouse.inTxnRecovery.get()) return
-    if (!Files.exists(intentsDir)) return
-    val markers = {
-      val s = Files.list(intentsDir)
-      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("txn-") && !n.endsWith(".tmp") && !n.contains(".done")
-        }.toSeq.sortBy(_.getFileName.toString)
-      finally s.close()
-    }
-    if (markers.isEmpty) return
-    Warehouse.inTxnRecovery.set(true)
-    try markers.foreach(executeTxnIntent)
-    finally Warehouse.inTxnRecovery.set(false)
-  }
 
   /** Explicit manifest compaction (Iceberg `rewrite_manifests`): commit the
     * current snapshot again with its entry list coalesced into ONE fresh
@@ -683,7 +473,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * and still knows exactly which (file, ordinal) each matched row came
     * from, so chained MOR updates never materialize and never resurrect.
     */
-  private def morFrameImpl(name: String, m: Manifest,
+  private[sink] def morFrameImpl(name: String, m: Manifest,
                            keepPositions: Boolean): DataFrame = {
     def scan(files: Seq[DataFile]) =
       spark.read.schema(m.schema)
@@ -741,159 +531,12 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * relative path, row ordinal). The names must never collide with the
     * reserved partition-transform prefix (`__graft_p*`) or user columns.
     */
-  private val PosFileCol = "__pdel_file"
-  private val PosIdxCol = "__pdel_pos"
-  private val PosDeleteSchema = StructType(Seq(
+  private[sink] val PosFileCol = "__pdel_file"
+  private[sink] val PosIdxCol = "__pdel_pos"
+  private[sink] val PosDeleteSchema = StructType(Seq(
     StructField(PosFileCol, StringType, nullable = false),
     StructField(PosIdxCol, LongType, nullable = false)))
 
-  // ------------------------------------------------ deletion vectors (DV) --
-
-  /** DV file schema: one row per TARGET data file — its merged roaring
-    * bitmap of deleted ordinals, live cardinality, and this commit's newly
-    * deleted count. One `dv<version>` parquet per positional commit.
-    */
-  private val DvBytesCol = "__dv_bytes"
-  private val DvCardCol = "__dv_card"
-  private val DvNewCol = "__dv_new"
-  private val DvFileSchema = StructType(Seq(
-    StructField(PosFileCol, StringType, nullable = false),
-    StructField(DvBytesCol, BinaryType, nullable = false),
-    StructField(DvCardCol, LongType, nullable = false),
-    StructField(DvNewCol, LongType, nullable = false)))
-
-  /** Latest DV bytes per target file across `dvs` (ascending seq: a later
-    * vector supersedes — merge-on-write makes it a superset), restricted to
-    * `want`. Driver-side read of O(affected files) tiny rows.
-    */
-  private def dvMapFor(name: String, dvs: Seq[DeleteFile],
-                       files: Seq[DataFile]): Map[String, Array[Byte]] = {
-    val want = files.map(_.path).toSet
-    val acc = scala.collection.mutable.HashMap[String, Array[Byte]]()
-    dvs.sortBy(_.seq).foreach { d =>
-      if (d.cols.exists(want))
-        spark.read.schema(DvFileSchema).parquet(resolvePath(name, d.path))
-          .select(PosFileCol, DvBytesCol).collect()
-          .foreach { r =>
-            val f = r.getString(0)
-            if (want(f)) acc(f) = r.getAs[Array[Byte]](1)
-          }
-    }
-    acc.toMap
-  }
-
-  /** Build and write this commit's DELETION VECTORS from `pairs` ((file,
-    * ordinal) rows derived from the delete-applied view): a distributed
-    * roaring aggregate per target file, MERGED ON WRITE with the manifest's
-    * latest DV for that file (new DV = old ∪ new — per-file delete state
-    * stays ONE live vector no matter how many delete commits touch it),
-    * landing as one `dv<next>` parquet. Returns (manifest delete entries,
-    * newly-deleted row count). The Iceberg-v3 DV story: pair files grew
-    * O(delete commits) and applied as an anti-join; vectors keep O(data
-    * files) entries (superseded vectors are swept at commit) and apply as a
-    * codegen'd bitmap probe.
-    */
-  private def writeDeletionVectors(name: String, next: Long, man: Manifest,
-                                   pairs: DataFrame): (Seq[DeleteFile], Long) = {
-    import scala.jdk.CollectionConverters._
-    graft.functions.expressions.DvFns.register(spark)
-    val F = graft.functions.expressions.DvFns
-    val newAgg = pairs.groupBy(PosFileCol).agg(
-      F.dvAgg(col(PosIdxCol)).as("__dv_add"),
-      count(lit(1)).as(DvNewCol))
-    val prevDf = spark.createDataFrame(
-      latestDvRows(name, man).map { case (f, b) => Row(f, b) }.asJava,
-      StructType(Seq(StructField(PosFileCol, StringType, nullable = false),
-        StructField("__dv_prev", BinaryType))))
-    val merged = F.dvOr(col("__dv_add"), col("__dv_prev"))
-    val dvFrame = newAgg.join(broadcast(prevDf), Seq(PosFileCol), "left")
-      .select(col(PosFileCol), merged.as(DvBytesCol),
-        F.dvCard(merged).as(DvCardCol), col(DvNewCol))
-      .coalesce(1).sortWithinPartitions(PosFileCol)
-    val entries = writeData(name, dvFrame, DvFileSchema, s"dv$next",
-      Seq(PosFileCol), seq = next).filter(_.rows > 0)
-    if (entries.isEmpty) return (Nil, 0L)
-    // targets + counts off the written (tiny, one-row-per-file) vector file
-    val meta = spark.read.schema(DvFileSchema)
-      .parquet(entries.map(e => resolvePath(name, e.path)): _*)
-      .select(PosFileCol, DvCardCol, DvNewCol).collect()
-    val targets = meta.map(_.getString(0)).toSeq.sorted
-    val total = meta.map(_.getLong(1)).sum
-    val fresh = meta.map(_.getLong(2)).sum
-    (entries.map(e => DeleteFile(e.path, total, next, targets, e.stats, kind = "dv")),
-      fresh)
-  }
-
-  /** Latest DV bytes per target across the whole manifest (merge-on-write
-    * input). */
-  private def latestDvRows(name: String, man: Manifest): Seq[(String, Array[Byte])] = {
-    val dvs = man.deletes.filter(_.kind == "dv")
-    if (dvs.isEmpty) return Nil
-    val acc = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
-    dvs.sortBy(_.seq).foreach { d =>
-      spark.read.schema(DvFileSchema).parquet(resolvePath(name, d.path))
-        .select(PosFileCol, DvBytesCol).collect()
-        .foreach(r => acc(r.getString(0)) = r.getAs[Array[Byte]](1))
-    }
-    acc.toSeq
-  }
-
-  /** Drop manifest DV entries every one of whose targets is covered by this
-    * commit's new vector (fully superseded — the sweep that keeps delete
-    * metadata O(data files) across unbounded delete churn).
-    */
-  private def sweepSupersededDvs(deletes: Seq[DeleteFile],
-                                 targets: Set[String]): Seq[DeleteFile] =
-    deletes.filterNot(d => d.kind == "dv" && d.cols.toSet.subsetOf(targets))
-
-  /** The exact string `_metadata.file_path` yields for a manifest-relative
-    * data file: `file:` + the URI-ENCODED absolute path (hadoop `Path`
-    * rendering — a space becomes `%20`). Positional-delete matching joins
-    * on this form rather than doing string surgery on it, so the pairs
-    * themselves stay in the DECODED manifest-path domain (comparable with
-    * `DataFile.path` in [[statsDisjoint]], portable across [[rename]]).
-    */
-  private def metaPathOf(name: String, rel: String): String =
-    "file:" + new org.apache.hadoop.fs.Path(
-      tableDir(name).resolve(rel).toAbsolutePath.normalize.toString).toUri.toString
-
-  /** Attach (relative data-file path, row ordinal) columns to a scan of
-    * `files` — the positional-delete identity. The metadata column is
-    * materialized on the file-source relation (it is hidden elsewhere),
-    * then an exact broadcast join against the manifest's own path mapping
-    * converts the encoded URI to the decoded relative path: no prefix
-    * arithmetic, no encoding assumptions beyond [[metaPathOf]] (spec-pinned
-    * on space/percent-bearing roots), no SQL-string injection surface.
-    * Shared verbatim by the write ([[positionDelete]]) and read
-    * ([[morFrame]]) sides — pairs only match if both derive identically.
-    */
-  private def withFilePositions(name: String, files: Seq[DataFile],
-                                scan: DataFrame): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val mapping = spark.createDataFrame(
-      files.map(f => Row(metaPathOf(name, f.path), f.path)).asJava,
-      StructType(Seq(StructField("__pdel_meta", StringType, nullable = false),
-        StructField(PosFileCol, StringType, nullable = false))))
-    scan.withColumn("__pdel_meta", col("_metadata.file_path"))
-      .withColumn(PosIdxCol, col("_metadata.row_index"))
-      .join(broadcast(mapping), Seq("__pdel_meta"))
-      .drop("__pdel_meta")
-  }
-
-  /** All committed (non-expired) snapshot versions of a table, oldest first. */
-  def history(name: String): Seq[Long] =
-    if (!Files.exists(tableDir(name))) Nil
-    else {
-      // per-ref ledger: `m<v>.manifest` on main, `m<v>@<branch>.manifest`
-      // on a branch — each ledger sees only its own files
-      val pat = ("m(\\d+)" + java.util.regex.Pattern.quote(refSuffix(name)) +
-        "\\.manifest").r
-      val s = Files.list(tableDir(name))
-      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-        .asScala.map(_.getFileName.toString)
-        .collect { case pat(v) => v.toLong }.toSeq.sorted
-      finally s.close()
-    }
 
   // ---------------------------------------------------------------- stats --
 
@@ -1000,7 +643,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * Both paths render through [[statFromBounds]], so the resulting
     * manifests are bit-identical (`FooterStatsSpec`).
     */
-  private def writeData(name: String, in: DataFrame, schema: StructType,
+  private[sink] def writeData(name: String, in: DataFrame, schema: StructType,
                         dirName: String, cols: Seq[String], seq: Long = 0L,
                         spec: Seq[String] = Nil,
                         sortedBy: Seq[String] = Nil): Seq[DataFile] = {
@@ -1355,7 +998,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * (same path, sequence number, row count) — i.e. the op's read set was
     * not rewritten/removed by the commit that won the race.
     */
-  private def filesIntact(base: Manifest, needed: Seq[DataFile]): Boolean = {
+  private[sink] def filesIntact(base: Manifest, needed: Seq[DataFile]): Boolean = {
     val byPath = base.files.iterator.map(f => f.path -> f).toMap
     needed.forall(f => byPath.get(f.path).exists(b => b.seq == f.seq && b.rows == f.rows))
   }
@@ -1378,7 +1021,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * transforms — recomputing a retired transform would pay a per-write
     * column scan for bounds no new file is clustered by.
     */
-  private def inheritedStatsCols(name: String, existing: Option[Manifest]): Seq[String] = {
+  private[sink] def inheritedStatsCols(name: String, existing: Option[Manifest]): Seq[String] = {
     val keys = existing.toSeq.flatMap(_.files).flatMap(_.stats.keys).distinct
     lazy val live = partitionSpec(name).toSet
     keys.filter(k => PartitionTransforms.parseKey(k).isEmpty || live.contains(k))
@@ -1390,7 +1033,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * (§1.3 lattice). Everything nullable: file sources read back nullable
     * regardless.
     */
-  private def targetSchema(existing: Option[Manifest], df: DataFrame): StructType =
+  private[sink] def targetSchema(existing: Option[Manifest], df: DataFrame): StructType =
     existing.map(_.schema).getOrElse(withFieldIds(
       StructType(SchemaOps.widenSchema(df.schema).fields.map(_.copy(nullable = true)))))
 
@@ -1400,7 +1043,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * clustering, every file of a shuffled batch spans the whole key range
     * and no stat-based pruning can ever drop one.
     */
-  private def cluster(in: DataFrame, clusterBy: Seq[String],
+  private[sink] def cluster(in: DataFrame, clusterBy: Seq[String],
                       spec: Seq[String] = Nil): DataFrame = {
     // declared partition transforms cluster FIRST (files align with
     // partition values, so the transform bounds are tight — one or few
@@ -1607,7 +1250,7 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     * victims, lay them out, write with inherited + extra stats at the new
     * commit's seq, carry everything else forward untouched.
     */
-  private def rewriteSmallFiles(name: String, man: Manifest, victims: Seq[DataFile],
+  private[sink] def rewriteSmallFiles(name: String, man: Manifest, victims: Seq[DataFile],
                                 extraStats: Seq[String], layout: DataFrame => DataFrame,
                                 sortedBy: Seq[String] = Nil): Long = {
     val next = currentVersion(name) + 1
@@ -2394,1052 +2037,6 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     v
   }
 
-  // ------------------------------------------ merge-on-read (MOR) deletes --
-
-  /** Iceberg-v2-style MERGE-ON-READ equality delete: commit a parquet file
-    * of key tuples instead of rewriting any data file. O(batch) — one key
-    * write + one manifest commit, independent of table size. This is the
-    * fast delete at 100 TB: [[deleteWhere]] (copy-on-write) rewrites every
-    * file its predicate touches, which for a scattered key set means most
-    * of the table; here the rewrite IO is deferred to [[compactDeletes]]
-    * (or the next rewrite op, which materializes pending deletes first)
-    * while reads apply the delete as a seq-aware anti-join ([[morFrame]]).
-    *
-    * Semantics: a data row is deleted when it equals some key tuple on ALL
-    * of `keys`' columns (plain equality — null keys never match, the merge
-    * contract), and only if its file's data sequence number precedes the
-    * delete's: rows (re-)inserted AFTER the delete are shielded, exactly
-    * Iceberg's sequence-number rule. GDPR-note: the bytes survive until
-    * compaction + [[expireSnapshots]], same as every snapshot store.
-    *
-    * Returns the committed version (the current one when `keys` is empty).
-    */
-  def equalityDelete(name: String, keys: DataFrame): Long = {
-    require(exists(name), s"no such table: $name")
-    val man = currentManifest(name)
-    val cols = keys.columns.toSeq
-    require(cols.nonEmpty && cols.forall(man.schema.fieldNames.contains),
-      s"delete key columns must be table columns: ${cols.mkString(",")}")
-    val keySchema = StructType(man.schema.fields.filter(f => cols.contains(f.name)))
-    val next = currentVersion(name) + 1
-    val entries = writeData(name, SchemaOps.conform(keys, keySchema).distinct(),
-      keySchema, s"del$next", cols, seq = next)
-    val dels = entries.filter(_.rows > 0)
-      .map(e => DeleteFile(e.path, e.rows, next, cols, e.stats))
-    if (dels.isEmpty) return currentVersion(name) // empty key set: no-op
-    // Rebase: delete-only row delta — restamp; the new seq covers
-    // concurrently-added files (their append serializes before this delete)
-    commitOrRebase(name, next, Manifest(man.schema, man.files, man.deletes ++ dels),
-      (base, n2) =>
-        if (base.schema != man.schema) None
-        else Some(Manifest(man.schema, base.files, base.deletes ++ dels.map(_.copy(seq = n2)))))
-  }
-
-  /** Per-call outcome of [[positionDelete]]: committed version (unchanged
-    * when nothing matched), position pairs committed, and how many files the
-    * predicate's stat bounds excluded from the position scan.
-    */
-  final case class PositionDeleteReport(version: Long, positions: Long, prunedFiles: Int)
-
-  /** Iceberg-v2-style MERGE-ON-READ POSITIONAL delete: evaluate `cond` once,
-    * commit the matching rows' (data-file path, row ordinal) pairs, rewrite
-    * NOTHING. The complement of [[equalityDelete]]: that one suits
-    * delete-by-key (the key set IS the delete), this one suits
-    * delete-by-predicate when the rewrite IO of [[deleteWhere]] must be
-    * deferred — a GDPR/retention sweep over a 100 TB table commits O(matched
-    * rows) pairs now, and [[compactDeletes]] pays the rewrite later, off the
-    * ingest path. Reads apply the pairs as an exact (file, ordinal)
-    * anti-join via Spark's `_metadata.row_index` ([[morFrame]]); files
-    * outside every pair's path bounds are provably untouched.
-    *
-    * The position scan itself is stat-pruned by the RESOLVED predicate
-    * (same bound logic as [[deleteWhere]]), so computing the pairs reads
-    * O(may-match files), never the table. Row ordinals are stable because
-    * data files are immutable, and every rewrite op materializes pending
-    * deletes first ([[materializePendingDeletes]]) — a rewrite that moved
-    * rows while pairs pend would silently retarget them.
-    *
-    * SQL null semantics: rows where `cond` is NULL are KEPT.
-    */
-  def positionDelete(name: String, cond: Column): PositionDeleteReport = {
-    require(exists(name), s"no such table: $name")
-    val man = currentManifest(name)
-    // reserved-name guard (the __graft_p discipline): the MOR read would
-    // silently overwrite-then-drop a user column with these names
-    require(!man.schema.fieldNames.exists(Seq(PosFileCol, PosIdxCol, "__pdel_meta").contains),
-      s"positionDelete reserves column names $PosFileCol/$PosIdxCol/__pdel_meta; rename the table column")
-    val resolved = spark.createDataFrame(new java.util.ArrayList[Row](), man.schema)
-      .filter(cond).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }.getOrElse(return PositionDeleteReport(currentVersion(name), 0L, man.files.size))
-    val (victims, untouched) =
-      man.files.partition(f => graft.catalog.ManifestPruneRule.mayMatch(f, resolved))
-    if (victims.isEmpty)
-      return PositionDeleteReport(currentVersion(name), 0L, untouched.size)
-    val next = currentVersion(name) + 1
-    // pairs come from the DELETE-APPLIED view (as positionUpdate): a row
-    // already dead to a pending equality/positional delete gets no
-    // redundant position, so vectors never accrete dead entries and the
-    // report's `positions` counts rows actually removed from the live view
-    val pairs = morFrameImpl(name,
-        Manifest(man.schema, victims, man.deletes), keepPositions = true)
-      .filter(coalesce(cond, lit(false)))
-      .select(col(PosFileCol), col(PosIdxCol))
-    val (dels, fresh) = writeDeletionVectors(name, next, man, pairs)
-    if (dels.isEmpty) return PositionDeleteReport(currentVersion(name), 0L, untouched.size)
-    val targets = dels.head.cols.toSet
-    val kept = sweepSupersededDvs(man.deletes, targets)
-    // Rebase: the vectors are valid only while their target files and the
-    // delete set they were merged through survive unchanged.
-    commitOrRebase(name, next, Manifest(man.schema, man.files, kept ++ dels),
-      (base, n2) =>
-        if (base.schema != man.schema || base.deletes != man.deletes ||
-            !filesIntact(base, victims)) None
-        else Some(Manifest(man.schema, base.files, kept ++ dels.map(_.copy(seq = n2)))))
-    PositionDeleteReport(next, fresh, untouched.size)
-  }
-
-  /** Materialize pending equality deletes into rewritten data files (the
-    * Iceberg rewrite-deletes maintenance action) and clear the manifest's
-    * delete list. Files PROVABLY untouched by every delete that applies to
-    * them — any shared key column whose [min,max] ranges are disjoint, or
-    * either side all-null, the merge prune rule — carry over byte-identical;
-    * only the rest are read back (with deletes applied) and rewritten. Runs
-    * automatically at the head of every rewrite op (merge / compact /
-    * deleteWhere / SCD2): a raw-file rewrite stamps seq = next, which would
-    * lift deleted rows PAST the pending delete's sequence number and
-    * resurrect them.
-    */
-  /** A delete file provably cannot touch a data file when some key column's
-    * stat ranges are disjoint (or either side is all-null under plain
-    * equality) — shared by [[compactDeletes]] (skip the rewrite) and
-    * [[readChanges]] (skip the changed-file scan).
-    */
-  private def statsDisjoint(f: DataFile, d: DeleteFile): Boolean =
-    if (d.kind == "dv")
-      // a deletion vector names its target data files explicitly: provably
-      // untouched iff the file is not a target — exact, not a bound
-      !d.cols.contains(f.path)
-    else d.cols.exists { c =>
-      (f.stats.get(c), d.stats.get(c)) match {
-        case (Some(ColStat("z", _, _, _)), _) => true // no non-null data value
-        case (_, Some(ColStat("z", _, _, _))) => true // no non-null key value
-        case (Some(fs), Some(ds)) => ds.kind == fs.kind &&
-          (StatsPruning.cmp(fs.kind, fs.min, ds.max) > 0 ||
-            StatsPruning.cmp(fs.kind, fs.max, ds.min) < 0)
-        case _ => false
-      }
-    }
-
-  def compactDeletes(name: String): Long = {
-    val man = currentManifest(name)
-    if (man.deletes.isEmpty) return currentVersion(name)
-    val next = currentVersion(name) + 1
-    val (untouched, victims) = man.files.partition { f =>
-      man.deletes.forall(d => d.seq <= f.seq || statsDisjoint(f, d))
-    }
-    val rewritten =
-      if (victims.isEmpty) Nil
-      else {
-        val frame = morFrame(name, Manifest(man.schema, victims, man.deletes))
-        writeData(name, cluster(frame, Nil, partitionSpec(name)), man.schema,
-          s"d${next}x", inheritedStatsCols(name, Some(man)), seq = next,
-          spec = partitionSpec(name))
-      }
-    // Rebase: clears the delete list it materialized, so the winner must
-    // not have changed it; victims intact; concurrently-added files carry
-    // (their seq post-dates every pending delete, so none applied to them).
-    commitOrRebase(name, next, Manifest(man.schema, untouched ++ rewritten),
-      (base, n2) => {
-        val victimPaths = victims.map(_.path).toSet
-        if (base.schema != man.schema || base.deletes != man.deletes ||
-            !filesIntact(base, victims)) None
-        else Some(Manifest(man.schema, base.files.filterNot(f => victimPaths.contains(f.path)) ++
-          rewritten.map(_.copy(seq = n2))))
-      })
-  }
-
-  /** Pending-MOR-delete guard for rewrite ops — see [[compactDeletes]]. */
-  private def materializePendingDeletes(name: String): Unit =
-    if (exists(name) && currentManifest(name).deletes.nonEmpty) compactDeletes(name)
-
-  /** [[compact]]'s manifest-grain face (same `rewriteDataFiles` family, one
-    * shared rewrite core): select victims by ROW COUNT — manifest-resident,
-    * so the sweep makes zero filesystem stat calls at any table size
-    * (proportional to bytes for a fixed schema) — and re-cluster them on
-    * `clusterBy` keys within the table's partition spec, so a compacted
-    * index table keeps its probe-pruning key ranges tight (a postings table
-    * compacts with `clusterBy = Seq("term")`, a codes table with `cell`).
-    * Use [[compact]] when true byte sizing or a sortBy/z-order layout is
-    * wanted. Pending MOR deletes materialize first (no resurrection); a
-    * table with fewer than two small files is already compact and commits
-    * nothing; content is byte-identical and prior snapshots stay
-    * travelable until expiry.
-    */
-  def compactFiles(name: String, smallRows: Long = 100000L,
-                   clusterBy: Seq[String] = Nil): Long = {
-    require(exists(name), s"no such table: $name")
-    materializePendingDeletes(name)
-    val man = currentManifest(name)
-    val (small, _) = man.files.partition(_.rows < smallRows)
-    if (small.size < 2) return currentVersion(name)
-    rewriteSmallFiles(name, man, small, clusterBy,
-      src => cluster(src, clusterBy, partitionSpec(name)), sortedBy = clusterBy)
-  }
-
-  /** Thresholds for [[maintain]] — each maps one manifest-resident signal
-    * to one maintenance action (all signals cost zero data-file reads):
-    *   - `deleteKeyRatio`: [[compactDeletes]] when pending MOR delete keys
-    *     reach this fraction of table rows (the `$deletes`-table signal —
-    *     every read pays the anti-joins until materialization), or when the
-    *     pending delete FILE count alone reaches `maxDeleteFiles` (many tiny
-    *     deletes cost per-file key scans regardless of key volume);
-    *   - `smallFileRows`/`smallFileCount`: [[compactFiles]] when at least
-    *     `smallFileCount` files sit under `smallFileRows` rows (the
-    *     `$files`/`$partitions` small-file-buildup signal — O(batch)
-    *     ingestion inevitably accretes them);
-    *   - `keepSnapshots`: [[expireSnapshots]] when history exceeds it
-    *     (tagged snapshots stay protected, per expiry's own contract).
-    */
-  final case class MaintenancePolicy(deleteKeyRatio: Double = 0.05,
-      maxDeleteFiles: Int = 8, smallFileRows: Long = 100000L,
-      smallFileCount: Int = 8, keepSnapshots: Int = 10)
-
-  /** What [[maintain]] did and why — `version` is the table's version after
-    * the pass (unchanged when the table was healthy).
-    */
-  final case class MaintenanceReport(version: Long, deletesCompacted: Boolean,
-      filesCompacted: Boolean, snapshotsExpired: Boolean)
-
-  /** Policy-driven auto-maintenance: read the manifest signals and run
-    * exactly the actions they justify — the Iceberg maintenance-procedures
-    * analog, driven by the same metadata the `$files`/`$deletes`/
-    * `$partitions` tables expose. Results are never changed (each action
-    * is a content-preserving rewrite, spec-pinned) and a healthy table
-    * commits NOTHING — maintain is idempotent and safe on a schedule. At
-    * 100 TB this is the difference between a table that stays fast and one
-    * that drowns in delete anti-joins and per-file open costs: the decision
-    * itself stays metadata-scale, so a scheduler can sweep every table
-    * cheaply and only pay rewrite cost where a signal fired.
-    */
-  def maintain(name: String,
-               policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
-    require(exists(name), s"no such table: $name")
-    val man = currentManifest(name)
-    val tableRows = math.max(man.files.map(_.rows).sum, 1L)
-    val deleteKeys = man.deletes.map(_.rows).sum
-    val doDeletes = man.deletes.nonEmpty &&
-      (deleteKeys.toDouble / tableRows >= policy.deleteKeyRatio ||
-        man.deletes.size >= policy.maxDeleteFiles)
-    if (doDeletes) compactDeletes(name)
-    // re-read: delete materialization may have rewritten files
-    val man2 = currentManifest(name)
-    val doFiles =
-      man2.files.count(_.rows < policy.smallFileRows) >= policy.smallFileCount
-    if (doFiles) compactFiles(name, policy.smallFileRows)
-    val doExpire = history(name).size > policy.keepSnapshots
-    if (doExpire) expireSnapshots(name, policy.keepSnapshots)
-    MaintenanceReport(currentVersion(name), doDeletes, doFiles, doExpire)
-  }
-
-  // --------------------------------------------- write-audit-publish (WAP) --
-
-  /** Stage a batch as an UNPUBLISHED candidate (Iceberg WAP pattern): data
-    * files are written for real, but no snapshot commits — the table is
-    * untouched until [[publishStage]]. The audit step reads the candidate
-    * state via [[loadStage]] (quality gates, row-count deltas, the q122-q126
-    * audits) and either publishes or [[dropStage]]s. Staged data dirs are
-    * named `stg*`; [[expireSnapshots]] treats a pending stage manifest's
-    * files as referenced — stage lifecycle is EXPLICIT (publish or drop), so
-    * an audit running for hours can't have its files garbage-collected out
-    * from under it, while files of expired snapshots that were ADOPTED from
-    * a published stage do get swept from their stg* dirs.
-    *
-    * Publish semantics per mode:
-    *   - append: fast-append cherry-pick — publishes onto WHATEVER the
-    *     current snapshot is (interim commits are kept; only a schema
-    *     change since staging is a conflict);
-    *   - replace: the audit certified an exact table STATE, so any interim
-    *     commit is a conflict (ConcurrentModificationException), mirroring
-    *     the OCC contract of the direct write path.
-    */
-  def stageAppend(name: String, df: DataFrame, statsCols: Seq[String] = Nil): String =
-    stage(name, df, "append", statsCols)
-
-  /** See [[stageAppend]]; the staged candidate REPLACES the table on publish. */
-  def stageReplace(name: String, df: DataFrame, statsCols: Seq[String] = Nil): String =
-    stage(name, df, "replace", statsCols)
-
-  private def stage(name: String, df: DataFrame, mode: String,
-                    statsCols: Seq[String]): String = {
-    require(exists(name), s"staging requires an existing table: $name")
-    val man = currentManifest(name)
-    val base = currentVersion(name)
-    val schema = targetSchema(if (mode == "append") Some(man) else None, df)
-    val id = java.util.UUID.randomUUID().toString.take(8)
-    val spec = partitionSpec(name)
-    val entries = writeData(name, cluster(SchemaOps.conform(df, schema), Nil, spec),
-      schema, s"stg$id", statsCols ++ spec ++ inheritedStatsCols(name, Some(man)), spec = spec)
-    Manifest.write(stagePath(name, id, mode, base), Manifest(schema, entries))
-    id
-  }
-
-  private def stagePath(name: String, id: String, mode: String, baseV: Long) =
-    tableDir(name).resolve(s"stage-$id.$mode.$baseV.manifest")
-
-  /** (path, mode, baseVersion) of a stage, or a loud failure. */
-  private def findStage(name: String, id: String): (Path, String, Long) = {
-    val hits = {
-      val s = Files.list(tableDir(name))
-      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-        .filter(_.getFileName.toString.startsWith(s"stage-$id."))
-        .filter(_.getFileName.toString.endsWith(".manifest")).toSeq
-      finally s.close()
-    }
-    require(hits.size == 1, s"no such stage: $name/$id")
-    val parts = hits.head.getFileName.toString.split('.')
-    (hits.head, parts(1), parts(2).toLong)
-  }
-
-  /** Ids of all unpublished stages of `name` (operator hygiene: find
-    * forgotten candidates — staged files live until publish or drop).
-    */
-  def listStages(name: String): Seq[String] =
-    if (!Files.exists(tableDir(name))) Nil
-    else {
-      val s = Files.list(tableDir(name))
-      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("stage-") && n.endsWith(".manifest"))
-        .map(_.stripPrefix("stage-").split('.').head).toSeq.sorted
-      finally s.close()
-    }
-
-  /** The candidate table state the audit step reads: base + batch for an
-    * append stage, the batch alone for a replace stage. The base rides
-    * [[morFrame]], so PENDING equality deletes apply exactly as they do on
-    * every other read — an audit must never see rows a publish would not
-    * adopt. Staged files are sequenced above every pending delete for the
-    * audit view, mirroring publish (adopted files get the publish commit's
-    * seq, shielding them from carried-forward deletes).
-    */
-  def loadStage(name: String, stageId: String): DataFrame = {
-    val (p, mode, _) = findStage(name, stageId)
-    val sm = Manifest.read(p)
-    val cur = currentManifest(name)
-    val (files, deletes) =
-      if (mode == "append")
-        (cur.files ++ sm.files.map(_.copy(seq = Long.MaxValue)), cur.deletes)
-      else (sm.files, Nil)
-    morFrame(name, Manifest(sm.schema, files, deletes))
-  }
-
-  /** `stage-<id>...published` tombstone beside a marker: durable proof the
-    * stage's commit landed, written by ATOMIC RENAME of the marker itself
-    * right after the commit. Unlike snapshot-path evidence it survives
-    * expiry and table rewrites, which closes the re-publish double-apply
-    * window those could otherwise reopen.
-    */
-  private def tombstoneOf(p: Path): Path =
-    p.resolveSibling(p.getFileName.toString.stripSuffix(".manifest") + ".published")
-
-  private def findTombstones(name: String, id: String): Seq[Path] = {
-    val s = Files.list(tableDir(name))
-    try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-      .filter(_.getFileName.toString.startsWith(s"stage-$id."))
-      .filter(_.getFileName.toString.endsWith(".published")).toSeq
-    finally s.close()
-  }
-
-  /** Commit the audited candidate. One manifest commit under the same OCC
-    * guard as every write; the staged data files are adopted by path, so
-    * publish moves zero bytes.
-    */
-  def publishStage(name: String, stageId: String): Long = {
-    // A crash between a prior publish's commit and its marker finalization
-    // leaves the durable tombstone: re-publish is then a pure cleanup — no
-    // snapshot inspection, no dependence on what expiry kept around.
-    val stones = findTombstones(name, stageId)
-    if (stones.nonEmpty) {
-      stones.foreach(Files.deleteIfExists(_))
-      return currentVersion(name)
-    }
-    val (p, mode, baseV) = findStage(name, stageId)
-    val sm = Manifest.read(p)
-    val cur = currentVersion(name)
-    val curMan = currentManifest(name)
-    // Idempotent re-publish, layered:
-    //   1. the tombstone above — written by atomic rename IMMEDIATELY after
-    //      the commit, so the unprotected window is one rename wide;
-    //   2. evidence-based detection for a crash inside that window:
-    //      - non-empty stage: its stg<id> file paths are globally unique, so
-    //        ANY retained snapshot containing them proves the commit landed —
-    //        the current manifest alone is not enough, because the table may
-    //        have been replaced since the crash, and re-appending the staged
-    //        rows onto the replaced table would be a silent double-publish;
-    //      - empty stage: no path evidence can exist, but publishing an
-    //        empty stage is content-neutral, so any commit past the stage's
-    //        base makes re-publish a pure cleanup;
-    //   3. [[expireSnapshots]] finalizes published-but-unfinalized markers
-    //      (same evidence check) BEFORE destroying the snapshots that carry
-    //      the evidence — so expiry can no longer reopen the window it used
-    //      to (the round-9 residual, now closed and spec-pinned).
-    val stagePaths = sm.files.map(_.path).toSet
-    val published =
-      if (stagePaths.isEmpty) cur > baseV
-      else (cur +: history(name)).distinct.exists(v =>
-        stagePaths.subsetOf(manifestAt(name, v).files.map(_.path).toSet))
-    if (published) {
-      Files.deleteIfExists(p)
-      return cur
-    }
-    val merged = mode match {
-      case "replace" =>
-        if (cur != baseV)
-          throw new java.util.ConcurrentModificationException(
-            s"$name: replace stage $stageId audited v$baseV but table is at " +
-              s"v$cur; re-stage against the current state")
-        Manifest(sm.schema, sm.files.map(_.copy(seq = cur + 1)))
-      case _ =>
-        if (curMan.schema != sm.schema)
-          throw new java.util.ConcurrentModificationException(
-            s"$name: schema changed since stage $stageId was written; re-stage")
-        // adopted files are sequenced at the PUBLISH commit (staged rows
-        // were never in the table, so an interim MOR delete — carried
-        // forward here — must not touch them)
-        Manifest(curMan.schema, curMan.files ++ sm.files.map(_.copy(seq = cur + 1)),
-          curMan.deletes)
-    }
-    val v = commitManifest(name, cur + 1, merged)
-    // finalize in two steps: one ATOMIC RENAME to the durable tombstone
-    // (from here on a replay is decided by the tombstone, never by snapshot
-    // evidence), then the tombstone delete completes the happy path
-    val stone = tombstoneOf(p)
-    Files.move(p, stone, StandardCopyOption.ATOMIC_MOVE)
-    Files.deleteIfExists(stone)
-    v
-  }
-
-  /** Abandon a stage: its manifest and data files are deleted (they were
-    * never referenced by any snapshot, so nothing else can see them). A
-    * stage that turns out to be a published-but-unfinalized tombstone is
-    * just the finalization cleanup.
-    */
-  def dropStage(name: String, stageId: String): Boolean = {
-    val stones = findTombstones(name, stageId)
-    if (stones.nonEmpty) return stones.map(Files.deleteIfExists(_)).forall(identity)
-    val (p, _, _) = findStage(name, stageId)
-    val sm = Manifest.read(p)
-    // a stage's files all live in its own stg* dir(s) — no snapshot ever
-    // referenced them, so the dirs go wholesale
-    sm.files.map(f => tableDir(name).resolve(f.path).getParent).distinct
-      .foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
-
-  // --------------------------------------------- atomic CTAS/RTAS staging --
-
-  /** Stage an atomic `CREATE [OR REPLACE] TABLE ... AS SELECT` (the
-    * StagingTableCatalog lifecycle): data files are written for real into
-    * the (possibly not-yet-existing) table directory, but the table stays
-    * INVISIBLE — [[exists]] is "a committed manifest is present", and none
-    * is until [[CtasStage.commit]] lands exactly one snapshot commit. A
-    * failed query aborts to nothing: no half-created table for readers to
-    * trip on, no empty husk to clean up (the non-atomic alternative —
-    * create-then-insert — exposes both states).
-    *
-    * `replaceExisting = true` stages an RTAS over the current version:
-    * commit REDEFINES the table (new schema, new partition spec, content =
-    * exactly the query result) as one snapshot commit, CAS-guarded against
-    * concurrent writers ([[publishStage]]'s replace conflict rule); old
-    * snapshots keep serving time travel. A crash between write and commit
-    * orphans only `ctas*` attempt dirs — once the table exists (or existed
-    * all along), [[expireSnapshots]]'s grace-aged unreferenced-file sweep
-    * collects them.
-    */
-  def stageCreateTable(name: String, schema: StructType, spec: Seq[String],
-                       replaceExisting: Boolean): CtasStage =
-    new CtasStage(name, schema, spec, replaceExisting)
-
-  final class CtasStage private[sink] (name: String, rawSchema: StructType,
-      spec: Seq[String], replaceExisting: Boolean) {
-    require(refOf(name).isEmpty,
-      s"cannot create a table at a branch name: $name (use createBranch)")
-    // fast-fail only — the real create-vs-create race is decided by the
-    // v0 commitManifest CAS in commit()
-    require(replaceExisting || !Warehouse.this.exists(name),
-      s"table already exists: $name")
-    require(!replaceExisting || Warehouse.this.exists(name),
-      s"no such table to replace: $name")
-
-    /** The committed table's schema: widened nullable + field-id-stamped,
-      * frozen here so every staged file carries the ids scans resolve by.
-      */
-    private val schema: StructType =
-      withFieldIds(StructType(rawSchema.fields.map(_.copy(nullable = true))))
-    private val canon = PartitionTransforms.canonical(spec, schema)
-    private val baseV: Option[Long] =
-      if (replaceExisting) Some(currentVersion(name)) else None
-    private val id = java.util.UUID.randomUUID().toString.take(8)
-    private var entries: Vector[DataFile] = Vector.empty
-
-    /** Write one batch of the query result (Spark's CTAS exec writes once;
-      * multiple calls accumulate). Files land under a stage-unique `ctas*`
-      * dir — unreferenced by any snapshot until commit.
-      */
-    def write(df: DataFrame, statsCols: Seq[String] = Nil): Unit = {
-      Files.createDirectories(tableDir(name))
-      val in = cluster(SchemaOps.conform(df, schema), Nil, canon)
-      entries = entries ++ writeData(name, in, schema, s"ctas$id-${entries.size}",
-        statsCols ++ canon, seq = 0L, spec = canon)
-    }
-
-    /** Publish: exactly ONE snapshot commit makes the table (or its new
-      * definition) visible. CREATE commits v0 directly with the staged
-      * files — racing creators are serialized by the manifest CAS, the
-      * loser surfaces `ConcurrentModificationException` and its files are
-      * aborted by the caller. REPLACE commits base+1 and refuses if the
-      * table moved since staging (the query read nothing from the table,
-      * but "replace" semantics promise the definition the user saw).
-      */
-    def commit(): Long = {
-      Files.createDirectories(tableDir(name))
-      val target = baseV match {
-        case None => 0L
-        case Some(b) =>
-          val cur = currentVersion(name)
-          if (cur != b) throw new java.util.ConcurrentModificationException(
-            s"$name: RTAS staged against v$b but table is at v$cur; re-run")
-          b + 1
-      }
-      // aux metadata: id high-water mark always (monotonic, harmless on a
-      // lost race); the spec FILE only for CREATE, where the dir is still
-      // invisible — an RTAS spec write before the commit would flip the
-      // LIVE table's layout mid-flight, so it lands after instead
-      reserveFieldIds(name, 0, schema.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max))
-      if (baseV.isEmpty && canon.nonEmpty) writeSpecFile(name, canon)
-      val v = commitManifest(name, target,
-        Manifest(schema, entries.map(_.copy(seq = target))))
-      // RTAS redefines the table's spec too (Iceberg REPLACE semantics); a
-      // crash inside this one-write window leaves the old spec file — a
-      // layout hint, never a correctness input (pruning/SPJ resolve per
-      // FILE from manifest stats)
-      if (baseV.nonEmpty) writeSpecFile(name, canon)
-      v
-    }
-
-    /** Abandon: every `ctas<id>*` dir of this stage goes wholesale — by id
-      * GLOB, not the entry list, because a query that failed MID-write
-      * (task abort inside `df.write.parquet`) leaves a partial attempt dir
-      * that never produced entries. No snapshot ever referenced any of it.
-      * A table directory created solely for this stage — the table never
-      * came to exist — goes with it.
-      */
-    def abort(): Unit = {
-      val d = tableDir(name)
-      if (Files.isDirectory(d)) {
-        val mine = {
-          val s = Files.list(d)
-          try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-            .filter(_.getFileName.toString.startsWith(s"ctas$id-")).toSeq
-          finally s.close()
-        }
-        mine.foreach(deleteRecursively)
-      }
-      entries = Vector.empty
-      if (baseV.isEmpty && !Warehouse.this.exists(name)) {
-        val d = tableDir(name)
-        val leftover = if (!Files.isDirectory(d)) Nil else {
-          val s = Files.list(d)
-          try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala.toSeq
-          finally s.close()
-        }
-        // only metadata this stage itself wrote can remain (id counter);
-        // anything else means a concurrent actor owns the dir — leave it
-        if (leftover.forall(p => p.getFileName.toString.startsWith("_")))
-          deleteRecursively(d)
-      }
-    }
-  }
-
-  private def writeSpecFile(name: String, canon: Seq[String]): Unit = {
-    val tmp = tableDir(name).resolve("_spec.tmp")
-    Files.writeString(tmp, canon.mkString("\n"))
-    Files.move(tmp, specPath(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  // ----------------------------------------------- column statistics (NDV) --
-
-  /** One analyzed column: approximate distinct count (Datasketches HLL,
-    * ~2% standard error), exact null count, and for variable-width columns
-    * the average/max byte-ish length (−1 = not applicable). `sketchB64` is
-    * the HLL sketch itself, kept so future re-analyzes / cross-table
-    * estimates can UNION sketches instead of rescanning.
-    */
-  final case class ColNdv(ndv: Long, nullCount: Long, avgLen: Long,
-                          maxLen: Long, sketchB64: String)
-
-  /** Stored table statistics: the snapshot version analyzed, its exact row
-    * count, and per-column [[ColNdv]].
-    */
-  final case class TableColStats(version: Long, rows: Long,
-                                 cols: Map[String, ColNdv])
-
-  private def colStatsPath(name: String) = tableDir(name).resolve("_colstats")
-
-  /** `ANALYZE` (the Iceberg Puffin/theta-sketch analog, Spark-served): ONE
-    * column-pruned pass over the current snapshot computes per-column HLL
-    * distinct sketches + null counts + length stats and stores them beside
-    * the table. Every later scan serves them to Catalyst as DSv2
-    * `columnStats` ([[graft.catalog.GraftParquetScan]]), where CBO's join
-    * reorder / selectivity / broadcast decisions read them — at 100 TB the
-    * difference between a plan keyed on real NDVs and one keyed on
-    * defaults. Stats are a SNAPSHOT measurement: later commits serve the
-    * last analyzed values until the next analyze (ordinary staleness, the
-    * contract every warehouse's ANALYZE has); `$snapshots`-style freshness
-    * is visible by comparing versions.
-    *
-    * `cols` empty = every atomic column. Non-HLL-native types are cast to
-    * string for sketching — injective renders (timestamps, dates, decimals,
-    * floats render distinctly), so distinctness is preserved.
-    */
-  def analyzeTable(name: String, cols: Seq[String] = Nil): TableColStats = {
-    require(exists(name), s"no such table: $name")
-    val man = currentManifest(name)
-    val version = currentVersion(name)
-    def atomic(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.ArrayType |
-           _: org.apache.spark.sql.types.MapType |
-           _: org.apache.spark.sql.types.StructType => false
-      case _ => true
-    }
-    val targets = man.schema.fields.filter(f =>
-      if (cols.isEmpty) atomic(f.dataType) else cols.contains(f.name)).toSeq
-    val unknown = cols.filterNot(c => man.schema.fieldNames.contains(c))
-    require(unknown.isEmpty, s"no such column(s): ${unknown.mkString(", ")}")
-    val bad = targets.filterNot(f => atomic(f.dataType))
-    require(bad.isEmpty,
-      s"cannot sketch non-atomic column(s): ${bad.map(_.name).mkString(", ")}")
-    import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
-    def sketchIn(f: StructField) = f.dataType match {
-      case IntegerType | LongType | StringType | BinaryType => col(f.name)
-      case _ => col(f.name).cast("string")
-    }
-    def isVarWidth(f: StructField) =
-      f.dataType == StringType || f.dataType == BinaryType
-    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: targets.zipWithIndex.flatMap {
-      case (f, i) =>
-        Seq(hll_sketch_agg(sketchIn(f)).as(s"__s$i"), count(col(f.name)).as(s"__c$i")) ++
-          (if (!isVarWidth(f)) Nil else Seq(
-            avg(length(col(f.name))).as(s"__a$i"), max(length(col(f.name))).as(s"__m$i")))
-    }
-    val r = load(name).select(targets.map(f => col(f.name)): _*)
-      .agg(aggs.head, aggs.tail: _*).head()
-    val rows = r.getLong(r.fieldIndex("__rows"))
-    val entries = targets.zipWithIndex.map { case (f, i) =>
-      val sketch = r.getAs[Array[Byte]](r.fieldIndex(s"__s$i"))
-      val ndv = org.apache.datasketches.hll.HllSketch.heapify(sketch)
-        .getEstimate.round
-      val (avgL, maxL) =
-        if (!isVarWidth(f)) (-1L, -1L)
-        else (Option(r.get(r.fieldIndex(s"__a$i"))).fold(-1L)(v =>
-          math.ceil(v.asInstanceOf[Double]).toLong),
-          if (r.isNullAt(r.fieldIndex(s"__m$i"))) -1L
-          else r.getInt(r.fieldIndex(s"__m$i")).toLong)
-      f.name -> ColNdv(ndv, rows - r.getLong(r.fieldIndex(s"__c$i")), avgL, maxL,
-        java.util.Base64.getEncoder.encodeToString(sketch))
-    }.toMap
-    val out = TableColStats(version, rows, entries)
-    val sb = new StringBuilder
-    sb.append("graft-colstats v1\n").append(version).append('\t').append(rows).append('\n')
-    entries.toSeq.sortBy(_._1).foreach { case (c, e) =>
-      sb.append(java.util.Base64.getEncoder.encodeToString(
-          c.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        .append('\t').append(e.ndv).append('\t').append(e.nullCount)
-        .append('\t').append(e.avgLen).append('\t').append(e.maxLen)
-        .append('\t').append(e.sketchB64).append('\n')
-    }
-    val tmp = tableDir(name).resolve("_colstats.tmp")
-    Files.writeString(tmp, sb.toString)
-    Files.move(tmp, colStatsPath(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    out
-  }
-
-  /** The stored [[analyzeTable]] result, if any. */
-  def columnStats(name: String): Option[TableColStats] = {
-    val p = colStatsPath(name)
-    if (!Files.exists(p)) return None
-    val lines = Files.readString(p).linesIterator.toSeq
-    if (lines.isEmpty || lines.head != "graft-colstats v1") return None
-    val Array(v, rows) = lines(1).split('\t')
-    val cols = lines.drop(2).filter(_.nonEmpty).map { l =>
-      val f = l.split('\t')
-      new String(java.util.Base64.getDecoder.decode(f(0)),
-        java.nio.charset.StandardCharsets.UTF_8) ->
-        ColNdv(f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong, f(5))
-    }.toMap
-    Some(TableColStats(v.toLong, rows.toLong, cols))
-  }
-
-  // ---------------------------------------------------------------- tags --
-
-  private def tagPath(name: String, tag: String) = {
-    require(tag.matches("[A-Za-z0-9][A-Za-z0-9._-]*"), s"invalid tag name: $tag")
-    tableDir(name).resolve(s"tag-$tag.ref")
-  }
-
-  /** Name a committed snapshot (Iceberg tag analog): a stable ref for
-    * reproducibility — "the corpus the model was trained on" — that
-    * [[expireSnapshots]] PROTECTS (the tagged manifest and its files
-    * survive any retention window until [[dropTag]]). Re-tagging an
-    * existing name moves it (atomic replace).
-    */
-  def tagSnapshot(name: String, tag: String, version: Long = -1L): Long = {
-    // all-digit names are unreachable via `VERSION AS OF` (the catalog tries
-    // numeric versions first), so reject them at CREATION only — tagPath
-    // stays permissive so a legacy all-digit tag can still be dropTag'd
-    // (pinning its snapshot against expiry forever would be worse)
-    require(!tag.forall(_.isDigit),
-      s"invalid tag name: $tag (all-digit names collide with snapshot versions)")
-    // tags name MAIN-ledger snapshots: a branch version number lives in a
-    // different version space, and a tag protecting "v3" must be
-    // unambiguous about whose v3 it pins against expiry
-    require(refOf(name).isEmpty, s"tags name main-ledger snapshots, not branch ones: $name")
-    // and the mirror of createBranch's shadow guard: `VERSION AS OF '<x>'`
-    // tries tags before branches, so a tag named like a live branch would
-    // silently capture the branch's resolution
-    require(!branches(name).contains(tag),
-      s"a branch named '$tag' exists on $name: VERSION AS OF would shadow it")
-    val v = if (version < 0) currentVersion(name) else version
-    require(v >= 0 && Files.exists(manifestPath(name, v)),
-      s"no such snapshot to tag: $name v=$v")
-    val p = tagPath(name, tag)
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    v
-  }
-
-  /** All tags of a table (tag -> version). */
-  def tags(name: String): Map[String, Long] =
-    if (!Files.exists(tableDir(name))) Map.empty
-    else {
-      val s = Files.list(tableDir(name))
-      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("tag-") && n.endsWith(".ref"))
-        .map { n =>
-          n.stripPrefix("tag-").stripSuffix(".ref") ->
-            Files.readString(tableDir(name).resolve(n)).trim.toLong
-        }.toMap
-      finally s.close()
-    }
-
-  /** Resolve a tag to its snapshot version. Tags name MAIN-ledger
-    * snapshots, so resolving one through a branch name would cross version
-    * spaces — refused (same guard as [[tagSnapshot]]).
-    */
-  def resolveTag(name: String, tag: String): Long = {
-    require(refOf(name).isEmpty, s"tags name main-ledger snapshots, not branch ones: $name")
-    tags(name).getOrElse(tag,
-      throw new IllegalArgumentException(s"no such tag: $name@$tag"))
-  }
-
-  /** Scan the snapshot a tag names. */
-  def loadTag(name: String, tag: String): DataFrame =
-    loadVersion(name, resolveTag(name, tag))
-
-  /** Release a tag (its snapshot becomes expirable again). */
-  def dropTag(name: String, tag: String): Boolean =
-    Files.deleteIfExists(tagPath(name, tag))
-
-  // ------------------------------------------------------------- branches --
-
-  private def forkPath(base: String, branch: String) =
-    tableDir(base).resolve(s"_fork@$branch")
-
-  /** Fork a WRITABLE branch from a committed snapshot (Iceberg branch
-    * analog; default: the current one). The branch is a full per-ref
-    * ledger named `<table>@<branch>`: its v0 manifest is a HARD LINK of
-    * the fork snapshot's — zero data IO, zero manifest copying, shared
-    * segments — and every warehouse verb (append, merge, morMerge,
-    * positional deletes, compaction, schema evolution, restore, change
-    * feed, transactions, time travel) works on the branch name unchanged,
-    * because they all resolve paths per ref. Data files stay in the base
-    * table's directory, shared BY PATH across every ref exactly like
-    * snapshots share them across versions; [[expireSnapshots]] counts every
-    * ref's manifests when deciding what is still referenced.
-    *
-    * This is the WAP pattern generalized from one staged batch to an
-    * arbitrary multi-commit workflow: build/audit N commits on the branch
-    * while main serves traffic untouched, then [[publishBranch]]
-    * fast-forwards main to the branch head in one atomic commit — or
-    * [[dropBranch]] abandons the whole line and expiry reclaims its files.
-    *
-    * Creation is itself atomic (the v0 hard link is a CREATE_NEW CAS): of
-    * two racing `createBranch` calls, one loses loudly.
-    */
-  def createBranch(name: String, branch: String, version: Long = -1L): Long = {
-    require(refOf(name).isEmpty, s"cannot branch a branch: $name")
-    require(branch.matches("[A-Za-z0-9][A-Za-z0-9._-]*"), s"invalid branch name: $branch")
-    // the two VERSION AS OF collisions, refused at create time: an
-    // all-digit name parses as a snapshot version (the branch would be
-    // unreachable from SQL), and a tag of the same name wins resolution
-    // (the branch would be silently shadowed) — mirror of tagSnapshot's
-    // guards
-    require(!branch.forall(_.isDigit),
-      s"invalid branch name: $branch (all-digit names collide with snapshot versions)")
-    require(exists(name), s"no such table: $name")
-    require(!tags(name).contains(branch),
-      s"a tag named '$branch' exists on $name: VERSION AS OF would shadow the branch")
-    val v = if (version < 0) currentVersion(name) else version
-    require(v >= 0 && Files.exists(manifestPath(name, v)),
-      s"no such snapshot to branch: $name v=$v")
-    val bname = s"$name@$branch"
-    // the v0 hard link IS the create CAS — it must come FIRST: of two
-    // racing createBranch calls (or a failed orchestration retry against a
-    // LIVE branch) the loser touches nothing, in particular not the
-    // winner's fork point, which guards publishBranch's fast-forward check
-    // against silently dropping main commits
-    try Files.createLink(manifestPath(bname, 0L), manifestPath(name, v))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalArgumentException(s"branch already exists: $bname")
-    }
-    // fork point second: a crash between the link and this write is
-    // repaired by [[forkVersion]] — the v0 hard link pins the fork
-    // snapshot's inode, so the fork version is recoverable
-    writeForkPoint(name, branch, v)
-    val ptmp = tableDir(name).resolve(s"_current@$branch.tmp")
-    Files.writeString(ptmp, "0")
-    Files.move(ptmp, pointer(bname), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    0L
-  }
-
-  private def writeForkPoint(name: String, branch: String, v: Long): Unit = {
-    val fp = forkPath(name, branch)
-    val tmp = fp.resolveSibling(fp.getFileName.toString + ".tmp")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, fp, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** All branches of a table, detected from their ledger files (not the
-    * pointer hints — a crash can lose a hint, never a committed manifest).
-    */
-  def branches(name: String): Seq[String] =
-    if (!Files.exists(tableDir(name))) Nil
-    else {
-      val pat = "m\\d+@(.+)\\.manifest".r
-      val s = Files.list(tableDir(name))
-      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-        .map(_.getFileName.toString)
-        .collect { case pat(b) => b }.toSeq.distinct.sorted
-      finally s.close()
-    }
-
-  /** The MAIN-ledger version a branch last forked from / published to —
-    * the base both sides share, and therefore the fast-forward guard.
-    */
-  def forkVersion(name: String, branch: String): Long = {
-    val fp = forkPath(name, branch)
-    if (Files.exists(fp)) return Files.readString(fp).trim.toLong
-    // repair createBranch's crash window (v0 link landed, fork-point write
-    // didn't): the v0 manifest is a hard link of the fork snapshot's, so
-    // the shared inode identifies which main version was forked; persist
-    // the recovered value so the repair runs once
-    val v0 = manifestPath(s"$name@$branch", 0L)
-    require(Files.exists(v0), s"no such branch: $name@$branch")
-    val recovered = history(name)
-      .find(v => Files.isSameFile(v0, manifestPath(name, v)))
-      .getOrElse(throw new IllegalStateException(
-        s"cannot recover the fork point of $name@$branch: its v0 manifest " +
-          "matches no main snapshot (fork snapshot expired mid-repair?)"))
-    writeForkPoint(name, branch, recovered)
-    recovered
-  }
-
-  /** Publish a branch head onto main as ONE atomic commit — the
-    * fast-forward half of write-audit-publish. Requires main to still sit
-    * at the branch's fork point: if main advanced since the fork, the two
-    * lines have DIVERGED and publishing would silently drop main's commits
-    * — that is a merge, and we refuse loudly (Iceberg's fast_forward
-    * semantics). The committed manifest is the branch head's — a delta
-    * write against main's current (= the fork snapshot), so the publish
-    * costs O(branch changes) metadata and ZERO data IO; the branch's data
-    * files are already in the table directory. On success the fork point
-    * advances to the published version, so a long-lived branch can keep
-    * cycling build→publish indefinitely.
-    */
-  def publishBranch(name: String, branch: String): Long = {
-    require(refOf(name).isEmpty, s"publish targets the base table: $name")
-    val bname = s"$name@$branch"
-    require(exists(bname), s"no such branch: $bname")
-    val forkV = forkVersion(name, branch)
-    val head = currentManifest(bname)
-    val cur = currentVersion(name)
-    if (cur != forkV) {
-      // roll-forward for OUR crash window (main commit landed, fork-point
-      // advance didn't): if main's head already IS the branch head, the
-      // publish completed — repair the fork point instead of wedging every
-      // future publish behind a manual reconcile. Set-compare: the two
-      // roots replay their segments in different orders
-      val mainHead = currentManifest(name)
-      if (mainHead.schema == head.schema && mainHead.files.toSet == head.files.toSet &&
-          mainHead.deletes.toSet == head.deletes.toSet) {
-        writeForkPoint(name, branch, cur)
-        return cur
-      }
-      throw new java.util.ConcurrentModificationException(
-        s"$name advanced since $bname forked (v$forkV -> v$cur): not a fast-forward; " +
-          "re-branch from the new head and replay, or reconcile manually")
-    }
-    val v = commitManifest(name, cur + 1, head)
-    writeForkPoint(name, branch, v)
-    v
-  }
-
-  /** Abandon a branch: its ledger (manifests + pointer + fork point) goes;
-    * data files the branch alone referenced become orphans that the next
-    * [[expireSnapshots]] reclaims. Files shared with main or another
-    * branch survive — reference counting IS the manifest union.
-    */
-  def dropBranch(name: String, branch: String): Boolean = {
-    require(refOf(name).isEmpty, s"dropBranch targets the base table: $name")
-    val bname = s"$name@$branch"
-    if (!Files.exists(tableDir(name)) || history(bname).isEmpty) return false
-    // visibility off FIRST (fork point, then pointer), ledger last: a
-    // crash mid-drop must never leave a publishable-looking branch whose
-    // early manifests are gone — without a fork point publish refuses, and
-    // a re-run of dropBranch (or the next one) finishes the tail
-    Files.deleteIfExists(forkPath(name, branch))
-    Files.deleteIfExists(pointer(bname))
-    history(bname).foreach(v => Files.deleteIfExists(manifestPath(bname, v)))
-    true
-  }
-
-  /** Change feed, file grain: the data files snapshot `toVersion` references
-    * that `fromVersion` does not — for appends this IS the set of ingested
-    * batches (manifests share unchanged files by path), so an incremental
-    * consumer reads O(new data), never rescanning the table. Merge/compact
-    * commits rewrite files, so their "added" files also carry surviving old
-    * rows — file-grain CDC is a SUPERSET of the row-level change set there
-    * (the Iceberg incremental-scan caveat); use [[diffRows]] when exact row
-    * changes are worth a two-snapshot comparison.
-    */
-  def addedFiles(name: String, fromVersion: Long, toVersion: Long): Seq[DataFile] = {
-    val before = manifestAt(name, fromVersion).files.map(_.path).toSet
-    manifestAt(name, toVersion).files.filterNot(f => before(f.path))
-  }
-
-  /** Scan only the files [[addedFiles]] reports — the incremental-consumer
-    * read path. Empty diff ⇒ empty frame with the snapshot schema.
-    * File-grain, so rows a pending MOR equality delete in the window
-    * removed are still reported (the same documented superset caveat as
-    * rewrites); [[readChanges]] is the exact path at the same O(changed
-    * files) cost, [[diffRows]] the exact two-full-scan arbiter.
-    */
-  def readAdded(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
-    val m = manifestAt(name, toVersion)
-    val paths = addedFiles(name, fromVersion, toVersion).map(f => resolvePath(name, f.path))
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema).parquet(paths: _*)
-  }
-
-  /** Exact row-level diff between two snapshots: (added, removed) as
-    * bag-semantics EXCEPT ALL in each direction. Costs two full snapshot
-    * scans — correct across merges/compactions where [[readAdded]]
-    * over-reports; reserve it for when exactness matters.
-    */
-  def diffRows(name: String, fromVersion: Long, toVersion: Long): (DataFrame, DataFrame) = {
-    val from = loadVersion(name, fromVersion)
-    val to = loadVersion(name, toVersion)
-    (to.exceptAll(from), from.exceptAll(to))
-  }
-
-  /** Exact row-level change feed between two snapshots at O(changed files)
-    * cost — the Iceberg changelog-scan analog, closing the gap between
-    * [[readAdded]] (cheap but a superset across rewrites/window deletes) and
-    * [[diffRows]] (exact but two full snapshot scans). Emits the `toVersion`
-    * columns plus `_change_type`: `+I` for rows in `toVersion` but not
-    * `fromVersion`, `-D` for the reverse — bag semantics, so an update
-    * surfaces as its old row `-D` plus its new row `+I`.
-    *
-    * Equal to [[diffRows]] by bag arithmetic: manifests share unchanged
-    * files BY PATH (files are immutable), and a shared file contributes the
-    * SAME rows to both snapshots unless an equality delete committed in the
-    * window applies to it — so in `S_to exceptAll S_from` every such
-    * contribution cancels term-for-term. What remains is exactly (a) files
-    * present in only one manifest (appended, or rewritten by
-    * merge/compact — the rewrite's carry-over rows cancel in the exceptAll
-    * against their removed source files) and (b) shared files whose
-    * applicable delete-file sets differ, and then only when some differing
-    * delete is not provably [[statsDisjoint]]. Only those files are read;
-    * at 100 TB an incremental consumer pays for its changes, never the
-    * table.
-    *
-    * Schema evolution: a column added in the window reads as null for
-    * from-side rows (matching what the evolved scan itself yields for
-    * pre-evolution files); a RENAMED column is the same field id relabeled
-    * and diffs by value under its new name; a DROPPED column projects away
-    * (rows differing only there collapse, the to-schema's semantics); a
-    * retyped column refuses loudly rather than fabricating a diff.
-    */
-  def readChanges(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
-    val mFrom = manifestAt(name, fromVersion)
-    val mTo = manifestAt(name, toVersion)
-    // field correspondence across the window: BY ID when both schemas carry
-    // field ids (so a rename is the same field relabeled and a reused NAME
-    // is a different field), by name otherwise. A matched pair must keep
-    // its type (retype refuses); a from-field with no counterpart was
-    // DROPPED and projects away (rows differing only there collapse — the
-    // to-schema's own semantics); a to-field with no counterpart was added
-    // and null-fills on the from side.
-    val bothIds = hasFieldIds(mFrom.schema) && hasFieldIds(mTo.schema)
-    val fromById = mFrom.schema.fields.flatMap(f => fieldIdOf(f).map(_ -> f)).toMap
-    def fromFieldFor(g: StructField): Option[StructField] =
-      if (bothIds) fieldIdOf(g).flatMap(fromById.get)
-      else mFrom.schema.fields.find(_.name == g.name)
-    mTo.schema.fields.foreach { g =>
-      fromFieldFor(g).foreach(f =>
-        require(f.dataType == g.dataType,
-          s"readChanges across a destructive schema change on '${g.name}' is unsupported"))
-    }
-    val fromByPath = mFrom.files.map(f => f.path -> f).toMap
-    val toPaths = mTo.files.map(_.path).toSet
-    val added = mTo.files.filterNot(f => fromByPath.contains(f.path))
-    val removed = mFrom.files.filterNot(f => toPaths.contains(f.path))
-    // shared files a window delete-delta could actually touch: applicable
-    // delete sets differ AND some differing delete overlaps by stats
-    val affected = mTo.files.filter { f =>
-      fromByPath.contains(f.path) && {
-        val dTo = mTo.deletes.filter(_.seq > f.seq)
-        val dFrom = mFrom.deletes.filter(_.seq > fromByPath(f.path).seq)
-        val toP = dTo.map(_.path).toSet
-        val fromP = dFrom.map(_.path).toSet
-        (dTo.filterNot(d => fromP(d.path)) ++ dFrom.filterNot(d => toP(d.path)))
-          .exists(d => !statsDisjoint(f, d))
-      }
-    }
-    val changedTo = morFrame(name,
-      Manifest(mTo.schema, added ++ affected, mTo.deletes))
-    val fromRaw = morFrame(name,
-      Manifest(mFrom.schema, removed ++ affected.map(f => fromByPath(f.path)), mFrom.deletes))
-    val changedFrom = fromRaw.select(mTo.schema.fields.toSeq.map { g =>
-      fromFieldFor(g) match {
-        case Some(f) => col(f.name).as(g.name)
-        case None    => lit(null).cast(g.dataType).as(g.name)
-      }
-    }: _*)
-    changedTo.exceptAll(changedFrom).withColumn("_change_type", lit("+I"))
-      .unionByName(
-        changedFrom.exceptAll(changedTo).withColumn("_change_type", lit("-D")))
-  }
 
   /** Drop all but the newest `keepLast` snapshots and garbage-collect data
     * files no surviving manifest references (Iceberg `expireSnapshots`).
@@ -3594,193 +2191,6 @@ final class Warehouse(private[sink] val spark: SparkSession, root: String,
     }
   }
 
-  // ------------------------------------------------------- streaming state --
-
-  private def streamStatePath(name: String, streamId: String) =
-    tableDir(name).resolve(s"_stream_$streamId")
-
-  /** Highest micro-batch id already committed for `streamId` into `name`
-    * (-1 if none) — the replay guard for foreachBatch sinks.
-    */
-  def lastCommittedBatchId(name: String, streamId: String): Long = {
-    val p = streamStatePath(name, streamId)
-    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
-  }
-
-  /** Record `batchId` as committed (atomic pointer swap, same protocol as the
-    * snapshot pointer). Written AFTER the data commit: a crash inside the
-    * two-write window re-applies at most one batch — harmless for the
-    * idempotent merge/replace dispositions, at-least-once for append (the
-    * same guarantee foreachBatch itself gives).
-    */
-  def recordBatchId(name: String, streamId: String, batchId: Long): Unit = {
-    Files.createDirectories(tableDir(name))
-    val tmp = tableDir(name).resolve(s"_stream_$streamId.tmp")
-    Files.writeString(tmp, batchId.toString)
-    Files.move(tmp, streamStatePath(name, streamId), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  private def streamFilesDir(name: String, streamId: String) =
-    tableDir(name).resolve(s"_stream_files_$streamId")
-
-  /** Segment-count threshold beyond which [[recordFiles]] folds the ledger
-    * into one segment. 64 keeps reads at ≤64 small file opens while commits
-    * stay O(batch) between compactions.
-    */
-  private val LedgerCompactSegments = 64
-
-  private def ledgerSegments(name: String, streamId: String): Seq[Path] = {
-    val dir = streamFilesDir(name, streamId)
-    if (!Files.isDirectory(dir)) Nil
-    else {
-      val s = Files.list(dir)
-      try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-        .filter(_.getFileName.toString.startsWith("seg-")).toSeq
-      finally s.close()
-    }
-  }
-
-  /** Source files already loaded into `name` by `streamId` — the FILE-level
-    * idempotence ledger for file-source streams. Unlike a batch-id
-    * high-watermark, file identity survives checkpoint loss (a rebuilt
-    * checkpoint renumbers batches from 0 but redelivers the same paths).
-    * Stored as the UNION of append-only segment files, so reads tolerate
-    * duplicate entries across segments. Metadata scale: O(#source files),
-    * the same order as the manifest.
-    */
-  def loadedFiles(name: String, streamId: String): Set[String] =
-    ledgerSegments(name, streamId)
-      .flatMap(p => Files.readString(p).linesIterator.filter(_.nonEmpty)).toSet
-
-  /** Record one batch's `files` in the loaded-files ledger by APPENDING a
-    * new segment — O(batch), not O(total files) (a long-lived stream
-    * rewriting the full ledger per micro-batch is cumulatively quadratic).
-    * Called AFTER the data commit: a crash in the window re-applies at most
-    * one batch's unrecorded files.
-    *
-    * When segments exceed [[LedgerCompactSegments]] the ledger is folded:
-    * the merged set is written as a fresh segment FIRST, then the old
-    * segments are removed — a crash mid-fold only leaves duplicate entries,
-    * which the set union in [[loadedFiles]] absorbs. Safe because
-    * foreachBatch serializes the stream's commits (single writer per
-    * streamId).
-    */
-  def recordFiles(name: String, streamId: String, files: Seq[String]): Unit = {
-    val dir = streamFilesDir(name, streamId)
-    Files.createDirectories(dir)
-    def writeSegment(lines: Seq[String]): Unit = {
-      val id = java.util.UUID.randomUUID().toString.take(12)
-      val tmp = dir.resolve(s".seg-$id.tmp")
-      Files.writeString(tmp, lines.mkString("\n"))
-      Files.move(tmp, dir.resolve(s"seg-$id"), StandardCopyOption.ATOMIC_MOVE)
-    }
-    writeSegment(files.distinct.sorted)
-    val segments = ledgerSegments(name, streamId)
-    if (segments.size > LedgerCompactSegments) {
-      writeSegment(loadedFiles(name, streamId).toSeq.sorted)
-      segments.foreach(Files.deleteIfExists(_))
-    }
-  }
-
-  /** Dispatch on a resource's declared disposition (I6), collecting per-file
-    * stats on the resource's PKs (+ replication key) AND range-clustering
-    * each batch on its keys — unclustered batch files all span the full key
-    * range, making every stat bound vacuous; clustered ones are disjoint,
-    * so later merges and predicate file skipping actually prune. One extra
-    * batch-sized shuffle per micro-batch buys O(matching files) IO on every
-    * subsequent merge/scan of a 100 TB table.
-    */
-  def write(res: ResourceDef, df: DataFrame): Long = {
-    val keys = (res.primaryKeys ++ res.replicationKey).filter(df.columns.contains)
-    res.mode match {
-      case WriteMode.Replace => replace(res.name, df, keys, clusterBy = keys)
-      case WriteMode.Merge   => merge(res.name, df, res.primaryKeys, clusterBy = res.primaryKeys)
-      case WriteMode.Append  => append(res.name, df, keys, clusterBy = keys)
-    }
-  }
-
-  /** The staging face of [[transact]] — append-shaped writes only, because
-    * only append-shaped commits are unconditionally rebase-safe (the
-    * all-or-nothing guarantee must never meet a true OCC conflict mid-loop).
-    * Each op writes its data files NOW (in per-txn attempt dirs, invisible
-    * to readers) and stages manifest entries; the transaction's commit
-    * point is the durable intent marker.
-    */
-  final class WarehouseTxn private[sink] (txnId: String) {
-    private[sink] final class TxnDelta(val schema: StructType) {
-      var files: Vector[DataFile] = Vector.empty
-      var dels: Vector[DeleteFile] = Vector.empty
-    }
-    private[sink] val deltas =
-      scala.collection.mutable.LinkedHashMap.empty[String, TxnDelta]
-    private var opN = 0
-
-    private def deltaFor(name: String, schema: StructType): TxnDelta =
-      deltas.getOrElseUpdate(name, new TxnDelta(schema))
-
-    /** Staged [[Warehouse.append]]; auto-creates the table (the create
-      * itself is an ordinary empty-v0 commit, visible but contentless).
-      */
-    def append(name: String, df: DataFrame, statsCols: Seq[String] = Nil,
-               clusterBy: Seq[String] = Nil): Unit = {
-      if (!Warehouse.this.exists(name)) Warehouse.this.create(name, df.schema)
-      val man = currentManifest(name)
-      val spec = partitionSpec(name)
-      val in = cluster(SchemaOps.conform(df, man.schema), clusterBy, spec)
-      opN += 1
-      val entries = writeData(name, in, man.schema, s"dtx$txnId-$opN",
-        statsCols ++ clusterBy ++ spec ++ inheritedStatsCols(name, Some(man)),
-        seq = 0L, spec = spec)
-      deltaFor(name, man.schema).files ++= entries
-    }
-
-    /** Staged [[Warehouse.morMerge]] (one-commit merge-on-read upsert).
-      * Staged deletes apply to PRE-transaction rows only: every entry of a
-      * table lands at one sequence number, so this op's delete shields the
-      * whole transaction's staged rows, not just its own batch.
-      */
-    def morMerge(name: String, df: DataFrame, pks: Seq[String],
-                 clusterBy: Seq[String] = Nil): Unit = {
-      if (pks.isEmpty || !pks.forall(df.columns.contains) ||
-          !Warehouse.this.exists(name)) {
-        append(name, df, pks.filter(df.columns.contains),
-          clusterBy.filter(df.columns.contains))
-        return
-      }
-      val man = currentManifest(name)
-      val schema = man.schema
-      val in = SchemaOps.conform(df, schema)
-      val spec = partitionSpec(name)
-      opN += 1
-      val dataEntries = writeData(name, cluster(in, clusterBy, spec), schema,
-        s"dtx$txnId-$opN",
-        pks ++ clusterBy ++ spec ++ inheritedStatsCols(name, Some(man)),
-        seq = 0L, spec = spec, sortedBy = clusterBy)
-      val keySchema = StructType(schema.fields.filter(f => pks.contains(f.name)))
-      val delEntries = writeData(name, in.select(pks.map(col): _*).distinct(),
-        keySchema, s"deltx$txnId-$opN", pks, seq = 0L)
-      val d = deltaFor(name, schema)
-      d.files ++= dataEntries
-      d.dels ++= delEntries.filter(_.rows > 0)
-        .map(e => DeleteFile(e.path, e.rows, 0L, pks, e.stats))
-    }
-
-    /** Staged [[Warehouse.equalityDelete]]. */
-    def equalityDelete(name: String, keys: DataFrame): Unit = {
-      require(Warehouse.this.exists(name), s"no such table: $name")
-      val man = currentManifest(name)
-      val cols = keys.columns.toSeq
-      require(cols.nonEmpty && cols.forall(man.schema.fieldNames.contains),
-        s"delete key columns must be table columns: ${cols.mkString(",")}")
-      val keySchema = StructType(man.schema.fields.filter(f => cols.contains(f.name)))
-      opN += 1
-      val entries = writeData(name, SchemaOps.conform(keys, keySchema).distinct(),
-        keySchema, s"deltx$txnId-$opN", cols, seq = 0L)
-      deltaFor(name, man.schema).dels ++= entries.filter(_.rows > 0)
-        .map(e => DeleteFile(e.path, e.rows, 0L, cols, e.stats))
-    }
-  }
 }
 
 object Warehouse {
