@@ -137,6 +137,23 @@ private[catalog] object GraftProcedures {
         Seq(Row(r.version, r.rows, r.cols.size))
       }),
 
+    Proc("analyze_incremental",
+      "refresh stored column stats by UNIONING new files' HLL sketches " +
+        "into the stored ones when the window since the last analyze is " +
+        "append-only — O(new files), never a table rescan; falls back to " +
+        "a full analyze when unprovable (incremental = false)",
+      Array(param("tbl", StringType), param("cols", StringType, "''")),
+      StructType(Seq(StructField("version", LongType),
+        StructField("row_count", LongType), StructField("columns", IntegerType),
+        StructField("scanned_files", IntegerType),
+        StructField("incremental", BooleanType))),
+      (wh, in) => {
+        val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val r = wh.analyzeIncremental(str(in, 0), cols)
+        Seq(Row(r.stats.version, r.stats.rows, r.stats.cols.size,
+          r.scannedFiles, r.incremental))
+      }),
+
     Proc("build_bloom_index",
       "per-file Bloom sidecars for point-lookup file pruning on " +
         "high-cardinality unclustered keys; incremental — only files " +

@@ -134,7 +134,7 @@ class ProcedureSpec extends SparkSpec {
     assert(names == Set("compact", "compact_files", "compact_deletes",
       "expire_snapshots", "maintain", "rewrite_manifests", "restore",
       "create_tag", "drop_tag", "create_branch", "publish_branch", "drop_branch",
-      "analyze", "build_bloom_index"))
+      "analyze", "analyze_incremental", "build_bloom_index"))
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.maintain")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("maintain") && desc.contains("policy-driven"))
