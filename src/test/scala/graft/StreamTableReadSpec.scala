@@ -257,6 +257,25 @@ class StreamTableReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("$changes follows a BRANCH ledger: per-ref windows, main unaffected") {
+    wh.create("c3", schema)
+    wh.append("c3", frame(1L -> "a"), statsCols = Seq("k"))
+    wh.createBranch("c3", "dev")
+    wh.append("c3@dev", frame(2L -> "b"), statsCols = Seq("k"))
+    wh.equalityDelete("c3@dev", frame(1L -> "x").select("k"))
+    val head = wh.currentVersion("c3@dev")
+    // batch face over the branch ref: the branch's own history
+    val got = cdcRows(spark.read.table(s"$cat.`c3@dev$$changes`")).toSet
+    assert(got == Set((2L, "b", "+I")),
+      s"branch net history must reflect branch commits: $got")
+    val win = cdcRows(spark.read.option("from-version", 1)
+      .option("to-version", head).table(s"$cat.`c3@dev$$changes`")).sorted
+    assert(win == cdcRows(wh.readChanges("c3@dev", 1, head)).sorted)
+    // main's feed never sees branch commits
+    assert(cdcRows(spark.read.table(s"$cat.`c3$$changes`")).toSet ==
+      Set((1L, "a", "+I")))
+  }
+
   test("guards: time-travel snapshots cannot stream; pending MOR deletes fail at scan build") {
     wh.create("s5", schema)
     wh.append("s5", frame(1L -> "a"), statsCols = Seq("k"))
