@@ -81,6 +81,10 @@ object AnalyticQueries {
   private lazy val q157Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q157")
 
+  /** q158's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q158Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q158")
+
   /** q155's per-JVM warehouse root — same stable-path discipline. */
   private lazy val q155Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q155")
@@ -322,6 +326,38 @@ object AnalyticQueries {
             |FROM gq157.ord GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin)
           .localCheckpoint()
       } finally wipe(q157Root)
+    },
+
+    // INCREMENTAL ANALYZE (q158): analyze half the customers, append the
+    // other half, refresh incrementally — the refresh scans ONLY the new
+    // files and UNIONS their HLL sketches into the stored ones, yet its
+    // EXACT fields (row count, per-column null counts, max lengths) must
+    // equal DuckDB's direct aggregates over the full data. The NDV estimate
+    // is approximate by design and spec-gated (AnalyzeSpec), not here. The
+    // 100 TB shape: ANALYZE joins the O(batch) maintenance family — stats
+    // refresh costs one pass over the ingest, never a table rescan.
+    "q158_incremental_analyze" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q158Root)
+      try {
+        val cust = read(s, dir, "customer")
+          .select(col("c_custkey"),
+            // inject nulls deterministically so null counts carry signal
+            when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_name")).as("c_name"),
+            col("c_acctbal"))
+        val wh = new Warehouse(s, q158Root.toString)
+        wh.create("c", org.apache.spark.sql.types.StructType(
+          graft.schema.SchemaOps.widenSchema(cust.schema).fields.map(_.copy(nullable = true))))
+        wh.append("c", cust.filter(col("c_custkey") % 2 === 0), statsCols = Seq("c_custkey"))
+        wh.analyzeTable("c")
+        wh.append("c", cust.filter(col("c_custkey") % 2 === 1), statsCols = Seq("c_custkey"))
+        val r = wh.analyzeIncremental("c")
+        val rows = Seq(
+          ("__rows", r.stats.rows, if (r.incremental) 1L else 0L)) ++
+          r.stats.cols.toSeq.map { case (c, e) => (c, e.nullCount, e.maxLen) }
+        s.createDataFrame(rows).toDF("col", "n", "max_len")
+          .orderBy("col").localCheckpoint()
+      } finally wipe(q158Root)
     },
 
     "q154_grouped_metadata_agg" -> { (s, dir) =>
@@ -1332,6 +1368,27 @@ object AnalyticQueries {
 
     // q154's oracle: manifest-folded grouped aggregates must equal DuckDB's
     // direct grouped aggregates over raw parquet.
+    // q158's oracle: the incrementally refreshed stats' EXACT fields must
+    // equal DuckDB's direct aggregates over ALL customers — a union that
+    // lost rows, dropped a null, or clipped a length is a hash miss. The
+    // incremental flag hardcodes 1: the window IS append-only by
+    // construction, so a silent fallback also fails the gate.
+    "q158_incremental_analyze" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS c_name,
+        |    c_acctbal
+        |  FROM customer)
+        |SELECT '__rows' AS col, CAST(count(*) AS BIGINT) AS n, CAST(1 AS BIGINT) AS max_len FROM c
+        |UNION ALL
+        |SELECT 'c_acctbal', CAST(count(*) - count(c_acctbal) AS BIGINT), CAST(-1 AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 'c_custkey', CAST(count(*) - count(c_custkey) AS BIGINT), CAST(-1 AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 'c_name', CAST(count(*) - count(c_name) AS BIGINT),
+        |  CAST(max(length(c_name)) AS BIGINT) FROM c
+        |ORDER BY col""".stripMargin,
+
     // q157's oracle: the transform-grouped, manifest-served aggregate must
     // equal DuckDB's direct per-year fold over raw parquet.
     "q157_transform_grouped_agg" ->
