@@ -126,6 +126,33 @@ object StatsAggRule extends Rule[LogicalPlan] {
       case Year(a: AttributeReference) if a.dataType == DateType =>
         nameOf.get(a.exprId).map(src =>
           GroupSpec(s"years($src)", "n", s => Some(s.toInt + 1970)))
+      // date_trunc('YEAR'|'MONTH'|'DAY'|'HOUR', ts) — the other common
+      // spelling of time-grouped reporting. Each level maps bijectively to
+      // one transform's stat value; the group key is the truncated
+      // timestamp (epoch micros of the period start, exact UTC arithmetic
+      // both here and on the write side).
+      case t @ TruncTimestamp(Literal(fmt: org.apache.spark.unsafe.types.UTF8String, StringType),
+          a: AttributeReference, _)
+          if a.dataType == TimestampType && utcZone(t.timeZoneId) =>
+        val level = fmt.toString.toUpperCase(java.util.Locale.ROOT)
+        def monthStartMicros(totalMonths: Int): Long = {
+          val y = 1970 + Math.floorDiv(totalMonths, 12)
+          val m = Math.floorMod(totalMonths, 12) + 1
+          java.time.LocalDate.of(y, m, 1).toEpochDay * 86400000000L
+        }
+        nameOf.get(a.exprId).flatMap { src =>
+          level match {
+            case "YEAR" | "YYYY" | "YY" => Some(GroupSpec(s"years($src)", "n",
+              s => Some(monthStartMicros(s.toInt * 12))))
+            case "MON" | "MONTH" | "MM" => Some(GroupSpec(s"months($src)", "n",
+              s => Some(monthStartMicros(s.toInt))))
+            case "DAY" | "DD" => Some(GroupSpec(s"days($src)", "n",
+              s => Some(s.toLong * 86400000000L)))
+            case "HOUR" => Some(GroupSpec(s"hours($src)", "n",
+              s => Some(s.toLong * 3600000000L)))
+            case _ => None
+          }
+        }
       case _ => None
     }
 

@@ -173,6 +173,43 @@ class StatsAggSpec extends SparkSpec {
     assert(servedFromStats(qy), s"years-grouped must serve:\n${qy.queryExecution.optimizedPlan}")
     assert(qy.collect().toSeq.map(_.toSeq) == Seq(Seq(2023, 2L, 3L), Seq(2024, 1L, 8L)))
 
+    // date_trunc spellings: every level serves from its transform's stats
+    val qtd = spark.sql(
+      s"""SELECT date_trunc('DAY', ts) AS d, count(*) AS n
+         |FROM $cat.t_days GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(servedFromStats(qtd), s"date_trunc DAY must serve:\n${qtd.queryExecution.optimizedPlan}")
+    assert(qtd.collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq ==
+      Seq(("2024-03-01 00:00:00.0", 2L), ("2024-03-02 00:00:00.0", 2L)))
+    val qty = spark.sql(
+      s"SELECT date_trunc('YEAR', ts) AS y, count(*) AS n FROM $cat.t_years GROUP BY 1 ORDER BY 1")
+    assert(servedFromStats(qty), s"${qty.queryExecution.optimizedPlan}")
+    assert(qty.collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq ==
+      Seq(("2023-01-01 00:00:00.0", 2L), ("2024-01-01 00:00:00.0", 1L)))
+    // months()/hours() splits serve their date_trunc levels too
+    wh.create("t_mon", s, Seq("months(ts)"))
+    wh.append("t_mon", tsRows(
+      "2024-01-05 01:00:00" -> 1L, "2024-01-20 02:00:00" -> 2L,
+      "2024-02-01 03:00:00" -> 7L), statsCols = Seq("v"))
+    val qtm = spark.sql(
+      s"SELECT date_trunc('MONTH', ts) AS m, count(*) AS n, max(v) AS mx " +
+        s"FROM $cat.t_mon GROUP BY 1 ORDER BY 1")
+    assert(servedFromStats(qtm), s"${qtm.queryExecution.optimizedPlan}")
+    assert(qtm.collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("2024-01-01 00:00:00.0", 2L, 2L), ("2024-02-01 00:00:00.0", 1L, 7L)))
+    wh.create("t_hr", s, Seq("hours(ts)"))
+    wh.append("t_hr", tsRows(
+      "2024-03-01 08:10:00" -> 1L, "2024-03-01 08:50:00" -> 2L,
+      "2024-03-01 09:05:00" -> 5L), statsCols = Seq("v"))
+    val qth = spark.sql(
+      s"SELECT date_trunc('HOUR', ts) AS h, count(*) AS n FROM $cat.t_hr GROUP BY 1 ORDER BY 1")
+    assert(servedFromStats(qth), s"${qth.queryExecution.optimizedPlan}")
+    assert(qth.collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq ==
+      Seq(("2024-03-01 08:00:00.0", 2L), ("2024-03-01 09:00:00.0", 1L)))
+    // an unsupported level bails (correct via scan)
+    val qtw = spark.sql(
+      s"SELECT date_trunc('WEEK', ts) AS w, count(*) AS n FROM $cat.t_days GROUP BY 1")
+    assert(!servedFromStats(qtw) && qtw.count() >= 1)
+
     // NON-ALIGNED layout bails: same data, no days() spec — one file spans
     // two days, so the transform stat is not single-valued; correct via scan
     wh.create("t_flat", s)
