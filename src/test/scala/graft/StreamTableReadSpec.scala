@@ -257,6 +257,45 @@ class StreamTableReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("$changes end-to-end: a readStream mirror converges to the source across every commit kind") {
+    wh.create("c4", schema)
+    val ckpt = tmpDir("ckpt-c4")
+    // the downstream-replication shape, in PURE Spark APIs: consume the
+    // changes stream, apply +I as upsert and -D as delete to a copy table
+    def start() = spark.readStream.table(s"$cat.`c4$$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val rows = df.toDF().persist()
+        try {
+          val dels = rows.filter(col("_change_type") === "-D").select("k")
+          val ins = rows.filter(col("_change_type") === "+I").drop("_change_type")
+          if (!wh.exists("c4_copy")) wh.create("c4_copy", schema)
+          if (dels.count() > 0) wh.equalityDelete("c4_copy", dels)
+          if (ins.count() > 0) wh.morMerge("c4_copy", ins, Seq("k"))
+          ()
+        } finally rows.unpersist()
+      }
+      .option("checkpointLocation", ckpt).start()
+    def copyRows() = wh.load("c4_copy").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def srcRows() = wh.load("c4").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val q = start()
+    try {
+      wh.append("c4", frame(1L -> "a", 2L -> "b"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      assert(copyRows() == srcRows())
+      wh.morMerge("c4", frame(2L -> "B", 3L -> "c"), Seq("k"))
+      q.processAllAvailable()
+      assert(copyRows() == srcRows() && copyRows() == Set(1L -> "a", 2L -> "B", 3L -> "c"))
+      wh.equalityDelete("c4", frame(1L -> "x").select("k"))
+      wh.compactFiles("c4")
+      wh.append("c4", frame(4L -> "d"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      assert(copyRows() == srcRows() && copyRows() == Set(2L -> "B", 3L -> "c", 4L -> "d"))
+    } finally q.stop()
+  }
+
   test("$changes follows a BRANCH ledger: per-ref windows, main unaffected") {
     wh.create("c3", schema)
     wh.append("c3", frame(1L -> "a"), statsCols = Seq("k"))
