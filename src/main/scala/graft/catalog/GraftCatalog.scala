@@ -775,6 +775,7 @@ private[catalog] class GraftWriteBuilder(table: String, root: String, info: Logi
   *   SELECT * FROM graft.`orders$deletes`     -- pending MOR equality deletes
   *   SELECT * FROM graft.`orders$partitions`  -- per-partition-value rollup
   *   SELECT * FROM graft.`orders$files` VERSION AS OF 'train-v1'
+  *   SELECT * FROM graft.`orders$changes`  -- CDC rows (ChangesTable; also streams)
   * }}}
   *
   * Metadata is manifest-resident (file list, per-file row counts and column

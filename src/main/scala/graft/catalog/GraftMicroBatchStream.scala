@@ -115,8 +115,9 @@ final class GraftMicroBatchStream(table: String, root: String,
           s"streaming read of $table requires an append-only history, but v$v " +
             (if (removed.nonEmpty) s"removed ${removed.size} file(s) " else "") +
             (if (newDeletes.nonEmpty) s"added ${newDeletes.size} delete file(s) " else "") +
-            "(compaction/merge/delete). Consume exact row-level changes with " +
-            "ChangeFeedStream.mirror/maintainRollup, or set stream-skip-changes=true " +
+            "(compaction/merge/delete). Consume exact row-level +I/-D changes with " +
+            s"spark.readStream.table(\"...`$table$$changes`\") (the CDC face; see also " +
+            "ChangeFeedStream.mirror/maintainRollup), or set stream-skip-changes=true " +
             "to skip non-append commits (Iceberg's skip-overwrite semantics).")
         Nil
       } else cur.files.collect { case f if !prevPaths(f.path) => w.resolvePath(table, f.path) }
