@@ -2189,6 +2189,23 @@ final class Warehouse(private[sink] val spark: SparkSession,
       if (live.isEmpty && dead.size == nonLive.size)
         deleteRecursively(dir) // nothing referenced or pending: remove wholesale
     }
+    // staged CDC windows (`_cdc/w<s>_<e>` — ChangesTable): the streaming
+    // face sweeps them on offset commit, but a batch-only consumer never
+    // commits offsets, so expiry is their backstop. Age-gated by the same
+    // grace as data orphans; a re-planned window whose stage was swept
+    // simply re-materializes (snapshots are immutable, the bag is
+    // deterministic), so this can delay, never break, a slow reader.
+    locally {
+      val cdc = td.resolve("_cdc")
+      if (Files.isDirectory(cdc)) {
+        val s = Files.list(cdc)
+        try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+          .filter(p => p.getFileName.toString.startsWith("w") &&
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+          .foreach(deleteRecursively)
+        finally s.close()
+      }
+    }
   }
 
 }

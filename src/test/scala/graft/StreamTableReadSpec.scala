@@ -315,6 +315,30 @@ class StreamTableReadSpec extends SparkSpec {
       Set((1L, "a", "+I")))
   }
 
+  test("$changes staged windows are swept by expireSnapshots and re-materialize on demand") {
+    wh.create("c5", schema)
+    wh.append("c5", frame(1L -> "a"), statsCols = Seq("k"))
+    wh.morMerge("c5", frame(1L -> "A"), Seq("k"))
+    val expected = cdcRows(spark.read.table(s"$cat.`c5$$changes`")).toSet
+    val cdcDir = java.nio.file.Paths.get(root, "c5", "_cdc")
+    def stages(): Seq[String] = {
+      if (!java.nio.file.Files.isDirectory(cdcDir)) return Nil
+      val s = java.nio.file.Files.list(cdcDir)
+      try {
+        val b = Seq.newBuilder[String]
+        s.forEach(p => if (p.getFileName.toString.startsWith("w"))
+          b += p.getFileName.toString)
+        b.result()
+      } finally s.close()
+    }
+    assert(stages().nonEmpty, "the batch read must have staged its window")
+    // expiry is the batch-only consumer's backstop (streams sweep on commit)
+    wh.expireSnapshots("c5", keepLast = 10, orphanGraceMs = 0L)
+    assert(stages().isEmpty, "aged stages must be swept")
+    // a swept window simply re-materializes: same deterministic bag
+    assert(cdcRows(spark.read.table(s"$cat.`c5$$changes`")).toSet == expected)
+  }
+
   test("guards: time-travel snapshots cannot stream; pending MOR deletes fail at scan build") {
     wh.create("s5", schema)
     wh.append("s5", frame(1L -> "a"), statsCols = Seq("k"))
