@@ -129,7 +129,27 @@ private[catalog] final class ChangesStager(table: String, root: String,
     Files.createDirectories(d)
     d
   }
-  private def windowDir(s: Long, e: Long): Path = cdcDir.resolve(s"w${s}_$e$refSuffix")
+
+  /** Fingerprint of the staged-row CONTRACT — everything that changes the
+    * bytes a window stages: the consumer's load-time cdc schema (names,
+    * field ids, types). Folded into the window directory name so two
+    * consumers of the SAME (from, to] whose load-time schemas differ (a
+    * column added or renamed between their loads, within the stage
+    * retention) stage separately instead of one silently reusing the
+    * other's files and reading the drifted column as NULL.
+    */
+  private val stageFp: String = {
+    val sig = cdcSchema.fields.map { f =>
+      val id = if (f.metadata.contains("parquet.field.id"))
+        f.metadata.getLong("parquet.field.id").toString else ""
+      s"${f.name}:$id:${f.dataType.catalogString}"
+    }.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+  }
+  private def windowDir(s: Long, e: Long): Path =
+    cdcDir.resolve(s"w${s}_$e$refSuffix-$stageFp")
 
   /** Materialize window `(s, e]` once (atomic publish, reuse on replay)
     * and return its file partitions.
@@ -137,6 +157,17 @@ private[catalog] final class ChangesStager(table: String, root: String,
   def plan(s: Long, e: Long): Array[InputPartition] = {
     val dir = windowDir(s, e)
     if (!Files.exists(dir)) {
+      // computability guard, checked only when MATERIALIZING (an existing
+      // stage replays fine regardless): a window whose from-snapshot was
+      // expired — e.g. a checkpointed stream replaying past both the stage
+      // retention and snapshot expiry — has no manifest to diff; say so
+      // instead of crashing on a missing-manifest error
+      val oldest = { val h = wh.history(table); if (h.isEmpty) 0L else h.min }
+      require(e >= oldest && (s == -1 || s >= oldest),
+        s"$table$$changes: window ($s, $e] touches snapshots before the oldest " +
+          s"retained one ($oldest) and no staged copy survives — the change bag " +
+          "cannot be recomputed; restart the consumer from a fresh checkpoint " +
+          "(or from-version=-1 for the net history)")
       val tmp = cdcDir.resolve(s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       // s = -1 is the pre-history sentinel (empty from-state): the net
       // change bag from nothing is exactly the to-snapshot, all +I
@@ -196,7 +227,10 @@ private[catalog] final class ChangesStager(table: String, root: String,
     val cutoff = System.currentTimeMillis() - retentionMs
     val s = Files.list(cdcDir)
     try s.forEach { p =>
-      if (p.getFileName.toString.startsWith("w") &&
+      val n = p.getFileName.toString
+      // tmp-* too: a stager that crashed between the parquet write and the
+      // atomic publish leaves one behind, and nothing else ever collects it
+      if ((n.startsWith("w") || n.startsWith("tmp-")) &&
           Files.getLastModifiedTime(p).toMillis < cutoff)
         deleteRecursively(p)
     } finally s.close()
@@ -233,10 +267,29 @@ private[catalog] final class ChangesMicroBatchStream(table: String, root: String
   private def wh = new Warehouse(spark, root)
   private val stager = new ChangesStager(table, root, cdcSchema, options)
 
+  /** Oldest retained snapshot of the ledger — the floor below which no
+    * per-commit change window can be computed (its manifests are expired).
+    */
+  private lazy val oldestRetained: Long = {
+    val h = wh.history(table)
+    if (h.isEmpty) 0L else h.min
+  }
+
   private lazy val startVersion: Long = Option(options.get("stream-start-version")) match {
     case Some("latest") => wh.currentVersion(table) + 1
-    case Some(s)        => s.toLong
-    case None           => 0L
+    case Some(s) =>
+      val v = s.toLong
+      // v = 0 streams the full NET history from empty (the -1 sentinel —
+      // always computable, expired or not); any other v needs manifest v-1
+      // to diff against, so it must start strictly after the oldest
+      // retained snapshot. Fail at stream init with the fix spelled out,
+      // not with a missing-manifest error mid-plan.
+      require(v == 0 || v > oldestRetained,
+        s"$table$$changes: stream-start-version $v needs snapshot ${v - 1}, which " +
+          s"was expired (oldest retained: $oldestRetained) — use 0 (full net " +
+          s"history as +I), a version > $oldestRetained, or 'latest'")
+      v
+    case None => 0L
   }
   private val retentionMs: Long =
     Option(options.get("stream-stage-retention-ms")).map(_.toLong)
@@ -276,6 +329,11 @@ private[catalog] final class ChangesMicroBatchStream(table: String, root: String
     limit match {
       case m: ReadMaxFiles =>
         var e = s
+        // commits at or before the oldest retained snapshot cannot split
+        // per-commit (their manifests are expired): the first window jumps
+        // to the oldest retained snapshot in one net batch — with s at the
+        // pre-history sentinel that is exactly "snapshot `oldest` as +I"
+        if (e < oldestRetained) e = oldestRetained
         var files = 0
         var full = false
         while (!full && e < head) {

@@ -61,8 +61,15 @@ class GraftViewSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
     // scopes first, so shadowing resolves inner-most, matching the
     // analyzer) removes both hazards before qualification runs.
     // transformUpWithSubqueries everywhere: view bodies reference tables,
-    // views and CTEs inside IN/EXISTS/scalar subqueries too.
-    val noCtes = parsed.transformUpWithSubqueries {
+    // views and CTEs inside IN/EXISTS/scalar subqueries too. One thing it
+    // does NOT reach: UnresolvedWith keeps its CTE definitions as
+    // innerChildren, so a WITH nested INSIDE another CTE's definition
+    // (`WITH a AS (WITH b AS ... SELECT ... FROM b) ...`) is invisible to
+    // the traversal — each definition is therefore inlined RECURSIVELY
+    // before its own uses are substituted, or the leftover UnresolvedWith
+    // would survive past Spark's once-only CTESubstitution batch and fail
+    // analysis with an unresolved-operator error.
+    def inlineCtes(plan: LogicalPlan): LogicalPlan = plan.transformUpWithSubqueries {
       case UnresolvedWith(child, ctes, allowRecursion) =>
         if (allowRecursion) throw new UnsupportedOperationException(
           s"view $cat.$name uses a recursive CTE, which graft views do not support")
@@ -71,10 +78,12 @@ class GraftViewSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
         // each definition's SubqueryAlias, so the tuple needs no more care
         var defs = Map.empty[String, LogicalPlan]
         ctes.foreach { case (cteName, defn, _) =>
-          defs += cteName.toLowerCase(java.util.Locale.ROOT) -> substituteCtes(defn, defs)
+          defs += cteName.toLowerCase(java.util.Locale.ROOT) ->
+            substituteCtes(inlineCtes(defn), defs)
         }
         substituteCtes(child, defs)
     }
+    val noCtes = inlineCtes(parsed)
     val expanded = noCtes.transformUpWithSubqueries {
       case ur: UnresolvedRelation if !ur.isStreaming && ur.options.isEmpty() =>
         // bare names resolve in the view's CREATION catalog, not the reader's

@@ -155,13 +155,28 @@ object Manifest {
     DataFile(parts(0), parts(1).toLong, stats, seq)
   }
 
+  /** The delete kinds this build can APPLY ([[graft.sink.Warehouse]]'s
+    * morFrame treats `"dv"` as a bitmap probe and everything else as an
+    * equality anti-join on `cols`) — so an entry of any other kind must
+    * refuse at PARSE time: a legacy `"pos"` pair-file entry has `cols = Nil`
+    * and would otherwise become an anti-join with an empty join-column list,
+    * silently corrupting (or failing deep inside) every read of the
+    * snapshot that carries it.
+    */
+  private val KnownDeleteKinds = Set("eq", "dv")
+
   private def parseDeleteLine(l: String): DeleteFile = {
     val parts = l.split('\t')
+    // lines written before the kind field existed are equality deletes
+    val kind = if (parts.length < 7) "eq" else parts(6)
+    require(KnownDeleteKinds(kind),
+      s"unreadable delete entry '${parts(1)}': kind '$kind' is not supported by this " +
+        "build (known: eq, dv) — the manifest was written by an incompatible build; " +
+        "run compactDeletes there to materialize its deletes before reading here")
     DeleteFile(parts(1), parts(2).toLong, parts(3).toLong,
       if (parts(4).isEmpty) Nil else parts(4).split(",", -1).toSeq.map(unb64),
       if (parts.length < 6) Map.empty else parseStats(parts(5)),
-      // lines written before the kind field existed are equality deletes
-      if (parts.length < 7) "eq" else parts(6))
+      kind)
   }
 
   /** Entry-list codec shared with [[graft.sink.Warehouse.transact]]'s

@@ -2200,8 +2200,13 @@ final class Warehouse(private[sink] val spark: SparkSession,
       if (Files.isDirectory(cdc)) {
         val s = Files.list(cdc)
         try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-          .filter(p => p.getFileName.toString.startsWith("w") &&
-            Files.getLastModifiedTime(p).toMillis < cutoff)
+          .filter { p =>
+            val n = p.getFileName.toString
+            // tmp-*: a stager crash between write and atomic publish leaves
+            // one behind — age-gated here exactly like published windows
+            (n.startsWith("w") || n.startsWith("tmp-")) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff
+          }
           .foreach(deleteRecursively)
         finally s.close()
       }

@@ -339,6 +339,110 @@ class StreamTableReadSpec extends SparkSpec {
     assert(cdcRows(spark.read.table(s"$cat.`c5$$changes`")).toSet == expected)
   }
 
+  test("$changes over EXPIRED history: default nets from the oldest retained snapshot; explicit starts refuse clearly") {
+    wh.create("c6", schema)
+    (1 to 4).foreach(i => wh.append("c6", frame(i.toLong -> s"v$i"), statsCols = Seq("k")))
+    wh.expireSnapshots("c6", keepLast = 2, orphanGraceMs = 0L)
+    val retained = wh.history("c6")
+    assert(retained == Seq(3L, 4L), retained.toString)
+
+    // batch: an explicit window into expired history refuses with the fix
+    // spelled out (no stage can exist — the fingerprinted dirs are fresh)
+    val ex = intercept[Exception] {
+      spark.read.option("from-version", 1).option("to-version", 4)
+        .table(s"$cat.`c6$$changes`").collect()
+    }
+    val msg = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+    assert(msg.contains("oldest retained"), msg)
+    // batch default (net history from empty) keeps working: expired commits'
+    // net effect is inside the retained snapshot
+    assert(cdcRows(spark.read.table(s"$cat.`c6$$changes`")).toSet ==
+      (1 to 4).map(i => (i.toLong, s"v$i", "+I")).toSet)
+
+    // stream: an explicit start whose from-manifest is expired fails AT INIT
+    // with the valid options listed
+    val bad = spark.readStream.option("stream-start-version", "2")
+      .table(s"$cat.`c6$$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch((_: org.apache.spark.sql.Dataset[Row], _: Long) => ())
+      .option("checkpointLocation", tmpDir("ckpt-c6bad")).start()
+    try {
+      val sex = intercept[StreamingQueryException] { bad.processAllAvailable() }
+      val smsg = Iterator.iterate(sex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+      assert(smsg.contains("expired") && smsg.contains("oldest retained"), smsg)
+    } finally bad.stop()
+
+    // stream default with bounded admission: the expired prefix arrives as
+    // ONE net window ending at the oldest retained snapshot, then per-commit
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    val q = spark.readStream.option("stream-max-files-per-trigger", "1")
+      .table(s"$cat.`c6$$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        cdcRows(df.toDF()).foreach(got.add)
+      }
+      .option("checkpointLocation", tmpDir("ckpt-c6")).start()
+    import scala.jdk.CollectionConverters._
+    try {
+      q.processAllAvailable()
+      assert(got.asScala.toSet ==
+        (1 to 4).map(i => (i.toLong, s"v$i", "+I")).toSet, got.toString)
+      wh.append("c6", frame(5L -> "v5"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      assert(got.asScala.toSet.contains((5L, "v5", "+I")))
+    } finally q.stop()
+  }
+
+  test("$changes janitors collect crashed stagers' tmp-* dirs; window dirs are schema-fingerprinted") {
+    wh.create("c7", schema)
+    wh.append("c7", frame(1L -> "a"), statsCols = Seq("k"))
+    val head = wh.currentVersion("c7")
+    assert(cdcRows(spark.read.table(s"$cat.`c7$$changes`")).nonEmpty)
+    val cdcDir = java.nio.file.Paths.get(root, "c7", "_cdc")
+    def entries(): Seq[String] = {
+      val s = java.nio.file.Files.list(cdcDir)
+      try { val b = Seq.newBuilder[String]; s.forEach(p => b += p.getFileName.toString); b.result() }
+      finally s.close()
+    }
+    // staged dirs carry the load-time schema fingerprint
+    assert(entries().exists(_.matches("w-1_" + head + "-[0-9a-f]{8}")), entries().toString)
+    // a consumer whose load-time schema differs stages the SAME window
+    // separately (never reuses files that lack / mis-name its columns)
+    wh.addColumns("c7", Seq(StructField("extra", StringType)))
+    assert(cdcRows(spark.read.option("to-version", head.toString)
+      .table(s"$cat.`c7$$changes`").select("k", "v", "_change_type")).nonEmpty)
+    val windows = entries().filter(_.startsWith(s"w-1_$head-"))
+    assert(windows.size == 2 && windows.distinct.size == 2,
+      s"evolved consumer must stage separately: $windows")
+    // crashed-stager leftovers (tmp-*) are collected by BOTH janitors
+    val tmp1 = cdcDir.resolve("tmp-deadbeef")
+    java.nio.file.Files.createDirectories(tmp1)
+    java.nio.file.Files.setLastModifiedTime(tmp1,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    wh.expireSnapshots("c7", keepLast = 10, orphanGraceMs = 0L)
+    assert(!java.nio.file.Files.exists(tmp1), "expireSnapshots must sweep aged tmp-*")
+    val tmp2 = cdcDir.resolve("tmp-cafebabe")
+    java.nio.file.Files.createDirectories(tmp2)
+    java.nio.file.Files.setLastModifiedTime(tmp2,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    val q = spark.readStream.option("stream-stage-retention-ms", "60000")
+      .table(s"$cat.`c7$$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch((_: org.apache.spark.sql.Dataset[Row], _: Long) => ())
+      .option("checkpointLocation", tmpDir("ckpt-c7")).start()
+    try {
+      q.processAllAvailable()
+      // the source's offset commit fires when the NEXT batch is constructed
+      // (Spark cleans up the previous batch lazily) — drive one more window
+      wh.append("c7", frame(9L -> "z"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      assert(!java.nio.file.Files.exists(tmp2),
+        "the stream's offset-commit sweep must collect aged tmp-*")
+    } finally q.stop()
+  }
+
   test("guards: time-travel snapshots cannot stream; pending MOR deletes fail at scan build") {
     wh.create("s5", schema)
     wh.append("s5", frame(1L -> "a"), statsCols = Seq("k"))

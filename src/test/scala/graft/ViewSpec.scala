@@ -92,6 +92,31 @@ class ViewSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("b"))
   }
 
+  test("WITH nested inside a CTE definition inlines (innerChildren are not traversal-reachable)") {
+    wh.replace("nest_t", df(("a", 1), ("b", 2), ("c", 3)))
+    // the nested WITH lives in the OUTER CTE's definition — an innerChild of
+    // UnresolvedWith, invisible to transformUpWithSubqueries — so only the
+    // explicit per-definition recursion inlines it; pre-fix this view fails
+    // analysis with an unresolved-operator error
+    spark.sql("CREATE VIEW gview.nest_v AS " +
+      "WITH a AS (WITH b AS (SELECT k, n FROM gview.nest_t WHERE n >= 2) " +
+      "SELECT k, n + 100 AS n FROM b) " +
+      "SELECT k, n FROM a")
+    assert(spark.sql("SELECT k, n FROM gview.nest_v ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("b", 102L), ("c", 103L)))
+    // nested-WITH shadowing: the INNER definition of the same name wins
+    // inside its scope, the outer one elsewhere — the analyzer's own scoping
+    spark.sql("CREATE VIEW gview.nest_shadow AS " +
+      "WITH x AS (SELECT k, n FROM gview.nest_t), " +
+      "y AS (WITH x AS (SELECT k, n * 10 AS n FROM gview.nest_t) " +
+      "SELECT k, n FROM x) " +
+      "SELECT x.k, x.n AS outer_n, y.n AS inner_n FROM x JOIN y ON x.k = y.k")
+    val got = spark.sql("SELECT k, outer_n, inner_n FROM gview.nest_shadow ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L)), got.toString)
+  }
+
   test("bare names inside view SUBQUERY expressions resolve in the CREATION catalog") {
     wh.replace("subq_t", df(("a", 1), ("b", 2)))
     wh.replace("subq_allow", df(("b", 0)))

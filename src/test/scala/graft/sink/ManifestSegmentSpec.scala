@@ -206,6 +206,30 @@ class ManifestSegmentSpec extends SparkSpec {
       (0L until 80L).sum)
   }
 
+  test("unknown delete-file kinds refuse loudly at parse, never misapply as equality deletes") {
+    // a manifest written by an incompatible build (e.g. the pre-DV 'pos'
+    // pair-file form, cols = Nil) must fail at READ with the migration
+    // spelled out — treated as an equality delete it would anti-join on an
+    // EMPTY column list and fail analysis or drop every row
+    val dir = Paths.get(tmpDir("seg-kind"))
+    val p = dir.resolve("m3.manifest")
+    Files.writeString(p,
+      "graft-manifest v1\n" + schema.json + "\n" +
+        "d1/f.parquet\t4\t\t1\n" +
+        "D\tpdel3/p.parquet\t2\t3\t\t\tpos\n")
+    val ex = intercept[IllegalArgumentException] { Manifest.read(p) }
+    assert(ex.getMessage.contains("pos") && ex.getMessage.contains("compactDeletes"),
+      ex.getMessage)
+    // known kinds still parse (defaulted 'eq' for pre-kind lines included)
+    Files.writeString(p,
+      "graft-manifest v1\n" + schema.json + "\n" +
+        "D\tdel1/k.parquet\t2\t1\t" + java.util.Base64.getEncoder.encodeToString(
+          "x".getBytes("UTF-8")) + "\t\n" +
+        "D\tdv2\t1\t2\t\t\tdv\n")
+    val m = Manifest.read(p)
+    assert(m.deletes.map(_.kind).sorted == Seq("dv", "eq"))
+  }
+
   test("rename (all-entries-changed commit) coalesces; stats keys remapped in the segment") {
     val root = tmpDir("seg-rename")
     val wh = new Warehouse(spark, root)
