@@ -223,18 +223,8 @@ private[catalog] final class ChangesStager(table: String, root: String,
     * committed everywhere or abandoned. Age-gated (not offset-gated) so a
     * second, slower consumer replaying the same window is never broken.
     */
-  def sweep(retentionMs: Long): Unit = {
-    val cutoff = System.currentTimeMillis() - retentionMs
-    val s = Files.list(cdcDir)
-    try s.forEach { p =>
-      val n = p.getFileName.toString
-      // tmp-* too: a stager that crashed between the parquet write and the
-      // atomic publish leaves one behind, and nothing else ever collects it
-      if ((n.startsWith("w") || n.startsWith("tmp-")) &&
-          Files.getLastModifiedTime(p).toMillis < cutoff)
-        deleteRecursively(p)
-    } finally s.close()
-  }
+  def sweep(retentionMs: Long): Unit =
+    wh.expireCdcStages(table, retentionMs): Unit
 
   private def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._

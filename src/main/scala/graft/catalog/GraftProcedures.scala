@@ -21,6 +21,7 @@ import graft.sink.Warehouse
   * CALL graft.system.compact_deletes(tbl => 'events')
   * CALL graft.system.expire_snapshots(tbl => 'events', keep_last => 5)
   * CALL graft.system.maintain(tbl => 'events')
+  * CALL graft.system.expire_cdc_stages(tbl => 'events', older_than_ms => 0)
   * CALL graft.system.rewrite_manifests(tbl => 'events')
   * CALL graft.system.restore(tbl => 'events', version => 3)
   * CALL graft.system.create_tag(tbl => 'events', tag => 'audited')
@@ -166,6 +167,19 @@ private[catalog] object GraftProcedures {
         val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         require(cols.nonEmpty, "build_bloom_index needs at least one column")
         Seq(Row(wh.buildBloomIndex(str(in, 0), cols, in.getDouble(2))))
+      }),
+
+    Proc("expire_cdc_stages",
+      "sweep staged t$changes window dirs (and crashed stagers' tmp-*) " +
+        "older than older_than_ms — the batch-only consumer's janitor " +
+        "(streams sweep on offset commit, expire_snapshots backstops); a " +
+        "swept window a reader still wants simply re-materializes",
+      Array(param("tbl", StringType), param("older_than_ms", LongType, "86400000")),
+      StructType(Seq(StructField("swept", IntegerType))),
+      (wh, in) => {
+        val t = str(in, 0)
+        require(wh.exists(t), s"no such table: $t")
+        Seq(Row(wh.expireCdcStages(t, in.getLong(1))))
       }),
 
     Proc("rewrite_manifests",

@@ -2189,28 +2189,12 @@ final class Warehouse(private[sink] val spark: SparkSession,
       if (live.isEmpty && dead.size == nonLive.size)
         deleteRecursively(dir) // nothing referenced or pending: remove wholesale
     }
-    // staged CDC windows (`_cdc/w<s>_<e>` — ChangesTable): the streaming
-    // face sweeps them on offset commit, but a batch-only consumer never
-    // commits offsets, so expiry is their backstop. Age-gated by the same
-    // grace as data orphans; a re-planned window whose stage was swept
-    // simply re-materializes (snapshots are immutable, the bag is
-    // deterministic), so this can delay, never break, a slow reader.
-    locally {
-      val cdc = td.resolve("_cdc")
-      if (Files.isDirectory(cdc)) {
-        val s = Files.list(cdc)
-        try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-          .filter { p =>
-            val n = p.getFileName.toString
-            // tmp-*: a stager crash between write and atomic publish leaves
-            // one behind — age-gated here exactly like published windows
-            (n.startsWith("w") || n.startsWith("tmp-")) &&
-              Files.getLastModifiedTime(p).toMillis < cutoff
-          }
-          .foreach(deleteRecursively)
-        finally s.close()
-      }
-    }
+    // staged CDC windows (`_cdc/w<s>_<e>`, crashed stagers' tmp-* —
+    // ChangesTable): the streaming face sweeps them on offset commit, but a
+    // batch-only consumer never commits offsets, so expiry is their
+    // backstop — one shared janitor ([[expireCdcStages]]), age-gated by the
+    // same grace as data orphans.
+    expireCdcStages(name, orphanGraceMs)
   }
 
 }

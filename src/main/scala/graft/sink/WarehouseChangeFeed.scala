@@ -136,4 +136,34 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
       .unionByName(
         changedFrom.exceptAll(changedTo).withColumn("_change_type", lit("-D")))
   }
+
+  /** Sweep staged `t$changes` window dirs — `_cdc/w<s>_<e>…` published
+    * windows AND crashed stagers' `tmp-*` leftovers — older than
+    * `olderThanMs`. Returns the number of directories removed.
+    *
+    * The ONE stage janitor, shared by all three faces: streaming consumers
+    * sweep on offset commit, [[expireSnapshots]] backstops on expiry, and
+    * `CALL graft.system.expire_cdc_stages` hands it to batch-only
+    * consumers who never do either. Age-gated (never offset-gated) so a
+    * second, slower consumer replaying the same window is never broken;
+    * a swept window a reader still wants simply re-materializes (snapshots
+    * are immutable, the bag is deterministic) — the sweep can delay,
+    * never break, a slow reader.
+    */
+  def expireCdcStages(name: String, olderThanMs: Long = 24L * 3600 * 1000L): Int = {
+    val cdc = tableDir(splitRef(name)._1).resolve("_cdc")
+    if (!Files.isDirectory(cdc)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var swept = 0
+    val s = Files.list(cdc)
+    try s.forEach { p =>
+      val n = p.getFileName.toString
+      if ((n.startsWith("w") || n.startsWith("tmp-")) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff) {
+        deleteRecursively(p)
+        swept += 1
+      }
+    } finally s.close()
+    swept
+  }
 }

@@ -108,6 +108,32 @@ class ProcedureSpec extends SparkSpec {
     assert(wh.load("t").count() == 8)
   }
 
+  test("expire_cdc_stages: sweeps aged staged windows and tmp-*; swept windows re-materialize") {
+    val (wh, cat, root) = freshCatalog("cdcstage")
+    wh.create("t", schema)
+    wh.append("t", df(3), statsCols = Seq("k"))
+    // a batch $changes read stages its window under <t>/_cdc
+    val expected = spark.read.table(s"$cat.`t$$changes`").collect().length
+    assert(expected == 3)
+    val cdc = Paths.get(root, "t", "_cdc")
+    java.nio.file.Files.createDirectories(cdc.resolve("tmp-crashed"))
+    def entries() = {
+      val s = java.nio.file.Files.list(cdc)
+      try { val b = Seq.newBuilder[String]; s.forEach(p => b += p.getFileName.toString); b.result() }
+      finally s.close()
+    }
+    assert(entries().exists(_.startsWith("w")) && entries().exists(_.startsWith("tmp-")))
+    // default retention (24 h): fresh stages survive
+    assert(spark.sql(s"CALL $cat.system.expire_cdc_stages(tbl => 't')")
+      .head().getAs[Int]("swept") == 0)
+    // older_than_ms => 0: everything aged out — windows AND tmp-*
+    assert(spark.sql(s"CALL $cat.system.expire_cdc_stages(tbl => 't', older_than_ms => 0)")
+      .head().getAs[Int]("swept") == 2)
+    assert(entries().isEmpty)
+    // a swept window simply re-materializes: same deterministic bag
+    assert(spark.read.table(s"$cat.`t$$changes`").collect().length == expected)
+  }
+
   test("$manifests metadata table: root/segment storage facts per snapshot") {
     val (wh, cat, root) = freshCatalog("mmeta")
     wh.create("t", schema)
@@ -132,9 +158,9 @@ class ProcedureSpec extends SparkSpec {
     val names = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
     assert(names == Set("compact", "compact_files", "compact_deletes",
-      "expire_snapshots", "maintain", "rewrite_manifests", "restore",
-      "create_tag", "drop_tag", "create_branch", "publish_branch", "drop_branch",
-      "analyze", "analyze_incremental", "build_bloom_index"))
+      "expire_snapshots", "expire_cdc_stages", "maintain", "rewrite_manifests",
+      "restore", "create_tag", "drop_tag", "create_branch", "publish_branch",
+      "drop_branch", "analyze", "analyze_incremental", "build_bloom_index"))
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.maintain")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("maintain") && desc.contains("policy-driven"))
