@@ -482,44 +482,75 @@ final class KeyGroupedParquetScan(base: ParquetScan,
       info.transforms.toArray[org.apache.spark.sql.connector.expressions.Expression],
       info.distinctKeys)
 
-  /** Per-partition sort order provable from manifest metadata alone: every
-    * file carries the [[graft.sink.SortMarker]] with the same LEADING
-    * field id, that id resolves to a READ-schema column with a recorded,
-    * null-free stat in one domain, and within every key group the files'
-    * [min, max] on it chain disjointly (so the group's files concatenate —
-    * in the order [[planInputPartitions]] arranges them — into one sorted
-    * run). Reported as `SupportsReportOrdering`, this is what lets a
-    * co-partitioned sort-merge join plan with NO per-partition Sort: the
-    * write already paid for the order (`cluster`'s sortWithinPartitions),
-    * the read should not pay again. Anything unprovable reports nothing —
-    * ordering is an optimization, never a correctness claim.
+  /** Per-partition sort order provable from manifest metadata alone, as the
+    * longest provable PREFIX of the written sort key, leading column first.
+    *
+    * Every file must carry the [[graft.sink.SortMarker]]; the candidate
+    * prefix is the longest COMMON prefix of all files' marker id lists
+    * whose ids still resolve to read-schema columns (rename-stable, dies
+    * with drop/prune). The LEADING column then needs a recorded, null-free
+    * stat in one domain whose [min, max] chain disjointly within every key
+    * group — so the group's files concatenate (in the order
+    * [[planInputPartitions]] arranges them) into one run sorted on it.
+    * How much of the prefix that proves depends on the boundaries:
+    *
+    *   - every boundary STRICT (`max < next.min`): no leading-key value
+    *     spans two files, so each file's own within-file full-key sort
+    *     (`cluster`'s sortWithinPartitions — what the marker records)
+    *     extends the concatenated order to the WHOLE resolved prefix;
+    *   - any tie at a boundary (`max == next.min`): rows with that leading
+    *     value sit in two files whose relative secondary order is unproven
+    *     — only the leading column is reported.
+    *
+    * Non-leading columns need no stats at all: their proof is the
+    * within-file write order plus boundary strictness. Reported as
+    * `SupportsReportOrdering`, this is what lets a co-partitioned
+    * sort-merge join — on a single OR compound key — plan with NO
+    * per-partition Sort: the write already paid for the order, the read
+    * should not pay again. Anything unprovable reports nothing — ordering
+    * is an optimization, never a correctness claim.
     */
-  private[catalog] lazy val provenOrdering: Option[(String, String)] = {
+  private[catalog] lazy val provenOrdering: Option[Seq[(String, String)]] = {
     import graft.sink.{SortMarker, StatsPruning}
     val files = filesByPath.toSeq
-    val heads = files.map(_._2.stats.get(SortMarker.Key).flatMap(SortMarker.leadingId))
-    if (files.isEmpty || heads.contains(None) || heads.flatten.distinct.size != 1) None
+    val idLists = files.map(_._2.stats.get(SortMarker.Key).map(SortMarker.ids).getOrElse(Nil))
+    if (files.isEmpty || idLists.exists(_.isEmpty)) None
     else {
-      val fid = heads.head.get
-      readDataSchema.fields.find(f => f.metadata.contains("parquet.field.id") &&
-          f.metadata.getLong("parquet.field.id") == fid).flatMap { f =>
-        val col = f.name
-        val sts = files.map(_._2.stats.get(col))
-        // zero nulls everywhere: a second file's null-first run would land
-        // MID-partition and break the concatenated order
+      val common = idLists.reduce { (a, b) =>
+        a.zip(b).takeWhile(t => t._1 == t._2).map(_._1) }
+      // resolve ids IN ORDER; the first unresolvable (dropped/pruned) id
+      // ends the prefix — later ids cannot be skipped past it
+      val resolved = common.iterator.map { fid =>
+        readDataSchema.fields.find(f => f.metadata.contains("parquet.field.id") &&
+          f.metadata.getLong("parquet.field.id") == fid)
+      }.takeWhile(_.isDefined).map(_.get).toSeq
+      if (resolved.isEmpty) None
+      else {
+        val lead = resolved.head.name
+        val sts = files.map(_._2.stats.get(lead))
+        // zero nulls everywhere on the LEADING column: a second file's
+        // null-first run would land MID-partition and break the
+        // concatenated order
         if (sts.exists(s => s.isEmpty || s.get.kind == "z" || s.get.nulls != 0L)) None
         else {
           val kind = sts.head.get.kind
           if (sts.exists(_.get.kind != kind)) None
           else {
+            var strictAll = true
             val chains = files.groupBy { case (p, _) => info.keyStrsByPath.get(p) }
               .values.forall { g =>
-                val ss = g.map(_._2.stats(col)).sortWith(
+                val ss = g.map(_._2.stats(lead)).sortWith(
                   (a, b) => StatsPruning.cmp(kind, a.min, b.min) < 0)
                 ss.zip(ss.drop(1)).forall { case (a, b) =>
-                  StatsPruning.cmp(kind, a.max, b.min) <= 0 }
+                  val c = StatsPruning.cmp(kind, a.max, b.min)
+                  if (c == 0) strictAll = false
+                  c <= 0
+                }
               }
-            if (chains) Some((col, kind)) else None
+            if (!chains) None
+            else if (!strictAll) Some(Seq((lead, kind)))
+            else Some(resolved.map(f =>
+              (f.name, files.head._2.stats.get(f.name).map(_.kind).getOrElse(""))))
           }
         }
       }
@@ -527,11 +558,13 @@ final class KeyGroupedParquetScan(base: ParquetScan,
   }
 
   override def outputOrdering(): Array[V2SortOrder] =
-    provenOrdering.map { case (c, _) =>
-      // cluster() writes sortWithinPartitions(col) = ASC NULLS FIRST (and
-      // the proof above requires zero nulls anyway)
-      Array[V2SortOrder](Expressions.sort(Expressions.column(c),
-        SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+    provenOrdering.map { cols =>
+      // cluster() writes sortWithinPartitions(cols) = ASC NULLS FIRST (and
+      // the proof above requires zero nulls on the leading column anyway)
+      cols.map { case (c, _) =>
+        Expressions.sort(Expressions.column(c),
+          SortDirection.ASCENDING, NullOrdering.NULLS_FIRST): V2SortOrder
+      }.toArray
     }.getOrElse(Array.empty)
 
   /** Regroup the parent's planned (and runtime-filtered) chunks by partition
@@ -564,7 +597,10 @@ final class KeyGroupedParquetScan(base: ParquetScan,
     def arrange(files: Array[PartitionedFile]): Array[PartitionedFile] =
       provenOrdering match {
         case None => files
-        case Some((c, kind)) =>
+        case Some(cols) =>
+          // the LEADING key's disjoint chains fix the run order; secondary
+          // keys never reorder files (strict boundaries — see the proof)
+          val (c, kind) = cols.head
           files.sortWith { (x, y) =>
             val px = x.filePath.toPath.toUri.getPath
             val py = y.filePath.toPath.toUri.getPath

@@ -16,8 +16,15 @@ package graft.sink
 object SortMarker {
   val Key = "__graft_sorted"
 
+  /** All sorted field ids recorded in a marker stat, in sort-key order —
+    * the longest parseable PREFIX (a malformed token ends the list rather
+    * than silently skipping a position, which would misalign the order).
+    */
+  def ids(st: ColStat): Seq[Long] =
+    st.min.split(',').iterator
+      .map(s => scala.util.Try(s.trim.toLong).toOption)
+      .takeWhile(_.isDefined).map(_.get).toSeq
+
   /** Leading sorted field id recorded in a marker stat, if parseable. */
-  def leadingId(st: ColStat): Option[Long] =
-    st.min.split(',').headOption.filter(_.nonEmpty)
-      .flatMap(s => scala.util.Try(s.toLong).toOption)
+  def leadingId(st: ColStat): Option[Long] = ids(st).headOption
 }

@@ -149,6 +149,73 @@ class BucketedJoinSpec extends SparkSpec {
     assert(rows2 == withSpj(spark.sql(q2).collect().length))
   }
 
+  test("compound-key sorted join: the FULL proven sort prefix drops both SMJ sorts; a boundary tie demotes to the leading key") {
+    // join keys (o_id, sub) are a SUPERSET of the partition keys
+    // (bucket(o_id)): co-partitioning on the subset is sound (same o_id ⇒
+    // same bucket ⇒ same partition) but Spark requires opting out of the
+    // all-cluster-keys check
+    val coKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val savedCo = spark.conf.getOption(coKey)
+    spark.conf.set(coKey, "false")
+    try {
+    val (wh, cat) = freshCatalog("spjord3")
+    // unique o_id per side: the range-cluster's file boundaries then never
+    // split one o_id value across files, so every boundary is STRICT (a
+    // duplicated key can straddle two files — tuple-sorted, but whole-file
+    // per-column stats cannot prove it, the demotion case below)
+    val left = spark.range(0, 2000).select(col("id").as("o_id"),
+      (col("id") % 7).as("sub"), (col("id") * 3).as("v"))
+    val right = spark.range(0, 2000).select(col("id").as("o_id"),
+      (col("id") % 7).as("sub"), col("id").as("w"))
+    wh.create("l", left.schema, Seq("bucket(8,o_id)"))
+    wh.create("r", right.schema, Seq("bucket(8,o_id)"))
+    // cluster by BOTH join keys: the marker records the (o_id, sub) id
+    // chain, and the appends' per-bucket o_id ranges are STRICTLY disjoint
+    // — so the scan proves and reports the whole two-column prefix and the
+    // compound-key SMJ plans with NO Sort on either side
+    wh.append("l", left.filter(col("o_id") < 1000), clusterBy = Seq("o_id", "sub"))
+    wh.append("l", left.filter(col("o_id") >= 1000), clusterBy = Seq("o_id", "sub"))
+    wh.append("r", right.filter(col("o_id") < 1000), clusterBy = Seq("o_id", "sub"))
+    wh.append("r", right.filter(col("o_id") >= 1000), clusterBy = Seq("o_id", "sub"))
+    val q = s"SELECT l.o_id, l.sub, l.v, r.w FROM $cat.l l JOIN $cat.r r " +
+      s"ON l.o_id = r.o_id AND l.sub = r.sub"
+    val (rows, nShuffles, nSorts) = withSpj {
+      val df = spark.sql(q)
+      (df.collect().toSet, shuffles(df), sorts(df))
+    }
+    assert(nShuffles == 0, s"expected shuffle-free SPJ, got $nShuffles")
+    assert(nSorts == 0,
+      "the full proven (o_id, sub) prefix must remove the compound-key SMJ sorts")
+    assert(rows == spark.sql(q).collect().toSet)
+    assert(rows.size == 2000)
+
+    // a LEADING-key tie at a file boundary (o_id = 1000 in both appends)
+    // leaves the secondary order unproven across the boundary: only the
+    // leading column may be reported, so the compound-key SMJ keeps its
+    // sorts and the answer stays right
+    val (wh2, cat2) = freshCatalog("spjord4")
+    wh2.create("l", left.schema, Seq("bucket(8,o_id)"))
+    wh2.create("r", right.schema, Seq("bucket(8,o_id)"))
+    wh2.append("l", left.filter(col("o_id") <= 1000), clusterBy = Seq("o_id", "sub"))
+    wh2.append("l", left.filter(col("o_id") >= 1000), clusterBy = Seq("o_id", "sub"))
+    wh2.append("r", right.filter(col("o_id") < 1000), clusterBy = Seq("o_id", "sub"))
+    wh2.append("r", right.filter(col("o_id") >= 1000), clusterBy = Seq("o_id", "sub"))
+    val q2 = s"SELECT l.o_id, l.sub, l.v, r.w FROM $cat2.l l JOIN $cat2.r r " +
+      s"ON l.o_id = r.o_id AND l.sub = r.sub"
+    val (rows2, nShuffles2, nSorts2) = withSpj {
+      val df = spark.sql(q2)
+      (df.collect().length, shuffles(df), sorts(df))
+    }
+    assert(nShuffles2 == 0)
+    assert(nSorts2 > 0, "a boundary tie must not claim the secondary order")
+    // the duplicated o_id = 1000 row joins twice per matching right row
+    assert(rows2 == withSpj(spark.sql(q2).collect().length))
+    } finally savedCo match {
+      case Some(v) => spark.conf.set(coKey, v)
+      case None    => spark.conf.unset(coKey)
+    }
+  }
+
   test("SPJ groups cover every row when one side is missing buckets (pushPartValues)") {
     val (wh, cat) = freshCatalog("spjm")
     val left = spark.range(0, 500).select(col("id").as("k"), col("id").as("v"))
