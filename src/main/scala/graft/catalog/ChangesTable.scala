@@ -296,22 +296,12 @@ private[catalog] final class ChangesMicroBatchStream(table: String, root: String
       case None    => ReadLimit.allAvailable()
     }
 
-  /** Files commit `v` CHANGED: data files added or removed plus delete
-    * files added — the window's read cost driver. O(changed entries) from
-    * the segmented manifest diff, zero data IO.
+  /** Files commit `v` CHANGED — the window's read cost driver. O(the
+    * commit's delta) via the segmented-root line diff
+    * ([[Warehouse.commitChangedEntryCount]]), zero data IO: draining a
+    * K-commit backlog costs O(K) root/segment reads, not O(K x table files).
     */
-  private def changedFileCount(v: Long): Int = {
-    val w = wh
-    val cur = w.manifestAt(table, v)
-    val prev = if (v == 0) graft.sink.Manifest(cur.schema, Nil, Nil)
-               else w.manifestAt(table, v - 1)
-    val prevPaths = prev.files.map(_.path).toSet
-    val curPaths = cur.files.map(_.path).toSet
-    val added = curPaths.count(!prevPaths(_))
-    val removed = prevPaths.count(!curPaths(_))
-    val newDeletes = (cur.deletes.map(_.path).toSet -- prev.deletes.map(_.path)).size
-    added + removed + newDeletes
-  }
+  private def changedFileCount(v: Long): Int = wh.commitChangedEntryCount(table, v)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val head = math.max(wh.currentVersion(table), startVersion - 1)

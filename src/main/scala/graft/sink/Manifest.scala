@@ -353,6 +353,49 @@ object Manifest {
     atomicWrite(target, sb.toString)
   }
 
+  /** Path-level changed-entry count of root `next` vs its base root, in
+    * O(commit delta): when `next` is a v2 root that CARRIES `base`'s
+    * S/X lines as a prefix (the [[writeDelta]] fast path), the commit's
+    * whole delta is exactly the tail — its extra `X` tombstones plus its
+    * fresh segment(s) — so the count costs the tail lines plus ONE
+    * (cached) segment read, never a full manifest replay of either side.
+    * `None` when the roots are not line-carried (flat v1 either side, a
+    * coalesced or rewritten commit) — the caller falls back to a full
+    * path-set diff.
+    *
+    * Count semantics track the full diff used by CDC admission control
+    * (paths added + paths removed + delete entries added): a tombstone
+    * with a same-path re-add is a changed-in-place entry and counts zero,
+    * a tombstone of a superseded delete entry counts one where the full
+    * diff counts zero — a slightly conservative budget, never an
+    * undercount.
+    */
+  def changedEntryCount(next: Path, base: Path): Option[Int] = {
+    def slines(p: Path): Option[Seq[String]] = {
+      val lines = Files.readAllLines(p)
+      if (lines.isEmpty || lines.get(0) != HeaderV2) None
+      else Some((2 until lines.size()).iterator.map(lines.get)
+        .filter(l => l.startsWith("S\t") || l.startsWith("X\t")).toSeq)
+    }
+    for {
+      nl <- slines(next)
+      bl <- slines(base)
+      if nl.size >= bl.size && nl.take(bl.size) == bl
+    } yield {
+      val tail = nl.drop(bl.size)
+      val newX = tail.filter(_.startsWith("X\t")).map(_.substring(2)).toSet
+      val (af, ad) = tail.filter(_.startsWith("S\t")).map(_.substring(2))
+        .foldLeft((Seq.empty[DataFile], Seq.empty[DeleteFile])) {
+          case ((fs, ds), seg) =>
+            val se = readSegment(next.getParent.resolve(seg))
+            (fs ++ se.files, ds ++ se.deletes)
+        }
+      val readd = (af.map(_.path) ++ ad.map(_.path)).toSet
+      (newX -- readd).size +
+        af.count(f => !newX(f.path)) + ad.count(d => !newX(d.path))
+    }
+  }
+
   def read(source: Path): Manifest = {
     val lines = Files.readAllLines(source)
     require(lines.size() >= 2 &&

@@ -2205,4 +2205,10 @@ object Warehouse {
     */
   private[sink] val inTxnRecovery: ThreadLocal[java.lang.Boolean] =
     ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Instrumentation: how often [[WarehouseChangeFeed.commitChangedEntryCount]]
+    * fell back to a full two-manifest replay (test-pinned — CDC admission
+    * over an append-shaped backlog must stay on the O(delta) root-line path).
+    */
+  private[graft] val changeCountFullDiffs = new java.util.concurrent.atomic.AtomicLong
 }

@@ -137,6 +137,38 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
         changedFrom.exceptAll(changedTo).withColumn("_change_type", lit("-D")))
   }
 
+  /** Files commit `v` CHANGED — data paths added or removed plus delete
+    * entries added — the read-cost driver of a CDC window, powering
+    * `t$changes` streaming admission control. O(the commit's delta):
+    * consecutive v2 roots carry their base's lines, so the count is a
+    * root-line diff plus one cached segment read
+    * ([[Manifest.changedEntryCount]]); only a coalesced/rewritten commit
+    * (or v0 / expired base) falls back to replaying both manifests —
+    * without the fast path, draining a K-commit backlog over an F-file
+    * table cost O(K·F) driver metadata work. Zero data IO either way.
+    */
+  def commitChangedEntryCount(name: String, v: Long): Int = {
+    val fast =
+      if (v <= 0) None
+      else {
+        val base = manifestPath(name, v - 1)
+        if (!Files.exists(base)) None
+        else Manifest.changedEntryCount(manifestPath(name, v), base)
+      }
+    fast.getOrElse {
+      Warehouse.changeCountFullDiffs.incrementAndGet()
+      val cur = manifestAt(name, v)
+      val prev = if (v == 0) Manifest(cur.schema, Nil, Nil)
+                 else manifestAt(name, v - 1)
+      val prevPaths = prev.files.map(_.path).toSet
+      val curPaths = cur.files.map(_.path).toSet
+      val added = curPaths.count(!prevPaths(_))
+      val removed = prevPaths.count(!curPaths(_))
+      val newDeletes = (cur.deletes.map(_.path).toSet -- prev.deletes.map(_.path)).size
+      added + removed + newDeletes
+    }
+  }
+
   /** Sweep staged `t$changes` window dirs — `_cdc/w<s>_<e>…` published
     * windows AND crashed stagers' `tmp-*` leftovers — older than
     * `olderThanMs`. Returns the number of directories removed.

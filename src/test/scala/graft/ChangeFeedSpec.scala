@@ -121,6 +121,44 @@ class ChangeFeedSpec extends SparkSpec {
     assert(bag(back) == Map(Seq[Any]("b", 2L, "-D") -> 1))
   }
 
+  test("commitChangedEntryCount: O(delta) root-line path for delta-shaped commits, agrees with the full diff") {
+    val wh = new Warehouse(spark, tmpDir("cf-count"))
+    wh.create("t", schema)
+    wh.append("t", df(("a", 1), ("b", 2)), statsCols = Seq("Id"))
+    wh.append("t", df(("c", 3)), statsCols = Seq("Id"))
+    wh.morMerge("t", df(("b", 20), ("d", 40)), Seq("Id"))
+    wh.equalityDelete("t", df(("a", 0)).select("Id"))
+    wh.compactDeletes("t")
+    wh.renameColumn("t", "Amount", "Amt")
+    val head = wh.currentVersion("t")
+
+    // reference: the full two-manifest path-set diff
+    def fullDiff(v: Long): Int = {
+      val cur = wh.manifestAt("t", v)
+      val prev = if (v == 0) graft.sink.Manifest(cur.schema, Nil, Nil)
+                 else wh.manifestAt("t", v - 1)
+      val pp = prev.files.map(_.path).toSet
+      val cp = cur.files.map(_.path).toSet
+      cp.count(!pp(_)) + pp.count(!cp(_)) +
+        (cur.deletes.map(_.path).toSet -- prev.deletes.map(_.path)).size
+    }
+    val before = Warehouse.changeCountFullDiffs.get()
+    (1L to head).foreach { v =>
+      // the line-diff may only ever OVERCOUNT (superseded-entry tombstones),
+      // and for plain delta-shaped commits must agree exactly
+      assert(wh.commitChangedEntryCount("t", v) >= fullDiff(v),
+        s"v=$v undercounted")
+    }
+    // appends and MOR-delta commits stay on the O(delta) root-line path;
+    // only coalescing commits (rename rewrites every stats key; delete
+    // compaction rewrites most entries) may fall back to the full replay
+    val fallbacks = Warehouse.changeCountFullDiffs.get() - before
+    assert(fallbacks <= 2, s"expected at most the 2 coalescing commits to fall back, got $fallbacks")
+    assert(wh.commitChangedEntryCount("t", 1) == fullDiff(1))
+    assert(wh.commitChangedEntryCount("t", 2) == fullDiff(2))
+    assert(wh.commitChangedEntryCount("t", 3) == fullDiff(3))
+  }
+
   test("empty diff yields an empty frame with the snapshot schema") {
     val wh = new Warehouse(spark, tmpDir("cf-empty"))
     val v1 = wh.append("t", df(("a", 1)))

@@ -443,6 +443,30 @@ class StreamTableReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("$changes admission over a 50-commit backlog stays O(commits): zero full-manifest replays in the count") {
+    wh.create("c8", schema)
+    (1 to 50).foreach(i => wh.append("c8", frame(i.toLong -> s"v$i"), statsCols = Seq("k")))
+    val before = Warehouse.changeCountFullDiffs.get()
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.option("stream-max-files-per-trigger", "1")
+      .table(s"$cat.`c8$$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        if (df.count() > 0) nBatches.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", tmpDir("ckpt-c8")).start()
+    try {
+      q.processAllAvailable()
+      assert(nBatches.get() == 50, s"1-file budget must deliver per-commit windows: ${nBatches.get()}")
+      // every admission count rode the segmented-root LINE diff — draining a
+      // K-commit backlog over an F-file table does O(K) root/segment reads,
+      // never O(K·F) manifest replays
+      assert(Warehouse.changeCountFullDiffs.get() == before,
+        "append-backlog admission must never fall back to full manifest diffs")
+    } finally q.stop()
+  }
+
   test("guards: time-travel snapshots cannot stream; pending MOR deletes fail at scan build") {
     wh.create("s5", schema)
     wh.append("s5", frame(1L -> "a"), statsCols = Seq("k"))
