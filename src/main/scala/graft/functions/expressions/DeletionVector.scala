@@ -135,12 +135,23 @@ case class DvCardinality(child: Expression)
   override def prettyName: String = DvFns.CardName
 }
 
+/** Read-side deletion-vector probe — the one interface [[DvDeleted]]
+  * calls through. Two shippings: [[DvLookup]] broadcasts the vector BYTES
+  * (right while total deleted positions are small), [[DvLazyLookup]]
+  * broadcasts only descriptors and point-reads vectors task-side (right at
+  * extreme churn, where an all-bytes broadcast would pressure driver and
+  * executor memory).
+  */
+sealed trait DvProbe extends Serializable {
+  def deleted(file: UTF8String, pos: Long): Boolean
+}
+
 /** Per-task deletion-vector lookup: file path → decoded bitmap, shipped as
   * a BROADCAST of the serialized map (tasks carry only the handle; each
   * task decodes lazily, once). Read-only after decode, so concurrent probes
   * within a task are safe.
   */
-final class DvLookup(bc: Broadcast[Map[String, Array[Byte]]]) extends Serializable {
+final class DvLookup(bc: Broadcast[Map[String, Array[Byte]]]) extends DvProbe {
   @transient private lazy val decoded: java.util.HashMap[UTF8String, Roaring64NavigableMap] = {
     val m = new java.util.HashMap[UTF8String, Roaring64NavigableMap]()
     bc.value.foreach { case (f, b) => m.put(UTF8String.fromString(f), DvCodec.fromBytes(b)) }
@@ -152,12 +163,95 @@ final class DvLookup(bc: Broadcast[Map[String, Array[Byte]]]) extends Serializab
   }
 }
 
+/** Lazy deletion-vector probe for LARGE delete states (the Delta/Iceberg
+  * descriptor posture): the broadcast holds only target-file → dv-parquet
+  * DESCRIPTORS — O(affected files) path strings, never vector bytes — and
+  * each task point-reads, once, only the vectors of files it actually
+  * scans: a parquet record filter on the target-path column (the dv file
+  * is written sorted by target, so page/column indexes bound the read to
+  * O(one vector)). A JVM-wide bounded cache de-duplicates reads across the
+  * executor's tasks; an untargeted or absent file probes as the empty
+  * vector.
+  */
+final class DvLazyLookup(bc: Broadcast[Map[String, String]],
+                         fileCol: String, bytesCol: String) extends DvProbe {
+  @transient private lazy val local =
+    new java.util.HashMap[UTF8String, Roaring64NavigableMap]()
+  def deleted(file: UTF8String, pos: Long): Boolean = {
+    var bm = local.get(file)
+    if (bm == null) {
+      val f = file.toString
+      bm = bc.value.get(f)
+        .map(dv => DvLazyLookup.vectorFor(dv, f, fileCol, bytesCol))
+        .getOrElse(DvLazyLookup.EmptyBm)
+      // copy the key: the probed UTF8String may be backed by a reused
+      // scan buffer and must not be retained as-is
+      local.put(UTF8String.fromString(f), bm)
+    }
+    bm.contains(pos)
+  }
+}
+
+object DvLazyLookup {
+  private[graft] val EmptyBm = new Roaring64NavigableMap() // never mutated
+
+  /** Distinct per-task vector REQUESTS resolved in this JVM (cache hits
+    * included) — test instrumentation: a scan touching 1 of N deleted
+    * files must request exactly 1 vector, however the bytes are served.
+    */
+  private[graft] val decodes = new java.util.concurrent.atomic.AtomicLong
+
+  // bounded LRU shared across tasks: hot vectors of the current scan stay
+  // resident, an unbounded churn history cannot accrete executor memory
+  private val cache: java.util.Map[String, Roaring64NavigableMap] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Roaring64NavigableMap](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Roaring64NavigableMap]) = size() > 256
+      })
+
+  private def vectorFor(dvPath: String, target: String,
+                        fileCol: String, bytesCol: String): Roaring64NavigableMap = {
+    decodes.incrementAndGet()
+    val key = dvPath + "\u0000" + target
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val bm = readOne(dvPath, target, fileCol, bytesCol)
+    cache.put(key, bm)
+    bm
+  }
+
+  private def readOne(dvPath: String, target: String,
+                      fileCol: String, bytesCol: String): Roaring64NavigableMap = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val pred = FilterApi.eq(FilterApi.binaryColumn(fileCol),
+      org.apache.parquet.io.api.Binary.fromString(target))
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(dvPath))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withFilter(FilterCompat.get(pred))
+      .build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        if (g.getString(fileCol, 0) == target)
+          return DvCodec.fromBytes(g.getBinary(bytesCol, 0).getBytes)
+        g = reader.read()
+      }
+      EmptyBm
+    } finally reader.close()
+  }
+}
+
 /** The read-side probe: `dv_deleted(file, pos)` against a [[DvLookup]] —
   * one reference-object call inside the WholeStageCodegen span (the
   * BpeEncode pattern), replacing the pairs anti-join that would otherwise
   * shuffle or broadcast-join every scanned row.
   */
-case class DvDeleted(left: Expression, right: Expression, lookup: DvLookup)
+case class DvDeleted(left: Expression, right: Expression, lookup: DvProbe)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -173,7 +267,7 @@ case class DvDeleted(left: Expression, right: Expression, lookup: DvLookup)
     lookup.deleted(file.asInstanceOf[UTF8String], pos.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("dvLookup", lookup, classOf[DvLookup].getName)
+    val ref = ctx.addReferenceObj("dvLookup", lookup, classOf[DvProbe].getName)
     defineCodeGen(ctx, ev, (f, p) => s"$ref.deleted($f, $p)")
   }
 
@@ -204,7 +298,7 @@ object DvFns {
   def dvAgg(pos: Column): Column = call_function(AggName, pos)
   def dvOr(a: Column, b: Column): Column = call_function(OrName, a, b)
   def dvCard(bytes: Column): Column = call_function(CardName, bytes)
-  def dvDeleted(lookup: DvLookup, file: Column, pos: Column): Column =
+  def dvDeleted(lookup: DvProbe, file: Column, pos: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       DvDeleted(org.apache.spark.sql.graft.ColumnBridge.expression(file),
         org.apache.spark.sql.graft.ColumnBridge.expression(pos), lookup))

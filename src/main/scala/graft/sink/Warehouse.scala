@@ -510,17 +510,15 @@ final class Warehouse(private[sink] val spark: SparkSession,
               acc.join(keys, cols, "left_anti")
             }
           // positional deletes apply as a per-row BITMAP PROBE inside the
-          // scan's codegen span (DvDeleted over a broadcast of this group's
-          // per-file bitmaps) — no anti-join, no shuffle, no pair scan; the
-          // newest DV per file wins (merge-on-write makes it a superset)
+          // scan's codegen span (DvDeleted over this group's per-file
+          // bitmaps — broadcast bytes while small, descriptor broadcast +
+          // task-side point reads past the gate, see dvProbeFor) — no
+          // anti-join, no shuffle, no pair scan; the newest DV per file
+          // wins (merge-on-write makes it a superset)
           val afterPos =
             if (dvDels.isEmpty) afterEq
-            else {
-              val lookup = new graft.functions.expressions.DvLookup(
-                spark.sparkContext.broadcast(dvMapFor(name, dvDels, files)))
-              afterEq.filter(!graft.functions.expressions.DvFns.dvDeleted(
-                lookup, col(PosFileCol), col(PosIdxCol)))
-            }
+            else afterEq.filter(!graft.functions.expressions.DvFns.dvDeleted(
+              dvProbeFor(name, dvDels, files), col(PosFileCol), col(PosIdxCol)))
           if (needPos && !keepPositions) afterPos.drop(PosFileCol, PosIdxCol)
           else afterPos
         }.reduce(_ unionByName _)

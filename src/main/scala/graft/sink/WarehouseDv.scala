@@ -37,6 +37,39 @@ private[sink] trait WarehouseDv { self: Warehouse =>
     StructField(DvCardCol, LongType, nullable = false),
     StructField(DvNewCol, LongType, nullable = false)))
 
+  /** Positional-delete probe for a scan of `files` under `dvs`, shipping
+    * gated by total live deleted positions (`spark.graft.dv.broadcastMaxPositions`,
+    * default 4M — the merge-broadcast discipline):
+    *
+    *   - at or under the gate: broadcast the VECTOR BYTES ([[dvMapFor]] →
+    *     `DvLookup`) — one driver-side read of O(affected files) tiny rows,
+    *     zero task-side IO;
+    *   - over it: broadcast only (target file → dv parquet) DESCRIPTORS
+    *     (`DvLazyLookup`) — ZERO driver-side vector reads, and each task
+    *     point-reads just the vectors of the files it actually scans (the
+    *     Delta/Iceberg puffin posture). At pathological churn the all-bytes
+    *     broadcast would otherwise pressure driver and executor memory with
+    *     vectors most tasks never probe.
+    */
+  private[sink] def dvProbeFor(name: String, dvs: Seq[DeleteFile],
+                         files: Seq[DataFile]): graft.functions.expressions.DvProbe = {
+    val gate = spark.conf.getOption("spark.graft.dv.broadcastMaxPositions")
+      .map(_.toLong).getOrElse(4000000L)
+    if (dvs.map(_.rows).sum <= gate)
+      new graft.functions.expressions.DvLookup(
+        spark.sparkContext.broadcast(dvMapFor(name, dvs, files)))
+    else {
+      val want = files.map(_.path).toSet
+      val acc = scala.collection.mutable.HashMap[String, String]()
+      dvs.sortBy(_.seq).foreach { d =>
+        val abs = resolvePath(name, d.path)
+        d.cols.foreach(t => if (want(t)) acc(t) = abs)
+      }
+      new graft.functions.expressions.DvLazyLookup(
+        spark.sparkContext.broadcast(acc.toMap), PosFileCol, DvBytesCol)
+    }
+  }
+
   /** Latest DV bytes per target file across `dvs` (ascending seq: a later
     * vector supersedes — merge-on-write makes it a superset), restricted to
     * `want`. Driver-side read of O(affected files) tiny rows.

@@ -266,6 +266,31 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(wh.load("t").count() == 170L)
   }
 
+  test("descriptor broadcast past the gate: results identical, a 1-of-N-files scan decodes 1 vector") {
+    val gateKey = "spark.graft.dv.broadcastMaxPositions"
+    val wh = new Warehouse(spark, tmpDir("pd-lazy"))
+    // four files (one append each), one commit deleting a row from EVERY
+    // file — all four vectors land in one dv parquet, sorted by target
+    (0 until 4).foreach(i => wh.append("t",
+      df((0 until 10).map(j => s"f$i-$j" -> (i * 10 + j).toLong): _*),
+      statsCols = Seq("Amount")))
+    wh.positionDelete("t", col("Amount") % 10 === 3)
+    val eager = rowsOf(wh.load("t"))
+    assert(eager.size == 36)
+    try {
+      spark.conf.set(gateKey, "0") // force the descriptor + lazy-read path
+      assert(rowsOf(wh.load("t")) == eager,
+        "lazy descriptor path must read identically to the bytes broadcast")
+      // a stat-pruned scan touching ONE deleted file decodes ONE vector:
+      // the broadcast carries descriptors only, tasks point-read on demand
+      val before = graft.functions.expressions.DvLazyLookup.decodes.get()
+      val got = rowsOf(wh.load("t").filter(col("Amount") >= 10 && col("Amount") < 20))
+      assert(got == (0 until 10).filter(_ % 10 != 3).map(j => s"f1-$j" -> (10 + j).toLong).toSet)
+      val decoded = graft.functions.expressions.DvLazyLookup.decodes.get() - before
+      assert(decoded == 1, s"expected exactly 1 vector decode, got $decoded")
+    } finally spark.conf.unset(gateKey)
+  }
+
   test("$deletes metadata table reports the kind column") {
     val root = tmpDir("pd-meta")
     val wh = new Warehouse(spark, root)
