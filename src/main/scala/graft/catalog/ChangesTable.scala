@@ -117,6 +117,17 @@ private[catalog] final class ChangesStager(table: String, root: String,
   private def spark = SparkSession.active
   private def wh = new Warehouse(spark, root)
 
+  /** UPDATE-IMAGE mode (`update-images=true`, optional `identifier-columns`):
+    * windows stage [[Warehouse.readChangesWithImages]]'s `-U`/`+U`-paired
+    * rows instead of the plain `+I`/`-D` bag — option-gated so the default
+    * contract never changes under a consumer.
+    */
+  private val updateImages: Boolean =
+    Option(options.get("update-images")).exists(_.toBoolean)
+  private val idCols: Seq[String] =
+    Option(options.get("identifier-columns")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
   /** `t@branch` stages under the BASE dir with the ref in the window name —
     * one `_cdc` namespace per table, windows disambiguated per ledger.
     */
@@ -143,7 +154,10 @@ private[catalog] final class ChangesStager(table: String, root: String,
       val id = if (f.metadata.contains("parquet.field.id"))
         f.metadata.getLong("parquet.field.id").toString else ""
       s"${f.name}:$id:${f.dataType.catalogString}"
-    }.mkString("|")
+    }.mkString("|") +
+      // the read MODE changes the staged bytes too: update-image windows
+      // must never share files with plain +I/-D windows (and vice versa)
+      (if (updateImages) s"|u:${idCols.mkString(",")}" else "")
     java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString
@@ -174,6 +188,7 @@ private[catalog] final class ChangesStager(table: String, root: String,
       val changes =
         if (s < 0) wh.loadVersion(table, e).withColumn("_change_type",
           org.apache.spark.sql.functions.lit("+I"))
+        else if (updateImages) wh.readChangesWithImages(table, s, e, idCols)
         else wh.readChanges(table, s, e)
       // conform to the LOAD-TIME schema: a column added later in the stream
       // null-fills, a dropped one projects away — the scan schema is fixed

@@ -25,6 +25,10 @@ object EtlQueries {
   private lazy val q156Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q156")
 
+  /** q159's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q159Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q159")
+
   // wipe: the shared stable-path helper lives in Tables (imported above)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -335,6 +339,69 @@ object EtlQueries {
       }
     },
 
+    // CDC UPDATE PRE/POST-IMAGES through the DSv2 streaming face: q156's
+    // scripted history consumed with `update-images=true` — the morMerge
+    // window's old/new rows arrive PAIRED as -U (pre-image) / +U
+    // (post-image) instead of an indistinguishable -D/+I, while genuine
+    // deletes stay -D and inserts +I (the Delta CDF / Iceberg changelog
+    // UPDATE_BEFORE/AFTER contract; pairing identity inferred from the
+    // window's own committed delete-key columns). The oracle reconstructs
+    // every window's labeled delivery declaratively. The 100 TB shape: a
+    // downstream replicator consuming a merge-shaped feed (the reference's
+    // merge disposition) can tell "row changed" from "row died, another
+    // was born" at O(changed rows) per trigger — one keyed shuffle over
+    // the window's changes, never the table.
+    "q159_cdc_update_images" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("bal"))
+      wipe(q159Root)
+      val cp = java.nio.file.Files.createTempDirectory("graft-q159cp")
+      val wh = new Warehouse(s, q159Root.toString)
+      s.conf.set("spark.sql.catalog.gq159", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq159.root", q159Root.toString)
+      try {
+        val a = cust.filter(col("c_custkey") % 3 === 0)
+        val b = cust.filter(col("c_custkey") % 3 === 1)
+        wh.create("cdc", org.apache.spark.sql.types.StructType(
+          SchemaOps.widenSchema(cust.schema).fields.map(_.copy(nullable = true))))
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double, String)]()
+        val q = s.readStream.option("update-images", "true")
+          .table("gq159.`cdc$changes`")
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.collect().foreach(r =>
+              buf.add((r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))))
+          }
+          .option("checkpointLocation", cp.toString).start()
+        try {
+          wh.append("cdc", a, statsCols = Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.morMerge("cdc",
+            a.filter(col("c_custkey") % 6 === 0).withColumn("bal", col("bal") + 100),
+            Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.append("cdc", b, statsCols = Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.equalityDelete("cdc",
+            cust.filter(col("c_custkey") % 5 === 0).select("c_custkey"))
+          q.processAllAvailable()
+          wh.compactFiles("cdc")
+          q.processAllAvailable()
+        } finally q.stop()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(buf.asScala.toSeq)
+          .toDF("c_custkey", "c_mktsegment", "bal", "change_type")
+          .groupBy("change_type", "c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), dsum(col("bal")).as("bal_delta"))
+          .orderBy("change_type", "c_mktsegment")
+          .localCheckpoint()
+      } finally {
+        wipe(q159Root)
+        wipe(cp)
+      }
+    },
+
     // Multi-table TRANSACTIONS (Warehouse.transact): fact rows and their
     // index postings land all-or-nothing — two transactional batches (the
     // second staging an append AND a morMerge upsert of first-batch keys),
@@ -555,6 +622,33 @@ object EtlQueries {
         |  SELECT '-D', c_custkey, c_mktsegment, bal FROM a WHERE c_custkey % 6 = 0
         |  UNION ALL
         |  SELECT '+I', c_custkey, c_mktsegment, bal + 100 FROM a WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT '+I', c_custkey, c_mktsegment, bal FROM b
+        |  UNION ALL
+        |  SELECT '-D', c_custkey, c_mktsegment, bal FROM live WHERE c_custkey % 5 = 0)
+        |SELECT change_type, c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_delta
+        |FROM changes GROUP BY change_type, c_mktsegment
+        |ORDER BY change_type, c_mktsegment""".stripMargin,
+
+    // q159: q156's history with update-images on — the morMerge window's
+    // rows pair as -U (old image) / +U (new image); appends stay +I,
+    // genuine deletes stay -D, compaction contributes nothing.
+    "q159_cdc_update_images" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer),
+        |a AS (SELECT * FROM cust WHERE c_custkey % 3 = 0),
+        |b AS (SELECT * FROM cust WHERE c_custkey % 3 = 1),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 6 = 0 THEN bal + 100 ELSE bal END AS bal FROM a),
+        |live AS (SELECT * FROM merged UNION ALL SELECT * FROM b),
+        |changes AS (
+        |  SELECT '+I' AS change_type, c_custkey, c_mktsegment, bal FROM a
+        |  UNION ALL
+        |  SELECT '-U', c_custkey, c_mktsegment, bal FROM a WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT '+U', c_custkey, c_mktsegment, bal + 100 FROM a WHERE c_custkey % 6 = 0
         |  UNION ALL
         |  SELECT '+I', c_custkey, c_mktsegment, bal FROM b
         |  UNION ALL

@@ -137,6 +137,65 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
         changedFrom.exceptAll(changedTo).withColumn("_change_type", lit("-D")))
   }
 
+  /** [[readChanges]] with UPDATE PRE/POST-IMAGES — `_change_type` ∈
+    * {`+I`, `-D`, `-U`, `+U`}: a key whose old row leaves and new row
+    * arrives within the window emits the pair as `-U` (pre-image) / `+U`
+    * (post-image) instead of an indistinguishable delete+insert — the
+    * Delta CDF `update_preimage`/`update_postimage` and Iceberg changelog
+    * UPDATE_BEFORE/AFTER contract. A downstream replicator applying a
+    * merge-shaped feed (the reference's merge disposition,
+    * `salesforce_pipeline.py:83-134`) needs exactly this to tell "the row
+    * changed" from "a row died and an unrelated one was born".
+    *
+    * Pairing identity: `identifierCols` when given; otherwise INFERRED
+    * from the window's own committed equality-delete entries (morMerge and
+    * equalityDelete both record their key columns there — O(window
+    * commits) manifest metadata, zero data IO). No keyed commit in the
+    * window ⇒ nothing is update-shaped ⇒ the plain `+I`/`-D` feed returns
+    * unchanged; two DIFFERENT key sets in one window refuse loudly (pass
+    * `identifierCols`). A key pairs exactly when the window nets ONE `-D`
+    * and ONE `+I` for it and every key column is non-null (null keys never
+    * match — the merge contract); everything else keeps its plain label.
+    * Bag-level consequence, documented: a genuine delete+re-insert of the
+    * same key within one window is indistinguishable from an update at
+    * the net level and reports as one (Iceberg's net-changes semantics).
+    * Cost on top of [[readChanges]]: one keyed shuffle over O(changed
+    * rows) — never the table.
+    */
+  def readChangesWithImages(name: String, fromVersion: Long, toVersion: Long,
+                            identifierCols: Seq[String] = Nil): DataFrame = {
+    val base = readChanges(name, fromVersion, toVersion)
+    val mTo = manifestAt(name, toVersion)
+    val keys: Seq[String] =
+      if (identifierCols.nonEmpty) {
+        val missing = identifierCols.filterNot(mTo.schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"identifier column(s) not in $name's schema: ${missing.mkString(", ")}")
+        identifierCols
+      } else {
+        val sets = ((fromVersion max 0L) + 1 to toVersion).iterator
+          .flatMap(v => manifestAt(name, v).deletes
+            .filter(d => d.seq == v && d.kind == "eq").map(_.cols))
+          .toSeq.distinct
+        if (sets.isEmpty) return base
+        require(sets.size == 1,
+          s"ambiguous update identity: the window committed deletes keyed by " +
+            s"${sets.map(_.mkString("(", ",", ")")).mkString(" and ")} — pass " +
+            "identifier columns explicitly")
+        sets.head
+      }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    base
+      .withColumn("__cdc_d", sum(when(col("_change_type") === "-D", 1).otherwise(0)).over(w))
+      .withColumn("__cdc_i", sum(when(col("_change_type") === "+I", 1).otherwise(0)).over(w))
+      .withColumn("_change_type",
+        when(nonNull && col("__cdc_d") === 1 && col("__cdc_i") === 1,
+          when(col("_change_type") === "-D", lit("-U")).otherwise(lit("+U")))
+          .otherwise(col("_change_type")))
+      .drop("__cdc_d", "__cdc_i")
+  }
+
   /** Files commit `v` CHANGED — data paths added or removed plus delete
     * entries added — the read-cost driver of a CDC window, powering
     * `t$changes` streaming admission control. O(the commit's delta):

@@ -443,6 +443,107 @@ class StreamTableReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("$changes update-images: upserts pair as -U/+U, deletes stay -D; pairing survives restart") {
+    wh.create("u1", schema)
+    val ckpt = tmpDir("ckpt-u1")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    def start() = spark.readStream.option("update-images", "true")
+      .table(s"$cat.`u1$$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        cdcRows(df.toDF()).foreach(got.add)
+      }
+      .option("checkpointLocation", ckpt).start()
+    import scala.jdk.CollectionConverters._
+
+    val q = start()
+    try {
+      wh.append("u1", frame(1L -> "a", 2L -> "b"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      assert(got.asScala.toSet == Set((1L, "a", "+I"), (2L, "b", "+I")))
+      // morMerge: the old/new rows of key 2 arrive PAIRED as -U/+U; the
+      // fresh key 3 is a plain +I
+      wh.morMerge("u1", frame(2L -> "B", 3L -> "c"), Seq("k"))
+      q.processAllAvailable()
+      assert(got.asScala.toSet == Set((1L, "a", "+I"), (2L, "b", "+I"),
+        (2L, "b", "-U"), (2L, "B", "+U"), (3L, "c", "+I")), got.toString)
+      // a genuine delete stays -D (no arriving row to pair with)
+      wh.equalityDelete("u1", frame(1L -> "x").select("k"))
+      q.processAllAvailable()
+      assert(got.asScala.toSet.contains((1L, "a", "-D")))
+      assert(!got.asScala.exists(r => r._1 == 1L && (r._3 == "-U" || r._3 == "+U")))
+    } finally q.stop()
+
+    // restart on the same checkpoint: nothing re-delivers, and a new
+    // upsert window pairs exactly as the pre-restart ones did
+    got.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.isEmpty, s"no re-delivery after restart: $got")
+      wh.morMerge("u1", frame(3L -> "C"), Seq("k"))
+      q2.processAllAvailable()
+      assert(got.asScala.toSet == Set((3L, "c", "-U"), (3L, "C", "+U")), got.toString)
+    } finally q2.stop()
+
+    // batch face: same option, same labels on an explicit window; and the
+    // PLAIN feed over the same window still reads -D/+I (mode is opt-in,
+    // fingerprint-separated stages)
+    val head = wh.currentVersion("u1")
+    val imaged = cdcRows(spark.read.option("update-images", "true")
+      .option("from-version", 1).option("to-version", head)
+      .table(s"$cat.`u1$$changes`")).toSet
+    assert(imaged.contains((2L, "b", "-U")) && imaged.contains((2L, "B", "+U")), imaged.toString)
+    val plain = cdcRows(spark.read.option("from-version", 1).option("to-version", head)
+      .table(s"$cat.`u1$$changes`")).toSet
+    assert(plain.contains((2L, "b", "-D")) && !plain.exists(_._3 == "-U"), plain.toString)
+    // explicit identifier columns behave identically to the inferred key
+    val explicit = cdcRows(spark.read.option("update-images", "true")
+      .option("identifier-columns", "k")
+      .option("from-version", 1).option("to-version", head)
+      .table(s"$cat.`u1$$changes`")).toSet
+    assert(explicit == imaged, explicit.toString)
+  }
+
+  test("$changes update-images mirror: a replicator consuming -U/+U directly converges") {
+    wh.create("u2", schema)
+    val ckpt = tmpDir("ckpt-u2")
+    // the replicator shape the images exist for: +U/+I upsert by key, -D
+    // deletes, -U pre-images are informational and must be ignorable
+    def start() = spark.readStream.option("update-images", "true")
+      .table(s"$cat.`u2$$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val rows = df.toDF().persist()
+        try {
+          val dels = rows.filter(col("_change_type") === "-D").select("k")
+          val ups = rows.filter(col("_change_type").isin("+I", "+U")).drop("_change_type")
+          if (!wh.exists("u2_copy")) wh.create("u2_copy", schema)
+          if (dels.count() > 0) wh.equalityDelete("u2_copy", dels)
+          if (ups.count() > 0) wh.morMerge("u2_copy", ups, Seq("k"))
+          ()
+        } finally rows.unpersist()
+      }
+      .option("checkpointLocation", ckpt).start()
+    def rowsIn(t: String) = wh.load(t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val q = start()
+    try {
+      wh.append("u2", frame(1L -> "a", 2L -> "b"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      assert(rowsIn("u2_copy") == rowsIn("u2"))
+      wh.morMerge("u2", frame(2L -> "B", 3L -> "c"), Seq("k"))
+      q.processAllAvailable()
+      assert(rowsIn("u2_copy") == rowsIn("u2") &&
+        rowsIn("u2_copy") == Set(1L -> "a", 2L -> "B", 3L -> "c"))
+      wh.equalityDelete("u2", frame(1L -> "x").select("k"))
+      wh.append("u2", frame(4L -> "d"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      assert(rowsIn("u2_copy") == rowsIn("u2") &&
+        rowsIn("u2_copy") == Set(2L -> "B", 3L -> "c", 4L -> "d"))
+    } finally q.stop()
+  }
+
   test("$changes admission over a 50-commit backlog stays O(commits): zero full-manifest replays in the count") {
     wh.create("c8", schema)
     (1 to 50).foreach(i => wh.append("c8", frame(i.toLong -> s"v$i"), statsCols = Seq("k")))
