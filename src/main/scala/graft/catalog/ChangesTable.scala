@@ -190,10 +190,7 @@ private[catalog] final class ChangesStager(table: String, root: String,
           org.apache.spark.sql.functions.lit("+I"))
         else if (updateImages) wh.readChangesWithImages(table, s, e, idCols)
         else wh.readChanges(table, s, e)
-      // conform to the LOAD-TIME schema: a column added later in the stream
-      // null-fills, a dropped one projects away — the scan schema is fixed
-      // at query start (the Iceberg/Delta changelog contract)
-      graft.schema.SchemaOps.conform(changes, cdcSchema)
+      conformToCdc(changes, wh.manifestAt(table, e).schema)
         .write.mode("overwrite").parquet(tmp.toString)
       try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -211,6 +208,44 @@ private[catalog] final class ChangesStager(table: String, root: String,
     }
     FilePartition.getFilePartitions(spark, pfs,
       spark.sessionState.conf.filesMaxPartitionBytes).toArray
+  }
+
+  /** Conform a window's rows (the to-side schema of manifest `e`, plus
+    * `_change_type`) to the LOAD-TIME cdc schema — the scan schema is
+    * fixed at query start, historical windows project INTO it (the
+    * Iceberg/Delta changelog contract). Correspondence is BY FIELD ID when
+    * both schemas carry ids: a column RENAMED after `e` is the same field
+    * relabeled and its values CARRY under the new name (a by-name conform
+    * would silently null it); a column added after `e` null-fills; a
+    * dropped-then-readded name is a DIFFERENT field id and never inherits
+    * the old values; a retype refuses loudly. Schemas without ids fall
+    * back to name matching.
+    */
+  private def conformToCdc(df: org.apache.spark.sql.DataFrame,
+                           eSchema: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def idOf(f: StructField): Option[Long] =
+      if (f.metadata.contains("parquet.field.id"))
+        Some(f.metadata.getLong("parquet.field.id")) else None
+    val bothIds = eSchema.fields.nonEmpty &&
+      eSchema.fields.forall(idOf(_).isDefined) &&
+      cdcSchema.fields.filter(_.name != "_change_type").forall(idOf(_).isDefined)
+    val eById = eSchema.fields.flatMap(f => idOf(f).map(_ -> f)).toMap
+    def sourceFor(g: StructField): Option[StructField] =
+      if (g.name == "_change_type") Some(StructField("_change_type", StringType))
+      else if (bothIds) idOf(g).flatMap(eById.get)
+      else eSchema.fields.find(_.name == g.name)
+    df.select(cdcSchema.fields.toSeq.map { g =>
+      sourceFor(g) match {
+        case Some(f) =>
+          require(f.dataType == g.dataType || g.name == "_change_type",
+            s"$table$$changes: column '${g.name}' was retyped across the window " +
+              s"(${f.dataType.catalogString} at the window end vs " +
+              s"${g.dataType.catalogString} at load) — unsupported")
+          col(f.name).as(g.name)
+        case None => lit(null).cast(g.dataType).as(g.name)
+      }
+    }: _*)
   }
 
   private def listParquet(dir: Path): Seq[Path] = {

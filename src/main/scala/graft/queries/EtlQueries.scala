@@ -29,6 +29,10 @@ object EtlQueries {
   private lazy val q159Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q159")
 
+  /** q160's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q160Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q160")
+
   // wipe: the shared stable-path helper lives in Tables (imported above)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -402,6 +406,74 @@ object EtlQueries {
       }
     },
 
+    // CDC under MID-STREAM SCHEMA EVOLUTION: the table ADDs a column and
+    // RENAMEs another while a $changes consumer is live. The consumer's
+    // scan schema is FIXED at query start (the Iceberg/Delta changelog
+    // contract), so the column added later projects away in its feed, and
+    // the renamed column keeps delivering values BY FIELD ID under the
+    // load-time name — a by-name projection would silently null every
+    // post-rename window. The oracle reconstructs the deliveries in the
+    // load-time schema's terms. The 100 TB shape: long-lived replication
+    // consumers must survive upstream DDL without redeploys or silent
+    // null-feeds (the reverse direction — a post-evolution consumer
+    // replaying pre-evolution windows — is spec-pinned in
+    // StreamTableReadSpec).
+    "q160_cdc_schema_evolution" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("bal"))
+      wipe(q160Root)
+      val cp = java.nio.file.Files.createTempDirectory("graft-q160cp")
+      val wh = new Warehouse(s, q160Root.toString)
+      s.conf.set("spark.sql.catalog.gq160", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq160.root", q160Root.toString)
+      try {
+        val a = cust.filter(col("c_custkey") % 3 === 0)
+        val b = cust.filter(col("c_custkey") % 3 === 1)
+          .withColumn("note", concat(lit("n"), (col("c_custkey") % 2).cast("string")))
+        wh.create("cdc", org.apache.spark.sql.types.StructType(
+          SchemaOps.widenSchema(cust.schema).fields.map(_.copy(nullable = true))))
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double, String)]()
+        val q = s.readStream.table("gq160.`cdc$changes`")
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.collect().foreach(r =>
+              buf.add((r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))))
+          }
+          .option("checkpointLocation", cp.toString).start()
+        try {
+          wh.append("cdc", a, statsCols = Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.addColumns("cdc", Seq(org.apache.spark.sql.types.StructField(
+            "note", org.apache.spark.sql.types.StringType)))
+          q.processAllAvailable()
+          wh.append("cdc", b, statsCols = Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.renameColumn("cdc", "bal", "balance")
+          q.processAllAvailable()
+          wh.morMerge("cdc",
+            a.filter(col("c_custkey") % 6 === 0)
+              .select(col("c_custkey"), col("c_mktsegment"),
+                (col("bal") + 100).as("balance")),
+            Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.equalityDelete("cdc",
+            cust.filter(col("c_custkey") % 5 === 0).select("c_custkey"))
+          q.processAllAvailable()
+        } finally q.stop()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(buf.asScala.toSeq)
+          .toDF("c_custkey", "c_mktsegment", "bal", "change_type")
+          .groupBy("change_type", "c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), dsum(col("bal")).as("bal_delta"))
+          .orderBy("change_type", "c_mktsegment")
+          .localCheckpoint()
+      } finally {
+        wipe(q160Root)
+        wipe(cp)
+      }
+    },
+
     // Multi-table TRANSACTIONS (Warehouse.transact): fact rows and their
     // index postings land all-or-nothing — two transactional batches (the
     // second staging an append AND a morMerge upsert of first-batch keys),
@@ -649,6 +721,34 @@ object EtlQueries {
         |  SELECT '-U', c_custkey, c_mktsegment, bal FROM a WHERE c_custkey % 6 = 0
         |  UNION ALL
         |  SELECT '+U', c_custkey, c_mktsegment, bal + 100 FROM a WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT '+I', c_custkey, c_mktsegment, bal FROM b
+        |  UNION ALL
+        |  SELECT '-D', c_custkey, c_mktsegment, bal FROM live WHERE c_custkey % 5 = 0)
+        |SELECT change_type, c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_delta
+        |FROM changes GROUP BY change_type, c_mktsegment
+        |ORDER BY change_type, c_mktsegment""".stripMargin,
+
+    // q160: same delivery algebra as q156 in the LOAD-TIME schema's terms —
+    // the post-start `note` column projects away, the renamed bal→balance
+    // keeps delivering by field id under `bal`, so the reconstruction is
+    // exactly the pre-evolution shape (no compaction window here).
+    "q160_cdc_schema_evolution" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer),
+        |a AS (SELECT * FROM cust WHERE c_custkey % 3 = 0),
+        |b AS (SELECT * FROM cust WHERE c_custkey % 3 = 1),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 6 = 0 THEN bal + 100 ELSE bal END AS bal FROM a),
+        |live AS (SELECT * FROM merged UNION ALL SELECT * FROM b),
+        |changes AS (
+        |  SELECT '+I' AS change_type, c_custkey, c_mktsegment, bal FROM a
+        |  UNION ALL
+        |  SELECT '-D', c_custkey, c_mktsegment, bal FROM a WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT '+I', c_custkey, c_mktsegment, bal + 100 FROM a WHERE c_custkey % 6 = 0
         |  UNION ALL
         |  SELECT '+I', c_custkey, c_mktsegment, bal FROM b
         |  UNION ALL

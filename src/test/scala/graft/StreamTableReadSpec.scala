@@ -568,6 +568,33 @@ class StreamTableReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("$changes schema evolution: pre-rename windows carry values by FIELD ID; added/readded columns null-fill") {
+    wh.create("e1", schema) // (k, v)
+    wh.append("e1", frame(1L -> "a", 2L -> "b"), statsCols = Seq("k"))
+    val preEvo = wh.currentVersion("e1")
+    wh.renameColumn("e1", "v", "v2")
+    wh.addColumns("e1", Seq(StructField("w", StringType)))
+    // a post-evolution consumer reading the PRE-evolution window: the
+    // renamed column is the same field id relabeled — values CARRY under
+    // the new name (a by-name conform would silently null them); the added
+    // column null-fills (those rows predate it)
+    val win = spark.read.option("to-version", preEvo.toString)
+      .table(s"$cat.`e1$$changes`")
+      .select("k", "v2", "w", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)), r.getString(3))).toSet
+    assert(win == Set((1L, "a", None, "+I"), (2L, "b", None, "+I")), win.toString)
+    // drop-then-readd under the SAME NAME is a DIFFERENT field id: the old
+    // column's values must never resurface under the reused name
+    wh.dropColumn("e1", "v2")
+    wh.addColumns("e1", Seq(StructField("v2", StringType)))
+    val reused = spark.read.option("to-version", preEvo.toString)
+      .table(s"$cat.`e1$$changes`")
+      .select("k", "v2").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(reused == Set((1L, None), (2L, None)),
+      s"a reused column NAME must not inherit the dropped field's values: $reused")
+  }
+
   test("guards: time-travel snapshots cannot stream; pending MOR deletes fail at scan build") {
     wh.create("s5", schema)
     wh.append("s5", frame(1L -> "a"), statsCols = Seq("k"))
