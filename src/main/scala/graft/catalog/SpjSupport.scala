@@ -424,8 +424,26 @@ sealed class GraftParquetScan(base: ParquetScan,
   private lazy val ndvStats: java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
-    import java.util.OptionalLong
-    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    import java.util.{Optional, OptionalLong}
+    import org.apache.spark.sql.connector.read.colstats.{ColumnStatistics, Histogram, HistogramBin}
+    import org.apache.spark.sql.types._
+    // ANALYZE-stored min/max render → the CATALYST value Catalyst's
+    // ColumnStat carries for the column's type (estimation compares these
+    // against literal values); unconvertible/absent → not served
+    def typedBound(s: String, dt: DataType): Option[Object] =
+      if (s.isEmpty) None
+      else try dt match {
+        case ByteType     => Some(java.lang.Byte.valueOf(s.toByte))
+        case ShortType    => Some(java.lang.Short.valueOf(s.toShort))
+        case IntegerType  => Some(java.lang.Integer.valueOf(s.toInt))
+        case LongType     => Some(java.lang.Long.valueOf(s.toLong))
+        case FloatType    => Some(java.lang.Float.valueOf(s.toFloat))
+        case DoubleType   => Some(java.lang.Double.valueOf(s.toDouble))
+        case _: DecimalType => Some(Decimal(new java.math.BigDecimal(s)))
+        case _ => None
+      } catch { case _: NumberFormatException => None }
+    val numBins = sparkSession.conf
+      .get("spark.sql.statistics.histogram.numBins", "254").toInt
     val m = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
     for {
@@ -433,14 +451,41 @@ sealed class GraftParquetScan(base: ParquetScan,
       cs <- new graft.sink.Warehouse(sparkSession, r).columnStats(t)
       f <- readDataSchema.fields
       e <- cs.cols.get(f.name)
-    } m.put(Expressions.column(f.name), new ColumnStatistics {
-      override def distinctCount(): OptionalLong = OptionalLong.of(e.ndv)
-      override def nullCount(): OptionalLong = OptionalLong.of(e.nullCount)
-      override def avgLen(): OptionalLong =
-        if (e.avgLen >= 0) OptionalLong.of(e.avgLen) else OptionalLong.empty()
-      override def maxLen(): OptionalLong =
-        if (e.maxLen >= 0) OptionalLong.of(e.maxLen) else OptionalLong.empty()
-    })
+    } {
+      val minO = typedBound(e.minV, f.dataType)
+      val maxO = typedBound(e.maxV, f.dataType)
+      // Catalyst's histogram estimation assumes min/max ride along — serve
+      // the equi-height bins only when the exact bounds do too
+      val hist: Option[(Double, Array[(Double, Double, Long)])] =
+        if (minO.isEmpty || maxO.isEmpty) None
+        else graft.sink.ColStatsHistogram.bins(
+          e.kllB64, cs.rows - e.nullCount, e.ndv, numBins)
+      m.put(Expressions.column(f.name), new ColumnStatistics {
+        override def distinctCount(): OptionalLong = OptionalLong.of(e.ndv)
+        override def nullCount(): OptionalLong = OptionalLong.of(e.nullCount)
+        override def avgLen(): OptionalLong =
+          if (e.avgLen >= 0) OptionalLong.of(e.avgLen) else OptionalLong.empty()
+        override def maxLen(): OptionalLong =
+          if (e.maxLen >= 0) OptionalLong.of(e.maxLen) else OptionalLong.empty()
+        override def min(): Optional[Object] =
+          minO.fold(Optional.empty[Object]())(Optional.of)
+        override def max(): Optional[Object] =
+          maxO.fold(Optional.empty[Object]())(Optional.of)
+        override def histogram(): Optional[Histogram] = hist match {
+          case None => Optional.empty()
+          case Some((h, bs)) => Optional.of(new Histogram {
+            override def height(): Double = h
+            override def bins(): Array[HistogramBin] = bs.map { case (l, u, n) =>
+              new HistogramBin {
+                override def lo(): Double = l
+                override def hi(): Double = u
+                override def ndv(): Long = n
+              }: HistogramBin
+            }
+          })
+        }
+      })
+    }
     m
   }
 

@@ -33,6 +33,10 @@ object EtlQueries {
   private lazy val q160Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q160")
 
+  /** q161's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q161Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q161")
+
   // wipe: the shared stable-path helper lives in Tables (imported above)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -474,6 +478,49 @@ object EtlQueries {
       }
     },
 
+    // HISTOGRAM-DRIVEN CBO end-to-end: ANALYZE stores per-column KLL
+    // quantile sketches beside the table; every later scan serves them to
+    // Catalyst as DSv2 equi-height histograms (plus exact min/max), so a
+    // RANGE predicate over a SKEWED column estimates from the measured
+    // mass profile instead of uniform min/max interpolation — here the
+    // dim's x piles 99% of rows under 10 with rare outliers past 100k, so
+    // `x > 50000` estimates ~tiny (broadcast) where uniform says ~50%
+    // (sort-merge). The oracle gates the exact result under the CBO'd
+    // plan; the plan flip and the bucket math are pinned in AnalyzeSpec.
+    // At 100 TB this is the join-order/broadcast lever for every
+    // retention-window and outlier-slice query.
+    "q161_histogram_range_join" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val cust = read(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        when(col("c_custkey") % 100 === 0, lit(100000L) + col("c_custkey"))
+          .otherwise(col("c_custkey") % 10).as("x"))
+      val ords = read(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice").as("price"))
+      wipe(q161Root)
+      val wh = new Warehouse(s, q161Root.toString)
+      s.conf.set("spark.sql.catalog.gq161", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq161.root", q161Root.toString)
+      val confs = Seq("spark.sql.cbo.enabled" -> "true")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        wh.replace("dim", cust)
+        wh.replace("fact", ords)
+        wh.analyzeTable("dim")
+        wh.analyzeTable("fact")
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        s.table("gq161.fact").join(s.table("gq161.dim"),
+            col("o_custkey") === col("c_custkey"))
+          .filter(col("x") > 50000)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), dsum(col("price")).as("rev"))
+          .orderBy("c_mktsegment")
+          .localCheckpoint()
+      } finally {
+        saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+        wipe(q161Root)
+      }
+    },
+
     // Multi-table TRANSACTIONS (Warehouse.transact): fact rows and their
     // index postings land all-or-nothing — two transactional batches (the
     // second staging an append AND a morMerge upsert of first-batch keys),
@@ -757,6 +804,18 @@ object EtlQueries {
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_delta
         |FROM changes GROUP BY change_type, c_mktsegment
         |ORDER BY change_type, c_mktsegment""".stripMargin,
+
+    "q161_histogram_range_join" ->
+      """WITH d AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 100 = 0 THEN 100000 + c_custkey
+        |         ELSE c_custkey % 10 END AS x
+        |  FROM customer),
+        |f AS (SELECT o_custkey, o_totalprice AS price FROM orders)
+        |SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM f JOIN d ON o_custkey = c_custkey WHERE x > 50000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q144_transactional_ingest" ->
       """WITH o AS (

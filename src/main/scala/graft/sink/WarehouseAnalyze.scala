@@ -15,6 +15,40 @@ import graft.schema.SchemaOps
   * surface); the self-type is the class itself, so every member reads as
   * before.
   */
+/** Equi-height histogram derivation from a stored ANALYZE KLL sketch —
+  * shared by the DSv2 columnStats serving path
+  * ([[graft.catalog.GraftParquetScan]]) and its specs. Buckets are the
+  * sketch's quantiles at ranks i/B: each holds height = nonNull/B rows by
+  * construction (±the sketch's ~1.65% rank error at k=200; EXACT while the
+  * sketch has never compacted), which is what gives CBO real range
+  * selectivity on skewed data where uniform min/max interpolation is
+  * wildly wrong. Per-bucket NDV is approximated as ndv/B (capped by the
+  * height, floored at 1; a single-value bucket reports exactly 1) — the
+  * boundaries carry the selectivity signal, the per-bucket ndv only
+  * sharpens equality estimates.
+  */
+object ColStatsHistogram {
+  def bins(kllB64: String, nonNull: Long, ndv: Long, numBins: Int)
+      : Option[(Double, Array[(Double, Double, Long)])] = {
+    if (kllB64.isEmpty || nonNull <= 0 || numBins <= 0) return None
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(
+        java.util.Base64.getDecoder.decode(kllB64)))
+    if (sk.isEmpty) return None
+    val b = math.min(numBins.toLong, math.max(1L, nonNull)).toInt
+    val qs = (0 to b).map(i => sk.getQuantile(i.toDouble / b)).toArray
+    val height = nonNull.toDouble / b
+    val approxNdv = math.max(1L, math.round(ndv.toDouble / b))
+    val out = (0 until b).map { i =>
+      val lo = qs(i)
+      val hi = qs(i + 1)
+      (lo, hi, if (lo == hi) 1L
+               else math.min(math.max(1L, math.round(height)), approxNdv))
+    }.toArray
+    Some((height, out))
+  }
+}
+
 private[sink] trait WarehouseAnalyze { self: Warehouse =>
 
   // ----------------------------------------------- column statistics (NDV) --
@@ -24,9 +58,19 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
     * the average/max byte-ish length (−1 = not applicable). `sketchB64` is
     * the HLL sketch itself, kept so future re-analyzes / cross-table
     * estimates can UNION sketches instead of rescanning.
+    *
+    * For NUMERIC columns three more fields feed CBO's range selectivity:
+    * exact `minV`/`maxV` (rendered as strings in the column's own domain)
+    * and `kllB64`, a Datasketches KLL quantile sketch of the values cast
+    * to double — served to Catalyst as an equi-height HISTOGRAM
+    * ([[ColStatsHistogram]]), and UNIONED incrementally like the HLL
+    * (KLL is fully mergeable). Empty strings = not recorded (non-numeric
+    * column, all-null column, or stats written before the fields existed).
     */
   final case class ColNdv(ndv: Long, nullCount: Long, avgLen: Long,
-                          maxLen: Long, sketchB64: String)
+                          maxLen: Long, sketchB64: String,
+                          minV: String = "", maxV: String = "",
+                          kllB64: String = "")
 
   /** Stored table statistics: the snapshot version analyzed, its exact row
     * count, and per-column [[ColNdv]].
@@ -85,6 +129,19 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
   private def isVarWidth(f: StructField) =
     f.dataType == StringType || f.dataType == BinaryType
 
+  /** Columns whose values live in an unambiguous double domain — the ones
+    * ANALYZE records min/max + a KLL histogram sketch for. Date/timestamp
+    * are deliberately excluded: Catalyst's estimation compares them in
+    * internal days/micros while `CAST(col AS DOUBLE)` yields
+    * seconds-since-epoch, and a mismatched domain would make range
+    * selectivity silently wrong rather than merely absent.
+    */
+  private def isHistogrammable(f: StructField): Boolean = f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
   /** The one ANALYZE pass: per-column HLL sketch + null count + length
     * stats over `df` — shared by the full and the incremental path so their
     * per-file measurements are identical.
@@ -92,6 +149,7 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
   private def ndvAggregate(df: DataFrame, targets: Seq[StructField])
       : (Long, Map[String, ColNdv]) = {
     import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+    graft.functions.expressions.KllFns.register(spark)
     def sketchIn(f: StructField) = f.dataType match {
       case IntegerType | LongType | StringType | BinaryType => col(f.name)
       case _ => col(f.name).cast("string")
@@ -100,7 +158,12 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
       case (f, i) =>
         Seq(hll_sketch_agg(sketchIn(f)).as(s"__s$i"), count(col(f.name)).as(s"__c$i")) ++
           (if (!isVarWidth(f)) Nil else Seq(
-            avg(length(col(f.name))).as(s"__a$i"), max(length(col(f.name))).as(s"__m$i")))
+            avg(length(col(f.name))).as(s"__a$i"), max(length(col(f.name))).as(s"__m$i"))) ++
+          (if (!isHistogrammable(f)) Nil else Seq(
+            min(col(f.name)).cast("string").as(s"__lo$i"),
+            max(col(f.name)).cast("string").as(s"__hi$i"),
+            graft.functions.expressions.KllFns.kllSketch(
+              col(f.name).cast("double")).as(s"__q$i")))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = r.getLong(r.fieldIndex("__rows"))
@@ -114,8 +177,14 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
           math.ceil(v.asInstanceOf[Double]).toLong),
           if (r.isNullAt(r.fieldIndex(s"__m$i"))) -1L
           else r.getInt(r.fieldIndex(s"__m$i")).toLong)
+      val (lo, hi, kll) =
+        if (!isHistogrammable(f)) ("", "", "")
+        else (Option(r.getString(r.fieldIndex(s"__lo$i"))).getOrElse(""),
+          Option(r.getString(r.fieldIndex(s"__hi$i"))).getOrElse(""),
+          Option(r.getAs[Array[Byte]](r.fieldIndex(s"__q$i")))
+            .map(java.util.Base64.getEncoder.encodeToString).getOrElse(""))
       f.name -> ColNdv(ndv, rows - r.getLong(r.fieldIndex(s"__c$i")), avgL, maxL,
-        java.util.Base64.getEncoder.encodeToString(sketch))
+        java.util.Base64.getEncoder.encodeToString(sketch), lo, hi, kll)
     }.toMap
     (rows, entries)
   }
@@ -124,12 +193,16 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
     val sb = new StringBuilder
     sb.append("graft-colstats v1\n").append(out.version).append('\t')
       .append(out.rows).append('\n')
+    def b64s(s: String) = java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.cols.toSeq.sortBy(_._1).foreach { case (c, e) =>
-      sb.append(java.util.Base64.getEncoder.encodeToString(
-          c.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      sb.append(b64s(c))
         .append('\t').append(e.ndv).append('\t').append(e.nullCount)
         .append('\t').append(e.avgLen).append('\t').append(e.maxLen)
-        .append('\t').append(e.sketchB64).append('\n')
+        .append('\t').append(e.sketchB64)
+        // histogram triple (empty-allowed; min/max b64 — arbitrary renders)
+        .append('\t').append(b64s(e.minV)).append('\t').append(b64s(e.maxV))
+        .append('\t').append(e.kllB64).append('\n')
     }
     val tmp = tableDir(name).resolve("_colstats.tmp")
     Files.writeString(tmp, sb.toString)
@@ -213,10 +286,35 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
                   math.ceil((a.toDouble * nnPrev + b.toDouble * nnNew)
                     / math.max(1L, nnPrev + nnNew)).toLong
               }
+            // histogram state: exact min/max combine in the double domain,
+            // KLL sketches MERGE (fully mergeable, like the HLL) — an empty
+            // side means "all-null batch" (keep the other) unless BOTH
+            // windows never recorded one (non-numeric / pre-field stats)
+            def mergedMin(a: String, b: String) =
+              if (a.isEmpty) b else if (b.isEmpty) a
+              else if (a.toDouble <= b.toDouble) a else b
+            def mergedMax(a: String, b: String) =
+              if (a.isEmpty) b else if (b.isEmpty) a
+              else if (a.toDouble >= b.toDouble) a else b
+            val kll = (p.kllB64, n.kllB64) match {
+              case ("", x) => x
+              case (x, "") => x
+              case (a, b) =>
+                val m = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(
+                  graft.functions.expressions.KllFns.DefaultK)
+                m.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+                  org.apache.datasketches.memory.Memory.wrap(
+                    java.util.Base64.getDecoder.decode(a))))
+                m.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+                  org.apache.datasketches.memory.Memory.wrap(
+                    java.util.Base64.getDecoder.decode(b))))
+                java.util.Base64.getEncoder.encodeToString(m.toByteArray)
+            }
             f.name -> ColNdv(
               org.apache.datasketches.hll.HllSketch.heapify(sk).getEstimate.round,
               p.nullCount + n.nullCount, avgL, math.max(p.maxLen, n.maxLen),
-              java.util.Base64.getEncoder.encodeToString(sk))
+              java.util.Base64.getEncoder.encodeToString(sk),
+              mergedMin(p.minV, n.minV), mergedMax(p.maxV, n.maxV), kll)
           }.toMap
           val out = TableColStats(head, prev.rows + newRows, merged)
           storeColStats(name, out)
@@ -235,9 +333,13 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
     val Array(v, rows) = lines(1).split('\t')
     val cols = lines.drop(2).filter(_.nonEmpty).map { l =>
       val f = l.split('\t')
-      new String(java.util.Base64.getDecoder.decode(f(0)),
-        java.nio.charset.StandardCharsets.UTF_8) ->
-        ColNdv(f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong, f(5))
+      def unb64(s: String) = new String(java.util.Base64.getDecoder.decode(s),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // lines written before the histogram fields existed have 6 columns
+      unb64(f(0)) -> ColNdv(f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong, f(5),
+        if (f.length > 6) unb64(f(6)) else "",
+        if (f.length > 7) unb64(f(7)) else "",
+        if (f.length > 8) f(8) else "")
     }.toMap
     Some(TableColStats(v.toLong, rows.toLong, cols))
   }

@@ -137,6 +137,106 @@ class AnalyzeSpec extends SparkSpec {
     assert(out.getBoolean(4), out.toString)
   }
 
+  test("histogram bucket math: an exact-mode KLL sketch yields equal-count buckets with true bounds") {
+    // 160 distinct values, well under the sketch's k = 200 ⇒ the sketch has
+    // never compacted and is EXACT: the bucket math is hand-checkable
+    val s2 = StructType(Seq(StructField("v", LongType)))
+    wh.replace("hist_exact", spark.createDataFrame(
+      (1 to 160).map(i => Row(i.toLong)).asJava, s2))
+    val st = wh.analyzeTable("hist_exact")
+    val e = st.cols("v")
+    assert(e.minV == "1" && e.maxV == "160", s"exact bounds: ${e.minV}..${e.maxV}")
+    assert(e.kllB64.nonEmpty, "numeric columns must record a KLL sketch")
+    val Some((height, bins)) = graft.sink.ColStatsHistogram.bins(e.kllB64, 160L, e.ndv, 8)
+    assert(height == 20.0, s"equi-height: 160 rows / 8 buckets, got $height")
+    assert(bins.length == 8)
+    assert(bins.head._1 == 1.0 && bins.last._2 == 160.0,
+      s"buckets must span the exact bounds: ${bins.head._1}..${bins.last._2}")
+    // boundaries non-decreasing; every bucket's TRUE row count (first bucket
+    // inclusive of its lo, the rest (lo, hi]) within ±1 of the height
+    bins.sliding(2).foreach { case Array(a, b) => assert(a._2 == b._1) }
+    bins.zipWithIndex.foreach { case ((lo, hi, _), i) =>
+      val cnt = (1 to 160).count(v => (v > lo || (i == 0 && v >= lo)) && v <= hi)
+      assert(math.abs(cnt - 20) <= 1, s"bucket $i [$lo,$hi] holds $cnt, want 20±1")
+    }
+    // strings never record histogram state
+    wh.replace("hist_str", spark.createDataFrame(
+      (1 to 10).map(i => Row(i.toLong)).asJava, s2))
+  }
+
+  test("incremental ANALYZE merges histogram state: bounds and quantiles track both batches") {
+    val s2 = StructType(Seq(StructField("v", LongType)))
+    wh.replace("hist_inc", spark.createDataFrame(
+      (0 until 100).map(i => Row(i.toLong)).asJava, s2))
+    wh.analyzeTable("hist_inc")
+    wh.append("hist_inc", spark.createDataFrame(
+      (100 until 200).map(i => Row(i.toLong)).asJava, s2))
+    val rep = wh.analyzeIncremental("hist_inc")
+    assert(rep.incremental, "append-only window must refresh incrementally")
+    val e = rep.stats.cols("v")
+    assert(e.minV == "0" && e.maxV == "199",
+      s"bounds must combine across batches: ${e.minV}..${e.maxV}")
+    val Some((_, bins)) = graft.sink.ColStatsHistogram.bins(e.kllB64, 200L, e.ndv, 4)
+    assert(bins.head._1 == 0.0 && bins.last._2 == 199.0)
+    // the merged sketch's median must sit near the COMBINED population's
+    // (a lost batch would put it near 50 or 150)
+    val median = bins(1)._2
+    assert(median >= 90 && median <= 110, s"merged median drifted: $median")
+  }
+
+  test("CBO range selectivity: the served histogram flips a skewed range-filtered join to broadcast") {
+    // dim x is SKEWED: 3990 rows in [0, 10), 10 outliers up to ~104k. For
+    // the filter x > 50000, uniform min/max interpolation keeps ≈ 52% of
+    // the dim (~2076 rows ≈ 100 KB > the 64 KB threshold ⇒ sort-merge);
+    // the equi-height histogram puts all mass below 50000 except a slice
+    // of the last bucket (≈ 16 rows ⇒ broadcast). The plan flip — and the
+    // estimated row count — therefore prove the HISTOGRAM, not NDV or
+    // bounds alone.
+    val fs = StructType(Seq(StructField("k", LongType), StructField("fv", LongType)))
+    val ds = StructType(Seq(StructField("k", LongType), StructField("x", LongType),
+      StructField("p1", LongType), StructField("p2", LongType),
+      StructField("p3", LongType), StructField("p4", LongType)))
+    wh.replace("hcbo_fact", spark.createDataFrame(
+      (0 until 20000).map(i => Row(i.toLong % 4000L, i.toLong)).asJava, fs))
+    wh.replace("hcbo_dim", spark.createDataFrame(
+      (0 until 4000).map { i =>
+        val x = if (i < 3990) (i % 10).toLong else 100000L + i
+        Row(i.toLong, x, 1L, 2L, 3L, 4L)
+      }.asJava, ds))
+    val q = "SELECT f.k, f.fv, d.x FROM gana.hcbo_fact f " +
+      "JOIN gana.hcbo_dim d ON f.k = d.k WHERE d.x > 50000"
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val before = spark.sql(q).queryExecution.executedPlan.toString
+      assert(!before.contains("BroadcastHashJoin"),
+        s"premise: unanalyzed dim must not broadcast:\n$before")
+      val rowsBefore = spark.sql(q).collect().map(_.toSeq).toSet
+      assert(rowsBefore.size == 50) // 10 dim outliers × 5 fact rows each
+      wh.analyzeTable("hcbo_dim")
+      wh.analyzeTable("hcbo_fact")
+      val qe = spark.sql(q).queryExecution
+      val after = qe.executedPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"histogram-estimated range filter (≈16 of 4000 rows) must flip to broadcast:\n$after")
+      // the estimate itself: uniform interpolation would keep ≈ 2076 rows —
+      // anything under 100 can only come from the histogram's mass profile
+      val est = qe.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("50000") => f.stats.rowCount
+      }.flatten
+      assert(est.nonEmpty && est.head <= 100,
+        s"histogram range estimate must be far below uniform's ~2076: $est")
+      assert(spark.sql(q).collect().map(_.toSeq).toSet == rowsBefore, "same rows both plans")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("CBO proof-of-benefit: ANALYZE's NDV flips the join to a broadcast (same rows)") {
     // fact 20k × 2 longs (≈320 KB est), dim 4k × 6 longs (≈192 KB est) —
     // both above the 64 KB broadcast threshold. The dim filter hits a
