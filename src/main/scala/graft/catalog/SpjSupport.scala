@@ -429,7 +429,9 @@ sealed class GraftParquetScan(base: ParquetScan,
     import org.apache.spark.sql.types._
     // ANALYZE-stored min/max render → the CATALYST value Catalyst's
     // ColumnStat carries for the column's type (estimation compares these
-    // against literal values); unconvertible/absent → not served
+    // against INTERNAL literal values — timestamps as epoch-micros Longs,
+    // dates as epoch-days Ints, exactly the domain ANALYZE sketched);
+    // unconvertible/absent → not served
     def typedBound(s: String, dt: DataType): Option[Object] =
       if (s.isEmpty) None
       else try dt match {
@@ -440,6 +442,8 @@ sealed class GraftParquetScan(base: ParquetScan,
         case FloatType    => Some(java.lang.Float.valueOf(s.toFloat))
         case DoubleType   => Some(java.lang.Double.valueOf(s.toDouble))
         case _: DecimalType => Some(Decimal(new java.math.BigDecimal(s)))
+        case TimestampType | TimestampNTZType => Some(java.lang.Long.valueOf(s.toLong))
+        case DateType     => Some(java.lang.Integer.valueOf(s.toInt))
         case _ => None
       } catch { case _: NumberFormatException => None }
     val numBins = sparkSession.conf

@@ -129,17 +129,22 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
   private def isVarWidth(f: StructField) =
     f.dataType == StringType || f.dataType == BinaryType
 
-  /** Columns whose values live in an unambiguous double domain — the ones
-    * ANALYZE records min/max + a KLL histogram sketch for. Date/timestamp
-    * are deliberately excluded: Catalyst's estimation compares them in
-    * internal days/micros while `CAST(col AS DOUBLE)` yields
-    * seconds-since-epoch, and a mismatched domain would make range
-    * selectivity silently wrong rather than merely absent.
+  /** The expression whose values ANALYZE sketches/bounds for a column's
+    * histogram — in the column's CATALYST COMPARISON DOMAIN, because
+    * FilterEstimation prices range predicates against internal values:
+    * numerics as themselves, timestamps as EPOCH MICROS (never
+    * `CAST(ts AS DOUBLE)`, which is seconds and would be silently wrong by
+    * 10⁶), dates as EPOCH DAYS. None = no histogram state for the type.
     */
-  private def isHistogrammable(f: StructField): Boolean = f.dataType match {
+  private def histogramDomain(f: StructField): Option[Column] = f.dataType match {
     case ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType | _: DecimalType => true
-    case _ => false
+         FloatType | DoubleType | _: DecimalType => Some(col(f.name))
+    case TimestampType => Some(unix_micros(col(f.name)))
+    // NTZ: micros too; the cast is the identity under the engine's pinned
+    // UTC session (Verify/Bench/tests all set it)
+    case TimestampNTZType => Some(unix_micros(col(f.name).cast(TimestampType)))
+    case DateType => Some(unix_date(col(f.name)))
+    case _ => None
   }
 
   /** The one ANALYZE pass: per-column HLL sketch + null count + length
@@ -159,11 +164,14 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
         Seq(hll_sketch_agg(sketchIn(f)).as(s"__s$i"), count(col(f.name)).as(s"__c$i")) ++
           (if (!isVarWidth(f)) Nil else Seq(
             avg(length(col(f.name))).as(s"__a$i"), max(length(col(f.name))).as(s"__m$i"))) ++
-          (if (!isHistogrammable(f)) Nil else Seq(
-            min(col(f.name)).cast("string").as(s"__lo$i"),
-            max(col(f.name)).cast("string").as(s"__hi$i"),
-            graft.functions.expressions.KllFns.kllSketch(
-              col(f.name).cast("double")).as(s"__q$i")))
+          (histogramDomain(f) match {
+            case None => Nil
+            case Some(dom) => Seq(
+              min(dom).cast("string").as(s"__lo$i"),
+              max(dom).cast("string").as(s"__hi$i"),
+              graft.functions.expressions.KllFns.kllSketch(
+                dom.cast("double")).as(s"__q$i"))
+          })
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = r.getLong(r.fieldIndex("__rows"))
@@ -178,7 +186,7 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
           if (r.isNullAt(r.fieldIndex(s"__m$i"))) -1L
           else r.getInt(r.fieldIndex(s"__m$i")).toLong)
       val (lo, hi, kll) =
-        if (!isHistogrammable(f)) ("", "", "")
+        if (histogramDomain(f).isEmpty) ("", "", "")
         else (Option(r.getString(r.fieldIndex(s"__lo$i"))).getOrElse(""),
           Option(r.getString(r.fieldIndex(s"__hi$i"))).getOrElse(""),
           Option(r.getAs[Array[Byte]](r.fieldIndex(s"__q$i")))

@@ -237,6 +237,52 @@ class AnalyzeSpec extends SparkSpec {
     }
   }
 
+  test("temporal histograms live in the INTERNAL domain: skewed timestamp ranges estimate from measured mass") {
+    // 3990 timestamps in 1995, 10 outliers in 2020+. For ts > 2010-01-01,
+    // uniform min/max interpolation keeps ≈ 40% (~1600 rows); the histogram
+    // puts all mass in 1995 except a last-bucket slice. The estimate only
+    // works if sketch, bounds, and the literal share ONE domain — catalyst
+    // epoch MICROS (cast-to-double seconds would be off by 10⁶ and
+    // silently estimate garbage).
+    val ts = StructType(Seq(StructField("k", LongType), StructField("ts", TimestampType)))
+    wh.replace("hcbo_ts", spark.createDataFrame(
+      (0 until 4000).map { i =>
+        val sec = if (i < 3990) 800000000L + i else 1600000000L + i
+        Row(i.toLong, new java.sql.Timestamp(sec * 1000L))
+      }.asJava, ts))
+    wh.analyzeTable("hcbo_ts")
+    val e = wh.columnStats("hcbo_ts").get.cols("ts")
+    assert(e.minV == (800000000L * 1000000L).toString,
+      s"timestamp bounds must be epoch MICROS: ${e.minV}")
+    val confs = Seq("spark.sql.cbo.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val qe = spark.sql(
+        "SELECT k FROM gana.hcbo_ts WHERE ts > TIMESTAMP '2010-01-01 00:00:00'")
+        .queryExecution
+      val est = qe.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.stats.rowCount
+      }.flatten
+      assert(est.nonEmpty && est.head <= 100,
+        s"micros-domain histogram must see the skew (uniform says ~1600): $est")
+      assert(spark.sql(
+        "SELECT count(*) FROM gana.hcbo_ts WHERE ts > TIMESTAMP '2010-01-01 00:00:00'")
+        .head().getLong(0) == 10L)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+    // dates record epoch DAYS
+    val ds2 = StructType(Seq(StructField("d", DateType)))
+    wh.replace("hist_date", spark.createDataFrame(
+      (0 until 10).map(i => Row(java.sql.Date.valueOf(f"2020-01-${i + 1}%02d"))).asJava, ds2))
+    wh.analyzeTable("hist_date")
+    val de = wh.columnStats("hist_date").get.cols("d")
+    assert(de.minV == java.time.LocalDate.of(2020, 1, 1).toEpochDay.toString,
+      s"date bounds must be epoch DAYS: ${de.minV}")
+    assert(de.kllB64.nonEmpty)
+  }
+
   test("CBO proof-of-benefit: ANALYZE's NDV flips the join to a broadcast (same rows)") {
     // fact 20k × 2 longs (≈320 KB est), dim 4k × 6 longs (≈192 KB est) —
     // both above the 64 KB broadcast threshold. The dim filter hits a
