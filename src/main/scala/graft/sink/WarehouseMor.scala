@@ -225,15 +225,25 @@ private[sink] trait WarehouseMor { self: Warehouse =>
     *   - `keepSnapshots`: [[expireSnapshots]] when history exceeds it
     *     (tagged snapshots stay protected, per expiry's own contract).
     */
+  /**   - `analyzeStaleCommits`: refresh stored column stats
+    *     ([[WarehouseAnalyze.analyzeIncremental]] — O(new files) when the
+    *     window is append-only, full pass otherwise) once the analyzed
+    *     version lags the head by this many commits. 0 = off (the
+    *     default): stats refresh is only auto-maintained where someone
+    *     opted a table into ANALYZE by running it once — a table with no
+    *     stored stats is never analyzed behind the user's back.
+    */
   final case class MaintenancePolicy(deleteKeyRatio: Double = 0.05,
       maxDeleteFiles: Int = 8, smallFileRows: Long = 100000L,
-      smallFileCount: Int = 8, keepSnapshots: Int = 10)
+      smallFileCount: Int = 8, keepSnapshots: Int = 10,
+      analyzeStaleCommits: Int = 0)
 
   /** What [[maintain]] did and why — `version` is the table's version after
     * the pass (unchanged when the table was healthy).
     */
   final case class MaintenanceReport(version: Long, deletesCompacted: Boolean,
-      filesCompacted: Boolean, snapshotsExpired: Boolean)
+      filesCompacted: Boolean, snapshotsExpired: Boolean,
+      statsRefreshed: Boolean = false)
 
   /** Policy-driven auto-maintenance: read the manifest signals and run
     * exactly the actions they justify — the Iceberg maintenance-procedures
@@ -263,7 +273,21 @@ private[sink] trait WarehouseMor { self: Warehouse =>
     if (doFiles) compactFiles(name, policy.smallFileRows)
     val doExpire = history(name).size > policy.keepSnapshots
     if (doExpire) expireSnapshots(name, policy.keepSnapshots)
-    MaintenanceReport(currentVersion(name), doDeletes, doFiles, doExpire)
+    // stats freshness: only tables someone has ANALYZEd at least once (no
+    // stored stats = never opted in), only past the staleness threshold,
+    // and only the COLUMN SET the stored stats cover (minus any since-
+    // dropped column) — the refresh itself is O(new files) on append-only
+    // windows, a full pass otherwise
+    val staleCols: Option[Seq[String]] =
+      if (policy.analyzeStaleCommits <= 0) None
+      else columnStats(name)
+        .filter(cs => currentVersion(name) - cs.version >= policy.analyzeStaleCommits)
+        .map(_.cols.keySet.toSeq.sorted
+          .filter(currentManifest(name).schema.fieldNames.contains))
+        .filter(_.nonEmpty)
+    staleCols.foreach(cols => analyzeIncremental(name, cols))
+    MaintenanceReport(currentVersion(name), doDeletes, doFiles, doExpire,
+      staleCols.isDefined)
   }
 
 }

@@ -112,4 +112,31 @@ class MaintainSpec extends SparkSpec {
     assert(content(wh, "t") == before)
     assert(before.size == 90)
   }
+
+  test("stats-freshness arm: opted-in stale stats refresh incrementally; never behind the user's back") {
+    import graft.sink.Warehouse
+    val wh = new Warehouse(spark, tmpDir("mt-stats"))
+    val policy = wh.MaintenancePolicy(analyzeStaleCommits = 2,
+      smallFileCount = 100, keepSnapshots = 100)
+    wh.append("t", df(0 until 50), statsCols = Seq("Id"))
+    // no stored stats = never opted in: the arm must not fire
+    assert(!wh.maintain("t", policy).statsRefreshed)
+    assert(wh.columnStats("t").isEmpty)
+    // opt in (subset!), then lag the head by two commits
+    wh.analyzeTable("t", Seq("Id"))
+    wh.append("t", df(50 until 80), statsCols = Seq("Id"))
+    assert(!wh.maintain("t", policy).statsRefreshed, "one commit behind: fresh enough")
+    wh.append("t", df(80 until 100), statsCols = Seq("Id"))
+    val rep = wh.maintain("t", policy)
+    assert(rep.statsRefreshed, "two commits behind must refresh")
+    val cs = wh.columnStats("t").get
+    assert(cs.version == wh.currentVersion("t"), "refresh must track the head")
+    assert(cs.rows == 100L, "incremental union must count both appends")
+    assert(cs.cols.keySet == Set("Id"), "the ORIGINAL analyzed column set is preserved")
+    // default policy (arm off) never analyzes
+    wh.append("t", df(100 until 110), statsCols = Seq("Id"))
+    wh.append("t", df(110 until 120), statsCols = Seq("Id"))
+    assert(!wh.maintain("t", wh.MaintenancePolicy(smallFileCount = 100,
+      keepSnapshots = 100)).statsRefreshed)
+  }
 }
