@@ -185,12 +185,14 @@ private[catalog] final class ChangesStager(table: String, root: String,
       val tmp = cdcDir.resolve(s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       // s = -1 is the pre-history sentinel (empty from-state): the net
       // change bag from nothing is exactly the to-snapshot, all +I
+      val eSchema = wh.manifestAt(table, e).schema
       val changes =
         if (s < 0) wh.loadVersion(table, e).withColumn("_change_type",
           org.apache.spark.sql.functions.lit("+I"))
-        else if (updateImages) wh.readChangesWithImages(table, s, e, idCols)
+        else if (updateImages)
+          wh.readChangesWithImages(table, s, e, translateIdCols(eSchema))
         else wh.readChanges(table, s, e)
-      conformToCdc(changes, wh.manifestAt(table, e).schema)
+      conformToCdc(changes, eSchema)
         .write.mode("overwrite").parquet(tmp.toString)
       try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -209,6 +211,37 @@ private[catalog] final class ChangesStager(table: String, root: String,
     FilePartition.getFilePartitions(spark, pfs,
       spark.sessionState.conf.filesMaxPartitionBytes).toArray
   }
+
+  /** Explicit `identifier-columns` are LOAD-TIME names (the schema the
+    * consumer sees), but update-image pairing runs over the WINDOW-END
+    * schema — a column renamed after the window end would make the
+    * load-time name unresolvable there. Translate by FIELD ID (the same
+    * correspondence [[conformToCdc]] projects rows through); a key column
+    * with no counterpart at the window end did not exist yet, so nothing
+    * in that window can be an update on it — fail the same way
+    * readChangesWithImages would for an unknown column, with the window
+    * spelled out.
+    */
+  private def translateIdCols(eSchema: StructType): Seq[String] =
+    if (idCols.isEmpty) idCols
+    else {
+      def idOf(f: StructField): Option[Long] =
+        if (f.metadata.contains("parquet.field.id"))
+          Some(f.metadata.getLong("parquet.field.id")) else None
+      val eById = eSchema.fields.flatMap(f => idOf(f).map(_ -> f.name)).toMap
+      idCols.map { c =>
+        val g = cdcSchema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"$table$$changes: identifier column '$c' is not in the table schema"))
+        idOf(g).flatMap(eById.get).orElse(
+          // schemas without ids: the name itself must resolve at the window end
+          Some(c).filter(eSchema.fieldNames.contains)
+        ).getOrElse(throw new IllegalArgumentException(
+          s"$table$$changes: identifier column '$c' does not exist at the " +
+            "window-end schema — it was added after this window; start the " +
+            "stream from a later version or drop it from identifier-columns"))
+      }
+    }
 
   /** Conform a window's rows (the to-side schema of manifest `e`, plus
     * `_change_type`) to the LOAD-TIME cdc schema — the scan schema is

@@ -568,6 +568,36 @@ class StreamTableReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("$changes update-images: load-time identifier columns resolve across a rename by field id") {
+    wh.create("u3", schema) // (k, v)
+    wh.append("u3", frame(1L -> "a", 2L -> "b"), statsCols = Seq("k"))
+    wh.morMerge("u3", frame(2L -> "B"), Seq("k"))
+    val preRename = wh.currentVersion("u3")
+    wh.renameColumn("u3", "k", "kid")
+    // the consumer names the key by its LOAD-TIME name `kid`; the window
+    // ends BEFORE the rename, where the field was still `k` — pairing must
+    // translate by field id, not crash on an unresolvable name
+    val got = spark.read.option("update-images", "true")
+      .option("identifier-columns", "kid")
+      .option("from-version", 1).option("to-version", preRename.toString)
+      .table(s"$cat.`u3$$changes`")
+      .select("kid", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((2L, "b", "-U"), (2L, "B", "+U")), got.toString)
+    // an identifier column that did not exist at the window end refuses
+    // with the fix spelled out
+    wh.addColumns("u3", Seq(StructField("extra", StringType)))
+    val ex = intercept[Exception] {
+      spark.read.option("update-images", "true")
+        .option("identifier-columns", "extra")
+        .option("from-version", 1).option("to-version", preRename.toString)
+        .table(s"$cat.`u3$$changes`").collect()
+    }
+    val msg = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+    assert(msg.contains("does not exist at the window-end schema"), msg)
+  }
+
   test("$changes schema evolution: pre-rename windows carry values by FIELD ID; added/readded columns null-fill") {
     wh.create("e1", schema) // (k, v)
     wh.append("e1", frame(1L -> "a", 2L -> "b"), statsCols = Seq("k"))
