@@ -87,11 +87,29 @@ private[catalog] final class ChangesScan(table: String, root: String,
     val spark = SparkSession.active
     val wh = new Warehouse(spark, root)
     val head = wh.currentVersion(table)
+    // TIMESTAMP window bounds (the Delta CDF starting/endingTimestamp
+    // analog), resolved against retained commit times: `from-timestamp-ms`
+    // delivers commits AT OR AFTER the instant (from = first such version
+    // − 1; none that late ⇒ empty window), `to-timestamp-ms` commits AT OR
+    // BEFORE it. Mutually exclusive with the version form of the same bound.
+    val fromTs = Option(options.get("from-timestamp-ms")).map(_.toLong)
+    val toTs = Option(options.get("to-timestamp-ms")).map(_.toLong)
+    require(fromTs.isEmpty || options.get("from-version") == null,
+      s"$table$$changes: from-version and from-timestamp-ms are mutually exclusive")
+    require(toTs.isEmpty || options.get("to-version") == null,
+      s"$table$$changes: to-version and to-timestamp-ms are mutually exclusive")
+    lazy val hist = wh.history(table)
     // default from = -1, the pre-history sentinel: the full net history
     // from the EMPTY state (covers tables whose v0 already holds data —
     // auto-created by a first append — where (0, head] would skip v0)
-    val from = Option(options.get("from-version")).map(_.toLong).getOrElse(-1L)
-    val to = Option(options.get("to-version")).map(_.toLong).getOrElse(head)
+    val from = Option(options.get("from-version")).map(_.toLong)
+      .orElse(fromTs.map(t =>
+        hist.find(v => wh.commitTimeMillis(table, v) >= t).map(_ - 1).getOrElse(head)))
+      .getOrElse(-1L)
+    val to = Option(options.get("to-version")).map(_.toLong)
+      .orElse(toTs.map(t =>
+        hist.filter(v => wh.commitTimeMillis(table, v) <= t).lastOption.getOrElse(from)))
+      .getOrElse(head)
     require(from >= -1 && to >= from && to <= head,
       s"$table$$changes: invalid window ($from, $to] over history 0..$head")
     val stager = new ChangesStager(table, root, cdcSchema, options)
@@ -348,21 +366,42 @@ private[catalog] final class ChangesMicroBatchStream(table: String, root: String
     if (h.isEmpty) 0L else h.min
   }
 
-  private lazy val startVersion: Long = Option(options.get("stream-start-version")) match {
-    case Some("latest") => wh.currentVersion(table) + 1
-    case Some(s) =>
-      val v = s.toLong
-      // v = 0 streams the full NET history from empty (the -1 sentinel —
-      // always computable, expired or not); any other v needs manifest v-1
-      // to diff against, so it must start strictly after the oldest
-      // retained snapshot. Fail at stream init with the fix spelled out,
-      // not with a missing-manifest error mid-plan.
-      require(v == 0 || v > oldestRetained,
-        s"$table$$changes: stream-start-version $v needs snapshot ${v - 1}, which " +
-          s"was expired (oldest retained: $oldestRetained) — use 0 (full net " +
-          s"history as +I), a version > $oldestRetained, or 'latest'")
-      v
-    case None => 0L
+  private lazy val startVersion: Long = {
+    val byVersion = Option(options.get("stream-start-version"))
+    val byTs = Option(options.get("stream-start-timestamp-ms")).map(_.toLong)
+    require(byVersion.isEmpty || byTs.isEmpty,
+      s"$table$$changes: stream-start-version and stream-start-timestamp-ms " +
+        "are mutually exclusive")
+    byVersion match {
+      case Some("latest") => wh.currentVersion(table) + 1
+      case Some(s) =>
+        val v = s.toLong
+        // v = 0 streams the full NET history from empty (the -1 sentinel —
+        // always computable, expired or not); any other v needs manifest v-1
+        // to diff against, so it must start strictly after the oldest
+        // retained snapshot. Fail at stream init with the fix spelled out,
+        // not with a missing-manifest error mid-plan.
+        require(v == 0 || v > oldestRetained,
+          s"$table$$changes: stream-start-version $v needs snapshot ${v - 1}, which " +
+            s"was expired (oldest retained: $oldestRetained) — use 0 (full net " +
+            s"history as +I), a version > $oldestRetained, or 'latest'")
+        v
+      case None => byTs match {
+        case None => 0L
+        case Some(t) =>
+          // first retained commit AT OR AFTER the instant (the Delta
+          // startingTimestamp contract); nothing that late yet ⇒ follow
+          // only future commits
+          val v = wh.history(table).find(wh.commitTimeMillis(table, _) >= t)
+            .getOrElse(wh.currentVersion(table) + 1)
+          require(v == 0 || v > oldestRetained,
+            s"$table$$changes: stream-start-timestamp-ms $t resolves to snapshot $v, " +
+              s"whose predecessor was expired (oldest retained: $oldestRetained) — " +
+              "commits that old cannot be diffed; omit the option for the full net " +
+              "history as +I, or start later")
+          v
+      }
+    }
   }
   private val retentionMs: Long =
     Option(options.get("stream-stage-retention-ms")).map(_.toLong)

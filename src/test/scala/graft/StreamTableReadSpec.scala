@@ -625,6 +625,55 @@ class StreamTableReadSpec extends SparkSpec {
       s"a reused column NAME must not inherit the dropped field's values: $reused")
   }
 
+  test("$changes timestamp bounds: batch windows and stream starts resolve against commit times") {
+    wh.create("t1", schema)
+    wh.append("t1", frame(1L -> "a"), statsCols = Seq("k"))
+    Thread.sleep(10)
+    wh.append("t1", frame(2L -> "b"), statsCols = Seq("k"))
+    Thread.sleep(10)
+    wh.append("t1", frame(3L -> "c"), statsCols = Seq("k"))
+    val ct2 = wh.commitTimeMillis("t1", 2)
+    // batch: from-timestamp = commit 2's exact instant delivers commits 2..head
+    val fromTs = cdcRows(spark.read.option("from-timestamp-ms", ct2.toString)
+      .table(s"$cat.`t1$$changes`")).toSet
+    assert(fromTs == Set((2L, "b", "+I"), (3L, "c", "+I")), fromTs.toString)
+    // to-timestamp bounds the other end: exactly commit 2's window
+    val win = cdcRows(spark.read.option("from-timestamp-ms", ct2.toString)
+      .option("to-timestamp-ms", ct2.toString)
+      .table(s"$cat.`t1$$changes`")).toSet
+    assert(win == Set((2L, "b", "+I")), win.toString)
+    // a from-timestamp later than every commit is an empty window
+    assert(cdcRows(spark.read
+      .option("from-timestamp-ms", (wh.commitTimeMillis("t1", 3) + 60000).toString)
+      .table(s"$cat.`t1$$changes`")).isEmpty)
+    // version+timestamp forms of the same bound refuse together
+    val ex = intercept[Exception] {
+      spark.read.option("from-version", "1").option("from-timestamp-ms", "0")
+        .table(s"$cat.`t1$$changes`").collect()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString.contains("mutually exclusive"))
+
+    // stream: start at commit 3's instant → only commit 3 and later deliver
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    val q = spark.readStream
+      .option("stream-start-timestamp-ms", wh.commitTimeMillis("t1", 3).toString)
+      .table(s"$cat.`t1$$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        cdcRows(df.toDF()).foreach(got.add)
+      }
+      .option("checkpointLocation", tmpDir("ckpt-t1")).start()
+    import scala.jdk.CollectionConverters._
+    try {
+      q.processAllAvailable()
+      assert(got.asScala.toSet == Set((3L, "c", "+I")), got.toString)
+      wh.append("t1", frame(4L -> "d"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      assert(got.asScala.toSet.contains((4L, "d", "+I")))
+    } finally q.stop()
+  }
+
   test("guards: time-travel snapshots cannot stream; pending MOR deletes fail at scan build") {
     wh.create("s5", schema)
     wh.append("s5", frame(1L -> "a"), statsCols = Seq("k"))
