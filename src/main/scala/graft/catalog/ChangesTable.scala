@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sink.Warehouse
@@ -49,17 +49,26 @@ import graft.sink.Warehouse
   * O(changed rows) write + read per window — the change volume, never the
   * table; at 100 TB an incremental consumer pays for its changes only.
   */
-final class ChangesTable(displayName: String, val table: String, val root: String)
+final class ChangesTable(displayName: String, val table: String, val root: String,
+                         byCommit: Boolean = false)
     extends Table with SupportsRead {
 
   private def spark = SparkSession.active
 
-  /** The to-side table columns plus `_change_type` (`+I` | `-D`), fixed at
-    * load time — the changelog-read schema contract.
+  /** The to-side table columns plus `_change_type` (`+I` | `-D`, with
+    * `-U`/`+U` under `update-images`), fixed at load time — the
+    * changelog-read schema contract. The COMMIT-ATTRIBUTED face
+    * (`t$changes_by_commit`) adds `_commit_version`/`_commit_timestamp`
+    * (the Delta CDF columns): windows stage as a union of PER-COMMIT
+    * change bags, each row carrying the commit that produced it.
     */
-  val cdcSchema: StructType = StructType(
-    new Warehouse(spark, root).currentManifest(table).schema.fields :+
-      StructField("_change_type", StringType, nullable = false))
+  val cdcSchema: StructType = {
+    val base = new Warehouse(spark, root).currentManifest(table).schema.fields :+
+      StructField("_change_type", StringType, nullable = false)
+    StructType(if (!byCommit) base else base ++ Seq(
+      StructField("_commit_version", LongType, nullable = false),
+      StructField("_commit_timestamp", TimestampType, nullable = false)))
+  }
 
   override def name(): String = displayName
   override def schema(): StructType = cdcSchema
@@ -70,7 +79,7 @@ final class ChangesTable(displayName: String, val table: String, val root: Strin
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new ChangesScan(table, root, cdcSchema, options)
+      override def build(): Scan = new ChangesScan(table, root, cdcSchema, options, byCommit)
     }
 }
 
@@ -78,7 +87,8 @@ final class ChangesTable(displayName: String, val table: String, val root: Strin
   * micro-batch streaming (windows = commit ranges between offsets).
   */
 private[catalog] final class ChangesScan(table: String, root: String,
-    cdcSchema: StructType, options: CaseInsensitiveStringMap) extends Scan {
+    cdcSchema: StructType, options: CaseInsensitiveStringMap,
+    byCommit: Boolean) extends Scan {
 
   override def readSchema(): StructType = cdcSchema
   override def description(): String = s"$table$$changes"
@@ -112,7 +122,7 @@ private[catalog] final class ChangesScan(table: String, root: String,
       .getOrElse(head)
     require(from >= -1 && to >= from && to <= head,
       s"$table$$changes: invalid window ($from, $to] over history 0..$head")
-    val stager = new ChangesStager(table, root, cdcSchema, options)
+    val stager = new ChangesStager(table, root, cdcSchema, options, byCommit)
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
         if (to == from) Array.empty else stager.plan(from, to)
@@ -121,7 +131,7 @@ private[catalog] final class ChangesScan(table: String, root: String,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangesMicroBatchStream(table, root, cdcSchema, options)
+    new ChangesMicroBatchStream(table, root, cdcSchema, options, byCommit)
 }
 
 /** Stages one change window's rows as parquet and plans/reads them.
@@ -129,7 +139,8 @@ private[catalog] final class ChangesScan(table: String, root: String,
   * determinism story (scaladoc on [[ChangesTable]]).
   */
 private[catalog] final class ChangesStager(table: String, root: String,
-    cdcSchema: StructType, options: CaseInsensitiveStringMap) {
+    cdcSchema: StructType, options: CaseInsensitiveStringMap,
+    byCommit: Boolean = false) {
   import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
   private def spark = SparkSession.active
@@ -177,14 +188,39 @@ private[catalog] final class ChangesStager(table: String, root: String,
       // must never share files with plain +I/-D windows (and vice versa)
       (if (updateImages) s"|u:${idCols.mkString(",")}" else "")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest((sig + (if (byCommit) "|bycommit" else ""))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString
   }
   private def windowDir(s: Long, e: Long): Path =
     cdcDir.resolve(s"w${s}_$e$refSuffix-$stageFp")
 
+  /** The staged ROW schema — the load-time cdc schema minus the
+    * commit-attribution columns (those are injected per sub-window on the
+    * by-commit face, not projected from table data).
+    */
+  private val rowSchema: StructType = StructType(cdcSchema.fields.filterNot(
+    f => f.name == "_commit_version" || f.name == "_commit_timestamp"))
+
+  /** One window's change rows conformed to the load-time row schema;
+    * `s` = -1 is the pre-history sentinel (empty from-state): the net
+    * change bag from nothing is exactly the to-snapshot, all `+I`.
+    */
+  private def windowFrame(s: Long, e: Long): org.apache.spark.sql.DataFrame = {
+    val eSchema = wh.manifestAt(table, e).schema
+    val changes =
+      if (s < 0) wh.loadVersion(table, e).withColumn("_change_type",
+        org.apache.spark.sql.functions.lit("+I"))
+      else if (updateImages)
+        wh.readChangesWithImages(table, s, e, translateIdCols(eSchema))
+      else wh.readChanges(table, s, e)
+    conformToCdc(changes, eSchema)
+  }
+
   /** Materialize window `(s, e]` once (atomic publish, reuse on replay)
-    * and return its file partitions.
+    * and return its file partitions. NOTE for plan-only tooling: batch
+    * PLANNING executes a Spark write job here when the window is not yet
+    * staged — correct and atomic, but `planInputPartitions` is not free.
     */
   def plan(s: Long, e: Long): Array[InputPartition] = {
     val dir = windowDir(s, e)
@@ -200,18 +236,27 @@ private[catalog] final class ChangesStager(table: String, root: String,
           s"retained one ($oldest) and no staged copy survives — the change bag " +
           "cannot be recomputed; restart the consumer from a fresh checkpoint " +
           "(or from-version=-1 for the net history)")
+      require(!byCommit || s >= 0 || oldest == 0,
+        s"$table$$changes_by_commit: commits before the oldest retained snapshot " +
+          s"($oldest) cannot be ATTRIBUTED (their manifests were expired) — use " +
+          s"from-version >= $oldest, or the plain $$changes face for the net history")
       val tmp = cdcDir.resolve(s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      // s = -1 is the pre-history sentinel (empty from-state): the net
-      // change bag from nothing is exactly the to-snapshot, all +I
-      val eSchema = wh.manifestAt(table, e).schema
-      val changes =
-        if (s < 0) wh.loadVersion(table, e).withColumn("_change_type",
-          org.apache.spark.sql.functions.lit("+I"))
-        else if (updateImages)
-          wh.readChangesWithImages(table, s, e, translateIdCols(eSchema))
-        else wh.readChanges(table, s, e)
-      conformToCdc(changes, eSchema)
-        .write.mode("overwrite").parquet(tmp.toString)
+      val out =
+        if (!byCommit) windowFrame(s, e)
+        else {
+          // commit-attributed: the window is the UNION of its per-commit
+          // bags, each row stamped with the commit that produced it — the
+          // Delta CDF shape; cost is the same O(changed rows) the admission
+          // split would pay, just attributed
+          import org.apache.spark.sql.functions.{lit, timestamp_millis}
+          ((s + 1) to e).map { v =>
+            windowFrame(v - 1, v)
+              .withColumn("_commit_version", lit(v))
+              .withColumn("_commit_timestamp",
+                timestamp_millis(lit(wh.commitTimeMillis(table, v))))
+          }.reduce(_ unionByName _)
+        }
+      out.write.mode("overwrite").parquet(tmp.toString)
       try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileAlreadyExistsException |
@@ -280,13 +325,13 @@ private[catalog] final class ChangesStager(table: String, root: String,
         Some(f.metadata.getLong("parquet.field.id")) else None
     val bothIds = eSchema.fields.nonEmpty &&
       eSchema.fields.forall(idOf(_).isDefined) &&
-      cdcSchema.fields.filter(_.name != "_change_type").forall(idOf(_).isDefined)
+      rowSchema.fields.filter(_.name != "_change_type").forall(idOf(_).isDefined)
     val eById = eSchema.fields.flatMap(f => idOf(f).map(_ -> f)).toMap
     def sourceFor(g: StructField): Option[StructField] =
       if (g.name == "_change_type") Some(StructField("_change_type", StringType))
       else if (bothIds) idOf(g).flatMap(eById.get)
       else eSchema.fields.find(_.name == g.name)
-    df.select(cdcSchema.fields.toSeq.map { g =>
+    df.select(rowSchema.fields.toSeq.map { g =>
       sourceFor(g) match {
         case Some(f) =>
           require(f.dataType == g.dataType || g.name == "_change_type",
@@ -351,12 +396,13 @@ private[catalog] final class ChangesStager(table: String, root: String,
   * = only commits after stream start).
   */
 private[catalog] final class ChangesMicroBatchStream(table: String, root: String,
-    cdcSchema: StructType, options: CaseInsensitiveStringMap)
+    cdcSchema: StructType, options: CaseInsensitiveStringMap,
+    byCommit: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
   private def wh = new Warehouse(spark, root)
-  private val stager = new ChangesStager(table, root, cdcSchema, options)
+  private val stager = new ChangesStager(table, root, cdcSchema, options, byCommit)
 
   /** Oldest retained snapshot of the ledger — the floor below which no
     * per-commit change window can be computed (its manifests are expired).

@@ -145,6 +145,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       // OF on it is a category error, like $snapshots.
       case Some((base, "changes")) if version.isEmpty && warehouse.exists(base) =>
         return new ChangesTable(s"$catalogName.${ident.name()}", base, rootDir)
+      // the COMMIT-ATTRIBUTED face: same feed, each row stamped with
+      // _commit_version/_commit_timestamp (the Delta CDF columns) — windows
+      // stage as the union of per-commit bags
+      case Some((base, "changes_by_commit")) if version.isEmpty && warehouse.exists(base) =>
+        return new ChangesTable(s"$catalogName.${ident.name()}", base, rootDir,
+          byCommit = true)
       case _ => ()
     }
     MetaTables.parse(ident.name()) match {

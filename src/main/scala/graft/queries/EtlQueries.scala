@@ -37,6 +37,10 @@ object EtlQueries {
   private lazy val q161Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q161")
 
+  /** q162's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q162Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q162")
+
   // wipe: the shared stable-path helper lives in Tables (imported above)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -521,6 +525,44 @@ object EtlQueries {
       }
     },
 
+    // COMMIT-ATTRIBUTED CDC (the Delta CDF column contract): one batch read
+    // of `t$changes_by_commit` over a scripted multi-commit history stages
+    // the window as the UNION of per-commit change bags, each row stamped
+    // with `_commit_version` — so the rollup separates what each commit did
+    // (the morMerge's retract+insert at v2, the delete at v4) where the
+    // plain net window would fold cancellation pairs away. The oracle
+    // reconstructs every commit's bag with its literal version. The 100 TB
+    // shape: an auditor or point-in-time replicator reads WHO changed WHAT
+    // and WHEN at O(changed rows), never replaying the table.
+    "q162_cdc_attributed_rollup" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("bal"))
+      wipe(q162Root)
+      val wh = new Warehouse(s, q162Root.toString)
+      s.conf.set("spark.sql.catalog.gq162", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq162.root", q162Root.toString)
+      try {
+        val a = cust.filter(col("c_custkey") % 3 === 0)
+        val b = cust.filter(col("c_custkey") % 3 === 1)
+        wh.create("cdc", org.apache.spark.sql.types.StructType(
+          SchemaOps.widenSchema(cust.schema).fields.map(_.copy(nullable = true))))
+        wh.append("cdc", a, statsCols = Seq("c_custkey"))                    // v1
+        wh.morMerge("cdc",
+          a.filter(col("c_custkey") % 6 === 0).withColumn("bal", col("bal") + 100),
+          Seq("c_custkey"))                                                  // v2
+        wh.append("cdc", b, statsCols = Seq("c_custkey"))                    // v3
+        wh.equalityDelete("cdc",
+          cust.filter(col("c_custkey") % 5 === 0).select("c_custkey"))       // v4
+        s.read.table("gq162.`cdc$changes_by_commit`")
+          .groupBy(col("_commit_version").as("commit_v"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("bal")).as("bal_delta"))
+          .orderBy("commit_v", "change_type")
+          .localCheckpoint()
+      } finally wipe(q162Root)
+    },
+
     // Multi-table TRANSACTIONS (Warehouse.transact): fact rows and their
     // index postings land all-or-nothing — two transactional batches (the
     // second staging an append AND a morMerge upsert of first-batch keys),
@@ -816,6 +858,32 @@ object EtlQueries {
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |FROM f JOIN d ON o_custkey = c_custkey WHERE x > 50000
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // q162: each commit's bag with its literal version — the morMerge (v2)
+    // retracts old and inserts new, the delete (v4) retracts live %5 rows.
+    "q162_cdc_attributed_rollup" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer),
+        |a AS (SELECT * FROM cust WHERE c_custkey % 3 = 0),
+        |b AS (SELECT * FROM cust WHERE c_custkey % 3 = 1),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 6 = 0 THEN bal + 100 ELSE bal END AS bal FROM a),
+        |live AS (SELECT * FROM merged UNION ALL SELECT * FROM b),
+        |changes AS (
+        |  SELECT CAST(1 AS BIGINT) AS commit_v, '+I' AS change_type, bal FROM a
+        |  UNION ALL
+        |  SELECT 2, '-D', bal FROM a WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT 2, '+I', bal + 100 FROM a WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT 3, '+I', bal FROM b
+        |  UNION ALL
+        |  SELECT 4, '-D', bal FROM live WHERE c_custkey % 5 = 0)
+        |SELECT commit_v, change_type, count(*) AS cnt,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_delta
+        |FROM changes GROUP BY commit_v, change_type
+        |ORDER BY commit_v, change_type""".stripMargin,
 
     "q144_transactional_ingest" ->
       """WITH o AS (

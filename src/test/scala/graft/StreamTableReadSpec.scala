@@ -674,6 +674,58 @@ class StreamTableReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("$changes_by_commit: rows carry _commit_version/_commit_timestamp; multi-commit windows attribute per commit") {
+    wh.create("b1", schema)
+    wh.append("b1", frame(1L -> "a"), statsCols = Seq("k"))
+    wh.morMerge("b1", frame(1L -> "A", 2L -> "b"), Seq("k"))
+    wh.equalityDelete("b1", frame(2L -> "x").select("k"))
+    val head = wh.currentVersion("b1")
+    def attributed(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String, Long)] =
+      df.select("k", "v", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // ONE batch spanning the whole history still attributes per commit —
+    // including the cancellation pairs a net window would fold away
+    val got = attributed(spark.read.table(s"$cat.`b1$$changes_by_commit`"))
+    assert(got == Set(
+      (1L, "a", "+I", 1L),
+      (1L, "a", "-D", 2L), (1L, "A", "+I", 2L), (2L, "b", "+I", 2L),
+      (2L, "b", "-D", 3L)), got.toString)
+    // commit timestamps are the ledger's own commit times
+    val ts = spark.read.table(s"$cat.`b1$$changes_by_commit`")
+      .select("_commit_version", "_commit_timestamp").distinct().collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    (1L to head).foreach(v =>
+      assert(!ts.contains(v) || ts(v) == wh.commitTimeMillis("b1", v),
+        s"v=$v: ${ts.get(v)} vs ${wh.commitTimeMillis("b1", v)}"))
+    // update-images composes: the upsert commit pairs as -U/+U, attributed
+    val imaged = attributed(spark.read.option("update-images", "true")
+      .table(s"$cat.`b1$$changes_by_commit`"))
+    assert(imaged.contains((1L, "a", "-U", 2L)) && imaged.contains((1L, "A", "+U", 2L)),
+      imaged.toString)
+    // streaming face serves the same schema
+    val sgot = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    val q = spark.readStream.table(s"$cat.`b1$$changes_by_commit`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        attributed(df.toDF()).foreach(sgot.add)
+      }
+      .option("checkpointLocation", tmpDir("ckpt-b1")).start()
+    import scala.jdk.CollectionConverters._
+    try {
+      q.processAllAvailable()
+      assert(sgot.asScala.toSet == got, sgot.toString)
+    } finally q.stop()
+    // expired attribution refuses with the fix spelled out
+    wh.append("b1", frame(9L -> "z"), statsCols = Seq("k"))
+    wh.expireSnapshots("b1", keepLast = 2, orphanGraceMs = 0L)
+    val ex = intercept[Exception] {
+      spark.read.table(s"$cat.`b1$$changes_by_commit`").collect()
+    }
+    val msg = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+    assert(msg.contains("cannot be ATTRIBUTED"), msg)
+  }
+
   test("guards: time-travel snapshots cannot stream; pending MOR deletes fail at scan build") {
     wh.create("s5", schema)
     wh.append("s5", frame(1L -> "a"), statsCols = Seq("k"))
