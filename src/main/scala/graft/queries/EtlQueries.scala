@@ -563,6 +563,43 @@ object EtlQueries {
       } finally wipe(q162Root)
     },
 
+    // ROW LINEAGE under the oracle (Iceberg v3 first_row_id analog): every
+    // row gets a stable `_row_id` at its first commit, CARRIED physically
+    // through content-preserving rewrites. The query reads the lineage
+    // BEFORE compaction + DELETE WHERE and joins it with the lineage AFTER,
+    // ON _row_id, keeping only pairs whose business columns match — a
+    // moved, duplicated, or recycled id breaks a pair (or multiplies one)
+    // and the per-segment counts diverge from DuckDB's final-state
+    // aggregate. The 100 TB shape: downstream incremental consumers and
+    // audits addressing rows by identity, not by fragile business keys,
+    // across arbitrary maintenance churn.
+    "q163_row_lineage_join" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("bal"))
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q163")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        (0 until 3).foreach(i =>
+          wh.append("t", cust.filter(col("c_custkey") % 3 === i), statsCols = Seq("c_custkey")))
+        val pre = wh.loadWithLineage("t").select(col("_row_id"),
+          col("c_custkey").as("k0"), col("c_mktsegment").as("seg0"), col("bal").as("bal0"))
+        wh.compactFiles("t")
+        wh.deleteWhere("t", col("c_custkey") % 5 === 0)
+        wh.loadWithLineage("t").join(pre, Seq("_row_id"))
+          .filter(col("c_custkey") === col("k0") &&
+            col("c_mktsegment") === col("seg0") && col("bal") === col("bal0"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), dsum(col("bal")).as("bal_sum"))
+          .orderBy("c_mktsegment")
+          .localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    },
+
     // Multi-table TRANSACTIONS (Warehouse.transact): fact rows and their
     // index postings land all-or-nothing — two transactional batches (the
     // second staging an append AND a morMerge upsert of first-batch keys),
@@ -884,6 +921,16 @@ object EtlQueries {
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_delta
         |FROM changes GROUP BY commit_v, change_type
         |ORDER BY commit_v, change_type""".stripMargin,
+
+    // q163: a stable-lineage join reduces to the plain final-state
+    // aggregate — ONLY if every surviving row's id survived the churn.
+    "q163_row_lineage_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer)
+        |SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM cust WHERE c_custkey % 5 <> 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q144_transactional_ingest" ->
       """WITH o AS (

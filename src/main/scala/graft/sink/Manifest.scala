@@ -38,9 +38,14 @@ final case class ColStat(kind: String, min: String, max: String, nulls: Long = -
   * so rows (re-)inserted after a delete are never retro-deleted. Files from
   * before the field existed read as seq 0 — "older than every delete",
   * which is exactly right.
+  *
+  * `firstRowId` is the file's ROW-LINEAGE base (Iceberg v3
+  * `first_row_id`): row k of the file has the stable id
+  * `firstRowId + k`. −1 = not yet assigned — [[Manifest.assignRowIds]]
+  * gives every new file a fresh, never-reused range at its first commit.
   */
 final case class DataFile(path: String, rows: Long, stats: Map[String, ColStat],
-                          seq: Long = 0L)
+                          seq: Long = 0L, firstRowId: Long = -1L)
 
 /** One merge-on-read delete file (Iceberg v2 analog). Two kinds:
   *
@@ -72,7 +77,8 @@ final case class DeleteFile(path: String, rows: Long, seq: Long,
   * `salesforce_pipeline.py:176`).
   */
 final case class Manifest(schema: StructType, files: Seq[DataFile],
-                          deletes: Seq[DeleteFile] = Nil)
+                          deletes: Seq[DeleteFile] = Nil,
+                          rowHwm: Long = -1L)
 
 /** Text serialization of a [[Manifest]]. Two on-disk forms:
   *
@@ -141,7 +147,8 @@ object Manifest {
 
   private def appendDataLine(sb: StringBuilder, f: DataFile): Unit =
     sb.append(f.path).append('\t').append(f.rows).append('\t')
-      .append(statsStr(f.stats)).append('\t').append(f.seq).append('\n')
+      .append(statsStr(f.stats)).append('\t').append(f.seq)
+      .append('\t').append(f.firstRowId).append('\n')
 
   private def appendDeleteLine(sb: StringBuilder, d: DeleteFile): Unit =
     sb.append("D\t").append(d.path).append('\t').append(d.rows).append('\t')
@@ -152,7 +159,9 @@ object Manifest {
     val parts = l.split('\t')
     val stats = if (parts.length < 3) Map.empty[String, ColStat] else parseStats(parts(2))
     val seq = if (parts.length < 4) 0L else parts(3).toLong
-    DataFile(parts(0), parts(1).toLong, stats, seq)
+    // lines written before row lineage existed read as "unassigned"
+    val firstRowId = if (parts.length < 5) -1L else parts(4).toLong
+    DataFile(parts(0), parts(1).toLong, stats, seq, firstRowId)
   }
 
   /** The delete kinds this build can APPLY ([[graft.sink.Warehouse]]'s
@@ -196,6 +205,52 @@ object Manifest {
     (dataLines.map(parseDataLine), delLines.map(parseDeleteLine))
   }
 
+  // ---------------------------------------------- schema line + extras --
+
+  /** Line 2 of every manifest/root: the schema json, optionally followed by
+    * TAB-separated table-level extras — currently `R<hwm>`, the ROW-ID
+    * high-water mark. JSON never contains a raw tab (control characters are
+    * escaped), so the split is unambiguous; pre-extras manifests have no
+    * tab and read as hwm −1. Riding the root makes the high-water ATOMIC
+    * with the commit: removing the highest-id files can never recycle
+    * their ids, because the witness travels with every snapshot.
+    */
+  private def schemaLine(m: Manifest): String =
+    m.schema.json + (if (m.rowHwm >= 0) "\tR" + m.rowHwm else "")
+
+  private def parseSchemaLine(l: String): (StructType, Long) = {
+    val i = l.indexOf('\t')
+    if (i < 0) (DataType.fromJson(l).asInstanceOf[StructType], -1L)
+    else {
+      val hwm = l.substring(i + 1).split('\t')
+        .collectFirst { case e if e.startsWith("R") => e.substring(1).toLong }
+        .getOrElse(-1L)
+      (DataType.fromJson(l.substring(0, i)).asInstanceOf[StructType], hwm)
+    }
+  }
+
+  /** ROW-LINEAGE assignment (Iceberg v3 `first_row_id`): every data file
+    * without an id range gets a fresh one at its first commit —
+    * sequential, in manifest order, starting past BOTH the previous
+    * snapshot's high-water and every already-assigned range in this
+    * manifest, so ids are never reused even after the files that held the
+    * highest ranges are removed without replacement. Returns the manifest
+    * with ids assigned and `rowHwm` advanced (the value the root persists).
+    */
+  def assignRowIds(m: Manifest, prevHwm: Long): Manifest = {
+    var next = m.files.iterator.filter(_.firstRowId >= 0)
+      .map(f => f.firstRowId + f.rows).foldLeft(math.max(prevHwm, 0L))(math.max)
+    val files = m.files.map { f =>
+      if (f.firstRowId >= 0) f
+      else {
+        val id = next
+        next += math.max(f.rows, 0L)
+        f.copy(firstRowId = id)
+      }
+    }
+    Manifest(m.schema, files, m.deletes, rowHwm = next)
+  }
+
   private def atomicWrite(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.writeString(tmp, content)
@@ -209,7 +264,7 @@ object Manifest {
   def write(target: Path, m: Manifest): Unit = {
     val sb = new StringBuilder
     sb.append(Header).append('\n')
-    sb.append(m.schema.json).append('\n')
+    sb.append(schemaLine(m)).append('\n')
     m.files.foreach(appendDataLine(sb, _))
     m.deletes.foreach(appendDeleteLine(sb, _))
     atomicWrite(target, sb.toString)
@@ -304,10 +359,10 @@ object Manifest {
     val dir = target.getParent
     def coalesce(): Unit =
       if (next.files.isEmpty && next.deletes.isEmpty)
-        atomicWrite(target, s"$HeaderV2\n${next.schema.json}\n")
+        atomicWrite(target, s"$HeaderV2\n${schemaLine(next)}\n")
       else {
         val seg = writeSegment(dir, next.files, next.deletes)
-        atomicWrite(target, s"$HeaderV2\n${next.schema.json}\nS\t$seg\n")
+        atomicWrite(target, s"$HeaderV2\n${schemaLine(next)}\nS\t$seg\n")
       }
     val base = basePath.filter(Files.exists(_))
     if (base.isEmpty) { coalesce(); return }
@@ -345,7 +400,7 @@ object Manifest {
       if (!isV1) carried
       else Seq("S\t" + writeSegment(dir, bm.files, bm.deletes))
     val sb = new StringBuilder
-    sb.append(HeaderV2).append('\n').append(next.schema.json).append('\n')
+    sb.append(HeaderV2).append('\n').append(schemaLine(next)).append('\n')
     carriedFinal.foreach(l => sb.append(l).append('\n'))
     removed.foreach(p => sb.append("X\t").append(p).append('\n'))
     if (addedFiles.nonEmpty || addedDels.nonEmpty)
@@ -401,11 +456,11 @@ object Manifest {
     require(lines.size() >= 2 &&
       (lines.get(0) == Header || lines.get(0) == HeaderV2),
       s"not a graft manifest: $source")
-    val schema = DataType.fromJson(lines.get(1)).asInstanceOf[StructType]
+    val (schema, rowHwm) = parseSchemaLine(lines.get(1))
     val entries = (2 until lines.size()).iterator.map(lines.get).filter(_.nonEmpty).toSeq
     if (lines.get(0) == Header) {
       val (delLines, dataLines) = entries.partition(_.startsWith("D\t"))
-      Manifest(schema, dataLines.map(parseDataLine), delLines.map(parseDeleteLine))
+      Manifest(schema, dataLines.map(parseDataLine), delLines.map(parseDeleteLine), rowHwm)
     } else {
       val dir = source.getParent
       val files = new java.util.LinkedHashMap[String, DataFile]()
@@ -422,7 +477,7 @@ object Manifest {
           s"unknown v2 root line in $source: ${l.take(40)}")
       }
       import scala.jdk.CollectionConverters._
-      Manifest(schema, files.values.asScala.toSeq, dels.values.asScala.toSeq)
+      Manifest(schema, files.values.asScala.toSeq, dels.values.asScala.toSeq, rowHwm)
     }
   }
 }

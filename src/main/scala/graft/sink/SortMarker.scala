@@ -13,6 +13,20 @@ package graft.sink
   * (`SupportsReportOrdering`), which is what lets a co-partitioned
   * sort-merge join plan with no per-partition sorts.
   */
+/** Row-lineage constants: files produced by a content-preserving REWRITE
+  * carry each surviving row's id as a physical column ([[PhysCol]]) and
+  * mark the fact with a [[Key]] pseudo-stat (the SortMarker discipline —
+  * rename-stable, carried verbatim with the entry). On read, a marked
+  * file's row id is `coalesce(physical, firstRowId + ordinal)` — exactly
+  * the Iceberg v3 rule: carried rows keep their ids, rows the rewrite
+  * introduced (a merge's incoming batch) inherit fresh ids from the file's
+  * assigned range.
+  */
+object RowLineage {
+  val Key = "__graft_rowid_mat"
+  val PhysCol = "__graft_row_id"
+}
+
 object SortMarker {
   val Key = "__graft_sorted"
 

@@ -454,6 +454,70 @@ final class Warehouse(private[sink] val spark: SparkSession,
     morFrame(name, Manifest.read(manifestPath(name, version)))
   }
 
+  /** Scan a snapshot with ROW LINEAGE: every surviving row carries
+    * `_row_id`, its stable identifier (the Iceberg v3 row-lineage analog).
+    * Freshly committed files serve `file.firstRowId + physical ordinal` —
+    * derived from manifest metadata plus the scan's own
+    * `_metadata.row_index`, zero stored bytes; content-preserving REWRITES
+    * (compaction, delete-survivor rewrites) MATERIALIZE the ids into the
+    * new files and mark the entries ([[RowLineage]]), so the id follows
+    * the row wherever maintenance moves it. Stable across appends, MOR
+    * deletes/upserts (deletion vectors hide rows, never move them),
+    * compaction, DELETE WHERE, schema evolution, branches, WAP publishes
+    * and restores; never reused (the assignment high-water rides every
+    * manifest root). Merge-family ops replace matched rows with INCOMING
+    * versions — those are new row versions and draw fresh ids from their
+    * file's range, the MOR engine posture. Rows of files committed before
+    * the feature refuse with the adoption step spelled out.
+    */
+  def loadWithLineage(name: String, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) currentVersion(name) else version
+    val m = Manifest.read(manifestPath(name, v))
+    val bad = m.files.count(_.firstRowId < 0)
+    require(bad == 0,
+      s"$name v$v: $bad data file(s) predate row lineage — make any commit " +
+        "(an append, or CALL graft.system.rewrite_manifests) to adopt ids, then retry")
+    lineageFrame(name, m)
+  }
+
+  /** [[loadWithLineage]]'s core over an explicit manifest — also the input
+    * every content-preserving rewrite reads back, so surviving rows keep
+    * their ids across the rewrite. Files are grouped by whether the rewrite
+    * MATERIALIZED ids physically ([[RowLineage]]): marked files serve
+    * `coalesce(physical, firstRowId + ordinal)` (carried rows keep ids,
+    * rewrite-introduced rows inherit fresh ones from the file's range),
+    * unmarked files derive purely from metadata + `_metadata.row_index`.
+    */
+  private[sink] def lineageFrame(name: String, m: Manifest): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val out = StructType(m.schema.fields.toSeq :+
+      StructField("_row_id", org.apache.spark.sql.types.LongType, nullable = false))
+    if (m.files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), out)
+    def part(files: Seq[DataFile], mat: Boolean): DataFrame = {
+      val bases = spark.createDataFrame(
+        files.map(f => Row(f.path, f.firstRowId)).asJava,
+        StructType(Seq(StructField(PosFileCol, StringType, nullable = false),
+          StructField("__rowid_base", org.apache.spark.sql.types.LongType, nullable = false))))
+      val scanSchema =
+        if (!mat) m.schema
+        else StructType(m.schema.fields.toSeq :+ StructField(RowLineage.PhysCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
+      val joined = morFrameImpl(name, Manifest(scanSchema, files, m.deletes),
+          keepPositions = true)
+        .join(broadcast(bases), Seq(PosFileCol))
+      val withId =
+        if (!mat) joined.withColumn("_row_id", col("__rowid_base") + col(PosIdxCol))
+        else joined.withColumn("_row_id",
+          coalesce(col(RowLineage.PhysCol), col("__rowid_base") + col(PosIdxCol)))
+      withId.select(out.fieldNames.toSeq.map(col): _*)
+    }
+    val (matF, virtF) = m.files.partition(_.stats.contains(RowLineage.Key))
+    Seq((matF, true), (virtF, false)).filter(_._1.nonEmpty)
+      .map { case (fs, isMat) => part(fs, isMat) }
+      .reduce(_ unionByName _)
+  }
+
   /** Scan `m`'s data files with its pending equality deletes applied
     * (merge-on-read): files are grouped by WHICH deletes apply to them —
     * seq-aware, a delete touches only files with a strictly smaller data
@@ -644,7 +708,8 @@ final class Warehouse(private[sink] val spark: SparkSession,
   private[sink] def writeData(name: String, in: DataFrame, schema: StructType,
                         dirName: String, cols: Seq[String], seq: Long = 0L,
                         spec: Seq[String] = Nil,
-                        sortedBy: Seq[String] = Nil): Seq[DataFile] = {
+                        sortedBy: Seq[String] = Nil,
+                        lineageMat: Boolean = false): Seq[DataFile] = {
     // SORT-ORDER marker: callers whose layout ran through [[cluster]] with
     // explicit cluster keys declare it, and each written file records the
     // keys' FIELD IDS under [[SortMarker.Key]] (ids survive rename, die
@@ -658,10 +723,17 @@ final class Warehouse(private[sink] val spark: SparkSession,
         val ids = sortedBy.map(c => schema.fields.find(_.name == c).flatMap(fieldIdOf))
         if (ids.contains(None)) None else Some(ids.flatten.mkString(","))
       }
-    def withMarker(entries: Seq[DataFile]): Seq[DataFile] = sortedIds match {
-      case None    => entries
-      case Some(v) =>
-        entries.map(e => e.copy(stats = e.stats + (SortMarker.Key -> ColStat("s", v, v, 0L))))
+    def withMarker(entries0: Seq[DataFile]): Seq[DataFile] = {
+      val entries = sortedIds match {
+        case None    => entries0
+        case Some(v) =>
+          entries0.map(e => e.copy(stats = e.stats + (SortMarker.Key -> ColStat("s", v, v, 0L))))
+      }
+      // lineage-materialized rewrites: the files physically carry
+      // RowLineage.PhysCol — mark the entries so reads know to coalesce
+      if (!lineageMat) entries
+      else entries.map(e =>
+        e.copy(stats = e.stats + (RowLineage.Key -> ColStat("s", "m", "m", 0L))))
     }
     // Unique per ATTEMPT, not just per version: two racing writers both
     // computing the same `next` must never share a directory — the loser's
@@ -909,11 +981,21 @@ final class Warehouse(private[sink] val spark: SparkSession,
     val target = manifestPath(name, next)
     val attempt = target.resolveSibling(
       s"${target.getFileName}.w${java.util.UUID.randomUUID().toString.take(8)}")
+    // ROW LINEAGE (Iceberg v3 first_row_id): every data file gets a fresh,
+    // never-reused id range at its first commit, assigned HERE — the one
+    // chokepoint every commit (append, rewrite, WAP publish, restore,
+    // branch, rebase retry) funnels through, so assignment always runs
+    // against the final post-rebase state. The high-water rides the root
+    // (atomic with the commit), so removing the highest-id files can never
+    // recycle their ids. Pre-lineage tables adopt ids wholesale on their
+    // next commit (a one-time coalesce-sized metadata write).
+    val prevHwm = if (next == 0) -1L else manifestAt(name, next - 1).rowHwm
+    val assigned = Manifest.assignRowIds(m, prevHwm)
     // segmented write: O(delta) metadata — the root carries the base
     // version's segment refs forward and only this commit's added/removed
     // entries land as new lines (Manifest.writeDelta scaladoc); a baseless
     // write is the forced-coalesce path ([[rewriteManifests]])
-    Manifest.writeDelta(attempt, m,
+    Manifest.writeDelta(attempt, assigned,
       if (next == 0 || coalesce) None else Some(manifestPath(name, next - 1)))
     try Files.createLink(target, attempt)
     catch {
@@ -1252,15 +1334,23 @@ final class Warehouse(private[sink] val spark: SparkSession,
                                 extraStats: Seq[String], layout: DataFrame => DataFrame,
                                 sortedBy: Seq[String] = Nil): Long = {
     val next = currentVersion(name) + 1
-    val src = spark.read.schema(man.schema)
-      .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
+    // lineage carry (Iceberg v3 rule): compaction is content-preserving,
+    // so rows keep their ids by riding them as a physical column; victims
+    // predating lineage fall back to the plain rewrite
+    val carry = victims.forall(_.firstRowId >= 0)
+    val src =
+      if (carry) lineageFrame(name, Manifest(man.schema, victims, Nil))
+        .withColumnRenamed("_row_id", RowLineage.PhysCol)
+      else spark.read.schema(man.schema)
+        .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
     // current spec transforms requested EXPLICITLY: after a spec evolution
     // the victims may predate the current spec entirely, so inheritance
     // alone would leave the re-clustered files without the bounds the new
     // layout prunes (and SPJ qualifies) by
     val rewritten = writeData(name, layout(src), man.schema, s"d${next}c",
       extraStats ++ partitionSpec(name) ++ inheritedStatsCols(name, Some(man)),
-      seq = next, spec = partitionSpec(name), sortedBy = sortedBy)
+      seq = next, spec = partitionSpec(name), sortedBy = sortedBy,
+      lineageMat = carry)
     val victimSet = victims.map(_.path).toSet
     // Rebase: compaction is content-preserving, so concurrently-ADDED files
     // simply carry through; but the victims must survive unchanged (their
@@ -1646,14 +1736,21 @@ final class Warehouse(private[sink] val spark: SparkSession,
       return DeleteReport(currentVersion(name), 0L, untouched.size)
 
     val next = currentVersion(name) + 1
-    val target = spark.read.schema(man.schema)
-      .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
+    // lineage carry: a delete's SURVIVORS are unchanged rows — they keep
+    // their ids across the rewrite (victims predating lineage fall back)
+    val carry = victims.forall(_.firstRowId >= 0)
+    val target =
+      if (carry) lineageFrame(name, Manifest(man.schema, victims, Nil))
+        .withColumnRenamed("_row_id", RowLineage.PhysCol)
+      else spark.read.schema(man.schema)
+        .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
     // re-cluster survivors on the partition spec (compactDeletes discipline):
     // without it, rewritten files of a partitioned table span all transform
     // values, their bounds go loose, and transform pruning degrades
     val kept = cluster(target.filter(!coalesce(cond, lit(false))), Nil, partitionSpec(name))
     val rewritten = writeData(name, kept, man.schema, s"d${next}r",
-      inheritedStatsCols(name, Some(man)), seq = next, spec = partitionSpec(name))
+      inheritedStatsCols(name, Some(man)), seq = next, spec = partitionSpec(name),
+      lineageMat = carry)
     val deleted = victims.map(_.rows).sum - rewritten.map(_.rows).sum
     if (deleted == 0L) // predicate overlapped bounds but matched no rows
       return DeleteReport(currentVersion(name), 0L, untouched.size)

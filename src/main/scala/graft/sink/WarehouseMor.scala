@@ -165,10 +165,17 @@ private[sink] trait WarehouseMor { self: Warehouse =>
     val rewritten =
       if (victims.isEmpty) Nil
       else {
-        val frame = morFrame(name, Manifest(man.schema, victims, man.deletes))
+        // lineage carry (Iceberg v3 rule): surviving rows keep their row
+        // ids across the rewrite by riding them as a physical column;
+        // victims predating lineage fall back to the plain rewrite
+        val carry = victims.forall(_.firstRowId >= 0)
+        val frame =
+          if (carry) lineageFrame(name, Manifest(man.schema, victims, man.deletes))
+            .withColumnRenamed("_row_id", RowLineage.PhysCol)
+          else morFrame(name, Manifest(man.schema, victims, man.deletes))
         writeData(name, cluster(frame, Nil, partitionSpec(name)), man.schema,
           s"d${next}x", inheritedStatsCols(name, Some(man)), seq = next,
-          spec = partitionSpec(name))
+          spec = partitionSpec(name), lineageMat = carry)
       }
     // Rebase: clears the delete list it materialized, so the winner must
     // not have changed it; victims intact; concurrently-added files carry
