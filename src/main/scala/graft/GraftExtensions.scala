@@ -86,5 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectParser((session, delegate) =>
       new graft.catalog.GraftViewParser(session, delegate))
     e.injectResolutionRule(session => new graft.catalog.GraftViewSubstitution(session))
+    // Row lineage's SQL face: `t$lineage` relations resolve to the
+    // loadWithLineage plan (analysis-time substitution — the lineage read
+    // is a multi-file plan, not a per-file DSv2 scan).
+    e.injectResolutionRule(session => new graft.catalog.LineageRelationRule(session))
   }
 }

@@ -91,6 +91,28 @@ class RowLineageSpec extends SparkSpec {
     assert(fresh > maxBefore, s"id $fresh recycled a removed row's id (max was $maxBefore)")
   }
 
+  test("SQL face: t$lineage serves _row_id through plain SQL, stable across compaction") {
+    val root = tmpDir("rl-sql")
+    spark.conf.set("spark.sql.catalog.grl", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grl.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", schema)
+    (0 until 3).foreach(i => wh.append("t",
+      df((10L * i until 10L * i + 5).map(k => k -> s"v$k"): _*), statsCols = Seq("k")))
+    def sqlIds(): Map[Long, Long] =
+      spark.sql("SELECT k, _row_id FROM grl.`t$lineage`").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = sqlIds()
+    assert(before == ids(wh, "t"), "SQL face must serve the API's ids")
+    assert(spark.sql("SELECT count(*) FROM grl.`t$lineage` WHERE k >= 10").head().getLong(0) == 10L)
+    wh.compactFiles("t")
+    assert(sqlIds() == before, "SQL face ids stable across compaction")
+    // joins compose: lineage self-join pairs every row with itself
+    assert(spark.sql(
+      "SELECT count(*) FROM grl.`t$lineage` a JOIN grl.`t$lineage` b " +
+        "ON a._row_id = b._row_id WHERE a.k = b.k").head().getLong(0) == 15L)
+  }
+
   test("branches and restores preserve ids; pre-lineage files refuse with the adoption step") {
     val wh = new Warehouse(spark, tmpDir("rl-refs"))
     wh.create("t", schema)
