@@ -1438,8 +1438,16 @@ final class Warehouse(private[sink] val spark: SparkSession,
     val rewritten =
       if (victims.isEmpty) Nil
       else {
-        val target = spark.read.schema(schema)
-          .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
+        // lineage carry: a merge's CARRY-OVER rows (victim rows whose key is
+        // not in the batch) are unchanged content — they keep their row ids
+        // across the rewrite; the batch's rows are new row versions and draw
+        // fresh ids from their own files' ranges
+        val carry = victims.forall(_.firstRowId >= 0)
+        val target =
+          if (carry) lineageFrame(name, Manifest(schema, victims, man.deletes))
+            .withColumnRenamed("_row_id", RowLineage.PhysCol)
+          else spark.read.schema(schema)
+            .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
         // Size-gated broadcast: typical incremental batches (10³-10⁴ PKs)
         // broadcast — every executor filters its files with a local hash
         // lookup, zero shuffle of the (huge) target side. A backfill-sized
@@ -1451,7 +1459,7 @@ final class Warehouse(private[sink] val spark: SparkSession,
           else keys.hint("merge")
         val kept = target.join(keysSide, pks, "left_anti")
         writeData(name, cluster(kept, clusterBy, spec), schema, s"d${next}r", statsFor,
-          seq = next, spec = spec, sortedBy = clusterBy)
+          seq = next, spec = spec, sortedBy = clusterBy, lineageMat = carry)
       }
     val batchEntries = writeData(name, cluster(in, clusterBy, spec), schema, s"d${next}b",
       statsFor, seq = next, spec = spec, sortedBy = clusterBy)
@@ -1803,24 +1811,32 @@ final class Warehouse(private[sink] val spark: SparkSession,
       return UpdateReport(currentVersion(name), 0L, untouched.size)
 
     val next = currentVersion(name) + 1
-    val target = spark.read.schema(man.schema)
-      .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
+    // lineage carry — the Iceberg v3 UPDATE rule: an in-place update keeps
+    // the row's IDENTITY (its id), only the values change; unmatched rows
+    // in the victim files are plain carry-over
+    val carry = victims.forall(_.firstRowId >= 0)
+    val target =
+      if (carry) lineageFrame(name, Manifest(man.schema, victims, Nil))
+        .withColumnRenamed("_row_id", RowLineage.PhysCol)
+      else spark.read.schema(man.schema)
+        .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
     val hit = coalesce(cond, lit(false))
     val updated = target.filter(hit).count()
     if (updated == 0L)
       return UpdateReport(currentVersion(name), 0L, untouched.size)
     // ONE projection so every SET expression sees the OLD row (SQL UPDATE
     // semantics — `SET a = b, b = a` swaps; sequential withColumn would not)
+    val keepCols = if (carry) Seq(col(RowLineage.PhysCol)) else Nil
     val rewrittenFrame = target.select(man.schema.fields.toSeq.map { f =>
       set.get(f.name) match {
         case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
       }
-    }: _*)
+    } ++ keepCols: _*)
     // same re-clustering as deleteWhere: keep transform bounds tight on rewrite
     val rewritten = writeData(name, cluster(rewrittenFrame, Nil, partitionSpec(name)),
       man.schema, s"d${next}u", inheritedStatsCols(name, Some(man)), seq = next,
-      spec = partitionSpec(name))
+      spec = partitionSpec(name), lineageMat = carry)
     // Rebase: same validation as deleteWhere — a concurrently-added file
     // that may match the predicate holds rows this UPDATE never rewrote.
     commitOrRebase(name, next, Manifest(man.schema, untouched ++ rewritten),

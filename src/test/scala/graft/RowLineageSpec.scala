@@ -91,6 +91,27 @@ class RowLineageSpec extends SparkSpec {
     assert(fresh > maxBefore, s"id $fresh recycled a removed row's id (max was $maxBefore)")
   }
 
+  test("COW merge carries unmatched rows' ids; COW update keeps the updated row's identity") {
+    val wh = new Warehouse(spark, tmpDir("rl-cow"))
+    wh.create("t", schema)
+    wh.append("t", df((1L to 6L).map(k => k -> s"v$k"): _*), statsCols = Seq("k"))
+    val before = ids(wh, "t")
+    // merge: key 2 is REPLACED by the batch row (new version, fresh id from
+    // the batch's file); unmatched rows in the rewritten victims carry
+    wh.merge("t", df(2L -> "B2", 7L -> "g"), Seq("k"))
+    val after = ids(wh, "t")
+    ((1L to 6L).toSet - 2L).foreach(k =>
+      assert(after(k) == before(k), s"carry-over key $k moved: ${before(k)} -> ${after(k)}"))
+    assert(after(2L) != before(2L), "a merged-in row is a new row version")
+    assert(after.values.toSet.size == 7)
+    // update: the row's IDENTITY survives a value change (the Iceberg v3
+    // UPDATE rule) — same id, new value
+    wh.updateWhere("t", col("k") === 3L, Map("v" -> lit("V3")))
+    val updated = ids(wh, "t")
+    assert(updated == after, s"updateWhere must not move ANY id: $after vs $updated")
+    assert(wh.load("t").filter(col("k") === 3L).head().getString(1) == "V3")
+  }
+
   test("SQL face: t$lineage serves _row_id through plain SQL, stable across compaction") {
     val root = tmpDir("rl-sql")
     spark.conf.set("spark.sql.catalog.grl", classOf[graft.catalog.GraftCatalog].getName)

@@ -277,10 +277,15 @@ class WarehouseSpec extends SparkSpec {
       val broadcastPlans = drainPlans(plans, dirB)
       whS.merge("t", batch, Seq("Id"))
       val smjPlans = drainPlans(plans, dirS)
-      assert(broadcastPlans.exists(p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")))
-      assert(smjPlans.exists(p => p.contains("SortMergeJoin") && p.contains("LeftAnti")),
+      // node-level check: the lineage-carry rewrite legitimately contains a
+      // broadcast INNER join (the per-file id bases) in the same plan, so
+      // the anti-join's strategy must be read off its own operator line
+      def antiJoinLine(p: String, op: String): Boolean =
+        p.linesIterator.exists(l => l.contains(op) && l.contains("LeftAnti"))
+      assert(broadcastPlans.exists(antiJoinLine(_, "BroadcastHashJoin")))
+      assert(smjPlans.exists(antiJoinLine(_, "SortMergeJoin")),
         s"expected an SMJ anti-join above the gate; got:\n${smjPlans.mkString("\n---\n")}")
-      assert(!smjPlans.exists(p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")))
+      assert(!smjPlans.exists(antiJoinLine(_, "BroadcastHashJoin")))
     } finally {
       spark.listenerManager.unregister(listener)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
