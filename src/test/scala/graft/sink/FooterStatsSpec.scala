@@ -36,8 +36,12 @@ class FooterStatsSpec extends graft.SparkSpec {
     man.files.foreach { f =>
       val (rows, stats) = oracle.getOrElse(f.path, fail(s"${f.path}: not seen by scan oracle"))
       assert(f.rows == rows, s"${f.path}: rows ${f.rows} != scan $rows")
-      assert(f.stats == stats,
-        s"${f.path}:\n  footer: ${f.stats.toSeq.sortBy(_._1)}\n  scan:   ${stats.toSeq.sortBy(_._1)}")
+      // reserved pseudo-stats (sort marker, lineage-materialization marker)
+      // are commit-path metadata, not column stats — the scan oracle never
+      // produces them
+      val colStats = f.stats.view.filterKeys(!_.startsWith("__graft_")).toMap
+      assert(colStats == stats,
+        s"${f.path}:\n  footer: ${colStats.toSeq.sortBy(_._1)}\n  scan:   ${stats.toSeq.sortBy(_._1)}")
     }
     // and (append-only histories: no superseded files linger in shared
     // dirs) no file the oracle saw is missing from the manifest — 0-row
