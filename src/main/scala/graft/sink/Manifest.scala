@@ -251,6 +251,27 @@ object Manifest {
     Manifest(m.schema, files, m.deletes, rowHwm = next)
   }
 
+  /** The row-id high-water of a root from its HEADER LINES only — O(1),
+    * no entry replay: the commit path consults the previous root's hwm on
+    * every commit, and a full `read` there would double the per-commit
+    * manifest cost at millions of files.
+    */
+  def rowHwmOf(root: Path): Long = {
+    val s = Files.lines(root)
+    try {
+      val it = s.iterator()
+      if (!it.hasNext) return -1L
+      it.next()
+      if (!it.hasNext) return -1L
+      val l = it.next()
+      val i = l.indexOf('\t')
+      if (i < 0) -1L
+      else l.substring(i + 1).split('\t')
+        .collectFirst { case e if e.startsWith("R") => e.substring(1).toLong }
+        .getOrElse(-1L)
+    } finally s.close()
+  }
+
   private def atomicWrite(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.writeString(tmp, content)

@@ -989,7 +989,14 @@ final class Warehouse(private[sink] val spark: SparkSession,
     // (atomic with the commit), so removing the highest-id files can never
     // recycle their ids. Pre-lineage tables adopt ids wholesale on their
     // next commit (a one-time coalesce-sized metadata write).
-    val prevHwm = if (next == 0) -1L else manifestAt(name, next - 1).rowHwm
+    val prevHwm =
+      if (next == 0) -1L
+      else {
+        val p = manifestPath(name, next - 1)
+        // header-lines read, O(1): a full replay here would double every
+        // commit's manifest cost at millions of files
+        if (Files.exists(p)) Manifest.rowHwmOf(p) else -1L
+      }
     val assigned = Manifest.assignRowIds(m, prevHwm)
     // segmented write: O(delta) metadata — the root carries the base
     // version's segment refs forward and only this commit's added/removed
