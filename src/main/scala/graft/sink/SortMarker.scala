@@ -25,6 +25,15 @@ package graft.sink
 object RowLineage {
   val Key = "__graft_rowid_mat"
   val PhysCol = "__graft_row_id"
+
+  /** Physical last-updated-version column in materialized files. NULL means
+    * "this row's value is as new as the file" ⟹ reads fall back to the
+    * file's own data sequence number — which is also why an UPDATE writes
+    * null for the rows it changed: under a rebased commit the entry's seq
+    * is restamped to the final version and the fallback stays exact, where
+    * a stamped literal would freeze the losing attempt's number.
+    */
+  val VerCol = "__graft_row_ver"
 }
 
 object SortMarker {

@@ -490,26 +490,38 @@ final class Warehouse(private[sink] val spark: SparkSession,
     */
   private[sink] def lineageFrame(name: String, m: Manifest): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val out = StructType(m.schema.fields.toSeq :+
-      StructField("_row_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val out = StructType(m.schema.fields.toSeq ++ Seq(
+      StructField("_row_id", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("_last_updated_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
     if (m.files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), out)
     def part(files: Seq[DataFile], mat: Boolean): DataFrame = {
       val bases = spark.createDataFrame(
-        files.map(f => Row(f.path, f.firstRowId)).asJava,
+        files.map(f => Row(f.path, f.firstRowId, f.seq)).asJava,
         StructType(Seq(StructField(PosFileCol, StringType, nullable = false),
-          StructField("__rowid_base", org.apache.spark.sql.types.LongType, nullable = false))))
+          StructField("__rowid_base", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("__rowid_seq", org.apache.spark.sql.types.LongType, nullable = false))))
       val scanSchema =
         if (!mat) m.schema
-        else StructType(m.schema.fields.toSeq :+ StructField(RowLineage.PhysCol,
-          org.apache.spark.sql.types.LongType, nullable = true))
+        else StructType(m.schema.fields.toSeq ++ Seq(
+          StructField(RowLineage.PhysCol,
+            org.apache.spark.sql.types.LongType, nullable = true),
+          StructField(RowLineage.VerCol,
+            org.apache.spark.sql.types.LongType, nullable = true)))
       val joined = morFrameImpl(name, Manifest(scanSchema, files, m.deletes),
           keepPositions = true)
         .join(broadcast(bases), Seq(PosFileCol))
       val withId =
-        if (!mat) joined.withColumn("_row_id", col("__rowid_base") + col(PosIdxCol))
-        else joined.withColumn("_row_id",
-          coalesce(col(RowLineage.PhysCol), col("__rowid_base") + col(PosIdxCol)))
+        if (!mat) joined
+          .withColumn("_row_id", col("__rowid_base") + col(PosIdxCol))
+          .withColumn("_last_updated_version", col("__rowid_seq"))
+        else joined
+          .withColumn("_row_id",
+            coalesce(col(RowLineage.PhysCol), col("__rowid_base") + col(PosIdxCol)))
+          // null physical version = "as new as the file" ⟹ the file's seq
+          .withColumn("_last_updated_version",
+            coalesce(col(RowLineage.VerCol), col("__rowid_seq")))
       withId.select(out.fieldNames.toSeq.map(col): _*)
     }
     val (matF, virtF) = m.files.partition(_.stats.contains(RowLineage.Key))
@@ -1348,6 +1360,7 @@ final class Warehouse(private[sink] val spark: SparkSession,
     val src =
       if (carry) lineageFrame(name, Manifest(man.schema, victims, Nil))
         .withColumnRenamed("_row_id", RowLineage.PhysCol)
+        .withColumnRenamed("_last_updated_version", RowLineage.VerCol)
       else spark.read.schema(man.schema)
         .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
     // current spec transforms requested EXPLICITLY: after a spec evolution
@@ -1453,6 +1466,7 @@ final class Warehouse(private[sink] val spark: SparkSession,
         val target =
           if (carry) lineageFrame(name, Manifest(schema, victims, man.deletes))
             .withColumnRenamed("_row_id", RowLineage.PhysCol)
+        .withColumnRenamed("_last_updated_version", RowLineage.VerCol)
           else spark.read.schema(schema)
             .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
         // Size-gated broadcast: typical incremental batches (10³-10⁴ PKs)
@@ -1757,6 +1771,7 @@ final class Warehouse(private[sink] val spark: SparkSession,
     val target =
       if (carry) lineageFrame(name, Manifest(man.schema, victims, Nil))
         .withColumnRenamed("_row_id", RowLineage.PhysCol)
+        .withColumnRenamed("_last_updated_version", RowLineage.VerCol)
       else spark.read.schema(man.schema)
         .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
     // re-cluster survivors on the partition spec (compactDeletes discipline):
@@ -1825,6 +1840,7 @@ final class Warehouse(private[sink] val spark: SparkSession,
     val target =
       if (carry) lineageFrame(name, Manifest(man.schema, victims, Nil))
         .withColumnRenamed("_row_id", RowLineage.PhysCol)
+        .withColumnRenamed("_last_updated_version", RowLineage.VerCol)
       else spark.read.schema(man.schema)
         .parquet(victims.map(f => tableDir(name).resolve(f.path).toString): _*)
     val hit = coalesce(cond, lit(false))
@@ -1833,7 +1849,14 @@ final class Warehouse(private[sink] val spark: SparkSession,
       return UpdateReport(currentVersion(name), 0L, untouched.size)
     // ONE projection so every SET expression sees the OLD row (SQL UPDATE
     // semantics — `SET a = b, b = a` swaps; sequential withColumn would not)
-    val keepCols = if (carry) Seq(col(RowLineage.PhysCol)) else Nil
+    // lineage: the id carries for EVERY row (update keeps identity); the
+    // last-updated version carries only for untouched rows — changed rows
+    // write NULL so reads fall back to the entry's (rebase-exact) seq
+    val keepCols =
+      if (!carry) Nil
+      else Seq(col(RowLineage.PhysCol),
+        when(hit, lit(null).cast("long")).otherwise(col(RowLineage.VerCol))
+          .as(RowLineage.VerCol))
     val rewrittenFrame = target.select(man.schema.fields.toSeq.map { f =>
       set.get(f.name) match {
         case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)

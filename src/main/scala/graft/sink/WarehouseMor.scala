@@ -172,6 +172,7 @@ private[sink] trait WarehouseMor { self: Warehouse =>
         val frame =
           if (carry) lineageFrame(name, Manifest(man.schema, victims, man.deletes))
             .withColumnRenamed("_row_id", RowLineage.PhysCol)
+            .withColumnRenamed("_last_updated_version", RowLineage.VerCol)
           else morFrame(name, Manifest(man.schema, victims, man.deletes))
         writeData(name, cluster(frame, Nil, partitionSpec(name)), man.schema,
           s"d${next}x", inheritedStatsCols(name, Some(man)), seq = next,

@@ -25,6 +25,11 @@ class RowLineageSpec extends SparkSpec {
     wh.loadWithLineage(t, v).collect()
       .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("_row_id"))).toMap
 
+  /** k → _last_updated_version of the current snapshot. */
+  private def vers(wh: Warehouse, t: String): Map[Long, Long] =
+    wh.loadWithLineage(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("_last_updated_version"))).toMap
+
   test("assignment: unique at commit, stable across appends and MOR churn; upserts are new row versions") {
     val wh = new Warehouse(spark, tmpDir("rl-basic"))
     wh.create("t", schema)
@@ -60,10 +65,15 @@ class RowLineageSpec extends SparkSpec {
       df((10L * i until 10L * i + 10).map(k => k -> s"v$k"): _*), statsCols = Seq("k")))
     val before = ids(wh, "t")
     assert(before.size == 30)
+    // fresh files: _last_updated_version = the append's commit version
+    val versBefore = vers(wh, "t")
+    assert(versBefore == (0L until 30L).map(k => k -> (k / 10 + 1)).toMap, versBefore.toString)
     wh.compactFiles("t") // merges the three small files
     assert(wh.currentManifest("t").files.size < 3 ||
       wh.currentManifest("t").files.forall(_.stats.contains(RowLineage.Key)))
     assert(ids(wh, "t") == before, "compaction must carry every id")
+    assert(vers(wh, "t") == versBefore,
+      "compaction must carry every row's ORIGINAL last-updated version")
     // the rewritten entries are MARKED materialized
     assert(wh.currentManifest("t").files.exists(_.stats.contains(RowLineage.Key)))
     // pending MOR delete + compactDeletes: survivors carried
@@ -105,11 +115,18 @@ class RowLineageSpec extends SparkSpec {
     assert(after(2L) != before(2L), "a merged-in row is a new row version")
     assert(after.values.toSet.size == 7)
     // update: the row's IDENTITY survives a value change (the Iceberg v3
-    // UPDATE rule) — same id, new value
+    // UPDATE rule) — same id, new value, and ONLY its last-updated version
+    // advances to the update's commit
+    val versBefore = vers(wh, "t")
     wh.updateWhere("t", col("k") === 3L, Map("v" -> lit("V3")))
     val updated = ids(wh, "t")
     assert(updated == after, s"updateWhere must not move ANY id: $after vs $updated")
     assert(wh.load("t").filter(col("k") === 3L).head().getString(1) == "V3")
+    val versAfter = vers(wh, "t")
+    assert(versAfter(3L) == wh.currentVersion("t"),
+      s"the updated row's version must advance: ${versAfter(3L)}")
+    assert(versAfter - 3L == versBefore - 3L,
+      "untouched rows must keep their last-updated versions")
   }
 
   test("SQL face: t$lineage serves _row_id through plain SQL, stable across compaction") {
