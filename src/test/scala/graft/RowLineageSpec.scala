@@ -101,6 +101,22 @@ class RowLineageSpec extends SparkSpec {
     assert(fresh > maxBefore, s"id $fresh recycled a removed row's id (max was $maxBefore)")
   }
 
+  test("partitioned tables: carry survives the hive-split rewrite (ids and versions intact)") {
+    val wh = new Warehouse(spark, tmpDir("rl-part"))
+    wh.create("t", schema, Seq("bucket(4,k)"))
+    (0 until 2).foreach(i => wh.append("t",
+      df((8L * i until 8L * i + 8).map(k => k -> s"v$k"): _*), statsCols = Seq("k")))
+    val i0 = ids(wh, "t")
+    val v0 = vers(wh, "t")
+    // the rewrite re-clusters by the spec and hive-splits per bucket — the
+    // physical lineage columns must ride through the partitioned write
+    wh.compactFiles("t")
+    assert(ids(wh, "t") == i0, "partitioned compaction must carry ids")
+    assert(vers(wh, "t") == v0, "partitioned compaction must carry versions")
+    wh.deleteWhere("t", col("k") % 4 === 0)
+    assert(ids(wh, "t") == i0.filter(_._1 % 4 != 0))
+  }
+
   test("COW merge carries unmatched rows' ids; COW update keeps the updated row's identity") {
     val wh = new Warehouse(spark, tmpDir("rl-cow"))
     wh.create("t", schema)
