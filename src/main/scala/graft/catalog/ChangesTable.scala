@@ -239,7 +239,8 @@ private[catalog] final class ChangesStager(table: String, root: String,
       require(!byCommit || s >= 0 || oldest == 0,
         s"$table$$changes_by_commit: commits before the oldest retained snapshot " +
           s"($oldest) cannot be ATTRIBUTED (their manifests were expired) — use " +
-          s"from-version >= $oldest, or the plain $$changes face for the net history")
+          s"from-version >= $oldest (batch) or stream-start-version > $oldest " +
+          s"(streaming), or the plain $$changes face for the net history")
       val tmp = cdcDir.resolve(s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val out =
         if (!byCommit) windowFrame(s, e)
@@ -480,8 +481,11 @@ private[catalog] final class ChangesMicroBatchStream(table: String, root: String
         // commits at or before the oldest retained snapshot cannot split
         // per-commit (their manifests are expired): the first window jumps
         // to the oldest retained snapshot in one net batch — with s at the
-        // pre-history sentinel that is exactly "snapshot `oldest` as +I"
-        if (e < oldestRetained) e = oldestRetained
+        // pre-history sentinel that is exactly "snapshot `oldest` as +I".
+        // That catch-up window is delivered ALONE: its cost is the whole
+        // oldest snapshot, which already dwarfs any per-trigger file budget
+        // — admitting more commits on top would silently bypass the cap.
+        if (e < oldestRetained) return VersionOffset(math.min(oldestRetained, head))
         var files = 0
         var full = false
         while (!full && e < head) {

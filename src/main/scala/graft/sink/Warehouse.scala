@@ -930,16 +930,21 @@ final class Warehouse(private[sink] val spark: SparkSession,
       val todo = man.files.filter(f => !BloomIndex.exists(resolvePath(name, f.path), key))
       if (todo.nonEmpty) {
         graft.functions.BloomPrune.register(spark)
-        // one global sizing per build pass (the aggregate takes literals):
-        // the largest file decides, capped at Spark's bloom-agg limits
-        val expected = math.min(todo.map(_.rows).max.max(1L), 4000000L)
+        // the aggregate's sizing args must be literals, so files are grouped
+        // into power-of-two ROW-COUNT CLASSES and scanned one class per
+        // pass: each file's filter is sized within 2x of its own optimum
+        // (a tiny file beside a huge one no longer inherits the huge
+        // sizing), and a homogeneous batch still runs as ONE job
+        todo.groupBy(f => 63 - java.lang.Long.numberOfLeadingZeros(math.max(f.rows, 1L)))
+          .values.foreach { grp =>
+        val expected = math.min(grp.map(_.rows).max.max(1L), 4000000L)
         val numBits = math.max(math.min(
           org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expected, fpp),
           67108864L), 64L)
-        val absOf = todo.map(f =>
+        val absOf = grp.map(f =>
           Paths.get(resolvePath(name, f.path)).toAbsolutePath.normalize.toString -> f).toMap
         val rows = spark.read.schema(schema)
-          .parquet(todo.map(f => resolvePath(name, f.path)): _*)
+          .parquet(grp.map(f => resolvePath(name, f.path)): _*)
           .select(input_file_name().as("__f"), xxhash64(col(c)).as("__h"))
           .groupBy("__f")
           .agg(call_function(graft.functions.BloomPrune.AggName, col("__h"),
@@ -953,6 +958,7 @@ final class Warehouse(private[sink] val spark: SparkSession,
             BloomIndex.writeSidecar(abs, key, bytes)
             written += 1
           }
+        }
         }
       }
     }

@@ -244,17 +244,31 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
   def expireCdcStages(name: String, olderThanMs: Long = 24L * 3600 * 1000L): Int = {
     val cdc = tableDir(splitRef(name)._1).resolve("_cdc")
     if (!Files.isDirectory(cdc)) return 0
-    val cutoff = System.currentTimeMillis() - olderThanMs
+    val now = System.currentTimeMillis()
+    val cutoff = now - olderThanMs
+    // tmp-* dirs may be a CONCURRENT stager's in-flight write: an aggressive
+    // olderThanMs (a zero-age manual CALL) must not delete one mid-write and
+    // fail its ATOMIC_MOVE publish — tmp entries keep a minimum age floor
+    // regardless of the requested retention. Published windows (w*) have no
+    // floor: a swept window a reader still wants re-materializes.
+    val tmpCutoff = math.min(cutoff, now - TmpStageMinAgeMs)
     var swept = 0
     val s = Files.list(cdc)
     try s.forEach { p =>
       val n = p.getFileName.toString
+      val cut = if (n.startsWith("tmp-")) tmpCutoff else cutoff
       if ((n.startsWith("w") || n.startsWith("tmp-")) &&
-          Files.getLastModifiedTime(p).toMillis < cutoff) {
+          Files.getLastModifiedTime(p).toMillis < cut) {
         deleteRecursively(p)
         swept += 1
       }
     } finally s.close()
     swept
   }
+
+  /** Minimum age before a crashed-stager `tmp-*` dir is sweepable — longer
+    * than any plausible in-flight window write, far shorter than a real
+    * leak mattering.
+    */
+  private[sink] val TmpStageMinAgeMs: Long = 10L * 60 * 1000
 }

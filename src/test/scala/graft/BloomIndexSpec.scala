@@ -120,6 +120,36 @@ class BloomIndexSpec extends SparkSpec {
     assert(wh.buildBloomIndex("t", Seq("h")) == 0, "fully indexed: re-run is a no-op")
   }
 
+  test("skewed file sizes: each sidecar is sized from its own file's rows") {
+    val root = tmpDir("bloom-skew")
+    val wh = new Warehouse(spark, root)
+    wh.create("t", StructType(schema.fields.map(_.copy(nullable = true))))
+    // one big file and one tiny file in the SAME build pass
+    wh.append("t", batch(0L, 50000L).coalesce(1), statsCols = Seq("h"))
+    wh.append("t", batch(50000L, 50010L).coalesce(1), statsCols = Seq("h"))
+    assert(wh.buildBloomIndex("t", Seq("h")) == 2)
+    val man = wh.currentManifest("t")
+    val key = BloomIndex.keyFor(man.schema, "h")
+    def sidecarBytes(f: graft.sink.DataFile): Long =
+      java.nio.file.Files.size(BloomIndex.sidecar(wh.resolvePath("t", f.path), key))
+    val big = man.files.maxBy(_.rows)
+    val tiny = man.files.minBy(_.rows)
+    assert(tiny.rows < 100 && big.rows >= 50000)
+    // per-size-class sizing: the tiny file must not inherit the big file's
+    // filter size (the old global-max sizing made them equal)
+    assert(sidecarBytes(tiny) * 50 < sidecarBytes(big),
+      s"tiny=${sidecarBytes(tiny)}B big=${sidecarBytes(big)}B")
+    // and both still answer exactly
+    val inTiny = md5Of(50005L)
+    val inBig = md5Of(777L)
+    val raw = wh.load("t")
+    for (k <- Seq(inTiny, inBig, md5Of(999999L))) {
+      val got = raw.filter(col("h") === k).count()
+      val expect = if (k == md5Of(999999L)) 0L else 1L
+      assert(got == expect, s"lookup $k")
+    }
+  }
+
   test("SQL face: CALL graft.system.build_bloom_index builds and lookups prune") {
     val root = tmpDir("bloom-call")
     spark.conf.set("spark.sql.catalog.blmq", classOf[graft.catalog.GraftCatalog].getName)

@@ -126,9 +126,18 @@ class ProcedureSpec extends SparkSpec {
     // default retention (24 h): fresh stages survive
     assert(spark.sql(s"CALL $cat.system.expire_cdc_stages(tbl => 't')")
       .head().getAs[Int]("swept") == 0)
-    // older_than_ms => 0: everything aged out — windows AND tmp-*
+    // older_than_ms => 0: published windows age out immediately, but a
+    // tmp-* dir may be a CONCURRENT stager's in-flight write — it keeps a
+    // minimum age floor so an aggressive manual sweep can't fail a racing
+    // publish mid-write
     assert(spark.sql(s"CALL $cat.system.expire_cdc_stages(tbl => 't', older_than_ms => 0)")
-      .head().getAs[Int]("swept") == 2)
+      .head().getAs[Int]("swept") == 1)
+    assert(entries() == Seq("tmp-crashed"))
+    // an AGED tmp-* (a genuinely crashed stager) does sweep
+    java.nio.file.Files.setLastModifiedTime(cdc.resolve("tmp-crashed"),
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    assert(spark.sql(s"CALL $cat.system.expire_cdc_stages(tbl => 't', older_than_ms => 0)")
+      .head().getAs[Int]("swept") == 1)
     assert(entries().isEmpty)
     // a swept window simply re-materializes: same deterministic bag
     assert(spark.read.table(s"$cat.`t$$changes`").collect().length == expected)
