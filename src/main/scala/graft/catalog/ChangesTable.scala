@@ -50,7 +50,7 @@ import graft.sink.Warehouse
   * table; at 100 TB an incremental consumer pays for its changes only.
   */
 final class ChangesTable(displayName: String, val table: String, val root: String,
-                         byCommit: Boolean = false)
+                         byCommit: Boolean = false, lineage: Boolean = false)
     extends Table with SupportsRead {
 
   private def spark = SparkSession.active
@@ -60,11 +60,18 @@ final class ChangesTable(displayName: String, val table: String, val root: Strin
     * changelog-read schema contract. The COMMIT-ATTRIBUTED face
     * (`t$changes_by_commit`) adds `_commit_version`/`_commit_timestamp`
     * (the Delta CDF columns): windows stage as a union of PER-COMMIT
-    * change bags, each row carrying the commit that produced it.
+    * change bags, each row carrying the commit that produced it. The
+    * LINEAGE face (`t$changes_lineage`, a separate table name because a
+    * DSv2 table's schema is fixed at load) adds `_row_id` /
+    * `_last_updated_version` per change row — and update-image pairing
+    * then keys on `_row_id` instead of user-declared identifier columns.
     */
   val cdcSchema: StructType = {
-    val base = new Warehouse(spark, root).currentManifest(table).schema.fields :+
-      StructField("_change_type", StringType, nullable = false)
+    val tbl = new Warehouse(spark, root).manifestHeader(table).schema.fields
+    val lin = if (!lineage) Nil else Seq(
+      StructField("_row_id", LongType, nullable = false),
+      StructField("_last_updated_version", LongType, nullable = false))
+    val base = tbl ++ lin :+ StructField("_change_type", StringType, nullable = false)
     StructType(if (!byCommit) base else base ++ Seq(
       StructField("_commit_version", LongType, nullable = false),
       StructField("_commit_timestamp", TimestampType, nullable = false)))
@@ -79,7 +86,8 @@ final class ChangesTable(displayName: String, val table: String, val root: Strin
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new ChangesScan(table, root, cdcSchema, options, byCommit)
+      override def build(): Scan =
+        new ChangesScan(table, root, cdcSchema, options, byCommit, lineage)
     }
 }
 
@@ -88,7 +96,7 @@ final class ChangesTable(displayName: String, val table: String, val root: Strin
   */
 private[catalog] final class ChangesScan(table: String, root: String,
     cdcSchema: StructType, options: CaseInsensitiveStringMap,
-    byCommit: Boolean) extends Scan {
+    byCommit: Boolean, lineage: Boolean = false) extends Scan {
 
   override def readSchema(): StructType = cdcSchema
   override def description(): String = s"$table$$changes"
@@ -122,7 +130,7 @@ private[catalog] final class ChangesScan(table: String, root: String,
       .getOrElse(head)
     require(from >= -1 && to >= from && to <= head,
       s"$table$$changes: invalid window ($from, $to] over history 0..$head")
-    val stager = new ChangesStager(table, root, cdcSchema, options, byCommit)
+    val stager = new ChangesStager(table, root, cdcSchema, options, byCommit, lineage)
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
         if (to == from) Array.empty else stager.plan(from, to)
@@ -131,7 +139,7 @@ private[catalog] final class ChangesScan(table: String, root: String,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangesMicroBatchStream(table, root, cdcSchema, options, byCommit)
+    new ChangesMicroBatchStream(table, root, cdcSchema, options, byCommit, lineage)
 }
 
 /** Stages one change window's rows as parquet and plans/reads them.
@@ -140,7 +148,7 @@ private[catalog] final class ChangesScan(table: String, root: String,
   */
 private[catalog] final class ChangesStager(table: String, root: String,
     cdcSchema: StructType, options: CaseInsensitiveStringMap,
-    byCommit: Boolean = false) {
+    byCommit: Boolean = false, lineage: Boolean = false) {
   import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
   private def spark = SparkSession.active
@@ -149,13 +157,19 @@ private[catalog] final class ChangesStager(table: String, root: String,
   /** UPDATE-IMAGE mode (`update-images=true`, optional `identifier-columns`):
     * windows stage [[Warehouse.readChangesWithImages]]'s `-U`/`+U`-paired
     * rows instead of the plain `+I`/`-D` bag — option-gated so the default
-    * contract never changes under a consumer.
+    * contract never changes under a consumer. On the LINEAGE face pairing
+    * keys on `_row_id` (identity, rename-immune) and `identifier-columns`
+    * refuses: declaring a name-based key there would silently contradict
+    * the id-based pairing actually served.
     */
   private val updateImages: Boolean =
     Option(options.get("update-images")).exists(_.toBoolean)
   private val idCols: Seq[String] =
     Option(options.get("identifier-columns")).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+  require(!lineage || idCols.isEmpty,
+    s"$table$$changes_lineage: identifier-columns is not used on the lineage " +
+      "face — update images pair by _row_id; drop the option")
 
   /** `t@branch` stages under the BASE dir with the ref in the window name —
     * one `_cdc` namespace per table, windows disambiguated per ledger.
@@ -209,7 +223,12 @@ private[catalog] final class ChangesStager(table: String, root: String,
   private def windowFrame(s: Long, e: Long): org.apache.spark.sql.DataFrame = {
     val eSchema = wh.manifestAt(table, e).schema
     val changes =
-      if (s < 0) wh.loadVersion(table, e).withColumn("_change_type",
+      if (lineage) {
+        if (s < 0) wh.loadWithLineage(table, e).withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("+I"))
+        else wh.readChangesLineage(table, s, e, pairUpdates = updateImages)
+      }
+      else if (s < 0) wh.loadVersion(table, e).withColumn("_change_type",
         org.apache.spark.sql.functions.lit("+I"))
       else if (updateImages)
         wh.readChangesWithImages(table, s, e, translateIdCols(eSchema))
@@ -242,22 +261,27 @@ private[catalog] final class ChangesStager(table: String, root: String,
           s"from-version >= $oldest (batch) or stream-start-version > $oldest " +
           s"(streaming), or the plain $$changes face for the net history")
       val tmp = cdcDir.resolve(s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out =
-        if (!byCommit) windowFrame(s, e)
-        else {
-          // commit-attributed: the window is the UNION of its per-commit
-          // bags, each row stamped with the commit that produced it — the
-          // Delta CDF shape; cost is the same O(changed rows) the admission
-          // split would pay, just attributed
-          import org.apache.spark.sql.functions.{lit, timestamp_millis}
-          ((s + 1) to e).map { v =>
-            windowFrame(v - 1, v)
-              .withColumn("_commit_version", lit(v))
-              .withColumn("_commit_timestamp",
-                timestamp_millis(lit(wh.commitTimeMillis(table, v))))
-          }.reduce(_ unionByName _)
+      if (!byCommit) windowFrame(s, e).write.mode("overwrite").parquet(tmp.toString)
+      else {
+        // commit-attributed: the window is the union of its per-commit
+        // bags, each row stamped with the commit that produced it — the
+        // Delta CDF shape; cost is the same O(changed rows) the admission
+        // split would pay, just attributed. Staged as ONE WRITE JOB PER
+        // COMMIT into the same tmp dir (append mode) instead of a
+        // reduce(unionByName) over the range: a wide manual window (a
+        // 100-commit batch read) would otherwise build a plan 100 unions
+        // deep — O(n²) analysis cost and an optimizer cliff — while the
+        // staged files are identical either way and the publish below
+        // stays one atomic move
+        import org.apache.spark.sql.functions.{lit, timestamp_millis}
+        ((s + 1) to e).foreach { v =>
+          windowFrame(v - 1, v)
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp",
+              timestamp_millis(lit(wh.commitTimeMillis(table, v))))
+            .write.mode("append").parquet(tmp.toString)
         }
-      out.write.mode("overwrite").parquet(tmp.toString)
+      }
       try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileAlreadyExistsException |
@@ -324,12 +348,16 @@ private[catalog] final class ChangesStager(table: String, root: String,
     def idOf(f: StructField): Option[Long] =
       if (f.metadata.contains("parquet.field.id"))
         Some(f.metadata.getLong("parquet.field.id")) else None
+    val metaCols = Set("_change_type", "_row_id", "_last_updated_version")
     val bothIds = eSchema.fields.nonEmpty &&
       eSchema.fields.forall(idOf(_).isDefined) &&
-      rowSchema.fields.filter(_.name != "_change_type").forall(idOf(_).isDefined)
+      rowSchema.fields.filterNot(f => metaCols(f.name)).forall(idOf(_).isDefined)
     val eById = eSchema.fields.flatMap(f => idOf(f).map(_ -> f)).toMap
     def sourceFor(g: StructField): Option[StructField] =
       if (g.name == "_change_type") Some(StructField("_change_type", StringType))
+      // lineage columns are feed metadata, not table fields: pass through
+      else if (lineage && (g.name == "_row_id" || g.name == "_last_updated_version"))
+        Some(StructField(g.name, LongType))
       else if (bothIds) idOf(g).flatMap(eById.get)
       else eSchema.fields.find(_.name == g.name)
     df.select(rowSchema.fields.toSeq.map { g =>
@@ -398,12 +426,12 @@ private[catalog] final class ChangesStager(table: String, root: String,
   */
 private[catalog] final class ChangesMicroBatchStream(table: String, root: String,
     cdcSchema: StructType, options: CaseInsensitiveStringMap,
-    byCommit: Boolean = false)
+    byCommit: Boolean = false, lineage: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
   private def wh = new Warehouse(spark, root)
-  private val stager = new ChangesStager(table, root, cdcSchema, options, byCommit)
+  private val stager = new ChangesStager(table, root, cdcSchema, options, byCommit, lineage)
 
   /** Oldest retained snapshot of the ledger — the floor below which no
     * per-commit change window can be computed (its manifests are expired).

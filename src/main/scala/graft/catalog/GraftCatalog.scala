@@ -151,6 +151,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       case Some((base, "changes_by_commit")) if version.isEmpty && warehouse.exists(base) =>
         return new ChangesTable(s"$catalogName.${ident.name()}", base, rootDir,
           byCommit = true)
+      // the LINEAGE faces: same feeds with _row_id/_last_updated_version per
+      // change row; update-image pairing keys on _row_id. A separate table
+      // NAME (not a read option) because a DSv2 table's schema is fixed at
+      // load — an option cannot grow the relation's output.
+      case Some((base, "changes_lineage")) if version.isEmpty && warehouse.exists(base) =>
+        return new ChangesTable(s"$catalogName.${ident.name()}", base, rootDir,
+          lineage = true)
+      case Some((base, "changes_by_commit_lineage"))
+          if version.isEmpty && warehouse.exists(base) =>
+        return new ChangesTable(s"$catalogName.${ident.name()}", base, rootDir,
+          byCommit = true, lineage = true)
       case _ => ()
     }
     MetaTables.parse(ident.name()) match {
@@ -561,6 +572,34 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
   lazy val manifest: graft.sink.Manifest = prunedManifest.getOrElse(
     version.map(warehouse.manifestAt(table, _)).getOrElse(warehouse.currentManifest(table)))
 
+  /** Header-only snapshot facts (O(2 lines)): planning-path consumers —
+    * `schema()`, the MOR-deletes gate, [[ManifestPruneRule]] — must never
+    * force the full entry list just to learn the schema or that no deletes
+    * are pending; at millions of files that is the difference between
+    * O(header + relevant segments) and O(table) per query.
+    */
+  private lazy val header: graft.sink.RootHeader = prunedManifest match {
+    case Some(m) => graft.sink.RootHeader(m.schema, m.rowHwm, m.deletes.size)
+    case None    => warehouse.manifestHeader(table, version)
+  }
+
+  /** Does this snapshot carry pending MOR delete entries? Served from the
+    * root header when the count is recorded there; pre-header manifests
+    * fall back to the full load (unknown must never read as "no deletes" —
+    * that would silently resurrect deleted rows).
+    */
+  def hasPendingDeletes: Boolean =
+    if (header.deleteCount >= 0) header.deleteCount > 0 else manifest.deletes.nonEmpty
+
+  /** Segment-pruned manifest of this snapshot ([[Warehouse.manifestPruned]]):
+    * `(manifest over surviving segments, skipped segment count)`.
+    */
+  def manifestPruned(keep: graft.sink.SegSummary => Boolean): (graft.sink.Manifest, Int) =
+    prunedManifest match {
+      case Some(m) => (m, 0)
+      case None    => warehouse.manifestPruned(table, version, keep)
+    }
+
   /** Same table with the scan restricted to `files` (file skipping); any
     * pending MOR deletes ride along so [[MorReadRule]] still applies them.
     */
@@ -568,12 +607,19 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
     new GraftTable(displayName, table, root, version,
       Some(graft.sink.Manifest(manifest.schema, files, manifest.deletes)))
 
+  /** Same table pinned to an explicit pruned manifest (files AND deletes
+    * already resolved — used by [[ManifestPruneRule]] so the swap never
+    * forces a full manifest load of the original).
+    */
+  def withManifest(m: graft.sink.Manifest): GraftTable =
+    new GraftTable(displayName, table, root, version, Some(m))
+
   override def name(): String = {
     val base = version.map(v => s"$displayName@v$v").getOrElse(displayName)
     prunedManifest.map(m => s"$base[${m.files.size} files]").getOrElse(base)
   }
 
-  override def schema(): StructType = manifest.schema
+  override def schema(): StructType = header.schema
 
   /** Stored table constraints ([[ConstraintStore]]): Spark's
     * `ResolveTableConstraints` reads these off every V2 write target and

@@ -34,18 +34,28 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     case f @ Filter(cond, r: DataSourceV2Relation) =>
       r.table match {
         case t: GraftTable if t.prunedManifest.isEmpty =>
-          val files = t.manifest.files
+          // SEGMENT level first (the manifest-list analog): segments whose
+          // root-line summary proves no file can match are never PARSED —
+          // the same conservative mayMatch, applied to the segment's merged
+          // bounds as if it were one big file. Only surviving segments'
+          // entries materialize for the per-file pass below, so a
+          // one-partition query over a million-file table plans in
+          // O(relevant segments), not O(table entries).
+          val (man, skippedSegs) = t.manifestPruned(s =>
+            mayMatch(graft.sink.DataFile("", s.rows, s.stats), cond))
+          val files = man.files
           // bloom probes extracted ONCE per filter node (hashes included —
           // an InSet of a thousand uuids must not re-hash per file), and
           // only when an equality-shaped conjunct exists at all: the common
           // range-predicate query never touches the marker or a Warehouse
-          val probes = bloomProbes(t, cond)
+          val probes = bloomProbes(t, cond, man.schema)
           lazy val resolve = probeResolver(t)
           val kept = files.filter(file =>
             mayMatch(file, cond) && probes.forall { case (c, hs) =>
               hs.exists(h => graft.sink.BloomIndex.mightContain(resolve(file.path), c, h))
             })
-          if (kept.size < files.size) f.copy(child = r.copy(table = t.withFiles(kept)))
+          if (kept.size < files.size || skippedSegs > 0)
+            f.copy(child = r.copy(table = t.withManifest(man.copy(files = kept))))
           else f
         case _ => f
       }
@@ -72,7 +82,9 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     */
   private val MaxProbeValues = 512
 
-  private def bloomProbes(t: GraftTable, cond: Expression): Seq[(String, Seq[Long])] = {
+  private def bloomProbes(t: GraftTable, cond: Expression,
+                          schema: org.apache.spark.sql.types.StructType):
+      Seq[(String, Seq[Long])] = {
     import graft.sink.BloomIndex
     val conjs = splitConjunctivePredicates(cond)
     val hasEq = conjs.exists {
@@ -86,10 +98,10 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     if (indexed.isEmpty) return Nil
     def usable(a: AttributeReference): Boolean =
       indexed.contains(a.name) &&
-        t.manifest.schema.fields.exists(f0 => f0.name == a.name && f0.dataType == a.dataType)
+        schema.fields.exists(f0 => f0.name == a.name && f0.dataType == a.dataType)
     // sidecars are keyed by field id (rename-stable) — BloomIndex.keyFor
     def keyOf(a: AttributeReference): String =
-      BloomIndex.keyFor(t.manifest.schema, a.name)
+      BloomIndex.keyFor(schema, a.name)
     // all candidate hashes of a value list, or None if ANY is unhashable
     // (then the conjunct can't prune). Null values match no row under
     // plain equality — they contribute no hash, and an all-null list

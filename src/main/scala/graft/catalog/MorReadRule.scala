@@ -41,8 +41,12 @@ object MorReadRule extends Rule[LogicalPlan] {
   }
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // hasPendingDeletes answers from the root HEADER (O(2 lines)) — this
+    // gate runs on EVERY graft relation at analysis time and must not force
+    // a full manifest replay of a millions-of-files table just to learn
+    // there is nothing to overlay
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
-        r.table.asInstanceOf[GraftTable].manifest.deletes.nonEmpty =>
+        r.table.asInstanceOf[GraftTable].hasPendingDeletes =>
       val gt = r.table.asInstanceOf[GraftTable]
       val wh = new Warehouse(SparkSession.active, gt.root)
       val mor = wh.morFrame(gt.table, gt.manifest).queryExecution.analyzed

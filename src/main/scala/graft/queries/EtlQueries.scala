@@ -33,6 +33,10 @@ object EtlQueries {
   private lazy val q160Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q160")
 
+  /** q164's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q164Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q164")
+
   /** q161's per-JVM warehouse root — same stable-path discipline. */
   private lazy val q161Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q161")
@@ -410,6 +414,85 @@ object EtlQueries {
           .localCheckpoint()
       } finally {
         wipe(q159Root)
+        wipe(cp)
+      }
+    },
+
+    // CDC with ROW LINEAGE (`t$changes_lineage` + update-images): every
+    // change row carries its stable _row_id, and update pre/post-images
+    // pair BY IDENTITY — the feed keys on the id, not on user-declared
+    // identifier columns, so pairing survives a RENAME of the key column
+    // mid-stream (which breaks every name-based identity). The query
+    // PROVES the pairing: -U rows join their +U partners on (_row_id,
+    // batch) and the per-segment pair deltas must equal the scripted
+    // update amounts — a moved, recycled, or unpaired id changes the
+    // join's counts and the oracle catches it. In-place updateWhere keeps
+    // row identity (the Iceberg v3 UPDATE rule); the equality delete
+    // reports -D; compaction contributes nothing. The 100 TB shape: a
+    // replication consumer tracking entity history with ZERO schema
+    // knowledge — no keys to declare, no rename coordination, O(changed
+    // rows) per trigger.
+    "q164_cdc_lineage_images" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("bal"))
+      wipe(q164Root)
+      val cp = java.nio.file.Files.createTempDirectory("graft-q164cp")
+      val wh = new Warehouse(s, q164Root.toString)
+      s.conf.set("spark.sql.catalog.gq164", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq164.root", q164Root.toString)
+      try {
+        val a = cust.filter(col("c_custkey") % 3 === 0)
+        wh.create("cdc", org.apache.spark.sql.types.StructType(
+          SchemaOps.widenSchema(cust.schema).fields.map(_.copy(nullable = true))))
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Long, Long, String, Long, String, Double)]()
+        val q = s.readStream.option("update-images", "true")
+          .table("gq164.`cdc$changes_lineage`")
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           batchId: Long) =>
+            df.select("_row_id", "_change_type", "c_custkey", "c_mktsegment", "bal")
+              .collect().foreach(r => buf.add((batchId, r.getLong(0), r.getString(1),
+                r.getLong(2), r.getString(3), r.getDouble(4))))
+          }
+          .option("checkpointLocation", cp.toString).start()
+        try {
+          wh.append("cdc", a, statsCols = Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.updateWhere("cdc", col("c_custkey") % 6 === 0,
+            Map("bal" -> (col("bal") + 100)))
+          q.processAllAvailable()
+          // rename the VALUE column mid-stream: id-based pairing must not care
+          wh.renameColumn("cdc", "bal", "balance")
+          q.processAllAvailable()
+          wh.updateWhere("cdc", col("c_custkey") % 9 === 0,
+            Map("balance" -> (col("balance") + 10)))
+          q.processAllAvailable()
+          wh.equalityDelete("cdc",
+            cust.filter(col("c_custkey") % 15 === 0).select("c_custkey"))
+          q.processAllAvailable()
+          wh.compactFiles("cdc")
+          q.processAllAvailable()
+        } finally q.stop()
+        import scala.jdk.CollectionConverters._
+        val raw = s.createDataFrame(buf.asScala.toSeq)
+          .toDF("batch", "rid", "change_type", "c_custkey", "c_mktsegment", "bal")
+        val plain = raw.filter(col("change_type").isin("+I", "-D"))
+          .groupBy("change_type", "c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), dsum(col("bal")).as("bal_delta"))
+        val pre = raw.filter(col("change_type") === "-U")
+          .select(col("batch"), col("rid"), col("c_mktsegment"), col("bal").as("oldb"))
+        val post = raw.filter(col("change_type") === "+U")
+          .select(col("batch"), col("rid"), col("bal").as("newb"))
+        val pairs = pre.join(post, Seq("batch", "rid"))
+          .groupBy(lit("U").as("change_type"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("newb") - col("oldb")).as("bal_delta"))
+        plain.unionByName(pairs)
+          .orderBy("change_type", "c_mktsegment")
+          .localCheckpoint()
+      } finally {
+        wipe(q164Root)
         wipe(cp)
       }
     },
@@ -851,6 +934,34 @@ object EtlQueries {
         |  SELECT '+I', c_custkey, c_mktsegment, bal FROM b
         |  UNION ALL
         |  SELECT '-D', c_custkey, c_mktsegment, bal FROM live WHERE c_custkey % 5 = 0)
+        |SELECT change_type, c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_delta
+        |FROM changes GROUP BY change_type, c_mktsegment
+        |ORDER BY change_type, c_mktsegment""".stripMargin,
+
+    // q164: lineage-paired update images — +I is the appended slice, each
+    // in-place update contributes its (row-id-joined) pair count and exact
+    // delta, the equality delete retracts the FINAL state of its rows;
+    // the rename and the compaction contribute nothing.
+    "q164_cdc_lineage_images" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer),
+        |a AS (SELECT * FROM cust WHERE c_custkey % 3 = 0),
+        |fin AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    bal + CASE WHEN c_custkey % 6 = 0 THEN 100 ELSE 0 END
+        |        + CASE WHEN c_custkey % 9 = 0 THEN 10 ELSE 0 END AS bal FROM a),
+        |changes AS (
+        |  SELECT '+I' AS change_type, c_mktsegment, bal FROM a
+        |  UNION ALL
+        |  SELECT 'U', c_mktsegment, (bal + 100) - bal FROM a WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT 'U', c_mktsegment,
+        |    (bal + CASE WHEN c_custkey % 6 = 0 THEN 100 ELSE 0 END + 10)
+        |      - (bal + CASE WHEN c_custkey % 6 = 0 THEN 100 ELSE 0 END)
+        |  FROM a WHERE c_custkey % 9 = 0
+        |  UNION ALL
+        |  SELECT '-D', c_mktsegment, bal FROM fin WHERE c_custkey % 15 = 0)
         |SELECT change_type, c_mktsegment, count(*) AS cnt,
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_delta
         |FROM changes GROUP BY change_type, c_mktsegment

@@ -80,6 +80,31 @@ final case class Manifest(schema: StructType, files: Seq[DataFile],
                           deletes: Seq[DeleteFile] = Nil,
                           rowHwm: Long = -1L)
 
+/** Per-SEGMENT summary riding the root's `S` line — the Iceberg
+  * manifest-list analog (per-manifest `partitions` ranges): planning can
+  * prove "no file in this segment can match the predicate" from the root
+  * alone and skip parsing the segment entirely ([[Manifest.readPruned]]).
+  *
+  * `stats` holds, per column/transform key, bounds that COVER every data
+  * file in the segment: a key appears only when EVERY data file records a
+  * stat for it in one consistent domain (min of mins, max of maxes; nulls
+  * summed when all known, else −1; all-null only when every file is "z") —
+  * so any per-file pruning decision made against the summary is valid for
+  * the whole segment. `hasDeletes` marks segments carrying delete entries;
+  * those are never skipped (the MOR overlay needs every delete entry
+  * regardless of data bounds).
+  */
+final case class SegSummary(entries: Int, rows: Long, hasDeletes: Boolean,
+                            stats: Map[String, ColStat])
+
+/** Header facts of a manifest root, readable without replaying any entry
+  * lines: the snapshot schema plus the table-level extras on line 2 —
+  * `rowHwm` (row-lineage high-water; −1 pre-lineage) and `deleteCount`
+  * (pending delete-entry count; −1 when written before the field existed,
+  * meaning "unknown — load the manifest to find out").
+  */
+final case class RootHeader(schema: StructType, rowHwm: Long, deleteCount: Int)
+
 /** Text serialization of a [[Manifest]]. Two on-disk forms:
   *
   * '''v1 (flat)''' — the whole snapshot in one file:
@@ -208,25 +233,52 @@ object Manifest {
   // ---------------------------------------------- schema line + extras --
 
   /** Line 2 of every manifest/root: the schema json, optionally followed by
-    * TAB-separated table-level extras — currently `R<hwm>`, the ROW-ID
-    * high-water mark. JSON never contains a raw tab (control characters are
-    * escaped), so the split is unambiguous; pre-extras manifests have no
-    * tab and read as hwm −1. Riding the root makes the high-water ATOMIC
-    * with the commit: removing the highest-id files can never recycle
-    * their ids, because the witness travels with every snapshot.
+    * TAB-separated table-level extras — `R<hwm>`, the ROW-ID high-water
+    * mark, and `E<n>`, the pending DELETE-ENTRY count. JSON never contains
+    * a raw tab (control characters are escaped), so the split is
+    * unambiguous; pre-extras manifests have no tab and read as hwm −1 /
+    * count −1 (unknown). Riding the root makes the high-water ATOMIC with
+    * the commit, and lets every read path answer "any pending MOR
+    * deletes?" from the header without replaying a single entry —
+    * [[readHeader]] is what keeps planning O(relevant metadata) at
+    * millions of files. Unknown extras are ignored (forward compatible).
     */
   private def schemaLine(m: Manifest): String =
-    m.schema.json + (if (m.rowHwm >= 0) "\tR" + m.rowHwm else "")
+    m.schema.json + (if (m.rowHwm >= 0) "\tR" + m.rowHwm else "") +
+      "\tE" + m.deletes.size
 
   private def parseSchemaLine(l: String): (StructType, Long) = {
+    val h = parseHeaderLine(l)
+    (h.schema, h.rowHwm)
+  }
+
+  private def parseHeaderLine(l: String): RootHeader = {
     val i = l.indexOf('\t')
-    if (i < 0) (DataType.fromJson(l).asInstanceOf[StructType], -1L)
+    if (i < 0) RootHeader(DataType.fromJson(l).asInstanceOf[StructType], -1L, -1)
     else {
-      val hwm = l.substring(i + 1).split('\t')
-        .collectFirst { case e if e.startsWith("R") => e.substring(1).toLong }
-        .getOrElse(-1L)
-      (DataType.fromJson(l.substring(0, i)).asInstanceOf[StructType], hwm)
+      val extras = l.substring(i + 1).split('\t')
+      val hwm = extras.collectFirst {
+        case e if e.startsWith("R") => e.substring(1).toLong }.getOrElse(-1L)
+      val dels = extras.collectFirst {
+        case e if e.startsWith("E") => e.substring(1).toInt }.getOrElse(-1)
+      RootHeader(DataType.fromJson(l.substring(0, i)).asInstanceOf[StructType], hwm, dels)
     }
+  }
+
+  /** Header-only read — O(2 lines), no entry replay: schema, row-id
+    * high-water, pending-delete count. The planner's fast path for
+    * `schema()` and the "no pending MOR deletes" gate.
+    */
+  def readHeader(root: Path): RootHeader = {
+    val s = Files.lines(root)
+    try {
+      val it = s.iterator()
+      require(it.hasNext, s"empty manifest: $root")
+      val hdr = it.next()
+      require(hdr == Header || hdr == HeaderV2, s"not a graft manifest: $root")
+      require(it.hasNext, s"truncated manifest: $root")
+      parseHeaderLine(it.next())
+    } finally s.close()
   }
 
   /** ROW-LINEAGE assignment (Iceberg v3 `first_row_id`): every data file
@@ -320,6 +372,68 @@ object Manifest {
     seg
   }
 
+  /** Merged per-column bounds covering EVERY data file of a segment — the
+    * summary a root `S` line carries ([[SegSummary]] scaladoc for the
+    * pruning contract). A key survives only when present in every file with
+    * one consistent domain; kinds that disagree, or a key any file lacks,
+    * drop (absent = unknown = the segment can't be skipped on that key).
+    */
+  private def summarize(files: Seq[DataFile], deletes: Seq[DeleteFile]): SegSummary = {
+    val stats: Map[String, ColStat] =
+      if (files.isEmpty) Map.empty
+      else {
+        val keys = files.iterator.map(_.stats.keySet).reduce(_ intersect _)
+        keys.iterator.flatMap { k =>
+          val sts = files.map(_.stats(k))
+          val ns = sts.map(_.nulls)
+          val nulls = if (ns.contains(-1L)) -1L else ns.sum
+          val nonZ = sts.filterNot(_.kind == "z")
+          if (nonZ.isEmpty) Some(k -> ColStat("z", "", "", nulls))
+          else if (nonZ.iterator.map(_.kind).toSet.size > 1) None
+          else try {
+            val kind = nonZ.head.kind
+            val mn = nonZ.map(_.min).reduce((a, b) =>
+              if (StatsPruning.cmp(kind, a, b) <= 0) a else b)
+            val mx = nonZ.map(_.max).reduce((a, b) =>
+              if (StatsPruning.cmp(kind, a, b) >= 0) a else b)
+            // some files all-null, others valued: bounds come from the
+            // valued files, the merged null count keeps IS NULL honest
+            Some(k -> ColStat(kind, mn, mx, nulls))
+          } catch {
+            // a malformed stat value (an "n" that doesn't parse — written
+            // by a buggy or foreign tool) must not fail the COMMIT: the key
+            // just doesn't summarize, and its segment never skips on it
+            case _: NumberFormatException | _: ArithmeticException => None
+          }
+        }.toMap
+      }
+    SegSummary(files.size + deletes.size, files.iterator.map(_.rows).sum,
+      deletes.nonEmpty, stats)
+  }
+
+  /** `S`-line payload after the segment file name:
+    * `<entries>\t<rows>\t<d|->\t<statsStr>`. Pre-summary roots have a bare
+    * name (2 fields total) and read as "no summary — always parse".
+    */
+  private def summaryFields(s: SegSummary): String =
+    s"${s.entries}\t${s.rows}\t${if (s.hasDeletes) "d" else "-"}\t${statsStr(s.stats)}"
+
+  /** Parse an `S`-line payload's summary (fields after `S\t`, i.e.
+    * `name\t<entries>\t<rows>\t<d|->\t<statsStr>`); None for bare pre-summary
+    * payloads.
+    */
+  private def parseSummary(payload: String): Option[SegSummary] = {
+    // limit -1: an empty statsStr (no common stat keys) must not drop the
+    // trailing field and mask the rest of the summary
+    val fields = payload.split("\t", -1)
+    if (fields.length < 5) None
+    else Some(SegSummary(fields(1).toInt, fields(2).toLong, fields(3) == "d",
+      parseStats(fields(4))))
+  }
+
+  /** Write one immutable segment; returns the complete `S`-line payload
+    * (name + summary fields) the root should carry.
+    */
   private def writeSegment(dir: Path, files: Seq[DataFile],
                            deletes: Seq[DeleteFile]): String = {
     val name = s"g${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.seg"
@@ -328,7 +442,15 @@ object Manifest {
     files.foreach(appendDataLine(sb, _))
     deletes.foreach(appendDeleteLine(sb, _))
     atomicWrite(dir.resolve(name), sb.toString)
-    name
+    s"$name\t${summaryFields(summarize(files, deletes))}"
+  }
+
+  /** Segment file NAME from an `S` line's payload (summary fields, when
+    * present, follow the name tab-separated).
+    */
+  private def segName(payload: String): String = {
+    val i = payload.indexOf('\t')
+    if (i < 0) payload else payload.substring(0, i)
   }
 
   /** The segment file names a root references (empty for flat v1 manifests)
@@ -338,7 +460,7 @@ object Manifest {
     val lines = Files.readAllLines(root)
     if (lines.isEmpty || lines.get(0) != HeaderV2) Nil
     else (2 until lines.size()).iterator.map(lines.get)
-      .filter(_.startsWith("S\t")).map(_.substring(2)).toSeq
+      .filter(_.startsWith("S\t")).map(l => segName(l.substring(2))).toSeq
   }
 
   /** Path-tombstone (`X` line) count of a v2 root; 0 for flat v1 — the
@@ -351,13 +473,31 @@ object Manifest {
     else (2 until lines.size()).count(i => lines.get(i).startsWith("X\t"))
   }
 
-  /** Root line budget before a commit coalesces everything into one fresh
-    * segment: more than [[MaxSegments]] referenced segments, or more
+  /** Root line budget before a commit coalesces into fresh segments: more
+    * than [[MaxSegments]] referenced segments (scaled up for tables whose
+    * LIVE entry count genuinely needs more — see [[segBudget]]), or more
     * tombstones than live entries. Coalescing is the amortized-O(1)
     * manifest compaction (Iceberg `rewrite_manifests`): one commit in ~64
     * pays O(table) metadata so the other 63 pay O(batch).
     */
   private val MaxSegments = 64
+
+  /** Coalesce chunk size: a coalesced snapshot lands as ceil(live/target)
+    * segments of at most this many entries, in manifest order (for
+    * append-shaped histories that is arrival order — naturally clustered
+    * on time-correlated keys), so segment-level pruning keeps working
+    * after manifest compaction instead of collapsing the whole table into
+    * one unprunable mega-segment.
+    */
+  private val SegTargetEntries = 4096
+
+  /** The segment budget scales with live entries: a million-file table
+    * needs ~250 chunked segments, so the fixed 64 would force EVERY commit
+    * to re-coalesce O(table) metadata. Coalesce only when fragmentation
+    * exceeds twice what chunked coalescing itself would produce.
+    */
+  private def segBudget(live: Int): Int =
+    math.max(MaxSegments, 2 * (live / SegTargetEntries + 1))
 
   /** Commit-path write: express `next` as the BASE root's lines plus this
     * commit's delta — `X` tombstones for entries the commit removed or
@@ -378,13 +518,25 @@ object Manifest {
     */
   def writeDelta(target: Path, next: Manifest, basePath: Option[Path]): Unit = {
     val dir = target.getParent
-    def coalesce(): Unit =
-      if (next.files.isEmpty && next.deletes.isEmpty)
-        atomicWrite(target, s"$HeaderV2\n${schemaLine(next)}\n")
-      else {
-        val seg = writeSegment(dir, next.files, next.deletes)
-        atomicWrite(target, s"$HeaderV2\n${schemaLine(next)}\nS\t$seg\n")
+    def coalesce(): Unit = {
+      val sb = new StringBuilder
+      sb.append(HeaderV2).append('\n').append(schemaLine(next)).append('\n')
+      // CHUNKED: one segment per SegTargetEntries in manifest order, so a
+      // compacted manifest still prunes at segment grain (delete entries
+      // ride the last chunk — they are the rare, small tail)
+      if (next.files.nonEmpty || next.deletes.nonEmpty) {
+        val chunks = next.files.grouped(SegTargetEntries).toSeq match {
+          case Seq() => Seq(Seq.empty[DataFile])
+          case cs    => cs
+        }
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          val dels = if (i == chunks.size - 1) next.deletes else Nil
+          if (c.nonEmpty || dels.nonEmpty)
+            sb.append("S\t").append(writeSegment(dir, c, dels)).append('\n')
+        }
       }
+      atomicWrite(target, sb.toString)
+    }
     val base = basePath.filter(Files.exists(_))
     if (base.isEmpty) { coalesce(); return }
     val baseLines = Files.readAllLines(base.get)
@@ -405,6 +557,10 @@ object Manifest {
     val baseDels = bm.deletes.iterator.map(d => d.path -> d).toMap
     val nextFiles = next.files.iterator.map(f => f.path -> f).toMap
     val nextDels = next.deletes.iterator.map(d => d.path -> d).toMap
+    // every removed-or-CHANGED entry is tombstoned here, BEFORE the fresh
+    // segment re-adds its new version — the ordering [[readPruned]]'s
+    // segment skipping is sound against (a stale version can never survive
+    // a skipped re-add, because its X always precedes)
     val removed = bm.files.collect { case f if !nextFiles.get(f.path).contains(f) => f.path } ++
       bm.deletes.collect { case d if !nextDels.get(d.path).contains(d) => d.path }
     val addedFiles = next.files.filterNot(f => baseFiles.get(f.path).contains(f))
@@ -413,7 +569,7 @@ object Manifest {
     val segCount = carried.count(_.startsWith("S\t")) + (if (isV1) 1 else 0) +
       (if (addedFiles.nonEmpty || addedDels.nonEmpty) 1 else 0)
     val tombCount = carried.count(_.startsWith("X\t")) + removed.size
-    if (segCount > MaxSegments || tombCount > math.max(64, live) ||
+    if (segCount > segBudget(live) || tombCount > math.max(64, live) ||
         removed.size + addedFiles.size + addedDels.size >= math.max(1, live)) {
       coalesce(); return
     }
@@ -460,7 +616,7 @@ object Manifest {
     } yield {
       val tail = nl.drop(bl.size)
       val newX = tail.filter(_.startsWith("X\t")).map(_.substring(2)).toSet
-      val (af, ad) = tail.filter(_.startsWith("S\t")).map(_.substring(2))
+      val (af, ad) = tail.filter(_.startsWith("S\t")).map(l => segName(l.substring(2)))
         .foldLeft((Seq.empty[DataFile], Seq.empty[DeleteFile])) {
           case ((fs, ds), seg) =>
             val se = readSegment(next.getParent.resolve(seg))
@@ -488,7 +644,7 @@ object Manifest {
       val dels = new java.util.LinkedHashMap[String, DeleteFile]()
       entries.foreach { l =>
         if (l.startsWith("S\t")) {
-          val seg = readSegment(dir.resolve(l.substring(2)))
+          val seg = readSegment(dir.resolve(segName(l.substring(2))))
           seg.files.foreach(f => files.put(f.path, f))
           seg.deletes.foreach(d => dels.put(d.path, d))
         } else if (l.startsWith("X\t")) {
@@ -500,5 +656,66 @@ object Manifest {
       import scala.jdk.CollectionConverters._
       Manifest(schema, files.values.asScala.toSeq, dels.values.asScala.toSeq, rowHwm)
     }
+  }
+
+  /** Introspection counters for [[readPruned]] — segments materialized vs
+    * skipped by summary, across the JVM. Specs snapshot-and-diff these to
+    * prove a partition-pruned plan parsed O(relevant segments).
+    */
+  val prunedSegConsults = new java.util.concurrent.atomic.AtomicLong
+  val prunedSegSkips = new java.util.concurrent.atomic.AtomicLong
+
+  /** SEGMENT-LEVEL pruned read — the Iceberg "open only the manifests whose
+    * partition range can match" planning step. Replays the root's lines
+    * like [[read]], but a segment whose `S`-line summary (a) carries no
+    * delete entries and (b) fails `keep` is skipped WITHOUT being parsed:
+    * at millions of files a one-partition query touches the root plus the
+    * few segments covering that partition, not every entry of the table.
+    *
+    * Returns None when the root is flat v1 (small standalone manifests —
+    * callers full-read those). `X` tombstone lines are always applied;
+    * summary-less `S` lines (pre-summary roots) always parse.
+    *
+    * SOUNDNESS — why a skip can never surface a stale entry: the result
+    * omits exactly the live entries of skipped segments, and every one of
+    * those provably fails `keep` (its per-file bounds lie inside the
+    * summary's). An OLD version of a path whose newer version lives in a
+    * skipped segment cannot leak, because [[writeDelta]] tombstones every
+    * changed entry (the `X` precedes the re-add, and root `X` lines are
+    * processed regardless of skipping). `keep` must be CONSERVATIVE in the
+    * [[graft.catalog.ManifestPruneRule]] sense: summaries cover every file
+    * in the segment, so "summary can't match ⇒ no file can match".
+    */
+  def readPruned(source: Path, keep: SegSummary => Boolean): Option[(Manifest, Int)] = {
+    val lines = Files.readAllLines(source)
+    if (lines.isEmpty || lines.get(0) != HeaderV2) return None
+    require(lines.size() >= 2, s"truncated manifest: $source")
+    val (schema, rowHwm) = parseSchemaLine(lines.get(1))
+    val dir = source.getParent
+    val files = new java.util.LinkedHashMap[String, DataFile]()
+    val dels = new java.util.LinkedHashMap[String, DeleteFile]()
+    var skipped = 0
+    (2 until lines.size()).foreach { i =>
+      val l = lines.get(i)
+      if (l.isEmpty) ()
+      else if (l.startsWith("S\t")) {
+        val payload = l.substring(2)
+        val skip = parseSummary(payload).exists(s => !s.hasDeletes && !keep(s))
+        if (skip) { skipped += 1; prunedSegSkips.incrementAndGet(): Unit }
+        else {
+          prunedSegConsults.incrementAndGet()
+          val seg = readSegment(dir.resolve(segName(payload)))
+          seg.files.foreach(f => files.put(f.path, f))
+          seg.deletes.foreach(d => dels.put(d.path, d))
+        }
+      } else if (l.startsWith("X\t")) {
+        val p = l.substring(2)
+        files.remove(p); dels.remove(p)
+      } else throw new IllegalArgumentException(
+        s"unknown v2 root line in $source: ${l.take(40)}")
+    }
+    import scala.jdk.CollectionConverters._
+    Some((Manifest(schema, files.values.asScala.toSeq, dels.values.asScala.toSeq, rowHwm),
+      skipped))
   }
 }

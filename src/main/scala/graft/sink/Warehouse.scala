@@ -190,6 +190,36 @@ final class Warehouse(private[sink] val spark: SparkSession,
     Manifest.read(manifestPath(name, version))
   }
 
+  /** Header-only snapshot facts — schema, row-id high-water, pending
+    * delete-entry count — in O(2 lines), never replaying a single file
+    * entry ([[Manifest.readHeader]]). The planner's fast path: `schema()`
+    * and the "any pending MOR deletes?" gate on every SQL read must not
+    * cost O(table files) at millions of files. `deleteCount` −1 = written
+    * before the field existed (caller loads the manifest to find out).
+    */
+  def manifestHeader(name: String, version: Option[Long] = None): RootHeader = {
+    val v = version.getOrElse(currentVersion(name))
+    require(v >= 0 && Files.exists(manifestPath(name, v)),
+      s"no such snapshot: $name v=$v")
+    Manifest.readHeader(manifestPath(name, v))
+  }
+
+  /** SEGMENT-PRUNED manifest load ([[Manifest.readPruned]]): segments whose
+    * root-line summary proves no file can satisfy `keep` are never parsed —
+    * planning a partition-pruned query costs O(relevant segments), not
+    * O(all table files). Returns the manifest over surviving segments
+    * (every delete entry included regardless) plus the skipped-segment
+    * count; flat v1 manifests fall back to the full read (skipped = 0).
+    */
+  def manifestPruned(name: String, version: Option[Long],
+                     keep: SegSummary => Boolean): (Manifest, Int) = {
+    val v = version.getOrElse(currentVersion(name))
+    require(v >= 0 && Files.exists(manifestPath(name, v)),
+      s"no such snapshot: $name v=$v")
+    val p = manifestPath(name, v)
+    Manifest.readPruned(p, keep).getOrElse((Manifest.read(p), 0))
+  }
+
   /** Absolute path of one of `name`'s data files. */
   def resolvePath(name: String, rel: String): String =
     tableDir(name).resolve(rel).toString

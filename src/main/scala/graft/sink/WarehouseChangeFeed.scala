@@ -86,7 +86,43 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
     * (rows differing only there collapse, the to-schema's semantics); a
     * retyped column refuses loudly rather than fabricating a diff.
     */
-  def readChanges(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
+  def readChanges(name: String, fromVersion: Long, toVersion: Long): DataFrame =
+    readChangesImpl(name, fromVersion, toVersion, lineage = false)
+
+  /** [[readChanges]] with ROW LINEAGE: every change row carries `_row_id` /
+    * `_last_updated_version` (the Iceberg v3 changelog-with-lineage shape).
+    * The bags come from [[lineageFrame]] instead of the plain MOR frame, so
+    * the same cancellation algebra applies — content-preserving rewrites
+    * carry id AND version per row and cancel term-for-term; a row whose
+    * version changed (an in-place [[Warehouse.updateWhere]]) surfaces as
+    * `-D` old image / `+I` new image SHARING the id. With
+    * `pairUpdates = true` an id netting exactly one `-D` and one `+I`
+    * relabels as `-U`/`+U` — update pre/post-images paired by IDENTITY, no
+    * user-declared key columns, immune to column renames (ids are not
+    * names). Merge-family upserts replace matched rows with INCOMING
+    * versions that draw FRESH ids (the engine's documented merge posture),
+    * so those report as genuine `-D`+`+I`, exactly what the lineage says.
+    * Requires every file in the window to carry assigned id ranges.
+    */
+  def readChangesLineage(name: String, fromVersion: Long, toVersion: Long,
+                         pairUpdates: Boolean = false): DataFrame = {
+    val base = readChangesImpl(name, fromVersion, toVersion, lineage = true)
+    if (!pairUpdates) base
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_row_id"))
+      base
+        .withColumn("__cdc_d", sum(when(col("_change_type") === "-D", 1).otherwise(0)).over(w))
+        .withColumn("__cdc_i", sum(when(col("_change_type") === "+I", 1).otherwise(0)).over(w))
+        .withColumn("_change_type",
+          when(col("__cdc_d") === 1 && col("__cdc_i") === 1,
+            when(col("_change_type") === "-D", lit("-U")).otherwise(lit("+U")))
+            .otherwise(col("_change_type")))
+        .drop("__cdc_d", "__cdc_i")
+    }
+  }
+
+  private def readChangesImpl(name: String, fromVersion: Long, toVersion: Long,
+                              lineage: Boolean): DataFrame = {
     val mFrom = manifestAt(name, fromVersion)
     val mTo = manifestAt(name, toVersion)
     // field correspondence across the window: BY ID when both schemas carry
@@ -122,16 +158,27 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
           .exists(d => !statsDisjoint(f, d))
       }
     }
-    val changedTo = morFrame(name,
-      Manifest(mTo.schema, added ++ affected, mTo.deletes))
-    val fromRaw = morFrame(name,
-      Manifest(mFrom.schema, removed ++ affected.map(f => fromByPath(f.path)), mFrom.deletes))
+    val toSubset = Manifest(mTo.schema, added ++ affected, mTo.deletes)
+    val fromSubset = Manifest(mFrom.schema,
+      removed ++ affected.map(f => fromByPath(f.path)), mFrom.deletes)
+    if (lineage) {
+      val bad = (toSubset.files ++ fromSubset.files).count(_.firstRowId < 0)
+      require(bad == 0,
+        s"$name: $bad changed data file(s) in window ($fromVersion, $toVersion] " +
+          "predate row lineage — make any commit (an append, or CALL " +
+          "graft.system.rewrite_manifests) to adopt ids, then retry")
+    }
+    def frame(m: Manifest) =
+      if (lineage) lineageFrame(name, m) else morFrame(name, m)
+    val lineageCols = if (lineage) Seq("_row_id", "_last_updated_version") else Nil
+    val changedTo = frame(toSubset)
+    val fromRaw = frame(fromSubset)
     val changedFrom = fromRaw.select(mTo.schema.fields.toSeq.map { g =>
       fromFieldFor(g) match {
         case Some(f) => col(f.name).as(g.name)
         case None    => lit(null).cast(g.dataType).as(g.name)
       }
-    }: _*)
+    } ++ lineageCols.map(col): _*)
     changedTo.exceptAll(changedFrom).withColumn("_change_type", lit("+I"))
       .unionByName(
         changedFrom.exceptAll(changedTo).withColumn("_change_type", lit("-D")))

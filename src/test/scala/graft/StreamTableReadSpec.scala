@@ -443,6 +443,59 @@ class StreamTableReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("$changes_lineage: ids ride the feed, stay stable across compaction, pair updates across a KEY-column rename") {
+    wh.create("cl1", schema)
+    val ckpt = tmpDir("ckpt-cl1")
+    // (batch, row_id, change_type, k, v)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Long, String)]()
+    val q = spark.readStream.option("update-images", "true")
+      .table(s"$cat.`cl1$$changes_lineage`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], b: Long) =>
+        df.select("_row_id", "_change_type", "k", "v").collect().foreach(r =>
+          got.add((b, r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))))
+      }
+      .option("checkpointLocation", ckpt).start()
+    import scala.jdk.CollectionConverters._
+    try {
+      wh.append("cl1", frame(1L -> "a", 2L -> "b", 3L -> "c"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      val inserts = got.asScala.filter(_._3 == "+I").map(r => r._4 -> r._2).toMap
+      assert(inserts.keySet == Set(1L, 2L, 3L), got.asScala.toString)
+      // compaction mid-stream: content-preserving, contributes NOTHING
+      val before = got.size()
+      wh.compactFiles("cl1")
+      q.processAllAvailable()
+      assert(got.size() == before, "compaction must cancel in the lineage feed")
+      // rename the KEY column mid-stream — name-based identifier pairing is
+      // impossible now; id pairing must not notice
+      wh.renameColumn("cl1", "k", "kk")
+      q.processAllAvailable()
+      wh.updateWhere("cl1", col("kk") === 2L, Map("v" -> lit("B2")))
+      q.processAllAvailable()
+      val us = got.asScala.filter(r => r._3 == "-U" || r._3 == "+U").toSeq
+      assert(us.map(_._3).sorted == Seq("+U", "-U"), s"exactly one pair: $us")
+      // the pair shares ONE id — and it is the id k=2 was BORN with, still
+      // alive across the compaction rewrite and the rename
+      assert(us.map(_._2).distinct.size == 1, s"pair must share an id: $us")
+      assert(us.head._2 == inserts(2L), "updated row keeps its birth id")
+      // values: pre-image old v, post-image new v, under the LOAD-TIME name
+      assert(us.collect { case (_, _, "-U", k, v) => (k, v) } == Seq(2L -> "b"))
+      assert(us.collect { case (_, _, "+U", k, v) => (k, v) } == Seq(2L -> "B2"))
+      // a delete reports -D with the dying row's id
+      wh.equalityDelete("cl1", frame(3L -> "ignored").select(col("k").as("kk")))
+      q.processAllAvailable()
+      val ds = got.asScala.filter(_._3 == "-D").toSeq
+      assert(ds.map(r => (r._4, r._2)) == Seq(3L -> inserts(3L)), s"-D carries the id: $ds")
+    } finally q.stop()
+    // identifier-columns on the lineage face refuses loudly (pairing is by id)
+    val ex = intercept[Exception] {
+      spark.read.option("update-images", "true").option("identifier-columns", "kk")
+        .table(s"$cat.`cl1$$changes_lineage`").collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("_row_id"), ex.getMessage)
+  }
+
   test("$changes update-images: upserts pair as -U/+U, deletes stay -D; pairing survives restart") {
     wh.create("u1", schema)
     val ckpt = tmpDir("ckpt-u1")
@@ -724,6 +777,20 @@ class StreamTableReadSpec extends SparkSpec {
     val msg = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
     assert(msg.contains("cannot be ATTRIBUTED"), msg)
+  }
+
+  test("$changes_by_commit: a 50-commit manual window stages per commit — no union-chain plan") {
+    wh.create("b2", schema)
+    (1 to 50).foreach(i => wh.append("b2", frame(i.toLong -> s"v$i"), statsCols = Seq("k")))
+    // one batch read over the WHOLE history: staged as one write job per
+    // commit into the window dir (the reduce(unionByName) form built a
+    // 50-deep plan whose analysis cost grew quadratically with the range)
+    val rows = spark.read.table(s"$cat.`b2$$changes_by_commit`")
+      .select("k", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 50)
+    // every commit attributed exactly its own append
+    assert(rows.toSet == (1 to 50).map(i => (i.toLong, "+I", i.toLong)).toSet)
   }
 
   test("guards: time-travel snapshots cannot stream; pending MOR deletes fail at scan build") {

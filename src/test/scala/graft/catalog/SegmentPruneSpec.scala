@@ -1,0 +1,115 @@
+package graft.catalog
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.sink.{Manifest, Warehouse}
+
+/** SEGMENT-LEVEL manifest pruning on the SQL read path — the Iceberg
+  * manifest-list analog ([[graft.sink.Manifest.readPruned]] wired through
+  * [[ManifestPruneRule]]): planning a predicate-pruned query over a
+  * many-segment table parses O(relevant segments) of metadata, not
+  * O(every file entry of the table). At millions of files this is the
+  * difference between a constant-ish driver cost per query and a full
+  * table-metadata replay for every one-partition probe.
+  *
+  * The companion soundness property (segment skipping plans the
+  * bit-identical file set as the full parse) lives in
+  * `graft.sink.ManifestSegmentSpec`.
+  */
+class SegmentPruneSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def batch(lo: Long, n: Long): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      (lo until lo + n).map(i => Row(i, s"r$i")).asJava, schema)
+
+  test("a point query over a 24-segment table parses O(1) segments; answers stay exact") {
+    val root = tmpDir("segprune")
+    spark.conf.set("spark.sql.catalog.sgp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sgp.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", schema)
+    // 24 appends with DISJOINT key ranges: one fresh segment per commit,
+    // each summary-bounded to its range (arrival-clustered — the natural
+    // shape of time-correlated ingest)
+    (0 until 24).foreach(i => wh.append("t", batch(i * 100L, 100L), statsCols = Seq("k")))
+    val man = wh.currentManifest("t")
+    val segs = Manifest.segmentRefs(Paths.get(root, "t",
+      s"m${wh.currentVersion("t")}.manifest"))
+    assert(segs.size == 24, s"expected one segment per append, got ${segs.size}")
+
+    val c0 = Manifest.prunedSegConsults.get()
+    val s0 = Manifest.prunedSegSkips.get()
+    val q = spark.sql("SELECT v FROM sgp.t WHERE k = 1234")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("r1234"))
+    val consulted = Manifest.prunedSegConsults.get() - c0
+    val skipped = Manifest.prunedSegSkips.get() - s0
+    assert(consulted <= 2,
+      s"a one-range probe must parse O(1) segments, parsed $consulted")
+    assert(skipped >= 22, s"expected ~23 segments skipped, got $skipped")
+    // and the scan itself pruned to the owning file
+    assert(scannedFiles(q, man.files.size) <= math.max(1, man.files.size / 24),
+      q.queryExecution.executedPlan.toString)
+
+    // a RANGE probe touching 3 segments parses ~3
+    val c1 = Manifest.prunedSegConsults.get()
+    val r = spark.sql("SELECT count(*) AS n FROM sgp.t WHERE k >= 500 AND k < 800")
+    assert(r.head().getLong(0) == 300L)
+    assert(Manifest.prunedSegConsults.get() - c1 <= 4,
+      "a three-range probe must parse ~3 segments")
+
+    // an unselective predicate keeps everything — same answer as the raw scan
+    val all = spark.sql("SELECT count(*) AS n FROM sgp.t WHERE k >= 0")
+    assert(all.head().getLong(0) == 2400L)
+  }
+
+  test("pending MOR deletes: delete-carrying segments never skip; filtered reads stay MOR-exact") {
+    val root = tmpDir("segprune-mor")
+    spark.conf.set("spark.sql.catalog.sgm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sgm.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", schema)
+    (0 until 6).foreach(i => wh.append("t", batch(i * 100L, 100L), statsCols = Seq("k")))
+    // pending equality delete of k=130 (lives in segment 1's range)
+    wh.equalityDelete("t", spark.createDataFrame(
+      Seq(Row(130L, null: String)).asJava, schema).select(col("k")))
+    assert(wh.manifestHeader("t").deleteCount == 1)
+    // filtered read over the deleted key's range: MOR overlay applies
+    val got = spark.sql("SELECT k FROM sgm.t WHERE k >= 125 AND k < 135 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(125L, 126L, 127L, 128L, 129L, 131L, 132L, 133L, 134L))
+    // and a read far from the delete still answers exactly
+    assert(spark.sql("SELECT count(*) AS n FROM sgm.t WHERE k >= 400").head().getLong(0) == 200L)
+    wh.compactDeletes("t")
+    assert(wh.manifestHeader("t").deleteCount == 0)
+    assert(spark.sql("SELECT count(*) AS n FROM sgm.t").head().getLong(0) == 599L)
+  }
+
+  test("schema served from the root header; evolution + pruning compose") {
+    val root = tmpDir("segprune-evo")
+    spark.conf.set("spark.sql.catalog.sge", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sge.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", schema)
+    (0 until 4).foreach(i => wh.append("t", batch(i * 100L, 100L), statsCols = Seq("k")))
+    wh.addColumns("t", Seq(StructField("extra", StringType)))
+    assert(spark.table("sge.t").schema.fieldNames.toSeq == Seq("k", "v", "extra"))
+    // predicate on the pre-evolution column still segment-prunes; the added
+    // column null-fills on old files
+    val q = spark.sql("SELECT v, extra FROM sge.t WHERE k = 250")
+    val rows = q.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "r250" && rows(0).isNullAt(1))
+    // rename keeps values and pruning (stats are field-id/remapped keys)
+    wh.renameColumn("t", "k", "key")
+    val q2 = spark.sql("SELECT v FROM sge.t WHERE key = 310")
+    assert(q2.collect().map(_.getString(0)).toSeq == Seq("r310"))
+  }
+}

@@ -230,6 +230,123 @@ class ManifestSegmentSpec extends SparkSpec {
     assert(m.deletes.map(_.kind).sorted == Seq("dv", "eq"))
   }
 
+  test("readPruned: summary-disjoint segments are never parsed; tombstones always apply") {
+    val dir = Paths.get(tmpDir("seg-pruned"))
+    def path(v: Int) = dir.resolve(s"m$v.manifest")
+    def file(p: String, lo: Long, hi: Long) =
+      DataFile(p, hi - lo + 1, Map("x" -> ColStat("n", lo.toString, hi.toString, 0L)))
+    // 3 commits, disjoint x-ranges: [0,9], [100,109], [200,209]
+    val m0 = Manifest(schema, Seq(file("a/f0.parquet", 0, 9)))
+    val m1 = Manifest(schema, m0.files :+ file("b/f1.parquet", 100, 109))
+    val m2 = Manifest(schema, m1.files :+ file("c/f2.parquet", 200, 209))
+    Manifest.writeDelta(path(0), m0, None)
+    Manifest.writeDelta(path(1), m1, Some(path(0)))
+    Manifest.writeDelta(path(2), m2, Some(path(1)))
+    def keepEq(v: Long): SegSummary => Boolean = s =>
+      s.stats.get("x").forall(st => StatsPruning.mayMatch(st, "=", "n", v.toString))
+    val c0 = Manifest.prunedSegConsults.get()
+    val (pruned, skipped) = Manifest.readPruned(path(2), keepEq(105L)).get
+    assert(pruned.files.map(_.path) == Seq("b/f1.parquet"), pruned.files.toString)
+    assert(skipped == 2)
+    assert(Manifest.prunedSegConsults.get() - c0 == 1,
+      "exactly ONE segment may be parsed for a one-range probe")
+    // a CHANGED entry (tombstone + re-add in a later segment): the stale
+    // version must never leak out of an earlier parsed segment
+    val m3 = Manifest(schema, Seq(file("a/f0.parquet", 1000, 1009),
+      file("b/f1.parquet", 100, 109), file("c/f2.parquet", 200, 209)))
+    Manifest.writeDelta(path(3), m3, Some(path(2)))
+    val (p3, _) = Manifest.readPruned(path(3), keepEq(5L)).get
+    assert(p3.files.isEmpty, s"stale pre-change version leaked: ${p3.files}")
+    val (p3b, _) = Manifest.readPruned(path(3), keepEq(1005L)).get
+    assert(p3b.files.map(_.path) == Seq("a/f0.parquet"))
+    assert(p3b.files.head.stats("x").min == "1000")
+    // delete-carrying segments are NEVER skipped (the MOR overlay needs
+    // every delete entry), and deletes always return in full
+    val del = DeleteFile("d/k0.parquet", 2, 4, Seq("x"),
+      Map("x" -> ColStat("n", "9999", "9999")), "eq")
+    val m4 = Manifest(schema, m3.files, Seq(del))
+    Manifest.writeDelta(path(4), m4, Some(path(3)))
+    val (p4, _) = Manifest.readPruned(path(4), keepEq(105L)).get
+    assert(p4.deletes.map(_.path) == Seq("d/k0.parquet"))
+    assert(p4.files.map(_.path) == Seq("b/f1.parquet"))
+  }
+
+  test("property: readPruned plans the BIT-IDENTICAL surviving file set as the full parse") {
+    // for any history and any conservative per-file predicate P:
+    //   {f ∈ readPruned(K).files : P(f)} == {f ∈ read().files : P(f)}
+    // where K is P lifted to the segment summary — i.e. segment skipping
+    // never changes what a per-file prune would plan, it only avoids
+    // parsing entries the per-file pass would discard anyway
+    def perFile(stats: Map[String, ColStat], v: String): Boolean =
+      stats.get("x").forall(st =>
+        scala.util.Try(StatsPruning.mayMatch(st, "=", "n", v)).getOrElse(true))
+    (1 to 3).foreach { run =>
+      val dir = Paths.get(tmpDir(s"seg-prunedprop$run"))
+      def path(v: Int) = dir.resolve(s"m$v.manifest")
+      var prev = Manifest(schema, Nil, Nil)
+      Manifest.writeDelta(path(0), prev, None)
+      (1 to 15).foreach { v =>
+        val next = sample(successorGen(prev, v), run * 777L + v)
+        Manifest.writeDelta(path(v), next, Some(path(v - 1)))
+        val full = Manifest.read(path(v))
+        for (probe <- Seq("0", "500000", "999999")) {
+          val (pruned, _) = Manifest.readPruned(path(v),
+            s => perFile(s.stats, probe)).get
+          assert(pruned.files.filter(f => perFile(f.stats, probe)).toSet ==
+            full.files.filter(f => perFile(f.stats, probe)).toSet,
+            s"run=$run v=$v probe=$probe planned sets diverge")
+          assert(pruned.deletes.toSet == full.deletes.toSet,
+            s"run=$run v=$v probe=$probe deletes diverge")
+        }
+        prev = next
+      }
+    }
+  }
+
+  test("root header: schema + row hwm + delete count without replaying entries") {
+    val root = tmpDir("seg-header")
+    val wh = new Warehouse(spark, root)
+    wh.create("t", schema)
+    wh.append("t", df(4), statsCols = Seq("x"))
+    val td = Paths.get(root, "t")
+    val h1 = Manifest.readHeader(td.resolve("m1.manifest"))
+    assert(h1.schema.fieldNames.toSeq == Seq("x"))
+    assert(h1.deleteCount == 0)
+    assert(h1.rowHwm == 4L)
+    wh.equalityDelete("t", spark.createDataFrame(Seq(Row(1L)).asJava, schema))
+    val h2 = wh.manifestHeader("t")
+    assert(h2.deleteCount == 1, "pending delete entry must show in the header")
+    wh.compactDeletes("t")
+    assert(wh.manifestHeader("t").deleteCount == 0)
+    // pre-extras manifests read as unknown (-1), never as "no deletes"
+    val legacy = td.resolve("mleg.manifest")
+    Files.writeString(legacy, "graft-manifest v1\n" + schema.json + "\n")
+    assert(Manifest.readHeader(legacy).deleteCount == -1)
+  }
+
+  test("chunked coalesce: a compacted manifest stays prunable at segment grain") {
+    val dir = Paths.get(tmpDir("seg-chunk"))
+    val p = dir.resolve("m0.manifest")
+    // 10k files in value order — a coalesce must chunk, not mega-segment
+    val files = (0 until 10000).map { i =>
+      DataFile(f"d/f$i%05d.parquet", 10,
+        Map("x" -> ColStat("n", (i * 10).toString, (i * 10 + 9).toString, 0L)))
+    }
+    Manifest.writeDelta(p, Manifest(schema, files), None)
+    val segs = Manifest.segmentRefs(p)
+    assert(segs.size == 3, s"10k entries at 4096/chunk should land as 3 segments: ${segs.size}")
+    assert(asSets(Manifest.read(p)) == asSets(Manifest(schema, files)))
+    val c0 = Manifest.prunedSegConsults.get()
+    val (pruned, skipped) = Manifest.readPruned(p, s =>
+      s.stats.get("x").forall(st => StatsPruning.mayMatch(st, "=", "n", "50005"))).get
+    assert(pruned.files.size == 4096, "one chunk's entries materialize")
+    assert(pruned.files.filter(f =>
+      StatsPruning.mayMatch(f.stats("x"), "=", "n", "50005"))
+      .map(_.path) == Seq("d/f05000.parquet"))
+    assert(skipped == 2 && Manifest.prunedSegConsults.get() - c0 == 1,
+      "a point probe over a coalesced table must parse exactly one chunk")
+  }
+
   test("rename (all-entries-changed commit) coalesces; stats keys remapped in the segment") {
     val root = tmpDir("seg-rename")
     val wh = new Warehouse(spark, root)
