@@ -252,6 +252,44 @@ object CorpusQueries {
         .limit(SEARCH_K)
     },
 
+    // INDEX FOLLOWS THE MUTATING CORPUS: the warehouse-resident BM25 index
+    // ([[graft.sink.SearchIndexIngest]]) maintained from the corpus CHANGE
+    // FEED — no blue/green rebuild. Two ingest batches build index +
+    // corpus; then the corpus mutates OUT OF BAND (morMerge re-texts %5
+    // docs, deleteWhere drops %7); followChanges turns the window's net
+    // -D rows into ONE equality-delete commit per index table (O(changed
+    // pks) metadata, zero posting rewrites) and re-indexes the +I rows
+    // through the same idempotent path, while the corpus-stats rollup
+    // folds the retraction SIGNED. The served search must then equal
+    // DuckDB's BM25 over the FINAL corpus state — a stale posting (the
+    // deleted doc still scoring), a missed re-index (the updated doc
+    // scoring with its old dl), or an unfolded cstats row all shift
+    // scores and miss the hash. The 100 TB shape: index freshness at
+    // O(changes) per maintenance tick on a corpus that upserts.
+    "q165_index_follow_bm25" -> { (s, dir) =>
+      import graft.sink.{SearchIndexIngest, Warehouse}
+      val docs = read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q165")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        val ing = new SearchIndexIngest(wh, "doc_id", "text")
+        ing.ingest("docs", docs.filter(col("doc_id") % 2 === 0))
+        ing.ingest("docs", docs.filter(col("doc_id") % 2 === 1))
+        wh.morMerge("docs", docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("text", concat(col("text"), lit(" zebra zebra zebra"))),
+          Seq("doc_id"))
+        wh.deleteWhere("docs", col("doc_id") % 7 === 0)
+        ing.followChanges("docs")
+        ing.search("docs", SEARCH_Q, SEARCH_K)
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    },
+
     // Shingle containment near-dup pairs — Broder's CONTAINMENT measure
     // beside q56's resemblance (Jaccard): |A∩B| / min(|A|,|B|) over the
     // distinct 3-gram sets. Catches near-SUPERSET pairs (one doc wrapping
@@ -511,15 +549,16 @@ object CorpusQueries {
        |      * (CAST(n - df$i AS DOUBLE) + 0.5)
        |      / (CAST(df$i AS DOUBLE) + 0.5)""".stripMargin
 
-  /** Shared by q113 (corpus-scan path) and q132 (postings-index path): one
-    * oracle, two physical strategies under adjudication.
+  /** Shared by q113 (corpus-scan path), q132 (postings-index path) and q165
+    * (index-follower path over a MUTATED corpus): one oracle body, the
+    * corpus source parameterized — `src` must yield (doc_id, text).
     */
-  private lazy val bm25Oracle =
+  private def bm25OracleOver(src: String) =
     s"""WITH b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
        |    ${SEARCH_Q.zipWithIndex.map { case (t, i) =>
              s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i" }
              .mkString(",\n    ")}
-       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM ($src))),
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(dl) AS BIGINT) AS total_dl,
        |    ${SEARCH_Q.indices.map(i =>
@@ -534,6 +573,16 @@ object CorpusQueries {
        |    round(${SEARCH_Q.indices.map(bm25PartSql).mkString("\n    + ")}, 6) AS bm25
        |  FROM b CROSS JOIN st)
        |WHERE n_hits > 0 ORDER BY bm25 DESC, doc_id LIMIT $SEARCH_K""".stripMargin
+
+  private lazy val bm25Oracle = bm25OracleOver("SELECT doc_id, text FROM documents")
+
+  /** q165's corpus FINAL STATE: %5 docs updated (appended marker tokens),
+    * %7 docs deleted — what the index must serve after followChanges.
+    */
+  private lazy val q165Src =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN text || ' zebra zebra zebra' ELSE text END AS text
+      |FROM documents WHERE doc_id % 7 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q129_bpe_tokens" ->
@@ -571,6 +620,10 @@ object CorpusQueries {
     // scan, q132 from postings algebra — if both hash-match this SQL, the
     // index path provably serves the scan path's exact results.
     "q132_index_bm25" -> bm25Oracle,
+
+    // q165: the SAME oracle body over the corpus's FINAL (mutated) state —
+    // the change-feed-maintained index must serve it exactly.
+    "q165_index_follow_bm25" -> bm25OracleOver(q165Src),
 
     "q114_containment_dedup" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks,

@@ -364,6 +364,61 @@ object SimilarityQueries {
       }
     },
 
+    // VECTOR INDEX FOLLOWS THE MUTATING CORPUS: q134's warehouse-served
+    // IVF-PQ index maintained from the corpus CHANGE FEED
+    // ([[graft.sink.VectorIndexIngest.followChanges]]) — deletes become one
+    // equality-delete commit on the codes table (O(changed pks), zero code
+    // rewrites), and UPDATED embeddings re-encode against the SAME frozen
+    // model, MOVING to the cell their new vector assigns to — no blue/green
+    // rebuild, no retrain. Served search must equal DuckDB's independent
+    // computation over the FINAL corpus at full (rank, id, distance)
+    // identity: a stale code row (deleted vector still ranked), an unmoved
+    // update (old cell still serving the old code), or a double-indexed pk
+    // all break the ranking and miss the hash.
+    "q166_vector_index_follow" -> { (s, dir) =>
+      import graft.functions.ProductQuantization
+      import graft.sink.{VectorIndexIngest, Warehouse}
+      val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+      val emb = spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val comp = emb.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast(Dec)).cast("double") / count(lit(1))).as("c"))
+      val cents = comp.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cv"))
+        .select(col("label").cast("long").as("cell"), col("cv"))
+      val model = ProductQuantization.initCodebook(
+        emb.select(col("vec_id"), col("v")), DIM, PQ_M, PQ_K)
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q166")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        val ing = new VectorIndexIngest(wh, "vec_id", "v", DIM, PQ_M, PQ_K)
+        ing.freeze("e", cents, model)
+        val src = emb.select(col("vec_id"), col("v"))
+        ing.ingest("e", src.filter(col("vec_id") % 2 === 0))
+        ing.ingest("e", src.filter(col("vec_id") % 2 === 1))
+        // out-of-band corpus mutation: update (reversed vectors move cells
+        // under the frozen model), then delete
+        wh.morMerge("e", src.filter(col("vec_id") % 11 === 0)
+          .withColumn("v", reverse(col("v"))), Seq("vec_id"))
+        wh.deleteWhere("e", col("vec_id") % 7 === 0)
+        ing.followChanges("e")
+        val probes = emb.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        ing.search("e", probes, NPROBE_CELLS, TOPK, excludeSelf = true)
+          .select(col("probe_id"), col("rank"), col("vec_id"),
+            round(col("adc_d2"), 6).as("adc_d2"))
+          .orderBy("probe_id", "rank")
+          .localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    },
+
     // One Lloyd (k-means) refinement iteration over the IVF coarse
     // quantizer — the index-BUILD operator the search queries assume:
     // reassign every vector to its nearest current centroid, then report
@@ -836,12 +891,13 @@ object SimilarityQueries {
     * proven q83/q65 mirrors; ranking runs on the raw doubles with
     * (adc ASC, vec_id ASC) ties, identical across engines.
     */
-  private lazy val ivfPqApproxSql = {
+  private def ivfPqApproxSqlOver(servedSql: String) = {
     val sub = DIM / PQ_M
     def subD2(a: String, b: String) =
       s"""list_reduce(list_transform(generate_series(1, $sub),
          |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""".stripMargin
     s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |  femb AS ($servedSql),
        |  comp AS (
        |    SELECT label, g.i AS pos,
        |      CAST(sum(CAST(v[g.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
@@ -853,7 +909,7 @@ object SimilarityQueries {
        |    SELECT vec_id, cell FROM (
        |      SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosineSql("e.v", "c.cv")} DESC, c.cell ASC) AS r
-       |      FROM emb e, cent c) WHERE r = 1),
+       |      FROM femb e, cent c) WHERE r = 1),
        |  subs AS (
        |    SELECT vec_id, s.i AS sub_id, v[s.i*$sub + 1 : s.i*$sub + $sub] AS sv,
        |      (vec_id + s.i) % $PQ_K AS icell
@@ -865,11 +921,14 @@ object SimilarityQueries {
        |    GROUP BY sub_id, icell, g.i),
        |  cbook AS (SELECT sub_id, icell AS ccell, list(c ORDER BY pos) AS cv
        |    FROM cbcomp GROUP BY sub_id, icell),
+       |  fsubs AS (
+       |    SELECT vec_id, s.i AS sub_id, v[s.i*$sub + 1 : s.i*$sub + $sub] AS sv
+       |    FROM femb, generate_series(0, ${PQ_M - 1}) AS s(i)),
        |  enc AS (SELECT vec_id, sub_id, ccell AS code FROM (
        |    SELECT s.vec_id, s.sub_id, b.ccell, row_number() OVER (
        |      PARTITION BY s.vec_id, s.sub_id
        |      ORDER BY ${subD2("s.sv", "b.cv")} ASC, b.ccell ASC) AS r
-       |    FROM subs s JOIN cbook b USING (sub_id)) WHERE r = 1),
+       |    FROM fsubs s JOIN cbook b USING (sub_id)) WHERE r = 1),
        |  probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < $N_PROBES),
        |  passign AS (
        |    SELECT probe_id, cell FROM (
@@ -897,6 +956,17 @@ object SimilarityQueries {
        |    FROM scored)
        |  SELECT probe_id, rank, vec_id, adc_d2 FROM ranked WHERE rank <= $TOPK""".stripMargin
   }
+
+  private lazy val ivfPqApproxSql =
+    ivfPqApproxSqlOver("SELECT vec_id, v FROM emb")
+
+  /** q166's corpus FINAL STATE: %11 vectors updated (reversed — they move
+    * cells under the frozen model), %7 deleted.
+    */
+  private lazy val q166Src =
+    """SELECT vec_id,
+      |  CASE WHEN vec_id % 11 = 0 THEN list_reverse(v) ELSE v END AS v
+      |FROM emb WHERE vec_id % 7 <> 0""".stripMargin
 
   /** Mirror of q133's full IVF-PQ serving chain. Subvector slices, the d2
     * folds, the decimal centroid/codebook means, and the decimal ADC sums
@@ -929,9 +999,20 @@ object SimilarityQueries {
        |SELECT probe_id, rank, vec_id, round(adc_d2, 6) AS adc_d2
        |FROM approx ORDER BY probe_id, rank""".stripMargin
 
+  /** q166's oracle: the same serving chain with the model CTEs still over
+    * the ORIGINAL corpus (frozen before the mutations) and the served
+    * assignment/encoding over the FINAL one.
+    */
+  private lazy val q166Oracle =
+    s"""WITH approx AS (
+       |  ${ivfPqApproxSqlOver(q166Src)})
+       |SELECT probe_id, rank, vec_id, round(adc_d2, 6) AS adc_d2
+       |FROM approx ORDER BY probe_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q133_ivfpq_recall" -> q133Oracle,
     "q134_vector_index_served" -> q134Oracle,
+    "q166_vector_index_follow" -> q166Oracle,
     "q126_embedding_audit" ->
       s"""SELECT vec_id, label,
          |  CAST(len(v) AS INT) AS dim,

@@ -36,17 +36,28 @@ object IncrementalRollup {
   /** One rollup measure: how a batch aggregates it ([[partial]]) and how
     * partial rows fold at read/compact time ([[merge]]). Both sides alias
     * to the same `name`, so partial and merged frames share a schema.
+    *
+    * `signedPartial` is the DELETE-INVERTIBLE form over a row-level change
+    * feed (a frame carrying `_change_type`): `-D` rows fold with inverted
+    * sign, so an update/delete on the fact subtracts exactly what its
+    * insert added. Defined only for count/sum — min/max are not invertible
+    * under deletes (None ⇒ [[maintainFromChangeFeed]] refuses).
     */
   sealed trait Measure {
     def name: String
     def partial: Column
     def merge: Column
+    def signedPartial: Option[Column] = None
   }
+
+  private def isDelete: Column = col("_change_type") === "-D"
 
   /** count(*) — merges by summing. */
   final case class CountStar(name: String) extends Measure {
     def partial: Column = count(lit(1)).as(name)
     def merge: Column = sum(col(name)).as(name)
+    override def signedPartial: Option[Column] =
+      Some(sum(when(isDelete, -1L).otherwise(1L)).as(name))
   }
 
   /** Exact decimal sum of `expr` (pass a DECIMAL-cast column for double
@@ -55,6 +66,10 @@ object IncrementalRollup {
   final case class SumOf(expr: Column, name: String) extends Measure {
     def partial: Column = sum(expr).as(name)
     def merge: Column = sum(col(name)).as(name)
+    // negate (unary minus) keeps the operand's exact type — a `* -1` would
+    // widen DECIMAL precision and drift the partial schema
+    override def signedPartial: Option[Column] =
+      Some(sum(when(isDelete, negate(expr)).otherwise(expr)).as(name))
   }
 
   final case class MinOf(expr: Column, name: String) extends Measure {
@@ -136,6 +151,40 @@ object IncrementalRollup {
       val feed = if (last < 0) wh.loadVersion(fact, now)
         else wh.readAdded(fact, last, now)
       maintain(wh, table, feed, spec)
+      wh.recordBatchId(table, sid, now)
+    }
+    now
+  }
+
+  /** [[maintainFromFeed]] for facts that MUTATE: folds the exact row-level
+    * change feed ([[Warehouse.readChanges]]) with SIGNED partials — `+I`
+    * rows add, `-D` rows subtract — so deletes and update retractions on
+    * the fact keep the rollup exact where the append-only file feed would
+    * silently miss the subtraction. Same ledger (streamId `rollup:<fact>`,
+    * same idempotence), and over append-only windows the two forms fold
+    * identical values, so a fact can switch to this path mid-life. Every
+    * measure must be delete-invertible (count/sum); min/max refuse — a
+    * deleted extremum cannot be un-folded without the raw distribution.
+    */
+  def maintainFromChangeFeed(wh: Warehouse, fact: String, table: String, spec: Spec): Long = {
+    val bad = spec.measures.filter(_.signedPartial.isEmpty)
+    require(bad.isEmpty,
+      s"maintainFromChangeFeed: measure(s) ${bad.map(_.name).mkString(", ")} are not " +
+        "delete-invertible (min/max) — recompute or use an append-only fact")
+    val sid = s"rollup:$fact"
+    val last = wh.lastCommittedBatchId(table, sid)
+    val now = wh.currentVersion(fact)
+    if (now > last) {
+      val feed = if (last < 0)
+        wh.loadVersion(fact, now).withColumn("_change_type", lit("+I"))
+      else wh.readChanges(fact, last, now)
+      val p = feed.groupBy(spec.keys.map(col): _*)
+        .agg(spec.measures.head.signedPartial.get,
+          spec.measures.tail.map(_.signedPartial.get): _*)
+      if (!wh.exists(table))
+        wh.create(table, org.apache.spark.sql.types.StructType(
+          p.schema.fields.map(_.copy(nullable = true))))
+      wh.append(table, p, statsCols = spec.keys)
       wh.recordBatchId(table, sid, now)
     }
     now

@@ -61,10 +61,11 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
     IncrementalRollup.SumOf(col("dl").cast(
       org.apache.spark.sql.types.DataTypes.createDecimalType(28, 0)), "total_dl")))
 
-  /** Ingest one batch: maintain postings/doclens/cstats, then append the
-    * batch rows to the corpus. All commits are O(batch).
+  /** Tokenize `df` and append its NEW pks' postings + doclens rows
+    * (idempotent by pk — the shared middle of [[ingest]] and
+    * [[followChanges]]). Returns the posting rows appended.
     */
-  def ingest(name: String, df: DataFrame): Report = {
+  private def indexRows(name: String, df: DataFrame): Long = {
     // one tokenization pass feeds postings AND doclens
     val toks = df.select(col(pkCol), TextFns.tokens(col(textCol)).as("tk"))
       .select(col(pkCol), col("tk"), size(col("tk")).cast("long").as("dl"))
@@ -95,13 +96,77 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
         else lens.join(wh.load(doclensTable(name)).select(col(pkCol)),
           Seq(pkCol), "left_anti")
       wh.append(doclensTable(name), newLens, statsCols = Seq(pkCol))
-      IncrementalRollup.maintainFromFeed(wh, doclensTable(name),
+      // change-feed-driven (not the append-only file feed): doclens MUTATES
+      // once followChanges deletes from it, and the signed fold subtracts
+      // deleted docs' contributions exactly; identical folds on pure appends
+      IncrementalRollup.maintainFromChangeFeed(wh, doclensTable(name),
         cstatsTable(name), statsSpec)
-
-      val rep = wh.appendDeduped(name, df, fpCol = pkCol, pk = pkCol,
-        statsCols = Seq(pkCol))
-      Report(rep.version, rep.appended, newPosts.count())
+      newPosts.count()
     } finally toks.unpersist()
+  }
+
+  /** Ingest one batch: maintain postings/doclens/cstats, then append the
+    * batch rows to the corpus. All commits are O(batch).
+    */
+  def ingest(name: String, df: DataFrame): Report = {
+    val postings = indexRows(name, df)
+    val rep = wh.appendDeduped(name, df, fpCol = pkCol, pk = pkCol,
+      statsCols = Seq(pkCol))
+    // the follower's ledger: ingest keeps the index synchronous with the
+    // corpus through its own commit, so followChanges starts from here
+    wh.recordBatchId(postingsTable(name), s"idxfollow:$name", wh.currentVersion(name))
+    Report(rep.version, rep.appended, postings)
+  }
+
+  final case class FollowReport(corpusVersion: Long, deletedDocs: Long, indexedDocs: Long)
+
+  /** INCREMENTAL INDEX MAINTENANCE from the corpus change feed — closes the
+    * loop between a MUTATING corpus and its warehouse-resident index
+    * without a blue/green rebuild: deletes/update-retractions on the corpus
+    * (morMerge, deleteWhere, equality deletes) become equality-delete
+    * commits on postings/doclens keyed by pk (O(changed pks) metadata, zero
+    * posting rewrites — the MOR discipline), and inserted/updated rows
+    * re-index through the same idempotent path ingests use. The corpus
+    * window consumed is tracked in the warehouse batch ledger (streamId
+    * `idxfollow:<name>`, recorded by [[ingest]] too), so crashed/replayed
+    * calls converge: re-deleting deleted pks is a no-op overlay, re-indexing
+    * anti-joins to empty. The cstats rollup follows through its own signed
+    * change-feed fold.
+    *
+    * First call on an index built BEFORE this ledger existed treats the
+    * whole current corpus as insertions — already-indexed pks no-op, but
+    * postings of rows deleted before that first call are NOT retracted
+    * (shield with `search(confirmed = true)`, or rebuild).
+    */
+  def followChanges(name: String): FollowReport = {
+    require(wh.exists(postingsTable(name)),
+      s"no search index for table: $name (ingest first)")
+    val sid = s"idxfollow:$name"
+    val last = wh.lastCommittedBatchId(postingsTable(name), sid)
+    val now = wh.currentVersion(name)
+    if (now <= last) return FollowReport(now, 0L, 0L)
+    val changes = (
+      if (last < 0) wh.load(name).withColumn("_change_type", lit("+I"))
+      else wh.readChanges(name, last, now)
+      ).localCheckpoint()
+    val delPks = changes.filter(col("_change_type") === "-D")
+      .select(col(pkCol)).distinct().localCheckpoint()
+    val nDel = delPks.count()
+    if (nDel > 0) {
+      // order matters: retract BEFORE re-indexing, so an updated pk's new
+      // postings (seq > the delete's) are shielded by the strict-< rule and
+      // the re-index anti-join sees the pk as absent
+      wh.equalityDelete(postingsTable(name), delPks)
+      wh.equalityDelete(doclensTable(name), delPks)
+    }
+    val ins = changes.filter(col("_change_type") === "+I").drop("_change_type")
+    val nIns = ins.select(col(pkCol)).distinct().count()
+    if (nIns > 0) indexRows(name, ins)
+    // a pure-delete window still folds the doclens retraction into cstats
+    else IncrementalRollup.maintainFromChangeFeed(wh, doclensTable(name),
+      cstatsTable(name), statsSpec)
+    wh.recordBatchId(postingsTable(name), sid, now)
+    FollowReport(now, nDel, nIns)
   }
 
   /** [[ingest]] with the three membership-bearing commits — postings,
@@ -155,8 +220,9 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
         tx.append(doclensTable(name), newLens, statsCols = Seq(pkCol))
         tx.append(name, fresh, statsCols = Seq(pkCol))
       }
-      IncrementalRollup.maintainFromFeed(wh, doclensTable(name),
+      IncrementalRollup.maintainFromChangeFeed(wh, doclensTable(name),
         cstatsTable(name), statsSpec)
+      wh.recordBatchId(postingsTable(name), s"idxfollow:$name", wh.currentVersion(name))
       Report(wh.currentVersion(name), fresh.count(), newPosts.count())
     } finally toks.unpersist()
   }
@@ -188,11 +254,11 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
         case None => true // no stats recorded => cannot prune
       }
     }
-    val base =
-      if (kept.isEmpty)
-        wh.spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), man.schema)
-      else wh.spark.read.schema(man.schema)
-        .parquet(kept.map(f => wh.resolvePath(t, f.path)): _*)
+    // MOR overlay over the pruned subset: followChanges retracts a doc's
+    // postings as an equality delete, and a raw parquet read of the kept
+    // files would resurrect them — the overlay is exactly the corpus read
+    // path's, restricted to the files the term prune kept
+    val base = wh.morFrame(t, Manifest(man.schema, kept, man.deletes))
     base.filter(col("term").isin(terms: _*))
   }
 

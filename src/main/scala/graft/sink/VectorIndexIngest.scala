@@ -100,23 +100,27 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
       .select(col("vec_id"), col("cell"))
   }
 
-  /** Ingest one batch of (pk, vec) rows: assign + encode against the frozen
-    * model, append codes (idempotent by pk, clustered by cell), then the
-    * corpus rows ([[Warehouse.appendDeduped]] by pk). All commits O(batch).
+  /** One row per pk BEFORE encode: a duplicate pk would flow through
+    * encode's groupBy(vec_id)/collect_list as a 2M-length codes array whose
+    * posexplode positions misalign sub_ids in the ADC join — and the corrupt
+    * row would then block a correct re-ingest via the left_anti pk guard.
+    * Keeper is the JSON-minimal row: deterministic under any partitioning,
+    * same discipline as appendDeduped's tiebreak, so a streaming replay of
+    * a duplicate-bearing batch converges on the same survivor.
     */
-  def ingest(name: String, df: DataFrame): Report = {
-    val (cents, model) = frozen(name)
-    // One row per pk BEFORE encode: a duplicate pk would flow through
-    // encode's groupBy(vec_id)/collect_list as a 2M-length codes array whose
-    // posexplode positions misalign sub_ids in the ADC join — and the corrupt
-    // row would then block a correct re-ingest via the left_anti pk guard.
-    // Keeper is the JSON-minimal row: deterministic under any partitioning,
-    // same discipline as appendDeduped's tiebreak, so a streaming replay of
-    // a duplicate-bearing batch converges on the same survivor.
+  private def dedupBatch(df: DataFrame): DataFrame = {
     val wd = Window.partitionBy(pkCol)
       .orderBy(to_json(struct(df.columns.map(col): _*)).asc)
-    val batch = df.withColumn("__rn", row_number().over(wd))
+    df.withColumn("__rn", row_number().over(wd))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Assign + encode `batch` against the frozen model and append its NEW
+    * pks' code rows (idempotent by pk — the shared middle of [[ingest]] and
+    * [[followChanges]]). Returns code rows appended.
+    */
+  private def encodeAppend(name: String, batch: DataFrame,
+                           cents: DataFrame, model: PQModel): Long = {
     val emb = batch.select(col(pkCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
     val codes = ProductQuantization.encode(emb, model)
       .join(assignCells(emb, cents), "vec_id")
@@ -133,9 +137,61 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     // touches ~nprobe/cells of the files, not every batch's
     wh.append(codesTable(name), newCodes,
       statsCols = Seq("cell", pkCol), clusterBy = Seq("cell"))
+    newCodes.count()
+  }
+
+  /** Ingest one batch of (pk, vec) rows: assign + encode against the frozen
+    * model, append codes (idempotent by pk, clustered by cell), then the
+    * corpus rows ([[Warehouse.appendDeduped]] by pk). All commits O(batch).
+    */
+  def ingest(name: String, df: DataFrame): Report = {
+    val (cents, model) = frozen(name)
+    val batch = dedupBatch(df)
+    val codes = encodeAppend(name, batch, cents, model)
     val rep = wh.appendDeduped(name, batch, fpCol = pkCol, pk = pkCol,
       statsCols = Seq(pkCol))
-    Report(rep.version, rep.appended, newCodes.count())
+    // the follower's ledger: ingest keeps the index synchronous with the
+    // corpus through its own commit, so followChanges starts from here
+    wh.recordBatchId(codesTable(name), s"idxfollow:$name", wh.currentVersion(name))
+    Report(rep.version, rep.appended, codes)
+  }
+
+  final case class FollowReport(corpusVersion: Long, deletedVecs: Long, indexedVecs: Long)
+
+  /** INCREMENTAL INDEX MAINTENANCE from the corpus change feed — the vector
+    * sibling of [[SearchIndexIngest.followChanges]]: corpus deletes and
+    * update-retractions become ONE equality-delete commit on the codes
+    * table keyed by pk (O(changed pks) metadata, zero code-file rewrites),
+    * and inserted/updated vectors re-encode against the SAME frozen model
+    * through the idempotent ingest path — an updated embedding thereby
+    * MOVES to the cell its new vector assigns to, with no blue/green
+    * rebuild and no retrain. Ledger semantics and the pre-ledger bootstrap
+    * caveat match the search follower.
+    */
+  def followChanges(name: String): FollowReport = {
+    val (cents, model) = frozen(name)
+    require(wh.exists(codesTable(name)),
+      s"no vector index for table: $name (ingest first)")
+    val sid = s"idxfollow:$name"
+    val last = wh.lastCommittedBatchId(codesTable(name), sid)
+    val now = wh.currentVersion(name)
+    if (now <= last) return FollowReport(now, 0L, 0L)
+    val changes = (
+      if (last < 0) wh.load(name).withColumn("_change_type", lit("+I"))
+      else wh.readChanges(name, last, now)
+      ).localCheckpoint()
+    val delPks = changes.filter(col("_change_type") === "-D")
+      .select(col(pkCol)).distinct().localCheckpoint()
+    val nDel = delPks.count()
+    // retract BEFORE re-encoding: an updated pk's new code row (seq > the
+    // delete's) is shielded by the strict-< rule and the anti-join sees the
+    // pk as absent
+    if (nDel > 0) wh.equalityDelete(codesTable(name), delPks)
+    val ins = dedupBatch(changes.filter(col("_change_type") === "+I").drop("_change_type"))
+    val nIns = ins.select(col(pkCol)).distinct().count()
+    if (nIns > 0) encodeAppend(name, ins, cents, model)
+    wh.recordBatchId(codesTable(name), sid, now)
+    FollowReport(now, nDel, nIns)
   }
 
   /** [[ingest]] with the codes and corpus commits fused into ONE
@@ -148,10 +204,7 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     */
   def ingestAtomic(name: String, df: DataFrame): Report = {
     val (cents, model) = frozen(name)
-    val wd = Window.partitionBy(pkCol)
-      .orderBy(to_json(struct(df.columns.map(col): _*)).asc)
-    val batch = df.withColumn("__rn", row_number().over(wd))
-      .filter(col("__rn") === 1).drop("__rn")
+    val batch = dedupBatch(df)
     val emb = batch.select(col(pkCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
     val codes = ProductQuantization.encode(emb, model)
       .join(assignCells(emb, cents), "vec_id")
@@ -170,6 +223,7 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
         statsCols = Seq("cell", pkCol), clusterBy = Seq("cell"))
       tx.append(name, fresh, statsCols = Seq(pkCol))
     }
+    wh.recordBatchId(codesTable(name), s"idxfollow:$name", wh.currentVersion(name))
     Report(wh.currentVersion(name), fresh.count(), newCodes.count())
   }
 
@@ -223,11 +277,9 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     val t = codesTable(name)
     val man = wh.currentManifest(t)
     val kept = keptFiles(name, cells)
-    val base =
-      if (kept.isEmpty)
-        wh.spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), man.schema)
-      else wh.spark.read.schema(man.schema)
-        .parquet(kept.map(f => wh.resolvePath(t, f.path)): _*)
+    // MOR overlay over the pruned subset: followChanges retracts a vector's
+    // code row as an equality delete — a raw parquet read would resurrect it
+    val base = wh.morFrame(t, Manifest(man.schema, kept, man.deletes))
     base.filter(col("cell").isin(cells: _*))
   }
 

@@ -159,6 +159,47 @@ class SearchIndexIngestSpec extends SparkSpec {
     assert(ing.probePostings("c", Seq("qqq")).inputFiles.isEmpty)
   }
 
+  test("followChanges: corpus deletes/updates retract + re-index at O(changes); no posting rewrites") {
+    val wh = new Warehouse(spark, tmpDir("sii-follow"))
+    val ing = ingester(wh)
+    ing.ingest("c", batchA)
+    ing.ingest("c", batchB)
+    val preMan = wh.currentManifest("c__postings")
+    // out-of-band corpus mutation: doc 2 re-texted, doc 4 deleted
+    wh.morMerge("c", docs(2L -> "spark spark scan"), Seq("doc_id"))
+    wh.deleteWhere("c", col("doc_id") === 4L)
+    val rep = ing.followChanges("c")
+    // net window: -D = old doc 2 + doc 4; +I = new doc 2
+    assert(rep.deletedDocs == 2 && rep.indexedDocs == 1, rep.toString)
+    // served search equals the corpus-scan BM25 over the FINAL corpus —
+    // a stale posting, a missed re-index, or an unfolded cstats row all shift it
+    val fin = batchA.filter(col("doc_id") =!= 2L)
+      .unionByName(docs(2L -> "spark spark scan"))
+      .unionByName(batchB.filter(col("doc_id") =!= 4L))
+    assert(ing.search("c", QUERY, k = 10).collect().toSeq == scanBm25(fin, QUERY, 10))
+    // O(changes), spec-counted: every pre-existing postings file survives
+    // UNREWRITTEN (retraction is delete entries), new files carry only the
+    // re-indexed doc's postings
+    val postMan = wh.currentManifest("c__postings")
+    val prePaths = preMan.files.map(_.path).toSet
+    assert(preMan.files.forall(f => postMan.files.exists(_.path == f.path)),
+      "followChanges must not rewrite existing posting files")
+    val fresh = postMan.files.filterNot(f => prePaths(f.path))
+    assert(fresh.map(_.rows).sum == 2, // "spark spark scan" = 2 posting rows
+      s"re-index appended ${fresh.map(_.rows).sum} rows")
+    assert(postMan.deletes.nonEmpty, "retraction must land as delete entries")
+    // idempotent: nothing new to follow
+    val rep2 = ing.followChanges("c")
+    assert(rep2.deletedDocs == 0 && rep2.indexedDocs == 0)
+    // cstats followed the churn exactly (signed fold)
+    val stats = graft.sink.IncrementalRollup.read(wh, "c__cstats",
+      graft.sink.IncrementalRollup.Spec(Nil, Seq(
+        graft.sink.IncrementalRollup.CountStar("n_docs"),
+        graft.sink.IncrementalRollup.SumOf(col("dl").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(28, 0)), "total_dl")))).head()
+    assert(stats.getAs[Long]("n_docs") == 4L, stats.toString)
+  }
+
   test("corpus stats rollup stays exact across batches (one-row, ledger-driven)") {
     val wh = new Warehouse(spark, tmpDir("sii-stats"))
     val ing = ingester(wh)

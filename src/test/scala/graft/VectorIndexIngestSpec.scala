@@ -127,6 +127,54 @@ class VectorIndexIngestSpec extends SparkSpec {
     assert(wh.load("v__codes").count() == 24 && wh.load("v").count() == 24)
   }
 
+  test("followChanges: deletes retract codes, updated vectors MOVE cells; no code rewrites") {
+    val all = vecs(0 until 24)
+    val model = ProductQuantization.initCodebook(emb(all), DIM, M, K)
+    val wh = new Warehouse(spark, tmpDir("vii-follow"))
+    val ing = ingester(wh)
+    ing.freeze("v", cellCents, model)
+    ing.ingest("v", vecs(0 until 12))
+    ing.ingest("v", vecs(12 until 24))
+    val preMan = wh.currentManifest("v__codes")
+    val preCell = wh.load("v__codes").filter(col("id") === 9L)
+      .select("cell").head().getLong(0)
+    // out-of-band mutation: vector 9 re-anchored to a DIFFERENT direction
+    // (must move cells under the frozen model), vectors 7 and 14 deleted
+    val moved = spark.createDataFrame(Seq(
+      Row(9L, (0 until DIM).map(p =>
+        (if (block(p) == (9 % 3 + 1) % 3) 10.0 else 0.0) + 0.01 * p).toArray)).asJava, schema)
+    wh.morMerge("v", moved, Seq("id"))
+    wh.deleteWhere("v", col("id").isin(7L, 14L))
+    val rep = ing.followChanges("v")
+    assert(rep.deletedVecs == 3 && rep.indexedVecs == 1, rep.toString)
+    // the updated vector MOVED to its new direction's cell
+    val postCell = wh.load("v__codes").filter(col("id") === 9L)
+      .select("cell").head().getLong(0)
+    assert(postCell == ((9 % 3 + 1) % 3).toLong && postCell != preCell,
+      s"cell $preCell -> $postCell")
+    // deleted vectors are gone from the served codes
+    assert(wh.load("v__codes").filter(col("id").isin(7L, 14L)).count() == 0)
+    assert(wh.load("v__codes").count() == 22)
+    // served search equals the directly-built index over the FINAL corpus
+    // (same frozen model — trained before the mutations, like the index's)
+    val fin = all.filter(!col("id").isin(7L, 9L, 14L)).unionByName(moved)
+    val want = sorted(IvfPq.search(probesOf(all, 2), directIndex(fin, model),
+      nprobe = 3, topK = 5))
+    assert(sorted(ing.search("v", probesOf(all, 2), nprobe = 3, topK = 5)
+      .withColumnRenamed("id", "vec_id")) == want)
+    // O(changes), spec-counted: pre-existing code files survive unrewritten;
+    // the only fresh file is the moved vector's single code row
+    val postMan = wh.currentManifest("v__codes")
+    val prePaths = preMan.files.map(_.path).toSet
+    assert(preMan.files.forall(f => postMan.files.exists(_.path == f.path)),
+      "followChanges must not rewrite existing code files")
+    assert(postMan.files.filterNot(f => prePaths(f.path)).map(_.rows).sum == 1)
+    assert(postMan.deletes.nonEmpty, "retraction must land as delete entries")
+    // idempotent
+    val rep2 = ing.followChanges("v")
+    assert(rep2.deletedVecs == 0 && rep2.indexedVecs == 0)
+  }
+
   test("duplicate-pk batch: one survivor per pk, codes stay well-formed") {
     // un-deduped, a duplicate pk flows through encode's collect_list as a
     // 2M-length codes array that misaligns ADC sub_ids AND permanently
