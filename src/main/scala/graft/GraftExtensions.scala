@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // warehouse scan collapse to a one-row LocalRelation served from the
     // manifest's row counts / column bounds — zero file opens.
     e.injectOptimizerRule(_ => graft.catalog.StatsAggRule)
+    // Variant extractions inside Aggregate move to a Project below it —
+    // the shape Spark's variant pushdown absorbs into the scan, and the
+    // workaround for 4.1.2's DSv2 agg-over-pushed-filter defect (scaladoc).
+    e.injectOptimizerRule(_ => graft.catalog.VariantAggExtractRule)
     // SQL MERGE INTO on graft tables → the disposition=merge write path
     // (must run in the resolution batch, before Spark's row-level rewrites
     // reject tables without SupportsRowLevelOperations).
@@ -90,5 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // loadWithLineage plan (analysis-time substitution — the lineage read
     // is a multi-file plan, not a per-file DSv2 scan).
     e.injectResolutionRule(session => new graft.catalog.LineageRelationRule(session))
+    // get_json_object over a VARIANT column resolves to variant_get::string
+    // (same null-on-missing contract) — string-era queries keep working
+    // after a table adopts parse-once variant storage, and the rewritten
+    // form is what Spark's variant pushdown moves into the scan.
+    e.injectResolutionRule(_ => graft.catalog.VariantJsonCompatRule)
   }
 }

@@ -554,10 +554,53 @@ object EventQueries {
           (col("le95") >= col("n") * 0.94 && col("lt95") <= col("n") * 0.96)
             .as("p95_within_bounds"))
         .orderBy("event_type")
+    },
+
+    // q40's KPIs served from PARSE-ONCE VARIANT storage instead of a
+    // per-query JSON string parse: props is `parse_json`'d ONCE at ingest
+    // into a warehouse VARIANT column (written SHREDDED — typed parquet
+    // subcolumns), and the query keeps its string-era `get_json_object`
+    // face, which [[graft.catalog.VariantJsonCompatRule]] resolves to
+    // `variant_get::string` and Spark's variant pushdown moves INTO the
+    // scan — the extraction decodes ONE shredded leaf column, zero JSON
+    // text touched at query time (plan-asserted in VariantStoreSpec; the
+    // 100 TB shape for semi-structured analytics: events.props is read
+    // thousands of times per parse). Oracle: identical to q40's — same
+    // values, storage is invisible to the answer.
+    "q167_variant_kpis" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val ev = events(s, dir)
+        .select(col("event_type"), parse_json(col("props")).as("props"))
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q167")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        wh.create("events_v", ev.schema)
+        wh.append("events_v", ev)
+        wh.load("events_v")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("k").as("sum_k"),
+            min("k").as("min_k"),
+            max("k").as("max_k"))
+          .orderBy("event_type")
+          .localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_variant_kpis" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS min_k,
+        |  max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q40_json_kpis" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

@@ -36,6 +36,10 @@ object SchemaOps {
     case _: DecimalType                                => DoubleType
     // Engine extension: keep arrays (embeddings) instead of degrading.
     case ArrayType(e, n)                               => ArrayType(widen(e), n)
+    // Engine extension: VARIANT is already the widest semi-structured type
+    // (parse-once storage for JSON columns); degrading it to string would
+    // re-introduce the per-query JSON parse it exists to remove.
+    case v: VariantType                                => v
     case _                                             => StringType
   }
 

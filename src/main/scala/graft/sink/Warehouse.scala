@@ -65,6 +65,21 @@ final class Warehouse(private[sink] val spark: SparkSession,
   // back to name matching exactly as before.
   spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
+  // Parse-once semi-structured storage (the Iceberg-v3 VariantType story):
+  // warehouse tables may carry VARIANT columns ([[writeData]] writes them
+  // SHREDDED — typed parquet subcolumns beside the binary fallback), and
+  // these two read confs are what turn the stored shape into scan-time
+  // wins: `allowReadingShredded` reads the typed subcolumns directly
+  // (instead of reassembling binary variants row by row), and
+  // `pushVariantIntoScan` rewrites `variant_get` extractions into the scan
+  // so a query touching `$.k` decodes ONE shredded leaf column — no JSON
+  // string parse, no full-variant materialization, ordinary parquet column
+  // IO. Both engage Spark's own rules (PushVariantIntoScan on the V1 path,
+  // V2ScanRelationPushDown.pushDownVariants on the catalog's DSv2 path);
+  // set explicitly so the engine never depends on build defaults.
+  spark.conf.set("spark.sql.variant.allowReadingShredded", "true")
+  spark.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+
   // ------------------------------------------------------------ ref names --
 
   /** Split `t@branch` into (base table, branch). A branch is a ref-suffixed
@@ -813,10 +828,32 @@ final class Warehouse(private[sink] val spark: SparkSession,
         }
       }: _*)
     val w = stamped.write.mode("overwrite")
+    // VARIANT columns write SHREDDED (typed parquet subcolumns inferred
+    // per write batch beside the binary fallback — the parquet variant
+    // shredding spec Spark's writer implements): that is what makes the
+    // stored shape queryable at column-IO cost instead of re-parsing a
+    // JSON string per row per query. Same scoped flip + restore
+    // discipline as TsConf: session-global confs, other writes in the
+    // session keep their own flavor, and a racing writer at worst lands
+    // UNSHREDDED variant files — which read back correctly (the binary
+    // fallback IS the value), just without the shredded-leaf fast path.
+    val hasVariant = schema.fields.exists(_.dataType.isInstanceOf[VariantType])
+    val ShredConf = "spark.sql.variant.writeShredding.enabled"
+    val InferConf = "spark.sql.variant.inferShreddingSchema"
+    val prevShred = if (hasVariant) Some(spark.conf.get(ShredConf, "false")) else None
+    val prevInfer = if (hasVariant) Some(spark.conf.get(InferConf, "false")) else None
     try {
       spark.conf.set(TsConf, "TIMESTAMP_MICROS")
+      if (hasVariant) {
+        spark.conf.set(ShredConf, "true")
+        spark.conf.set(InferConf, "true")
+      }
       (if (pcols.isEmpty) w else w.partitionBy(pcols: _*)).parquet(dir.toString)
-    } finally spark.conf.set(TsConf, prevTs)
+    } finally {
+      spark.conf.set(TsConf, prevTs)
+      prevShred.foreach(spark.conf.set(ShredConf, _))
+      prevInfer.foreach(spark.conf.set(InferConf, _))
+    }
     val scs = statCols(schema, cols)
     val td = tableDir(name).toAbsolutePath.normalize
     val files = FooterStats.listParquetFiles(dir)
