@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Java 17 inherits the PLATFORM charset (ANSI_X3.4 under LANG=C), and a
+  // couple of Spark paths decode through it — non-ASCII JSON through
+  // parse_json / variant shredding mangles to U+FFFD without this. Java
+  // 18+ (JEP 400) makes UTF-8 the default; pin it explicitly so the
+  // engine's text behavior never depends on the host locale.
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -140,6 +140,22 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
+  /** A variant extraction in the one shape vget stats can prune: a bare
+    * variant column, a constant path, and a target type the stat domain
+    * proves exactly ([[graft.sink.VariantStats]] soundness contract —
+    * cross-type bounds would be unsound, so other shapes yield no key and
+    * simply don't prune). Yields the manifest stat key.
+    */
+  private object VGetKey {
+    def unapply(e: Expression): Option[String] = e match {
+      case org.apache.spark.sql.catalyst.expressions.variant.VariantGet(
+          a: AttributeReference, Literal(p, StringType), t, _, _) if p != null =>
+        graft.sink.VariantStats.typeNameOf(t)
+          .map(tn => graft.sink.VariantStats.VKey(a.name, p.toString, tn).key)
+      case _ => None
+    }
+  }
+
   private def conjunctMayMatch(file: DataFile, c: Expression): Boolean = c match {
     case EqualTo(a: AttributeReference, l: Literal)            => check(file, a.name, "=", l)
     case EqualTo(l: Literal, a: AttributeReference)            => check(file, a.name, "=", l)
@@ -180,6 +196,34 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
       // a file with a PROVEN zero null count has no row passing IS NULL;
       // unknown (-1) keeps the file
       file.stats.get(a.name).forall(_.nulls != 0L)
+
+    // ---- variant-path predicates: same bounds algebra, keyed by the vget
+    // stat key instead of a column name ([[graft.sink.VariantStats]]).
+    // `check`'s transform projection no-ops for these keys (no transform
+    // ever names a vget key), so this is pure stat-bound pruning.
+    case EqualTo(VGetKey(k), l: Literal)            => check(file, k, "=", l)
+    case EqualTo(l: Literal, VGetKey(k))            => check(file, k, "=", l)
+    case GreaterThan(VGetKey(k), l: Literal)        => check(file, k, ">", l)
+    case GreaterThan(l: Literal, VGetKey(k))        => check(file, k, "<", l)
+    case GreaterThanOrEqual(VGetKey(k), l: Literal) => check(file, k, ">=", l)
+    case GreaterThanOrEqual(l: Literal, VGetKey(k)) => check(file, k, "<=", l)
+    case LessThan(VGetKey(k), l: Literal)           => check(file, k, "<", l)
+    case LessThan(l: Literal, VGetKey(k))           => check(file, k, ">", l)
+    case LessThanOrEqual(VGetKey(k), l: Literal)    => check(file, k, "<=", l)
+    case LessThanOrEqual(l: Literal, VGetKey(k))    => check(file, k, ">=", l)
+    case In(VGetKey(k), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => check(file, k, "=", v.asInstanceOf[Literal]))
+    case InSet(vg @ VGetKey(k), vs) if vs.nonEmpty && vs.size <= MaxProbeValues =>
+      vs.exists(v => check(file, k, "=", Literal(v, vg.dataType)))
+    case StartsWith(VGetKey(k), Literal(p, StringType)) if p != null =>
+      file.stats.get(k).forall(StatsPruning.mayMatchPrefix(_, p.toString))
+    // null-count-powered: the vget stat's nulls field counts rows whose
+    // extraction is null (missing path, null variant, or failed try-cast —
+    // the same rows the query-side extraction nulls)
+    case IsNotNull(VGetKey(k)) =>
+      file.stats.get(k).forall(st => st.kind != "z" && st.nulls != file.rows)
+    case IsNull(VGetKey(k)) =>
+      file.stats.get(k).forall(_.nulls != 0L)
     case _ => true
   }
 

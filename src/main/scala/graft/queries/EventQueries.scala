@@ -25,6 +25,13 @@ object EventQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.schema.SchemaOps.normalizeNanos(read(s, dir, "events"), Seq("ts"))
 
+  /** Stable per-JVM catalog root for q168 (Spark caches catalog plugins by
+    * name, so the conf must keep pointing at one path — the q137/q151
+    * discipline: wipe CONTENTS per run, never move the root).
+    */
+  private lazy val q168Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q168")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // get_json_object over the props JSON column (engine side); the oracle
     // extracts the same value by regex so it never depends on a DuckDB
@@ -590,6 +597,40 @@ object EventQueries {
         java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
       }
+    },
+
+    // Variant-path FILE PRUNING (VariantStats + ManifestPruneRule): the
+    // corpus is range-clustered by the EXTRACTED JSON field and the
+    // declared `vget(props,$.k,long)` stat key records each file's bounds
+    // of that extraction — a `variant_get` range predicate then plans
+    // O(matching files), the piece shredded storage alone can't provide
+    // (VariantPruneSpec asserts the file/segment skip counts; here the
+    // oracle gates the VALUES, so an unsound prune that drops a matching
+    // file is a hash miss, not just a slow plan). The 100 TB shape:
+    // "events where props.k in a band" stops reading the 90% of a
+    // k-clustered table outside the band.
+    "q168_variant_prune_scan" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      wipe(q168Root)
+      s.conf.set("spark.sql.catalog.gq168", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq168.root", q168Root.toString)
+      try {
+        val ev = events(s, dir)
+          .select(col("event_id"), col("event_type"), parse_json(col("props")).as("props"))
+          .repartitionByRange(16, variant_get(col("props"), "$.k", "long"))
+        val wh = new Warehouse(s, q168Root.toString)
+        wh.create("events_v", ev.schema)
+        wh.append("events_v", ev, statsCols = Seq("vget(props,$.k,long)"))
+        s.sql("REFRESH TABLE gq168.events_v")
+        s.sql(
+          """SELECT event_type, count(*) AS n,
+            |  CAST(sum(variant_get(props, '$.k', 'long')) AS BIGINT) AS sum_k,
+            |  min(event_id) AS first_event
+            |FROM gq168.events_v
+            |WHERE variant_get(props, '$.k', 'long') BETWEEN 10 AND 19
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+          .localCheckpoint()
+      } finally wipe(q168Root)
     }
   )
 
@@ -600,6 +641,14 @@ object EventQueries {
         |  min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS min_k,
         |  max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q168_variant_prune_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(event_id) AS first_event
+        |FROM events
+        |WHERE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) BETWEEN 10 AND 19
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q40_json_kpis" ->
       """SELECT event_type, count(*) AS n,

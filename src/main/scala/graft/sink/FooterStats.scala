@@ -64,9 +64,12 @@ object FooterStats {
 
   /** Row count + per-wanted-column outcome for one parquet file, or None if
     * the footer itself is unreadable (caller falls back wholesale).
+    * `vgets` adds variant-path stat keys ([[VariantStats]]) proven from the
+    * SHREDDED leaf chunks — outcomes keyed by the vget key string.
     */
   def read(file: Path, conf: Configuration,
-           wanted: Seq[(String, DataType)]): Option[(Long, Map[String, Outcome])] =
+           wanted: Seq[(String, DataType)],
+           vgets: Seq[VariantStats.VKey] = Nil): Option[(Long, Map[String, Outcome])] =
     try {
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file.toUri), conf)
@@ -88,9 +91,58 @@ object FooterStats {
                    else mergeChunks(dt, chunks)
           name -> oc
         }.toMap
-        Some((rows, out))
+        val vout = vgets.map(vk => vk.key -> vgetOutcome(blocks, vk)).toMap
+        Some((rows, out ++ vout))
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One vget stat key's outcome from the shredded-variant footer layout
+    * (`src { metadata, value, typed_value { <field> { value, typed_value
+    * } } }`). The shredded leaf's own chunk stats ARE the extraction's
+    * bounds/null count — but only when the residuals prove no row escaped
+    * the typed path:
+    *
+    *   - `src.value` (top-level residual) all-null in every block: no row
+    *     fell outside the shredding schema (an unshredded file, a
+    *     non-object row, or an extra-field row could otherwise hold the
+    *     field invisibly);
+    *   - `src.typed_value.<field>.value` (field residual) all-null: no
+    *     row held the field at a MISMATCHED type (try-cast at query time
+    *     could still extract a value from those — e.g. a long from the
+    *     string "7" — outside the typed leaf's bounds);
+    *   - the leaf decodes under the key's own Spark type ([[decode]]'s
+    *     physical/logical gates — an int64 leaf under a `double` key, or
+    *     vice versa, refuses rather than mixing truncation domains).
+    *
+    * A leaf ABSENT with clean residuals means the shredding schema never
+    * saw the field: the extraction is provably all-null. Anything else —
+    * including paths deeper than `$.name` — returns [[Unknown]] and the
+    * caller's scan fallback computes the stat exactly.
+    */
+  private def vgetOutcome(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+                          vk: VariantStats.VKey): Outcome = {
+    val field = VariantStats.footerField(vk.path).getOrElse(return Unknown)
+    if (blocks.isEmpty) return AllNull
+    def chunksAt(path: Seq[String]): Seq[Option[ColumnChunkMetaData]] =
+      blocks.map(_.getColumns.asScala.find(cc => cc.getPath.toArray.toSeq == path))
+    def provenEmpty(path: Seq[String]): Boolean = chunksAt(path).forall {
+      case Some(cc) =>
+        val st = cc.getStatistics
+        st != null && st.isNumNullsSet && st.getNumNulls == cc.getValueCount
+      case None => false
+    }
+    if (!provenEmpty(Seq(vk.src, "value"))) return Unknown
+    val leaf = chunksAt(Seq(vk.src, "typed_value", field, "typed_value"))
+    if (leaf.forall(_.isEmpty)) return AllNull
+    if (leaf.exists(_.isEmpty)) return Unknown
+    if (!provenEmpty(Seq(vk.src, "typed_value", field, "value"))) return Unknown
+    val dt: DataType = vk.tpe match {
+      case "long"   => LongType
+      case "double" => DoubleType
+      case _        => StringType
+    }
+    mergeChunks(dt, leaf.flatten)
+  }
 
   /** Merge one column's per-row-group stats into a single outcome. */
   private def mergeChunks(dt: DataType, chunks: Seq[ColumnChunkMetaData]): Outcome = {

@@ -690,6 +690,14 @@ final class Warehouse(private[sink] val spark: SparkSession,
               StatCol(c, k, min(e), max(e), count(e))
             }
           }
+        }.orElse {
+          // variant-path stat key ("vget(props,$.k,long)"): bounds of the
+          // typed extraction — JSON-field predicates then FILE-prune
+          // ([[VariantStats]] for the key syntax + soundness contract)
+          VariantStats.parseKey(c).filter(VariantStats.applies(schema, _)).map { vk =>
+            val e = VariantStats.extractExpr(vk)
+            StatCol(c, vk.kind, min(e), max(e), count(e))
+          }
         }
       }
     }
@@ -868,6 +876,13 @@ final class Warehouse(private[sink] val spark: SparkSession,
       specIdxOfKey.get(sc.name).exists(i => pcols.contains(s"$SpecColPrefix$i")))
     val physTypes = physical.map(sc =>
       sc.name -> schema.fields.find(_.name == sc.name).get.dataType)
+    // variant-path keys with footer-provable shapes ($.name): the shredded
+    // leaf's chunk stats serve the bounds ([[FooterStats.vgetOutcome]]'s
+    // residual gates); unprovable files fall into the scan set per key
+    val vgetable: Seq[VariantStats.VKey] = scs
+      .flatMap(sc => VariantStats.parseKey(sc.name))
+      .filter(vk => VariantStats.applies(schema, vk) &&
+        VariantStats.footerField(vk.path).nonEmpty)
 
     // --- phase 1: footers (parallel, metadata-only) + hive-dir values
     val conf = spark.sparkContext.hadoopConfiguration
@@ -879,7 +894,7 @@ final class Warehouse(private[sink] val spark: SparkSession,
           scala.concurrent.ExecutionContext.fromExecutor(pool)
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(files.map(f =>
-            scala.concurrent.Future(f -> FooterStats.read(f, conf, physTypes)))),
+            scala.concurrent.Future(f -> FooterStats.read(f, conf, physTypes, vgetable)))),
           scala.concurrent.duration.Duration(600, "s"))
       } finally pool.shutdown()
 
@@ -920,7 +935,8 @@ final class Warehouse(private[sink] val spark: SparkSession,
     // --- phase 2: one column-pruned grouped scan for whatever is unproven
     val scanCols: Set[String] =
       if (fullFallback) scs.map(_.name).toSet
-      else scs.map(_.name).toSet -- (physical ++ pathable).map(_.name) ++
+      else scs.map(_.name).toSet -- (physical ++ pathable).map(_.name) --
+        vgetable.map(_.key) ++
         perFile.valuesIterator.flatMap(_._2.collect {
           case (c, FooterStats.Unknown) => c
         })
@@ -2177,7 +2193,10 @@ final class Warehouse(private[sink] val spark: SparkSession,
       if (k == from) to
       else PartitionTransforms.parseKey(k) match {
         case Some(pf) if pf.src == from => pf.copy(src = to).key
-        case _                          => k
+        case _ => VariantStats.parseKey(k) match {
+          case Some(vk) if vk.src == from => vk.copy(src = to).key
+          case _                          => k
+        }
       }
     val newSchema = StructType(man.schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))

@@ -138,4 +138,46 @@ class FooterStatsSpec extends graft.SparkSpec {
     wh.compact("t")
     assertFooterEqualsScan(wh, root, "t", wanted)
   }
+
+  test("footer stats == scan stats for variant-path (vget) keys") {
+    val root = tmpDir("fs-vget")
+    val wh = new Warehouse(spark, root)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("props", org.apache.spark.sql.types.VariantType)))
+    val vKeys = Seq("vget(props,$.k,long)", "vget(props,$.tag,string)",
+      "vget(props,$.x,double)", "vget(props,$.ghost,long)")
+    def vbatch(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(rows.map { case (i, js) => Row(i, js) }.asJava,
+        StructType(Seq(StructField("id", LongType), StructField("props", StringType))))
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.parse_json(
+            org.apache.spark.sql.functions.col("props")).as("props"))
+    wh.create("t", schema)
+    // CLEAN batch (footer-provable: every field shreds typed, residuals
+    // empty): long bounds + nulls (row 3 lacks k), string bounds, double
+    // with -0.0, and `ghost` never present (AllNull -> "z")
+    wh.append("t", vbatch(Seq(
+      1L -> """{"k": 10, "tag": "alpha", "x": -0.0}""",
+      2L -> """{"k": -5, "tag": "Ωmega🦓", "x": 7.25}""",
+      3L -> """{"tag": "zzz", "x": 0.0}""")), statsCols = vKeys)
+    assertFooterEqualsScan(wh, root, "t", vKeys)
+    // DIRTY batch (footer must REFUSE, scan must serve): k as a string
+    // ("7" -> field residual non-null: try-long still extracts 7 at query
+    // time), a non-object row (top-level residual), and a null variant
+    wh.append("t", vbatch(Seq(
+      4L -> """{"k": "7", "tag": "beta"}""",
+      5L -> """[1, 2, 3]""",
+      6L -> null)))
+    assertFooterEqualsScan(wh, root, "t", vKeys)
+    // and the dirty batch's k stat really carries the try-extracted 7
+    val dirty = wh.currentManifest("t").files
+      .filter(_.stats.get("vget(props,$.k,long)").exists(_.kind == "n"))
+      .flatMap(_.stats.get("vget(props,$.k,long)"))
+    // (batches may split across files — check the value COVER, not layout)
+    assert(dirty.map(st => BigDecimal(st.min)).min == BigDecimal(-5), dirty.toString)
+    assert(dirty.map(st => BigDecimal(st.max)).max == BigDecimal(10), dirty.toString)
+    assert(dirty.exists(st => st.min == "7" && st.max == "7"),
+      s"the string-typed k must try-extract as 7 through the scan fallback: $dirty")
+  }
 }
