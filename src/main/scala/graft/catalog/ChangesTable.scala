@@ -360,6 +360,13 @@ private[catalog] final class ChangesStager(table: String, root: String,
         Some(StructField(g.name, LongType))
       else if (bothIds) idOf(g).flatMap(eById.get)
       else eSchema.fields.find(_.name == g.name)
+    // every projected column is stamped with the LOAD-TIME schema's
+    // metadata (the writeData discipline): an Alias only inherits field-id
+    // metadata when its child is a bare scan attribute, so a COMPUTED
+    // column — the change feed's variant restore, a null-filled addition —
+    // would otherwise stage id-less next to id-carrying neighbors and read
+    // back NULL under field-id resolution (ids present in the file force
+    // strict id matching for every requested field that has one)
     df.select(rowSchema.fields.toSeq.map { g =>
       sourceFor(g) match {
         case Some(f) =>
@@ -367,8 +374,8 @@ private[catalog] final class ChangesStager(table: String, root: String,
             s"$table$$changes: column '${g.name}' was retyped across the window " +
               s"(${f.dataType.catalogString} at the window end vs " +
               s"${g.dataType.catalogString} at load) — unsupported")
-          col(f.name).as(g.name)
-        case None => lit(null).cast(g.dataType).as(g.name)
+          col(f.name).as(g.name, g.metadata)
+        case None => lit(null).cast(g.dataType).as(g.name, g.metadata)
       }
     }: _*)
   }

@@ -55,8 +55,32 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
   def diffRows(name: String, fromVersion: Long, toVersion: Long): (DataFrame, DataFrame) = {
     val from = loadVersion(name, fromVersion)
     val to = loadVersion(name, toVersion)
-    (to.exceptAll(from), from.exceptAll(to))
+    val vcols = variantColsOf(manifestAt(name, toVersion).schema)
+    (variantRestore(variantProxy(to, vcols).exceptAll(variantProxy(from, vcols)), vcols),
+     variantRestore(variantProxy(from, vcols).exceptAll(variantProxy(to, vcols)), vcols))
   }
+
+  // ---- VARIANT columns in set operations: Spark refuses EXCEPT/INTERSECT
+  // on variant, so the bag algebra runs over each variant column's
+  // canonical JSON text (`to_json` — quoted strings, so a variant string
+  // "5" and a variant number 5 stay DISTINCT) and the emitted feed
+  // restores the value with `parse_json`. Exact for JSON-native values —
+  // which is everything the parse_json ingest face ever stores; a
+  // variant-native timestamp/binary (constructible via cast) restores as
+  // its JSON render, the same caveat as any JSON-transport CDC.
+  private[sink] def variantColsOf(schema: StructType): Seq[String] =
+    schema.fields.filter(_.dataType.isInstanceOf[VariantType]).map(_.name).toSeq
+  private[sink] def variantProxy(df: DataFrame, vcols: Seq[String]): DataFrame =
+    vcols.foldLeft(df)((d, c) => d.withColumn(c, to_json(col(c))))
+  // restore via from_json(..., 'variant'), NOT parse_json: Spark 4.1.2's
+  // PushVariantIntoScan traces a `variant_get(parse_json(to_json(scan
+  // col)), path)` chain THROUGH the bag aggregate as if the pair were
+  // identity, rewrites the scan to serve only the extracted path, and the
+  // feed then bags on (and restores from) the extraction instead of the
+  // row — nulls out consumers and collapses rows equal on that path.
+  // JsonToStructs is outside that rule's traced shapes, same semantics.
+  private[sink] def variantRestore(df: DataFrame, vcols: Seq[String]): DataFrame =
+    vcols.foldLeft(df)((d, c) => d.withColumn(c, from_json(col(c), VariantType)))
 
   /** Exact row-level change feed between two snapshots at O(changed files)
     * cost — the Iceberg changelog-scan analog, closing the gap between
@@ -179,9 +203,16 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
         case None    => lit(null).cast(g.dataType).as(g.name)
       }
     } ++ lineageCols.map(col): _*)
-    changedTo.exceptAll(changedFrom).withColumn("_change_type", lit("+I"))
-      .unionByName(
-        changedFrom.exceptAll(changedTo).withColumn("_change_type", lit("-D")))
+    // variant columns bag by canonical JSON text (set ops refuse variant),
+    // restored to variant on the emitted feed — variantProxy scaladoc
+    val vcols = variantColsOf(mTo.schema)
+    val bagTo = variantProxy(changedTo, vcols)
+    val bagFrom = variantProxy(changedFrom, vcols)
+    variantRestore(
+      bagTo.exceptAll(bagFrom).withColumn("_change_type", lit("+I"))
+        .unionByName(
+          bagFrom.exceptAll(bagTo).withColumn("_change_type", lit("-D"))),
+      vcols)
   }
 
   /** [[readChanges]] with UPDATE PRE/POST-IMAGES — `_change_type` ∈

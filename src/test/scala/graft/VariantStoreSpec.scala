@@ -186,6 +186,54 @@ class VariantStoreSpec extends SparkSpec {
     assert(graft.schema.SchemaOps.widen(VariantType).isInstanceOf[VariantType])
   }
 
+  test("CDC composes: the change feed bags variant rows by canonical JSON and restores them") {
+    val (wh, root) = mkWarehouse("varcdc")
+    wh.create("t", schema)
+    def b(rows: Seq[(Long, String)]): DataFrame = spark.createDataFrame(
+      rows.map { case (i, js) => Row(i, js) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("props", StringType))))
+      .select(col("id"), parse_json(col("props")).as("props"))
+    // the proxy must keep a variant STRING "5" distinct from a variant
+    // NUMBER 5 — id 4 flips between them and must surface as a change
+    wh.append("t", b(Seq(1L -> """{"k": 1}""", 2L -> """{"k": 2}""",
+      4L -> """{"k": "5"}""")))
+    wh.morMerge("t", b(Seq(2L -> """{"k": 20}""", 3L -> """{"k": 3}""",
+      4L -> """{"k": 5}""")), Seq("id"))
+
+    val ch = wh.readChanges("t", 1, 2)
+    assert(ch.schema("props").dataType.isInstanceOf[VariantType],
+      "the emitted feed must restore VARIANT, not leak the JSON proxy")
+    val got = ch.select(col("id"), col("_change_type"),
+        get_json_object(col("props"), "$.k").as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq((2L, "+I", "20"), (2L, "-D", "2"), (3L, "+I", "3"),
+      (4L, "+I", "5"), (4L, "-D", "5")), got.toString)
+    // ...and the string-vs-number identity is PRESERVED, not collapsed
+    val types = ch.filter(col("id") === 4)
+      .select(col("_change_type"), expr("schema_of_variant(props)").as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(types == Seq(("+I", "OBJECT<k: BIGINT>"), ("-D", "OBJECT<k: STRING>")),
+      types.toString)
+
+    // the $changes SQL face (staged windows) serves the same bag
+    spark.conf.set("spark.sql.catalog.vcd", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vcd.root", root)
+    val sqlCh = spark.read.option("from-version", 1).option("to-version", 2)
+      .table("vcd.`t$changes`")
+      .select(col("id"), col("_change_type"),
+        get_json_object(col("props"), "$.k").as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(sqlCh == got, s"$sqlCh != $got")
+
+    // update pre/post-images pair by the morMerge's own key columns
+    val imgs = wh.readChangesWithImages("t", 1, 2)
+      .select(col("id"), col("_change_type"),
+        get_json_object(col("props"), "$.k").as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(imgs == Seq((2L, "+U", "20"), (2L, "-U", "2"), (3L, "+I", "3"),
+      (4L, "+U", "5"), (4L, "-U", "5")), imgs.toString)
+  }
+
   test("MOR overlay composes: deletes and upserts over a variant table stay exact") {
     val (wh, _) = mkWarehouse("varmor")
     wh.create("t", schema)

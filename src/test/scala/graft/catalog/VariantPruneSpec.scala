@@ -129,6 +129,19 @@ class VariantPruneSpec extends SparkSpec {
     assert(scannedFiles(q, total) <= math.max(2, total / 12))
   }
 
+  test("DELETE WHERE on a variant path rewrites only the may-match files") {
+    val (wh, total) = build("vprd")
+    val rep = wh.deleteWhere("t", variant_get(col("props"), "$.k", "long") === 1234L)
+    // scan pruning and delete-victim pruning share one mayMatch: all but
+    // the owning file(s) carry into the new snapshot UNREWRITTEN
+    assert(rep.deleted == 1L, rep.toString)
+    assert(rep.prunedFiles >= total - 2, rep.toString)
+    val left = spark.sql(
+      "SELECT count(*) AS n FROM vprd.t WHERE variant_get(props, '$.k', 'long') " +
+        "BETWEEN 1230 AND 1240")
+    assert(left.collect().head.getLong(0) == 10L)
+  }
+
   test("key parse/remap round-trip") {
     assert(VariantStats.parseKey(KeyK).contains(VariantStats.VKey("props", "$.k", "long")))
     assert(VariantStats.parseKey("vget(a,$.x.y,string)").map(_.kind).contains("s"))
