@@ -103,6 +103,40 @@ object Bench {
     ms
   }
 
+  /** Multithreaded machine-speed calibration: the single-thread loop on
+    * EVERY core at once, wall-clocked. Rounds 10-15 showed the blind spot
+    * it closes: a co-tenant stealing cores slows the 32-thread query sweep
+    * while the single-thread loop (and loadavg, and per-iteration spread)
+    * stay clean — single-thread calibration divides out thermal/hypervisor
+    * UNIFORM slowdown, this one additionally measures PARALLEL-throughput
+    * loss. calib_mt_ratio > calib_ratio by a margin = core contention; a
+    * future reader should trust normalized_total_mt for cross-run compares
+    * of the (parallel) query sweep.
+    */
+  private[graft] def calibrateMt(threads: Int): Double = {
+    val n = math.max(threads, 1)
+    val accs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ts = (0 until n).map { t =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var acc = 0L
+        var i = 0
+        while (i < 50000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          acc += x
+          i += 1
+        }
+        accs.addAndGet(acc)
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (accs.get() == 42L) System.err.println("calibration sentinel") // un-DCE-able
+    ms
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -125,6 +159,11 @@ object Bench {
     val startedAt = java.time.Instant.now().toString
     calibrate() // JIT warmup pass, discarded
     val calibStart = calibrate()
+    calibrateMt(Runtime.getRuntime.availableProcessors) // mt JIT warmup, discarded
+    // best-of-2: scheduler jitter makes single mt samples ±20% noisy; the
+    // MIN is the cleanest capacity estimate (contention only ever adds)
+    val calibMtStart = (1 to 2).map(_ =>
+      calibrateMt(Runtime.getRuntime.availableProcessors)).min
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -221,6 +260,16 @@ object Bench {
     val calibEnd = calibrate()
     val calibRatio = ((calibStart + calibEnd) / 2.0) / calibRef
     val normalizedTotal = total / math.max(calibRatio, 0.01)
+    // The PARALLEL-throughput twin ([[calibrateMt]]): core contention a
+    // co-tenant causes slows the 32-thread sweep but not the single-thread
+    // loop; mt-normalization is the number to compare across runs whose
+    // calib_ratio looks clean while queries drift uniformly slower.
+    // Reference = this box quiet (~140 ms, all-cores x 50M, round 15).
+    val calibMtRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_MT_REF", "140.0").toDouble
+    val calibMtEnd = (1 to 2).map(_ =>
+      calibrateMt(Runtime.getRuntime.availableProcessors)).min
+    val calibMtRatio = ((calibMtStart + calibMtEnd) / 2.0) / calibMtRef
+    val normalizedTotalMt = total / math.max(calibMtRatio, 0.01)
     // stdout stays ONE line, but COMPACT (medians only): rounds 3-5 proved
     // the capture pipeline truncates long lines (~13 queries lost, "parsed":
     // null in every BENCH artifact). The full record — including the
@@ -229,7 +278,9 @@ object Bench {
     // the driver's artifact must self-declare its validity.
     val compact =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","contended":$contended,""" +
-        s""""calib_ratio":${f(calibRatio)},"normalized_total":${f(normalizedTotal)},"queries":$qs,"sf":"$sfDir"}"""
+        s""""calib_ratio":${f(calibRatio)},"normalized_total":${f(normalizedTotal)},""" +
+        s""""calib_mt_ratio":${f(calibMtRatio)},"normalized_total_mt":${f(normalizedTotalMt)},""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     // Run-conditions provenance (round-8 review item): who measured, when,
     // how loaded the box was, and what the harness did about it.
     val conditions =
@@ -238,6 +289,9 @@ object Bench {
         s""""loadavg_max_iter":${f(loadMaxIter)},"gate_waited_sec":$gateWaited,"gate_failed":$gateFailed,""" +
         s""""retried_iters":$retriedTotal,"calib_ms_start":${f(calibStart)},"calib_ms_end":${f(calibEnd)},""" +
         s""""calib_ref_ms":${f(calibRef)},"calib_ratio":${f(calibRatio)},"normalized_total":${f(normalizedTotal)},""" +
+        s""""calib_mt_ms_start":${f(calibMtStart)},"calib_mt_ms_end":${f(calibMtEnd)},""" +
+        s""""calib_mt_ref_ms":${f(calibMtRef)},"calib_mt_ratio":${f(calibMtRatio)},""" +
+        s""""normalized_total_mt":${f(normalizedTotalMt)},""" +
         s""""suspect_queries":[${suspectQueries.map("\"" + _ + "\"").mkString(",")}]}"""
     val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","contended":$contended,"queries":$qs,"spread":$spread,"conditions":$conditions,"sf":"$sfDir"}"""
