@@ -520,7 +520,12 @@ private[catalog] final class ChangesMicroBatchStream(table: String, root: String
         // That catch-up window is delivered ALONE: its cost is the whole
         // oldest snapshot, which already dwarfs any per-trigger file budget
         // — admitting more commits on top would silently bypass the cap.
-        if (e < oldestRetained) return VersionOffset(math.min(oldestRetained, head))
+        // Fully-retained tables (oldestRetained == 0) never take it: a
+        // fresh stream's pre-history sentinel (-1) is ordinary ground
+        // there — commit 0 splits per-commit like any other and the budget
+        // loop nets the opening window as wide as the cap allows.
+        if (e < oldestRetained && oldestRetained > 0)
+          return VersionOffset(math.min(oldestRetained, head))
         var files = 0
         var full = false
         while (!full && e < head) {

@@ -569,8 +569,19 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
 
   private def spark = SparkSession.active
   private def warehouse = new Warehouse(spark, root)
+
+  /** The ONE snapshot this table instance serves: resolved lazily on first
+    * metadata touch and shared by `header`, `manifest`, and segment
+    * pruning, so a commit landing between analysis and scan planning can
+    * never hand one query a mixed-version state (schema from v, files from
+    * v+1 — the pre-header code pinned implicitly through its single lazy
+    * manifest load; two independent point-in-time reads must pin
+    * explicitly).
+    */
+  private lazy val pinnedVersion: Long =
+    version.getOrElse(warehouse.currentVersion(table))
   lazy val manifest: graft.sink.Manifest = prunedManifest.getOrElse(
-    version.map(warehouse.manifestAt(table, _)).getOrElse(warehouse.currentManifest(table)))
+    warehouse.manifestAt(table, pinnedVersion))
 
   /** Header-only snapshot facts (O(2 lines)): planning-path consumers —
     * `schema()`, the MOR-deletes gate, [[ManifestPruneRule]] — must never
@@ -580,7 +591,7 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
     */
   private lazy val header: graft.sink.RootHeader = prunedManifest match {
     case Some(m) => graft.sink.RootHeader(m.schema, m.rowHwm, m.deletes.size)
-    case None    => warehouse.manifestHeader(table, version)
+    case None    => warehouse.manifestHeader(table, Some(pinnedVersion))
   }
 
   /** Does this snapshot carry pending MOR delete entries? Served from the
@@ -597,15 +608,14 @@ private[catalog] class GraftTable(displayName: String, val table: String, val ro
   def manifestPruned(keep: graft.sink.SegSummary => Boolean): (graft.sink.Manifest, Int) =
     prunedManifest match {
       case Some(m) => (m, 0)
-      case None    => warehouse.manifestPruned(table, version, keep)
+      case None    => warehouse.manifestPruned(table, Some(pinnedVersion), keep)
     }
 
   /** Same table with the scan restricted to `files` (file skipping); any
     * pending MOR deletes ride along so [[MorReadRule]] still applies them.
     */
   def withFiles(files: Seq[graft.sink.DataFile]): GraftTable =
-    new GraftTable(displayName, table, root, version,
-      Some(graft.sink.Manifest(manifest.schema, files, manifest.deletes)))
+    withManifest(manifest.copy(files = files))
 
   /** Same table pinned to an explicit pruned manifest (files AND deletes
     * already resolved — used by [[ManifestPruneRule]] so the swap never

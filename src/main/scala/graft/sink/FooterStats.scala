@@ -133,7 +133,18 @@ object FooterStats {
     }
     if (!provenEmpty(Seq(vk.src, "value"))) return Unknown
     val leaf = chunksAt(Seq(vk.src, "typed_value", field, "typed_value"))
-    if (leaf.forall(_.isEmpty)) return AllNull
+    if (leaf.forall(_.isEmpty)) {
+      // no typed leaf — but the field may still HOLD values: a mixed-type
+      // field can shred with only its `value` residual, and an object/
+      // array-typed field makes typed_value a GROUP whose chunks live at
+      // DEEPER paths. All-null is provable only when NOTHING exists under
+      // the field's subtree at all (the shredding schema never saw it and
+      // the clean top residual already proved nothing escaped).
+      val fieldPrefix = Seq(vk.src, "typed_value", field)
+      val anyUnderField = blocks.exists(_.getColumns.asScala.exists(
+        cc => cc.getPath.toArray.toSeq.startsWith(fieldPrefix)))
+      return if (anyUnderField) Unknown else AllNull
+    }
     if (leaf.exists(_.isEmpty)) return Unknown
     if (!provenEmpty(Seq(vk.src, "typed_value", field, "value"))) return Unknown
     val dt: DataType = vk.tpe match {

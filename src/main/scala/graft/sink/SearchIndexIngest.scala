@@ -109,13 +109,30 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
     * batch rows to the corpus. All commits are O(batch).
     */
   def ingest(name: String, df: DataFrame): Report = {
+    val preV = if (wh.exists(name)) wh.currentVersion(name) else -1L
     val postings = indexRows(name, df)
     val rep = wh.appendDeduped(name, df, fpCol = pkCol, pk = pkCol,
       statsCols = Seq(pkCol))
-    // the follower's ledger: ingest keeps the index synchronous with the
-    // corpus through its own commit, so followChanges starts from here
-    wh.recordBatchId(postingsTable(name), s"idxfollow:$name", wh.currentVersion(name))
+    advanceFollowerLedger(name, preV)
     Report(rep.version, rep.appended, postings)
+  }
+
+  /** The follower's ledger after an ingest: the index is synchronous with
+    * the corpus THROUGH the ingest's own commit, so followChanges may start
+    * past it — but ONLY when nothing foreign is pending. Advancing over a
+    * deleteWhere/morMerge that landed between ticks would skip its
+    * retraction forever (the index never reads the corpus at serve time).
+    * When foreign commits are pending — ledger behind the pre-append head,
+    * or a pre-existing corpus that was never followed (ledger unset) — the
+    * ledger stays put and the next followChanges drains the WHOLE gap:
+    * retractions apply, and re-indexing this ingest's own rows is a no-op
+    * through the same idempotent anti-join the ingest used.
+    */
+  private def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit = {
+    val sid = s"idxfollow:$name"
+    if (preAppendVersion < 0 ||
+        wh.lastCommittedBatchId(postingsTable(name), sid) >= preAppendVersion)
+      wh.recordBatchId(postingsTable(name), sid, wh.currentVersion(name))
   }
 
   final case class FollowReport(corpusVersion: Long, deletedDocs: Long, indexedDocs: Long)
@@ -214,6 +231,7 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
         if (!wh.exists(name)) inBatch
         else inBatch.join(wh.load(name).select(pkCol).distinct(), Seq(pkCol), "left_anti")
         ).localCheckpoint()
+      val preV = if (wh.exists(name)) wh.currentVersion(name) else -1L
       wh.transact { tx =>
         tx.append(postingsTable(name), newPosts,
           statsCols = Seq("term", pkCol), clusterBy = Seq("term"))
@@ -222,7 +240,7 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
       }
       IncrementalRollup.maintainFromChangeFeed(wh, doclensTable(name),
         cstatsTable(name), statsSpec)
-      wh.recordBatchId(postingsTable(name), s"idxfollow:$name", wh.currentVersion(name))
+      advanceFollowerLedger(name, preV)
       Report(wh.currentVersion(name), fresh.count(), newPosts.count())
     } finally toks.unpersist()
   }

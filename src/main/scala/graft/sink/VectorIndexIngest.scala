@@ -145,15 +145,28 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     * corpus rows ([[Warehouse.appendDeduped]] by pk). All commits O(batch).
     */
   def ingest(name: String, df: DataFrame): Report = {
+    val preV = if (wh.exists(name)) wh.currentVersion(name) else -1L
     val (cents, model) = frozen(name)
     val batch = dedupBatch(df)
     val codes = encodeAppend(name, batch, cents, model)
     val rep = wh.appendDeduped(name, batch, fpCol = pkCol, pk = pkCol,
       statsCols = Seq(pkCol))
-    // the follower's ledger: ingest keeps the index synchronous with the
-    // corpus through its own commit, so followChanges starts from here
-    wh.recordBatchId(codesTable(name), s"idxfollow:$name", wh.currentVersion(name))
+    advanceFollowerLedger(name, preV)
     Report(rep.version, rep.appended, codes)
+  }
+
+  /** Same contract as SearchIndexIngest.advanceFollowerLedger: advance the
+    * follower past this ingest's own commit ONLY when nothing foreign is
+    * pending — a deleteWhere/morMerge between ticks must stay in the next
+    * followChanges window or its retraction is skipped forever; a never-
+    * followed pre-existing corpus keeps its unset ledger so the first
+    * follow nets the WHOLE history (re-indexing this batch is idempotent).
+    */
+  private def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit = {
+    val sid = s"idxfollow:$name"
+    if (preAppendVersion < 0 ||
+        wh.lastCommittedBatchId(codesTable(name), sid) >= preAppendVersion)
+      wh.recordBatchId(codesTable(name), sid, wh.currentVersion(name))
   }
 
   final case class FollowReport(corpusVersion: Long, deletedVecs: Long, indexedVecs: Long)
@@ -218,12 +231,13 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
       if (!wh.exists(name)) batch
       else batch.join(wh.load(name).select(pkCol).distinct(), Seq(pkCol), "left_anti")
       ).localCheckpoint()
+    val preV = if (wh.exists(name)) wh.currentVersion(name) else -1L
     wh.transact { tx =>
       tx.append(codesTable(name), newCodes,
         statsCols = Seq("cell", pkCol), clusterBy = Seq("cell"))
       tx.append(name, fresh, statsCols = Seq(pkCol))
     }
-    wh.recordBatchId(codesTable(name), s"idxfollow:$name", wh.currentVersion(name))
+    advanceFollowerLedger(name, preV)
     Report(wh.currentVersion(name), fresh.count(), newCodes.count())
   }
 

@@ -285,6 +285,14 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
     * table cost O(K·F) driver metadata work. Zero data IO either way.
     */
   def commitChangedEntryCount(name: String, v: Long): Int = {
+    // v == 0 diffs against NOTHING: every entry of the first snapshot is
+    // "changed". O(v0 entries) by construction — the same cost class as
+    // the fast line-diff, so it does NOT count as a full-diff fallback
+    // (admission charging the opening commit must not read as O(table)).
+    if (v == 0) {
+      val cur = manifestAt(name, 0)
+      return cur.files.size + cur.deletes.size
+    }
     val fast =
       if (v <= 0) None
       else {

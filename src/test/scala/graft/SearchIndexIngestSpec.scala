@@ -200,6 +200,26 @@ class SearchIndexIngestSpec extends SparkSpec {
     assert(stats.getAs[Long]("n_docs") == 4L, stats.toString)
   }
 
+  test("a foreign commit between ingests is NEVER skipped by the follower ledger") {
+    val wh = new Warehouse(spark, tmpDir("sii-foreign"))
+    val ing = ingester(wh)
+    ing.ingest("c", batchA)
+    // foreign churn the ingest path knows nothing about
+    wh.deleteWhere("c", col("doc_id") === 1L)
+    // the next ingest must NOT fast-forward the ledger past the delete —
+    // that would orphan doc 1's postings forever (search never reads the
+    // corpus at serve time)
+    ing.ingest("c", batchB)
+    val rep = ing.followChanges("c")
+    assert(rep.deletedDocs == 1L, rep.toString)
+    val got = ing.search("c", QUERY, 10).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!got.contains(1L), s"deleted doc resurrected from stale postings: $got")
+    assert(got.contains(4L), got.toString)
+    // replay converges
+    val rep2 = ing.followChanges("c")
+    assert(rep2.deletedDocs == 0 && rep2.indexedDocs == 0, rep2.toString)
+  }
+
   test("corpus stats rollup stays exact across batches (one-row, ledger-driven)") {
     val wh = new Warehouse(spark, tmpDir("sii-stats"))
     val ing = ingester(wh)

@@ -179,5 +179,24 @@ class FooterStatsSpec extends graft.SparkSpec {
     assert(dirty.map(st => BigDecimal(st.max)).max == BigDecimal(10), dirty.toString)
     assert(dirty.exists(st => st.min == "7" && st.max == "7"),
       s"the string-typed k must try-extract as 7 through the scan fallback: $dirty")
+
+    // OBJECT-typed field: the shredded typed_value is a GROUP (no leaf at
+    // the exact path) — the footer must refuse, NOT claim all-null: a
+    // STRING-typed extraction of an object yields its JSON text, so a "z"
+    // stat would wrongly prune IS NOT NULL / equality. Parity (above
+    // harness) plus an explicit not-z pin on the string key.
+    wh.append("t", vbatch(Seq(
+      7L -> """{"k": {"nested": 1}, "tag": "gamma"}""",
+      8L -> """{"k": {"nested": 2}, "tag": "delta"}""")))
+    assertFooterEqualsScan(wh, root, "t", vKeys)
+    val objFiles = wh.currentManifest("t").files
+      .filter(_.stats.get("vget(props,$.tag,string)").exists(st =>
+        st.kind == "s" && (st.min == "gamma" || st.min == "delta")))
+    assert(objFiles.nonEmpty, "object-batch files not found")
+    objFiles.foreach { f =>
+      val kst = f.stats.get("vget(props,$.k,string)")
+      assert(kst.forall(_.kind != "z"),
+        s"object-valued k claimed all-null under a string key: $kst")
+    }
   }
 }
