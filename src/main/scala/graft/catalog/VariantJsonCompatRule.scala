@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, GetJsonObject}
-import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+import org.apache.spark.sql.catalyst.expressions.variant.{VariantGet, VariantPathParser}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{StringType, VariantType}
@@ -28,10 +28,15 @@ import org.apache.spark.sql.types.{StringType, VariantType}
   * of parsing a JSON string per row.
   *
   * Scope guards: only fires when the child is resolved AND variant-typed
-  * (string-era tables never see it), and only when the path argument is
+  * (string-era tables never see it), only when the path argument is
   * foldable — `variant_get` requires a constant path, and a non-literal
   * path on a variant column has no faithful rewrite (left alone, it
-  * surfaces Spark's own type-check error naming the real mismatch).
+  * surfaces Spark's own type-check error naming the real mismatch) — and
+  * only when the folded path is one `variant_get`'s grammar ACCEPTS
+  * (checked against Spark's own [[VariantPathParser]]): `get_json_object`
+  * extensions like wildcards (`$.a[*].b`) have no variant equivalent, so
+  * rewriting them would swap the informative type-mismatch error for an
+  * INVALID_VARIANT_GET path error; they stay unrewritten.
   * Deliberately NOT rewritten: `json_tuple`/`from_json` on variant (no
   * variant equivalents — their type errors should surface), and
   * `get_json_object` on strings (the V1 contract, untouched).
@@ -46,10 +51,20 @@ object VariantJsonCompatRule extends Rule[LogicalPlan] {
   private def isVariant(e: Expression): Boolean =
     e.resolved && e.dataType.isInstanceOf[VariantType]
 
+  /** The folded path string, when `variant_get`'s own parser accepts it —
+    * a fold that throws, folds to null, or uses get_json_object-only
+    * grammar (wildcards, `..`) yields None and the expression stays as is.
+    */
+  private def variantPath(e: Expression): Option[String] =
+    try Option(e.eval(null)).map(_.toString).filter(p =>
+      VariantPathParser.parse(p).isDefined)
+    catch { case _: Throwable => None }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp { case p =>
       p.transformExpressionsUp {
-        case g: GetJsonObject if isVariant(g.json) && g.path.resolved && g.path.foldable =>
+        case g: GetJsonObject if isVariant(g.json) && g.path.resolved &&
+            g.path.foldable && variantPath(g.path).isDefined =>
           VariantGet(g.json, g.path, StringType, failOnError = false, None)
       }
     }

@@ -127,12 +127,24 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
     * ledger stays put and the next followChanges drains the WHOLE gap:
     * retractions apply, and re-indexing this ingest's own rows is a no-op
     * through the same idempotent anti-join the ingest used.
+    *
+    * "Nothing foreign pending" is judged on the corpus head itself, not the
+    * pre-capture: a foreign deleteWhere/morMerge can land DURING the ingest
+    * (after the pre-append capture, before this call), and blindly
+    * recording the re-read head would fast-forward past its retraction
+    * forever. The ledger therefore advances only when the head is EXACTLY
+    * preAppendVersion + 1 — our own append and nothing else. Any other head
+    * (foreign commit interleaved, or the dedup append committed nothing)
+    * leaves the ledger put; the next followChanges drains the window and
+    * re-indexing our own rows no-ops.
     */
-  private def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit = {
+  private[graft] def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit = {
     val sid = s"idxfollow:$name"
-    if (preAppendVersion < 0 ||
-        wh.lastCommittedBatchId(postingsTable(name), sid) >= preAppendVersion)
-      wh.recordBatchId(postingsTable(name), sid, wh.currentVersion(name))
+    val ledgerClean = preAppendVersion < 0 ||
+      wh.lastCommittedBatchId(postingsTable(name), sid) >= preAppendVersion
+    val head = wh.currentVersion(name)
+    if (ledgerClean && head == preAppendVersion + 1)
+      wh.recordBatchId(postingsTable(name), sid, head)
   }
 
   final case class FollowReport(corpusVersion: Long, deletedDocs: Long, indexedDocs: Long)

@@ -162,11 +162,17 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     * followed pre-existing corpus keeps its unset ledger so the first
     * follow nets the WHOLE history (re-indexing this batch is idempotent).
     */
-  private def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit = {
+  private[graft] def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit = {
     val sid = s"idxfollow:$name"
-    if (preAppendVersion < 0 ||
-        wh.lastCommittedBatchId(codesTable(name), sid) >= preAppendVersion)
-      wh.recordBatchId(codesTable(name), sid, wh.currentVersion(name))
+    val ledgerClean = preAppendVersion < 0 ||
+      wh.lastCommittedBatchId(codesTable(name), sid) >= preAppendVersion
+    // judged on the corpus head, not the pre-capture: a foreign commit
+    // landing DURING the ingest (after the capture, before this call) must
+    // not be fast-forwarded over — advance only when the head is exactly
+    // our own append and nothing else
+    val head = wh.currentVersion(name)
+    if (ledgerClean && head == preAppendVersion + 1)
+      wh.recordBatchId(codesTable(name), sid, head)
   }
 
   final case class FollowReport(corpusVersion: Long, deletedVecs: Long, indexedVecs: Long)

@@ -55,9 +55,15 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
   def diffRows(name: String, fromVersion: Long, toVersion: Long): (DataFrame, DataFrame) = {
     val from = loadVersion(name, fromVersion)
     val to = loadVersion(name, toVersion)
-    val vcols = variantColsOf(manifestAt(name, toVersion).schema)
-    (variantRestore(variantProxy(to, vcols).exceptAll(variantProxy(from, vcols)), vcols),
-     variantRestore(variantProxy(from, vcols).exceptAll(variantProxy(to, vcols)), vcols))
+    // per-side variant column names: a variant column RENAMED in the window
+    // is the same field id at the same position under a new label, and
+    // exceptAll resolves positionally — proxying the from side with the
+    // to side's names would instead ADD a column there (withColumn on a
+    // missing name) and fail analysis on arity
+    val vcolsTo = variantColsOf(manifestAt(name, toVersion).schema)
+    val vcolsFrom = variantColsOf(manifestAt(name, fromVersion).schema)
+    (variantRestore(variantProxy(to, vcolsTo).exceptAll(variantProxy(from, vcolsFrom)), vcolsTo),
+     variantRestore(variantProxy(from, vcolsFrom).exceptAll(variantProxy(to, vcolsTo)), vcolsFrom))
   }
 
   // ---- VARIANT columns in set operations: Spark refuses EXCEPT/INTERSECT

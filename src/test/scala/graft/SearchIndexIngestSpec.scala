@@ -220,6 +220,29 @@ class SearchIndexIngestSpec extends SparkSpec {
     assert(rep2.deletedDocs == 0 && rep2.indexedDocs == 0, rep2.toString)
   }
 
+  test("a foreign commit landing DURING an ingest is never fast-forwarded over") {
+    val wh = new Warehouse(spark, tmpDir("sii-midrace"))
+    val ing = ingester(wh)
+    ing.ingest("c", batchA) // v0; ledger -> 0
+    // Simulate the mid-ingest interleave the sequential API can't produce:
+    // a racing ingest captured preV = 0, then a foreign deleteWhere landed
+    // (v1), then the ingest's own corpus append (v2). Its post-append
+    // ledger call sees head = 2 != preV + 1 and must refuse to advance —
+    // recording the re-read head would skip v1's retraction forever.
+    wh.deleteWhere("c", col("doc_id") === 1L) // v1 (foreign)
+    wh.appendDeduped("c", batchB, fpCol = "doc_id", pk = "doc_id",
+      statsCols = Seq("doc_id")) // v2 (the racing ingest's append)
+    ing.advanceFollowerLedger("c", 0L) // the racing ingest's post-append call
+    assert(wh.lastCommittedBatchId("c__postings", "idxfollow:c") == 0L,
+      "ledger fast-forwarded past a foreign commit that landed during the ingest")
+    // the next follow drains the whole gap: the delete retracts, the
+    // unindexed append's rows index
+    val rep = ing.followChanges("c")
+    assert(rep.deletedDocs == 1L && rep.indexedDocs == 2L, rep.toString)
+    val got = ing.search("c", QUERY, 10).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!got.contains(1L) && got.contains(4L), got.toString)
+  }
+
   test("corpus stats rollup stays exact across batches (one-row, ledger-driven)") {
     val wh = new Warehouse(spark, tmpDir("sii-stats"))
     val ing = ingester(wh)

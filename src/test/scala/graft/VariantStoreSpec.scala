@@ -154,6 +154,44 @@ class VariantStoreSpec extends SparkSpec {
       .collect().head.getString(0) == "7")
   }
 
+  test("wildcard get_json_object paths stay unrewritten (variant_get grammar guard)") {
+    val (wh, root) = mkWarehouse("varwild")
+    spark.conf.set("spark.sql.catalog.vwd", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vwd.root", root)
+    wh.create("t", schema)
+    wh.append("t", batch(0, 5))
+    // '$.a[*].b' is get_json_object grammar variant_get rejects — the
+    // compat rule must leave it alone so the REAL mismatch (variant input
+    // to get_json_object) surfaces, not an INVALID_VARIANT_GET path error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT get_json_object(props, '$.a[*].b') FROM vwd.t").collect()
+    }
+    assert(!e.getMessage.contains("INVALID_VARIANT_GET"), e.getMessage)
+    assert(e.getMessage.contains("DATATYPE_MISMATCH") ||
+      e.getMessage.toLowerCase.contains("get_json_object"), e.getMessage)
+    // a plain path on the same table still rewrites and serves
+    assert(spark.sql("SELECT get_json_object(props, '$.k') AS k FROM vwd.t WHERE id = 2")
+      .collect().head.getString(0) == "20")
+  }
+
+  test("diffRows across a variant column RENAME aligns each side's proxy") {
+    val (wh, _) = mkWarehouse("vardiffren")
+    wh.create("t", schema)
+    wh.append("t", batch(0, 5))
+    val v0 = wh.currentVersion("t")
+    wh.renameColumn("t", "props", "attrs")
+    wh.append("t", batch(5, 3).withColumnRenamed("props", "attrs"))
+    val vHead = wh.currentVersion("t")
+    // per-side proxy: the from side's variant column is still named props —
+    // proxying it under the to side's name would ADD a column and fail on
+    // set-op arity; carried rows must cancel by VALUE across the rename
+    val (added, removed) = wh.diffRows("t", v0, vHead)
+    assert(removed.count() == 0, "rename alone must not fabricate removals")
+    assert(added.columns.toSeq == Seq("id", "attrs"))
+    assert(added.select(variant_get(col("attrs"), "$.k", "long")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(50L, 60L, 70L))
+  }
+
   test("field-id discipline: RENAME keeps serving old shredded files; ADD null-fills; conform") {
     val (wh, _) = mkWarehouse("varevolve")
     wh.create("t", schema)
