@@ -323,6 +323,46 @@ object DedupQueries {
     // blowup, and every stage is whole-stage-codegen.
     "q57_minhash_lsh" -> { (s, dir) => minhashLsh(s, dir, None) },
 
+    // NEAR-DUP INDEX FOLLOWS THE MUTATING CORPUS: the warehouse-resident
+    // LSH band/signature index ([[graft.sink.NearDupIngest]]) maintained
+    // from the corpus CHANGE FEED — the last member of the index-follower
+    // family (q165 BM25, q166 ANN). The corpus builds by PLAIN appends
+    // (no admission), the first followChanges bootstraps the index
+    // wholesale, then the corpus mutates out of band (morMerge re-texts %5
+    // docs, deleteWhere drops %7) and the second followChanges turns the
+    // window's net -D pks into ONE equality-delete commit per index table
+    // (O(changed pks) metadata, zero band/signature rewrites) while +I rows
+    // re-sign through the idempotent path. The served VERIFIED pair set
+    // (banded candidates x signature agreement >= simT·k) must equal DuckDB
+    // running the same MinHash algebra over the corpus's FINAL state — a
+    // stale signature (deleted doc still pairing, updated doc pairing with
+    // its old text) is a row the oracle doesn't have. The 100 TB shape:
+    // dedup-index freshness at O(changes) per tick, no blue/green rebuild.
+    "q169_neardup_index_follow" -> { (s, dir) =>
+      import graft.sink.{NearDupIngest, Warehouse}
+      val docs = read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q169")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        val ndi = new NearDupIngest(wh, "doc_id", "text")
+        wh.append("corpus", docs.filter(col("doc_id") % 2 === 0),
+          statsCols = Seq("doc_id"))
+        ndi.followChanges("corpus") // bootstrap: whole snapshot as +I
+        wh.append("corpus", docs.filter(col("doc_id") % 2 === 1),
+          statsCols = Seq("doc_id"))
+        wh.morMerge("corpus", docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("text", concat(col("text"), lit(" zebra zebra zebra"))),
+          Seq("doc_id"))
+        wh.deleteWhere("corpus", col("doc_id") % 7 === 0)
+        ndi.followChanges("corpus")
+        ndi.pairs("corpus").orderBy("d1", "d2").localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    },
+
     // From near-dup PAIRS to dedup DECISIONS: connected components over the
     // q56 candidate graph (iterative min-label propagation, functions/Graph)
     // labels every clustered doc with its component's minimum id — the
@@ -693,7 +733,42 @@ object DedupQueries {
          |  USING (keeper)
          |ORDER BY doc_id""".stripMargin,
 
-    "q57_minhash_lsh" -> q57Oracle
+    "q57_minhash_lsh" -> q57Oracle,
+
+    // q169: [[graft.sink.NearDupIngest]]'s exact MinHash algebra (w=3,
+    // k=16, 4 bands of 4, est-Jaccard >= 0.5 ⇔ >= 8 matching positions)
+    // over the corpus's FINAL mutated state — the feed-maintained index
+    // must serve precisely this pair set.
+    "q169_neardup_index_follow" ->
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' zebra zebra zebra'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM src),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks) - 2, 1)),
+         |    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS sh
+         |  FROM tk),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+         |    j -> list_min(list_transform(sh,
+         |      h -> md5(CAST(j AS VARCHAR) || ':' || h)))) AS sig
+         |  FROM sh),
+         |bd AS (SELECT doc_id, g.b AS band_idx,
+         |    md5(concat_ws('|', sig[g.b*4+1], sig[g.b*4+2],
+         |                       sig[g.b*4+3], sig[g.b*4+4])) AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bd a JOIN bd b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |      AND a.doc_id < b.doc_id),
+         |v AS (SELECT c.d1, c.d2,
+         |    len(list_filter(generate_series(1, 16),
+         |      i -> s1.sig[i] = s2.sig[i])) AS n_match
+         |  FROM cand c JOIN sig s1 ON s1.doc_id = c.d1
+         |    JOIN sig s2 ON s2.doc_id = c.d2)
+         |SELECT d1, d2, CAST(n_match AS BIGINT) AS n_match FROM v
+         |WHERE n_match >= 8 ORDER BY d1, d2""".stripMargin
   )
 
   private lazy val q57Oracle =

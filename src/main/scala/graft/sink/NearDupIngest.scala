@@ -71,13 +71,141 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     size(filter(zip_with(a, b, (x, y) => x === y), m => m))
 
   def ingest(name: String, df: DataFrame): Report = {
+    val preV = if (wh.exists(name)) wh.currentVersion(name) else -1L
     val st = stage(name, df)
     try {
       wh.append(sigsTable(name), st.newSigs, statsCols = Seq(pkCol))
       wh.append(bandsTable(name), st.newBands, statsCols = Seq("band_key"))
       val version = wh.append(name, st.outRows, statsCols = Seq(pkCol))
+      advanceFollowerLedger(name, preV)
       Report(version, st.appended, st.total - st.kept, st.kept - st.appended)
     } finally st.sigs.unpersist()
+  }
+
+  /** [[SearchIndexIngest]]'s ledger discipline, verbatim: the index is
+    * synchronous with the corpus THROUGH this ingest's own commit, so the
+    * follower may start past it — but only when the head is EXACTLY
+    * preAppendVersion + 1 (our append and nothing else). A foreign
+    * deleteWhere/morMerge between ticks OR during the ingest stays in the
+    * next [[followChanges]] window; re-indexing our own rows there no-ops
+    * through the same idempotent anti-joins.
+    */
+  private[graft] def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit = {
+    val sid = s"idxfollow:$name"
+    val ledgerClean = preAppendVersion < 0 ||
+      wh.lastCommittedBatchId(bandsTable(name), sid) >= preAppendVersion
+    val head = wh.currentVersion(name)
+    if (ledgerClean && head == preAppendVersion + 1)
+      wh.recordBatchId(bandsTable(name), sid, head)
+  }
+
+  /** Sign `df` and append its NEW pks' signature + band rows — idempotent
+    * by pk (anti-join against the stored pks through the MOR overlay, so a
+    * pk whose rows [[followChanges]] just retracted re-signs cleanly).
+    * The index-maintenance middle shared by the follower. Returns docs
+    * signed.
+    */
+  private def indexRows(name: String, df: DataFrame): Long = {
+    val s = signed(df).persist() // consumers: sig rows + band rows
+    try {
+      val sigRows = s.select(col(pkCol), col("sig"))
+      // localCheckpoint: counted after the commit, and the anti-join must
+      // not re-plan against the table AFTER its own append lands
+      val newSigs = (
+        if (!wh.exists(sigsTable(name))) sigRows
+        else sigRows.join(wh.load(sigsTable(name)).select(col(pkCol)),
+          Seq(pkCol), "left_anti")
+        ).localCheckpoint()
+      val bandRows = s.select(col(pkCol),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      val newBands = (
+        if (!wh.exists(bandsTable(name))) bandRows
+        else bandRows.join(wh.load(bandsTable(name)).select(col(pkCol)).distinct(),
+          Seq(pkCol), "left_anti")
+        ).localCheckpoint()
+      // sigs before bands: a band row without its signature is a probe hit
+      // that cannot verify; the reverse order is inert (ingest's discipline)
+      wh.append(sigsTable(name), newSigs, statsCols = Seq(pkCol))
+      wh.append(bandsTable(name), newBands, statsCols = Seq("band_key"))
+      newSigs.count()
+    } finally s.unpersist()
+  }
+
+  final case class FollowReport(corpusVersion: Long, deletedDocs: Long, indexedDocs: Long)
+
+  /** INCREMENTAL INDEX MAINTENANCE from the corpus change feed — the
+    * near-dup member of the follower family ([[SearchIndexIngest]] BM25,
+    * [[VectorIndexIngest]] ANN): corpus deletes/update-retractions become
+    * ONE equality-delete commit per index table keyed by pk (O(changed pks)
+    * metadata, zero band/signature rewrites), and inserted/updated rows
+    * re-sign through the idempotent index path — an updated doc's stale
+    * signature can no longer emit phantom candidate pairs, and a deleted
+    * doc stops suppressing future near-dups of its content at the ingest
+    * probe. The consumed corpus window rides the `idxfollow:<name>` batch
+    * ledger on the bands table (recorded by [[ingest]] too), so
+    * crashed/replayed calls converge.
+    *
+    * Bootstrap: a corpus that was never ingested through this class (plain
+    * appends/merges) indexes WHOLESALE on the first call — the ledger is
+    * unset and the whole current snapshot is treated as insertions. As with
+    * the sibling followers, rows deleted BEFORE that first call were never
+    * indexed, so there is nothing to retract.
+    */
+  def followChanges(name: String): FollowReport = {
+    require(wh.exists(name), s"no corpus table: $name")
+    val sid = s"idxfollow:$name"
+    val last =
+      if (wh.exists(bandsTable(name))) wh.lastCommittedBatchId(bandsTable(name), sid)
+      else -1L
+    val now = wh.currentVersion(name)
+    if (now <= last) return FollowReport(now, 0L, 0L)
+    val changes = (
+      if (last < 0) wh.load(name).withColumn("_change_type", lit("+I"))
+      else wh.readChanges(name, last, now)
+      ).localCheckpoint()
+    require(changes.columns.contains(pkCol),
+      s"pk column '$pkCol' absent from $name at v$now — renamed in the window? " +
+        "index followers pair by pk NAME; rebuild the index (or a new follower) " +
+        "under the new name, or use the $changes_lineage face for rename-immune pairing")
+    val delPks = changes.filter(col("_change_type") === "-D")
+      .select(col(pkCol)).distinct().localCheckpoint()
+    val nDel = delPks.count()
+    if (nDel > 0) {
+      // retract BEFORE re-signing: an updated pk's fresh rows (seq > the
+      // delete's) are shielded by the strict-< rule and the re-sign
+      // anti-join sees the pk as absent
+      wh.equalityDelete(bandsTable(name), delPks)
+      wh.equalityDelete(sigsTable(name), delPks)
+    }
+    val ins = changes.filter(col("_change_type") === "+I").drop("_change_type")
+    val nIns = ins.select(col(pkCol)).distinct().count()
+    if (nIns > 0) indexRows(name, ins)
+    if (wh.exists(bandsTable(name))) wh.recordBatchId(bandsTable(name), sid, now)
+    FollowReport(now, nDel, nIns)
+  }
+
+  /** Serve the index's VERIFIED near-dup pairs: banded candidates (equi-join
+    * on the stored band keys, fan-out bounded by real near-dups + LSH false
+    * positives) verified against the stored signatures — estimated Jaccard
+    * = n_match/k >= simT. Both index reads go through the MOR overlay, so
+    * pairs of retracted docs cannot resurface. Corpus text is never read:
+    * this is the q57 candidate algebra served from O(index) state.
+    */
+  def pairs(name: String): DataFrame = {
+    require(wh.exists(bandsTable(name)) && wh.exists(sigsTable(name)),
+      s"no near-dup index for table: $name (ingest or followChanges first)")
+    val bands = wh.load(bandsTable(name))
+    val cand = bands.alias("a").join(bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$pkCol") < col(s"b.$pkCol"))
+      .select(col(s"a.$pkCol").as("d1"), col(s"b.$pkCol").as("d2")).distinct()
+    val sigs = wh.load(sigsTable(name))
+    cand.join(sigs.select(col(pkCol).as("d1"), col("sig").as("s1")), Seq("d1"))
+      .join(sigs.select(col(pkCol).as("d2"), col("sig").as("s2")), Seq("d2"))
+      .withColumn("n_match", sigMatches(col("s1"), col("s2")).cast("long"))
+      .filter(col("n_match") >= minMatches)
+      .select(col("d1"), col("d2"), col("n_match"))
   }
 
   /** [[ingest]] with the three appends fused into ONE [[Warehouse.transact]]
@@ -89,6 +217,7 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     * stays safe, and a crashed transaction commits nothing.
     */
   def ingestAtomic(name: String, df: DataFrame): Report = {
+    val preV = if (wh.exists(name)) wh.currentVersion(name) else -1L
     val st = stage(name, df)
     try {
       wh.transact { tx =>
@@ -96,6 +225,7 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
         tx.append(bandsTable(name), st.newBands, statsCols = Seq("band_key"))
         tx.append(name, st.outRows, statsCols = Seq(pkCol))
       }
+      advanceFollowerLedger(name, preV)
       Report(wh.currentVersion(name), st.appended, st.total - st.kept,
         st.kept - st.appended)
     } finally st.sigs.unpersist()

@@ -178,6 +178,10 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
       if (last < 0) wh.load(name).withColumn("_change_type", lit("+I"))
       else wh.readChanges(name, last, now)
       ).localCheckpoint()
+    require(changes.columns.contains(pkCol),
+      s"pk column '$pkCol' absent from $name at v$now — renamed in the window? " +
+        "index followers pair by pk NAME; rebuild the index (or a new follower) " +
+        "under the new name, or use the $changes_lineage face for rename-immune pairing")
     val delPks = changes.filter(col("_change_type") === "-D")
       .select(col(pkCol)).distinct().localCheckpoint()
     val nDel = delPks.count()

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.sink.{NearDupIngest, Warehouse}
 
@@ -177,6 +178,82 @@ class NearDupIngestSpec extends SparkSpec {
     // bands now hold exactly one row set per doc (4 bands each)
     assert(wh.load("corpus__bands").count() == 8)
     assert(wh.load("corpus__bands").select("doc_id").distinct().count() == 2)
+  }
+
+  test("followChanges: deletes/updates retract at O(changes) — no index rewrites, no phantom pairs") {
+    val wh = new Warehouse(spark, tmpDir("ndi-follow"))
+    val ing = ingester(wh)
+    ing.ingest("corpus", docs(1L -> baseText, 3L -> otherText)) // ledger -> head
+    // out-of-band append BYPASSES admission: doc 5 is a near-dup of doc 1
+    // and lands anyway — only the follower can index it
+    wh.append("corpus", docs(5L -> nearText), statsCols = Seq("doc_id"))
+    val rep1 = ing.followChanges("corpus")
+    assert(rep1.deletedDocs == 0 && rep1.indexedDocs == 1, rep1.toString)
+    def pairSet() = ing.pairs("corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet() == Set((1L, 5L)), pairSet().toString)
+
+    // delete doc 1: its pair must vanish WITHOUT rewriting any index file
+    val bandFilesBefore = wh.dataFiles("corpus__bands").map(_.path).toSet
+    wh.deleteWhere("corpus", col("doc_id") === 1L)
+    val rep2 = ing.followChanges("corpus")
+    assert(rep2.deletedDocs == 1 && rep2.indexedDocs == 0, rep2.toString)
+    val bandFilesAfter = wh.dataFiles("corpus__bands").map(_.path).toSet
+    assert(bandFilesBefore == bandFilesAfter,
+      "retraction must be an equality-delete commit, never a data-file rewrite")
+    assert(pairSet().isEmpty, s"phantom pair from a stale signature: ${pairSet()}")
+
+    // update doc 5's text to near-dup doc 3: old signature retracts, the
+    // re-signed doc MOVES to the new neighborhood
+    val otherNear = ((1 to 38).map(i => s"alt$i") ++ Seq("q", "w")).mkString(" ")
+    wh.morMerge("corpus", docs(5L -> otherNear), Seq("doc_id"))
+    val rep3 = ing.followChanges("corpus")
+    assert(rep3.deletedDocs == 1 && rep3.indexedDocs == 1, rep3.toString)
+    assert(pairSet() == Set((3L, 5L)), pairSet().toString)
+
+    // replay converges: nothing new in the window
+    val rep4 = ing.followChanges("corpus")
+    assert(rep4.deletedDocs == 0 && rep4.indexedDocs == 0, rep4.toString)
+  }
+
+  test("followChanges bootstraps an index over a never-ingested corpus") {
+    val wh = new Warehouse(spark, tmpDir("ndi-boot"))
+    val ing = ingester(wh)
+    wh.append("corpus", docs(1L -> baseText, 2L -> otherText, 5L -> nearText),
+      statsCols = Seq("doc_id"))
+    val rep = ing.followChanges("corpus")
+    assert(rep.indexedDocs == 3, rep.toString)
+    assert(ing.pairs("corpus").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 5L)))
+    // the ingest probe now sees the bootstrapped index: a near-dup of doc 2
+    // is rejected against it
+    val otherNear = ((1 to 38).map(i => s"alt$i") ++ Seq("q", "w")).mkString(" ")
+    val r = ing.ingest("corpus", docs(9L -> otherNear))
+    assert(r.appended == 0 && r.dupVsCorpus == 1, r.toString)
+  }
+
+  test("a foreign commit between ingests is never skipped by the follower ledger") {
+    val wh = new Warehouse(spark, tmpDir("ndi-foreign"))
+    val ing = ingester(wh)
+    ing.ingest("corpus", docs(1L -> baseText, 2L -> otherText))
+    wh.deleteWhere("corpus", col("doc_id") === 1L) // foreign
+    ing.ingest("corpus", docs(6L -> (1 to 40).map(i => s"new$i").mkString(" ")))
+    // the second ingest must NOT have advanced the ledger past the delete
+    val rep = ing.followChanges("corpus")
+    assert(rep.deletedDocs == 1, rep.toString)
+    // doc 1's signature is retracted: a re-ingest of its near-dup is ADMITTED
+    val r = ing.ingest("corpus", docs(7L -> nearText))
+    assert(r.appended == 1 && r.dupVsCorpus == 0, r.toString)
+  }
+
+  test("followChanges refuses loudly when the pk column was renamed in the window") {
+    val wh = new Warehouse(spark, tmpDir("ndi-pkrename"))
+    val ing = ingester(wh)
+    ing.ingest("corpus", docs(1L -> baseText, 2L -> otherText))
+    wh.renameColumn("corpus", "doc_id", "document_id")
+    val e = intercept[IllegalArgumentException] { ing.followChanges("corpus") }
+    assert(e.getMessage.contains("doc_id") && e.getMessage.contains("renamed"),
+      e.getMessage)
   }
 
   test("streaming ingest: near-dup rejected in-flight; fresh-checkpoint replay adds 0") {

@@ -20,7 +20,8 @@ class QueriesSpec extends SparkSpec {
   // Queries whose correct sf0.001 result may legitimately be empty (tiny
   // corpus -> no near-dup pairs in some buckets).
   private val mayBeEmpty = Set("q55_prefix_dup_groups", "q56_ngram_jaccard",
-    "q57_minhash_lsh", "q58_simhash", "q61_ann_lsh", "q28_customers_no_orders",
+    "q57_minhash_lsh", "q169_neardup_index_follow", "q58_simhash", "q61_ann_lsh",
+    "q28_customers_no_orders",
     "q46_range_purchase_errors",
     // 50-doc fixture: no length lands >2 population stddevs from its
     // source's mean (the oracle agrees — both sides empty)

@@ -243,6 +243,16 @@ class SearchIndexIngestSpec extends SparkSpec {
     assert(!got.contains(1L) && got.contains(4L), got.toString)
   }
 
+  test("followChanges refuses loudly when the pk column was renamed in the window") {
+    val wh = new Warehouse(spark, tmpDir("sii-pkrename"))
+    val ing = ingester(wh)
+    ing.ingest("c", batchA)
+    wh.renameColumn("c", "doc_id", "document_id")
+    val e = intercept[IllegalArgumentException] { ing.followChanges("c") }
+    assert(e.getMessage.contains("doc_id") && e.getMessage.contains("renamed"),
+      e.getMessage)
+  }
+
   test("corpus stats rollup stays exact across batches (one-row, ledger-driven)") {
     val wh = new Warehouse(spark, tmpDir("sii-stats"))
     val ing = ingester(wh)
