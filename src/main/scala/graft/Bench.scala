@@ -137,6 +137,79 @@ object Bench {
     ms
   }
 
+  /** Memory-BANDWIDTH calibration (round-15 verdict: three rounds of drift
+    * were adjudicated as bandwidth contention BY ELIMINATION — register
+    * loops flat, queries drifted; this makes the class measurable). Streams
+    * a shared read-only array sized far past any LLC: the register loops
+    * ([[calibrate]]/[[calibrateMt]]) never leave L1 and are blind to a
+    * co-tenant saturating the memory controller, while this loop IS the
+    * memory controller. The adjudication table (PLANS.md):
+    *   register ratios flat + bw ratio flat  + queries drifted = code (real)
+    *   register ratios flat + bw ratio risen + queries drifted = bandwidth
+    *   mt ratio risen, single flat                             = core steal
+    */
+  private[graft] def calibrateBw(arr: Array[Long], passes: Int): Double = {
+    var acc = 0L
+    val t0 = System.nanoTime()
+    var p = 0
+    while (p < passes) {
+      var i = 0
+      val n = arr.length
+      while (i < n) { acc += arr(i); i += 1 }
+      p += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (acc == 42L) System.err.println("calibration sentinel") // un-DCE-able
+    ms
+  }
+
+  /** [[calibrateBw]] on every core at once over ONE shared array, each
+    * thread starting at its own offset (staggered, wrapping) so the threads
+    * stream DISJOINT regions at any instant — lockstep sweeps would share
+    * fetched lines and understate the aggregate demand. Wall-clocked:
+    * measures the box's deliverable aggregate bandwidth, the resource the
+    * 32-thread shuffle/aggregate sweep actually competes for.
+    */
+  private[graft] def calibrateBwMt(arr: Array[Long], threads: Int): Double = {
+    val n = math.max(threads, 1)
+    val accs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ts = (0 until n).map { t =>
+      new Thread(() => {
+        var acc = 0L
+        val len = arr.length
+        var i = (t.toLong * len / n).toInt
+        var cnt = 0
+        while (cnt < len) {
+          acc += arr(i)
+          i += 1; if (i == len) i = 0
+          cnt += 1
+        }
+        accs.addAndGet(acc)
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (accs.get() == 42L) System.err.println("calibration sentinel") // un-DCE-able
+    ms
+  }
+
+  /** 32M longs = 256 MB — past any LLC, so a sweep is DRAM traffic. Filled
+    * with xorshift values (not constants) so no layer can elide the reads.
+    */
+  private[graft] def bwArray(): Array[Long] = {
+    val a = new Array[Long](32 * 1024 * 1024)
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < a.length) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      a(i) = x
+      i += 1
+    }
+    a
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -164,6 +237,13 @@ object Bench {
     // MIN is the cleanest capacity estimate (contention only ever adds)
     val calibMtStart = (1 to 2).map(_ =>
       calibrateMt(Runtime.getRuntime.availableProcessors)).min
+    // memory-bandwidth twin pair (round-15 brief #2): the one contention
+    // class the register loops cannot see
+    val bwArr = bwArray()
+    calibrateBw(bwArr, 1) // JIT warmup, discarded
+    val calibBwStart = (1 to 2).map(_ => calibrateBw(bwArr, 4)).min
+    val calibBwMtStart = (1 to 2).map(_ =>
+      calibrateBwMt(bwArr, Runtime.getRuntime.availableProcessors)).min
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -256,6 +336,11 @@ object Bench {
     // and normalized_total = total / calib_ratio is the cross-round
     // comparable number. Raw total stays the headline; normalization is
     // evidence, not a substitute measurement.
+    // END calibrations run AFTER the session stops: the start pair ran
+    // before the session existed, and averaging a with-live-session-heap
+    // sample into a bare-JVM one (the round-15 ADVICE asymmetry) muddies
+    // what the average means. Both ends now measure the bare JVM.
+    spark.stop()
     val calibRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_REF", "330.0").toDouble
     val calibEnd = calibrate()
     val calibRatio = ((calibStart + calibEnd) / 2.0) / calibRef
@@ -270,6 +355,18 @@ object Bench {
       calibrateMt(Runtime.getRuntime.availableProcessors)).min
     val calibMtRatio = ((calibMtStart + calibMtEnd) / 2.0) / calibMtRef
     val normalizedTotalMt = total / math.max(calibMtRatio, 0.01)
+    // The BANDWIDTH pair ([[calibrateBw]]/[[calibrateBwMt]]): rounds 10/11/15
+    // all adjudicated drift as memory-bandwidth contention BY ELIMINATION
+    // (register loops flat, queries moved). These ratios SEE that class:
+    // queries drifted + calib/calib_mt flat + calib_bw(_mt) risen =
+    // bandwidth, proven in-artifact. References = this box quiet (round 16).
+    val calibBwRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_BW_REF", "95.0").toDouble
+    val calibBwEnd = (1 to 2).map(_ => calibrateBw(bwArr, 4)).min
+    val calibBwRatio = ((calibBwStart + calibBwEnd) / 2.0) / calibBwRef
+    val calibBwMtRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_BW_MT_REF", "260.0").toDouble
+    val calibBwMtEnd = (1 to 2).map(_ =>
+      calibrateBwMt(bwArr, Runtime.getRuntime.availableProcessors)).min
+    val calibBwMtRatio = ((calibBwMtStart + calibBwMtEnd) / 2.0) / calibBwMtRef
     // stdout stays ONE line, but COMPACT (medians only): rounds 3-5 proved
     // the capture pipeline truncates long lines (~13 queries lost, "parsed":
     // null in every BENCH artifact). The full record — including the
@@ -280,6 +377,7 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","contended":$contended,""" +
         s""""calib_ratio":${f(calibRatio)},"normalized_total":${f(normalizedTotal)},""" +
         s""""calib_mt_ratio":${f(calibMtRatio)},"normalized_total_mt":${f(normalizedTotalMt)},""" +
+        s""""calib_bw_ratio":${f(calibBwRatio)},"calib_bw_mt_ratio":${f(calibBwMtRatio)},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     // Run-conditions provenance (round-8 review item): who measured, when,
     // how loaded the box was, and what the harness did about it.
@@ -292,6 +390,15 @@ object Bench {
         s""""calib_mt_ms_start":${f(calibMtStart)},"calib_mt_ms_end":${f(calibMtEnd)},""" +
         s""""calib_mt_ref_ms":${f(calibMtRef)},"calib_mt_ratio":${f(calibMtRatio)},""" +
         s""""normalized_total_mt":${f(normalizedTotalMt)},""" +
+        s""""calib_bw_ms_start":${f(calibBwStart)},"calib_bw_ms_end":${f(calibBwEnd)},""" +
+        s""""calib_bw_ref_ms":${f(calibBwRef)},"calib_bw_ratio":${f(calibBwRatio)},""" +
+        s""""calib_bw_mt_ms_start":${f(calibBwMtStart)},"calib_bw_mt_ms_end":${f(calibBwMtEnd)},""" +
+        s""""calib_bw_mt_ref_ms":${f(calibBwMtRef)},"calib_bw_mt_ratio":${f(calibBwMtRatio)},""" +
+        s""""calib_note":"all calib_*_ref_ms are BOX-SPECIFIC (this repo's quiet-box values); """ +
+        s"""ratios are meaningful only against the same reference hardware — on other boxes """ +
+        s"""they bake in a machine-speed delta, not contention. Adjudication: queries drifted """ +
+        s"""+ calib/calib_mt flat + calib_bw(_mt) risen = memory-bandwidth contention; """ +
+        s"""calib_mt risen with calib flat = core stealing; all flat = code.",""" +
         s""""suspect_queries":[${suspectQueries.map("\"" + _ + "\"").mkString(",")}]}"""
     val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","contended":$contended,"queries":$qs,"spread":$spread,"conditions":$conditions,"sf":"$sfDir"}"""
@@ -299,6 +406,5 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     println(compact)
-    spark.stop()
   }
 }

@@ -69,7 +69,8 @@ object FooterStats {
     */
   def read(file: Path, conf: Configuration,
            wanted: Seq[(String, DataType)],
-           vgets: Seq[VariantStats.VKey] = Nil): Option[(Long, Map[String, Outcome])] =
+           vgets: Seq[VariantStats.VKey] = Nil,
+           autoVgetSrcs: Seq[String] = Nil): Option[(Long, Map[String, Outcome])] =
     try {
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file.toUri), conf)
@@ -92,9 +93,54 @@ object FooterStats {
           name -> oc
         }.toMap
         val vout = vgets.map(vk => vk.key -> vgetOutcome(blocks, vk)).toMap
-        Some((rows, out ++ vout))
+        // auto-collected shredded-leaf keys: DISCOVERED from the footer, no
+        // declaration needed — only clean (Bounds/AllNull-provable) leaves
+        // record; Unknown is simply not collected (there is no scan
+        // fallback to fund for a key nobody declared)
+        val auto = autoVgetSrcs.flatMap(src => discoverVgets(blocks, src))
+          .filterNot(vk => vgets.exists(_.key == vk.key))
+          .flatMap(vk => vgetOutcome(blocks, vk) match {
+            case Unknown => None
+            case oc      => Some(vk.key -> oc)
+          }).toMap
+        Some((rows, out ++ auto ++ vout))
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Variant-path stat keys DISCOVERABLE from this footer with no
+    * declaration: every shredded leaf `src.typed_value.<field>.typed_value`
+    * whose primitive type maps into the vget stat domain (INT64 → long,
+    * DOUBLE → double, BINARY+UTF8 → string) proposes its own
+    * `vget(src,$.field,type)` key. Soundness is NOT decided here —
+    * [[vgetOutcome]] re-applies the full residual/decode gates per proposed
+    * key (a timestamp-annotated INT64 leaf, a dirty residual, a
+    * non-round-trippable field name all fall out there or at the key-syntax
+    * check). The footers are already open, so discovery costs O(chunks) of
+    * metadata — this is what makes UNDECLARED JSON-path predicates prune.
+    */
+  private def discoverVgets(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+                            src: String): Seq[VariantStats.VKey] = {
+    if (blocks.isEmpty) return Nil
+    blocks.head.getColumns.asScala.toSeq.flatMap { cc =>
+      val p = cc.getPath.toArray.toSeq
+      if (p.length == 4 && p(0) == src && p(1) == "typed_value" && p(3) == "typed_value") {
+        val tpe = (cc.getPrimitiveType.getPrimitiveTypeName,
+            cc.getPrimitiveType.getLogicalTypeAnnotation) match {
+          case (PrimitiveTypeName.INT64, null)                             => Some("long")
+          case (PrimitiveTypeName.INT64, a: IntLogicalTypeAnnotation)
+            if a.isSigned && a.getBitWidth == 64                           => Some("long")
+          case (PrimitiveTypeName.DOUBLE, null)                            => Some("double")
+          case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation)  => Some("string")
+          case _                                                           => None
+        }
+        tpe.map(t => VariantStats.VKey(src, s"$$.${p(2)}", t))
+          // the key must round-trip its own syntax AND the footer-path
+          // grammar (commas/parens in src, exotic field names refuse)
+          .filter(vk => VariantStats.parseKey(vk.key).contains(vk) &&
+            VariantStats.footerField(vk.path).contains(p(2)))
+      } else None
+    }.distinct
+  }
 
   /** One vget stat key's outcome from the shredded-variant footer layout
     * (`src { metadata, value, typed_value { <field> { value, typed_value

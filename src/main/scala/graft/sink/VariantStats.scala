@@ -38,10 +38,26 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
   *     NaN/Infinity fail the numeric render and drop the file's stat —
   *     conservative, the file just stays in scope.
   *
-  * Collection rides [[Warehouse.writeData]]'s scan-fallback stats pass
-  * (the extraction is not a physical column, so footers can't prove it —
-  * one column-pruned pass over the batch, only paid when vget keys are
-  * declared). Keys survive RENAME like transform keys do
+  * Collection is two-tier:
+  *
+  *   - DECLARED keys ride [[Warehouse.writeData]]'s stats pass — footer
+  *     bounds when the shredded leaf proves sound
+  *     ([[FooterStats]].vgetOutcome's residual gates), one column-pruned
+  *     scan fallback otherwise, so a declared key is recorded on EVERY
+  *     file (all-null where the path is absent — that is what lets
+  *     IS NOT NULL skip path-missing files).
+  *   - AUTO-DISCOVERED keys need no declaration at all: the footer pass
+  *     (already open per file) proposes a key for every shredded leaf
+  *     whose primitive type maps into this stat domain and records it
+  *     when the same residual gates prove it — an ad-hoc JSON-path
+  *     predicate on a never-declared path prunes too. No scan fallback is
+  *     funded for auto keys (Unknown simply isn't recorded; the file
+  *     stays in scope), and `inheritedStatsCols` then promotes observed
+  *     keys to declared status on later appends, so a path seen once
+  *     keeps collecting — including sound scan-derived bounds over later
+  *     dirty (mixed-type) batches.
+  *
+  * Keys survive RENAME like transform keys do
   * ([[Warehouse.renameColumn]] remaps the `src`).
   */
 object VariantStats {

@@ -883,6 +883,13 @@ final class Warehouse(private[sink] val spark: SparkSession,
       .flatMap(sc => VariantStats.parseKey(sc.name))
       .filter(vk => VariantStats.applies(schema, vk) &&
         VariantStats.footerField(vk.path).nonEmpty)
+    // AUTO-collected shredded-leaf keys (no declaration): every variant
+    // column's clean shredded leaves record their own vget bounds at write
+    // time — the footers are open anyway, so an ad-hoc JSON-path predicate
+    // on an undeclared path prunes too. Declared keys keep their scan
+    // fallback; auto keys only exist where the footer PROVES them.
+    val variantSrcs = schema.fields
+      .filter(_.dataType.isInstanceOf[VariantType]).map(_.name).toSeq
 
     // --- phase 1: footers (parallel, metadata-only) + hive-dir values
     val conf = spark.sparkContext.hadoopConfiguration
@@ -894,7 +901,8 @@ final class Warehouse(private[sink] val spark: SparkSession,
           scala.concurrent.ExecutionContext.fromExecutor(pool)
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(files.map(f =>
-            scala.concurrent.Future(f -> FooterStats.read(f, conf, physTypes, vgetable)))),
+            scala.concurrent.Future(f ->
+              FooterStats.read(f, conf, physTypes, vgetable, variantSrcs)))),
           scala.concurrent.duration.Duration(600, "s"))
       } finally pool.shutdown()
 
@@ -964,7 +972,25 @@ final class Warehouse(private[sink] val spark: SparkSession,
         }.toMap
         val fromScan = scanned.get(rel).map(_._2).getOrElse(Map.empty)
           .filter { case (c, _) => scanCols.contains(c) }
-        Some(DataFile(rel, rows, proven ++ fromScan, seq))
+        // auto-discovered vget keys: outcomes not owned by any declared
+        // stat col, rendered through the same renderStat domains (Unknown
+        // never reaches here — FooterStats drops it at discovery)
+        val autoVget = outcomes.iterator
+          .filterNot { case (k, _) => scs.exists(_.name == k) }
+          .flatMap { case (k, oc) =>
+            VariantStats.parseKey(k).flatMap { vk =>
+              oc match {
+                case FooterStats.AllNull => Some(k -> ColStat("z", "", "", rows))
+                case FooterStats.Bounds(mn, mx, nls) =>
+                  (renderStat(vk.kind, mn), renderStat(vk.kind, mx)) match {
+                    case (Some(a), Some(b)) => Some(k -> ColStat(vk.kind, a, b, nls))
+                    case _                  => None
+                  }
+                case _ => None
+              }
+            }
+          }.toMap
+        Some(DataFile(rel, rows, autoVget ++ proven ++ fromScan, seq))
       }
     })
   }

@@ -48,6 +48,17 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.suspect(Seq(1.0, 9.0), Seq(1.0, 1.0), 2.5, 32.0))
   }
 
+  test("bandwidth calibration: positive, finite, stable; staggered mt sweep completes") {
+    val arr = Bench.bwArray()
+    Bench.calibrateBw(arr, 1) // JIT warmup, discarded like the main's
+    val a = Bench.calibrateBw(arr, 2)
+    val b = Bench.calibrateBw(arr, 2)
+    assert(a > 0 && b > 0 && a.isFinite && b.isFinite)
+    assert(math.max(a, b) / math.min(a, b) < 3.0, s"bw calibration unstable: $a vs $b")
+    val m = Bench.calibrateBwMt(arr, 4)
+    assert(m > 0 && m.isFinite)
+  }
+
   test("calibrate: positive, finite, and stable enough to serve as a speed index") {
     Bench.calibrate() // JIT warmup, discarded like the main's
     val a = Bench.calibrate()

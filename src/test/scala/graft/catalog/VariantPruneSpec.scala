@@ -142,6 +142,104 @@ class VariantPruneSpec extends SparkSpec {
     assert(left.collect().head.getLong(0) == 10L)
   }
 
+  test("UNDECLARED paths prune too: auto-collected shredded-leaf stats") {
+    val root = tmpDir("varauto")
+    spark.conf.set("spark.sql.catalog.vpa", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vpa.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", schema)
+    // NO vget stat keys declared — the footer pass discovers every clean
+    // shredded leaf and records its bounds on its own
+    (0 until 24).foreach(i =>
+      wh.append("t", batch(i * 100L, withOpt = i < 4), statsCols = Seq("id")))
+    val total = wh.currentManifest("t").files.size
+    val st = wh.currentManifest("t").files.head.stats
+    assert(st.contains(KeyK) && st.contains(KeyTag), st.keySet.toString)
+
+    val c0 = Manifest.prunedSegConsults.get()
+    val s0 = Manifest.prunedSegSkips.get()
+    val q = spark.sql(
+      "SELECT id FROM vpa.t WHERE variant_get(props, '$.k', 'long') BETWEEN 1230 AND 1240")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (1230L to 1240L))
+    assert(scannedFiles(q, total) <= math.max(2, total / 12),
+      q.queryExecution.executedPlan.toString)
+    // segment summaries merge the auto keys like any other stat: the
+    // one-range probe still parses O(1) of the 24 segments
+    assert(Manifest.prunedSegConsults.get() - c0 <= 3)
+    assert(Manifest.prunedSegSkips.get() - s0 >= 21)
+
+    // string leaf auto-collects too
+    val qe = spark.sql(
+      "SELECT id FROM vpa.t WHERE variant_get(props, '$.tag', 'string') = 's1234'")
+    assert(qe.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+    assert(scannedFiles(qe, total) <= math.max(2, total / 12))
+
+    // a path observed ONCE keeps collecting: inheritedStatsCols promotes
+    // the discovered keys to declared status on every later append, so the
+    // leafless batches (4..23) record footer-proven all-null `opt` stats
+    // and IS NOT NULL prunes them — the path universe grows as it is seen
+    val qn = spark.sql(
+      "SELECT count(*) AS n FROM vpa.t WHERE variant_get(props, '$.opt', 'long') IS NOT NULL")
+    assert(qn.collect().head.getLong(0) == 400L)
+    assert(scannedFiles(qn, total) <= math.max(4, total / 5),
+      qn.queryExecution.executedPlan.toString)
+    val withOpt = wh.currentManifest("t").files.count(_.stats.contains(KeyOpt))
+    assert(withOpt == total, s"$withOpt of $total")
+  }
+
+  test("dirty batch: mixed-type field refuses the auto stat; file stays in scope, exact") {
+    val root = tmpDir("vardirty")
+    spark.conf.set("spark.sql.catalog.vpd", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vpd.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", schema)
+    // dirty batch FIRST (no keys to inherit): k alternates long/string, so
+    // Spark shreds k with NO typed leaf (all values in the field residual)
+    // — discovery proposes nothing for k, and with nothing declared or
+    // inherited the dirty files carry NO k stat at all
+    val raw = spark.createDataFrame(
+      (100L until 200L).map { i =>
+        val v = if (i % 2 == 0) i.toString else s""""x$i""""
+        Row(i, s"""{"k": $v, "tag": "s${"%04d".format(i)}"}""")
+      }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("props", StringType))))
+    wh.append("t", raw.select(col("id"), parse_json(col("props")).as("props")),
+      statsCols = Seq("id"))
+    val dirty0 = wh.currentManifest("t").files
+    assert(dirty0.nonEmpty && dirty0.forall(f =>
+      !f.stats.keys.exists(_.startsWith("vget(props,$.k"))),
+      dirty0.map(_.stats.keySet).toString)
+
+    // clean batch second: its files auto-collect; the dirty files' stats
+    // are immutable and stay keyless for k — forever in scope, never wrong
+    wh.append("t", batch(0L, withOpt = false), statsCols = Seq("id"))
+    val files = wh.currentManifest("t").files
+    assert(files.exists(_.stats.contains(KeyK)), files.map(_.stats.keySet).toString)
+    assert(files.exists(f => !f.stats.contains(KeyK)))
+
+    // try-semantics keeps the answer exact: the long extraction over the
+    // dirty batch yields its castable (even-id) rows, and the dirty files
+    // are never skipped (no stat to skip by)
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM vpd.t WHERE try_variant_get(props, '$.k', 'long') >= 100")
+    assert(q.collect().head.getLong(0) == 50L, "even ids of the dirty batch")
+
+    // a LATER dirty append (now inheriting the clean batch's discovered
+    // keys as declared stat cols) records SOUND scan-fallback bounds for
+    // the residual-held rows instead of refusing — same try-cast domain
+    wh.append("t",
+      raw.select((col("id") + 200L).as("id"), parse_json(col("props")).as("props")),
+      statsCols = Seq("id"))
+    val third = wh.currentManifest("t").files.filter(_.seq == 3)
+    assert(third.nonEmpty && third.forall(_.stats.contains(KeyK)),
+      third.map(_.stats.keySet).toString)
+    assert(third.forall(_.stats(KeyK).nulls > 0), "string rows are try-cast nulls")
+    // both dirty batches' castable halves (their k VALUES are 100..198)
+    val q2 = spark.sql(
+      "SELECT count(*) AS n FROM vpd.t WHERE try_variant_get(props, '$.k', 'long') >= 100")
+    assert(q2.collect().head.getLong(0) == 100L)
+  }
+
   test("key parse/remap round-trip") {
     assert(VariantStats.parseKey(KeyK).contains(VariantStats.VKey("props", "$.k", "long")))
     assert(VariantStats.parseKey("vget(a,$.x.y,string)").map(_.kind).contains("s"))

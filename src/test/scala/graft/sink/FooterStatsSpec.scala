@@ -40,8 +40,23 @@ class FooterStatsSpec extends graft.SparkSpec {
       // are commit-path metadata, not column stats — the scan oracle never
       // produces them
       val colStats = f.stats.view.filterKeys(!_.startsWith("__graft_")).toMap
-      assert(colStats == stats,
+      // auto-discovered vget keys (undeclared shredded-leaf stats) are
+      // ADDITIVE: the declared keys must match the scan bit-for-bit, and
+      // every auto key that IS recorded must equal what the scan would
+      // have produced for the same key — footer-proven never diverges
+      val autoKeys = colStats.keySet.filterNot(stats.keySet)
+      assert(autoKeys.forall(k => VariantStats.parseKey(k).nonEmpty),
+        s"${f.path}: non-vget extras: $autoKeys")
+      assert(colStats.view.filterKeys(!autoKeys(_)).toMap == stats,
         s"${f.path}:\n  footer: ${colStats.toSeq.sortBy(_._1)}\n  scan:   ${stats.toSeq.sortBy(_._1)}")
+      if (autoKeys.nonEmpty) {
+        val autoScs = wh.statCols(man.schema, autoKeys.toSeq.sorted)
+        val dir = td.resolve(f.path.split('/').head)
+        val rescan = wh.fileFactsViaScan(dir, man.schema, autoScs, td)
+          .getOrElse(f.path, fail(s"${f.path}: auto-key rescan missed the file"))._2
+        autoKeys.foreach(k => assert(colStats.get(k) == rescan.get(k),
+          s"${f.path}: auto stat $k: footer ${colStats.get(k)} != scan ${rescan.get(k)}"))
+      }
     }
     // and (append-only histories: no superseded files linger in shared
     // dirs) no file the oracle saw is missing from the manifest — 0-row
