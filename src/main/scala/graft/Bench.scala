@@ -242,7 +242,9 @@ object Bench {
     val bwArr = bwArray()
     calibrateBw(bwArr, 1) // JIT warmup, discarded
     val calibBwStart = (1 to 2).map(_ => calibrateBw(bwArr, 4)).min
-    val calibBwMtStart = (1 to 2).map(_ =>
+    // best-of-3: the mt sweep is scheduler-noisy (±30% observed quiet);
+    // real bandwidth contention moves it far past that
+    val calibBwMtStart = (1 to 3).map(_ =>
       calibrateBwMt(bwArr, Runtime.getRuntime.availableProcessors)).min
 
     val spark = SparkSession.builder()
@@ -360,11 +362,11 @@ object Bench {
     // (register loops flat, queries moved). These ratios SEE that class:
     // queries drifted + calib/calib_mt flat + calib_bw(_mt) risen =
     // bandwidth, proven in-artifact. References = this box quiet (round 16).
-    val calibBwRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_BW_REF", "95.0").toDouble
+    val calibBwRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_BW_REF", "180.0").toDouble
     val calibBwEnd = (1 to 2).map(_ => calibrateBw(bwArr, 4)).min
     val calibBwRatio = ((calibBwStart + calibBwEnd) / 2.0) / calibBwRef
-    val calibBwMtRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_BW_MT_REF", "260.0").toDouble
-    val calibBwMtEnd = (1 to 2).map(_ =>
+    val calibBwMtRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_BW_MT_REF", "42.0").toDouble
+    val calibBwMtEnd = (1 to 3).map(_ =>
       calibrateBwMt(bwArr, Runtime.getRuntime.availableProcessors)).min
     val calibBwMtRatio = ((calibBwMtStart + calibBwMtEnd) / 2.0) / calibBwMtRef
     // stdout stays ONE line, but COMPACT (medians only): rounds 3-5 proved
