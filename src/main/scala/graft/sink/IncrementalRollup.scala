@@ -41,7 +41,8 @@ object IncrementalRollup {
     * feed (a frame carrying `_change_type`): `-D` rows fold with inverted
     * sign, so an update/delete on the fact subtracts exactly what its
     * insert added. Defined only for count/sum — min/max are not invertible
-    * under deletes (None ⇒ [[maintainFromChangeFeed]] refuses).
+    * under deletes (None ⇒ [[maintainFromChangeFeed]] maintains them by
+    * targeted group rescan instead).
     */
   sealed trait Measure {
     def name: String
@@ -156,37 +157,156 @@ object IncrementalRollup {
     now
   }
 
+  /** Affected-group ceiling for the targeted rescan: above it a window
+    * switches to the consolidation replace (see [[maintainFromChangeFeed]]).
+    */
+  private[graft] val MaxRescanGroups = 256
+
   /** [[maintainFromFeed]] for facts that MUTATE: folds the exact row-level
     * change feed ([[Warehouse.readChanges]]) with SIGNED partials — `+I`
     * rows add, `-D` rows subtract — so deletes and update retractions on
     * the fact keep the rollup exact where the append-only file feed would
     * silently miss the subtraction. Same ledger (streamId `rollup:<fact>`,
     * same idempotence), and over append-only windows the two forms fold
-    * identical values, so a fact can switch to this path mid-life. Every
-    * measure must be delete-invertible (count/sum); min/max refuse — a
-    * deleted extremum cannot be un-folded without the raw distribution.
+    * identical values, so a fact can switch to this path mid-life.
+    *
+    * Count/sum measures fold signed — always O(window). Min/max are NOT
+    * delete-invertible (a deleted extremum cannot be un-folded without the
+    * raw distribution), so they maintain by TARGETED RESCAN instead of
+    * refusing: a window's `-D` rows mark a group AFFECTED only when some
+    * deleted value TIES the group's stored extreme (a delete strictly
+    * inside the bounds can't move them, and a `-D` value outside them is
+    * impossible — the row existed at the covered version). Affected groups
+    * are recomputed from the fact's CURRENT snapshot scoped to exactly
+    * those groups — per-column IN predicates reach the parquet scan, so a
+    * fact clustered by the group key rescans O(affected-group files), never
+    * the table — and their rollup history is retracted-and-replaced in the
+    * same maintenance (fold history must FORGET the dead extremum: min-of-
+    * mins over stale partials would resurrect it). Unaffected groups append
+    * one partial row exactly as before, with the window's `+I` rows as
+    * min/max candidates. Groups whose rows are all deleted vanish from the
+    * rollup, matching the direct aggregate.
+    *
+    * Above [[MaxRescanGroups]] affected groups (a mass delete), the
+    * targeted predicates would dwarf the plan: the maintenance switches to
+    * one consolidation REPLACE (unaffected history + window partials +
+    * semi-join-scoped recomputes) — O(rollup rows + affected fact scan),
+    * still never an unscoped fact rescan.
     */
   def maintainFromChangeFeed(wh: Warehouse, fact: String, table: String, spec: Spec): Long = {
-    val bad = spec.measures.filter(_.signedPartial.isEmpty)
-    require(bad.isEmpty,
-      s"maintainFromChangeFeed: measure(s) ${bad.map(_.name).mkString(", ")} are not " +
-        "delete-invertible (min/max) — recompute or use an append-only fact")
     val sid = s"rollup:$fact"
     val last = wh.lastCommittedBatchId(table, sid)
     val now = wh.currentVersion(fact)
-    if (now > last) {
-      val feed = if (last < 0)
-        wh.loadVersion(fact, now).withColumn("_change_type", lit("+I"))
-      else wh.readChanges(fact, last, now)
-      val p = feed.groupBy(spec.keys.map(col): _*)
-        .agg(spec.measures.head.signedPartial.get,
-          spec.measures.tail.map(_.signedPartial.get): _*)
+    if (now <= last) return now
+    val feed0 = if (last < 0)
+      wh.loadVersion(fact, now).withColumn("_change_type", lit("+I"))
+    else wh.readChanges(fact, last, now)
+    val extremal = spec.measures.filter(_.signedPartial.isEmpty)
+    extremal.foreach {
+      case _: MinOf | _: MaxOf => ()
+      case m => throw new IllegalArgumentException(
+        s"maintainFromChangeFeed: measure ${m.name} is neither delete-invertible " +
+          "nor an extremal (min/max) — no maintenance strategy exists for it")
+    }
+    val keys = spec.keys
+
+    def ensureTable(p: DataFrame): Unit =
       if (!wh.exists(table))
         wh.create(table, org.apache.spark.sql.types.StructType(
           p.schema.fields.map(_.copy(nullable = true))))
-      wh.append(table, p, statsCols = spec.keys)
+
+    if (extremal.isEmpty) {
+      // the pure count/sum path — byte-identical to the pre-rescan form
+      val p = feed0.groupBy(keys.map(col): _*)
+        .agg(spec.measures.head.signedPartial.get,
+          spec.measures.tail.map(_.signedPartial.get): _*)
+      ensureTable(p)
+      wh.append(table, p, statsCols = keys)
       wh.recordBatchId(table, sid, now)
+      return now
     }
+
+    // bootstrap (whole snapshot as +I) has no deletes by construction — no
+    // checkpoint, no affected groups, one pass
+    val bootstrap = last < 0
+    val feed = if (bootstrap) feed0
+               else feed0.localCheckpoint() // consumers: window partial, -D extremes
+    // window partial: signed where invertible, +I-candidates-only for min/max
+    def windowPartial(m: Measure): Column = m.signedPartial.getOrElse(m match {
+      case MinOf(e, n) => min(when(!isDelete, e)).as(n)
+      case MaxOf(e, n) => max(when(!isDelete, e)).as(n)
+      case other       => throw new IllegalStateException(other.name) // unreachable
+    })
+    val part = feed.groupBy(keys.map(col): _*)
+      .agg(windowPartial(spec.measures.head), spec.measures.tail.map(windowPartial): _*)
+    ensureTable(part)
+
+    // affected groups: a -D value null-safe-ties the stored extreme
+    val delRows = if (bootstrap) feed.limit(0).filter(isDelete)
+                  else feed.filter(isDelete)
+    val exCols = extremal.map {
+      case MinOf(e, n) => min(e).as(s"__d_$n")
+      case MaxOf(e, n) => max(e).as(s"__d_$n")
+      case m           => throw new IllegalStateException(m.name) // unreachable
+    }
+    val stored = read(wh, table, spec).alias("st")
+    val delExt = delRows.groupBy(keys.map(col): _*)
+      .agg(exCols.head, exCols.tail: _*).alias("dx")
+    val keyCond =
+      if (keys.isEmpty) lit(true)
+      else keys.map(k => col(s"dx.$k") <=> col(s"st.$k")).reduce(_ && _)
+    val tie = extremal.map(m => col(s"__d_${m.name}") <=> col(s"st.${m.name}"))
+      .reduce(_ || _)
+    val affected = delExt.join(stored, keyCond).filter(tie)
+      .select(keys.map(k => col(s"dx.$k")): _*).localCheckpoint()
+    val nAffected = affected.count()
+
+    if (nAffected == 0) {
+      wh.append(table, part, statsCols = keys)
+      wh.recordBatchId(table, sid, now)
+      return now
+    }
+
+    val factNow = wh.loadVersion(fact, now)
+    val plainAgg = (df: DataFrame) => df.groupBy(keys.map(col): _*)
+      .agg(spec.measures.head.partial, spec.measures.tail.map(_.partial): _*)
+    if (keys.isEmpty) {
+      // global rollup: the one group is affected — consolidate by replace
+      wh.replace(table, plainAgg(factNow), statsCols = keys)
+    } else if (nAffected <= MaxRescanGroups) {
+      val rows = affected.collect() // bounded by the gate — metadata-scale
+      // per-column IN predicates push into the parquet scan (the real
+      // prune); the null-safe group disjunction is the exact residual.
+      // Plain col() refs: each filter resolves against its own frame, and
+      // deleteWhere resolves against its own scan
+      val groupPred: Column = rows.toSeq.map(r =>
+        keys.map(k => col(k) <=> lit(r.getAs[Any](k))).reduce(_ && _)).reduce(_ || _)
+      val perCol = keys.map { k =>
+        val vs = rows.toSeq.map(_.getAs[Any](k))
+        val nonNull = vs.filter(_ != null)
+        val in = if (nonNull.isEmpty) lit(false)
+                 else col(k).isin(nonNull: _*)
+        if (vs.contains(null)) in || col(k).isNull else in
+      }.reduce(_ && _)
+      val recomputed = plainAgg(factNow.filter(perCol && groupPred))
+      // retract the affected groups' fold history FIRST, then land the
+      // unaffected window partials and the consolidated rows in one append
+      wh.deleteWhere(table, groupPred)
+      val unaff = part.filter(!groupPred)
+      wh.append(table, unaff.unionByName(recomputed), statsCols = keys)
+    } else {
+      // mass-delete window: one consolidation replace
+      def nullSafe(l: DataFrame, r: DataFrame): Column =
+        keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+      val recomputed = plainAgg(
+        factNow.join(affected, nullSafe(factNow, affected), "left_semi"))
+      val hist = wh.load(table)
+      val unaffHist = hist.join(affected, nullSafe(hist, affected), "left_anti")
+      val unaffPart = part.join(affected, nullSafe(part, affected), "left_anti")
+      wh.replace(table, unaffHist.unionByName(unaffPart).unionByName(recomputed),
+        statsCols = keys)
+    }
+    wh.recordBatchId(table, sid, now)
     now
   }
 }

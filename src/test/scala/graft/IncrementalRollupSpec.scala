@@ -97,6 +97,106 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(canon(IncrementalRollup.read(wh, "r", spec)) == direct)
   }
 
+  // ---- min/max under the change feed: targeted group rescan ----
+
+  private val mmSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.LongType)))
+  private val mmSpec = Spec(Seq("k"), Seq(
+    CountStar("n"), SumOf(dec(col("value")), "total"),
+    MinOf(col("value"), "lo"), MaxOf(col("value"), "hi")))
+
+  private def mmRows(rows: (String, Long)*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, mmSchema)
+  }
+
+  private def mmCanon(df: DataFrame): Seq[String] =
+    df.orderBy("k").collect().map(_.toSeq.mkString("|")).toSeq
+  private def mmDirect(wh: Warehouse): Seq[String] =
+    mmCanon(IncrementalRollup.partial(wh.load("fact"), mmSpec))
+
+  test("change feed + min/max: delete-the-extreme rescans ONLY that group") {
+    val wh = new Warehouse(spark, tmpDir("ivm-mm"))
+    wh.create("fact", mmSchema)
+    wh.append("fact", mmRows("a" -> 1L, "a" -> 5L, "a" -> 9L, "b" -> 10L, "b" -> 20L),
+      statsCols = Seq("k"))
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec) // bootstrap
+    assert(mmCanon(IncrementalRollup.read(wh, "r", mmSpec)) == mmDirect(wh))
+
+    wh.append("fact", mmRows("a" -> 7L, "b" -> 30L), statsCols = Seq("k"))
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec)
+    assert(mmCanon(IncrementalRollup.read(wh, "r", mmSpec)) == mmDirect(wh))
+    val aRows0 = wh.load("r").filter(col("k") === "a").count()
+    assert(aRows0 == 2L, "one partial per window so far")
+
+    // INSIDE-bounds delete (a:5 is not an extreme): no rescan, no
+    // consolidation — group a's fold history stays intact and just gains
+    // the window's signed partial
+    wh.deleteWhere("fact", col("k") === "a" && col("value") === 5L)
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec)
+    assert(mmCanon(IncrementalRollup.read(wh, "r", mmSpec)) == mmDirect(wh))
+    assert(wh.load("r").filter(col("k") === "a").count() == 3L,
+      "inside-bounds delete must not consolidate the group")
+
+    // delete-the-MAX of group a: exactly that group consolidates to ONE
+    // recomputed row; group b's history is untouched
+    val bRows = wh.load("r").filter(col("k") === "b").count()
+    wh.deleteWhere("fact", col("k") === "a" && col("value") === 9L)
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec)
+    assert(mmCanon(IncrementalRollup.read(wh, "r", mmSpec)) == mmDirect(wh))
+    assert(wh.load("r").filter(col("k") === "a").count() == 1L,
+      "affected group consolidates to one recomputed row")
+    assert(wh.load("r").filter(col("k") === "b").count() == bRows,
+      "unaffected group's history untouched")
+    val aRow = IncrementalRollup.read(wh, "r", mmSpec)
+      .filter(col("k") === "a").collect().head
+    assert(aRow.getAs[Long]("n") == 2L && aRow.getAs[Long]("lo") == 1L &&
+      aRow.getAs[Long]("hi") == 7L, aRow.toString)
+
+    // delete ALL of group b: the group vanishes from the rollup
+    wh.deleteWhere("fact", col("k") === "b")
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec)
+    assert(IncrementalRollup.read(wh, "r", mmSpec)
+      .filter(col("k") === "b").count() == 0L)
+    assert(mmCanon(IncrementalRollup.read(wh, "r", mmSpec)) == mmDirect(wh))
+
+    // replay: no-op
+    val v = wh.currentVersion("r")
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec)
+    assert(wh.currentVersion("r") == v)
+  }
+
+  test("change feed + min/max: mass-delete window takes the consolidation replace") {
+    val wh = new Warehouse(spark, tmpDir("ivm-mass"))
+    wh.create("fact", mmSchema)
+    val groups = (0 until (IncrementalRollup.MaxRescanGroups + 44)).map(i => s"g$i")
+    wh.append("fact", mmRows(groups.flatMap(g =>
+      Seq(g -> 1L, g -> 2L)): _*), statsCols = Seq("k"))
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec)
+    // delete every group's max in one commit — affected >> the gate
+    wh.deleteWhere("fact", col("value") === 2L)
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec)
+    assert(mmCanon(IncrementalRollup.read(wh, "r", mmSpec)) == mmDirect(wh))
+    assert(wh.load("r").count() == groups.size,
+      "consolidation replace leaves one row per surviving group")
+  }
+
+  test("change feed + min/max: global (no-key) rollup replaces on extreme delete") {
+    val g = Spec(Nil, Seq(CountStar("n"), MaxOf(col("value"), "hi")))
+    val wh = new Warehouse(spark, tmpDir("ivm-global"))
+    wh.create("fact", mmSchema)
+    wh.append("fact", mmRows("a" -> 1L, "a" -> 9L, "b" -> 4L), statsCols = Seq("k"))
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", g)
+    wh.deleteWhere("fact", col("value") === 9L)
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", g)
+    val row = IncrementalRollup.read(wh, "r", g).collect().head
+    assert(row.getAs[Long]("n") == 2L && row.getAs[Long]("hi") == 4L, row.toString)
+  }
+
   test("streaming maintenance end-to-end over a MemoryStream") {
     import graft.streaming.RollupStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
