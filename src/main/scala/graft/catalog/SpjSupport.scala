@@ -363,8 +363,41 @@ sealed class GraftParquetScan(base: ParquetScan,
     * `filesByPath` before planning, and an arrived runtime filter
     * (`allowed`) shrinks it again on re-plan. Counts are exact for the
     * files scanned; pushed data filters only reduce them further, keeping
-    * this a safe upper bound — same contract as Iceberg's.
+    * this a safe upper bound — same contract as Iceberg's — with ONE
+    * measured discount: a pushed `LIKE 'p%'` scales the estimate by the
+    * ANALYZE string-KLL's prefix mass ([[graft.sink.StringPrefixKey]]),
+    * because Catalyst's FilterEstimation has no StartsWith arm and would
+    * otherwise cost the filtered side at full size forever (a selective
+    * prefix probe could then never broadcast). Only StartsWith discounts
+    * here — shapes CBO itself prices (equality, numeric ranges) must not
+    * be double-discounted.
     */
+  private lazy val prefixSelectivity: Double = statsRef match {
+    case None => 1.0
+    case Some((t, r)) =>
+      val csO = new graft.sink.Warehouse(sparkSession, r).columnStats(t)
+      csO.fold(1.0) { cs =>
+        pushedFilters.iterator.map {
+          case org.apache.spark.sql.sources.StringStartsWith(a, p) =>
+            (for {
+              e <- cs.cols.get(a)
+              if dataSchema.fields.exists(f => f.name == a &&
+                f.dataType == org.apache.spark.sql.types.StringType)
+              m <- {
+                val (lo, hi) = graft.sink.StringPrefixKey.range(
+                  p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                graft.sink.StringPrefixKey.mass(e.kllB64, lo, hi)
+              }
+              if cs.rows > 0
+            } yield {
+              val nonNull = math.max(cs.rows - e.nullCount, 0L)
+              math.max(m * nonNull / cs.rows, 1e-9)
+            }).getOrElse(1.0)
+          case _ => 1.0
+        }.product.min(1.0)
+      }
+  }
+
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, StringType, StructType}
     def isVar(dt: DataType): Boolean = dt match {
@@ -402,9 +435,11 @@ sealed class GraftParquetScan(base: ParquetScan,
         val varShare = math.max(disk - rows * fixedFullW, 0L) * nVarRead / nVarFull
         math.max(rows * (readFixedW + partW) + math.max(rows * readVarW, varShare), 1L)
       }
+    val estRows = math.max(math.round(rows * prefixSelectivity), 1L)
+    val estSize = math.max(math.round(size * prefixSelectivity), 1L)
     new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(estSize)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(estRows)
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = ndvStats

@@ -49,6 +49,58 @@ object ColStatsHistogram {
   }
 }
 
+/** STRING-domain histogram support: a string's first 8 UTF-8 bytes as an
+  * unsigned big-endian number — monotone with the string's binary
+  * collation order at double (53-bit ≈ 6.6-byte) precision. ANALYZE
+  * sketches this projection into the same KLL machinery numerics use, and
+  * the DSv2 scan ([[graft.catalog.SpjSupport]]) prices a pushed
+  * `LIKE 'p%'` as the sketch's MASS of the prefix's key range
+  * [key(p), key(p) + 256^(8−|p|)) — measured prefix selectivity where
+  * Catalyst's own FilterEstimation has no StartsWith arm at all (it
+  * defaults the predicate to keep-everything, so serving Catalyst a
+  * histogram could never help; the scan's reported statistics are the one
+  * surface that can carry the estimate). Catalyst never sees this
+  * histogram: the serving gate requires typed min/max bounds, which
+  * string columns deliberately don't emit.
+  */
+object StringPrefixKey {
+  val Width = 8
+
+  /** The ANALYZE-side projection. Hex-string padding ('0' chars = zero
+    * bytes, two per byte) keeps every step a stock codegen'd function;
+    * `conv(_, 16, 10)` reads the 16 hex digits as an unsigned 64-bit.
+    * Empty string → 0 (sorts first); null → null (excluded from the
+    * sketch, like every histogram domain).
+    */
+  def expr(c: Column): Column =
+    conv(rpad(hex(substring(encode(c, "UTF-8"), 1, Width)), 2 * Width, "0"),
+      16, 10).cast("double")
+
+  /** [lo, hi) key range of the strings with byte-prefix `p` — for |p| > 8
+    * the first 8 bytes' exact-key range, a superset (selectivity upper
+    * bound, conservative in the safe direction).
+    */
+  def range(prefix: Array[Byte]): (Double, Double) = {
+    val first = prefix.take(Width)
+    val padded = first ++ Array.fill(Width - first.length)(0.toByte)
+    val lo = BigInt(1, padded)
+    val width =
+      if (first.length >= Width) BigInt(1) else BigInt(256).pow(Width - first.length)
+    (lo.toDouble, (lo + width).toDouble)
+  }
+
+  /** Fraction of the sketched (non-null) values in [lo, hi). */
+  def mass(kllB64: String, lo: Double, hi: Double): Option[Double] =
+    if (kllB64.isEmpty) None
+    else {
+      val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(
+          java.util.Base64.getDecoder.decode(kllB64)))
+      if (sk.isEmpty) None
+      else Some(math.max(0.0, sk.getRank(hi) - sk.getRank(lo)))
+    }
+}
+
 private[sink] trait WarehouseAnalyze { self: Warehouse =>
 
   // ----------------------------------------------- column statistics (NDV) --
@@ -144,6 +196,11 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
     // UTC session (Verify/Bench/tests all set it)
     case TimestampNTZType => Some(unix_micros(col(f.name).cast(TimestampType)))
     case DateType => Some(unix_date(col(f.name)))
+    // strings sketch their binary-order PREFIX KEY ([[StringPrefixKey]]):
+    // never served to Catalyst (the DSv2 gate requires typed bounds, which
+    // stay empty here — typedBound yields None for strings), consumed only
+    // by the scan's own LIKE-prefix selectivity estimate
+    case StringType => Some(StringPrefixKey.expr(col(f.name)))
     case _ => None
   }
 

@@ -159,9 +159,70 @@ class AnalyzeSpec extends SparkSpec {
       val cnt = (1 to 160).count(v => (v > lo || (i == 0 && v >= lo)) && v <= hi)
       assert(math.abs(cnt - 20) <= 1, s"bucket $i [$lo,$hi] holds $cnt, want 20±1")
     }
-    // strings never record histogram state
+    // strings record PREFIX-KEY histogram state (StringPrefixKey domain),
+    // but never typed bounds — so Catalyst is never served a string
+    // histogram; only the scan's own LIKE-prefix estimate reads the KLL
     wh.replace("hist_str", spark.createDataFrame(
       (1 to 10).map(i => Row(i.toLong)).asJava, s2))
+  }
+
+  test("string prefix KLL: key projection is binary-ordered; prefix mass measured") {
+    val ss = StructType(Seq(StructField("name", StringType)))
+    wh.replace("pfx_keys", spark.createDataFrame(
+      ((1 to 90).map(i => s"aa${"%03d".format(i)}") ++
+        (1 to 10).map(i => s"zq${"%03d".format(i)}")).map(Row(_)).asJava, ss))
+    val e = wh.analyzeTable("pfx_keys").cols("name")
+    assert(e.kllB64.nonEmpty, "string columns must record the prefix-key KLL")
+    // 'zq%' holds exactly 10 of 100 values
+    val (lo, hi) = graft.sink.StringPrefixKey.range("zq".getBytes("UTF-8"))
+    val m = graft.sink.StringPrefixKey.mass(e.kllB64, lo, hi).get
+    assert(math.abs(m - 0.10) < 0.03, s"prefix mass of zq%%: $m, want ~0.10")
+    // 'aa%' holds the other 90
+    val (lo2, hi2) = graft.sink.StringPrefixKey.range("aa".getBytes("UTF-8"))
+    val m2 = graft.sink.StringPrefixKey.mass(e.kllB64, lo2, hi2).get
+    assert(math.abs(m2 - 0.90) < 0.03, s"prefix mass of aa%%: $m2, want ~0.90")
+    // a prefix nothing starts with has ~zero mass
+    val (lo3, hi3) = graft.sink.StringPrefixKey.range("mm".getBytes("UTF-8"))
+    assert(graft.sink.StringPrefixKey.mass(e.kllB64, lo3, hi3).get < 0.02)
+  }
+
+  test("LIKE-prefix selectivity: the string KLL flips the filtered side to broadcast") {
+    // 20k-row table, 10 names under 'zq%', the rest 'aa%'; every file holds
+    // both prefixes so manifest pruning cannot shrink the scan — only the
+    // ANALYZE estimate can. Catalyst's FilterEstimation has no StartsWith
+    // arm, so without the scan-side discount the filtered side is costed at
+    // full size and stays on the sort-merge path.
+    val fs = StructType(Seq(StructField("k", LongType), StructField("name", StringType),
+      StructField("pay", StringType)))
+    val ds = StructType(Seq(StructField("k", LongType), StructField("dv", LongType)))
+    wh.replace("pfx_fact", spark.createDataFrame(
+      (0 until 20000).map { i =>
+        val nm = if (i % 2000 == 0) s"zq$i" else s"aa$i"
+        Row(i.toLong, nm, s"payload-$i-${"x" * 30}")
+      }.asJava, fs))
+    wh.replace("pfx_dim", spark.createDataFrame(
+      (0 until 20000).map(i => Row(i.toLong, i.toLong * 7)).asJava, ds))
+    val q = "SELECT f.k, f.name, d.dv FROM gana.pfx_dim d " +
+      "JOIN gana.pfx_fact f ON d.k = f.k WHERE f.name LIKE 'zq%'"
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val before = spark.sql(q).queryExecution.executedPlan.toString
+      assert(!before.contains("BroadcastHashJoin"),
+        s"premise: unanalyzed prefix filter must not broadcast:\n$before")
+      val rowsBefore = spark.sql(q).collect().map(_.toSeq).toSet
+      assert(rowsBefore.size == 10)
+      wh.analyzeTable("pfx_fact")
+      val after = spark.sql(q).queryExecution.executedPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"measured prefix mass (10 of 20000) must flip to broadcast:\n$after")
+      assert(spark.sql(q).collect().map(_.toSeq).toSet == rowsBefore, "same rows both plans")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 
   test("incremental ANALYZE merges histogram state: bounds and quantiles track both batches") {
