@@ -44,7 +44,21 @@ object MorReadRule extends Rule[LogicalPlan] {
     // hasPendingDeletes answers from the root HEADER (O(2 lines)) — this
     // gate runs on EVERY graft relation at analysis time and must not force
     // a full manifest replay of a millions-of-files table just to learn
-    // there is nothing to overlay
+    // there is nothing to overlay.
+    //
+    // Known trade-off: this swap happens at ANALYSIS time (the morFrame
+    // plan must flow through the whole optimizer so query filters push into
+    // its internal scans/joins), which is BEFORE filters are adjacent — so
+    // a pending-delete table plans from its FULL manifest and segment
+    // pruning (ManifestPruneRule + the delete-aware
+    // [[graft.sink.Manifest.readPruned]]) does not apply on this path.
+    // Deferring the swap to the optimizer would regain segment pruning but
+    // lose predicate pushdown into the overlay's parquet scans
+    // (PushDownPredicates never re-runs after the pre-CBO batch), a worse
+    // trade at scale. The mitigation is operational and already automated:
+    // compactDeletes ([[graft.sink.Warehouse.maintain]]'s delete-ratio arm)
+    // returns the table to the zero-pending fast path, where every scan is
+    // segment-pruned again
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
         r.table.asInstanceOf[GraftTable].hasPendingDeletes =>
       val gt = r.table.asInstanceOf[GraftTable]

@@ -90,12 +90,30 @@ final case class Manifest(schema: StructType, files: Seq[DataFile],
   * stat for it in one consistent domain (min of mins, max of maxes; nulls
   * summed when all known, else −1; all-null only when every file is "z") —
   * so any per-file pruning decision made against the summary is valid for
-  * the whole segment. `hasDeletes` marks segments carrying delete entries;
-  * those are never skipped (the MOR overlay needs every delete entry
-  * regardless of data bounds).
+  * the whole segment. `hasDeletes` marks segments carrying delete entries.
+  *
+  * Delete-aware skipping: a delete-carrying segment may still skip when
+  * BOTH sides are provably invisible to the query —
+  *
+  *   - its data files can't match (`stats`, as above — or it has no data
+  *     files at all: `entries == delEntries`, the shape every
+  *     equality-delete commit's delta segment has);
+  *   - its delete entries can't RESURRECT a visible row: `delStats` merges
+  *     the equality-delete files' per-key-column tuple bounds with the
+  *     same covering algebra, so when the query refutes those bounds, any
+  *     row a skipped delete would have removed (in ANY kept file) carries
+  *     a key value the query's residual filter rejects anyway. Sound only
+  *     when every delete is an equality delete with recorded bounds
+  *     (`delBounded`; deletion vectors address file positions, not values,
+  *     and make the segment unskippable).
+  *
+  * Pre-delete-aware roots parse with `delEntries = 0, delBounded = false`:
+  * their delete-carrying segments never skip, exactly the old behavior.
   */
 final case class SegSummary(entries: Int, rows: Long, hasDeletes: Boolean,
-                            stats: Map[String, ColStat])
+                            stats: Map[String, ColStat],
+                            delEntries: Int = 0, delBounded: Boolean = false,
+                            delStats: Map[String, ColStat] = Map.empty)
 
 /** Header facts of a manifest root, readable without replaying any entry
   * lines: the snapshot schema plus the table-level extras on line 2 —
@@ -379,12 +397,12 @@ object Manifest {
     * drop (absent = unknown = the segment can't be skipped on that key).
     */
   private def summarize(files: Seq[DataFile], deletes: Seq[DeleteFile]): SegSummary = {
-    val stats: Map[String, ColStat] =
-      if (files.isEmpty) Map.empty
+    def mergeStatMaps(maps: Seq[Map[String, ColStat]]): Map[String, ColStat] =
+      if (maps.isEmpty) Map.empty
       else {
-        val keys = files.iterator.map(_.stats.keySet).reduce(_ intersect _)
+        val keys = maps.iterator.map(_.keySet).reduce(_ intersect _)
         keys.iterator.flatMap { k =>
-          val sts = files.map(_.stats(k))
+          val sts = maps.map(_(k))
           val ns = sts.map(_.nulls)
           val nulls = if (ns.contains(-1L)) -1L else ns.sum
           val nonZ = sts.filterNot(_.kind == "z")
@@ -407,20 +425,31 @@ object Manifest {
           }
         }.toMap
       }
+    // delete-side covering bounds ([[SegSummary]] delete-aware contract):
+    // only equality deletes have value semantics, and an all-null ("z")
+    // tuple column never matches a row — the merged bounds still cover
+    // every tuple that can resurrect anything
+    val delBounded = deletes.nonEmpty && deletes.forall(_.kind == "eq")
+    val delStats =
+      if (!delBounded) Map.empty[String, ColStat]
+      else mergeStatMaps(deletes.map(_.stats))
     SegSummary(files.size + deletes.size, files.iterator.map(_.rows).sum,
-      deletes.nonEmpty, stats)
+      deletes.nonEmpty, mergeStatMaps(files.map(_.stats)),
+      deletes.size, delBounded, delStats)
   }
 
   /** `S`-line payload after the segment file name:
-    * `<entries>\t<rows>\t<d|->\t<statsStr>`. Pre-summary roots have a bare
-    * name (2 fields total) and read as "no summary — always parse".
+    * `<entries>\t<rows>\t<d|->\t<statsStr>\t<delEntries>\t<b|->\t<delStatsStr>`.
+    * Pre-summary roots have a bare name (2 fields total) and read as "no
+    * summary — always parse"; pre-delete-aware roots stop at `<statsStr>`
+    * and read as "delete entries unskippable" (the old behavior).
     */
   private def summaryFields(s: SegSummary): String =
-    s"${s.entries}\t${s.rows}\t${if (s.hasDeletes) "d" else "-"}\t${statsStr(s.stats)}"
+    s"${s.entries}\t${s.rows}\t${if (s.hasDeletes) "d" else "-"}\t${statsStr(s.stats)}" +
+      s"\t${s.delEntries}\t${if (s.delBounded) "b" else "-"}\t${statsStr(s.delStats)}"
 
-  /** Parse an `S`-line payload's summary (fields after `S\t`, i.e.
-    * `name\t<entries>\t<rows>\t<d|->\t<statsStr>`); None for bare pre-summary
-    * payloads.
+  /** Parse an `S`-line payload's summary (fields after `S\t`); None for
+    * bare pre-summary payloads.
     */
   private def parseSummary(payload: String): Option[SegSummary] = {
     // limit -1: an empty statsStr (no common stat keys) must not drop the
@@ -428,7 +457,10 @@ object Manifest {
     val fields = payload.split("\t", -1)
     if (fields.length < 5) None
     else Some(SegSummary(fields(1).toInt, fields(2).toLong, fields(3) == "d",
-      parseStats(fields(4))))
+      parseStats(fields(4)),
+      delEntries = if (fields.length >= 8) fields(5).toInt else 0,
+      delBounded = fields.length >= 8 && fields(6) == "b",
+      delStats = if (fields.length >= 8) parseStats(fields(7)) else Map.empty))
   }
 
   /** Write one immutable segment; returns the complete `S`-line payload
@@ -700,7 +732,17 @@ object Manifest {
       if (l.isEmpty) ()
       else if (l.startsWith("S\t")) {
         val payload = l.substring(2)
-        val skip = parseSummary(payload).exists(s => !s.hasDeletes && !keep(s))
+        // skip = data side invisible AND delete side invisible (the
+        // [[SegSummary]] delete-aware contract): a skipped delete entry can
+        // only resurrect rows whose key values its merged bounds cover, and
+        // `!keep(delStats)` proves the query's residual filter rejects all
+        // of those — so dropping the entry changes nothing this query sees
+        val skip = parseSummary(payload).exists { s =>
+          val dataGone = s.entries - s.delEntries == 0 || !keep(s)
+          def delGone = !s.hasDeletes ||
+            (s.delBounded && !keep(s.copy(hasDeletes = false, stats = s.delStats)))
+          dataGone && delGone
+        }
         if (skip) { skipped += 1; prunedSegSkips.incrementAndGet(): Unit }
         else {
           prunedSegConsults.incrementAndGet()

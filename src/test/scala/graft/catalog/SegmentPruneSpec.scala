@@ -71,7 +71,7 @@ class SegmentPruneSpec extends SparkSpec {
     assert(all.head().getLong(0) == 2400L)
   }
 
-  test("pending MOR deletes: delete-carrying segments never skip; filtered reads stay MOR-exact") {
+  test("pending MOR deletes: refuted delete segments skip too; reads stay MOR-exact") {
     val root = tmpDir("segprune-mor")
     spark.conf.set("spark.sql.catalog.sgm", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.sgm.root", root)
@@ -82,12 +82,36 @@ class SegmentPruneSpec extends SparkSpec {
     wh.equalityDelete("t", spark.createDataFrame(
       Seq(Row(130L, null: String)).asJava, schema).select(col("k")))
     assert(wh.manifestHeader("t").deleteCount == 1)
-    // filtered read over the deleted key's range: MOR overlay applies
+    // filtered read over the deleted key's range: the delete segment is
+    // consulted and the MOR overlay applies
     val got = spark.sql("SELECT k FROM sgm.t WHERE k >= 125 AND k < 135 ORDER BY k")
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(125L, 126L, 127L, 128L, 129L, 131L, 132L, 133L, 134L))
-    // and a read far from the delete still answers exactly
-    assert(spark.sql("SELECT count(*) AS n FROM sgm.t WHERE k >= 400").head().getLong(0) == 200L)
+    // a read far from the delete still answers exactly (the SQL path on a
+    // pending-delete table serves the analysis-time MOR swap — see
+    // MorReadRule's scaladoc for why segment pruning does not apply there)
+    assert(spark.sql("SELECT sum(k) AS s FROM sgm.t WHERE k >= 400").head().getLong(0)
+      == (400L until 600L).sum)
+    // the MANIFEST layer skips refuted delete segments (round-15 #6): a
+    // probe disjoint from both data AND delete bounds parses only its
+    // owning data segments — the delete-carrying segment included in the
+    // skip count, and its delete entry absent from the planned manifest
+    val c0 = Manifest.prunedSegConsults.get()
+    val s0 = Manifest.prunedSegSkips.get()
+    def keepRange(lo: Long): graft.sink.SegSummary => Boolean = s =>
+      s.stats.get("k").forall(st =>
+        graft.sink.StatsPruning.mayMatch(st, ">=", "n", lo.toString))
+    val (pruned, skipped) = wh.manifestPruned("t", None, keepRange(400L))
+    assert(pruned.deletes.isEmpty, s"refuted delete must skip: ${pruned.deletes}")
+    assert(pruned.files.forall(_.stats("k").min.toLong >= 400L))
+    assert(skipped >= 5 && Manifest.prunedSegSkips.get() - s0 >= 5,
+      "4 disjoint data segments + the refuted delete segment must skip")
+    assert(Manifest.prunedSegConsults.get() - c0 <= 2)
+    // a probe AT the deleted key keeps the delete entry
+    val (prunedAt, _) = wh.manifestPruned("t", None, s =>
+      s.stats.get("k").forall(st =>
+        graft.sink.StatsPruning.mayMatch(st, "=", "n", "130")))
+    assert(prunedAt.deletes.size == 1, "overlapping delete must survive")
     wh.compactDeletes("t")
     assert(wh.manifestHeader("t").deleteCount == 0)
     assert(spark.sql("SELECT count(*) AS n FROM sgm.t").head().getLong(0) == 599L)

@@ -260,15 +260,28 @@ class ManifestSegmentSpec extends SparkSpec {
     val (p3b, _) = Manifest.readPruned(path(3), keepEq(1005L)).get
     assert(p3b.files.map(_.path) == Seq("a/f0.parquet"))
     assert(p3b.files.head.stats("x").min == "1000")
-    // delete-carrying segments are NEVER skipped (the MOR overlay needs
-    // every delete entry), and deletes always return in full
+    // DELETE-AWARE skipping: a delete-only segment whose merged key bounds
+    // the query refutes is skipped WITH its delete entry — any row that
+    // delete would have removed carries x=9999 and the query's residual
+    // filter (x=105) rejects it anyway
     val del = DeleteFile("d/k0.parquet", 2, 4, Seq("x"),
       Map("x" -> ColStat("n", "9999", "9999")), "eq")
     val m4 = Manifest(schema, m3.files, Seq(del))
     Manifest.writeDelta(path(4), m4, Some(path(3)))
     val (p4, _) = Manifest.readPruned(path(4), keepEq(105L)).get
-    assert(p4.deletes.map(_.path) == Seq("d/k0.parquet"))
+    assert(p4.deletes.isEmpty,
+      s"query-invisible delete segment must skip: ${p4.deletes}")
     assert(p4.files.map(_.path) == Seq("b/f1.parquet"))
+    // the delete's own key range keeps its segment (and the delete)
+    val (p4b, _) = Manifest.readPruned(path(4), keepEq(9999L)).get
+    assert(p4b.deletes.map(_.path) == Seq("d/k0.parquet"))
+    // a deletion vector has no value bounds: its segment never skips
+    val dv = DeleteFile("d/vec0", 1, 5, Seq("a/f0.parquet"), Map.empty, "dv")
+    val m5 = Manifest(schema, m3.files, Seq(del, dv))
+    Manifest.writeDelta(path(5), m5, Some(path(4)))
+    val (p5, _) = Manifest.readPruned(path(5), keepEq(105L)).get
+    assert(p5.deletes.map(_.path).toSet == Set("d/vec0"),
+      s"dv segment unskippable, refuted eq segment skipped: ${p5.deletes}")
   }
 
   test("property: readPruned plans the BIT-IDENTICAL surviving file set as the full parse") {
@@ -295,8 +308,18 @@ class ManifestSegmentSpec extends SparkSpec {
           assert(pruned.files.filter(f => perFile(f.stats, probe)).toSet ==
             full.files.filter(f => perFile(f.stats, probe)).toSet,
             s"run=$run v=$v probe=$probe planned sets diverge")
-          assert(pruned.deletes.toSet == full.deletes.toSet,
-            s"run=$run v=$v probe=$probe deletes diverge")
+          // deletes: never invented, and every DROPPED delete is provably
+          // invisible — an eq delete whose OWN x bounds refute the probe
+          // (covering merged bounds refuted ⇒ each file's tighter bounds
+          // refuted), so no row it would remove can pass the query filter
+          assert(pruned.deletes.toSet.subsetOf(full.deletes.toSet),
+            s"run=$run v=$v probe=$probe invented deletes")
+          val dropped = full.deletes.toSet -- pruned.deletes.toSet
+          assert(dropped.forall(d => d.kind == "eq" &&
+            d.stats.get("x").exists(st =>
+              !scala.util.Try(StatsPruning.mayMatch(st, "=", "n", probe))
+                .getOrElse(true))),
+            s"run=$run v=$v probe=$probe unsound delete drop: $dropped")
         }
         prev = next
       }
