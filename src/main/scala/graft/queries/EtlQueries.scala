@@ -294,6 +294,65 @@ object EtlQueries {
       }
     },
 
+    // MIN/MAX under the mutating fact (IncrementalRollup's targeted group
+    // rescan): q142's consumer follows count/sum with signed folds; here
+    // the rollup ALSO carries min/max, which are not delete-invertible —
+    // the script deletes EVERY segment's maximum-balance rows (forcing the
+    // per-group rescan: exactly the affected groups consolidate from the
+    // fact's current snapshot, history retracted so min-of-mins cannot
+    // resurrect the dead extreme) and then morMerge-upserts %7 keys at
+    // bal-50 (re-inserting any deleted ones; the window's -D rows tie some
+    // groups' extremes and not others, so both maintenance paths run).
+    // The read rollup must equal DuckDB's direct aggregate over the FINAL
+    // state — a stale extreme, an unretracted partial, or an over-rescanned
+    // group shifts cnt/sum/min/max and misses the hash. The 100 TB shape:
+    // extremes stay exact at O(affected-group files) per tick, never a
+    // fact rescan.
+    "q170_rollup_minmax_follow" -> { (s, dir) =>
+      import graft.sink.{IncrementalRollup, Warehouse}
+      import org.apache.spark.sql.expressions.Window
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("bal"))
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q170")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        val spec = IncrementalRollup.Spec(Seq("c_mktsegment"), Seq(
+          IncrementalRollup.CountStar("cnt"),
+          IncrementalRollup.SumOf(dec(col("bal")), "bal_sum"),
+          IncrementalRollup.MinOf(col("bal"), "bal_min"),
+          IncrementalRollup.MaxOf(col("bal"), "bal_max")))
+        def tick(): Unit = { IncrementalRollup.maintainFromChangeFeed(wh, "fact", "roll", spec): Unit }
+        val a = cust.filter(col("c_custkey") % 3 === 0)
+        val b = cust.filter(col("c_custkey") % 3 === 1)
+        wh.create("fact", org.apache.spark.sql.types.StructType(
+          SchemaOps.widenSchema(cust.schema).fields.map(_.copy(nullable = true))))
+        wh.append("fact", a, statsCols = Seq("c_custkey"))
+        tick()
+        wh.append("fact", b, statsCols = Seq("c_custkey"))
+        tick()
+        // delete every segment's maximum-balance rows (ties included)
+        val live = a.unionByName(b)
+        val topKeys = live
+          .withColumn("__mx", max(col("bal")).over(Window.partitionBy("c_mktsegment")))
+          .filter(col("bal") === col("__mx")).select("c_custkey")
+        wh.equalityDelete("fact", topKeys)
+        tick()
+        wh.morMerge("fact",
+          live.filter(col("c_custkey") % 7 === 0).withColumn("bal", col("bal") - 50),
+          Seq("c_custkey"))
+        tick()
+        IncrementalRollup.read(wh, "roll", spec)
+          .filter(col("cnt") =!= 0L)
+          .withColumn("bal_sum", col("bal_sum").cast("double"))
+          .orderBy("c_mktsegment")
+          .localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    },
+
     // Row-level CDC as a DSv2 STREAMING SOURCE (ChangesTable): where q142
     // polls ChangeFeedStream by hand, here `readStream.table("cat.`t$changes`")`
     // follows the same kind of scripted history through Spark's own
@@ -882,6 +941,28 @@ object EtlQueries {
         |  WHERE c_custkey % 5 <> 0)
         |SELECT c_mktsegment, count(*) AS cnt,
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM fin GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // q170: the FINAL state reconstructed declaratively — a ∪ b, minus
+    // each segment's max-balance rows (ties included), with %7 keys
+    // re-upserted at bal-50 (re-inserting any deleted ones).
+    "q170_rollup_minmax_follow" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer),
+        |live AS (
+        |  SELECT * FROM cust WHERE c_custkey % 3 = 0
+        |  UNION ALL SELECT * FROM cust WHERE c_custkey % 3 = 1),
+        |mx AS (SELECT c_mktsegment, max(bal) AS mxv FROM live GROUP BY 1),
+        |fin AS (
+        |  SELECT c_custkey, c_mktsegment, bal - 50 AS bal
+        |  FROM live WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT l.c_custkey, l.c_mktsegment, l.bal
+        |  FROM live l JOIN mx USING (c_mktsegment)
+        |  WHERE l.c_custkey % 7 <> 0 AND l.bal < mx.mxv)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  min(bal) AS bal_min, max(bal) AS bal_max
         |FROM fin GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // q156: every commit window's delivery, reconstructed declaratively —
