@@ -752,7 +752,8 @@ object DedupQueries {
          |  FROM tk),
          |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
          |    j -> list_min(list_transform(sh,
-         |      h -> md5(CAST(j AS VARCHAR) || ':' || h)))) AS sig
+         |      h -> substring(md5(CAST((j // 4) AS VARCHAR) || ':' || h),
+         |                     ((j % 4) * 8) + 1, 8)))) AS sig
          |  FROM sh),
          |bd AS (SELECT doc_id, g.b AS band_idx,
          |    md5(concat_ws('|', sig[g.b*4+1], sig[g.b*4+2],

@@ -50,6 +50,11 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
                           simT: Double = 0.5) {
   require(k % bands == 0, s"bands ($bands) must divide k ($k)")
   private val r = k / bands
+  // k hash functions cost k/CHUNK md5 calls per shingle (q57's slicing)
+  private val Chunk = 4
+  require(k % Chunk == 0, s"signature length k ($k) must be a multiple of $Chunk " +
+    "(each salted md5 slices into 4 8-hex sub-hashes)")
+  private val salts = k / Chunk
   // positions that must agree for estimated Jaccard >= simT
   private val minMatches = math.ceil(simT * k).toInt
 
@@ -59,10 +64,25 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
   private def bandsTable(name: String) = s"${name}__bands"
   private def sigsTable(name: String) = s"${name}__sigs"
 
-  /** (pk, sig, band rows) for a batch — one codegen'd pass over the text. */
+  /** (pk, sig, bands) for a batch — q57's FLAT salted-md5 minhash shape:
+    * explode the distinct shingles, compute `salts` md5 columns per row as
+    * plain codegen'd expressions, and take the k minima (each md5 sliced
+    * into 4 8-hex sub-hashes) with one hash aggregate keyed by pk. The
+    * nested higher-order `TextFns.minhashSignature` form computes the same
+    * estimator family but runs INTERPRETED — measured 160 s vs ~seconds on
+    * the sf0.1 bench (q169) for the same corpus. `explode_outer` keeps
+    * null-text docs: their sig folds to all-null positions, which verify
+    * as 0 matches, so they are admitted and never near-dup anything.
+    */
   private def signed(df: DataFrame): DataFrame = {
     val sh = array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), shingleW))
-    df.select(col(pkCol), TextFns.minhashSignature(sh, k).as("sig"))
+    val hashed = df.select(col(pkCol), explode_outer(sh).as("h"))
+      .select(col(pkCol) +:
+        (0 until salts).map(t => md5(concat(lit(s"$t:"), col("h"))).as(s"m$t")): _*)
+    val sigCols = (0 until k).map { j =>
+      min(substring(col(s"m${j / Chunk}"), (j % Chunk) * 8 + 1, 8)).as(s"s$j") }
+    hashed.groupBy(col(pkCol)).agg(sigCols.head, sigCols.tail: _*)
+      .select(col(pkCol), array((0 until k).map(j => col(s"s$j")): _*).as("sig"))
       .withColumn("bands", TextFns.lshBands(col("sig"), bands, r))
   }
 
