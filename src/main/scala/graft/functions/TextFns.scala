@@ -76,13 +76,6 @@ object TextFns {
     transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
       i => md5(array_join(slice(toks, i, lit(w)), " ")))
 
-  /** MinHash signature: k permutations simulated by salting the shingle hash;
-    * signature element j = min over shingles of md5(j || ':' || shingle_md5).
-    */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh, h => md5(concat(j.cast("string"), lit(":"), h)))))
-
   /** LSH band keys: bands of r signature rows, each band hashed to one key. */
   def lshBands(sig: Column, bands: Int, r: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),

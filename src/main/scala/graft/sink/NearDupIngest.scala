@@ -68,9 +68,10 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     * explode the distinct shingles, compute `salts` md5 columns per row as
     * plain codegen'd expressions, and take the k minima (each md5 sliced
     * into 4 8-hex sub-hashes) with one hash aggregate keyed by pk. The
-    * nested higher-order `TextFns.minhashSignature` form computes the same
-    * estimator family but runs INTERPRETED — measured 160 s vs ~seconds on
-    * the sf0.1 bench (q169) for the same corpus. `explode_outer` keeps
+    * nested higher-order form (`transform(sequence(..), j => array_min(
+    * transform(sh, ..)))`) computes the same estimator family but runs
+    * INTERPRETED — measured 160 s vs ~seconds on the sf0.1 bench (q169)
+    * for the same corpus; it was removed with this rewrite. `explode_outer` keeps
     * null-text docs: their sig folds to all-null positions, which verify
     * as 0 matches, so they are admitted and never near-dup anything.
     */
