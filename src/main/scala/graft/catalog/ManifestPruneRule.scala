@@ -190,8 +190,12 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
       else check(file, a.name, "=", l)
     case IsNotNull(a: AttributeReference) =>
       // an all-null ("z") file has no row passing IS NOT NULL; with a
-      // recorded null count, nulls == rows proves the same without "z"
-      file.stats.get(a.name).forall(st => st.kind != "z" && st.nulls != file.rows)
+      // recorded null count, nulls == rows proves the same without "z" —
+      // but only for a KNOWN-positive row count: a summary probe may carry
+      // rows = 0 (empty side) or −1 (unknown), where nulls == rows proves
+      // nothing (and −1 == −1 for an unknown null count must never refute)
+      file.stats.get(a.name).forall(st =>
+        st.kind != "z" && !(file.rows > 0L && st.nulls == file.rows))
     case IsNull(a: AttributeReference) =>
       // a file with a PROVEN zero null count has no row passing IS NULL;
       // unknown (-1) keeps the file
@@ -221,7 +225,9 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     // extraction is null (missing path, null variant, or failed try-cast —
     // the same rows the query-side extraction nulls)
     case IsNotNull(VGetKey(k)) =>
-      file.stats.get(k).forall(st => st.kind != "z" && st.nulls != file.rows)
+      // same known-positive-rows guard as the column arm above
+      file.stats.get(k).forall(st =>
+        st.kind != "z" && !(file.rows > 0L && st.nulls == file.rows))
     case IsNull(VGetKey(k)) =>
       file.stats.get(k).forall(_.nulls != 0L)
     case _ => true

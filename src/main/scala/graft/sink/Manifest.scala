@@ -107,13 +107,23 @@ final case class Manifest(schema: StructType, files: Seq[DataFile],
   *     (`delBounded`; deletion vectors address file positions, not values,
   *     and make the segment unskippable).
   *
+  * `delRows` carries the delete files' OWN tuple count (not the data row
+  * count) so the delete-side `keep` probe sees a row total consistent with
+  * `delStats` — without it, a delete-only delta segment (data rows = 0)
+  * presented `rows = 0` alongside delete-tuple stats with `nulls = 0`, and
+  * any rows-vs-nulls refutation (the IsNotNull arm) would "prove" the
+  * non-null delete tuples invisible and resurrect the deleted rows.
+  * −1 = unknown (roots written before the field existed): rows-based
+  * refutation of the delete side is then disabled, never wrong.
+  *
   * Pre-delete-aware roots parse with `delEntries = 0, delBounded = false`:
   * their delete-carrying segments never skip, exactly the old behavior.
   */
 final case class SegSummary(entries: Int, rows: Long, hasDeletes: Boolean,
                             stats: Map[String, ColStat],
                             delEntries: Int = 0, delBounded: Boolean = false,
-                            delStats: Map[String, ColStat] = Map.empty)
+                            delStats: Map[String, ColStat] = Map.empty,
+                            delRows: Long = 0L)
 
 /** Header facts of a manifest root, readable without replaying any entry
   * lines: the snapshot schema plus the table-level extras on line 2 —
@@ -435,18 +445,22 @@ object Manifest {
       else mergeStatMaps(deletes.map(_.stats))
     SegSummary(files.size + deletes.size, files.iterator.map(_.rows).sum,
       deletes.nonEmpty, mergeStatMaps(files.map(_.stats)),
-      deletes.size, delBounded, delStats)
+      deletes.size, delBounded, delStats,
+      delRows = deletes.iterator.map(_.rows).sum)
   }
 
   /** `S`-line payload after the segment file name:
-    * `<entries>\t<rows>\t<d|->\t<statsStr>\t<delEntries>\t<b|->\t<delStatsStr>`.
+    * `<entries>\t<rows>\t<d|->\t<statsStr>\t<delEntries>\t<b|->\t<delStatsStr>\t<delRows>`.
     * Pre-summary roots have a bare name (2 fields total) and read as "no
     * summary — always parse"; pre-delete-aware roots stop at `<statsStr>`
-    * and read as "delete entries unskippable" (the old behavior).
+    * and read as "delete entries unskippable" (the old behavior);
+    * pre-`delRows` roots stop at `<delStatsStr>` and read as
+    * `delRows = −1` (unknown — delete-side rows refutation disabled).
     */
   private def summaryFields(s: SegSummary): String =
     s"${s.entries}\t${s.rows}\t${if (s.hasDeletes) "d" else "-"}\t${statsStr(s.stats)}" +
-      s"\t${s.delEntries}\t${if (s.delBounded) "b" else "-"}\t${statsStr(s.delStats)}"
+      s"\t${s.delEntries}\t${if (s.delBounded) "b" else "-"}\t${statsStr(s.delStats)}" +
+      s"\t${s.delRows}"
 
   /** Parse an `S`-line payload's summary (fields after `S\t`); None for
     * bare pre-summary payloads.
@@ -460,7 +474,8 @@ object Manifest {
       parseStats(fields(4)),
       delEntries = if (fields.length >= 8) fields(5).toInt else 0,
       delBounded = fields.length >= 8 && fields(6) == "b",
-      delStats = if (fields.length >= 8) parseStats(fields(7)) else Map.empty))
+      delStats = if (fields.length >= 8) parseStats(fields(7)) else Map.empty,
+      delRows = if (fields.length >= 9) fields(8).toLong else -1L))
   }
 
   /** Write one immutable segment; returns the complete `S`-line payload
@@ -737,10 +752,15 @@ object Manifest {
         // only resurrect rows whose key values its merged bounds cover, and
         // `!keep(delStats)` proves the query's residual filter rejects all
         // of those — so dropping the entry changes nothing this query sees
+        // the delete-side probe presents the delete files' OWN tuple count
+        // as `rows` (delRows; −1 disables rows-based refutation) — the data
+        // row count is 0 for delete-only delta segments, and a rows-vs-nulls
+        // arm in `keep` (IsNotNull) would wrongly refute non-null tuples
         val skip = parseSummary(payload).exists { s =>
           val dataGone = s.entries - s.delEntries == 0 || !keep(s)
           def delGone = !s.hasDeletes ||
-            (s.delBounded && !keep(s.copy(hasDeletes = false, stats = s.delStats)))
+            (s.delBounded &&
+              !keep(s.copy(hasDeletes = false, stats = s.delStats, rows = s.delRows)))
           dataGone && delGone
         }
         if (skip) { skipped += 1; prunedSegSkips.incrementAndGet(): Unit }

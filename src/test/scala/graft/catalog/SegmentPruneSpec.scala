@@ -117,6 +117,51 @@ class SegmentPruneSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM sgm.t").head().getLong(0) == 599L)
   }
 
+  test("inferred IsNotNull conjuncts never skip a live delete (delRows probe)") {
+    // REGRESSION: the delete-side skip probe used to present the segment's
+    // DATA row count (0 for the delete-only delta segments equalityDelete
+    // commits) as `rows`, so mayMatch's IsNotNull arm "proved" nulls(0) ==
+    // rows(0) all-null and dropped the delete — resurrecting the deleted
+    // row for ANY query with a predicate on the key, because Spark's
+    // InferFiltersFromConstraints adds isnotnull(k) to every one of those.
+    // The probe must carry the delete files' own tuple count (delRows).
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, EqualTo, IsNotNull, Literal => CLit}
+    val root = tmpDir("segprune-innull")
+    val wh = new Warehouse(spark, root)
+    wh.create("t", schema)
+    (0 until 4).foreach(i => wh.append("t", batch(i * 100L, 100L), statsCols = Seq("k")))
+    wh.equalityDelete("t", spark.createDataFrame(
+      Seq(Row(130L, null: String)).asJava, schema).select(col("k")))
+
+    val kAttr = AttributeReference("k", LongType)()
+    def keepOf(cond: org.apache.spark.sql.catalyst.expressions.Expression)
+        : graft.sink.SegSummary => Boolean =
+      s => ManifestPruneRule.mayMatch(graft.sink.DataFile("", s.rows, s.stats), cond)
+
+    // probe AT the deleted key, in the exact conjunct shape the optimizer
+    // hands ManifestPruneRule: the delete entry MUST survive pruning
+    val atKey = And(EqualTo(kAttr, CLit(130L)), IsNotNull(kAttr))
+    val (prunedAt, _) = wh.manifestPruned("t", None, keepOf(atKey))
+    assert(prunedAt.deletes.size == 1,
+      s"isnotnull conjunct skipped a live delete: ${prunedAt.deletes}")
+    // and the planned file set still answers without the deleted row
+    assert(prunedAt.files.exists(_.stats("k").min.toLong <= 130L))
+
+    // a probe DISJOINT from the delete bounds still skips it — the
+    // isnotnull conjunct must not block sound delete-side refutation
+    val farKey = And(EqualTo(kAttr, CLit(330L)), IsNotNull(kAttr))
+    val (prunedFar, skippedFar) = wh.manifestPruned("t", None, keepOf(farKey))
+    assert(prunedFar.deletes.isEmpty,
+      s"refuted delete must still skip: ${prunedFar.deletes}")
+    assert(skippedFar >= 4, s"3 data segments + the delete segment, got $skippedFar")
+
+    // end-to-end: the SQL answer at the deleted key stays MOR-exact
+    spark.conf.set("spark.sql.catalog.sgn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sgn.root", root)
+    assert(spark.sql("SELECT count(*) AS n FROM sgn.t WHERE k = 130").head().getLong(0) == 0L)
+  }
+
   test("schema served from the root header; evolution + pruning compose") {
     val root = tmpDir("segprune-evo")
     spark.conf.set("spark.sql.catalog.sge", classOf[GraftCatalog].getName)
