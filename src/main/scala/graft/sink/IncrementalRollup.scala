@@ -1,6 +1,6 @@
 package graft.sink
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Incremental materialized-view maintenance for ADDITIVE rollups — the
@@ -270,30 +270,40 @@ object IncrementalRollup {
     val factNow = wh.loadVersion(fact, now)
     val plainAgg = (df: DataFrame) => df.groupBy(keys.map(col): _*)
       .agg(spec.measures.head.partial, spec.measures.tail.map(_.partial): _*)
+    var rescanRows: Array[Row] = Array.empty
     if (keys.isEmpty) {
       // global rollup: the one group is affected — consolidate by replace
       wh.replace(table, plainAgg(factNow), statsCols = keys)
-    } else if (nAffected <= MaxRescanGroups) {
-      val rows = affected.collect() // bounded by the gate — metadata-scale
+    } else if (nAffected <= MaxRescanGroups && {
+               rescanRows = affected.collect() // bounded by the gate — metadata-scale
+               !rescanRows.exists(r => keys.exists(r.getAs[Any](_) == null)) }) {
+      val rows = rescanRows
       // per-column IN predicates push into the parquet scan (the real
       // prune); the null-safe group disjunction is the exact residual.
-      // Plain col() refs: each filter resolves against its own frame, and
-      // deleteWhere resolves against its own scan
+      // Plain col() refs: each filter resolves against its own frame
       val groupPred: Column = rows.toSeq.map(r =>
         keys.map(k => col(k) <=> lit(r.getAs[Any](k))).reduce(_ && _)).reduce(_ || _)
       val perCol = keys.map { k =>
-        val vs = rows.toSeq.map(_.getAs[Any](k))
-        val nonNull = vs.filter(_ != null)
-        val in = if (nonNull.isEmpty) lit(false)
-                 else col(k).isin(nonNull: _*)
-        if (vs.contains(null)) in || col(k).isNull else in
+        col(k).isin(rows.toSeq.map(_.getAs[Any](k)): _*)
       }.reduce(_ && _)
       val recomputed = plainAgg(factNow.filter(perCol && groupPred))
-      // retract the affected groups' fold history FIRST, then land the
-      // unaffected window partials and the consolidated rows in one append
-      wh.deleteWhere(table, groupPred)
       val unaff = part.filter(!groupPred)
-      wh.append(table, unaff.unionByName(recomputed), statsCols = keys)
+      // retraction of the affected groups' fold history and the landing of
+      // the replacement (unaffected window partials + consolidated rows)
+      // must be ONE commit: two commits left a crash window in which the
+      // retracted history was gone but its replacement absent — replay then
+      // found no tie (nAffected == 0) and silently dropped the groups'
+      // pre-window history. The staged equality delete applies to
+      // pre-transaction rows only ([[Warehouse.transact]] snapshot-at-start
+      // semantics), so it cannot touch the same transaction's appended
+      // replacement rows. Null group keys never reach this branch (staged
+      // equality deletes are plain-equality — a null key tuple would not
+      // retract); those windows take the consolidation replace below,
+      // which is a single commit by construction.
+      wh.transact { tx =>
+        tx.equalityDelete(table, affected)
+        tx.append(table, unaff.unionByName(recomputed), statsCols = keys)
+      }
     } else {
       // mass-delete window: one consolidation replace
       def nullSafe(l: DataFrame, r: DataFrame): Column =

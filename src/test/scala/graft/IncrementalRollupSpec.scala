@@ -170,6 +170,50 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(wh.currentVersion("r") == v)
   }
 
+  test("change feed + min/max: targeted rescan is ONE atomic rollup commit") {
+    // REGRESSION: retract (deleteWhere) + append used to be two commits; a
+    // crash between them lost the affected groups' history permanently
+    // (replay found no tie and appended only the window partial). The
+    // rescan now lands as one transaction commit: retraction is a staged
+    // equality delete that cannot touch the same transaction's rows.
+    val wh = new Warehouse(spark, tmpDir("ivm-atomic"))
+    wh.create("fact", mmSchema)
+    wh.append("fact", mmRows("a" -> 1L, "a" -> 9L, "b" -> 5L), statsCols = Seq("k"))
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec)
+    wh.append("fact", mmRows("a" -> 3L), statsCols = Seq("k"))
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec)
+
+    val v0 = wh.currentVersion("r")
+    wh.deleteWhere("fact", col("k") === "a" && col("value") === 9L) // the max
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec)
+    assert(wh.currentVersion("r") == v0 + 1,
+      s"targeted rescan must land as ONE commit, took ${wh.currentVersion("r") - v0}")
+    assert(mmCanon(IncrementalRollup.read(wh, "r", mmSpec)) == mmDirect(wh))
+    // the retraction rides as a MOR equality delete — fold state must read
+    // exactly one surviving row for the consolidated group
+    assert(IncrementalRollup.read(wh, "r", mmSpec)
+      .filter(col("k") === "a").collect().head.getAs[Long]("hi") == 3L)
+  }
+
+  test("change feed + min/max: NULL-keyed affected group takes the replace, stays exact") {
+    // staged equality deletes are plain-equality (null keys never match),
+    // so a null-keyed affected group cannot retract through the transaction
+    // path — the maintenance must fall back to the single-commit
+    // consolidation replace and still converge to the direct aggregate
+    val wh = new Warehouse(spark, tmpDir("ivm-nullkey"))
+    wh.create("fact", mmSchema)
+    wh.append("fact", mmRows((null: String) -> 2L, (null: String) -> 8L, "b" -> 4L),
+      statsCols = Seq("k"))
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec)
+    wh.deleteWhere("fact", col("k").isNull && col("value") === 8L) // null group's max
+    IncrementalRollup.maintainFromChangeFeed(wh, "fact", "r", mmSpec)
+    assert(mmCanon(IncrementalRollup.read(wh, "r", mmSpec)) == mmDirect(wh))
+    val nullRow = IncrementalRollup.read(wh, "r", mmSpec)
+      .filter(col("k").isNull).collect().head
+    assert(nullRow.getAs[Long]("n") == 1L && nullRow.getAs[Long]("hi") == 2L,
+      nullRow.toString)
+  }
+
   test("change feed + min/max: mass-delete window takes the consolidation replace") {
     val wh = new Warehouse(spark, tmpDir("ivm-mass"))
     wh.create("fact", mmSchema)
