@@ -64,6 +64,63 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
   private def bandsTable(name: String) = s"${name}__bands"
   private def sigsTable(name: String) = s"${name}__sigs"
 
+  // ---- signature-format stamp -------------------------------------------
+  // The on-disk signature format changed once already (32-hex per-position-
+  // salted md5 → 8-hex substrings of chunk-salted md5): old and new sigs
+  // never compare equal and never share band keys, so an index mixing eras
+  // SILENTLY finds no cross-era pairs and re-admits near-dups of pre-change
+  // content. Every entry point therefore checks a format stamp on the sigs
+  // table (ridden on the batch-id ledger — one atomic pointer file) and
+  // refuses loudly on mismatch instead of degrading. The stamp encodes the
+  // format generation AND the signing parameters (shingleW, k, bands):
+  // a parameter change has the identical silent-mixing failure mode.
+  private val SigFmtSid = "sigformat"
+  /** Format generation 2 = the flat chunk-salted-md5 shape of [[signed]]. */
+  private[sink] val formatStamp: Long =
+    (2L << 48) | (shingleW.toLong << 32) | (k.toLong << 16) | bands.toLong
+
+  private def formatGuard(name: String): Unit = {
+    if (!wh.exists(sigsTable(name))) return
+    val got = wh.lastCommittedBatchId(sigsTable(name), SigFmtSid)
+    if (got == formatStamp) return
+    if (got < 0) throw new IllegalStateException(
+      s"near-dup index for '$name' carries no signature-format stamp — it was " +
+        "built before format stamping (possibly with the old per-position-salted " +
+        "signature shape, which never matches current signatures). Rebuild the " +
+        "index (drop the __sigs/__bands tables and followChanges/ingest afresh), " +
+        "or, if it was provably built with the CURRENT format and parameters, " +
+        "adopt it explicitly with adoptFormat(name).")
+    else {
+      val g = got >> 48; val w = (got >> 32) & 0xffff
+      val gk = (got >> 16) & 0xffff; val gb = got & 0xffff
+      throw new IllegalStateException(
+        s"near-dup index for '$name' was built with an incompatible signature " +
+          s"format (generation $g, shingleW=$w, k=$gk, bands=$gb; this instance: " +
+          s"generation 2, shingleW=$shingleW, k=$k, bands=$bands). Cross-era " +
+          "signatures never match and band keys never collide, so pairs would be " +
+          "silently lost. Rebuild the index, or construct NearDupIngest with the " +
+          "index's parameters.")
+    }
+  }
+
+  /** Stamp a fresh (or explicitly adopted) index with this instance's
+    * format. Idempotent; no-op while the sigs table does not exist yet.
+    */
+  private def stampFormat(name: String): Unit =
+    if (wh.exists(sigsTable(name)) &&
+        wh.lastCommittedBatchId(sigsTable(name), SigFmtSid) != formatStamp)
+      wh.recordBatchId(sigsTable(name), SigFmtSid, formatStamp)
+
+  /** Operator override for a pre-stamp index KNOWN to be in this instance's
+    * exact format and parameters: records the stamp so the guard passes.
+    * Misuse reintroduces the silent cross-era mixing the guard exists to
+    * prevent — only adopt an index whose build provenance is certain.
+    */
+  def adoptFormat(name: String): Unit = {
+    require(wh.exists(sigsTable(name)), s"no near-dup index for table: $name")
+    stampFormat(name)
+  }
+
   /** (pk, sig, bands) for a batch — q57's FLAT salted-md5 minhash shape:
     * explode the distinct shingles, compute `salts` md5 columns per row as
     * plain codegen'd expressions, and take the k minima (each md5 sliced
@@ -71,9 +128,18 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     * nested higher-order form (`transform(sequence(..), j => array_min(
     * transform(sh, ..)))`) computes the same estimator family but runs
     * INTERPRETED — measured 160 s vs ~seconds on the sf0.1 bench (q169)
-    * for the same corpus; it was removed with this rewrite. `explode_outer` keeps
-    * null-text docs: their sig folds to all-null positions, which verify
-    * as 0 matches, so they are admitted and never near-dup anything.
+    * for the same corpus; it was removed with this rewrite.
+    *
+    * Null/EMPTY-text docs: `tokens(null)` flows through [[TextFns.shingles]]
+    * to the single degenerate `md5("")` shingle (`concat_ws` never returns
+    * null; `greatest(…, 1)` forces one window), so every such doc gets the
+    * IDENTICAL non-null signature and all of them pair at k/k matches.
+    * That is intended: empty docs are content-equal to each other, so the
+    * ingest admits exactly one (min-pk keeper) and drops the rest — the
+    * exact-dedup outcome, reached through the near-dup algebra. The q57/
+    * q169 oracles mirror the same degenerate shingle, so the estimator
+    * agrees cross-engine. (`explode_outer` is belt-and-braces for a null
+    * SHINGLE ARRAY, which the current shingle algebra never produces.)
     */
   private def signed(df: DataFrame): DataFrame = {
     val sh = array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), shingleW))
@@ -92,10 +158,12 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     size(filter(zip_with(a, b, (x, y) => x === y), m => m))
 
   def ingest(name: String, df: DataFrame): Report = {
+    formatGuard(name)
     val preV = if (wh.exists(name)) wh.currentVersion(name) else -1L
     val st = stage(name, df)
     try {
       wh.append(sigsTable(name), st.newSigs, statsCols = Seq(pkCol))
+      stampFormat(name)
       wh.append(bandsTable(name), st.newBands, statsCols = Seq("band_key"))
       val version = wh.append(name, st.outRows, statsCols = Seq(pkCol))
       advanceFollowerLedger(name, preV)
@@ -147,6 +215,7 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
       // sigs before bands: a band row without its signature is a probe hit
       // that cannot verify; the reverse order is inert (ingest's discipline)
       wh.append(sigsTable(name), newSigs, statsCols = Seq(pkCol))
+      stampFormat(name)
       wh.append(bandsTable(name), newBands, statsCols = Seq("band_key"))
       newSigs.count()
     } finally s.unpersist()
@@ -174,6 +243,7 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     */
   def followChanges(name: String): FollowReport = {
     require(wh.exists(name), s"no corpus table: $name")
+    formatGuard(name)
     val sid = s"idxfollow:$name"
     val last =
       if (wh.exists(bandsTable(name))) wh.lastCommittedBatchId(bandsTable(name), sid)
@@ -215,6 +285,7 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
   def pairs(name: String): DataFrame = {
     require(wh.exists(bandsTable(name)) && wh.exists(sigsTable(name)),
       s"no near-dup index for table: $name (ingest or followChanges first)")
+    formatGuard(name)
     val bands = wh.load(bandsTable(name))
     val cand = bands.alias("a").join(bands.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -238,6 +309,7 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     * stays safe, and a crashed transaction commits nothing.
     */
   def ingestAtomic(name: String, df: DataFrame): Report = {
+    formatGuard(name)
     val preV = if (wh.exists(name)) wh.currentVersion(name) else -1L
     val st = stage(name, df)
     try {
@@ -246,6 +318,7 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
         tx.append(bandsTable(name), st.newBands, statsCols = Seq("band_key"))
         tx.append(name, st.outRows, statsCols = Seq(pkCol))
       }
+      stampFormat(name)
       advanceFollowerLedger(name, preV)
       Report(wh.currentVersion(name), st.appended, st.total - st.kept,
         st.kept - st.appended)

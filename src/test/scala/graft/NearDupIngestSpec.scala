@@ -256,6 +256,42 @@ class NearDupIngestSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("signature-format stamp: mismatched parameters refuse loudly, never mix") {
+    val wh = new Warehouse(spark, tmpDir("ndi-fmt"))
+    val ing = ingester(wh)
+    ing.ingest("corpus", docs(1L -> baseText, 2L -> otherText))
+    // an instance with different signing parameters (k=8) would write
+    // signatures that never compare equal and bands that never collide with
+    // the stored ones — every entry point must refuse, not degrade
+    val alien = new NearDupIngest(wh, "doc_id", "text", k = 8, bands = 2)
+    val e1 = intercept[IllegalStateException](
+      alien.ingest("corpus", docs(3L -> nearText)))
+    assert(e1.getMessage.contains("incompatible signature format"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](alien.followChanges("corpus"))
+    assert(e2.getMessage.contains("incompatible"), e2.getMessage)
+    val e3 = intercept[IllegalStateException](alien.pairs("corpus"))
+    assert(e3.getMessage.contains("incompatible"), e3.getMessage)
+    // the matching instance keeps working
+    assert(ing.ingest("corpus", docs(3L -> nearText)).appended == 0)
+  }
+
+  test("signature-format stamp: a pre-stamp index refuses until adopted") {
+    val root = tmpDir("ndi-fmt-adopt")
+    val wh = new Warehouse(spark, root)
+    val ing = ingester(wh)
+    ing.ingest("corpus", docs(1L -> baseText, 2L -> otherText))
+    // simulate a pre-stamp index: wipe the stamp ledger file
+    val stampFile = java.nio.file.Paths.get(root, "corpus__sigs", "_stream_sigformat")
+    assert(java.nio.file.Files.exists(stampFile), "fresh ingest must stamp")
+    java.nio.file.Files.delete(stampFile)
+    val e = intercept[IllegalStateException](ing.pairs("corpus"))
+    assert(e.getMessage.contains("no signature-format stamp") &&
+      e.getMessage.contains("adoptFormat"), e.getMessage)
+    // operator adoption (provenance known: we built it with this instance)
+    ing.adoptFormat("corpus")
+    assert(ing.ingest("corpus", docs(10L -> nearText)).dupVsCorpus == 1)
+  }
+
   test("streaming ingest: near-dup rejected in-flight; fresh-checkpoint replay adds 0") {
     import org.apache.spark.sql.streaming.Trigger
     val watch = tmpDir("ndi-watch")
