@@ -371,13 +371,39 @@ sealed class GraftParquetScan(base: ParquetScan,
     * prefix probe could then never broadcast). Only StartsWith discounts
     * here — shapes CBO itself prices (equality, numeric ranges) must not
     * be double-discounted.
+    *
+    * Two guards keep the discount from breaking the safe-upper-bound
+    * contract in the dangerous direction (an UNDERestimated side flips
+    * into a broadcast that OOMs):
+    *
+    *   - STALENESS: the sketch reflects the distribution at the last
+    *     ANALYZE. The discount only applies while at most ~25% of the
+    *     analyzed row count has been INGESTED since (measured as the drift
+    *     of the manifest header's monotone row-lineage high-water from the
+    *     hwm the ANALYZE stamped — a 2-line metadata read, never a
+    *     manifest replay, and churn-immune where raw row counts are not).
+    *     Grown past the gate, post-ANALYZE rows concentrated under the
+    *     probed prefix could dwarf the sketched mass — the estimate
+    *     reverts to undiscounted. Unknown hwm on either side (pre-lineage
+    *     table, pre-field stats) also reverts: no discount without proof
+    *     of freshness.
+    *   - RESOLUTION: the per-conjunct mass is floored at the sketch's own
+    *     double-sided normalized rank error ([[graft.sink.StringPrefixKey
+    *     .boundedMass]]) instead of a nominal 1e-9 — a measured mass below
+    *     the sketch's resolution is noise, not evidence of emptiness.
     */
   private lazy val prefixSelectivity: Double = statsRef match {
     case None => 1.0
     case Some((t, r)) =>
-      val csO = new graft.sink.Warehouse(sparkSession, r).columnStats(t)
+      val wh = new graft.sink.Warehouse(sparkSession, r)
+      val csO = wh.columnStats(t)
       csO.fold(1.0) { cs =>
-        pushedFilters.iterator.map {
+        val hwm = try wh.manifestHeader(t).rowHwm catch { case _: Exception => -1L }
+        // -1 on either side = unknown growth: conservative, no discount
+        val fresh = cs.rows > 0 && hwm >= 0 && cs.hwm >= 0 &&
+          hwm - cs.hwm <= cs.rows / 4
+        if (!fresh) 1.0
+        else pushedFilters.iterator.map {
           case org.apache.spark.sql.sources.StringStartsWith(a, p) =>
             (for {
               e <- cs.cols.get(a)
@@ -386,9 +412,8 @@ sealed class GraftParquetScan(base: ParquetScan,
               m <- {
                 val (lo, hi) = graft.sink.StringPrefixKey.range(
                   p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                graft.sink.StringPrefixKey.mass(e.kllB64, lo, hi)
+                graft.sink.StringPrefixKey.boundedMass(e.kllB64, lo, hi)
               }
-              if cs.rows > 0
             } yield {
               val nonNull = math.max(cs.rows - e.nullCount, 0L)
               math.max(m * nonNull / cs.rows, 1e-9)

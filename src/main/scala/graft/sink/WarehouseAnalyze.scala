@@ -99,6 +99,23 @@ object StringPrefixKey {
       if (sk.isEmpty) None
       else Some(math.max(0.0, sk.getRank(hi) - sk.getRank(lo)))
     }
+
+  /** [[mass]] floored at the sketch's double-sided normalized rank error
+    * (two `getRank` calls, each ±ε): a measured mass below the sketch's
+    * own resolution is noise, not evidence of emptiness — consumers
+    * pricing a plan decision off the mass (the `LIKE 'p%'` scan discount)
+    * must not treat it as one.
+    */
+  def boundedMass(kllB64: String, lo: Double, hi: Double): Option[Double] =
+    if (kllB64.isEmpty) None
+    else {
+      val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(
+          java.util.Base64.getDecoder.decode(kllB64)))
+      if (sk.isEmpty) None
+      else Some(math.max(2.0 * sk.getNormalizedRankError(false),
+        sk.getRank(hi) - sk.getRank(lo)))
+    }
 }
 
 private[sink] trait WarehouseAnalyze { self: Warehouse =>
@@ -125,10 +142,17 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
                           kllB64: String = "")
 
   /** Stored table statistics: the snapshot version analyzed, its exact row
-    * count, and per-column [[ColNdv]].
+    * count, per-column [[ColNdv]], and the snapshot's row-lineage
+    * high-water mark at analyze time (`hwm`; −1 = unknown — pre-lineage
+    * table or stats written before the field existed). `hwm` is the
+    * monotone ingested-rows counter, so `currentHwm − hwm` measures EXACTLY
+    * how many rows arrived since the analyze — the staleness signal
+    * consumers pricing plans off sketch mass need (row counts alone can't
+    * tell growth from churn).
     */
   final case class TableColStats(version: Long, rows: Long,
-                                 cols: Map[String, ColNdv])
+                                 cols: Map[String, ColNdv],
+                                 hwm: Long = -1L)
 
   private def colStatsPath(name: String) = tableDir(name).resolve("_colstats")
 
@@ -155,7 +179,7 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
     val targets = analyzeTargets(man.schema, cols)
     val (rows, entries) = ndvAggregate(
       load(name).select(targets.map(f => col(f.name)): _*), targets)
-    val out = TableColStats(version, rows, entries)
+    val out = TableColStats(version, rows, entries, hwm = man.rowHwm)
     storeColStats(name, out)
     out
   }
@@ -257,7 +281,7 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
   private def storeColStats(name: String, out: TableColStats): Unit = {
     val sb = new StringBuilder
     sb.append("graft-colstats v1\n").append(out.version).append('\t')
-      .append(out.rows).append('\n')
+      .append(out.rows).append('\t').append(out.hwm).append('\n')
     def b64s(s: String) = java.util.Base64.getEncoder.encodeToString(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.cols.toSeq.sortBy(_._1).foreach { case (c, e) =>
@@ -323,7 +347,7 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
         else {
           val added = man.files.filterNot(f => prevPaths(f.path))
           if (added.isEmpty) {
-            val out = prev.copy(version = head)
+            val out = prev.copy(version = head, hwm = man.rowHwm)
             storeColStats(name, out)
             return IncrementalAnalyzeReport(out, 0, incremental = true)
           }
@@ -381,7 +405,7 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
               java.util.Base64.getEncoder.encodeToString(sk),
               mergedMin(p.minV, n.minV), mergedMax(p.maxV, n.maxV), kll)
           }.toMap
-          val out = TableColStats(head, prev.rows + newRows, merged)
+          val out = TableColStats(head, prev.rows + newRows, merged, hwm = man.rowHwm)
           storeColStats(name, out)
           IncrementalAnalyzeReport(out, added.size, incremental = true)
         }
@@ -395,7 +419,10 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
     if (!Files.exists(p)) return None
     val lines = Files.readString(p).linesIterator.toSeq
     if (lines.isEmpty || lines.head != "graft-colstats v1") return None
-    val Array(v, rows) = lines(1).split('\t')
+    // header lines written before the hwm field have 2 columns
+    val hdr = lines(1).split('\t')
+    val (v, rows) = (hdr(0), hdr(1))
+    val hwm = if (hdr.length > 2) hdr(2).toLong else -1L
     val cols = lines.drop(2).filter(_.nonEmpty).map { l =>
       val f = l.split('\t')
       def unb64(s: String) = new String(java.util.Base64.getDecoder.decode(s),
@@ -406,7 +433,7 @@ private[sink] trait WarehouseAnalyze { self: Warehouse =>
         if (f.length > 7) unb64(f(7)) else "",
         if (f.length > 8) f(8) else "")
     }.toMap
-    Some(TableColStats(v.toLong, rows.toLong, cols))
+    Some(TableColStats(v.toLong, rows.toLong, cols, hwm))
   }
 
 }

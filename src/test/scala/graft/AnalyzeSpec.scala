@@ -225,6 +225,54 @@ class AnalyzeSpec extends SparkSpec {
     }
   }
 
+  test("LIKE-prefix discount goes STALE: heavy post-ANALYZE ingest reverts the estimate") {
+    // the sketch reflects the distribution at the last ANALYZE; ingest
+    // since then concentrated under the probed prefix could make the
+    // discounted side arbitrarily larger than estimated and flip a
+    // too-big side into a broadcast. The discount must switch off once
+    // the row-lineage high-water drifts past ~25% of the analyzed count.
+    val fs = StructType(Seq(StructField("k", LongType), StructField("name", StringType),
+      StructField("pay", StringType)))
+    val ds = StructType(Seq(StructField("k", LongType), StructField("dv", LongType)))
+    wh.replace("stale_fact", spark.createDataFrame(
+      (0 until 20000).map { i =>
+        val nm = if (i % 2000 == 0) s"zq$i" else s"aa$i"
+        Row(i.toLong, nm, s"payload-$i-${"x" * 30}")
+      }.asJava, fs))
+    wh.replace("stale_dim", spark.createDataFrame(
+      (0 until 20000).map(i => Row(i.toLong, i.toLong * 7)).asJava, ds))
+    val q = "SELECT f.k, f.name, d.dv FROM gana.stale_dim d " +
+      "JOIN gana.stale_fact f ON d.k = f.k WHERE f.name LIKE 'zq%'"
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val st = wh.analyzeTable("stale_fact")
+      assert(st.hwm >= st.rows, "analyze must stamp the row-lineage hwm")
+      assert(spark.sql(q).queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "premise: fresh stats must discount")
+      // ingest 50% more rows, ALL under the probed prefix, without re-analyze
+      wh.append("stale_fact", spark.createDataFrame(
+        (20000 until 30000).map(i =>
+          Row(i.toLong, s"zq$i", s"payload-$i-${"x" * 30}")).asJava, fs))
+      val after = spark.sql(q).queryExecution.executedPlan.toString
+      assert(!after.contains("BroadcastHashJoin"),
+        s"stale sketch (50% growth) must not discount:\n$after")
+      // re-analyze re-stamps the hwm (fresh again) — and the re-measured
+      // mass is now ~33% (10,010 of 30,000 under 'zq%'), so the correctly
+      // sized discount still doesn't broadcast a genuinely large side
+      val st2 = wh.analyzeTable("stale_fact")
+      assert(st2.hwm > st.hwm && st2.rows == 30000L, st2.toString)
+      assert(!spark.sql(q).queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "a truly large prefix mass must not broadcast even when fresh")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("incremental ANALYZE merges histogram state: bounds and quantiles track both batches") {
     val s2 = StructType(Seq(StructField("v", LongType)))
     wh.replace("hist_inc", spark.createDataFrame(
