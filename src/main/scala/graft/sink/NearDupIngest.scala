@@ -171,22 +171,11 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     } finally st.sigs.unpersist()
   }
 
-  /** [[SearchIndexIngest]]'s ledger discipline, verbatim: the index is
-    * synchronous with the corpus THROUGH this ingest's own commit, so the
-    * follower may start past it — but only when the head is EXACTLY
-    * preAppendVersion + 1 (our append and nothing else). A foreign
-    * deleteWhere/morMerge between ticks OR during the ingest stays in the
-    * next [[followChanges]] window; re-indexing our own rows there no-ops
-    * through the same idempotent anti-joins.
+  /** [[IndexFollower.advance]] on the bands table — the shared ledger
+    * discipline (head == preAppendVersion + 1, judged on the head).
     */
-  private[graft] def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit = {
-    val sid = s"idxfollow:$name"
-    val ledgerClean = preAppendVersion < 0 ||
-      wh.lastCommittedBatchId(bandsTable(name), sid) >= preAppendVersion
-    val head = wh.currentVersion(name)
-    if (ledgerClean && head == preAppendVersion + 1)
-      wh.recordBatchId(bandsTable(name), sid, head)
-  }
+  private[graft] def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit =
+    IndexFollower.advance(wh, name, bandsTable(name), preAppendVersion)
 
   /** Sign `df` and append its NEW pks' signature + band rows — idempotent
     * by pk (anti-join against the stored pks through the MOR overlay, so a
@@ -244,35 +233,21 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
   def followChanges(name: String): FollowReport = {
     require(wh.exists(name), s"no corpus table: $name")
     formatGuard(name)
-    val sid = s"idxfollow:$name"
-    val last =
-      if (wh.exists(bandsTable(name))) wh.lastCommittedBatchId(bandsTable(name), sid)
-      else -1L
-    val now = wh.currentVersion(name)
-    if (now <= last) return FollowReport(now, 0L, 0L)
-    val changes = (
-      if (last < 0) wh.load(name).withColumn("_change_type", lit("+I"))
-      else wh.readChanges(name, last, now)
-      ).localCheckpoint()
-    require(changes.columns.contains(pkCol),
-      s"pk column '$pkCol' absent from $name at v$now — renamed in the window? " +
-        "index followers pair by pk NAME; rebuild the index (or a new follower) " +
-        "under the new name, or use the $changes_lineage face for rename-immune pairing")
-    val delPks = changes.filter(col("_change_type") === "-D")
-      .select(col(pkCol)).distinct().localCheckpoint()
-    val nDel = delPks.count()
-    if (nDel > 0) {
-      // retract BEFORE re-signing: an updated pk's fresh rows (seq > the
-      // delete's) are shielded by the strict-< rule and the re-sign
-      // anti-join sees the pk as absent
-      wh.equalityDelete(bandsTable(name), delPks)
-      wh.equalityDelete(sigsTable(name), delPks)
+    IndexFollower.window(wh, name, bandsTable(name), pkCol) match {
+      case None => FollowReport(wh.currentVersion(name), 0L, 0L)
+      case Some(w) =>
+        if (w.nDel > 0) {
+          // retract BEFORE re-signing: an updated pk's fresh rows (seq > the
+          // delete's) are shielded by the strict-< rule and the re-sign
+          // anti-join sees the pk as absent
+          wh.equalityDelete(bandsTable(name), w.delPks)
+          wh.equalityDelete(sigsTable(name), w.delPks)
+        }
+        val nIns = w.ins.select(col(pkCol)).distinct().count()
+        if (nIns > 0) indexRows(name, w.ins)
+        IndexFollower.record(wh, name, bandsTable(name), w.now)
+        FollowReport(w.now, w.nDel, nIns)
     }
-    val ins = changes.filter(col("_change_type") === "+I").drop("_change_type")
-    val nIns = ins.select(col(pkCol)).distinct().count()
-    if (nIns > 0) indexRows(name, ins)
-    if (wh.exists(bandsTable(name))) wh.recordBatchId(bandsTable(name), sid, now)
-    FollowReport(now, nDel, nIns)
   }
 
   /** Serve the index's VERIFIED near-dup pairs: banded candidates (equi-join

@@ -117,35 +117,13 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
     Report(rep.version, rep.appended, postings)
   }
 
-  /** The follower's ledger after an ingest: the index is synchronous with
-    * the corpus THROUGH the ingest's own commit, so followChanges may start
-    * past it — but ONLY when nothing foreign is pending. Advancing over a
-    * deleteWhere/morMerge that landed between ticks would skip its
-    * retraction forever (the index never reads the corpus at serve time).
-    * When foreign commits are pending — ledger behind the pre-append head,
-    * or a pre-existing corpus that was never followed (ledger unset) — the
-    * ledger stays put and the next followChanges drains the WHOLE gap:
-    * retractions apply, and re-indexing this ingest's own rows is a no-op
-    * through the same idempotent anti-join the ingest used.
-    *
-    * "Nothing foreign pending" is judged on the corpus head itself, not the
-    * pre-capture: a foreign deleteWhere/morMerge can land DURING the ingest
-    * (after the pre-append capture, before this call), and blindly
-    * recording the re-read head would fast-forward past its retraction
-    * forever. The ledger therefore advances only when the head is EXACTLY
-    * preAppendVersion + 1 — our own append and nothing else. Any other head
-    * (foreign commit interleaved, or the dedup append committed nothing)
-    * leaves the ledger put; the next followChanges drains the window and
-    * re-indexing our own rows no-ops.
+  /** [[IndexFollower.advance]] on the postings table — the shared ledger
+    * discipline (head == preAppendVersion + 1, judged on the head; see the
+    * object doc for why foreign commits landing DURING an ingest stay in
+    * the next followChanges window).
     */
-  private[graft] def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit = {
-    val sid = s"idxfollow:$name"
-    val ledgerClean = preAppendVersion < 0 ||
-      wh.lastCommittedBatchId(postingsTable(name), sid) >= preAppendVersion
-    val head = wh.currentVersion(name)
-    if (ledgerClean && head == preAppendVersion + 1)
-      wh.recordBatchId(postingsTable(name), sid, head)
-  }
+  private[graft] def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit =
+    IndexFollower.advance(wh, name, postingsTable(name), preAppendVersion)
 
   final case class FollowReport(corpusVersion: Long, deletedDocs: Long, indexedDocs: Long)
 
@@ -170,36 +148,24 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
   def followChanges(name: String): FollowReport = {
     require(wh.exists(postingsTable(name)),
       s"no search index for table: $name (ingest first)")
-    val sid = s"idxfollow:$name"
-    val last = wh.lastCommittedBatchId(postingsTable(name), sid)
-    val now = wh.currentVersion(name)
-    if (now <= last) return FollowReport(now, 0L, 0L)
-    val changes = (
-      if (last < 0) wh.load(name).withColumn("_change_type", lit("+I"))
-      else wh.readChanges(name, last, now)
-      ).localCheckpoint()
-    require(changes.columns.contains(pkCol),
-      s"pk column '$pkCol' absent from $name at v$now — renamed in the window? " +
-        "index followers pair by pk NAME; rebuild the index (or a new follower) " +
-        "under the new name, or use the $changes_lineage face for rename-immune pairing")
-    val delPks = changes.filter(col("_change_type") === "-D")
-      .select(col(pkCol)).distinct().localCheckpoint()
-    val nDel = delPks.count()
-    if (nDel > 0) {
-      // order matters: retract BEFORE re-indexing, so an updated pk's new
-      // postings (seq > the delete's) are shielded by the strict-< rule and
-      // the re-index anti-join sees the pk as absent
-      wh.equalityDelete(postingsTable(name), delPks)
-      wh.equalityDelete(doclensTable(name), delPks)
+    IndexFollower.window(wh, name, postingsTable(name), pkCol) match {
+      case None => FollowReport(wh.currentVersion(name), 0L, 0L)
+      case Some(w) =>
+        if (w.nDel > 0) {
+          // order matters: retract BEFORE re-indexing, so an updated pk's new
+          // postings (seq > the delete's) are shielded by the strict-< rule
+          // and the re-index anti-join sees the pk as absent
+          wh.equalityDelete(postingsTable(name), w.delPks)
+          wh.equalityDelete(doclensTable(name), w.delPks)
+        }
+        val nIns = w.ins.select(col(pkCol)).distinct().count()
+        if (nIns > 0) indexRows(name, w.ins)
+        // a pure-delete window still folds the doclens retraction into cstats
+        else IncrementalRollup.maintainFromChangeFeed(wh, doclensTable(name),
+          cstatsTable(name), statsSpec)
+        IndexFollower.record(wh, name, postingsTable(name), w.now)
+        FollowReport(w.now, w.nDel, nIns)
     }
-    val ins = changes.filter(col("_change_type") === "+I").drop("_change_type")
-    val nIns = ins.select(col(pkCol)).distinct().count()
-    if (nIns > 0) indexRows(name, ins)
-    // a pure-delete window still folds the doclens retraction into cstats
-    else IncrementalRollup.maintainFromChangeFeed(wh, doclensTable(name),
-      cstatsTable(name), statsSpec)
-    wh.recordBatchId(postingsTable(name), sid, now)
-    FollowReport(now, nDel, nIns)
   }
 
   /** [[ingest]] with the three membership-bearing commits — postings,

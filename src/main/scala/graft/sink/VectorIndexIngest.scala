@@ -155,25 +155,12 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     Report(rep.version, rep.appended, codes)
   }
 
-  /** Same contract as SearchIndexIngest.advanceFollowerLedger: advance the
-    * follower past this ingest's own commit ONLY when nothing foreign is
-    * pending — a deleteWhere/morMerge between ticks must stay in the next
-    * followChanges window or its retraction is skipped forever; a never-
-    * followed pre-existing corpus keeps its unset ledger so the first
-    * follow nets the WHOLE history (re-indexing this batch is idempotent).
+  /** [[IndexFollower.advance]] on the codes table — the shared ledger
+    * discipline (head == preAppendVersion + 1, judged on the head).
     */
-  private[graft] def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit = {
-    val sid = s"idxfollow:$name"
-    val ledgerClean = preAppendVersion < 0 ||
-      wh.lastCommittedBatchId(codesTable(name), sid) >= preAppendVersion
-    // judged on the corpus head, not the pre-capture: a foreign commit
-    // landing DURING the ingest (after the capture, before this call) must
-    // not be fast-forwarded over — advance only when the head is exactly
-    // our own append and nothing else
-    val head = wh.currentVersion(name)
-    if (ledgerClean && head == preAppendVersion + 1)
-      wh.recordBatchId(codesTable(name), sid, head)
-  }
+  private[graft] def advanceFollowerLedger(name: String, preAppendVersion: Long): Unit =
+    IndexFollower.advance(wh, name, codesTable(name), preAppendVersion)
+
 
   final case class FollowReport(corpusVersion: Long, deletedVecs: Long, indexedVecs: Long)
 
@@ -191,29 +178,19 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     val (cents, model) = frozen(name)
     require(wh.exists(codesTable(name)),
       s"no vector index for table: $name (ingest first)")
-    val sid = s"idxfollow:$name"
-    val last = wh.lastCommittedBatchId(codesTable(name), sid)
-    val now = wh.currentVersion(name)
-    if (now <= last) return FollowReport(now, 0L, 0L)
-    val changes = (
-      if (last < 0) wh.load(name).withColumn("_change_type", lit("+I"))
-      else wh.readChanges(name, last, now)
-      ).localCheckpoint()
-    require(changes.columns.contains(pkCol),
-      s"pk column '$pkCol' absent from $name at v$now — renamed in the window? " +
-        "index followers pair by pk NAME; rebuild the index (or a new follower) " +
-        "under the new name, or use the $changes_lineage face for rename-immune pairing")
-    val delPks = changes.filter(col("_change_type") === "-D")
-      .select(col(pkCol)).distinct().localCheckpoint()
-    val nDel = delPks.count()
+    val w = IndexFollower.window(wh, name, codesTable(name), pkCol) match {
+      case None    => return FollowReport(wh.currentVersion(name), 0L, 0L)
+      case Some(x) => x
+    }
+    val (now, delPks, nDel) = (w.now, w.delPks, w.nDel)
     // retract BEFORE re-encoding: an updated pk's new code row (seq > the
     // delete's) is shielded by the strict-< rule and the anti-join sees the
     // pk as absent
     if (nDel > 0) wh.equalityDelete(codesTable(name), delPks)
-    val ins = dedupBatch(changes.filter(col("_change_type") === "+I").drop("_change_type"))
+    val ins = dedupBatch(w.ins)
     val nIns = ins.select(col(pkCol)).distinct().count()
     if (nIns > 0) encodeAppend(name, ins, cents, model)
-    wh.recordBatchId(codesTable(name), sid, now)
+    IndexFollower.record(wh, name, codesTable(name), now)
     FollowReport(now, nDel, nIns)
   }
 
