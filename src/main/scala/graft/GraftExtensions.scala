@@ -64,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimization batch, i.e. BEFORE V2ScanRelationPushDown, so it narrows
     // the file list and parquet pushdown then applies to the survivors.
     e.injectOptimizerRule(_ => graft.catalog.ManifestPruneRule)
+    // Merge-on-read: relations whose snapshot carries pending equality
+    // deletes swap for the seq-aware anti-joined MOR frame (read side only;
+    // write targets stay relations). Runs AFTER ManifestPruneRule in the
+    // same fixed point, so the overlay plans from the delete-aware
+    // segment-pruned manifest and PushDownPredicates re-pushes the query's
+    // filters into the spliced plan on the next iteration.
+    e.injectOptimizerRule(_ => graft.catalog.MorReadRule)
     // Metadata-only aggregates: global COUNT(*)/MIN/MAX over an unfiltered
     // warehouse scan collapse to a one-row LocalRelation served from the
     // manifest's row counts / column bounds — zero file opens.
@@ -76,10 +83,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (must run in the resolution batch, before Spark's row-level rewrites
     // reject tables without SupportsRowLevelOperations).
     e.injectResolutionRule(_ => graft.catalog.GraftMergeRule)
-    // Merge-on-read: relations whose snapshot carries pending equality
-    // deletes resolve to the seq-aware anti-joined MOR frame (read side
-    // only; write targets stay relations).
-    e.injectResolutionRule(_ => graft.catalog.MorReadRule)
     // SQL UPDATE on graft tables → the stat-pruned copy-on-write
     // Warehouse.updateWhere (Spark's own path needs
     // SupportsRowLevelOperations).

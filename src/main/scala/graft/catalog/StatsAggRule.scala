@@ -59,7 +59,11 @@ object StatsAggRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
       unwrap(child) match {
-        case Some((t, nameOf, _)) if t.prunedManifest.isEmpty && t.manifest.deletes.isEmpty =>
+        // pending-delete gate answers from the root header (O(2 lines)):
+        // since round 17 such relations survive analysis (MorReadRule swaps
+        // them in THIS batch, possibly after us in the iteration) and the
+        // bail must not force a full manifest load to discover them
+        case Some((t, nameOf, _)) if t.prunedManifest.isEmpty && !t.hasPendingDeletes =>
           val m = t.manifest
           val served = aggExprs.map(serve(m, nameOf, _))
           if (served.contains(None)) agg
@@ -77,7 +81,7 @@ object StatsAggRule extends Rule[LogicalPlan] {
     case agg @ Aggregate(groupExprs, aggExprs, child, _) if groupExprs.nonEmpty =>
       unwrap(child) match {
         case Some((t, nameOf, specOf))
-            if t.prunedManifest.isEmpty && t.manifest.deletes.isEmpty =>
+            if t.prunedManifest.isEmpty && !t.hasPendingDeletes =>
           serveGrouped(t.manifest, nameOf, specOf, groupExprs, aggExprs) match {
             case Some(rows) => LocalRelation(agg.output, rows)
             case None       => agg

@@ -223,8 +223,10 @@ final class Warehouse(private[sink] val spark: SparkSession,
     * root-line summary proves no file can satisfy `keep` are never parsed —
     * planning a partition-pruned query costs O(relevant segments), not
     * O(all table files). Returns the manifest over surviving segments
-    * (every delete entry included regardless) plus the skipped-segment
-    * count; flat v1 manifests fall back to the full read (skipped = 0).
+    * (a surviving segment's delete entries included; a skipped segment's
+    * dropped only under [[Manifest.readPruned]]'s delete-aware proof) plus
+    * the skipped-segment count; flat v1 manifests fall back to the full
+    * read (skipped = 0).
     */
   def manifestPruned(name: String, version: Option[Long],
                      keep: SegSummary => Boolean): (Manifest, Int) = {

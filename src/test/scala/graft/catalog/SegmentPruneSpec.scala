@@ -87,9 +87,9 @@ class SegmentPruneSpec extends SparkSpec {
     val got = spark.sql("SELECT k FROM sgm.t WHERE k >= 125 AND k < 135 ORDER BY k")
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(125L, 126L, 127L, 128L, 129L, 131L, 132L, 133L, 134L))
-    // a read far from the delete still answers exactly (the SQL path on a
-    // pending-delete table serves the analysis-time MOR swap — see
-    // MorReadRule's scaladoc for why segment pruning does not apply there)
+    // a read far from the delete still answers exactly (the SQL path now
+    // segment-prunes BEFORE the MOR swap — MorReadRule runs after
+    // ManifestPruneRule in the optimizer fixed point)
     assert(spark.sql("SELECT sum(k) AS s FROM sgm.t WHERE k >= 400").head().getLong(0)
       == (400L until 600L).sum)
     // the MANIFEST layer skips refuted delete segments (round-15 #6): a
@@ -115,6 +115,53 @@ class SegmentPruneSpec extends SparkSpec {
     wh.compactDeletes("t")
     assert(wh.manifestHeader("t").deleteCount == 0)
     assert(spark.sql("SELECT count(*) AS n FROM sgm.t").head().getLong(0) == 599L)
+  }
+
+  test("SQL face of a pending-MOR table: O(relevant segments) planning, pushdown kept") {
+    // the round-16 deferred item: MorReadRule used to swap the overlay in
+    // at ANALYSIS time, before filters were adjacent, so every SQL read of
+    // a table with pending deletes planned from the FULL manifest — the
+    // last O(table-files) planning path, paid exactly by the steady-MOR
+    // workload (continuous upserts between compactions). The swap now runs
+    // in the optimizer fixed point AFTER ManifestPruneRule: the overlay
+    // plans from the delete-aware segment-pruned manifest, and the fixed
+    // point re-pushes the query's filters into the overlay's scans.
+    val root = tmpDir("segprune-morsql")
+    spark.conf.set("spark.sql.catalog.sgq", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sgq.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", schema)
+    (0 until 24).foreach(i => wh.append("t", batch(i * 100L, 100L), statsCols = Seq("k")))
+    // pending equality delete in segment 1's range — the table is now MOR
+    wh.equalityDelete("t", spark.createDataFrame(
+      Seq(Row(130L, null: String)).asJava, schema).select(col("k")))
+    assert(wh.manifestHeader("t").deleteCount == 1)
+
+    // (a) point query FAR from the delete: O(1) segments parsed on the SQL
+    // face — the delete-delta segment refutes and skips too
+    val c0 = Manifest.prunedSegConsults.get()
+    val s0 = Manifest.prunedSegSkips.get()
+    val far = spark.sql("SELECT v FROM sgq.t WHERE k = 1234")
+    assert(far.collect().map(_.getString(0)).toSeq == Seq("r1234"))
+    val consulted = Manifest.prunedSegConsults.get() - c0
+    assert(consulted <= 2,
+      s"pending-MOR point query must parse O(1) segments, parsed $consulted")
+    assert(Manifest.prunedSegSkips.get() - s0 >= 22)
+    // (b) pushdown unchanged: the overlay's parquet scans carry the pushed
+    // filter (the hazard of deferring the swap was losing exactly this)
+    val plan = far.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,1234)]"),
+      s"query filter must reach the overlay scan:\n$plan")
+
+    // (c) point query AT the deleted key: its segment consults, the delete
+    // applies (MOR-exact answer), and planning stays O(relevant segments)
+    val c1 = Manifest.prunedSegConsults.get()
+    assert(spark.sql("SELECT count(*) AS n FROM sgq.t WHERE k = 130").head().getLong(0) == 0L)
+    assert(Manifest.prunedSegConsults.get() - c1 <= 3,
+      "deleted-key probe must still plan O(relevant segments)")
+
+    // (d) unfiltered aggregate stays MOR-exact (bare-relation swap path)
+    assert(spark.sql("SELECT count(*) AS n FROM sgq.t").head().getLong(0) == 2399L)
   }
 
   test("inferred IsNotNull conjuncts never skip a live delete (delRows probe)") {
