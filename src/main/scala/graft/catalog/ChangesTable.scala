@@ -85,10 +85,77 @@ final class ChangesTable(displayName: String, val table: String, val root: Strin
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan =
-        new ChangesScan(table, root, cdcSchema, options, byCommit, lineage)
+    new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      // consumer predicates SCOPE window planning (the scoped-replication
+      // shape): accepted conjuncts drive delete-aware segment pruning and
+      // per-file refutation inside readChangesScoped. Every filter is also
+      // returned as residual, so Spark re-applies it above the scan — the
+      // scoped bag only guarantees rows MATCHING the predicate
+      // ([[graft.sink.Warehouse.readChangesScoped]] contract). Faces whose
+      // labels are decided from BOTH rows of a pair (update-images,
+      // lineage) never scope: dropping the half of a pair that fails the
+      // predicate would flip the surviving half's label.
+      private val scopable = !lineage &&
+        !Option(options.get("update-images")).exists(_.toBoolean)
+      private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        if (scopable)
+          accepted = filters.filter(f => CdcScope.translate(f, cdcSchema).isDefined)
+        filters // ALL residual — correctness never rides the scope
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = accepted
+      override def build(): Scan = {
+        val scope = accepted.toSeq.flatMap(CdcScope.translate(_, cdcSchema))
+          .reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
+        new ChangesScan(table, root, cdcSchema, options, byCommit, lineage, scope)
+      }
     }
+}
+
+/** Translation of pushed DSv1 filters into the catalyst conjuncts
+  * [[ManifestPruneRule.mayMatch]] prunes on — only shapes the manifest
+  * stat domain can refute, only on real table columns (never the feed's
+  * `_change_type`/lineage metadata). Anything else translates to None and
+  * simply doesn't scope (the filter still applies above the scan).
+  */
+private[catalog] object CdcScope {
+  import org.apache.spark.sql.{sources => sf}
+  import org.apache.spark.sql.catalyst.expressions._
+
+  private val MetaCols =
+    Set("_change_type", "_row_id", "_last_updated_version",
+      "_commit_version", "_commit_timestamp")
+
+  def translate(f: sf.Filter, schema: StructType): Option[Expression] = {
+    def attr(name: String): Option[AttributeReference] =
+      schema.fields.find(g => g.name == name && !MetaCols(name))
+        .map(g => AttributeReference(g.name, g.dataType)())
+    def lit(name: String, v: Any): Option[Literal] =
+      attr(name).map(a => Literal.create(v, a.dataType))
+    f match {
+      case sf.EqualTo(c, v)            => for {a <- attr(c); l <- lit(c, v)} yield EqualTo(a, l)
+      case sf.EqualNullSafe(c, v)      => for {a <- attr(c); l <- lit(c, v)} yield EqualNullSafe(a, l)
+      case sf.GreaterThan(c, v)        => for {a <- attr(c); l <- lit(c, v)} yield GreaterThan(a, l)
+      case sf.GreaterThanOrEqual(c, v) => for {a <- attr(c); l <- lit(c, v)} yield GreaterThanOrEqual(a, l)
+      case sf.LessThan(c, v)           => for {a <- attr(c); l <- lit(c, v)} yield LessThan(a, l)
+      case sf.LessThanOrEqual(c, v)    => for {a <- attr(c); l <- lit(c, v)} yield LessThanOrEqual(a, l)
+      case sf.In(c, vs)                =>
+        attr(c).map(a => In(a, vs.toSeq.map(v => Literal.create(v, a.dataType))))
+      case sf.IsNull(c)                => attr(c).map(IsNull(_))
+      case sf.IsNotNull(c)             => attr(c).map(IsNotNull(_))
+      case sf.StringStartsWith(c, p)   =>
+        attr(c).filter(_.dataType == org.apache.spark.sql.types.StringType)
+          .map(a => StartsWith(a, Literal(p)))
+      // AND may translate partially (dropping a conjunct is conservative)
+      case sf.And(l, r) =>
+        (translate(l, schema), translate(r, schema)) match {
+          case (Some(a), Some(b)) => Some(And(a, b))
+          case (one, other)       => one.orElse(other)
+        }
+      case _ => None
+    }
+  }
 }
 
 /** Scan face of [[ChangesTable]] — batch (one explicit window) and
@@ -96,7 +163,9 @@ final class ChangesTable(displayName: String, val table: String, val root: Strin
   */
 private[catalog] final class ChangesScan(table: String, root: String,
     cdcSchema: StructType, options: CaseInsensitiveStringMap,
-    byCommit: Boolean, lineage: Boolean = false) extends Scan {
+    byCommit: Boolean, lineage: Boolean = false,
+    scope: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
+    extends Scan {
 
   override def readSchema(): StructType = cdcSchema
   override def description(): String = s"$table$$changes"
@@ -130,7 +199,8 @@ private[catalog] final class ChangesScan(table: String, root: String,
       .getOrElse(head)
     require(from >= -1 && to >= from && to <= head,
       s"$table$$changes: invalid window ($from, $to] over history 0..$head")
-    val stager = new ChangesStager(table, root, cdcSchema, options, byCommit, lineage)
+    val stager = new ChangesStager(table, root, cdcSchema, options, byCommit, lineage,
+      scope)
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
         if (to == from) Array.empty else stager.plan(from, to)
@@ -148,7 +218,8 @@ private[catalog] final class ChangesScan(table: String, root: String,
   */
 private[catalog] final class ChangesStager(table: String, root: String,
     cdcSchema: StructType, options: CaseInsensitiveStringMap,
-    byCommit: Boolean = false, lineage: Boolean = false) {
+    byCommit: Boolean = false, lineage: Boolean = false,
+    scope: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None) {
   import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
   private def spark = SparkSession.active
@@ -206,8 +277,16 @@ private[catalog] final class ChangesStager(table: String, root: String,
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString
   }
+  // a SCOPED window stages the predicate's slice only — it must never be
+  // reused by (or reuse) the unscoped window or a differently-scoped one,
+  // so the predicate's canonical SQL render joins the directory key
+  private val scopeFp: String = scope.fold("") { cond =>
+    "-p" + java.security.MessageDigest.getInstance("MD5")
+      .digest(cond.sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+  }
   private def windowDir(s: Long, e: Long): Path =
-    cdcDir.resolve(s"w${s}_$e$refSuffix-$stageFp")
+    cdcDir.resolve(s"w${s}_$e$refSuffix-$stageFp$scopeFp")
 
   /** The staged ROW schema — the load-time cdc schema minus the
     * commit-attribution columns (those are injected per sub-window on the
@@ -232,7 +311,10 @@ private[catalog] final class ChangesStager(table: String, root: String,
         org.apache.spark.sql.functions.lit("+I"))
       else if (updateImages)
         wh.readChangesWithImages(table, s, e, translateIdCols(eSchema))
-      else wh.readChanges(table, s, e)
+      else scope match {
+        case Some(cond) => wh.readChangesScoped(table, s, e, cond)
+        case None       => wh.readChanges(table, s, e)
+      }
     conformToCdc(changes, eSchema)
   }
 

@@ -74,6 +74,17 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
   // which is everything the parse_json ingest face ever stores; a
   // variant-native timestamp/binary (constructible via cast) restores as
   // its JSON render, the same caveat as any JSON-transport CDC.
+  //
+  // Re-tested 2026-08-16 on the 4.1.2 pin: EXCEPT/INTERSECT/DISTINCT all
+  // still raise UNSUPPORTED_FEATURE.SET_OPERATION_ON_VARIANT_TYPE, so the
+  // proxy stays. The eventual replacement, once Spark compares variants in
+  // set ops (or exposes a stable binary order): bag-diff directly on the
+  // shredded leaves' BINARY encoding (`variant` parquet value+metadata
+  // byte pair), which is render-free and preserves variant-native types —
+  // but its equality is ENCODING equality, so it must normalize field
+  // order/dictionary ids first or logically-equal objects diff as changes.
+  // The to_json proxy costs O(changed rows) renders per window today,
+  // which benchmarks below the readChanges join work — not the bottleneck.
   private[sink] def variantColsOf(schema: StructType): Seq[String] =
     schema.fields.filter(_.dataType.isInstanceOf[VariantType]).map(_.name).toSeq
   private[sink] def variantProxy(df: DataFrame, vcols: Seq[String]): DataFrame =
@@ -119,6 +130,30 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
   def readChanges(name: String, fromVersion: Long, toVersion: Long): DataFrame =
     readChangesImpl(name, fromVersion, toVersion, lineage = false)
 
+  /** [[readChanges]] SCOPED to a consumer predicate — the scoped-replication
+    * shape (`SELECT ... FROM t$changes WHERE key ...`): window planning
+    * prunes BOTH side's manifests with the delete-aware segment skip
+    * ([[Manifest.readPruned]] — a delete-delta segment whose key bounds are
+    * disjoint from `cond` never parses), then drops per-file every data
+    * file and every equality-delete file whose recorded bounds refute
+    * `cond`. O(matching segments) planning instead of two full manifest
+    * replays, and the bag diff runs over the matching slice only.
+    *
+    * CONTRACT: rows satisfying `cond` are emitted exactly as the unscoped
+    * feed would emit them (conservative mayMatch — every file that can
+    * hold or delete a matching row survives, symmetric on both sides).
+    * Rows NOT satisfying `cond` may be missing or carry no guarantee —
+    * the caller MUST re-apply `cond` (the `t$changes` face keeps the
+    * consumer's filter above the scan, so this holds by construction).
+    * Sound only for the plain `+I`/`-D` label algebra: update-image
+    * pairing and lineage relabeling decide labels from BOTH rows of a
+    * pair, and scoping can drop the half that fails `cond` — those faces
+    * never scope.
+    */
+  def readChangesScoped(name: String, fromVersion: Long, toVersion: Long,
+                        cond: org.apache.spark.sql.catalyst.expressions.Expression): DataFrame =
+    readChangesImpl(name, fromVersion, toVersion, lineage = false, scope = Some(cond))
+
   /** [[readChanges]] with ROW LINEAGE: every change row carries `_row_id` /
     * `_last_updated_version` (the Iceberg v3 changelog-with-lineage shape).
     * The bags come from [[lineageFrame]] instead of the plain MOR frame, so
@@ -152,9 +187,28 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
   }
 
   private def readChangesImpl(name: String, fromVersion: Long, toVersion: Long,
-                              lineage: Boolean): DataFrame = {
-    val mFrom = manifestAt(name, fromVersion)
-    val mTo = manifestAt(name, toVersion)
+                              lineage: Boolean,
+                              scope: Option[org.apache.spark.sql.catalyst.expressions.Expression]
+                                = None): DataFrame = {
+    // scoped planning ([[readChangesScoped]] contract): segment-pruned
+    // manifest loads (delete-aware) + per-file refutation, both sides
+    // through the SAME conservative mayMatch so shared files stay symmetric
+    def manifestFor(v: Long): Manifest = scope match {
+      case None => manifestAt(name, v)
+      case Some(cond) => manifestPruned(name, Some(v), s =>
+        graft.catalog.ManifestPruneRule.mayMatch(DataFile("", s.rows, s.stats), cond))._1
+    }
+    def fileMay(f: DataFile): Boolean = scope.forall(
+      graft.catalog.ManifestPruneRule.mayMatch(f, _))
+    def delMay(d: DeleteFile): Boolean = scope.forall(cond =>
+      d.kind != "eq" ||
+        graft.catalog.ManifestPruneRule.mayMatch(DataFile("", d.rows, d.stats), cond))
+    val mFrom0 = manifestFor(fromVersion)
+    val mTo0 = manifestFor(toVersion)
+    val mFrom = mFrom0.copy(files = mFrom0.files.filter(fileMay),
+      deletes = mFrom0.deletes.filter(delMay))
+    val mTo = mTo0.copy(files = mTo0.files.filter(fileMay),
+      deletes = mTo0.deletes.filter(delMay))
     // field correspondence across the window: BY ID when both schemas carry
     // field ids (so a rename is the same field relabeled and a reused NAME
     // is a different field), by name otherwise. A matched pair must keep

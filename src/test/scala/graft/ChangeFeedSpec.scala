@@ -99,6 +99,54 @@ class ChangeFeedSpec extends SparkSpec {
     assertMatchesDiff(wh, "t", v3, v4)
   }
 
+  test("scoped t$changes: consumer filter drives delete-aware segment pruning") {
+    // the scoped-replication shape: a consumer reading `t$changes WHERE
+    // key ...` must pay O(matching segments) window planning — including
+    // skipping delete-delta segments whose key bounds are disjoint (the
+    // SegSummary.delStats contract) — and still see exactly the unscoped
+    // feed's matching rows.
+    import org.apache.spark.sql.functions.col
+    val kSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    def kdf(lo: Long, n: Long) = spark.createDataFrame(
+      (lo until lo + n).map(i => Row(i, s"r$i")).asJava, kSchema)
+    val root = tmpDir("cf-scoped")
+    spark.conf.set("spark.sql.catalog.cfs", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cfs.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", kSchema)
+    (0 until 12).foreach(i => wh.append("t", kdf(i * 100L, 100L), statsCols = Seq("k")))
+    val vMid = wh.currentVersion("t")
+    // window commits: one in-range append, one out-of-range append, one
+    // out-of-range delete-delta (its segment must SKIP on the scoped read)
+    wh.append("t", kdf(1200L, 50L), statsCols = Seq("k"))
+    wh.equalityDelete("t", kdf(730L, 1L).select(col("k")))
+    val vEnd = wh.currentVersion("t")
+
+    def read() = spark.read.option("from-version", vMid).option("to-version", vEnd)
+      .table("cfs.`t$changes`").filter(col("k") >= 1200 && col("k") < 1300)
+    val c0 = graft.sink.Manifest.prunedSegConsults.get()
+    val rows = read().select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == (1200L until 1250L).map(_ -> "+I"), s"got ${rows.take(5)}...")
+    val consulted = graft.sink.Manifest.prunedSegConsults.get() - c0
+    // both side's manifests plan pruned: a handful of segments, never 14
+    assert(consulted <= 6,
+      s"scoped window planning must parse O(matching segments), parsed $consulted")
+
+    // a filter AT the deleted key sees the -D row (delete segment consults)
+    val hit = spark.read.option("from-version", vMid).option("to-version", vEnd)
+      .table("cfs.`t$changes`").filter(col("k") === 730L)
+      .select("k", "_change_type").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hit == Seq((730L, "-D")), s"scoped read must keep matching deletes: $hit")
+
+    // scoped staging never poisons the unscoped cache: the full window
+    // still carries every change
+    val full = spark.read.option("from-version", vMid).option("to-version", vEnd)
+      .table("cfs.`t$changes`")
+    assert(full.count() == 51L, s"unscoped window must stage all changes: ${full.count()}")
+  }
+
   test("readChanges across additive schema evolution; destructive refuses") {
     import org.apache.spark.sql.functions.col
     val wh = new Warehouse(spark, tmpDir("cf-evolve"))
