@@ -353,6 +353,68 @@ object EtlQueries {
       }
     },
 
+    // q170's STREAMING sibling: the same exact-extremes-over-a-mutating-
+    // fact story, maintained by ChangeFeedStream.maintainRollup ticks
+    // (foreachBatch-shaped: each tick folds O(window) signed partials and
+    // NEVER rescans the fact — min/max damage is tie-gated into the
+    // __pending side table in the same transaction as the partials) and
+    // repaired by ONE drainPendingExtremes call (targeted rescan of the
+    // marked groups at the rollup's covered version, atomic retract+
+    // replace). The script deletes every segment's MINIMUM-balance rows
+    // (ties included — every group marks pending) then morMerge-upserts
+    // %4 keys at bal+25 (re-inserting deleted ones; the window's -D rows
+    // tie some extremes and not others). The read rollup must equal
+    // DuckDB's direct aggregate over the FINAL state. The 100 TB shape:
+    // streaming ticks stay O(changes); the repair cost is O(affected-group
+    // files) at drain cadence, never a fact rescan inside a trigger.
+    "q171_rollup_minmax_stream" -> { (s, dir) =>
+      import graft.sink.{IncrementalRollup, Warehouse}
+      import graft.streaming.ChangeFeedStream
+      import org.apache.spark.sql.expressions.Window
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("bal"))
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q171")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        val spec = IncrementalRollup.Spec(Seq("c_mktsegment"), Seq(
+          IncrementalRollup.CountStar("cnt"),
+          IncrementalRollup.SumOf(dec(col("bal")), "bal_sum"),
+          IncrementalRollup.MinOf(col("bal"), "bal_min"),
+          IncrementalRollup.MaxOf(col("bal"), "bal_max")))
+        def tick(): Unit = {
+          ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "q171"): Unit }
+        val a = cust.filter(col("c_custkey") % 3 === 0)
+        val b = cust.filter(col("c_custkey") % 3 === 1)
+        wh.create("fact", org.apache.spark.sql.types.StructType(
+          SchemaOps.widenSchema(cust.schema).fields.map(_.copy(nullable = true))))
+        wh.append("fact", a, statsCols = Seq("c_custkey"))
+        tick()
+        wh.append("fact", b, statsCols = Seq("c_custkey"))
+        tick()
+        // delete every segment's minimum-balance rows (ties included)
+        val live = a.unionByName(b)
+        val botKeys = live
+          .withColumn("__mn", min(col("bal")).over(Window.partitionBy("c_mktsegment")))
+          .filter(col("bal") === col("__mn")).select("c_custkey")
+        wh.equalityDelete("fact", botKeys)
+        tick()
+        wh.morMerge("fact",
+          live.filter(col("c_custkey") % 4 === 0).withColumn("bal", col("bal") + 25),
+          Seq("c_custkey"))
+        tick()
+        ChangeFeedStream.drainPendingExtremes(wh, "fact", "roll", spec): Unit
+        IncrementalRollup.read(wh, "roll", spec)
+          .filter(col("cnt") =!= 0L)
+          .withColumn("bal_sum", col("bal_sum").cast("double"))
+          .orderBy("c_mktsegment")
+          .localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    },
+
     // Row-level CDC as a DSv2 STREAMING SOURCE (ChangesTable): where q142
     // polls ChangeFeedStream by hand, here `readStream.table("cat.`t$changes`")`
     // follows the same kind of scripted history through Spark's own
@@ -960,6 +1022,28 @@ object EtlQueries {
         |  SELECT l.c_custkey, l.c_mktsegment, l.bal
         |  FROM live l JOIN mx USING (c_mktsegment)
         |  WHERE l.c_custkey % 7 <> 0 AND l.bal < mx.mxv)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  min(bal) AS bal_min, max(bal) AS bal_max
+        |FROM fin GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // q171: the FINAL state reconstructed declaratively — a ∪ b, minus
+    // each segment's min-balance rows (ties included), with %4 keys
+    // re-upserted at bal+25 (re-inserting any deleted ones).
+    "q171_rollup_minmax_stream" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer),
+        |live AS (
+        |  SELECT * FROM cust WHERE c_custkey % 3 = 0
+        |  UNION ALL SELECT * FROM cust WHERE c_custkey % 3 = 1),
+        |mn AS (SELECT c_mktsegment, min(bal) AS mnv FROM live GROUP BY 1),
+        |fin AS (
+        |  SELECT c_custkey, c_mktsegment, bal + 25 AS bal
+        |  FROM live WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT l.c_custkey, l.c_mktsegment, l.bal
+        |  FROM live l JOIN mn USING (c_mktsegment)
+        |  WHERE l.c_custkey % 4 <> 0 AND l.bal > mn.mnv)
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
         |  min(bal) AS bal_min, max(bal) AS bal_max

@@ -162,6 +162,22 @@ object IncrementalRollup {
     */
   private[graft] val MaxRescanGroups = 256
 
+  /** Scan predicates of a bounded affected-group set (all keys NON-NULL):
+    * `(groupPred, perCol)` — the exact null-safe group disjunction, and the
+    * per-column IN conjunction that pushes into the parquet scan so a
+    * key-clustered fact rescans O(affected-group files). Shared by the
+    * batch rescan and the streaming drain
+    * ([[graft.streaming.ChangeFeedStream.drainPendingExtremes]]).
+    */
+  private[graft] def groupPredicates(keys: Seq[String],
+                                     rows: Seq[Row]): (Column, Column) = {
+    val groupPred = rows.map(r =>
+      keys.map(k => col(k) <=> lit(r.getAs[Any](k))).reduce(_ && _)).reduce(_ || _)
+    val perCol = keys.map(k =>
+      col(k).isin(rows.map(_.getAs[Any](k)): _*)).reduce(_ && _)
+    (groupPred, perCol)
+  }
+
   /** [[maintainFromFeed]] for facts that MUTATE: folds the exact row-level
     * change feed ([[Warehouse.readChanges]]) with SIGNED partials — `+I`
     * rows add, `-D` rows subtract — so deletes and update retractions on
@@ -281,11 +297,7 @@ object IncrementalRollup {
       // per-column IN predicates push into the parquet scan (the real
       // prune); the null-safe group disjunction is the exact residual.
       // Plain col() refs: each filter resolves against its own frame
-      val groupPred: Column = rows.toSeq.map(r =>
-        keys.map(k => col(k) <=> lit(r.getAs[Any](k))).reduce(_ && _)).reduce(_ || _)
-      val perCol = keys.map { k =>
-        col(k).isin(rows.toSeq.map(_.getAs[Any](k)): _*)
-      }.reduce(_ && _)
+      val (groupPred, perCol) = groupPredicates(keys, rows.toSeq)
       val recomputed = plainAgg(factNow.filter(perCol && groupPred))
       val unaff = part.filter(!groupPred)
       // retraction of the affected groups' fold history and the landing of

@@ -206,18 +206,21 @@ object ChangeFeedStream {
     wh.addMissingColumns(copy, toSchema)
   }
 
-  /** Subtractable rollup measures: CDC maintenance needs the inverse
-    * operation (`-D` rows RETRACT), which count and sum have and min/max do
-    * not — a retracted minimum cannot be repaired without a rescan.
+  /** Per-window partial of one measure under CDC signs. Count and sum are
+    * subtractable (`-D` retracts exactly). Min/max are NOT — a tick's
+    * partial folds the window's `+I` candidates only, and deletions that
+    * TIE a stored extreme mark the group into the PENDING side table for
+    * [[drainPendingExtremes]]'s targeted rescan (a tick itself never
+    * rescans — foreachBatch must stay O(window)).
     */
   private def signedPartial(m: IncrementalRollup.Measure, sign: org.apache.spark.sql.Column) =
     m match {
-      case IncrementalRollup.CountStar(name)  => sum(sign).as(name)
+      case IncrementalRollup.CountStar(name)   => sum(sign).as(name)
       case IncrementalRollup.SumOf(expr, name) => sum(expr * sign).as(name)
+      case IncrementalRollup.MinOf(expr, name) => min(when(sign === 1, expr)).as(name)
+      case IncrementalRollup.MaxOf(expr, name) => max(when(sign === 1, expr)).as(name)
       case other => throw new IllegalArgumentException(
-        s"change-feed rollup maintenance needs subtractable measures (count/sum); " +
-          s"'${other.name}' (min/max) cannot retract a deleted row — " +
-          "recompute it from the snapshot instead")
+        s"change-feed rollup maintenance has no strategy for measure '${other.name}'")
     }
 
   /** Maintain an ADDITIVE rollup from the feed — the CDC generalization of
@@ -250,13 +253,13 @@ object ChangeFeedStream {
   def maintainRollup(wh: Warehouse, fact: String, rollup: String,
                      spec: IncrementalRollup.Spec, consumerId: String): Long =
     poll(wh, fact, consumerId) { (changes0, from, to) =>
-      val VCol = "__cfs_v"
       val recorded = math.max(
         wh.lastCommittedBatchId(rollup, sid(consumerId)), // legacy file ledger
         statMarker(wh, rollup, VCol))
       if (to > recorded) {
-        val changes =
+        val changes = (
           if (recorded > from) wh.readChanges(fact, recorded, to) else changes0
+          ).localCheckpoint() // consumers: window partials + -D extreme gate
         val sign = when(col("_change_type") === "+I", lit(1)).otherwise(lit(-1))
         val partials = changes.groupBy(spec.keys.map(col): _*)
           .agg(signedPartial(spec.measures.head, sign),
@@ -268,7 +271,116 @@ object ChangeFeedStream {
         else if (!wh.currentManifest(rollup).schema.fieldNames.contains(VCol))
           wh.addColumns(rollup, Seq(org.apache.spark.sql.types.StructField(
             VCol, org.apache.spark.sql.types.LongType))) // legacy upgrade, metadata-only
-        wh.append(rollup, partials, statsCols = spec.keys :+ VCol)
+        // EXTREMAL measures (q170's algebra, split across the stream/drain
+        // boundary): the tick computes the TIE-GATED affected-group set —
+        // a window `-D` value null-safe-tying the group's stored extreme
+        // (deletes strictly inside the bounds can't move it) — and lands
+        // it in the pending side table IN THE SAME transaction as the
+        // window partials, so no crash point separates "partials applied"
+        // from "damage recorded". The tick itself NEVER rescans the fact;
+        // [[drainPendingExtremes]] does, targeted, at its own cadence.
+        val extremal = spec.measures.filter(_.signedPartial.isEmpty)
+        val affected: Option[org.apache.spark.sql.DataFrame] =
+          if (extremal.isEmpty) None
+          else {
+            val isDel = col("_change_type") === "-D"
+            val delRows = changes.filter(isDel)
+            val exCols = extremal.map {
+              case IncrementalRollup.MinOf(e, n) => min(e).as(s"__d_$n")
+              case IncrementalRollup.MaxOf(e, n) => max(e).as(s"__d_$n")
+              case m => throw new IllegalStateException(m.name) // unreachable
+            }
+            val stored = IncrementalRollup.read(wh, rollup, spec).alias("st")
+            val delExt = delRows.groupBy(spec.keys.map(col): _*)
+              .agg(exCols.head, exCols.tail: _*).alias("dx")
+            val keyCond =
+              if (spec.keys.isEmpty) lit(true)
+              else spec.keys.map(k => col(s"dx.$k") <=> col(s"st.$k")).reduce(_ && _)
+            val tie = extremal.map(m => col(s"__d_${m.name}") <=> col(s"st.${m.name}"))
+              .reduce(_ || _)
+            val aff = delExt.join(stored, keyCond).filter(tie)
+              .select(spec.keys.map(k => col(s"dx.$k")) :+ lit(to).as(VCol): _*)
+              .localCheckpoint()
+            if (aff.isEmpty) None else Some(aff)
+          }
+        affected match {
+          case None => wh.append(rollup, partials, statsCols = spec.keys :+ VCol)
+          case Some(aff) =>
+            wh.transact { tx =>
+              tx.append(rollup, partials, statsCols = spec.keys :+ VCol)
+              tx.append(pendingTable(rollup), aff, statsCols = spec.keys)
+            }
+        }
       }
     }
+
+  private val VCol = "__cfs_v"
+  /** Side table of affected-group keys awaiting [[drainPendingExtremes]]. */
+  def pendingTable(rollup: String): String = s"${rollup}__pending"
+
+  /** Drain the PENDING affected-group set a stream-maintained extremal
+    * rollup accumulated ([[maintainRollup]]'s tie-gated side table): each
+    * pending group recomputes from the fact snapshot AT THE ROLLUP'S
+    * COVERED VERSION (the `__cfs_v` marker — recomputing at the head would
+    * pre-fold windows the stream has not delivered and double-count them
+    * on delivery) with the same targeted scan as
+    * [[IncrementalRollup.maintainFromChangeFeed]]: per-column IN
+    * predicates push into the parquet scan, O(affected-group files) on a
+    * key-clustered fact, never an unscoped rescan. The group's fold
+    * history retracts and the recomputed row (stamped with the marker, so
+    * the replay watermark survives any later compaction of the original
+    * marker files) lands — with the pending-key clear — as ONE transaction
+    * commit. Null-keyed or over-gate sets take the single-commit
+    * consolidation replace; a crash between it and the pending clear
+    * re-drains idempotently (same marker, same recompute).
+    *
+    * One maintainer per rollup (the [[maintainRollup]] discipline): the
+    * drain must not race a tick. Returns the number of groups drained.
+    */
+  def drainPendingExtremes(wh: Warehouse, fact: String, rollup: String,
+                           spec: IncrementalRollup.Spec): Long = {
+    val pend = pendingTable(rollup)
+    if (!wh.exists(pend) || !wh.exists(rollup)) return 0L
+    val keys = spec.keys
+    val pKeys = wh.load(pend).select(keys.map(col): _*).distinct().localCheckpoint()
+    val n = pKeys.count()
+    if (n == 0L) return 0L
+    val marker = statMarker(wh, rollup, VCol)
+    require(marker >= 0,
+      s"$rollup: no $VCol marker — drainPendingExtremes applies to " +
+        "stream-maintained rollups (maintainRollup)")
+    val factAt = wh.loadVersion(fact, marker)
+    def recomputeOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(keys.map(col): _*)
+        .agg(spec.measures.head.partial, spec.measures.tail.map(_.partial): _*)
+        .withColumn(VCol, lit(marker))
+    def nullSafe(l: org.apache.spark.sql.DataFrame,
+                 r: org.apache.spark.sql.DataFrame) =
+      keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+    val rows = if (keys.isEmpty) Array.empty[org.apache.spark.sql.Row]
+               else pKeys.collect()
+    val nullKey = rows.exists(r => keys.exists(r.getAs[Any](_) == null))
+    if (keys.isEmpty) {
+      // global rollup: the one group is the whole table — consolidate
+      wh.replace(rollup, recomputeOf(factAt), statsCols = Seq(VCol))
+      wh.replace(pend, wh.load(pend).limit(0))
+    } else if (!nullKey && n <= IncrementalRollup.MaxRescanGroups) {
+      val (groupPred, perCol) = IncrementalRollup.groupPredicates(keys, rows.toSeq)
+      val recomputed = recomputeOf(factAt.filter(perCol && groupPred))
+      wh.transact { tx =>
+        tx.equalityDelete(rollup, pKeys)
+        tx.append(rollup, recomputed, statsCols = keys :+ VCol)
+        tx.equalityDelete(pend, pKeys)
+      }
+    } else {
+      val hist = wh.load(rollup)
+      val unaff = hist.join(pKeys, nullSafe(hist, pKeys), "left_anti")
+      val recomputed = recomputeOf(
+        factAt.join(pKeys, nullSafe(factAt, pKeys), "left_semi"))
+      wh.replace(rollup, unaff.unionByName(recomputed), statsCols = keys :+ VCol)
+      val pendDf = wh.load(pend)
+      wh.replace(pend, pendDf.join(pKeys, nullSafe(pendDf, pKeys), "left_anti"))
+    }
+    n
+  }
 }

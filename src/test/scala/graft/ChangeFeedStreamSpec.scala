@@ -231,12 +231,60 @@ class ChangeFeedStreamSpec extends SparkSpec {
     val v = wh.currentVersion("roll")
     ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "roller")
     assert(wh.currentVersion("roll") == v)
-    // min/max are not subtractable: refuse loudly, never approximate
-    val bad = IncrementalRollup.Spec(Seq("g"), Seq(IncrementalRollup.MinOf(col("v"), "mv")))
-    wh.append("fact", kv((9L, "z", "9.00")), statsCols = Seq("k"))
-    val e = intercept[IllegalArgumentException](
-      ChangeFeedStream.maintainRollup(wh, "fact", "roll2", bad, "roller2"))
-    assert(e.getMessage.contains("subtractable"))
+  }
+
+  test("CDC rollup + min/max: a tick never rescans; the pending drain recomputes ONLY marked groups") {
+    val wh = new Warehouse(spark, tmpDir("cfs-mm"))
+    val spec = IncrementalRollup.Spec(Seq("g"), Seq(
+      IncrementalRollup.CountStar("n"),
+      IncrementalRollup.MinOf(col("v"), "lo"),
+      IncrementalRollup.MaxOf(col("v"), "hi")))
+    def direct() = bag(wh.load("fact").groupBy("g")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi")))
+    def folded() = bag(IncrementalRollup.read(wh, "roll", spec).filter(col("n") =!= 0L))
+    val pend = ChangeFeedStream.pendingTable("roll")
+
+    wh.create("fact", schema)
+    wh.append("fact", kv((1L, "a", "1.00"), (2L, "a", "9.00"), (3L, "b", "5.00")),
+      statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "mm")
+    assert(folded() == direct())
+
+    // INSIDE-bounds delete (a:5 is not an extreme): exact with NO pending
+    wh.append("fact", kv((4L, "a", "5.00")), statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "mm")
+    wh.deleteWhere("fact", col("k") === 4L)
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "mm")
+    assert(!wh.exists(pend) || wh.load(pend).count() == 0L,
+      "inside-bounds delete must not mark the group pending")
+    assert(folded() == direct())
+
+    // delete group a's MAX: the tick marks a pending and appends O(window)
+    // partials WITHOUT rescanning — the folded hi stays (documented) STALE
+    // until the drain, which is the proof the tick deferred
+    wh.deleteWhere("fact", col("k") === 2L)
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "mm")
+    assert(wh.load(pend).count() == 1L, "tie-gated delete must mark exactly one group")
+    val staleHi = IncrementalRollup.read(wh, "roll", spec)
+      .filter(col("g") === "a").collect().head.getAs[java.math.BigDecimal]("hi")
+    assert(staleHi.doubleValue() == 9.0, s"tick must NOT rescan (hi stays stale): $staleHi")
+    val bRows = wh.load("roll").filter(col("g") === "b").count()
+
+    // the drain recomputes ONLY the marked group at the covered version
+    val drained = ChangeFeedStream.drainPendingExtremes(wh, "fact", "roll", spec)
+    assert(drained == 1L)
+    assert(folded() == direct(), s"drained fold:\n  got ${folded()}\n  want ${direct()}")
+    assert(wh.load("roll").filter(col("g") === "a").count() == 1L,
+      "marked group consolidates to one recomputed row")
+    assert(wh.load("roll").filter(col("g") === "b").count() == bRows,
+      "unmarked group's fold history untouched by the drain")
+    assert(wh.load(pend).count() == 0L, "drain clears the pending set")
+
+    // re-drain is a no-op; the next tick resumes exactly
+    assert(ChangeFeedStream.drainPendingExtremes(wh, "fact", "roll", spec) == 0L)
+    wh.append("fact", kv((5L, "a", "7.00")), statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "mm")
+    assert(folded() == direct())
   }
 
   test("rollup crash window: partials committed, cursor lost, MORE commits land — re-delivery narrows to the uncovered suffix") {
