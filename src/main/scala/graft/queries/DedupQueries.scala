@@ -363,6 +363,40 @@ object DedupQueries {
       }
     },
 
+    // From the FEED-MAINTAINED index to dedup DECISIONS: q169's exact
+    // mutation script, but the served surface is NearDupIngest.clusters()
+    // — connected components over the index's verified pairs, min-pk
+    // keeper + cluster size per doc (q71's algebra applied to the followed
+    // index instead of a batch self-join). The oracle recomputes the
+    // transitive closure with a recursive CTE over the SAME final-state
+    // pair algebra, so both the index freshness AND the fixpoint are
+    // cross-checked. 100 TB shape: decisions at O(index pairs), zero
+    // corpus-text reads, no blue/green rebuild.
+    "q172_neardup_index_clusters" -> { (s, dir) =>
+      import graft.sink.{NearDupIngest, Warehouse}
+      val docs = read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q172")
+      val wh = new Warehouse(s, whDir.toString)
+      try {
+        val ndi = new NearDupIngest(wh, "doc_id", "text")
+        wh.append("corpus", docs.filter(col("doc_id") % 2 === 0),
+          statsCols = Seq("doc_id"))
+        ndi.followChanges("corpus") // bootstrap: whole snapshot as +I
+        wh.append("corpus", docs.filter(col("doc_id") % 2 === 1),
+          statsCols = Seq("doc_id"))
+        wh.morMerge("corpus", docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("text", concat(col("text"), lit(" zebra zebra zebra"))),
+          Seq("doc_id"))
+        wh.deleteWhere("corpus", col("doc_id") % 7 === 0)
+        ndi.followChanges("corpus")
+        ndi.clusters("corpus").orderBy("doc_id").localCheckpoint()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    },
+
     // From near-dup PAIRS to dedup DECISIONS: connected components over the
     // q56 candidate graph (iterative min-label propagation, functions/Graph)
     // labels every clustered doc with its component's minimum id — the
@@ -739,8 +773,36 @@ object DedupQueries {
     // k=16, 4 bands of 4, est-Jaccard >= 0.5 ⇔ >= 8 matching positions)
     // over the corpus's FINAL mutated state — the feed-maintained index
     // must serve precisely this pair set.
-    "q169_neardup_index_follow" ->
-      s"""WITH src AS (
+    "q169_neardup_index_follow" -> q169Oracle,
+
+    // q172: decisions from the feed-maintained index — transitive closure
+    // via recursive CTE over the q169 final-state pair algebra (q71's
+    // independent-fixpoint cross-check applied to the followed index).
+    "q172_neardup_index_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($q169Oracle)),
+         |bidir AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM bidir),
+         |reach(id, dst) AS (
+         |  SELECT a, b FROM bidir
+         |  UNION
+         |  SELECT r.id, e.b FROM reach r JOIN bidir e ON r.dst = e.a),
+         |comp AS (
+         |  SELECT n.id, least(n.id, min(r.dst)) AS keeper
+         |  FROM nodes n JOIN reach r ON n.id = r.id GROUP BY n.id)
+         |SELECT c.id AS doc_id, c.keeper, s.cluster_size, c.id <> c.keeper AS is_dup
+         |FROM comp c JOIN (
+         |  SELECT keeper, count(*) AS cluster_size FROM comp GROUP BY keeper) s
+         |  USING (keeper)
+         |ORDER BY doc_id""".stripMargin
+  )
+
+  // q169/q172 shared: [[graft.sink.NearDupIngest]]'s exact MinHash algebra
+  // (w=3, k=16, 4 bands of 4, est-Jaccard >= 0.5 <=> >= 8 matching
+  // positions) over the corpus's FINAL mutated state — the feed-maintained
+  // index must serve precisely this pair set.
+  private lazy val q169Oracle =
+    s"""WITH src AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 5 = 0 THEN text || ' zebra zebra zebra'
          |         ELSE text END AS text
@@ -770,7 +832,6 @@ object DedupQueries {
          |    JOIN sig s2 ON s2.doc_id = c.d2)
          |SELECT d1, d2, CAST(n_match AS BIGINT) AS n_match FROM v
          |WHERE n_match >= 8 ORDER BY d1, d2""".stripMargin
-  )
 
   private lazy val q57Oracle =
     s"""WITH $docShinglesCte,

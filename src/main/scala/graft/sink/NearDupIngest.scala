@@ -275,6 +275,25 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
       .select(col("d1"), col("d2"), col("n_match"))
   }
 
+  /** Dedup DECISIONS from the maintained index — q71's connected-components
+    * keeper algebra applied to [[pairs]]: every clustered doc labeled with
+    * its component's MINIMUM pk (the keeper, the same deterministic rule
+    * the ingest admission uses) plus the cluster size and an `is_dup` flag.
+    * Consumers of a feed-maintained index get actionable keep/drop
+    * decisions, not edges; docs in no near-dup pair are absent (they are
+    * their own trivial keeper). Cost: [[pairs]] + the iterative min-label
+    * propagation over O(pairs) edges ([[graft.functions.Graph]]) — never
+    * corpus text.
+    */
+  def clusters(name: String): DataFrame = {
+    val p = pairs(name).select(col("d1"), col("d2"))
+    val comp = graft.functions.Graph.connectedComponents(p)
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "comp")
+      .select(col("id").as(pkCol), col("comp").as("keeper"),
+        col("cluster_size"), (col("id") =!= col("comp")).as("is_dup"))
+  }
+
   /** [[ingest]] with the three appends fused into ONE [[Warehouse.transact]]
     * unit: sigs, bands and corpus land all-or-nothing, so the crash-orphan
     * states the commit-order discipline below exists to heal (index rows
