@@ -36,6 +36,28 @@ import org.apache.spark.sql.SparkSession
   *     adjudicated a round later.
   */
 object Bench {
+  private[graft] def spreadRatio(ts: Seq[Double]): Double =
+    if (ts.size < 2 || ts.min <= 0) 1.0 else ts.max / ts.min
+
+  /** Requeue selection (the self-adjudicating sweep): which rows re-run
+    * isolated after the sweep. Rows whose own max/min spread exceeds
+    * `spreadBound` and rows whose median stayed tainted always qualify;
+    * under a `partialWindow` (the start/end calibrations disagree — part
+    * of the sweep ran contended and the per-row spread can't say which)
+    * the 4 widest rows qualify even when individually tame. Worst spread
+    * first, capped at `cap` so a noisy box can't double the sweep.
+    */
+  private[graft] def requeueSelect(rows: Seq[(String, Seq[Double], Boolean)],
+                                   partialWindow: Boolean, spreadBound: Double,
+                                   cap: Int): Seq[String] = {
+    val wide = rows.filter(r => spreadRatio(r._2) > spreadBound)
+    val bad = rows.filter(_._3)
+    val windowed = if (!partialWindow) Seq.empty
+      else rows.sortBy(r => -spreadRatio(r._2)).take(4)
+    (wide ++ bad ++ windowed).map(_._1).distinct
+      .sortBy(n => -spreadRatio(rows.find(_._1 == n).get._2)).take(cap)
+  }
+
   private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -369,17 +391,91 @@ object Bench {
     val calibBwMtEnd = (1 to 3).map(_ =>
       calibrateBwMt(bwArr, Runtime.getRuntime.availableProcessors)).min
     val calibBwMtRatio = ((calibBwMtStart + calibBwMtEnd) / 2.0) / calibBwMtRef
+
+    // ---- self-adjudicating requeue (round-16 brief #2): one attempt, one
+    // artifact. Rounds 14-16 each needed multiple manual sweep attempts
+    // plus hand-picked mover subsets to separate contention drift from
+    // code; the harness now adjudicates itself. Triggers:
+    //   - PARTIAL CONTENTION WINDOW: the end-of-sweep bandwidth
+    //     calibrations differ materially from the start pair — a co-tenant
+    //     arrived or left mid-sweep, so some rows ran contended and some
+    //     clean, and the per-row spread cannot tell which;
+    //   - WIDE ROWS: a query's own max/min spread exceeds the bound — its
+    //     median may still be poisoned when 2 of 3 iterations were slow.
+    // The worst-spread rows are re-run ISOLATED after the sweep, gated by
+    // a FRESH bandwidth calibration taken immediately before the re-runs
+    // (emitted as requeue_calib_bw_ratio — the reader can verify the
+    // re-run window was actually quiet). The artifact carries BOTH values
+    // per requeued query (`queries` = the sweep's, `requeued` = the
+    // isolated ones) and the headline total is computed from the CLEAN
+    // medians (requeued values substituted).
+    val requeueSpread = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_SPREAD", "1.5").toDouble
+    val requeueMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_MAX", "8").toInt
+    def shifted(a: Double, b: Double): Boolean =
+      a > 0 && b > 0 && (b / a > 1.2 || a / b > 1.2)
+    val partialWindow = shifted(calibBwStart, calibBwEnd) ||
+      shifted(calibBwMtStart, calibBwMtEnd) || shifted(calibMtStart, calibMtEnd)
+    val selRows = results.map { case (n, ts, _, bad) => (n, ts, bad) }
+    val requeueNames = requeueSelect(selRows, partialWindow, requeueSpread, requeueMax)
+    val requeueReason =
+      (if (partialWindow) Seq("partial_window") else Nil) ++
+        (if (selRows.exists(r => spreadRatio(r._2) > requeueSpread)) Seq("spread") else Nil) ++
+        (if (selRows.exists(_._3)) Seq("tainted") else Nil)
+    val (requeued, requeueBwRatio): (Seq[(String, Double)], Double) =
+      if (requeueNames.isEmpty) (Seq.empty, -1.0)
+      else {
+        // calibration gate: measure the re-run window's own quietness
+        val gateBw = (1 to 2).map(_ => calibrateBw(bwArr, 4)).min / calibBwRef
+        val spark2 = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.sql.lateralColumnAlias.enableImplicitResolution", "false")
+          .config("spark.sql.extensions", "graft.GraftExtensions")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark2.sparkContext.setLogLevel("WARN")
+        try spark2.range(1000000).selectExpr("sum(id)").collect()
+        catch { case _: Throwable => () }
+        val re = requeueNames.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            spark2.catalog.clearCache()
+            System.gc()
+            val ts = (1 to iters).flatMap { _ =>
+              val t0 = System.nanoTime()
+              try {
+                fn(spark2, sfDir).write.format("noop").mode("overwrite").save()
+                Some((System.nanoTime() - t0) / 1e9)
+              } catch { case _: Throwable => None }
+            }
+            name -> (if (ts.isEmpty) -1.0 else median(ts))
+          }
+        }
+        spark2.stop()
+        (re, gateBw)
+      }
+    val requeuedMap = requeued.toMap
     // stdout stays ONE line, but COMPACT (medians only): rounds 3-5 proved
     // the capture pipeline truncates long lines (~13 queries lost, "parsed":
     // null in every BENCH artifact). The full record — including the
     // [min, median, max] spread that lets a reader discount contention-
     // polluted rows — goes to a file instead. `contended` rides in BOTH:
     // the driver's artifact must self-declare its validity.
+    // headline total = CLEAN medians: requeued rows substitute their
+    // isolated re-run; the sweep's own sum rides beside it as sweep_total
+    val cleanTotal = medians.map { case (k, v) => requeuedMap.getOrElse(k, v) }.sum
+    val rq = requeued.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val rqMeta =
+      s""""requeued":$rq,"requeue_reason":[${requeueReason.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""requeue_calib_bw_ratio":${f(requeueBwRatio)},"sweep_total":${f(total)},"""
     val compact =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","contended":$contended,""" +
+      s"""{"metric":"total","value":${f(cleanTotal)},"unit":"sec","contended":$contended,""" +
         s""""calib_ratio":${f(calibRatio)},"normalized_total":${f(normalizedTotal)},""" +
         s""""calib_mt_ratio":${f(calibMtRatio)},"normalized_total_mt":${f(normalizedTotalMt)},""" +
         s""""calib_bw_ratio":${f(calibBwRatio)},"calib_bw_mt_ratio":${f(calibBwMtRatio)},""" +
+        rqMeta +
         s""""queries":$qs,"sf":"$sfDir"}"""
     // Run-conditions provenance (round-8 review item): who measured, when,
     // how loaded the box was, and what the harness did about it.
@@ -403,7 +499,9 @@ object Bench {
         s"""calib_mt risen with calib flat = core stealing; all flat = code.",""" +
         s""""suspect_queries":[${suspectQueries.map("\"" + _ + "\"").mkString(",")}]}"""
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","contended":$contended,"queries":$qs,"spread":$spread,"conditions":$conditions,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(cleanTotal)},"unit":"sec","contended":$contended,""" +
+        rqMeta +
+        s""""queries":$qs,"spread":$spread,"conditions":$conditions,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }

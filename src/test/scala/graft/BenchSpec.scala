@@ -59,6 +59,26 @@ class BenchSpec extends AnyFunSuite {
     assert(m > 0 && m.isFinite)
   }
 
+  test("requeueSelect: wide/tainted rows qualify, partial window pulls movers, cap holds") {
+    val quiet = Seq(
+      ("q1", Seq(1.0, 1.0, 1.05), false),
+      ("q2", Seq(2.0, 2.0, 2.1), false),
+      ("q3", Seq(5.0, 5.1, 5.0), false))
+    // clean sweep, no window shift: nothing requeues
+    assert(Bench.requeueSelect(quiet, partialWindow = false, 1.5, 8).isEmpty)
+    // a wide row requeues; worst spread first
+    val wide = quiet :+ ("q4", Seq(1.0, 1.0, 2.0), false) :+ ("q5", Seq(1.0, 3.3, 3.4), false)
+    assert(Bench.requeueSelect(wide, partialWindow = false, 1.5, 8) == Seq("q5", "q4"))
+    // a tainted row requeues even under the spread bound
+    val bad = quiet :+ ("q6", Seq(1.0, 1.1, 1.2), true)
+    assert(Bench.requeueSelect(bad, partialWindow = false, 1.5, 8) == Seq("q6"))
+    // partial window: the 4 widest rows requeue even when individually tame
+    val sel = Bench.requeueSelect(quiet, partialWindow = true, 1.5, 8)
+    assert(sel.toSet == Set("q1", "q2", "q3"), sel.toString)
+    // cap bounds the pass
+    assert(Bench.requeueSelect(wide, partialWindow = true, 1.5, 2).size == 2)
+  }
+
   test("calibrate: positive, finite, and stable enough to serve as a speed index") {
     Bench.calibrate() // JIT warmup, discarded like the main's
     val a = Bench.calibrate()
