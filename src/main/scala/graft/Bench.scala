@@ -411,10 +411,16 @@ object Bench {
     // medians (requeued values substituted).
     val requeueSpread = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_SPREAD", "1.5").toDouble
     val requeueMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_MAX", "8").toInt
-    def shifted(a: Double, b: Double): Boolean =
-      a > 0 && b > 0 && (b / a > 1.2 || a / b > 1.2)
-    val partialWindow = shifted(calibBwStart, calibBwEnd) ||
-      shifted(calibBwMtStart, calibBwMtEnd) || shifted(calibMtStart, calibMtEnd)
+    // per-calibration shift thresholds sit ABOVE each loop's own observed
+    // quiet-box noise (bw_mt's all-core sweep is the jumpiest at ±30%),
+    // else the partial-window trigger fires on scheduler jitter and the
+    // top movers requeue every run — paying the isolated pass (and its
+    // warm-JVM bias) for nothing
+    def shifted(a: Double, b: Double, f: Double): Boolean =
+      a > 0 && b > 0 && (b / a > f || a / b > f)
+    val partialWindow = shifted(calibBwStart, calibBwEnd, 1.25) ||
+      shifted(calibBwMtStart, calibBwMtEnd, 1.4) ||
+      shifted(calibMtStart, calibMtEnd, 1.25)
     val selRows = results.map { case (n, ts, _, bad) => (n, ts, bad) }
     val requeueNames = requeueSelect(selRows, partialWindow, requeueSpread, requeueMax)
     val requeueReason =
