@@ -339,28 +339,8 @@ object DedupQueries {
     // its old text) is a row the oracle doesn't have. The 100 TB shape:
     // dedup-index freshness at O(changes) per tick, no blue/green rebuild.
     "q169_neardup_index_follow" -> { (s, dir) =>
-      import graft.sink.{NearDupIngest, Warehouse}
-      val docs = read(s, dir, "documents").select(col("doc_id"), col("text"))
-      val whDir = java.nio.file.Files.createTempDirectory("graft-q169")
-      val wh = new Warehouse(s, whDir.toString)
-      try {
-        val ndi = new NearDupIngest(wh, "doc_id", "text")
-        wh.append("corpus", docs.filter(col("doc_id") % 2 === 0),
-          statsCols = Seq("doc_id"))
-        ndi.followChanges("corpus") // bootstrap: whole snapshot as +I
-        wh.append("corpus", docs.filter(col("doc_id") % 2 === 1),
-          statsCols = Seq("doc_id"))
-        wh.morMerge("corpus", docs.filter(col("doc_id") % 5 === 0)
-          .withColumn("text", concat(col("text"), lit(" zebra zebra zebra"))),
-          Seq("doc_id"))
-        wh.deleteWhere("corpus", col("doc_id") % 7 === 0)
-        ndi.followChanges("corpus")
-        ndi.pairs("corpus").orderBy("d1", "d2").localCheckpoint()
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      val ndi = q169Index(s, dir)
+      ndi.pairs("corpus").orderBy("d1", "d2").localCheckpoint()
     },
 
     // From the FEED-MAINTAINED index to dedup DECISIONS: q169's exact
@@ -373,28 +353,8 @@ object DedupQueries {
     // cross-checked. 100 TB shape: decisions at O(index pairs), zero
     // corpus-text reads, no blue/green rebuild.
     "q172_neardup_index_clusters" -> { (s, dir) =>
-      import graft.sink.{NearDupIngest, Warehouse}
-      val docs = read(s, dir, "documents").select(col("doc_id"), col("text"))
-      val whDir = java.nio.file.Files.createTempDirectory("graft-q172")
-      val wh = new Warehouse(s, whDir.toString)
-      try {
-        val ndi = new NearDupIngest(wh, "doc_id", "text")
-        wh.append("corpus", docs.filter(col("doc_id") % 2 === 0),
-          statsCols = Seq("doc_id"))
-        ndi.followChanges("corpus") // bootstrap: whole snapshot as +I
-        wh.append("corpus", docs.filter(col("doc_id") % 2 === 1),
-          statsCols = Seq("doc_id"))
-        wh.morMerge("corpus", docs.filter(col("doc_id") % 5 === 0)
-          .withColumn("text", concat(col("text"), lit(" zebra zebra zebra"))),
-          Seq("doc_id"))
-        wh.deleteWhere("corpus", col("doc_id") % 7 === 0)
-        ndi.followChanges("corpus")
-        ndi.clusters("corpus").orderBy("doc_id").localCheckpoint()
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(whDir).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      val ndi = q169Index(s, dir)
+      ndi.clusters("corpus").orderBy("doc_id").localCheckpoint()
     },
 
     // From near-dup PAIRS to dedup DECISIONS: connected components over the
@@ -796,6 +756,40 @@ object DedupQueries {
          |  USING (keeper)
          |ORDER BY doc_id""".stripMargin
   )
+
+  /** q169/q172 shared corpus+index build, per JVM and KEYED BY SF DIR —
+    * the q128 `prebuilt` discipline applied at warehouse grain: both
+    * queries exercise the identical scripted mutation history (append
+    * evens → bootstrap follow → append odds + morMerge %5 + deleteWhere
+    * %7 → second follow), so the first toucher pays the build and the
+    * sibling serves from the already-maintained index (its own surface —
+    * pairs() vs clusters() — is what the oracle gates). The build is
+    * deterministic per dir and IMMUTABLE once complete, so sharing cannot
+    * leak state between runs; the dir key keeps sf0.001 smoke and sf0.01
+    * verify apart. The temp root lives for the JVM (stable-path
+    * discipline — never wiped mid-process).
+    */
+  private val q169Roots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q169Index(s: SparkSession, dir: String): graft.sink.NearDupIngest = {
+    val root = q169Roots.computeIfAbsent(dir, { _ =>
+      val whDir = java.nio.file.Files.createTempDirectory("graft-q169").toString
+      val wh = new graft.sink.Warehouse(s, whDir)
+      val ndi = new graft.sink.NearDupIngest(wh, "doc_id", "text")
+      val docs = read(s, dir, "documents").select(col("doc_id"), col("text"))
+      wh.append("corpus", docs.filter(col("doc_id") % 2 === 0),
+        statsCols = Seq("doc_id"))
+      ndi.followChanges("corpus") // bootstrap: whole snapshot as +I
+      wh.append("corpus", docs.filter(col("doc_id") % 2 === 1),
+        statsCols = Seq("doc_id"))
+      wh.morMerge("corpus", docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" zebra zebra zebra"))),
+        Seq("doc_id"))
+      wh.deleteWhere("corpus", col("doc_id") % 7 === 0)
+      ndi.followChanges("corpus")
+      whDir
+    })
+    new graft.sink.NearDupIngest(new graft.sink.Warehouse(s, root), "doc_id", "text")
+  }
 
   // q169/q172 shared: [[graft.sink.NearDupIngest]]'s exact MinHash algebra
   // (w=3, k=16, 4 bands of 4, est-Jaccard >= 0.5 <=> >= 8 matching

@@ -275,6 +275,21 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
       .select(col("d1"), col("d2"), col("n_match"))
   }
 
+  /** Compact the index tables' ingest-granularity files
+    * ([[SearchIndexIngest.compact]]'s near-dup sibling): every per-batch
+    * append lands one band-key-range file, and after many small batches
+    * their ranges overlap — each corpus probe then opens a file per batch.
+    * Compaction rewrites the small files into few DISJOINT
+    * band_key-clustered files (sigs by pk), restoring the O(probe-keys)
+    * band lookup; results are unchanged (content-preserving rewrite,
+    * spec-pinned), and pending MOR retractions from [[followChanges]]
+    * materialize in the process (the rewrite ops apply deletes).
+    */
+  def compact(name: String, smallRows: Long = 100000L): Unit = {
+    wh.compactFiles(bandsTable(name), smallRows, clusterBy = Seq("band_key"))
+    wh.compactFiles(sigsTable(name), smallRows, clusterBy = Seq(pkCol)): Unit
+  }
+
   /** Dedup DECISIONS from the maintained index — q71's connected-components
     * keeper algebra applied to [[pairs]]: every clustered doc labeled with
     * its component's MINIMUM pk (the keeper, the same deterministic rule

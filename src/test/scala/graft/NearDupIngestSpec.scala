@@ -256,6 +256,34 @@ class NearDupIngestSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("compact: index files coalesce band_key-disjoint; pairs unchanged") {
+    val wh = new Warehouse(spark, tmpDir("ndi-compact"))
+    val ing = ingester(wh)
+    // near-dups land by PLAIN append (no admission) and index via the
+    // follower, so pairs() actually has edges to preserve
+    wh.append("corpus", docs(1L -> baseText, 2L -> nearText), statsCols = Seq("doc_id"))
+    ing.followChanges("corpus")
+    // many small ingests: one bands file per batch, ranges overlapping
+    (0 until 6).foreach { i =>
+      val novel = (1 to 40).map(j => s"w${i}t$j").mkString(" ")
+      ing.ingest("corpus", docs(100L + i -> novel)): Unit
+    }
+    val before = ing.pairs("corpus").orderBy("d1", "d2").collect().map(_.toSeq).toSeq
+    assert(before.nonEmpty, "premise: some near-dup pairs exist")
+    val filesBefore = wh.currentManifest("corpus__bands").files.size
+    assert(filesBefore >= 6, s"premise: per-batch band files, got $filesBefore")
+    ing.compact("corpus")
+    val filesAfter = wh.currentManifest("corpus__bands").files.size
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the bands file count: $filesBefore -> $filesAfter")
+    assert(ing.pairs("corpus").orderBy("d1", "d2").collect().map(_.toSeq).toSeq == before,
+      "compaction must be content-preserving")
+    // the index keeps working for admission after compaction
+    val again = ing.ingest("corpus",
+      docs(999L -> ((1 to 38).map(j => s"w0t$j") ++ Seq("qq", "rr")).mkString(" ")))
+    assert(again.dupVsCorpus == 1, s"post-compact probe must still dedup: $again")
+  }
+
   test("signature-format stamp: mismatched parameters refuse loudly, never mix") {
     val wh = new Warehouse(spark, tmpDir("ndi-fmt"))
     val ing = ingester(wh)
