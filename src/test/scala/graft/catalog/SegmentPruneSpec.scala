@@ -162,6 +162,16 @@ class SegmentPruneSpec extends SparkSpec {
 
     // (d) unfiltered aggregate stays MOR-exact (bare-relation swap path)
     assert(spark.sql("SELECT count(*) AS n FROM sgq.t").head().getLong(0) == 2399L)
+
+    // (e) SELF-JOIN of the pending table: each relation occurrence swaps
+    // to its own fresh overlay plan (shared exprIds across the two sides
+    // would fail analysis or mis-resolve) — answers stay MOR-exact
+    val sj = spark.sql(
+      "SELECT a.k FROM sgq.t a JOIN sgq.t b ON a.k = b.k + 1 " +
+        "WHERE a.k BETWEEN 128 AND 133 ORDER BY a.k")
+      .collect().map(_.getLong(0)).toSeq
+    // 130 deleted: a.k=130 gone (left side), and a.k=131 needs b.k=130 (gone)
+    assert(sj == Seq(128L, 129L, 132L, 133L), s"self-join over pending MOR: $sj")
   }
 
   test("inferred IsNotNull conjuncts never skip a live delete (delRows probe)") {
