@@ -82,7 +82,19 @@ object MorReadRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  /** Equality-delete files dropped from an overlay because the query's own
+    * filter refutes their recorded key bounds (observability for specs —
+    * the per-file pass is an optimization, so correctness tests can't see
+    * it; this counter can).
+    */
+  val eqDeletesPruned = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // transformDOWN, not Up: with transformUp the bare-relation case rewrites
+  // the child before its parent Filter is visited, so the per-file
+  // equality-delete pruning case could never fire. Descending into the
+  // spliced replacement is safe — the overlay subplan contains only v1
+  // parquet relations, which match neither case.
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // filtered read: ManifestPruneRule (earlier in this rule list) already
     // segment-pruned the manifest delete-aware; here the surviving
     // EQUALITY-delete files get the per-file pass on the same conjuncts
@@ -91,6 +103,7 @@ object MorReadRule extends Rule[LogicalPlan] {
       val man = gt.manifest
       val dels = man.deletes.filter(d => d.kind != "eq" ||
         ManifestPruneRule.mayMatch(graft.sink.DataFile("", d.rows, d.stats), cond))
+      eqDeletesPruned.addAndGet((man.deletes.size - dels.size).toLong)
       f.copy(child = morPlan(gt, man.copy(deletes = dels), r))
     case r: DataSourceV2Relation if pendingMor(r) =>
       val gt = r.table.asInstanceOf[GraftTable]

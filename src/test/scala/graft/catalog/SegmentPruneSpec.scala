@@ -174,6 +174,46 @@ class SegmentPruneSpec extends SparkSpec {
     assert(sj == Seq(128L, 129L, 132L, 133L), s"self-join over pending MOR: $sj")
   }
 
+  test("per-file eq-delete pruning fires on filtered MOR reads (transformDown order)") {
+    // REGRESSION: MorReadRule.rewrite used transformUp, so the bare-relation
+    // case rewrote the child before its parent Filter was visited and the
+    // Filter case — the per-file equality-delete prune — was unreachable
+    // dead code. The rule now descends (transformDown); this test pins the
+    // prune actually firing via the eqDeletesPruned counter, with the
+    // answers staying MOR-exact on both the refuting and the covering probe.
+    val root = tmpDir("segprune-perfile")
+    spark.conf.set("spark.sql.catalog.sgf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sgf.root", root)
+    val wh = new Warehouse(spark, root)
+    wh.create("t", schema)
+    (0 until 6).foreach(i => wh.append("t", batch(i * 100L, 100L), statsCols = Seq("k")))
+    // two pending equality-delete FILES in DISJOINT key ranges inside ONE
+    // delta segment (one commit, range-partitioned keys → one file per
+    // key): segment-level pruning keeps the whole segment (its aggregate
+    // delete bounds overlap the probe), so only the per-file pass can
+    // separate them
+    wh.equalityDelete("t", spark.createDataFrame(
+        Seq(Row(130L, null: String), Row(430L, null: String)).asJava, schema)
+      .select(col("k")).repartitionByRange(2, col("k")))
+    assert(wh.manifestHeader("t").deleteCount == 2)
+
+    // probe INSIDE delete #1's range and FAR from delete #2: the overlay
+    // must drop the k=430 delete file (its bounds refute k<200) while the
+    // k=130 delete still applies
+    val p0 = MorReadRule.eqDeletesPruned.get()
+    val got = spark.sql("SELECT k FROM sgf.t WHERE k >= 128 AND k < 133 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(128L, 129L, 131L, 132L),
+      s"covering delete must apply under per-file pruning: $got")
+    assert(MorReadRule.eqDeletesPruned.get() - p0 >= 1,
+      "the refuted eq-delete file must be dropped from the overlay")
+
+    // probe covering BOTH ranges keeps both deletes
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM sgf.t WHERE k IN (130, 430)").head().getLong(0)
+    assert(n == 0L, "both deletes must survive a covering probe")
+  }
+
   test("inferred IsNotNull conjuncts never skip a live delete (delRows probe)") {
     // REGRESSION: the delete-side skip probe used to present the segment's
     // DATA row count (0 for the delete-only delta segments equalityDelete
