@@ -47,16 +47,37 @@ object Bench {
     * the 4 widest rows qualify even when individually tame. Worst spread
     * first, capped at `cap` so a noisy box can't double the sweep.
     */
+  /** Seconds by which a row's reported median exceeds its best observed
+    * run — the row's contribution of (suspected) contention to the TOTAL,
+    * since each query enters the headline sum exactly once at its median.
+    */
+  private[graft] def excessSec(ts: Seq[Double]): Double =
+    if (ts.isEmpty) 0.0 else median(ts) - ts.min
+
   private[graft] def requeueSelect(rows: Seq[(String, Seq[Double], Boolean)],
                                    partialWindow: Boolean, spreadBound: Double,
                                    cap: Int): Seq[String] = {
     val wide = rows.filter(r => spreadRatio(r._2) > spreadBound)
     val bad = rows.filter(_._3)
     val windowed = if (!partialWindow) Seq.empty
-      else rows.sortBy(r => -spreadRatio(r._2)).take(4)
+      else rows.sortBy(r => -excessSec(r._2)).take(4)
+    // rank by ABSOLUTE excess seconds, not spread ratio: when the cap
+    // bites, the rows distorting the TOTAL most must requeue first — a
+    // 24 s row with median 3 s above min outranks a 0.3 s row running 3×
+    // wide (round-17 driver artifact: q119's 24.75 s contended median was
+    // left standing while smaller ratio-ranked offenders filled the cap)
     (wide ++ bad ++ windowed).map(_._1).distinct
-      .sortBy(n => -spreadRatio(rows.find(_._1 == n).get._2)).take(cap)
+      .sortBy(n => -excessSec(rows.find(_._1 == n).get._2)).take(cap)
   }
+
+  /** Headline total from clean medians: a requeued row substitutes its
+    * isolated re-run EXCEPT when that re-run failed every iteration (the
+    * -1.0 sentinel) — then the sweep's own median stands, so a crashing
+    * re-run can never make the benchmark look faster.
+    */
+  private[graft] def substituteClean(medians: Seq[(String, Double)],
+                                     requeued: Map[String, Double]): Double =
+    medians.map { case (k, v) => requeued.get(k).filter(_ >= 0).getOrElse(v) }.sum
 
   private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -462,6 +483,11 @@ object Bench {
         (re, gateBw)
       }
     val requeuedMap = requeued.toMap
+    // a requeued query whose isolated re-run failed EVERY iteration records
+    // the -1.0 sentinel — it must NOT substitute into the clean total (the
+    // sweep's real median stands) and the failure is surfaced, else a
+    // crashing re-run silently makes the benchmark look faster
+    val rerunFailed = requeued.collect { case (k, v) if v < 0 => k }
     // stdout stays ONE line, but COMPACT (medians only): rounds 3-5 proved
     // the capture pipeline truncates long lines (~13 queries lost, "parsed":
     // null in every BENCH artifact). The full record — including the
@@ -470,11 +496,12 @@ object Bench {
     // the driver's artifact must self-declare its validity.
     // headline total = CLEAN medians: requeued rows substitute their
     // isolated re-run; the sweep's own sum rides beside it as sweep_total
-    val cleanTotal = medians.map { case (k, v) => requeuedMap.getOrElse(k, v) }.sum
+    val cleanTotal = substituteClean(medians, requeuedMap)
     val rq = requeued.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val allReasons = requeueReason ++ rerunFailed.map(k => s"rerun_failed:$k")
     val rqMeta =
-      s""""requeued":$rq,"requeue_reason":[${requeueReason.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""requeued":$rq,"requeue_reason":[${allReasons.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""requeue_calib_bw_ratio":${f(requeueBwRatio)},"sweep_total":${f(total)},"""
     val compact =
       s"""{"metric":"total","value":${f(cleanTotal)},"unit":"sec","contended":$contended,""" +

@@ -79,6 +79,37 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.requeueSelect(wide, partialWindow = true, 1.5, 2).size == 2)
   }
 
+  test("requeueSelect ranks by absolute excess: the row distorting the TOTAL wins the cap") {
+    // contended-sweep simulation (round-17 driver artifact): q119-shaped
+    // row with a huge ABSOLUTE excess (median 24.75 s vs min 21.7 s =
+    // +3.05 s in the total) but a modest spread ratio, against several
+    // small rows running 3-4x wide (big ratio, pennies of excess). Under
+    // a tight cap the absolute offender must ALWAYS be selected.
+    val rows = Seq(
+      ("q119", Seq(21.7, 24.75, 39.8), false),  // excess 3.05 s, ratio 1.83
+      ("qa", Seq(0.1, 0.35, 0.4), false),       // excess 0.25 s, ratio 4.0
+      ("qb", Seq(0.2, 0.6, 0.7), false),        // excess 0.4 s, ratio 3.5
+      ("qc", Seq(0.1, 0.3, 0.45), false),       // excess 0.2 s, ratio 4.5
+      ("qd", Seq(0.15, 0.5, 0.5), false))       // excess 0.35 s, ratio 3.3
+    val sel = Bench.requeueSelect(rows, partialWindow = false, 1.5, 2)
+    assert(sel.head == "q119",
+      s"largest-absolute offender must be requeued first, got $sel")
+    // every left-behind row carries a small absolute excess
+    val left = rows.filterNot(r => sel.contains(r._1))
+    assert(left.forall(r => Bench.excessSec(r._2) < 2.0),
+      s"left-behind rows must each distort the total by <2 s: $left")
+  }
+
+  test("substituteClean: a failed re-run (sentinel) never lowers the total") {
+    val medians = Seq("q1" -> 2.0, "q2" -> 5.0, "q3" -> 1.0)
+    // clean substitution applies
+    assert(Bench.substituteClean(medians, Map("q2" -> 3.0)) == 6.0)
+    // the -1.0 sentinel (isolated re-run crashed every iteration) must NOT
+    // substitute: the sweep's median stands
+    assert(Bench.substituteClean(medians, Map("q2" -> -1.0)) == 8.0)
+    assert(Bench.substituteClean(medians, Map("q2" -> -1.0, "q3" -> 0.5)) == 7.5)
+  }
+
   test("calibrate: positive, finite, and stable enough to serve as a speed index") {
     Bench.calibrate() // JIT warmup, discarded like the main's
     val a = Bench.calibrate()
