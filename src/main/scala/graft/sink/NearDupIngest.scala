@@ -83,6 +83,14 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     if (!wh.exists(sigsTable(name))) return
     val got = wh.lastCommittedBatchId(sigsTable(name), SigFmtSid)
     if (got == formatStamp) return
+    if (got < 0) {
+      // a stampless sigs table with ZERO committed rows is a freshly-created
+      // index (possibly a crash between create and stamp) — no signatures
+      // exist, so no cross-era mixing is possible; the entry points stamp
+      // before committing any rows
+      val man = wh.currentManifest(sigsTable(name))
+      if (man.files.isEmpty && man.deletes.isEmpty) return
+    }
     if (got < 0) throw new IllegalStateException(
       s"near-dup index for '$name' carries no signature-format stamp — it was " +
         "built before format stamping (possibly with the old per-position-salted " +
@@ -110,6 +118,18 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     if (wh.exists(sigsTable(name)) &&
         wh.lastCommittedBatchId(sigsTable(name), SigFmtSid) != formatStamp)
       wh.recordBatchId(sigsTable(name), SigFmtSid, formatStamp)
+
+  /** Create-then-stamp, BEFORE any signature rows commit: a crash at any
+    * later point leaves a stamped index, never a committed-but-stampless
+    * one that [[formatGuard]] would permanently refuse (the round-17
+    * after-commit stamping left exactly that window). A crash between
+    * create and stamp leaves an EMPTY stampless table, which the guard
+    * recognizes as fresh.
+    */
+  private def ensureStamped(name: String, sigSchema: org.apache.spark.sql.types.StructType): Unit = {
+    if (!wh.exists(sigsTable(name))) wh.create(sigsTable(name), sigSchema)
+    stampFormat(name)
+  }
 
   /** Operator override for a pre-stamp index KNOWN to be in this instance's
     * exact format and parameters: records the stamp so the guard passes.
@@ -162,8 +182,8 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     val preV = if (wh.exists(name)) wh.currentVersion(name) else -1L
     val st = stage(name, df)
     try {
+      ensureStamped(name, st.newSigs.schema)
       wh.append(sigsTable(name), st.newSigs, statsCols = Seq(pkCol))
-      stampFormat(name)
       wh.append(bandsTable(name), st.newBands, statsCols = Seq("band_key"))
       val version = wh.append(name, st.outRows, statsCols = Seq(pkCol))
       advanceFollowerLedger(name, preV)
@@ -203,8 +223,8 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
         ).localCheckpoint()
       // sigs before bands: a band row without its signature is a probe hit
       // that cannot verify; the reverse order is inert (ingest's discipline)
+      ensureStamped(name, newSigs.schema)
       wh.append(sigsTable(name), newSigs, statsCols = Seq(pkCol))
-      stampFormat(name)
       wh.append(bandsTable(name), newBands, statsCols = Seq("band_key"))
       newSigs.count()
     } finally s.unpersist()
@@ -322,12 +342,16 @@ final class NearDupIngest(wh: Warehouse, pkCol: String, textCol: String,
     val preV = if (wh.exists(name)) wh.currentVersion(name) else -1L
     val st = stage(name, df)
     try {
+      // stamp BEFORE the transaction commits: the ledger pointer is outside
+      // the transactional manifest commit, so stamping after left a window
+      // where a crash produced a committed-but-stampless index that
+      // formatGuard permanently refused
+      ensureStamped(name, st.newSigs.schema)
       wh.transact { tx =>
         tx.append(sigsTable(name), st.newSigs, statsCols = Seq(pkCol))
         tx.append(bandsTable(name), st.newBands, statsCols = Seq("band_key"))
         tx.append(name, st.outRows, statsCols = Seq(pkCol))
       }
-      stampFormat(name)
       advanceFollowerLedger(name, preV)
       Report(wh.currentVersion(name), st.appended, st.total - st.kept,
         st.kept - st.appended)

@@ -320,6 +320,39 @@ class NearDupIngestSpec extends SparkSpec {
     assert(ing.ingest("corpus", docs(10L -> nearText)).dupVsCorpus == 1)
   }
 
+  test("signature-format stamp: committed index is never stampless (create-then-stamp order)") {
+    // REGRESSION (round-17 advice): ingest/ingestAtomic stamped AFTER their
+    // commits, so a crash in between left a committed index with no stamp —
+    // which formatGuard then permanently refused as pre-stamp-era. The
+    // entry points now create-then-stamp BEFORE any signature rows commit.
+    val root = tmpDir("ndi-fmt-crash")
+    val wh = new Warehouse(spark, root)
+    val ing = ingester(wh)
+    // the stamp must exist the moment signature rows are committed: after a
+    // fresh ingest both the rows and the stamp are present (ordering means a
+    // crash after the sigs commit still leaves the stamp behind)
+    ing.ingest("corpus", docs(1L -> baseText))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "corpus__sigs", "_stream_sigformat")),
+      "stamp must be recorded before/with the first sigs commit")
+    // crash window between create and stamp: an EMPTY stampless sigs table
+    // must be treated as fresh, not refused — simulate on a second corpus
+    val root2 = tmpDir("ndi-fmt-crash2")
+    val wh2 = new Warehouse(spark, root2)
+    val ing2 = ingester(wh2)
+    wh2.create("corpus__sigs", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sig", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))))
+    // no stamp, zero committed rows: every entry point accepts and heals
+    val rep = ing2.ingestAtomic("corpus", docs(1L -> baseText, 2L -> otherText))
+    assert(rep.appended == 2, rep.toString)
+    assert(ing2.pairs("corpus").collect() != null)
+    // and the healed index is stamped
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root2, "corpus__sigs", "_stream_sigformat")))
+  }
+
   test("streaming ingest: near-dup rejected in-flight; fresh-checkpoint replay adds 0") {
     import org.apache.spark.sql.streaming.Trigger
     val watch = tmpDir("ndi-watch")
