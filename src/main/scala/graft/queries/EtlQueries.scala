@@ -358,7 +358,8 @@ object EtlQueries {
     // (foreachBatch-shaped: each tick folds O(window) signed partials and
     // NEVER rescans the fact — min/max damage is tie-gated into the
     // __pending side table in the same transaction as the partials) and
-    // repaired by ONE drainPendingExtremes call (targeted rescan of the
+    // repaired by the maintainer's OWN drain cadence (drainEvery — the
+    // cadence tick runs drainPendingExtremes: targeted rescan of the
     // marked groups at the rollup's covered version, atomic retract+
     // replace). The script deletes every segment's MINIMUM-balance rows
     // (ties included — every group marks pending) then morMerge-upserts
@@ -381,8 +382,12 @@ object EtlQueries {
           IncrementalRollup.SumOf(dec(col("bal")), "bal_sum"),
           IncrementalRollup.MinOf(col("bal"), "bal_min"),
           IncrementalRollup.MaxOf(col("bal"), "bal_max")))
+        // drainEvery = 4: the FOURTH delivering tick auto-drains the
+        // pending set — the repair runs via maintainRollup's self-serve
+        // cadence, no external drain call to forget
         def tick(): Unit = {
-          ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "q171"): Unit }
+          ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "q171",
+            drainEvery = 4): Unit }
         val a = cust.filter(col("c_custkey") % 3 === 0)
         val b = cust.filter(col("c_custkey") % 3 === 1)
         wh.create("fact", org.apache.spark.sql.types.StructType(
@@ -401,8 +406,8 @@ object EtlQueries {
         wh.morMerge("fact",
           live.filter(col("c_custkey") % 4 === 0).withColumn("bal", col("bal") + 25),
           Seq("c_custkey"))
-        tick()
-        ChangeFeedStream.drainPendingExtremes(wh, "fact", "roll", spec): Unit
+        tick() // cadence hit: this tick auto-drains (spec-pinned in
+               // ChangeFeedStreamSpec); no explicit drain call needed
         IncrementalRollup.read(wh, "roll", spec)
           .filter(col("cnt") =!= 0L)
           .withColumn("bal_sum", col("bal_sum").cast("double"))

@@ -251,10 +251,15 @@ object ChangeFeedStream {
     * would drop the marker column.
     */
   def maintainRollup(wh: Warehouse, fact: String, rollup: String,
-                     spec: IncrementalRollup.Spec, consumerId: String): Long =
-    poll(wh, fact, consumerId) { (changes0, from, to) =>
+                     spec: IncrementalRollup.Spec, consumerId: String,
+                     drainEvery: Int = 0): Long = {
+    var delivered = false
+    val cur = poll(wh, fact, consumerId) { (changes0, from, to) =>
+      delivered = true
       val recorded = math.max(
-        wh.lastCommittedBatchId(rollup, sid(consumerId)), // legacy file ledger
+        math.max(
+          wh.lastCommittedBatchId(rollup, sid(consumerId)), // legacy file ledger
+          wh.lastCommittedBatchId(rollup, MarkSid)), // drain-preserved watermark
         statMarker(wh, rollup, VCol))
       if (to > recorded) {
         val changes = (
@@ -313,8 +318,41 @@ object ChangeFeedStream {
         }
       }
     }
+    // Self-serve drain cadence (opt-in): every `drainEvery` DELIVERING
+    // ticks, drain the pending side table — a long-running maintainer no
+    // longer relies on an external caller remembering the drain. The gate
+    // is metadata-only when there is nothing pending (manifest row
+    // counts, zero Spark jobs), so idle ticks pay nothing; the "one
+    // maintainer per rollup" discipline already makes the tick the safe
+    // place to drain from.
+    if (drainEvery > 0 && delivered) {
+      val t = math.max(0L, wh.lastCommittedBatchId(rollup, TickSid)) + 1
+      wh.recordBatchId(rollup, TickSid, t)
+      if (t % drainEvery == 0 && hasPending(wh, rollup))
+        drainPendingExtremes(wh, fact, rollup, spec)
+    }
+    cur
+  }
+
+  /** Metadata-only probe: does the pending side table carry any live rows?
+    * Conservative (MOR retractions may cover every data row, in which case
+    * the drain itself counts zero and returns) but zero Spark jobs.
+    */
+  private def hasPending(wh: Warehouse, rollup: String): Boolean =
+    wh.exists(pendingTable(rollup)) &&
+      wh.currentManifest(pendingTable(rollup)).files.exists(_.rows > 0)
 
   private val VCol = "__cfs_v"
+  /** Drain-preserved watermark ledger (fixed streamId — the one-maintainer
+    * discipline makes it single-writer): records the covered version
+    * independently of the rollup's `__cfs_v` stat bounds, so a drain that
+    * retracts a group with NO surviving fact rows (removing the rows that
+    * uniquely carried the max marker stat) can never regress the replay
+    * watermark and let a crash-replayed tick double-apply a window.
+    */
+  private val MarkSid = "cfsmark"
+  /** Auto-drain tick counter ledger for [[maintainRollup]]'s `drainEvery`. */
+  private val TickSid = "cfstick"
   /** Side table of affected-group keys awaiting [[drainPendingExtremes]]. */
   def pendingTable(rollup: String): String = s"${rollup}__pending"
 
@@ -345,10 +383,19 @@ object ChangeFeedStream {
     val pKeys = wh.load(pend).select(keys.map(col): _*).distinct().localCheckpoint()
     val n = pKeys.count()
     if (n == 0L) return 0L
-    val marker = statMarker(wh, rollup, VCol)
+    val marker = math.max(statMarker(wh, rollup, VCol),
+      wh.lastCommittedBatchId(rollup, MarkSid))
     require(marker >= 0,
       s"$rollup: no $VCol marker — drainPendingExtremes applies to " +
         "stream-maintained rollups (maintainRollup)")
+    // Preserve the replay watermark INDEPENDENTLY of group rows, BEFORE any
+    // retraction commits: a drained group with no surviving fact rows gets
+    // retracted with no replacement, and if its rows uniquely carried the
+    // max __cfs_v stat the marker would regress — a crash-replayed tick
+    // (to > recorded) could then re-apply already-applied signed partials.
+    // Recording the CURRENT covered version is always safe (it is already
+    // covered), and a crash at any later point leaves it durable.
+    wh.recordBatchId(rollup, MarkSid, marker)
     val factAt = wh.loadVersion(fact, marker)
     def recomputeOf(df: org.apache.spark.sql.DataFrame) =
       df.groupBy(keys.map(col): _*)
@@ -357,22 +404,9 @@ object ChangeFeedStream {
     def nullSafe(l: org.apache.spark.sql.DataFrame,
                  r: org.apache.spark.sql.DataFrame) =
       keys.map(k => l(k) <=> r(k)).reduce(_ && _)
-    val rows = if (keys.isEmpty) Array.empty[org.apache.spark.sql.Row]
-               else pKeys.collect()
-    val nullKey = rows.exists(r => keys.exists(r.getAs[Any](_) == null))
-    if (keys.isEmpty) {
-      // global rollup: the one group is the whole table — consolidate
-      wh.replace(rollup, recomputeOf(factAt), statsCols = Seq(VCol))
-      wh.replace(pend, wh.load(pend).limit(0))
-    } else if (!nullKey && n <= IncrementalRollup.MaxRescanGroups) {
-      val (groupPred, perCol) = IncrementalRollup.groupPredicates(keys, rows.toSeq)
-      val recomputed = recomputeOf(factAt.filter(perCol && groupPred))
-      wh.transact { tx =>
-        tx.equalityDelete(rollup, pKeys)
-        tx.append(rollup, recomputed, statsCols = keys :+ VCol)
-        tx.equalityDelete(pend, pKeys)
-      }
-    } else {
+    // consolidation: recompute every pending group against the snapshot and
+    // replace — used for the keyless rollup, over-gate sets, and null keys
+    def consolidate(): Unit = {
       val hist = wh.load(rollup)
       val unaff = hist.join(pKeys, nullSafe(hist, pKeys), "left_anti")
       val recomputed = recomputeOf(
@@ -380,6 +414,32 @@ object ChangeFeedStream {
       wh.replace(rollup, unaff.unionByName(recomputed), statsCols = keys :+ VCol)
       val pendDf = wh.load(pend)
       wh.replace(pend, pendDf.join(pKeys, nullSafe(pendDf, pKeys), "left_anti"))
+    }
+    if (keys.isEmpty) {
+      // global rollup: the one group is the whole table — consolidate
+      wh.replace(rollup, recomputeOf(factAt), statsCols = Seq(VCol))
+      wh.replace(pend, wh.load(pend).limit(0))
+    } else if (n > IncrementalRollup.MaxRescanGroups) {
+      // over-gate: consolidate WITHOUT collecting the key set to the driver
+      // (at 100 TB with a neglected drain cadence and a wide-key rollup the
+      // unconditional collect was the one driver-side materialization in an
+      // otherwise O(changes) path)
+      consolidate()
+    } else {
+      // bounded collect (n <= MaxRescanGroups): the targeted path needs the
+      // literal key values for its pushed-down IN predicates anyway
+      val rows = pKeys.collect()
+      val nullKey = rows.exists(r => keys.exists(r.getAs[Any](_) == null))
+      if (nullKey) consolidate()
+      else {
+        val (groupPred, perCol) = IncrementalRollup.groupPredicates(keys, rows.toSeq)
+        val recomputed = recomputeOf(factAt.filter(perCol && groupPred))
+        wh.transact { tx =>
+          tx.equalityDelete(rollup, pKeys)
+          tx.append(rollup, recomputed, statsCols = keys :+ VCol)
+          tx.equalityDelete(pend, pKeys)
+        }
+      }
     }
     n
   }

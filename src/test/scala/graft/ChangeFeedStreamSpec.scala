@@ -287,6 +287,111 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(folded() == direct())
   }
 
+  test("drain of a fully-deleted group never regresses the replay watermark") {
+    // REGRESSION (round-17 advice): a pending group with NO surviving fact
+    // rows retracts its fold history with no replacement row; when those
+    // rows uniquely carried the max __cfs_v, the stat-bound marker
+    // regressed and a crash-replayed tick re-applied the covered window's
+    // signed partials. The drain now records the covered version on a
+    // durable ledger BEFORE retracting.
+    val wh = new Warehouse(spark, tmpDir("cfs-wm"))
+    val spec = IncrementalRollup.Spec(Seq("g"), Seq(
+      IncrementalRollup.CountStar("n"), IncrementalRollup.MaxOf(col("v"), "hi")))
+    def direct() = bag(wh.load("fact").groupBy("g")
+      .agg(count(lit(1)).as("n"), max(col("v")).as("hi")))
+    def folded() = bag(IncrementalRollup.read(wh, "roll", spec).filter(col("n") =!= 0L))
+    wh.create("fact", schema)
+    wh.append("fact", kv((1L, "a", "5.00"), (2L, "b", "1.00")), statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "wm")
+    // delete group a's ONLY row (it IS the extreme → tie-gated pending);
+    // this window's partials are group a's alone, so they uniquely carry
+    // the new max __cfs_v — and the drain will retract every one of them
+    wh.deleteWhere("fact", col("k") === 1L)
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "wm")
+    assert(ChangeFeedStream.drainPendingExtremes(wh, "fact", "roll", spec) == 1L)
+    assert(folded() == direct(), "drained state exact")
+    // crash replay: cursor lost → wide re-delivery (0, head]; without the
+    // preserved watermark the window narrows only to the REGRESSED stat
+    // marker and re-applies group a's -1 partial (folded a = -1)
+    ChangeFeedStream.seek(wh, "fact", "wm", 0L)
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "wm")
+    assert(folded() == direct(),
+      s"replayed tick double-applied a covered window:\n  got ${folded()}\n  want ${direct()}")
+    // and the stream keeps tracking afterwards
+    wh.append("fact", kv((3L, "a", "2.00")), statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "wm")
+    assert(folded() == direct())
+  }
+
+  test("maintainRollup(drainEvery=N): N delivering ticks then auto-drain; idle when nothing pends") {
+    val wh = new Warehouse(spark, tmpDir("cfs-auto"))
+    val spec = IncrementalRollup.Spec(Seq("g"), Seq(
+      IncrementalRollup.CountStar("n"), IncrementalRollup.MaxOf(col("v"), "hi")))
+    def direct() = bag(wh.load("fact").groupBy("g")
+      .agg(count(lit(1)).as("n"), max(col("v")).as("hi")))
+    def folded() = bag(IncrementalRollup.read(wh, "roll", spec).filter(col("n") =!= 0L))
+    val pend = ChangeFeedStream.pendingTable("roll")
+    wh.create("fact", schema)
+    wh.append("fact", kv((1L, "a", "5.00"), (2L, "a", "1.00")), statsCols = Seq("k"))
+    // tick 1 (delivering, nothing pending): no drain work
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "au", drainEvery = 2)
+    // delete the extreme → tick 2 marks pending AND (cadence hit) auto-drains
+    wh.deleteWhere("fact", col("k") === 1L)
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "au", drainEvery = 2)
+    assert(wh.load(pend).count() == 0L, "cadence tick must auto-drain the pending set")
+    assert(folded() == direct(), s"auto-drained fold:\n  got ${folded()}\n  want ${direct()}")
+    // off-cadence tick with pending: marks but does NOT drain (tick stays O(window))
+    wh.append("fact", kv((3L, "a", "9.00")), statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "au", drainEvery = 2)
+    wh.deleteWhere("fact", col("k") === 3L)
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "au", drainEvery = 3)
+    assert(wh.load(pend).count() == 1L, "off-cadence tick must defer the drain")
+    // a non-delivering call never advances the cadence
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "au", drainEvery = 3)
+    assert(wh.load(pend).count() == 1L)
+    // next delivering tick on cadence drains
+    wh.append("fact", kv((4L, "b", "2.00")), statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "au", drainEvery = 1)
+    assert(wh.load(pend).count() == 0L)
+    assert(folded() == direct())
+  }
+
+  test("rollup compaction between drain and next tick: marker survives, no window double-counts") {
+    // the statMarker durability property: the drain stamps recomputed rows
+    // with the covered version and the ledger preserves it independently —
+    // compacting the rollup's files (content-preserving rewrite) between a
+    // drain and the next tick must neither lose the watermark nor let a
+    // replayed window double-apply
+    val wh = new Warehouse(spark, tmpDir("cfs-compact"))
+    val spec = IncrementalRollup.Spec(Seq("g"), Seq(
+      IncrementalRollup.CountStar("n"), IncrementalRollup.MinOf(col("v"), "lo")))
+    def direct() = bag(wh.load("fact").groupBy("g")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo")))
+    def folded() = bag(IncrementalRollup.read(wh, "roll", spec).filter(col("n") =!= 0L))
+    wh.create("fact", schema)
+    wh.append("fact", kv((1L, "a", "1.00"), (2L, "a", "3.00"), (3L, "b", "2.00")),
+      statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "cp")
+    wh.deleteWhere("fact", col("k") === 1L) // delete a's min → pending
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "cp")
+    ChangeFeedStream.drainPendingExtremes(wh, "fact", "roll", spec)
+    assert(folded() == direct())
+    // compact the rollup (the scaladoc-prescribed compactFiles path) —
+    // rewrites the marker-carrying files
+    wh.compactFiles("roll", smallRows = 1000000L)
+    assert(folded() == direct(), "compaction must be content-preserving")
+    // crash replay across the compaction: wide re-delivery must still
+    // narrow to the covered version
+    ChangeFeedStream.seek(wh, "fact", "cp", 0L)
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "cp")
+    assert(folded() == direct(),
+      s"window double-counted across compaction:\n  got ${folded()}\n  want ${direct()}")
+    // and normal ticking resumes
+    wh.append("fact", kv((5L, "b", "0.50")), statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "cp")
+    assert(folded() == direct())
+  }
+
   test("rollup crash window: partials committed, cursor lost, MORE commits land — re-delivery narrows to the uncovered suffix") {
     val wh = new Warehouse(spark, tmpDir("cfs-rollup-crash"))
     val spec = IncrementalRollup.Spec(Seq("g"), Seq(
