@@ -114,15 +114,22 @@ private[catalog] object GraftProcedures {
 
     Proc("maintain",
       "policy-driven maintenance off manifest-resident signals: compacts " +
-        "deletes/files and expires snapshots exactly when thresholds justify it",
+        "deletes/files, expires snapshots, drains a stream-maintained " +
+        "rollup's pending-extremes side table (from its recorded fact/spec " +
+        "sidecars), and re-clusters followed-index family tables " +
+        "(__bands/__sigs/__postings/__doclens/__codes) — exactly when " +
+        "thresholds justify it",
       Array(param("tbl", StringType)),
       StructType(Seq(StructField("version", LongType),
         StructField("deletes_compacted", BooleanType),
         StructField("files_compacted", BooleanType),
-        StructField("snapshots_expired", BooleanType))),
+        StructField("snapshots_expired", BooleanType),
+        StructField("pending_drained", LongType),
+        StructField("index_compacted", StringType))),
       (wh, in) => {
         val r = wh.maintain(str(in, 0))
-        Seq(Row(r.version, r.deletesCompacted, r.filesCompacted, r.snapshotsExpired))
+        Seq(Row(r.version, r.deletesCompacted, r.filesCompacted, r.snapshotsExpired,
+          r.pendingDrained, r.indexCompacted.mkString(",")))
       }),
 
     Proc("analyze",

@@ -90,6 +90,57 @@ object IncrementalRollup {
       "measure output names must be unique")
   }
 
+  // ---- durable Spec serialization ----------------------------------------
+  // A stream-maintained rollup's spec must survive the maintainer process:
+  // policy-driven maintenance ([[Warehouse.maintain]]) repairs the pending-
+  // extremes side table from the recorded spec, so a SQL-only operator can
+  // drain a rollup they did not build. Measure expressions round-trip via
+  // their generated SQL (`Column.expr.sql` → `functions.expr`), every
+  // variable field base64-wrapped so arbitrary column names and expression
+  // text can never corrupt the line format.
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  // Column.toString renders the column node as parseable SQL text in
+  // Spark 4 ("CAST(v AS DECIMAL(20,4))"); the classic ExpressionUtils
+  // route yields a lazy ColumnNodeExpression whose .sql does not re-parse
+  private def sqlOf(c: Column): String = c.toString
+
+  /** One-line-per-field durable encoding of `spec` (see [[specFromString]]). */
+  def specToString(spec: Spec): String = {
+    val keys = s"keys:${spec.keys.map(b64).mkString(",")}"
+    val ms = spec.measures.map {
+      case CountStar(n)  => s"m:count:${b64(n)}"
+      case SumOf(e, n)   => s"m:sum:${b64(n)}:${b64(sqlOf(e))}"
+      case MinOf(e, n)   => s"m:min:${b64(n)}:${b64(sqlOf(e))}"
+      case MaxOf(e, n)   => s"m:max:${b64(n)}:${b64(sqlOf(e))}"
+    }
+    ("v1" +: keys +: ms).mkString("\n")
+  }
+
+  /** Inverse of [[specToString]]; throws on an unrecognized encoding. */
+  def specFromString(s: String): Spec = {
+    val lines = s.linesIterator.toSeq
+    require(lines.headOption.contains("v1"), s"unknown rollup-spec encoding: $s")
+    val keys = lines.find(_.startsWith("keys:")).map(_.stripPrefix("keys:"))
+      .map(ks => if (ks.isEmpty) Nil else ks.split(',').toSeq.map(unb64))
+      .getOrElse(Nil)
+    val measures = lines.filter(_.startsWith("m:")).map { l =>
+      l.split(':').toSeq match {
+        case Seq("m", "count", n)   => CountStar(unb64(n))
+        case Seq("m", "sum", n, e)  => SumOf(expr(unb64(e)), unb64(n))
+        case Seq("m", "min", n, e)  => MinOf(expr(unb64(e)), unb64(n))
+        case Seq("m", "max", n, e)  => MaxOf(expr(unb64(e)), unb64(n))
+        case other => throw new IllegalArgumentException(
+          s"unknown rollup-spec measure line: $l")
+      }
+    }
+    Spec(keys, measures)
+  }
+
   /** Aggregate one ingest batch to its partial rollup rows. */
   def partial(batch: DataFrame, spec: Spec): DataFrame =
     batch.groupBy(spec.keys.map(col): _*)

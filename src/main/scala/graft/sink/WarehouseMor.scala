@@ -251,7 +251,23 @@ private[sink] trait WarehouseMor { self: Warehouse =>
     */
   final case class MaintenanceReport(version: Long, deletesCompacted: Boolean,
       filesCompacted: Boolean, snapshotsExpired: Boolean,
-      statsRefreshed: Boolean = false)
+      statsRefreshed: Boolean = false, pendingDrained: Long = 0L,
+      indexCompacted: Seq[String] = Nil)
+
+  /** Followed-index family tables maintained BESIDE a base table (`<name>`
+    * + suffix) and the probe key each must stay clustered on: per-batch
+    * ingest appends fragment their key ranges, degrading probes to a file
+    * open per batch; [[maintain]] re-compacts them under the small-file
+    * policy with the RIGHT clusterBy (a plain compact would destroy the
+    * disjoint probe ranges the O(probe-keys) lookup depends on). Empty =
+    * cluster on the table's first column (the pk of sigs/doclens).
+    */
+  private val IndexFamilies: Seq[(String, Seq[String])] = Seq(
+    "__bands" -> Seq("band_key"),     // near-dup LSH probe index
+    "__sigs" -> Nil,                  // near-dup signatures (pk)
+    "__postings" -> Seq("term"),      // BM25 inverted index
+    "__doclens" -> Nil,               // BM25 doc lengths (pk)
+    "__codes" -> Seq("cell"))         // IVF-PQ codes
 
   /** Policy-driven auto-maintenance: read the manifest signals and run
     * exactly the actions they justify — the Iceberg maintenance-procedures
@@ -267,6 +283,18 @@ private[sink] trait WarehouseMor { self: Warehouse =>
   def maintain(name: String,
                policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
     require(exists(name), s"no such table: $name")
+    // stream-maintained extremal rollup: drain the pending-extremes side
+    // table FIRST (it is the correctness-freshness repair, and its
+    // retraction commits feed the delete-compaction signal below). The
+    // fact + measure spec come from the maintainer's recorded sidecars, so
+    // a SQL-only operator can repair a rollup they did not build. Same
+    // one-maintainer discipline as the manual drain: schedule maintain
+    // where it cannot race a live tick.
+    val pendName = graft.streaming.ChangeFeedStream.pendingTable(name)
+    val drained =
+      if (exists(pendName) && currentManifest(pendName).files.exists(_.rows > 0))
+        graft.streaming.ChangeFeedStream.drainPendingFromMeta(self, name)
+      else 0L
     val man = currentManifest(name)
     val tableRows = math.max(man.files.map(_.rows).sum, 1L)
     val deleteKeys = man.deletes.map(_.rows).sum
@@ -294,8 +322,28 @@ private[sink] trait WarehouseMor { self: Warehouse =>
           .filter(currentManifest(name).schema.fieldNames.contains))
         .filter(_.nonEmpty)
     staleCols.foreach(cols => analyzeIncremental(name, cols))
+    // followed-index families beside this table: compact fragmented probe
+    // tables under the same small-file thresholds, clustered on their
+    // probe keys (see [[IndexFamilies]]) — a followed index otherwise
+    // degrades to O(batches) file opens per probe with no policy hook
+    val idxCompacted = IndexFamilies.flatMap { case (sfx, clusterCols) =>
+      val t = s"$name$sfx"
+      if (!exists(t)) None
+      else {
+        val m = currentManifest(t)
+        if (m.files.count(_.rows < policy.smallFileRows) < policy.smallFileCount) None
+        else {
+          val cb = clusterCols.filter(m.schema.fieldNames.contains) match {
+            case Nil => m.schema.fieldNames.headOption.toSeq
+            case cs  => cs
+          }
+          compactFiles(t, policy.smallFileRows, clusterBy = cb)
+          Some(t)
+        }
+      }
+    }
     MaintenanceReport(currentVersion(name), doDeletes, doFiles, doExpire,
-      staleCols.isDefined)
+      staleCols.isDefined, drained, idxCompacted)
   }
 
 }

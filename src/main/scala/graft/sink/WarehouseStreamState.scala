@@ -47,6 +47,27 @@ private[sink] trait WarehouseStreamState { self: Warehouse =>
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Small STRING metadata sidecar beside a table (atomic pointer swap,
+    * same protocol as [[recordBatchId]]): durable discovery state for
+    * maintenance — e.g. a stream-maintained rollup records its fact table
+    * and measure spec so [[Warehouse.maintain]] can repair it without the
+    * maintainer process. Not part of any snapshot commit; overwrite-last-
+    * wins, single-writer by the owning discipline.
+    */
+  def putTableMeta(name: String, key: String, value: String): Unit = {
+    Files.createDirectories(tableDir(name))
+    val tmp = tableDir(name).resolve(s"_meta_$key.tmp")
+    Files.writeString(tmp, value)
+    Files.move(tmp, tableDir(name).resolve(s"_meta_$key"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read a [[putTableMeta]] sidecar; None when never written. */
+  def getTableMeta(name: String, key: String): Option[String] = {
+    val p = tableDir(name).resolve(s"_meta_$key")
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
   private def streamFilesDir(name: String, streamId: String) =
     tableDir(name).resolve(s"_stream_files_$streamId")
 

@@ -276,6 +276,15 @@ object ChangeFeedStream {
         else if (!wh.currentManifest(rollup).schema.fieldNames.contains(VCol))
           wh.addColumns(rollup, Seq(org.apache.spark.sql.types.StructField(
             VCol, org.apache.spark.sql.types.LongType))) // legacy upgrade, metadata-only
+        // durable discovery state: record the fact + spec beside the rollup
+        // so policy maintenance ([[Warehouse.maintain]]) can drain the
+        // pending side table without this maintainer process (one tiny
+        // sidecar read per tick; rewritten only when stale)
+        val specStr = IncrementalRollup.specToString(spec)
+        if (!wh.getTableMeta(rollup, CfsSpecKey).contains(specStr))
+          wh.putTableMeta(rollup, CfsSpecKey, specStr)
+        if (!wh.getTableMeta(rollup, CfsFactKey).contains(fact))
+          wh.putTableMeta(rollup, CfsFactKey, fact)
         // EXTREMAL measures (q170's algebra, split across the stream/drain
         // boundary): the tick computes the TIE-GATED affected-group set —
         // a window `-D` value null-safe-tying the group's stored extreme
@@ -353,6 +362,25 @@ object ChangeFeedStream {
   private val MarkSid = "cfsmark"
   /** Auto-drain tick counter ledger for [[maintainRollup]]'s `drainEvery`. */
   private val TickSid = "cfstick"
+  /** Table-meta keys recording the rollup's fact + serialized spec (read by
+    * [[Warehouse.maintain]] to drain the pending side table policy-side).
+    */
+  private[graft] val CfsSpecKey = "cfs_spec"
+  private[graft] val CfsFactKey = "cfs_fact"
+
+  /** [[Warehouse.maintain]]'s entry: drain `rollup`'s pending-extremes side
+    * table from its RECORDED fact + spec (the [[maintainRollup]] sidecars) —
+    * a SQL-only operator can repair a stream-maintained rollup they did not
+    * build. Returns groups drained; 0 when the rollup is not
+    * stream-maintained (no sidecars) or nothing pends. Same one-maintainer
+    * caveat as [[drainPendingExtremes]]: do not race a live tick.
+    */
+  private[graft] def drainPendingFromMeta(wh: Warehouse, rollup: String): Long =
+    (wh.getTableMeta(rollup, CfsFactKey), wh.getTableMeta(rollup, CfsSpecKey)) match {
+      case (Some(fact), Some(specStr)) if wh.exists(fact) =>
+        drainPendingExtremes(wh, fact, rollup, IncrementalRollup.specFromString(specStr))
+      case _ => 0L
+    }
   /** Side table of affected-group keys awaiting [[drainPendingExtremes]]. */
   def pendingTable(rollup: String): String = s"${rollup}__pending"
 

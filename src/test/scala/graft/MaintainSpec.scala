@@ -139,4 +139,96 @@ class MaintainSpec extends SparkSpec {
     assert(!wh.maintain("t", wh.MaintenancePolicy(smallFileCount = 100,
       keepSnapshots = 100)).statsRefreshed)
   }
+
+  test("pending-extremes arm: maintain drains a stream-maintained rollup from its recorded spec") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.IncrementalRollup
+    import graft.streaming.ChangeFeedStream
+    val wh = new Warehouse(spark, tmpDir("mt-pend"))
+    val facts = StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("v", DecimalType(10, 2))))
+    def kv(rows: (Long, String, String)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, new java.math.BigDecimal(r._3))).asJava, facts)
+    val spec = IncrementalRollup.Spec(Seq("g"), Seq(
+      IncrementalRollup.CountStar("n"), IncrementalRollup.MaxOf(col("v"), "hi")))
+    wh.create("fact", facts)
+    wh.append("fact", kv((1L, "a", "5.00"), (2L, "a", "1.00"), (3L, "b", "2.00")),
+      statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "mt")
+    wh.deleteWhere("fact", col("k") === 1L) // delete a's max → pending
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "mt")
+    val pend = ChangeFeedStream.pendingTable("roll")
+    assert(wh.load(pend).count() == 1L, "premise: a group pends")
+    // POLICY maintenance — not the maintainer process — repairs the rollup
+    // from the recorded fact/spec sidecars (a SQL-only operator's path)
+    val rep = wh.maintain("roll",
+      wh.MaintenancePolicy(smallFileCount = 100, keepSnapshots = 100))
+    assert(rep.pendingDrained == 1L, rep.toString)
+    assert(wh.load(pend).count() == 0L, "maintain must clear the pending set")
+    val got = IncrementalRollup.read(wh, "roll", spec).filter(col("n") =!= 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[java.math.BigDecimal]("hi").doubleValue())).toSet
+    assert(got == Set(("a", 1L, 1.0), ("b", 1L, 2.0)), got.toString)
+    // healthy rollup: second pass drains nothing
+    assert(wh.maintain("roll", wh.MaintenancePolicy(smallFileCount = 100,
+      keepSnapshots = 100)).pendingDrained == 0L)
+    // a rollup with pending but NO sidecars (not stream-maintained by this
+    // discipline) is left alone rather than mis-repaired
+    wh.create("plain", facts)
+    wh.append(ChangeFeedStream.pendingTable("plain"),
+      kv((9L, "x", "0.00")), statsCols = Seq("k"))
+    assert(wh.maintain("plain", wh.MaintenancePolicy(smallFileCount = 100,
+      keepSnapshots = 100)).pendingDrained == 0L)
+  }
+
+  test("index-family arm: fragmented probe tables compact clustered on their keys") {
+    import graft.sink.NearDupIngest
+    val wh = new Warehouse(spark, tmpDir("mt-idx"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, t: String) = spark.createDataFrame(
+      Seq(Row(id, t)).asJava, docSchema)
+    val ing = new NearDupIngest(wh, "doc_id", "text")
+    // many tiny ingests: one band/sig file per batch → fragmented ranges
+    (0 until 6).foreach(i => ing.ingest("corpus",
+      doc(i.toLong, (1 to 40).map(j => s"w${i}t$j").mkString(" "))))
+    val bandsBefore = wh.currentManifest("corpus__bands").files.size
+    val sigsBefore = wh.currentManifest("corpus__sigs").files.size
+    assert(bandsBefore >= 6 && sigsBefore >= 6, s"premise: $bandsBefore/$sigsBefore")
+    val pairsBefore = ing.pairs("corpus").collect().map(_.toSeq).toSet
+    val rep = wh.maintain("corpus",
+      wh.MaintenancePolicy(smallFileCount = 4, keepSnapshots = 100))
+    assert(rep.indexCompacted.toSet == Set("corpus__bands", "corpus__sigs"),
+      rep.toString)
+    assert(wh.currentManifest("corpus__bands").files.size < bandsBefore)
+    assert(wh.currentManifest("corpus__sigs").files.size < sigsBefore)
+    assert(ing.pairs("corpus").collect().map(_.toSeq).toSet == pairsBefore,
+      "index compaction must be content-preserving")
+    // probes keep working (admission dedup through the compacted index)
+    val again = ing.ingest("corpus",
+      doc(99L, (1 to 40).map(j => s"w0t$j").mkString(" ")))
+    assert(again.dupVsCorpus == 1L, again.toString)
+    // healthy: second pass compacts nothing
+    assert(wh.maintain("corpus", wh.MaintenancePolicy(smallFileCount = 4,
+      keepSnapshots = 100)).indexCompacted.isEmpty)
+  }
+
+  test("rollup spec round-trips through its durable encoding") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.IncrementalRollup._
+    val spec = Spec(Seq("g", "region id"), Seq(
+      CountStar("n"),
+      SumOf(col("v").cast("decimal(20,4)"), "sv"),
+      MinOf(col("v"), "lo"),
+      MaxOf(col("ts"), "hi:colon")))
+    val rt = specFromString(specToString(spec))
+    assert(rt.keys == spec.keys)
+    assert(rt.measures.map(_.name) == Seq("n", "sv", "lo", "hi:colon"))
+    // expressions round-trip through their SQL: re-encode must be stable
+    assert(specToString(rt) == specToString(spec))
+    // keyless spec (global rollup) round-trips too
+    val g = Spec(Nil, Seq(CountStar("n")))
+    assert(specFromString(specToString(g)) == g)
+  }
 }

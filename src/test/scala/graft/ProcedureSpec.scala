@@ -80,6 +80,33 @@ class ProcedureSpec extends SparkSpec {
     assert(wh.load("t").count() == 15)
     val m = spark.sql(s"CALL $cat.system.maintain(tbl => 't')").head()
     assert(!m.getAs[Boolean]("deletes_compacted") && !m.getAs[Boolean]("files_compacted"))
+    assert(m.getAs[Long]("pending_drained") == 0L &&
+      m.getAs[String]("index_compacted") == "")
+  }
+
+  test("maintain drains a stream-maintained rollup's pending extremes over SQL") {
+    // the round-17 gap: a SQL-only operator could never repair a
+    // stream-maintained extremal rollup — drainPendingExtremes was
+    // programmatic-only. CALL maintain now reaches it via the recorded
+    // fact/spec sidecars.
+    import graft.sink.IncrementalRollup
+    import graft.streaming.ChangeFeedStream
+    val (wh, cat, _) = freshCatalog("pend")
+    val facts = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    def kv(rows: (Long, Long)*) = TestSpark.spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2)).asJava, facts)
+    val spec = IncrementalRollup.Spec(Nil, Seq(
+      IncrementalRollup.CountStar("n"), IncrementalRollup.MaxOf(col("v"), "hi")))
+    wh.create("fact", facts)
+    wh.append("fact", kv((1L, 9L), (2L, 3L)), statsCols = Seq("k"))
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "sql")
+    wh.deleteWhere("fact", col("k") === 1L) // the max goes → pending
+    ChangeFeedStream.maintainRollup(wh, "fact", "roll", spec, "sql")
+    val m = spark.sql(s"CALL $cat.system.maintain(tbl => 'roll')").head()
+    assert(m.getAs[Long]("pending_drained") == 1L, m.toString)
+    val got = IncrementalRollup.read(wh, "roll", spec).head()
+    assert(got.getAs[Long]("n") == 1L && got.getAs[Long]("hi") == 3L, got.toString)
   }
 
   test("create_tag / drop_tag: positional args, default version, tag-travel works") {
