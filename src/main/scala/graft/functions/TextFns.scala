@@ -19,6 +19,15 @@ object TextFns {
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Generation of the [[normalize]]/[[tokens]] algebra, ridden on stored
+    * token-derived index state ([[graft.sink.SearchIndexIngest]]'s format
+    * stamp): BUMP THIS when the tokenization changes observably — stored
+    * postings tokenized under an older algebra would silently mismatch
+    * query-side tokens, the same cross-era mixing class the near-dup
+    * signature stamp closes.
+    */
+  val TokenizerGeneration = 1L
+
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 

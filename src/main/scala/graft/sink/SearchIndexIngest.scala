@@ -61,6 +61,56 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
     IncrementalRollup.SumOf(col("dl").cast(
       org.apache.spark.sql.types.DataTypes.createDecimalType(28, 0)), "total_dl")))
 
+  // ---- tokenizer-format stamp -------------------------------------------
+  // [[NearDupIngest]]'s signature stamp, applied to the postings family: a
+  // change to the tokenization algebra ([[TextFns.TokenizerGeneration]])
+  // makes stored postings silently mismatch query-side tokens — searches
+  // under-score pre-change documents and dedup-by-terms misses them, with
+  // no error anywhere. The stamp rides the postings table's batch-id
+  // ledger; every entry point refuses loudly on mismatch. Stamped BEFORE
+  // any posting rows commit (create-then-stamp), so a committed index is
+  // never stampless; an EMPTY stampless postings table (crash between
+  // create and stamp) reads as fresh.
+  private val FmtSid = "idxformat"
+  private[sink] val formatStamp: Long = graft.functions.TextFns.TokenizerGeneration
+
+  private def formatGuard(name: String): Unit = {
+    if (!wh.exists(postingsTable(name))) return
+    val got = wh.lastCommittedBatchId(postingsTable(name), FmtSid)
+    if (got == formatStamp) return
+    if (got < 0) {
+      val man = wh.currentManifest(postingsTable(name))
+      if (man.files.isEmpty && man.deletes.isEmpty) return // fresh, pre-stamp crash
+      throw new IllegalStateException(
+        s"search index for '$name' carries no tokenizer-format stamp — it was " +
+          "built before format stamping. If it was provably built with the " +
+          "CURRENT tokenizer generation, adopt it explicitly with " +
+          "adoptFormat(name); otherwise rebuild the index (drop the " +
+          "__postings/__doclens/__cstats tables and re-ingest).")
+    }
+    throw new IllegalStateException(
+      s"search index for '$name' was built with tokenizer generation $got; this " +
+        s"build tokenizes at generation $formatStamp. Stored postings would " +
+        "silently mismatch query-side tokens (under-scored or missed documents), " +
+        "so the index must be rebuilt (re-ingest), not mixed.")
+  }
+
+  private def ensureStamped(name: String,
+      postsSchema: org.apache.spark.sql.types.StructType): Unit = {
+    if (!wh.exists(postingsTable(name))) wh.create(postingsTable(name), postsSchema)
+    if (wh.lastCommittedBatchId(postingsTable(name), FmtSid) != formatStamp)
+      wh.recordBatchId(postingsTable(name), FmtSid, formatStamp)
+  }
+
+  /** Operator override for a pre-stamp index KNOWN to be tokenized at the
+    * current generation: records the stamp so the guard passes. Misuse
+    * reintroduces the silent cross-era mixing the guard prevents.
+    */
+  def adoptFormat(name: String): Unit = {
+    require(wh.exists(postingsTable(name)), s"no search index for table: $name")
+    wh.recordBatchId(postingsTable(name), FmtSid, formatStamp)
+  }
+
   /** Tokenize `df` and append its NEW pks' postings + doclens rows
     * (idempotent by pk — the shared middle of [[ingest]] and
     * [[followChanges]]). Returns the posting rows appended.
@@ -87,6 +137,7 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
       // clusterBy term: postings land range-sorted on the term, so each
       // file's [min,max] term stats are TIGHT and the search-time manifest
       // prune touches ~query-terms/term-range files, not every batch's
+      ensureStamped(name, newPosts.schema)
       wh.append(postingsTable(name), newPosts,
         statsCols = Seq("term", pkCol), clusterBy = Seq("term"))
 
@@ -109,6 +160,7 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
     * batch rows to the corpus. All commits are O(batch).
     */
   def ingest(name: String, df: DataFrame): Report = {
+    formatGuard(name)
     val preV = if (wh.exists(name)) wh.currentVersion(name) else -1L
     val postings = indexRows(name, df)
     val rep = wh.appendDeduped(name, df, fpCol = pkCol, pk = pkCol,
@@ -148,6 +200,7 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
   def followChanges(name: String): FollowReport = {
     require(wh.exists(postingsTable(name)),
       s"no search index for table: $name (ingest first)")
+    formatGuard(name)
     IndexFollower.window(wh, name, postingsTable(name), pkCol) match {
       case None => FollowReport(wh.currentVersion(name), 0L, 0L)
       case Some(w) =>
@@ -183,6 +236,7 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
     */
   def ingestAtomic(name: String, df: DataFrame): Report = {
     import org.apache.spark.sql.expressions.Window
+    formatGuard(name)
     val toks = df.select(col(pkCol), TextFns.tokens(col(textCol)).as("tk"))
       .select(col(pkCol), col("tk"), size(col("tk")).cast("long").as("dl"))
       .persist()
@@ -214,6 +268,9 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
         else inBatch.join(wh.load(name).select(pkCol).distinct(), Seq(pkCol), "left_anti")
         ).localCheckpoint()
       val preV = if (wh.exists(name)) wh.currentVersion(name) else -1L
+      // stamp BEFORE the transaction commits (the ledger pointer is outside
+      // the transactional manifest commit — see NearDupIngest.ingestAtomic)
+      ensureStamped(name, newPosts.schema)
       wh.transact { tx =>
         tx.append(postingsTable(name), newPosts,
           statsCols = Seq("term", pkCol), clusterBy = Seq("term"))
@@ -279,6 +336,7 @@ final class SearchIndexIngest(wh: Warehouse, pkCol: String, textCol: String) {
       s"search supports at most 64 terms (got ${terms.size}); use the corpus-scan BM25 for document-shaped queries")
     require(wh.exists(postingsTable(name)) && wh.exists(cstatsTable(name)),
       s"no search index for table: $name (ingest first)")
+    formatGuard(name) // query-side tokens must match the stored postings' era
     // persisted: consumers = per-term df aggregate + the scoring pivot
     val probe = probePostings(name, terms).persist()
     try {

@@ -63,6 +63,52 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
   private def codebookTable(name: String) = s"${name}__codebook"
   private def codesTable(name: String) = s"${name}__codes"
 
+  // ---- model-format stamp -----------------------------------------------
+  // [[NearDupIngest]]'s stamp discipline on the frozen model: the shape
+  // check at [[freeze]] only protects the freezing instance — an ingester
+  // constructed later with different (dim, m, k) would reinterpret the
+  // stored codebook through ITS shape (PQModel(load(codebook), m, k,
+  // subDim)) and compute ADC distances against a foreign codebook, wrong
+  // results with no error anywhere; a metric change (generation) has the
+  // identical failure mode. The stamp rides the codebook table's batch-id
+  // ledger, recorded BEFORE the model tables commit (no stampless-but-
+  // frozen crash state: a stamp without tables is inert, since frozen()
+  // requires the tables). Generation 1 = cosine coarse metric + the
+  // current PQ encode algebra.
+  private val FmtSid = "vecformat"
+  private[sink] val formatStamp: Long =
+    (1L << 48) | (dim.toLong << 32) | (m.toLong << 16) | k.toLong
+
+  private def formatGuard(name: String): Unit = {
+    if (!wh.exists(codebookTable(name))) return
+    val got = wh.lastCommittedBatchId(codebookTable(name), FmtSid)
+    if (got == formatStamp) return
+    if (got < 0) throw new IllegalStateException(
+      s"vector index for '$name' carries no model-format stamp — it was frozen " +
+        "before format stamping. If its model provably matches this ingester " +
+        s"(generation 1, dim=$dim, m=$m, k=$k), adopt it explicitly with " +
+        "adoptFormat(name); otherwise build a new index under a new name and " +
+        "swap by swapFamily.")
+    else {
+      val g = got >> 48; val gd = (got >> 32) & 0xffff
+      val gm = (got >> 16) & 0xffff; val gk = got & 0xffff
+      throw new IllegalStateException(
+        s"vector index for '$name' was frozen with an incompatible model format " +
+          s"(generation $g, dim=$gd, m=$gm, k=$gk; this ingester: generation 1, " +
+          s"dim=$dim, m=$m, k=$k). Codes and ADC distances are only meaningful " +
+          "against the codebook that produced them — construct VectorIndexIngest " +
+          "with the index's parameters, or build a new index and swapFamily.")
+    }
+  }
+
+  /** Operator override for a pre-stamp index KNOWN to match this ingester's
+    * model shape and metric: records the stamp so the guard passes.
+    */
+  def adoptFormat(name: String): Unit = {
+    require(wh.exists(codebookTable(name)), s"no frozen model for index: $name")
+    wh.recordBatchId(codebookTable(name), FmtSid, formatStamp)
+  }
+
   /** Commit the frozen model: IVF centroids (cell, cv) + PQ codebook
     * (sub_id, cell, cv). Refused once any codes are committed — codes are
     * only meaningful against the codebook that produced them.
@@ -74,6 +120,12 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     require(model.m == m && model.k == k && model.subDim == subDim,
       s"model shape (m=${model.m}, k=${model.k}, subDim=${model.subDim}) does not " +
         s"match this ingester (m=$m, k=$k, subDim=$subDim)")
+    // (no formatGuard here: the codes-exist require above already makes a
+    // wholesale model replace safe — nothing encoded against the old model
+    // survives it)
+    // stamp FIRST: a stamp without tables is inert (frozen() requires the
+    // tables), so no crash point leaves a frozen-but-stampless model
+    wh.recordBatchId(codebookTable(name), FmtSid, formatStamp)
     // cell ids normalize to long: one comparison domain for the manifest
     // stat prune, the isin residual, and the driver-side probed-cell set
     wh.replace(cellsTable(name), centroids.select(col("cell").cast("long").as("cell"), col("cv")))
@@ -84,6 +136,7 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
   private def frozen(name: String): (DataFrame, PQModel) = {
     require(wh.exists(cellsTable(name)) && wh.exists(codebookTable(name)),
       s"no frozen model for index $name (freeze first)")
+    formatGuard(name) // the stored codebook must match THIS shape/metric
     (wh.load(cellsTable(name)),
       PQModel(wh.load(codebookTable(name)), m, k, subDim))
   }

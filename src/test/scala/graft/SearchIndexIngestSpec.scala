@@ -253,6 +253,44 @@ class SearchIndexIngestSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("tokenizer-format stamp: cross-era postings refuse loudly; fresh index stamps before rows") {
+    val root = tmpDir("sii-fmt")
+    val wh = new Warehouse(spark, root)
+    val ing = ingester(wh)
+    ing.ingest("corpus", batchA)
+    // the stamp exists the moment posting rows are committed
+    val stampFile = java.nio.file.Paths.get(root, "corpus__postings", "_stream_idxformat")
+    assert(java.nio.file.Files.exists(stampFile), "fresh ingest must stamp")
+    // simulate a pre-stamp index (or a foreign tokenizer generation): every
+    // entry point — ingest, follow, and the QUERY side — refuses rather
+    // than silently under-scoring pre-change documents
+    java.nio.file.Files.delete(stampFile)
+    val e1 = intercept[IllegalStateException](ing.ingest("corpus", batchB))
+    assert(e1.getMessage.contains("no tokenizer-format stamp") &&
+      e1.getMessage.contains("adoptFormat"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](ing.search("corpus", QUERY, 5))
+    assert(e2.getMessage.contains("tokenizer-format"), e2.getMessage)
+    val e3 = intercept[IllegalStateException](ing.followChanges("corpus"))
+    assert(e3.getMessage.contains("tokenizer-format"), e3.getMessage)
+    // operator adoption (provenance known: we built it this session)
+    ing.adoptFormat("corpus")
+    ing.ingest("corpus", batchB)
+    assert(ing.search("corpus", QUERY, 5).collect().nonEmpty)
+    // a FOREIGN generation refuses with the mixing message
+    wh.recordBatchId("corpus__postings", "idxformat", 999L)
+    val e4 = intercept[IllegalStateException](ing.ingestAtomic("corpus", docs(9L -> "x")))
+    assert(e4.getMessage.contains("generation 999"), e4.getMessage)
+    // crash window between create and stamp: an EMPTY stampless postings
+    // table reads as fresh, not refused
+    val wh2 = new Warehouse(spark, tmpDir("sii-fmt2"))
+    val ing2 = ingester(wh2)
+    wh2.create("corpus__postings", StructType(Seq(
+      StructField("term", StringType), StructField("doc_id", LongType),
+      StructField("tf", LongType), StructField("dl", LongType))))
+    val rep = ing2.ingest("corpus", batchA)
+    assert(rep.docs == 3L, rep.toString)
+  }
+
   test("corpus stats rollup stays exact across batches (one-row, ledger-driven)") {
     val wh = new Warehouse(spark, tmpDir("sii-stats"))
     val ing = ingester(wh)

@@ -306,4 +306,36 @@ class VectorIndexIngestSpec extends SparkSpec {
     val wrong = ProductQuantization.initCodebook(emb(vecs(0 until 8)), DIM, 4, K)
     intercept[IllegalArgumentException] { ingester(wh).freeze("w", cellCents, wrong) }
   }
+
+  test("model-format stamp: a foreign-shape ingester refuses the stored codebook") {
+    // the round-17 gap: freeze's shape check only protects the FREEZING
+    // instance — an ingester constructed later with different (m, k) would
+    // reinterpret the stored codebook through its own shape and compute
+    // ADC distances against a foreign codebook, silently wrong everywhere
+    val root = tmpDir("vii-fmt")
+    val wh = new Warehouse(spark, root)
+    val ing = ingester(wh)
+    val model = ProductQuantization.initCodebook(emb(vecs(0 until 8)), DIM, M, K)
+    ing.freeze("v", cellCents, model)
+    ing.ingest("v", vecs(0 until 8))
+    // same-parameter instance keeps working (the stamp matches)
+    assert(ingester(wh).search("v", probesOf(vecs(0 until 8), 2)).collect().nonEmpty)
+    // an alien-shape instance refuses EVERY model-reading entry point
+    val alien = new VectorIndexIngest(wh, "id", "emb", DIM, 4, K)
+    val e1 = intercept[IllegalStateException](alien.ingest("v", vecs(8 until 10)))
+    assert(e1.getMessage.contains("incompatible model format"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](
+      alien.search("v", probesOf(vecs(0 until 8), 2)))
+    assert(e2.getMessage.contains("incompatible"), e2.getMessage)
+    val e3 = intercept[IllegalStateException](alien.followChanges("v"))
+    assert(e3.getMessage.contains("incompatible"), e3.getMessage)
+    // pre-stamp model (stamp ledger wiped): refuses until adopted
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "v__codebook", "_stream_vecformat"))
+    val e4 = intercept[IllegalStateException](ing.search("v", probesOf(vecs(0 until 8), 2)))
+    assert(e4.getMessage.contains("no model-format stamp") &&
+      e4.getMessage.contains("adoptFormat"), e4.getMessage)
+    ing.adoptFormat("v")
+    assert(ing.search("v", probesOf(vecs(0 until 8), 2)).collect().nonEmpty)
+  }
 }
