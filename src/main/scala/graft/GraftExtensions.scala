@@ -79,6 +79,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the shape Spark's variant pushdown absorbs into the scan, and the
     // workaround for 4.1.2's DSv2 agg-over-pushed-filter defect (scaladoc).
     e.injectOptimizerRule(_ => graft.catalog.VariantAggExtractRule)
+    // CDC STREAMING window scoping: per trigger, the consumer's Filter on a
+    // t$changes stream relation installs stat-domain conjuncts on the
+    // stream (observe-only — the plan is never rewritten), so each
+    // micro-batch stages readChangesScoped's slice instead of the full
+    // window. Spark's own pushdown never runs for streaming relations.
+    e.injectOptimizerRule(_ => graft.catalog.CdcStreamScopeRule)
     // SQL MERGE INTO on graft tables → the disposition=merge write path
     // (must run in the resolution batch, before Spark's row-level rewrites
     // reject tables without SupportsRowLevelOperations).

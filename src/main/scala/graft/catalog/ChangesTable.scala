@@ -156,6 +156,75 @@ private[catalog] object CdcScope {
       case _ => None
     }
   }
+
+  /** CATALYST-side sibling of [[translate]] for the STREAMING face: Spark
+    * never pushes filters into a streaming scan builder, so
+    * [[CdcStreamScopeRule]] reads the consumer's Filter condition straight
+    * from the per-trigger logical plan and translates it here. Same
+    * contract: only stat-domain shapes over REAL table columns (bare
+    * attribute vs literal — a cast around the attribute does not
+    * translate), AND partial-translation conservative, anything else None.
+    * The returned conjuncts are DETACHED (fresh AttributeReferences), as
+    * mayMatch resolves by name against the manifest stat keys.
+    */
+  def translateExpr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                    schema: StructType): Option[Expression] = {
+    def attr(x: Expression): Option[AttributeReference] = x match {
+      case a: AttributeReference if !MetaCols(a.name) =>
+        schema.fields.find(_.name == a.name)
+          .map(g => AttributeReference(g.name, g.dataType)())
+      case _ => None
+    }
+    def lt(x: Expression): Option[Literal] = x match {
+      case l: Literal => Some(l)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a, v) if attr(a).isDefined =>
+        for {x <- attr(a); y <- lt(v)} yield EqualTo(x, y)
+      case EqualTo(v, a) if attr(a).isDefined =>
+        for {x <- attr(a); y <- lt(v)} yield EqualTo(x, y)
+      case EqualNullSafe(a, v) if attr(a).isDefined =>
+        for {x <- attr(a); y <- lt(v)} yield EqualNullSafe(x, y)
+      case EqualNullSafe(v, a) if attr(a).isDefined =>
+        for {x <- attr(a); y <- lt(v)} yield EqualNullSafe(x, y)
+      case GreaterThan(a, v) if attr(a).isDefined =>
+        for {x <- attr(a); y <- lt(v)} yield GreaterThan(x, y)
+      case GreaterThan(v, a) if attr(a).isDefined =>
+        for {x <- attr(a); y <- lt(v)} yield LessThan(x, y)
+      case GreaterThanOrEqual(a, v) if attr(a).isDefined =>
+        for {x <- attr(a); y <- lt(v)} yield GreaterThanOrEqual(x, y)
+      case GreaterThanOrEqual(v, a) if attr(a).isDefined =>
+        for {x <- attr(a); y <- lt(v)} yield LessThanOrEqual(x, y)
+      case LessThan(a, v) if attr(a).isDefined =>
+        for {x <- attr(a); y <- lt(v)} yield LessThan(x, y)
+      case LessThan(v, a) if attr(a).isDefined =>
+        for {x <- attr(a); y <- lt(v)} yield GreaterThan(x, y)
+      case LessThanOrEqual(a, v) if attr(a).isDefined =>
+        for {x <- attr(a); y <- lt(v)} yield LessThanOrEqual(x, y)
+      case LessThanOrEqual(v, a) if attr(a).isDefined =>
+        for {x <- attr(a); y <- lt(v)} yield GreaterThanOrEqual(x, y)
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        attr(a).map(x => In(x, vs.map(_.asInstanceOf[Literal])))
+      case InSet(a, vs) =>
+        attr(a).map(x => In(x, vs.toSeq.map(Literal.create(_, x.dataType))))
+      case IsNull(a)    => attr(a).map(IsNull(_))
+      case IsNotNull(a) => attr(a).map(IsNotNull(_))
+      case StartsWith(a, p: Literal)
+          if a.dataType == org.apache.spark.sql.types.StringType =>
+        attr(a).map(x => StartsWith(x, p))
+      case And(l, r) =>
+        (translateExpr(l, schema), translateExpr(r, schema)) match {
+          case (Some(a), Some(b)) => Some(And(a, b))
+          case (one, other)       => one.orElse(other)
+        }
+      // OR must translate WHOLE (dropping a disjunct would narrow, not widen)
+      case Or(l, r) =>
+        for {a <- translateExpr(l, schema); b <- translateExpr(r, schema)}
+          yield Or(a, b)
+      case _ => None
+    }
+  }
 }
 
 /** Scan face of [[ChangesTable]] — batch (one explicit window) and
@@ -307,8 +376,15 @@ private[catalog] final class ChangesStager(table: String, root: String,
           org.apache.spark.sql.functions.lit("+I"))
         else wh.readChangesLineage(table, s, e, pairUpdates = updateImages)
       }
-      else if (s < 0) wh.loadVersion(table, e).withColumn("_change_type",
-        org.apache.spark.sql.functions.lit("+I"))
+      else if (s < 0) {
+        // pre-history sentinel: the net bag IS the snapshot — a scoped
+        // consumer's catch-up window stages the predicate's slice only
+        // (cond is detached, so re-apply via its SQL render; the scoped
+        // contract is "exactly the rows matching the predicate")
+        val full = wh.loadVersion(table, e).withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("+I"))
+        scope.fold(full)(c => full.where(c.sql))
+      }
       else if (updateImages)
         wh.readChangesWithImages(table, s, e, translateIdCols(eSchema))
       else scope match {
@@ -522,6 +598,25 @@ private[catalog] final class ChangesMicroBatchStream(table: String, root: String
   private def wh = new Warehouse(spark, root)
   private val stager = new ChangesStager(table, root, cdcSchema, options, byCommit, lineage)
 
+  // ---- per-trigger window scoping ---------------------------------------
+  // Spark never pushes filters into a STREAMING scan builder (the batch
+  // face's SupportsPushDownFilters path does not run for micro-batch
+  // relations), so the consumer's predicate arrives via
+  // [[CdcStreamScopeRule]]: the optimizer runs per trigger
+  // (IncrementalExecution), reads the Filter standing on this stream's
+  // relation, and installs the translated conjuncts here BEFORE
+  // planInputPartitions stages the window. Pair-label faces never scope
+  // (dropping half a pair would flip the survivor's label) — same gate as
+  // the batch builder. The filter itself still applies above the scan in
+  // the consumer's plan, so correctness never rides the scope.
+  private val scopable = !lineage &&
+    !Option(options.get("update-images")).exists(_.toBoolean)
+  @volatile private var scopeVar
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = None
+  private[catalog] def updateScope(
+      s: Option[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    if (scopable) scopeVar = s
+
   /** Oldest retained snapshot of the ledger — the floor below which no
     * per-commit change window can be computed (its manifests are expired).
     */
@@ -627,7 +722,14 @@ private[catalog] final class ChangesMicroBatchStream(table: String, root: String
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
-    if (e <= s) Array.empty else stager.plan(s, e)
+    if (e <= s) return Array.empty
+    // a scoped trigger stages under its own predicate-fingerprinted window
+    // dir (ChangesStager.scopeFp), so scoped and unscoped windows never mix
+    scopeVar match {
+      case None => stager.plan(s, e)
+      case some => new ChangesStager(table, root, cdcSchema, options, byCommit,
+        lineage, some).plan(s, e)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = stager.factory()

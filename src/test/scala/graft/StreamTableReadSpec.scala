@@ -621,6 +621,78 @@ class StreamTableReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("$changes STREAMING consumer filter scopes per-trigger window planning (O(matching segments))") {
+    // round-17 brief #2: the batch face's SupportsPushDownFilters never
+    // runs for micro-batch relations, so a filtered streaming consumer
+    // paid FULL window planning per trigger. CdcStreamScopeRule now reads
+    // the consumer's Filter from each trigger's optimized plan and the
+    // stager plans readChangesScoped's slice.
+    import graft.sink.Manifest
+    wh.create("c9", schema)
+    // 24 disjoint-range segments of history
+    (0 until 24).foreach { i =>
+      wh.append("c9", frame(((i * 100) until (i * 100 + 5)).map(k =>
+        k.toLong -> s"v$k"): _*), statsCols = Seq("k"))
+    }
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.table(s"$cat.`c9$$changes`")
+      .filter(col("k") >= 100L && col("k") < 200L) // segment 1's range
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        df.collect().foreach(r => got.add(r.getLong(0)))
+        ()
+      }
+      .option("checkpointLocation", tmpDir("ckpt-c9")).start()
+    try {
+      // catch-up window (pre-history sentinel): delivers exactly the slice
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == (100L until 105L).toSet,
+        s"scoped catch-up must deliver the predicate's slice: ${got.asScala.toSet}")
+      // steady state: new commits — one inside the consumer's range, one
+      // far away — plan their windows SCOPED: O(matching segments) parsed
+      got.clear()
+      val c0 = Manifest.prunedSegConsults.get()
+      val s0 = Manifest.prunedSegSkips.get()
+      wh.append("c9", frame(150L -> "in"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      wh.append("c9", frame(9000L -> "out"), statsCols = Seq("k"))
+      q.processAllAvailable()
+      assert(got.asScala.toSet == Set(150L),
+        s"scoped windows must deliver matching rows only: ${got.asScala.toSet}")
+      val consulted = Manifest.prunedSegConsults.get() - c0
+      val skipped = Manifest.prunedSegSkips.get() - s0
+      // two windows × two manifest loads each, each parsing O(1) of 25+
+      // segments — unscoped planning would consult every segment
+      assert(consulted <= 10,
+        s"scoped triggers must parse O(matching) segments, parsed $consulted")
+      assert(skipped >= 40, s"expected most segments skipped, got $skipped")
+      // the staged window dirs are predicate-fingerprinted (never shared
+      // with an unscoped consumer of the same window)
+      val cdc = java.nio.file.Paths.get(root, "c9", "_cdc")
+      val scoped = java.nio.file.Files.list(cdc).iterator().asScala
+        .count(_.getFileName.toString.matches("w\\d+_\\d+-.*-p[0-9a-f]{8}"))
+      assert(scoped >= 2, s"scoped windows must stage under -p dirs: $scoped")
+    } finally q.stop()
+
+    // an UNSCOPED consumer of the same feed still sees everything (its
+    // windows stage separately from the scoped ones)
+    val all = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = spark.readStream.table(s"$cat.`c9$$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        df.collect().foreach(r => all.add(r.getLong(0)))
+        ()
+      }
+      .option("checkpointLocation", tmpDir("ckpt-c9u")).start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(all.asScala.toSet.size == 24 * 5 + 2,
+        s"unscoped consumer must see the full history: ${all.asScala.size}")
+    } finally q2.stop()
+  }
+
   test("$changes update-images: load-time identifier columns resolve across a rename by field id") {
     wh.create("u3", schema) // (k, v)
     wh.append("u3", frame(1L -> "a", 2L -> "b"), statsCols = Seq("k"))
