@@ -574,7 +574,8 @@ object CorpusQueries {
        |  FROM b CROSS JOIN st)
        |WHERE n_hits > 0 ORDER BY bm25 DESC, doc_id LIMIT $SEARCH_K""".stripMargin
 
-  private lazy val bm25Oracle = bm25OracleOver("SELECT doc_id, text FROM documents")
+  /** `private[queries]`: q174's hybrid-RRF oracle reuses the lexical arm. */
+  private[queries] lazy val bm25Oracle = bm25OracleOver("SELECT doc_id, text FROM documents")
 
   /** q165's corpus FINAL STATE: %5 docs updated (appended marker tokens),
     * %7 docs deleted — what the index must serve after followChanges.

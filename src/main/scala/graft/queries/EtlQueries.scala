@@ -45,6 +45,10 @@ object EtlQueries {
   private lazy val q162Root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-q162")
 
+  /** q173's per-JVM warehouse root — same stable-path discipline. */
+  private lazy val q173Root: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-q173")
+
   // wipe: the shared stable-path helper lives in Tables (imported above)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -772,6 +776,72 @@ object EtlQueries {
       } finally wipe(q162Root)
     },
 
+    // SCOPED streaming replication: a downstream consumer mirrors ONE
+    // MARKET SEGMENT of a mutating fact through the t$changes STREAMING
+    // face with a plain .filter — CdcStreamScopeRule reads the filter off
+    // each trigger's plan and the stager stages readChangesScoped's slice
+    // (delete-aware segment-pruned manifests, predicate-fingerprinted
+    // window dirs; StreamTableReadSpec pins the per-trigger segment
+    // counts). The mirror applies the feed mirror-style (-D keys as one
+    // equality delete, +I rows as a MOR merge) and must equal DuckDB's
+    // direct final state of the scripted history restricted to the
+    // segment. The 100 TB shape: a consumer following one key range of a
+    // huge table pays O(matching segments) window planning and O(matching
+    // slice) staging per trigger, not the full change bag.
+    "q173_cdc_scoped_stream" -> { (s, dir) =>
+      import graft.sink.Warehouse
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("bal"))
+      wipe(q173Root)
+      val cp = java.nio.file.Files.createTempDirectory("graft-q173cp")
+      val wh = new Warehouse(s, q173Root.toString)
+      s.conf.set("spark.sql.catalog.gq173", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq173.root", q173Root.toString)
+      try {
+        val a = cust.filter(col("c_custkey") % 3 === 0)
+        val b = cust.filter(col("c_custkey") % 3 === 1)
+        val factSchema = org.apache.spark.sql.types.StructType(
+          SchemaOps.widenSchema(cust.schema).fields.map(_.copy(nullable = true)))
+        wh.create("cdc", factSchema)
+        wh.create("mirror", factSchema)
+        val q = s.readStream.table("gq173.`cdc$changes`")
+          .filter(col("c_mktsegment") === "BUILDING") // the consumer's scope
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            // mirror discipline (ChangeFeedStream.mirror's order): -D keys
+            // retract first, then +I rows merge — an upserted key's old row
+            // dies and its new row lands in one batch
+            val dels = df.filter(col("_change_type") === "-D").select("c_custkey")
+            val ins = df.filter(col("_change_type") === "+I").drop("_change_type")
+            if (!dels.isEmpty) wh.equalityDelete("mirror", dels): Unit
+            if (!ins.isEmpty) wh.morMerge("mirror", ins, Seq("c_custkey")): Unit
+          }
+          .option("checkpointLocation", cp.toString).start()
+        try {
+          wh.append("cdc", a, statsCols = Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.morMerge("cdc",
+            a.filter(col("c_custkey") % 6 === 0).withColumn("bal", col("bal") + 100),
+            Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.append("cdc", b, statsCols = Seq("c_custkey"))
+          q.processAllAvailable()
+          wh.equalityDelete("cdc",
+            cust.filter(col("c_custkey") % 5 === 0).select("c_custkey"))
+          q.processAllAvailable()
+          wh.compactFiles("cdc")
+          q.processAllAvailable()
+        } finally q.stop()
+        wh.load("mirror")
+          .select(col("c_custkey"), col("c_mktsegment"), col("bal"))
+          .orderBy("c_custkey")
+          .localCheckpoint()
+      } finally {
+        wipe(q173Root)
+        wipe(cp)
+      }
+    },
+
     // ROW LINEAGE under the oracle (Iceberg v3 first_row_id analog): every
     // row gets a stable `_row_id` at its first commit, CARRIED physically
     // through content-preserving rewrites. The query reads the lineage
@@ -1081,6 +1151,22 @@ object EtlQueries {
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_delta
         |FROM changes GROUP BY change_type, c_mktsegment
         |ORDER BY change_type, c_mktsegment""".stripMargin,
+
+    // q173: the mirror converges to the scripted history's FINAL state
+    // restricted to the consumer's segment — scoped delivery must lose
+    // nothing inside the scope and leak nothing outside it.
+    "q173_cdc_scoped_stream" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer),
+        |a AS (SELECT * FROM cust WHERE c_custkey % 3 = 0),
+        |b AS (SELECT * FROM cust WHERE c_custkey % 3 = 1),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 6 = 0 THEN bal + 100 ELSE bal END AS bal FROM a),
+        |live AS (SELECT * FROM merged UNION ALL SELECT * FROM b)
+        |SELECT c_custkey, c_mktsegment, bal FROM live
+        |WHERE c_custkey % 5 <> 0 AND c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
 
     // q159: q156's history with update-images on — the morMerge window's
     // rows pair as -U (old image) / +U (new image); appends stay +I,

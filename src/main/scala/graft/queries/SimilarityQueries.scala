@@ -174,6 +174,48 @@ object SimilarityQueries {
         .orderBy("probe_id", "rank")
     },
 
+    // HYBRID SEARCH — reciprocal-rank fusion of the two retrieval
+    // modalities a training-data/RAG pipeline actually runs side by side:
+    // the LEXICAL arm is q132's postings-algebra BM25 top-k (exact, the
+    // q113-shared oracle) and the SEMANTIC arm is probe 0's exact cosine
+    // top-k over the aligned embeddings (doc_id == vec_id, q60's algebra,
+    // self excluded). RRF (k=60, the standard constant) needs only each
+    // list's RANKS — float-stable across engines because 1/(60+r) on small
+    // integer ranks is deterministic IEEE both sides and the two
+    // contributions add in one fixed order. Both arms are top-k'd with
+    // TakeOrdered BEFORE the rank window, so no global sort ever runs over
+    // the corpus — at 100 TB each arm is its own pruned index probe and
+    // the fusion is O(k). A doc present in only one list scores that
+    // list's contribution alone (full-outer fusion).
+    "q174_hybrid_rrf" -> { (s, dir) =>
+      CosineFns.register(s)
+      // lexical arm: ranked by the arm's own total order (bm25 DESC, doc_id)
+      val lexTop = graft.queries.CorpusQueries.queries("q132_index_bm25")(s, dir)
+        .select(col("doc_id"), col("bm25")).localCheckpoint() // 15 rows
+      val wLex = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      val lex = lexTop.withColumn("r_lex", row_number().over(wLex).cast("long"))
+        .select(col("doc_id"), col("r_lex"))
+      // semantic arm: TakeOrdered top-15, then rank the bounded list
+      val emb = spread(read(s, dir, "embeddings"))
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val probe = emb.filter(col("vec_id") === 0L).select(col("v").as("pv"))
+      val semTop = emb.filter(col("vec_id") =!= 0L).crossJoin(broadcast(probe))
+        .withColumn("score", CosineFns.cosineNative(col("pv"), col("v")))
+        .select(col("vec_id"), col("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(15)
+        .localCheckpoint()
+      val wSem = Window.orderBy(col("score").desc, col("vec_id").asc)
+      val sem = semTop.withColumn("r_sem", row_number().over(wSem).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_sem").cast("double")), lit(0.0)), 6))
+        .select(col("doc_id"), col("r_lex"), col("r_sem"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // LSH-bucketed ANN: deterministic random-hyperplane signature (LCG
     // weights, no driver RNG) buckets the corpus; each probe scores only its
     // own bucket. Approximate — documented recall tradeoff vs q60.
@@ -740,6 +782,29 @@ object SimilarityQueries {
        |SELECT probe_id, rank, vec_id, round(score, 4) AS score
        |FROM ranked WHERE rank <= $TOPK ORDER BY probe_id, rank""".stripMargin
 
+  /** q174: BM25 arm (the q113/q132-shared oracle as a subquery) fused with
+    * probe 0's exact cosine arm by reciprocal rank; COALESCE order and the
+    * two-term add mirror the Spark expression exactly.
+    */
+  private lazy val q174Oracle =
+    s"""WITH lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+       |  FROM (${CorpusQueries.bm25Oracle})),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |probe AS (SELECT v AS pv FROM emb WHERE vec_id = 0),
+       |sem0 AS (
+       |  SELECT vec_id, ${cosineSql("pv", "v")} AS score
+       |  FROM emb, probe WHERE vec_id <> 0),
+       |sem AS (
+       |  SELECT vec_id AS doc_id, r_sem FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS r_sem
+       |    FROM sem0) WHERE r_sem <= 15)
+       |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+       |  round(COALESCE(1.0/(60.0 + r_lex), 0) + COALESCE(1.0/(60.0 + r_sem), 0), 6)
+       |    AS rrf
+       |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   private lazy val q65Oracle =
     s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |comp AS (
@@ -1076,6 +1141,8 @@ object SimilarityQueries {
          |ORDER BY label, a, b""".stripMargin,
 
     "q60_cosine_topk" -> q60Oracle,
+
+    "q174_hybrid_rrf" -> q174Oracle,
 
     // Same exact-decimal centroid + argmax assignment as q65/q125's proven
     // mirrors; the keep-order tuple compare runs on the raw fold doubles,

@@ -39,6 +39,9 @@ class PlanLintSpec extends SparkSpec {
       // q131 assigns every vector against the broadcast cell-centroid table
       // (cells x dim, bounded) — the same deliberate tiny-cross as q65/q73.
       "q131_semdedup",
+      // q174's semantic arm crosses the corpus with ONE broadcast probe row
+      // (q60's shape) and its lexical arm embeds q132's whitelisted plan.
+      "q174_hybrid_rrf",
       // q133 composes three bounded broadcast crosses: corpus/probe cell
       // assignment against the centroid table (q65/q73's shape) and the ADC
       // probe x M x K distance table onto the code scan (IvfPq.search);
