@@ -132,6 +132,23 @@ private[catalog] object GraftProcedures {
           r.pendingDrained, r.indexCompacted.mkString(",")))
       }),
 
+    Proc("maintain_all",
+      "policy sweep over EVERY table in the warehouse (maintain's " +
+        "whole-catalog face) — one metadata-scale decision per table, one " +
+        "result row per table; the scheduler entry point",
+      Array.empty[ProcedureParameter],
+      StructType(Seq(StructField("tbl", StringType),
+        StructField("version", LongType),
+        StructField("deletes_compacted", BooleanType),
+        StructField("files_compacted", BooleanType),
+        StructField("snapshots_expired", BooleanType),
+        StructField("pending_drained", LongType),
+        StructField("index_compacted", StringType))),
+      (wh, _) => wh.maintainAll().map { case (t, r) =>
+        Row(t, r.version, r.deletesCompacted, r.filesCompacted,
+          r.snapshotsExpired, r.pendingDrained, r.indexCompacted.mkString(","))
+      }),
+
     Proc("analyze",
       "one column-pruned pass computing per-column HLL distinct sketches + " +
         "null counts + length stats, stored beside the table and served to " +

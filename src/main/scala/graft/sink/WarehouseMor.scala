@@ -306,7 +306,18 @@ private[sink] trait WarehouseMor { self: Warehouse =>
     val man2 = currentManifest(name)
     val doFiles =
       man2.files.count(_.rows < policy.smallFileRows) >= policy.smallFileCount
-    if (doFiles) compactFiles(name, policy.smallFileRows)
+    // a maintain TARGETED at an index-family table itself (an operator or
+    // the maintainAll sweep naming "corpus__bands" directly) must keep the
+    // probe-key clustering — a plain compact would merge files spanning
+    // every key range and degrade probes to a file open per batch
+    val selfCluster: Seq[String] = IndexFamilies.collectFirst {
+      case (sfx, cols) if name.endsWith(sfx) =>
+        cols.filter(man2.schema.fieldNames.contains) match {
+          case Nil => man2.schema.fieldNames.headOption.toSeq
+          case cs  => cs
+        }
+    }.getOrElse(Nil)
+    if (doFiles) compactFiles(name, policy.smallFileRows, clusterBy = selfCluster)
     val doExpire = history(name).size > policy.keepSnapshots
     if (doExpire) expireSnapshots(name, policy.keepSnapshots)
     // stats freshness: only tables someone has ANALYZEd at least once (no
@@ -345,5 +356,19 @@ private[sink] trait WarehouseMor { self: Warehouse =>
     MaintenanceReport(currentVersion(name), doDeletes, doFiles, doExpire,
       staleCols.isDefined, drained, idxCompacted)
   }
+
+  /** Policy sweep over EVERY table in the warehouse — the scheduler entry
+    * point ([[maintain]]'s whole-catalog face): each table's decision stays
+    * metadata-scale (manifest signals, zero data-file reads), so sweeping a
+    * thousand-table warehouse on a schedule costs O(tables) metadata plus
+    * rewrite work exactly where a signal fired. Tables are visited in
+    * sorted order, so a base table's index-family compaction (with its
+    * probe-key clusterBy) runs BEFORE the sweep reaches the suffix table
+    * itself — and the targeted pass keeps the clustering anyway (see
+    * [[maintain]]'s selfCluster). Returns one report per table.
+    */
+  def maintainAll(policy: MaintenancePolicy = MaintenancePolicy())
+      : Seq[(String, MaintenanceReport)] =
+    listTables().map(t => t -> maintain(t, policy))
 
 }

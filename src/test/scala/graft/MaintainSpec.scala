@@ -214,6 +214,35 @@ class MaintainSpec extends SparkSpec {
       keepSnapshots = 100)).indexCompacted.isEmpty)
   }
 
+  test("maintain TARGETED at an index-family table keeps its probe-key clustering") {
+    // maintainAll (and any operator) may name "corpus__bands" directly; the
+    // generic small-file arm used to compact WITHOUT clusterBy, merging
+    // files that span every band_key range — correct results, destroyed
+    // probe pruning. The targeted pass now picks the family's cluster key.
+    import graft.sink.NearDupIngest
+    val wh = new Warehouse(spark, tmpDir("mt-idxself"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val ing = new NearDupIngest(wh, "doc_id", "text")
+    (0 until 6).foreach(i => ing.ingest("corpus", spark.createDataFrame(
+      Seq(Row(i.toLong, (1 to 40).map(j => s"w${i}t$j").mkString(" "))).asJava,
+      docSchema)))
+    val before = wh.currentManifest("corpus__bands").files.size
+    assert(before >= 6)
+    val rep = wh.maintain("corpus__bands",
+      wh.MaintenancePolicy(smallFileCount = 4, keepSnapshots = 100))
+    assert(rep.filesCompacted, rep.toString)
+    val files = wh.currentManifest("corpus__bands").files
+    assert(files.size < before)
+    // range-clustered rewrite ⇒ pairwise-DISJOINT band_key ranges (an
+    // unclustered compact merges overlapping full-range files)
+    val ranges = files.flatMap(_.stats.get("band_key")).map(s => (s.min, s.max))
+    val sortedR = ranges.sortBy(_._1)
+    assert(sortedR.zip(sortedR.drop(1)).forall { case ((_, aMax), (bMin, _)) =>
+      aMax <= bMin }, s"band_key ranges must stay disjoint: $sortedR")
+    assert(ing.pairs("corpus").collect() != null) // probe path intact
+  }
+
   test("rollup spec round-trips through its durable encoding") {
     import org.apache.spark.sql.functions._
     import graft.sink.IncrementalRollup._

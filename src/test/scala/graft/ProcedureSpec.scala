@@ -84,6 +84,30 @@ class ProcedureSpec extends SparkSpec {
       m.getAs[String]("index_compacted") == "")
   }
 
+  test("maintain_all sweeps the whole catalog: one row per table, actions where signals fire") {
+    val (wh, cat, _) = freshCatalog("mall")
+    // healthy table, fragmented table, MOR-delete table
+    wh.create("ok", schema)
+    wh.append("ok", df(20), statsCols = Seq("k"))
+    wh.create("frag", schema)
+    (0 until 10).foreach(i => wh.append("frag", df(3, i * 3), statsCols = Seq("k")))
+    wh.create("mor", schema)
+    wh.append("mor", df(20), statsCols = Seq("k"))
+    wh.equalityDelete("mor", df(5))
+    val rows = spark.sql(s"CALL $cat.system.maintain_all()").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("ok", "frag", "mor"), rows.keySet.toString)
+    assert(!rows("ok").getAs[Boolean]("files_compacted") &&
+      !rows("ok").getAs[Boolean]("deletes_compacted"))
+    assert(rows("frag").getAs[Boolean]("files_compacted"))
+    assert(rows("mor").getAs[Boolean]("deletes_compacted"))
+    assert(wh.currentManifest("mor").deletes.isEmpty)
+    assert(wh.load("frag").count() == 30 && wh.load("mor").count() == 15)
+    // idempotent: a second sweep over the now-healthy catalog does nothing
+    assert(spark.sql(s"CALL $cat.system.maintain_all()").collect().forall(r =>
+      !r.getAs[Boolean]("files_compacted") && !r.getAs[Boolean]("deletes_compacted")))
+  }
+
   test("maintain drains a stream-maintained rollup's pending extremes over SQL") {
     // the round-17 gap: a SQL-only operator could never repair a
     // stream-maintained extremal rollup — drainPendingExtremes was
@@ -194,9 +218,10 @@ class ProcedureSpec extends SparkSpec {
     val names = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
     assert(names == Set("compact", "compact_files", "compact_deletes",
-      "expire_snapshots", "expire_cdc_stages", "maintain", "rewrite_manifests",
-      "restore", "create_tag", "drop_tag", "create_branch", "publish_branch",
-      "drop_branch", "analyze", "analyze_incremental", "build_bloom_index"))
+      "expire_snapshots", "expire_cdc_stages", "maintain", "maintain_all",
+      "rewrite_manifests", "restore", "create_tag", "drop_tag", "create_branch",
+      "publish_branch", "drop_branch", "analyze", "analyze_incremental",
+      "build_bloom_index"))
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.maintain")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("maintain") && desc.contains("policy-driven"))
