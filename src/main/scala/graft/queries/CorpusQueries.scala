@@ -40,6 +40,45 @@ object CorpusQueries {
   private val CONTAIN_T = 0.6 // q114: containment threshold
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LM-BASED QUALITY SCORING (the KenLM-filter shape of CCNet/LLaMA data
+    // curation, self-trained): a word-bigram language model with add-one
+    // smoothing is fit on the WHOLE corpus — unigram/bigram count tables,
+    // the distributed "training" is two hash aggregates — and every doc is
+    // scored by its mean per-bigram log2-likelihood under that model.
+    // Low scores = improbable token sequences (noise, boilerplate soup,
+    // wrong-language fragments); the heuristic q51 ratios can't see this.
+    // Float discipline: each doc's log terms fold in SORTED order via a
+    // deterministic HOF aggregate (DuckDB's list_reduce over list_sort —
+    // 0.0-seeded fold is IEEE-identical to seedless), so the per-doc sum
+    // never depends on partitioning; final round(4). Shuffle shape: words
+    // and bigrams are keyed hash aggregates + two keyed joins back — no
+    // broadcast of the unbounded vocab, no global sort; at 100 TB the
+    // count tables are the bounded model artifact (the BpeMerges posture)
+    // and scoring is one pass over the corpus' bigrams.
+    "q175_bigram_lm_quality" -> { (s, dir) =>
+      val words = spread(read(s, dir, "documents"))
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
+        .persist(StorageLevel.MEMORY_AND_DISK) // consumers: vocab, unigrams, 2 bigram sides
+      val bigrams = words.select(col("doc_id"), col("i"), col("w").as("w1"))
+        .join(words.select(col("doc_id"), (col("i") - 1).as("i"), col("w").as("w2")),
+          Seq("doc_id", "i"))
+        .select(col("doc_id"), col("w1"), col("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // consumers: model counts + scoring
+      val vocabV = words.agg(countDistinct(col("w"))).head().getLong(0) // bounded scalar
+      val uni = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+      val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      bigrams.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+        .withColumn("lp", log2((col("c12") + 1).cast("double")
+          / (col("c1") + lit(vocabV)).cast("double")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), collect_list(col("lp")).as("lps"))
+        .withColumn("lm_score", round(
+          aggregate(sort_array(col("lps")), lit(0.0d), (acc, x) => acc + x)
+            / col("n_bigrams").cast("double"), 4))
+        .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+        .orderBy("doc_id")
+    },
+
     // Cross-doc gram document-frequency stats: per-doc boilerplate coverage
     // (grams shared with >= BOILER_DF docs — the CCNet-style repeated-content
     // signal) and rare-gram coverage (grams in <= RARE_DF docs — the noise /
@@ -614,6 +653,27 @@ object CorpusQueries {
          |  FROM (SELECT ${bpeEncodeSql("dword")} AS e FROM d))
          |SELECT mode, subword, CAST(count(*) AS BIGINT) AS cnt
          |FROM tok GROUP BY mode, subword ORDER BY mode, subword""".stripMargin,
+
+    // q175: the bigram LM refit declaratively; the per-doc fold mirrors the
+    // Spark side exactly (sorted fold — list_reduce over list_sort is
+    // IEEE-identical to Spark's 0.0-seeded aggregate over sort_array).
+    "q175_bigram_lm_quality" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |w AS (SELECT doc_id, i, toks[i] AS w FROM tk,
+         |  LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g),
+         |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+         |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |v AS (SELECT count(DISTINCT w) AS vocab FROM w),
+         |uni AS (SELECT w AS w1, count(*) AS c1 FROM w GROUP BY w),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(list_reduce(list_sort(list(lp)), (x, y) -> x + y)
+         |    / count(*), 4) AS lm_score
+         |FROM (
+         |  SELECT bg.doc_id,
+         |    log2(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE)) AS lp
+         |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q113_bm25_search" -> bm25Oracle,
 
