@@ -56,8 +56,15 @@ object Bench {
 
   private[graft] def requeueSelect(rows: Seq[(String, Seq[Double], Boolean)],
                                    partialWindow: Boolean, spreadBound: Double,
-                                   cap: Int): Seq[String] = {
-    val wide = rows.filter(r => spreadRatio(r._2) > spreadBound)
+                                   cap: Int, excessBound: Double = 1.5): Seq[String] = {
+    // two qualifying arms: RATIO (a small row running 2x wide is suspect
+    // however few seconds it moves) and ABSOLUTE excess seconds (round-18:
+    // a 9 s row whose median sat 2 s above its best run carried the
+    // largest single distortion of the sweep while its 1.41x ratio ducked
+    // the bound) — a row with a tight spread qualifies under neither and
+    // never re-runs, so stable rows cost nothing
+    val wide = rows.filter(r =>
+      spreadRatio(r._2) > spreadBound || excessSec(r._2) > excessBound)
     val bad = rows.filter(_._3)
     val windowed = if (!partialWindow) Seq.empty
       else rows.sortBy(r => -excessSec(r._2)).take(4)
@@ -432,6 +439,7 @@ object Bench {
     // medians (requeued values substituted).
     val requeueSpread = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_SPREAD", "1.5").toDouble
     val requeueMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_MAX", "8").toInt
+    val requeueExcess = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_EXCESS", "1.5").toDouble
     // per-calibration shift thresholds sit ABOVE each loop's own observed
     // quiet-box noise (bw_mt's all-core sweep is the jumpiest at ±30%),
     // else the partial-window trigger fires on scheduler jitter and the
@@ -443,10 +451,12 @@ object Bench {
       shifted(calibBwMtStart, calibBwMtEnd, 1.4) ||
       shifted(calibMtStart, calibMtEnd, 1.25)
     val selRows = results.map { case (n, ts, _, bad) => (n, ts, bad) }
-    val requeueNames = requeueSelect(selRows, partialWindow, requeueSpread, requeueMax)
+    val requeueNames =
+      requeueSelect(selRows, partialWindow, requeueSpread, requeueMax, requeueExcess)
     val requeueReason =
       (if (partialWindow) Seq("partial_window") else Nil) ++
-        (if (selRows.exists(r => spreadRatio(r._2) > requeueSpread)) Seq("spread") else Nil) ++
+        (if (selRows.exists(r => spreadRatio(r._2) > requeueSpread ||
+          excessSec(r._2) > requeueExcess)) Seq("spread") else Nil) ++
         (if (selRows.exists(_._3)) Seq("tainted") else Nil)
     val (requeued, requeueBwRatio): (Seq[(String, Double)], Double) =
       if (requeueNames.isEmpty) (Seq.empty, -1.0)

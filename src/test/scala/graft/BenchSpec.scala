@@ -100,6 +100,19 @@ class BenchSpec extends AnyFunSuite {
       s"left-behind rows must each distort the total by <2 s: $left")
   }
 
+  test("requeueSelect: big absolute excess qualifies even under the ratio bound") {
+    // round-18 artifact residual: a 9 s row with spread [7.08, 9.96]
+    // (ratio 1.41 < 1.5) carried ~2 s of excess and stood — the absolute
+    // arm must catch it; a tight row never qualifies under either arm
+    val rows = Seq(
+      ("q143", Seq(7.08, 9.03, 9.96), false), // ratio 1.41, excess 1.95
+      ("tight", Seq(5.0, 5.05, 5.1), false))  // ratio 1.02, excess 0.05
+    assert(Bench.requeueSelect(rows, partialWindow = false, 1.5, 8) == Seq("q143"))
+    // the excess bound is honored (raised bound → nothing qualifies)
+    assert(Bench.requeueSelect(rows, partialWindow = false, 1.5, 8,
+      excessBound = 3.0).isEmpty)
+  }
+
   test("substituteClean: a failed re-run (sentinel) never lowers the total") {
     val medians = Seq("q1" -> 2.0, "q2" -> 5.0, "q3" -> 1.0)
     // clean substitution applies
