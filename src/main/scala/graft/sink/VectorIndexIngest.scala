@@ -164,8 +164,13 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
   private def dedupBatch(df: DataFrame): DataFrame = {
     val wd = Window.partitionBy(pkCol)
       .orderBy(to_json(struct(df.columns.map(col): _*)).asc)
+    // materialized ONCE: every caller fans the deduped batch into several
+    // consumers (PQ encode + cell assignment are two join sides over it,
+    // then the corpus dedup-append reads it again) — without the
+    // checkpoint the window pipeline re-runs for each of them
     df.withColumn("__rn", row_number().over(wd))
       .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
   }
 
   /** Assign + encode `batch` against the frozen model and append its NEW
@@ -241,7 +246,9 @@ final class VectorIndexIngest(wh: Warehouse, pkCol: String, vecCol: String,
     // pk as absent
     if (nDel > 0) wh.equalityDelete(codesTable(name), delPks)
     val ins = dedupBatch(w.ins)
-    val nIns = ins.select(col(pkCol)).distinct().count()
+    // dedupBatch keeps exactly one row per pk, so the distinct-pk count is
+    // the (checkpointed) row count — no extra shuffle
+    val nIns = ins.count()
     if (nIns > 0) encodeAppend(name, ins, cents, model)
     IndexFollower.record(wh, name, codesTable(name), now)
     FollowReport(now, nDel, nIns)

@@ -1286,15 +1286,22 @@ final class Warehouse(private[sink] val spark: SparkSession,
     val all = specCols.map(p => col(p._1)) ++ clusterBy.map(col)
     if (all.isEmpty) in
     else if (specCols.nonEmpty) {
-      // explicit partition count (REPARTITION_BY_NUM): AQE must not
-      // coalesce away the partition-value file boundaries — a small batch
-      // collapsed into one file would put every partition value in every
-      // file and no transform bound could ever prune. The sort leads with
-      // the __graft_p columns, so the partitioned write's required ordering
-      // is already satisfied and the clusterBy order inside each file
-      // survives (FileFormatWriter skips its own sort).
+      // HASH distribution on the transform values (Iceberg's
+      // write.distribution-mode=hash): the hive-style partitionBy in
+      // [[writeData]] splits files per partition VALUE regardless of task
+      // layout, so range partitioning bought nothing here while its hidden
+      // RangePartitioner sampling pass executed the whole batch TWICE per
+      // write (guide §2.4 — an exchange you did not expect). Hash needs no
+      // sampling, keeps every value's rows in one task (one file per value,
+      // min==max bounds — the SPJ invariant SpjSupport proves back from the
+      // manifest), and the explicit partition count (REPARTITION_BY_NUM)
+      // still keeps AQE from rewiring the layout. The sort leads with the
+      // __graft_p columns, so the partitioned write's required ordering is
+      // already satisfied and the clusterBy order inside each file survives
+      // (FileFormatWriter skips its own sort).
       val n = in.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-      withP.repartitionByRange(n, all: _*).sortWithinPartitions(all: _*)
+      withP.repartition(n, specCols.map(p => col(p._1)): _*)
+        .sortWithinPartitions(all: _*)
     } else withP.repartitionByRange(all: _*).sortWithinPartitions(all: _*)
   }
 
@@ -1394,19 +1401,32 @@ final class Warehouse(private[sink] val spark: SparkSession,
     // and duplicate-pk batches would land whole. The JSON render of the full
     // row is a deterministic total-order tiebreak for same-pk rows, so the
     // keeper is stable under any partitioning and across replays.
-    val w = Window.partitionBy(fpCol)
-      .orderBy(col(pk).asc, to_json(struct(df.columns.map(col): _*)).asc)
+    val byFp = Window.partitionBy(fpCol)
+    val w = byFp.orderBy(col(pk).asc, to_json(struct(df.columns.map(col): _*)).asc)
+    // ONE window pass, materialized ONCE: the keeper frame used to be
+    // recomputed up to four times per call (anti-join probe, the write,
+    // and two of the three report counts) — a per-ingest tax on every
+    // dedup-ingesting operator. The group size rides the same window
+    // partition (no extra shuffle), so the raw-batch total needs no
+    // separate full pass over `df` either.
     val inBatch = df.withColumn("__keeper", row_number().over(w))
+      .withColumn("__grp", count(lit(1)).over(byFp))
       .filter(col("__keeper") === 1).drop("__keeper")
-    val fresh =
-      if (!exists(name)) inBatch
-      else inBatch.join(load(name).select(fpCol).distinct(), Seq(fpCol), "left_anti")
-    // localCheckpoint: the frame is consumed twice (count + write) and the
-    // anti-join must not re-plan against the table AFTER the commit below.
-    val materialized = fresh.localCheckpoint()
-    val total = df.count()
-    val afterBatch = inBatch.count()
-    val appended = materialized.count()
+      .localCheckpoint()
+    val counts = inBatch.agg(count(lit(1)), sum(col("__grp"))).head()
+    val afterBatch = counts.getLong(0)
+    val total = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    val keepers = inBatch.drop("__grp")
+    // the anti-join must not re-plan against the table AFTER the commit
+    // below, so its output is materialized too before the append lands
+    val (materialized, appended) =
+      if (!exists(name)) (keepers, afterBatch)
+      else {
+        val fresh = keepers
+          .join(load(name).select(fpCol).distinct(), Seq(fpCol), "left_anti")
+          .localCheckpoint()
+        (fresh, fresh.count())
+      }
     val version = append(name, materialized, statsCols, clusterBy)
     DedupAppendReport(version, appended, total - afterBatch, afterBatch - appended)
   }

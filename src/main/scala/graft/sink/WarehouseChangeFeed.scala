@@ -268,10 +268,25 @@ private[sink] trait WarehouseChangeFeed { self: Warehouse =>
     val vcols = variantColsOf(mTo.schema)
     val bagTo = variantProxy(changedTo, vcols)
     val bagFrom = variantProxy(changedFrom, vcols)
+    // ONE signed-bag aggregate instead of the exceptAll pair: the pair's
+    // two legs each reference BOTH sides, so every changed file's MOR scan
+    // ran twice and the all-columns hash aggregate ran twice. The net
+    // multiplicity n = count_to - count_from gives both directions at once
+    // (to exceptAll from = max(n,0) copies, the reverse = max(-n,0)), so
+    // one union + one aggregate + one replicate emits the identical bag —
+    // same all-column grouping (and float-key normalization) Spark's own
+    // RewriteExceptAll uses, half the scans and shuffles per window.
+    val outCols = bagTo.columns.toSeq
+    val net = bagTo.withColumn("__cdc_sgn", lit(1L))
+      .unionByName(bagFrom.withColumn("__cdc_sgn", lit(-1L)))
+      .groupBy(outCols.map(col): _*)
+      .agg(sum(col("__cdc_sgn")).as("__cdc_n"))
+      .filter(col("__cdc_n") =!= 0L)
     variantRestore(
-      bagTo.exceptAll(bagFrom).withColumn("_change_type", lit("+I"))
-        .unionByName(
-          bagFrom.exceptAll(bagTo).withColumn("_change_type", lit("-D"))),
+      net.withColumn("_change_type",
+          when(col("__cdc_n") > 0L, lit("+I")).otherwise(lit("-D")))
+        .withColumn("__cdc_i", explode(sequence(lit(1L), abs(col("__cdc_n")))))
+        .drop("__cdc_n", "__cdc_i"),
       vcols)
   }
 
