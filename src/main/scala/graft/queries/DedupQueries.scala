@@ -121,7 +121,11 @@ object DedupQueries {
     val sigCols = (0 until K).map { j =>
       min(substring(col(s"m${j / CHUNK}"), (j % CHUNK) * 8 + 1, 8)).as(s"sig$j")
     }
+    // localCheckpoint: the banded candidate join reads the signature frame
+    // on both sides — one row per doc (K 8-char min-hashes), tiny, and it
+    // pins the salted-md5 min aggregate to a single run
     val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint()
     val bandCols = (0 until BANDS).map { b =>
       md5(concat_ws("|", Seq(lit(b.toString)) ++
         (0 until R).map(i => col(s"sig${b * R + i}")): _*)).as(s"band$b")
@@ -231,7 +235,9 @@ object DedupQueries {
     "q128_dedup_recall" -> { (s, dir) =>
       val sets = shingleSets(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val exact = setsimJoin(s, dir, Some(sets)).select("d1", "d2")
-      val lsh = minhashLsh(s, dir, Some(sets)).select("d1", "d2")
+      // localCheckpoint: TWO consumers (the hit-mark join and the n_lsh
+      // aggregate) — without it the whole banded-MinHash pipeline runs twice
+      val lsh = minhashLsh(s, dir, Some(sets)).select("d1", "d2").localCheckpoint()
       val marked = exact.join(lsh.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
       marked.agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("hit"), lit(0L))).as("n_found"))
@@ -495,7 +501,10 @@ object DedupQueries {
     val simhash = (0 until bits).map { j =>
       when(col(s"s$j") * 2 >= col("n"), lit(1L << (bits - 1 - j))).otherwise(0L)
     }.reduce(_ + _)
-    val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+    // localCheckpoint: the banded candidate join reads the signature frame
+    // on BOTH sides — one row per doc (id + one long), pennies to hold,
+    // and it cuts the tokenize+md5+bit-sum aggregate to a single run
+    val sig = sums.select(col("doc_id"), simhash.as("simhash")).localCheckpoint()
     val bkCase = "CASE bi " + bands.zipWithIndex.map { case ((sh, m), j) =>
       s"WHEN $j THEN shiftright(simhash, $sh) & ${m}L" }.mkString(" ") + " END"
     val banded = sig

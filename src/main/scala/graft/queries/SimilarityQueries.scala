@@ -338,8 +338,11 @@ object SimilarityQueries {
         .join(cellsOf, "vec_id")
       val probes = emb.filter(col("vec_id") < N_PROBES)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      // localCheckpoint: TWO consumers (the recall join and the top-1
+      // projection) — without it the whole IVF-PQ search pipeline
+      // (encode + assignment windows + ADC join + rank) runs twice
       val approx = IvfPq.search(probes, IvfPq.Index(cents, codes, model),
-        NPROBE_CELLS, TOPK, excludeSelf = true)
+        NPROBE_CELLS, TOPK, excludeSelf = true).localCheckpoint()
       val exact = queries("q60_cosine_topk")(s, dir).select(col("probe_id"), col("vec_id"))
       val recall = exact
         .join(approx.select(col("probe_id"), col("vec_id"), lit(1).as("hit")),
