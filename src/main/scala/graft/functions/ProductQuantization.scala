@@ -151,8 +151,11 @@ object ProductQuantization {
   def trainStepAudit(emb: DataFrame, dim: Int, m: Int, k: Int): DataFrame = {
     ensureRegistered(emb)
     val subDim = dim / m
+    // localCheckpoint: three consumers (centroid pass, reassign, prev_cell
+    // join) would otherwise each re-run the subvector explode pipeline
     val subs = subvectors(emb, m, subDim)
       .withColumn("cell", pmod(col("vec_id") + col("sub_id"), lit(k)))
+      .localCheckpoint()
     val cents = centroids(subs)
     reassign(subs.select(col("vec_id"), col("sub_id"), col("sv")), cents)
       .join(subs.select(col("vec_id"), col("sub_id"), col("cell").as("prev_cell")),

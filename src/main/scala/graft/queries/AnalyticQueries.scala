@@ -1077,7 +1077,14 @@ object AnalyticQueries {
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      val osl = lo.groupBy("l_orderkey", "l_suppkey")
+      // one shared exchange (guide §2.4): everything downstream — the
+      // (orderkey, suppkey) aggregate, the per-order rollup, and the
+      // osl⋈ord join — is keyed by l_orderkey, and HashPartitioning on
+      // l_orderkey satisfies the clustered distribution of all three, so
+      // establishing it once replaces three separate shuffles (the join
+      // used to reshuffle BOTH derived sides)
+      val osl = lo.repartition(col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(max(col("late")).as("s_late"))
       val ord = osl.groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_supp"),

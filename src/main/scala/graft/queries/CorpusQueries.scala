@@ -433,8 +433,11 @@ object CorpusQueries {
       val tk = spread(read(s, dir, "documents"))
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint: the unigram counts broadcast onto BOTH bigram
+      // sides — one vocab-sized frame, one compute instead of two
       val uni = tk.select(explode(col("tk")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val total = tk.select(explode(col("tk")).as("tok")).agg(count(lit(1)).as("n"))
       val bi = tk.select(explode(transform(
           sequence(lit(1), greatest(size(col("tk")) - 1, lit(1))),

@@ -514,7 +514,10 @@ object SimilarityQueries {
       val emb0 = spread(read(s, dir, "embeddings"))
         .select(col("vec_id"), col("label").as("cell"), asDouble(col("embedding")).as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a1 = reassign(emb0, centroidsFor(emb0))
+      // localCheckpoint: a1 feeds iteration 2's centroid pass AND its
+      // reassign join — without it the whole iteration-1 crossJoin+window
+      // pipeline runs twice
+      val a1 = reassign(emb0, centroidsFor(emb0)).localCheckpoint()
       val a2 = reassign(a1.select(col("vec_id"), col("cell"), col("v")),
         centroidsFor(a1.select(col("vec_id"), col("cell"), col("v"))))
       a2.groupBy(col("cell"))
